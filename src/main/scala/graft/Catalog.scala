@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table registry over the driver-generated Parquet directories.
+  *
+  * Mirrors the reference's connector/catalog layer
+  * (axiom/connectors/ConnectorMetadata.h:171-285 `TableLayout`,
+  * axiom/optimizer/Schema.h:365-401 `SchemaTable`): tables are
+  * catalog-resolved with fixed schemas, not inferred per query. Here the
+  * "connector" is Spark's Parquet source, which already provides split
+  * enumeration, filter pushdown and column pruning (SURVEY.md §2.7).
+  *
+  * Scale note: each table is one parquet file/dir; at 100 TB these become
+  * partitioned directories — `spark.read.parquet` handles both, and all
+  * downstream code only sees the logical table name.
+  */
+object Catalog {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Tables small enough to always broadcast in joins at any scale factor:
+    * region (5 rows) and nation (25 rows) are fixed-size dimension tables
+    * in TPC-H regardless of sf.
+    */
+  val alwaysBroadcast: Set[String] = Set("region", "nation")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register every table as a temp view so `spark.sql` works alongside
+    * the DataFrame API (same dual surface as the reference: PlanBuilder
+    * and the Presto SQL frontend feed one logical-plan layer).
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach { t =>
+      load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+}
+
+/** Convenience accessors for one scale-factor directory. */
+final case class Tables(spark: SparkSession, sfDir: String) {
+  def apply(name: String): DataFrame = Catalog.load(spark, sfDir, name)
+  def region: DataFrame = apply("region")
+  def nation: DataFrame = apply("nation")
+  def customer: DataFrame = apply("customer")
+  def supplier: DataFrame = apply("supplier")
+  def part: DataFrame = apply("part")
+  def orders: DataFrame = apply("orders")
+  def lineitem: DataFrame = apply("lineitem")
+  def events: DataFrame = apply("events")
+  def documents: DataFrame = apply("documents")
+  def embeddings: DataFrame = apply("embeddings")
+}
+
+/** SparkSession factory with the engine's standard configuration.
+  * local[*] testing stands in for a multi-executor cluster; all sizing
+  * knobs (shuffle partitions, AQE) are set so the same plans scale.
+  */
+object Sessions {
+  def builder(master: String = "local[*]", appName: String = "graft") =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
