@@ -26,8 +26,19 @@ object Catalog {
     */
   val alwaysBroadcast: Set[String] = Set("region", "nation")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    // reader rejects; with spark.sql.legacy.parquet.nanosAsLong (set in
+    // Sessions.builder) it reads as nanos-since-epoch LONG, converted
+    // back to a timestamp here (micros precision — the synthetic data is
+    // ms-granular, so nothing is lost).
+    if (name == "events")
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    else raw
+  }
 
   /** Register every table as a temp view so `spark.sql` works alongside
     * the DataFrame API (same dual surface as the reference: PlanBuilder
@@ -67,6 +78,7 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

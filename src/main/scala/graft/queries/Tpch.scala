@@ -2,10 +2,11 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's benchmark query set — TPC-H q1,q2,q3,q5..q14,q16,q17,q19
-  * (axiom/optimizer/tests/tpch.queries/*.sql) — re-expressed on the Spark
+  * (axiom/optimizer/tests/tpch.queries/q-star-.sql) — re-expressed on the Spark
   * DataFrame API and adapted to the driver's reduced TPC-H schema (no
   * partsupp table; several comment/address columns absent — see
   * TESTDATA.md). Queries whose official text needs a missing table keep
@@ -70,17 +71,21 @@ object Tpch {
     * is exactly how the reference lowers single-row subqueries
     * (axiom/optimizer/DerivedTable.cpp:182 findSingleRowDts). */
   def q2(t: Tables): DataFrame = {
+    // Single-pass: the per-part min acctbal (the scalar subquery, which
+    // ranges over ALL suppliers of the part, not just EUROPE/size-15 ones)
+    // is a window min over the same (part, supplier) relation instead of a
+    // second aggregate subtree — one lineitem scan and one distinct
+    // shuffle instead of two of each at 100 TB.
     val partSupp = t.lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
       .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
-    val minBal = partSupp.groupBy(col("l_partkey").as("mb_partkey"))
-      .agg(min(col("s_acctbal")).as("min_bal"))
+      .withColumn("min_bal", min(col("s_acctbal")).over(Window.partitionBy(col("l_partkey"))))
     partSupp
+      .filter(col("s_acctbal") === col("min_bal"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "EUROPE")
       .join(t.part, col("l_partkey") === col("p_partkey"))
       .filter(col("p_size") === 15)
-      .join(minBal, col("l_partkey") === col("mb_partkey") && col("s_acctbal") === col("min_bal"))
       .select(col("p_partkey"), col("p_name"), col("s_name"),
         round(col("s_acctbal"), 2).as("acctbal"), col("n_name"))
       .orderBy(col("p_partkey"), col("s_name"))
@@ -277,7 +282,8 @@ object Tpch {
        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
          AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
          AND p_name LIKE '%red%'
-       GROUP BY nation, o_year ORDER BY nation, o_year DESC"""
+       GROUP BY n_name, extract(year FROM o_orderdate)
+       ORDER BY nation, o_year DESC"""
 
   // ---------------------------------------------------------------- q10
   /** Returned item reporting (adapted: c_address/c_phone/c_comment absent
@@ -314,12 +320,19 @@ object Tpch {
     * this as a single-row derived table cross join,
     * axiom/optimizer/Optimization.cpp:1280 placeSingleRowDt). */
   def q11(t: Tables): DataFrame = {
-    val value = t.lineitem
+    // One pass over lineitem⋈supplier: pre-aggregate by s_nationkey (≤25
+    // groups), then derive BOTH the HAVING denominator (sum over the
+    // pre-nation-join relation — matching the oracle's scalar subquery,
+    // which omits the nation join) and the per-nation values from that
+    // tiny aggregate. Nation join is broadcast over 25 rows.
+    val byNationKey = t.lineitem
       .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .withColumn("v", revenue(col("l_extendedprice"), col("l_discount")))
-    val byNation = value.groupBy(col("n_name")).agg(sum(col("v")).as("value_raw"))
-    val total = value.agg(sum(col("v")).as("total"))
+      .groupBy(col("s_nationkey")).agg(sum(col("v")).as("value_raw"))
+    val total = byNationKey.agg(sum(col("value_raw")).as("total"))
+    val byNation = byNationKey
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(sum(col("value_raw")).as("value_raw"))
     byNation.crossJoin(total)
       .filter(col("value_raw") > col("total") * 0.04)
       .select(col("n_name"), round(col("value_raw"), 2).as("value"))
@@ -443,11 +456,16 @@ object Tpch {
     * filter only). Correlated aggregate subquery (avg qty per part)
     * expressed as its decorrelated aggregate-join form. */
   def q17(t: Tables): DataFrame = {
-    val avgQty = t.lineitem.groupBy(col("l_partkey").as("aq_partkey"))
-      .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
+    // Semi-reduce lineitem to Brand#3 parts FIRST (~1/25 of parts at any
+    // scale), then the correlated avg-qty subquery is a window avg over
+    // the reduced relation — per-part averages are unchanged by the part
+    // filter since they only range within a partkey. One lineitem scan,
+    // no full-table pre-aggregation (vs aggregating avg qty over ALL
+    // parts before filtering).
     t.part.filter(col("p_brand") === "Brand#3")
       .join(t.lineitem, col("p_partkey") === col("l_partkey"))
-      .join(avgQty, col("l_partkey") === col("aq_partkey"))
+      .withColumn("half_avg_qty",
+        avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))) * 0.5)
       .filter(col("l_quantity") < col("half_avg_qty"))
       .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
   }
