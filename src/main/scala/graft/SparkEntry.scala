@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Tpch, TpchSql}
+import graft.queries.{Exprs, Relational, SqlOps, Tpch, TpchSql}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,11 @@ object SparkEntry {
     * not SQL-expressible and the driver should do a rows-only check). */
   private def allEntries: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Tpch.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
-      TpchSql.all
+      TpchSql.all ++
+      Relational.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
+      Exprs.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
+      Exprs.sqlDriven ++
+      SqlOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
