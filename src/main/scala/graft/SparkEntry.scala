@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Exprs, Relational, SqlOps, Tpch, TpchSql}
+import graft.llm.{Ann, Dedup, Multimodal, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +24,11 @@ object SparkEntry {
       Relational.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       Exprs.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       Exprs.sqlDriven ++
-      SqlOps.all
+      SqlOps.all ++
+      Dedup.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
+      Ann.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
+      TextStats.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
+      Multimodal.all.map { case (n, f, sql) => (n, adapt(f), sql) }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

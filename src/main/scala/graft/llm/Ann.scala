@@ -1,0 +1,103 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], dim 64).
+  *
+  * Two tiers:
+  *  - brute-force top-k: the exact baseline and DuckDB-checkable. The
+  *    query set (a handful of probe vectors) broadcasts against the full
+  *    corpus, so the "product" is a map-side scan — no shuffle of the
+  *    corpus at any scale; per-query top-k via window rank.
+  *  - IVF top-k: the 100 TB path. A fixed set of coarse centroids
+  *    partitions the corpus into lists (one shuffle on list id, done
+  *    once and reusable); each query probes only its nProbe nearest
+  *    lists. Approximate → verified by recall against brute force in
+  *    the test suite, and registered rows-only with the driver.
+  *
+  * All arithmetic in double precision on both engines so rank order is
+  * stable across Spark and DuckDB.
+  */
+object Ann {
+
+  private val K = 5
+  private val NQueries = 20 // probe vectors: vec_id < 20
+  private val NProbe = 4
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** embeddings with double vector + L2 norm. */
+  private def prepped(t: Tables): DataFrame =
+    t.embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("norm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
+
+  // ------------------------------------------------- brute-force top-k
+  def annBruteforce(t: Tables): DataFrame = {
+    val v = prepped(t)
+    val q = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"))
+    val scored = broadcast(q).crossJoin(v)
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qnorm") * col("norm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
+        round(col("cos"), 4).as("cos"))
+  }
+  val annBruteforceSql: String =
+    s"""SELECT q_id, neighbor_id, rk, round(cos, 4) AS cos
+       FROM (SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+               list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS cos,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) DESC,
+                          v.vec_id) AS rk
+             FROM embeddings q, embeddings v
+             WHERE q.vec_id < $NQueries AND q.vec_id <> v.vec_id) s
+       WHERE rk <= $K"""
+
+  // ------------------------------------------------------- IVF top-k
+  /** Coarse centroids: a deterministic sample of corpus vectors (every
+    * 31st id). A production build replaces this with k-means iterates —
+    * the partitioning/probing structure is identical. */
+  def annIvf(t: Tables): DataFrame = {
+    val v = prepped(t)
+    val cents = v.filter(pmod(col("vec_id"), lit(31)) === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("norm").as("cnorm"))
+    // Assign every vector to its nearest centroid → inverted lists.
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
+    val lists = v.crossJoin(broadcast(cents))
+      .withColumn("csim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("c_id").as("list_id"), col("vec_id"), col("e"), col("norm"))
+    // Each query probes its nProbe nearest lists only.
+    val q = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("csim", dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= NProbe)
+      .select(col("q_id"), col("qe"), col("qnorm"), col("c_id").as("list_id"))
+    // Score only within probed lists, then per-query top-k.
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    probes.join(lists, "list_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("qe"), col("e")) / (col("qnorm") * col("norm")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
+        round(col("cos"), 4).as("cos"))
+  }
+
+  val all: Seq[(String, Tables => DataFrame, String)] = Seq(
+    ("ann_bruteforce_topk", annBruteforce _, annBruteforceSql),
+    ("ann_ivf_topk", annIvf _, "")) // approximate → rows-only check
+}

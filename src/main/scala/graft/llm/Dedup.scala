@@ -1,0 +1,220 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication over the `documents` table.
+  *
+  * Four tiers, all pure Spark SQL expressions (whole-stage codegen, no
+  * UDFs) and all driver-loop-free:
+  *
+  *  - exact:    hash-groupBy on sha2(text) — one shuffle on the digest.
+  *  - exact n-gram Jaccard: inverted-index join on shingles (candidate
+  *    pairs share ≥1 shingle — never an all-pairs product). This is the
+  *    ground-truth baseline the approximate tiers are verified against.
+  *  - MinHash + banded LSH: 64 permutations, 16 bands × 4 rows. At 100 TB
+  *    the only shuffle is on (band, bandHash) buckets; candidates are
+  *    verified with exact Jaccard, so precision is 1 and recall is
+  *    1-(1-s^4)^16 (≈1 for s ≥ 0.9).
+  *  - SimHash: 64-bit signature over token hashes; banded into 16×4-bit
+  *    chunks (pigeonhole: any pair within Hamming distance 15 shares a
+  *    chunk). At larger scale use wider chunks with a lower distance
+  *    bound to shrink buckets.
+  *
+  * All near-dup variants emit the same (doc_a, doc_b, jacc) schema with
+  * jacc ≥ 0.8, so one DuckDB all-pairs oracle checks them all — the
+  * approximate tiers must reach recall 1.0 on data whose true pairs sit
+  * at J ≥ 0.9 (this corpus: 25 pairs at J ≥ 0.9, next at 0.07).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ shingles
+  /** Whitespace tokens (regex split of trimmed text — no empty tokens). */
+  private def tokens: Column = split(trim(col("text")), "\\s+")
+
+  /** Distinct word 3-gram shingles; docs with <3 tokens get an empty set. */
+  private def shingleExpr: Column = {
+    val w = tokens
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def shingled(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"), shingleExpr.as("shingles"))
+
+  /** Exact pairwise Jaccard on two shingle-set columns. */
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** The common DuckDB ground-truth oracle: all pairs with 3-gram-shingle
+    * Jaccard ≥ 0.8 (inverted-index join there too, not an O(n²) scan). */
+  private val neardupOracleSql: String =
+    """WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+       ), sh AS (
+         SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w)-1)]) AS shingles
+         FROM toks WHERE len(w) >= 3
+       ), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT doc_a, doc_b,
+              round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jacc
+       FROM pairs
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8"""
+
+  // --------------------------------------------------------- exact dedup
+  /** Exact duplicate groups: hash-groupBy on a 256-bit content digest —
+    * the scalable form of GROUP BY text (the shuffle carries 32-byte
+    * digests, not document bodies). The oracle groups by the text itself;
+    * identical output absent sha2 collisions. */
+  def dedupExact(t: Tables): DataFrame =
+    t.documents
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+  val dedupExactSql: String =
+    "SELECT min(doc_id) AS canonical_id, count(*) AS n_copies FROM documents GROUP BY text"
+
+  // --------------------------------------- exact n-gram Jaccard (ground)
+  def neardupJaccard(t: Tables): DataFrame = {
+    val sh = shingled(t)
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val pairs = ex.as("a")
+      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("j", col("inter").cast("double") / (col("sa.n") + col("sb.n") - col("inter")))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jacc"))
+  }
+
+  // ------------------------------------------------------- MinHash + LSH
+  private val NumPerm = 64
+  private val Bands = 16
+  private val Rows = NumPerm / Bands // 4
+  private val P = 2147483647L // 2^31-1; keeps a*x+b < 2^62 under ANSI mode
+
+  /** Deterministic permutation coefficients (fixed LCG, seed 42). */
+  private val (permA, permB) = {
+    var s = 42L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 33) % (P - 1) + 1 }
+    val a = Array.fill(NumPerm)(next())
+    val b = Array.fill(NumPerm)(next())
+    (a, b)
+  }
+
+  def neardupMinhash(t: Tables): DataFrame = {
+    val aLit = typedLit(permA.toSeq)
+    val bLit = typedLit(permB.toSeq)
+    val sh = shingled(t).filter(size(col("shingles")) > 0)
+    // 64-wide MinHash signature, all inside codegen: for each permutation
+    // i, min over the shingle hashes of (a_i * h + b_i) mod P.
+    val sig = sh.select(col("doc_id"), col("shingles"),
+      transform(sequence(lit(0), lit(NumPerm - 1)), i =>
+        array_min(transform(col("shingles"), s =>
+          pmod(element_at(aLit, i + 1) * pmod(xxhash64(s), lit(P)) + element_at(bLit, i + 1),
+            lit(P))))).as("sig"))
+    // Band the signature: bucket key = (band index, hash of the band's
+    // 4-row slice). Only same-bucket docs ever meet in the join.
+    val bands = sig.select(col("doc_id"), col("shingles"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)), j =>
+        hash(slice(col("sig"), j * Rows + 1, lit(Rows)), j))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // Verify candidates with exact Jaccard → precision 1.
+    cands
+      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jacc"))
+  }
+
+  // ------------------------------------------------------------- SimHash
+  /** 64-bit SimHash over distinct token hashes, built with SQL-expression
+    * bit arithmetic (shiftright needs a column shift amount, so the
+    * signature is authored as one expr). */
+  def neardupSimhash(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), shingleExpr.as("shingles"),
+      expr("transform(array_distinct(split(trim(text), '\\\\s+')), tk -> xxhash64(tk))").as("th"))
+    val bits = docs.withColumn("bits",
+      expr("""transform(sequence(0, 63), k ->
+                IF(aggregate(th, 0L, (acc, h) -> acc + IF(((h >> k) & 1) = 1, 1L, -1L)) > 0, 1L, 0L))"""))
+    // 16 chunks × 4 bits: any pair at Hamming distance ≤ 15 shares a
+    // chunk (pigeonhole). Token-SimHash over short word-soup docs is
+    // noisy — measured true-pair distances reach hd=12 here (see
+    // tools/Explore.scala) — so the guarantee must cover hd ≤ 15. On a
+    // large real corpus (longer docs → tighter signatures) use 4×16-bit
+    // chunks with hd ≤ 3 for far smaller buckets.
+    val chunked = bits.select(col("doc_id"), col("shingles"), col("bits"),
+      posexplode(expr(
+        """transform(sequence(0, 15), c ->
+             aggregate(slice(bits, c * 4 + 1, 4), 0L, (acc, b) -> acc * 2 + b))""")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
+    val cands = chunked.as("x")
+      .join(chunked.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"),
+        col("x.bits").as("bits_a"), col("y.bits").as("bits_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cands
+      .withColumn("hd", expr("aggregate(zip_with(bits_a, bits_b, (p, q) -> abs(p - q)), 0L, (acc, v) -> acc + v)"))
+      .filter(col("hd") <= 15)
+      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jacc"))
+  }
+
+  // ----------------------------------------- embedding-cosine near-dup
+  /** Pairwise cosine over `embeddings` above a threshold. Exact
+    * block-nested product with pre-normalized vectors; at true near-dup
+    * thresholds (≥0.95) the scale path is sign-LSH bucketing (see
+    * Ann.scala) so only same-bucket pairs meet. */
+  def neardupEmbedding(t: Tables): DataFrame = {
+    val v = t.embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("norm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
+    val pairs = v.as("a").crossJoin(v.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        aggregate(zip_with(col("a.e"), col("b.e"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+          / (col("a.norm") * col("b.norm")))
+      .filter(col("cos") >= 0.45)
+    pairs.select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+      round(col("cos"), 4).as("cos"))
+  }
+  val neardupEmbeddingSql: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+       FROM embeddings a, embeddings b
+       WHERE a.vec_id < b.vec_id
+         AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"""
+
+  val all: Seq[(String, Tables => DataFrame, String)] = Seq(
+    ("dedup_exact", dedupExact _, dedupExactSql),
+    ("neardup_jaccard", neardupJaccard _, neardupOracleSql),
+    ("neardup_minhash", neardupMinhash _, neardupOracleSql),
+    ("neardup_simhash", neardupSimhash _, neardupOracleSql),
+    ("neardup_embedding", neardupEmbedding _, neardupEmbeddingSql))
+}

@@ -1,0 +1,129 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over `documents`: token statistics, quality scoring,
+  * heuristic language ID, and content fingerprinting — the per-document
+  * scoring/filtering stages of a training-data pipeline. Everything is a
+  * narrow projection (one pass, no shuffle except final aggregates), so
+  * at 100 TB these run at scan speed and pushdown keeps untouched
+  * columns unread.
+  */
+object TextStats {
+
+  private def toks: Column = split(trim(col("text")), "\\s+")
+
+  // --------------------------------------------------------- token stats
+  /** Whitespace tokens + a BPE-ish proxy: alphanumeric runs (subword-like
+    * segmentation by regex, the cheap stand-in for a real tokenizer). */
+  def tokenStats(t: Tables): DataFrame =
+    t.documents.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      size(split(trim(col("text")), "[^a-zA-Z0-9]+")).as("n_bpeish"),
+      round(aggregate(transform(toks, tk => length(tk).cast("double")),
+        lit(0.0), (a, x) => a + x) / size(toks), 4).as("avg_tok_len"))
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct,
+       len(string_split_regex(trim(text), '[^a-zA-Z0-9]+')) AS n_bpeish,
+       round(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+                                     tk -> length(tk)::DOUBLE)) /
+             len(string_split_regex(trim(text), '\s+')), 4) AS avg_tok_len
+       FROM documents"""
+
+  // ------------------------------------------------------ quality score
+  /** Length / stopword-ratio / distinct-ratio quality heuristics with a
+    * bucketed verdict — the filter stage of a data-quality pipeline. */
+  def quality(t: Tables): DataFrame = {
+    val nTok = size(toks)
+    val stopHits = size(filter(toks, tk => tk.isin("the", "a", "of", "and", "to")))
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = stopHits.cast("double") / nTok
+    t.documents.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(distinctRatio, 4).as("distinct_ratio"),
+      when(length(col("text")) < 50, "too_short")
+        .when(distinctRatio < 0.2, "repetitive")
+        .when(stopRatio > 0.4, "boilerplate")
+        .otherwise("keep").as("verdict"))
+  }
+  val qualitySql: String =
+    """WITH s AS (
+         SELECT doc_id, text,
+                string_split_regex(trim(text), '\s+') AS w FROM documents
+       )
+       SELECT doc_id, length(text) AS n_chars,
+         round(len(list_filter(w, tk -> tk IN ('the','a','of','and','to'))) * 1.0 / len(w), 4) AS stop_ratio,
+         round(len(list_distinct(w)) * 1.0 / len(w), 4) AS distinct_ratio,
+         CASE WHEN length(text) < 50 THEN 'too_short'
+              WHEN len(list_distinct(w)) * 1.0 / len(w) < 0.2 THEN 'repetitive'
+              WHEN len(list_filter(w, tk -> tk IN ('the','a','of','and','to'))) * 1.0 / len(w) > 0.4 THEN 'boilerplate'
+              ELSE 'keep' END AS verdict
+       FROM s"""
+
+  // -------------------------------------------------------- language ID
+  /** Marker-stopword n-gram heuristic: score = hits per language's marker
+    * set, predict the argmax (ties → 'und'). The synthetic corpus is
+    * monolingual word-soup, so this mostly predicts 'en'/'und' — the
+    * operator structure (per-language scoring + argmax) is what carries
+    * to real corpora. */
+  def langId(t: Tables): DataFrame = {
+    def hits(markers: Seq[String]): Column =
+      size(filter(toks, tk => tk.isin(markers: _*)))
+    val en = hits(Seq("the", "a", "of", "and"))
+    val es = hits(Seq("el", "la", "los", "que"))
+    val de = hits(Seq("der", "die", "das", "und"))
+    val fr = hits(Seq("le", "la", "les", "et"))
+    t.documents.select(col("doc_id"), col("lang").as("labeled_lang"),
+      en.as("sc_en"), es.as("sc_es"), de.as("sc_de"), fr.as("sc_fr"),
+      when(en > es && en > de && en > fr, "en")
+        .when(es > en && es > de && es > fr, "es")
+        .when(de > en && de > es && de > fr, "de")
+        .when(fr > en && fr > es && fr > de, "fr")
+        .otherwise("und").as("pred_lang"))
+  }
+  val langIdSql: String =
+    """WITH s AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS w FROM documents),
+       sc AS (
+         SELECT doc_id, lang,
+           len(list_filter(w, tk -> tk IN ('the','a','of','and'))) AS sc_en,
+           len(list_filter(w, tk -> tk IN ('el','la','los','que'))) AS sc_es,
+           len(list_filter(w, tk -> tk IN ('der','die','das','und'))) AS sc_de,
+           len(list_filter(w, tk -> tk IN ('le','la','les','et'))) AS sc_fr
+         FROM s)
+       SELECT doc_id, lang AS labeled_lang, sc_en, sc_es, sc_de, sc_fr,
+         CASE WHEN sc_en > sc_es AND sc_en > sc_de AND sc_en > sc_fr THEN 'en'
+              WHEN sc_es > sc_en AND sc_es > sc_de AND sc_es > sc_fr THEN 'es'
+              WHEN sc_de > sc_en AND sc_de > sc_es AND sc_de > sc_fr THEN 'de'
+              WHEN sc_fr > sc_en AND sc_fr > sc_es AND sc_fr > sc_de THEN 'fr'
+              ELSE 'und' END AS pred_lang
+       FROM sc"""
+
+  // ------------------------------------------------------- fingerprints
+  /** Normalized-content fingerprint (lower, collapse whitespace) → md5;
+    * per-source uniqueness census — the cross-source contamination
+    * check of a corpus build. */
+  def fingerprint(t: Tables): DataFrame =
+    t.documents
+      .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"))
+  val fingerprintSql: String =
+    """SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique
+       FROM documents GROUP BY source"""
+
+  val all: Seq[(String, Tables => DataFrame, String)] = Seq(
+    ("text_token_stats", tokenStats _, tokenStatsSql),
+    ("text_quality", quality _, qualitySql),
+    ("text_langid", langId _, langIdSql),
+    ("text_fingerprint", fingerprint _, fingerprintSql))
+}
