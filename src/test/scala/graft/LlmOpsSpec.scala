@@ -1,0 +1,42 @@
+package graft
+
+import graft.llm.{Ann, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Quality gates for the approximate LLM-pipeline operators: the
+  * LSH/banded tiers must reproduce the exact ground truth (recall 1 at
+  * this data's similarity margins), and IVF ANN must clear a recall
+  * floor against brute force. */
+class LlmOpsSpec extends SparkSpec {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash LSH reproduces exact Jaccard ground truth") {
+    val truth = pairSet(Dedup.neardupJaccard(tables))
+    val mh = pairSet(Dedup.neardupMinhash(tables))
+    assert(mh == truth, s"missing=${truth -- mh} extra=${mh -- truth}")
+  }
+
+  test("SimHash banding reproduces exact Jaccard ground truth") {
+    val truth = pairSet(Dedup.neardupJaccard(tables))
+    val sh = pairSet(Dedup.neardupSimhash(tables))
+    assert(sh == truth, s"missing=${truth -- sh} extra=${sh -- truth}")
+  }
+
+  test("IVF ANN recall@5 >= 0.5 vs brute force") {
+    def topk(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk(Ann.annBruteforce(tables))
+    val approx = topk(Ann.annIvf(tables))
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"IVF recall@5 = $recall%.3f (probing 4 of ~16 lists)")
+    assert(recall >= 0.5, f"recall $recall%.3f below floor")
+  }
+
+  test("exact dedup groups cover every document exactly once") {
+    val total = Dedup.dedupExact(tables).agg(sum("n_copies")).collect().head.getLong(0)
+    assert(total == tables.documents.count())
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.queries.Tpch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Join
+
+/** Plan-shape assertions — the Spark rendering of the reference's
+  * PlanMatcher tests (axiom/optimizer/tests/PlanMatcher.cpp, used in
+  * PlanTest.cpp:163-311): the optimizer must produce the intended
+  * physical strategy, not merely correct rows.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def conditionlessJoins(df: DataFrame): Seq[Join] =
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isEmpty => j
+    }
+
+  test("q5: constant dims broadcast (BroadcastHashJoin present)") {
+    assert(physical(Tpch.q5(tables)).contains("BroadcastHashJoin"))
+  }
+
+  test("q3: no conditionless (cartesian) join") {
+    assert(conditionlessJoins(Tpch.q3(tables)).isEmpty)
+  }
+
+  test("q9: no conditionless (cartesian) join in a 5-way join") {
+    assert(conditionlessJoins(Tpch.q9(tables)).isEmpty)
+  }
+
+  test("q11: single-row theta join (the decorrelated scalar subquery)") {
+    // The crossJoin+filter is optimized into one non-equi join whose
+    // build side is the grand-total (groupless) aggregate — the same
+    // single-row-DT placement the reference does (Optimization.cpp:1280).
+    val thetaJoins = Tpch.q11(tables).queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isEmpty ||
+        j.condition.get.collect { case e: org.apache.spark.sql.catalyst.expressions.EqualTo => e }.isEmpty => j
+    }
+    assert(thetaJoins.size == 1, s"expected 1 cross/theta join, got ${thetaJoins.size}")
+    val globalAggSides = Seq(thetaJoins.head.left, thetaJoins.head.right).filter(_.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.groupingExpressions.isEmpty => a
+    }.nonEmpty)
+    assert(globalAggSides.nonEmpty)
+  }
+
+  test("q6: predicates push down to the parquet scan") {
+    val plan = physical(Tpch.q6(tables))
+    assert(plan.contains("PushedFilters: ["), plan.linesIterator.take(5).mkString("\n"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") || plan.contains("IsNotNull(l_shipdate"))
+  }
+
+  test("q1: scan is column-pruned to the 7 referenced lineitem columns") {
+    val scans = Tpch.q1(tables).queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.requiredSchema.length
+    }
+    assert(scans == Seq(7), s"expected one 7-column scan, got $scans")
+  }
+
+  test("q1: aggregation is partial/final split (two HashAggregates)") {
+    val plan = physical(Tpch.q1(tables))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("q1: whole-stage codegen covers the scan-filter-agg pipeline") {
+    val df = Tpch.q1(tables)
+    df.collect() // finalize the adaptive plan, which inserts codegen stages
+    val plan = physical(df)
+    // codegen'd operators print with a "*(stageId)" prefix
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan.take(500))
+  }
+
+  test("q3: distributed top-k (TakeOrderedAndProject), not a global sort") {
+    val plan = physical(Tpch.q3(tables))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("subq_mark_join plans an ExistenceJoin (mark join, kLeftSemiProject)") {
+    Catalog.registerAll(spark, sfDir)
+    val df = spark.sql(queries.SqlOps.subqMarkJoinSql)
+    assert(df.queryExecution.optimizedPlan.toString.contains("ExistenceJoin"))
+  }
+
+  test("ann_bruteforce: probe side is broadcast (no corpus shuffle)") {
+    val plan = physical(llm.Ann.annBruteforce(tables))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
+
+  test("mm_meta_only: payload column is pruned from the scan") {
+    val plan = physical(llm.Multimodal.mmMetaOnly(tables))
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse(fail("no scan"))
+    assert(!read.contains("text"), s"payload/text not pruned: $read")
+  }
+}
