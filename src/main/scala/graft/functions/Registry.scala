@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.call_function
+
+/** Function registry with Presto↔Spark name translation and per-function
+  * metadata — the Spark rendering of the reference's FunctionRegistry
+  * (axiom/optimizer/FunctionRegistry.h:111-178: per-function metadata,
+  * aggregate/nondeterministic bits :25-54, canonical names :229-251,
+  * reversible pairs :262-270).
+  *
+  * Execution goes through Spark's built-in (codegen'd) functions —
+  * exactly as the reference executes by name through Velox's Presto
+  * library (AxiomSql.cpp:58-59); this registry owns only naming and
+  * metadata.
+  */
+object Registry {
+
+  final case class FnMeta(
+      sparkName: String,
+      isAggregate: Boolean = false,
+      deterministic: Boolean = true,
+      /** relative per-row cost (reference Cost.h unit scale) */
+      cost: Double = 1.0)
+
+  /** Presto name → Spark function metadata. Identity entries are the
+    * shared ANSI surface; the interesting rows are the renames. */
+  val fns: Map[String, FnMeta] = {
+    val renamed = Map(
+      "strpos" -> FnMeta("instr"),
+      "approx_distinct" -> FnMeta("approx_count_distinct", isAggregate = true),
+      "approx_percentile" -> FnMeta("percentile_approx", isAggregate = true, cost = 4.0),
+      "arbitrary" -> FnMeta("any_value", isAggregate = true),
+      "array_agg" -> FnMeta("collect_list", isAggregate = true, cost = 2.0),
+      "cardinality" -> FnMeta("size"),
+      "contains" -> FnMeta("array_contains"),
+      "codepoint" -> FnMeta("ascii"),
+      "from_unixtime" -> FnMeta("timestamp_seconds"),
+      "to_unixtime" -> FnMeta("unix_timestamp"),
+      "day_of_week" -> FnMeta("dayofweek"),
+      "day_of_year" -> FnMeta("dayofyear"),
+      "json_extract_scalar" -> FnMeta("get_json_object", cost = 8.0),
+      "rand" -> FnMeta("rand", deterministic = false),
+      "random" -> FnMeta("rand", deterministic = false),
+      "uuid" -> FnMeta("uuid", deterministic = false),
+      "log2" -> FnMeta("log2"),
+      "ln" -> FnMeta("ln"),
+      "pow" -> FnMeta("power"),
+      "is_nan" -> FnMeta("isnan"),
+      "element_at" -> FnMeta("element_at"),
+      "slice" -> FnMeta("slice"),
+      "sequence" -> FnMeta("sequence"),
+      "regexp_like" -> FnMeta("rlike"),
+      "split_part" -> FnMeta("split_part"),
+      "date_trunc" -> FnMeta("date_trunc"),
+      "date_add" -> FnMeta("date_add"),
+      "date_diff" -> FnMeta("datediff"))
+    val aggs = Seq("sum", "avg", "min", "max", "count", "stddev", "variance",
+      "corr", "covar_samp", "covar_pop", "skewness", "kurtosis")
+      .map(n => n -> FnMeta(n, isAggregate = true))
+    val scalars = Seq("abs", "round", "floor", "ceil", "sqrt", "exp", "length",
+      "lower", "upper", "trim", "ltrim", "rtrim", "substr", "concat", "replace",
+      "reverse", "coalesce", "greatest", "least", "year", "month", "day", "hour",
+      "minute", "second", "md5", "sha2", "xxhash64", "transform", "filter",
+      "zip_with", "aggregate", "array_distinct", "array_intersect", "array_union",
+      "explode", "posexplode", "sort_array", "array_sort", "map_keys", "map_values")
+      .map(n => n -> FnMeta(n))
+    (aggs ++ scalars).toMap ++ renamed
+  }
+
+  /** Reversible comparison/arith pairs (FunctionRegistry.h:262-270) —
+    * lets a planner canonicalize `lit op col` to `col op' lit`. */
+  val reversible: Map[String, String] = Map(
+    "=" -> "=", "<" -> ">", ">" -> "<", "<=" -> ">=", ">=" -> "<=",
+    "+" -> "+", "*" -> "*")
+
+  def meta(prestoName: String): Option[FnMeta] = fns.get(prestoName.toLowerCase)
+
+  /** Resolve a Presto-dialect call to a Spark Column. Unknown names fall
+    * through verbatim — Spark's analyzer raises on truly unknown ones. */
+  def call(prestoName: String, args: Column*): Column = {
+    val spark = meta(prestoName).map(_.sparkName).getOrElse(prestoName.toLowerCase)
+    call_function(spark, args: _*)
+  }
+
+  def isAggregate(prestoName: String): Boolean =
+    meta(prestoName).exists(_.isAggregate)
+
+  def isDeterministic(prestoName: String): Boolean =
+    meta(prestoName).forall(_.deterministic)
+}

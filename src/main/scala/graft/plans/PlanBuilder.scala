@@ -1,0 +1,113 @@
+package graft.plans
+
+import graft.{Catalog, Tables}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Fluent logical-plan builder — the Spark rendering of the reference's
+  * primary API, logical_plan::PlanBuilder
+  * (axiom/logical_plan/PlanBuilder.h:152-384: values/tableScan/filter/
+  * project/map/with/aggregate/unnest/join/crossJoin/setOperation/sort/
+  * limit/offset/tableWrite/as) with ExprApi-style expressions
+  * (ExprApi.h:123-291) provided by Spark's own Column algebra plus the
+  * Presto-name registry (graft.functions.Registry).
+  *
+  * Unlike the reference, which builds an IR that a separate optimizer
+  * consumes, this builder composes `Dataset` transformations directly:
+  * Catalyst IS the analyzer+optimizer (SURVEY §3.2 — "Spark is the
+  * analyzer, no separate resolution pass needed"). Every method is
+  * plan-declarative — nothing executes until the caller acts on
+  * `build`.
+  *
+  * String expressions accept Spark SQL fragments (`expr(...)`), matching
+  * PlanBuilder's SQL-string parsing entry (PlanBuilder.h:426 parse).
+  */
+final class PlanBuilder private (val df: DataFrame) {
+
+  private def next(d: DataFrame) = new PlanBuilder(d)
+
+  // ------------------------------------------------------------ shaping
+  def filter(cond: Column): PlanBuilder = next(df.filter(cond))
+  def filter(sql: String): PlanBuilder = next(df.filter(expr(sql)))
+
+  /** Keep only the named projections (PlanBuilder.h:191 project). */
+  def project(exprs: Column*): PlanBuilder = next(df.select(exprs: _*))
+  def projectSql(exprs: String*): PlanBuilder = next(df.selectExpr(exprs: _*))
+
+  /** Add/replace a computed column, keep the rest (PlanBuilder.h `with`). */
+  def withCol(name: String, e: Column): PlanBuilder = next(df.withColumn(name, e))
+
+  /** Rename the relation (correlation name, PlanBuilder.h:384 as). */
+  def as(alias: String): PlanBuilder = next(df.as(alias))
+
+  // ---------------------------------------------------------- aggregate
+  /** Grouped aggregation; aggs must be named (PlanBuilder.h:237-260). */
+  def aggregate(keys: Seq[Column], aggs: Seq[Column]): PlanBuilder =
+    if (keys.isEmpty) next(df.agg(aggs.head, aggs.tail: _*))
+    else next(df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*))
+
+  def aggregateSql(keys: Seq[String], aggs: Seq[String]): PlanBuilder =
+    aggregate(keys.map(col), aggs.map(expr))
+
+  // -------------------------------------------------------------- joins
+  def join(other: PlanBuilder, cond: Column, joinType: String = "inner"): PlanBuilder =
+    next(df.join(other.df, cond, joinType))
+
+  def crossJoin(other: PlanBuilder): PlanBuilder = next(df.crossJoin(other.df))
+
+  // ------------------------------------------------------------- unnest
+  /** Unnest an array column, optionally with 1-based ordinality,
+    * replicating the remaining columns (LogicalPlanNode.h:571-657;
+    * empty/null collections drop the row, matching the reference). */
+  def unnest(arr: Column, as: String, withOrdinality: Boolean = false): PlanBuilder =
+    if (withOrdinality)
+      next(df.select(col("*"), posexplode(arr).as(Seq("pos", as)))
+        .withColumn("ordinality", col("pos") + 1).drop("pos"))
+    else next(df.select(col("*"), explode(arr).as(as)))
+
+  // ------------------------------------------------------------- set ops
+  def unionAll(others: PlanBuilder*): PlanBuilder =
+    next(others.foldLeft(df)((acc, o) => acc.union(o.df)))
+  def union(others: PlanBuilder*): PlanBuilder =
+    next(others.foldLeft(df)((acc, o) => acc.union(o.df)).distinct())
+  def intersect(other: PlanBuilder): PlanBuilder = next(df.intersect(other.df))
+  def except(other: PlanBuilder): PlanBuilder = next(df.except(other.df))
+
+  // ---------------------------------------------------------- sort/limit
+  def sort(orders: Column*): PlanBuilder = next(df.orderBy(orders: _*))
+  def sortSql(orders: String*): PlanBuilder =
+    next(df.orderBy(orders.map(o => expr(o)): _*))
+  def limit(n: Int): PlanBuilder = next(df.limit(n))
+  def offset(n: Int): PlanBuilder = next(df.offset(n))
+
+  // ----------------------------------------------------------- terminal
+  /** Insert into a parquet table dir (TableWrite kInsert,
+    * LogicalPlanNode.h:659-745); returns the written relation re-read. */
+  def tableWrite(path: String): PlanBuilder = {
+    df.write.mode("overwrite").parquet(path)
+    next(df.sparkSession.read.parquet(path))
+  }
+
+  /** The composed logical plan as a DataFrame. */
+  def build: DataFrame = df
+}
+
+object PlanBuilder {
+  /** ValuesNode (LogicalPlanNode.h:121-157). */
+  def values(spark: SparkSession, schema: StructType, rows: Seq[Row]): PlanBuilder = {
+    val list = new java.util.ArrayList[Row](rows.size)
+    rows.foreach(list.add)
+    new PlanBuilder(spark.createDataFrame(list, schema))
+  }
+
+  /** TableScan through the catalog (LogicalPlanNode.h:159-208), with
+    * optional column pruning pushed into the scan. */
+  def tableScan(t: Tables, name: String, columns: Seq[String] = Nil): PlanBuilder = {
+    val base = t(name)
+    new PlanBuilder(if (columns.isEmpty) base else base.select(columns.map(col): _*))
+  }
+
+  /** Wrap an arbitrary DataFrame (PlanBuilder.h:185 from). */
+  def from(df: DataFrame): PlanBuilder = new PlanBuilder(df)
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.plans.PlanBuilder
+import graft.functions.Registry
+import graft.queries.Tpch
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The builder surface must produce the same results as the hand-written
+  * queries — mirroring the reference's PlanBuilder-vs-SQL dual-path tests
+  * (TpchPlanTest.cpp:31-60). */
+class PlanBuilderSpec extends SparkSpec {
+
+  private def rowsOf(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  test("q1 via PlanBuilder equals hand-written q1") {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val built = PlanBuilder.tableScan(tables, "lineitem")
+      .filter(col("l_shipdate") < lit("1998-09-03").cast("timestamp"))
+      .aggregate(
+        Seq(col("l_returnflag"), col("l_linestatus")),
+        Seq(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(rev), 2).as("sum_disc_price"),
+          round(sum(rev * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order")))
+      .sort(col("l_returnflag"), col("l_linestatus"))
+      .build
+    assert(rowsOf(built) == rowsOf(Tpch.q1(tables)))
+  }
+
+  test("q3 via PlanBuilder (join + agg + topk) equals hand-written q3") {
+    val built = PlanBuilder.tableScan(tables, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(PlanBuilder.tableScan(tables, "orders")
+        .filter(col("o_orderdate") < lit("1997-03-15").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(PlanBuilder.tableScan(tables, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .aggregate(
+        Seq(col("l_orderkey"), col("o_orderdate")),
+        Seq(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue")))
+      .sort(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+      .build
+    assert(rowsOf(built) == rowsOf(Tpch.q3(tables)))
+  }
+
+  test("values → unnest(ordinality) → setop → offset pipeline") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("xs", ArrayType(IntegerType, containsNull = false), nullable = false)))
+    val b = PlanBuilder.values(spark, schema,
+      Seq(Row(1, Seq(10, 20)), Row(2, Seq(30)), Row(3, Seq.empty[Int])))
+      .unnest(col("xs"), "x", withOrdinality = true)
+      .project(col("id"), col("x"), col("ordinality"))
+    val got = b.build.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    // id=3's empty array drops the row (LogicalPlanNode.h:571-657)
+    assert(got == Set((1, 10, 1), (1, 20, 2), (2, 30, 1)))
+
+    val u = b.project(col("id")).union(
+      PlanBuilder.values(spark,
+        StructType(Seq(StructField("id", IntegerType, nullable = false))),
+        Seq(Row(7))))
+      .sortSql("id").offset(1).limit(2).build
+    assert(u.collect().map(_.getInt(0)).toSeq == Seq(2, 7))
+  }
+
+  test("Registry resolves Presto names with metadata") {
+    Catalog.registerAll(spark, sfDir)
+    val df = spark.table("documents").select(
+      Registry.call("cardinality", split(col("text"), " ")).as("n"),
+      Registry.call("strpos", col("text"), lit("the")).as("p"))
+    val r = df.collect().head
+    assert(r.getInt(0) > 0 && r.getInt(1) >= 0)
+    assert(Registry.isAggregate("approx_distinct"))
+    assert(!Registry.isDeterministic("random"))
+    assert(Registry.reversible("<") == ">")
+  }
+
+  test("builder tableWrite round-trips") {
+    val out = PlanBuilder.tableScan(tables, "nation", Seq("n_nationkey", "n_name"))
+      .tableWrite("/root/repo/target/tablewrite/builder_nation")
+      .build
+    assert(out.count() == tables.nation.count())
+  }
+}
