@@ -170,17 +170,27 @@ object Dedup {
         """transform(sequence(0, 15), c ->
              aggregate(slice(bits, c * 4 + 1, 4), 0L, (acc, b) -> acc * 2 + b))""")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
-    val cands = chunked.as("x")
+    // Candidate generation works on (id, id) pairs ONLY — 4-bit buckets
+    // are coarse, so the pair stream is large and must stay narrow. The
+    // signature and shingle payloads are joined back from small side
+    // tables AFTER dedup, Hamming-filtering before the (expensive)
+    // set-Jaccard verification prunes the stream to near-zero.
+    val candIds = chunked.as("x")
       .join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"),
-        col("x.bits").as("bits_a"), col("y.bits").as("bits_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    cands
+    val bitsTbl = bits.select(col("doc_id"), col("bits"))
+    val shTbl = docs.select(col("doc_id"), col("shingles"))
+    candIds
+      .join(bitsTbl.select(col("doc_id").as("doc_a"), col("bits").as("bits_a")), "doc_a")
+      .join(bitsTbl.select(col("doc_id").as("doc_b"), col("bits").as("bits_b")), "doc_b")
       .withColumn("hd", expr("aggregate(zip_with(bits_a, bits_b, (p, q) -> abs(p - q)), 0L, (acc, v) -> acc + v)"))
       .filter(col("hd") <= 15)
+      .select(col("doc_a"), col("doc_b"))
+      .join(shTbl.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(shTbl.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jacc"))

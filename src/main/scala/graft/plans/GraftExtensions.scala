@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** History-fed broadcast planning — the Catalyst seam for the reference's
+  * sampling/history cardinality feedback (SURVEY §4.8: History ::
+  * setLeafSelectivity Cost.h:52-57, recorded actuals reused for costing
+  * VeloxHistory.cpp:32-70; broadcast-vs-partition decided from those
+  * cardinalities in joinByHash Optimization.cpp:885-1046).
+  *
+  * When a (relation, pushed filters) subtree has a recorded actual row
+  * count small enough to broadcast, wrap it in a BROADCAST hint. This
+  * repairs the case static stats cannot see: Spark estimates a filtered
+  * scan at full file size, so a 0.1%-selective dimension filter still
+  * plans as a shuffle join until AQE (and AQE only helps after the first
+  * shuffle materializes — the hint removes that shuffle entirely).
+  *
+  * Injected via spark.sql.extensions (SparkSessionExtensions), so any
+  * session — including spark.sql text queries — benefits.
+  */
+class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def broadcastRowLimit: Long =
+    spark.conf.getOption("graft.history.broadcastRowLimit").map(_.toLong).getOrElse(500000L)
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def relPath(rel: LogicalRelation): Option[String] = rel.relation match {
+    case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString).sorted.mkString(";"))
+    case _ => None
+  }
+
+  private def recordedRows(plan: LogicalPlan): Option[Long] = plan match {
+    case Filter(cond, rel: LogicalRelation) =>
+      relPath(rel).flatMap(p => History.lookup(History.scanKey(p, conjuncts(cond))))
+    case Project(_, child) => recordedRows(child)
+    case rel: LogicalRelation =>
+      relPath(rel).flatMap(p => History.lookup(History.scanKey(p, Nil)))
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    History.load() // no-op after first call
+    if (History.size == 0) plan
+    else plan.transformUp {
+      // This rule runs after EliminateResolvedHint, so the hint goes on
+      // the Join node itself (a ResolvedHint wrapper would no longer be
+      // folded in before physical planning reads Join.hint).
+      case j @ Join(left, right, _, _, hint)
+          if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
+        def sideHint(side: LogicalPlan): Option[HintInfo] =
+          recordedRows(side) match {
+            case Some(rows) if rows <= broadcastRowLimit =>
+              Some(HintInfo(strategy = Some(BROADCAST)))
+            case _ => None
+          }
+        j.copy(hint = JoinHint(sideHint(left), sideHint(right)))
+    }
+  }
+}
+
+/** spark.sql.extensions entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(new HistoryStatsRule(_))
+  }
+}

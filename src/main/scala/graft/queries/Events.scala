@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table (batch form of the
+  * streaming extension, SURVEY §2.8): JSON property extraction,
+  * gap-based sessionization, and CDC-style latest-per-key dedup.
+  *
+  * Scale notes: sessionization is ONE window shuffle on user_id (the
+  * state key a streaming session_window would partition by); the
+  * latest-per-key dedup is the row_number pattern that AQE handles under
+  * skewed hot keys.
+  */
+object Events {
+
+  /** JSON subfield extraction — schema-on-read pruning of semi-structured
+    * payloads (the map-as-struct motivation in the reference,
+    * OptimizerOptions.h:40-46: known keys read as struct fields). */
+  def jsonExtract(t: Tables): DataFrame =
+    t.events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("k")), 4).as("avg_k"),
+        max(col("k")).as("max_k"))
+  val jsonExtractSql: String =
+    """SELECT event_type, count(*) AS n,
+       round(avg(json_extract_string(props, '$.k')::INT), 4) AS avg_k,
+       max(json_extract_string(props, '$.k')::INT) AS max_k
+       FROM events GROUP BY event_type"""
+
+  /** Gap-based sessionization: a new session starts after >30 min of
+    * inactivity; one window pass (lag + running sum of boundaries). */
+  def sessionize(t: Tables): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    t.events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+  val sessionizeSql: String =
+    """WITH g AS (
+         SELECT user_id, ts,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+         FROM events)
+       SELECT user_id,
+              sum(CASE WHEN prev_ts IS NULL
+                        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+              count(*) AS n_events
+       FROM g GROUP BY user_id"""
+
+  /** CDC-style dedup: keep only the latest event per (user, type). */
+  def latestPerKey(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+  }
+  val latestPerKeySql: String =
+    """SELECT user_id, event_type, event_id, value
+       FROM (SELECT user_id, event_type, event_id, value,
+               row_number() OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events) s
+       WHERE rn = 1"""
+
+  val all: Seq[(String, Tables => DataFrame, String)] = Seq(
+    ("events_json_extract", jsonExtract _, jsonExtractSql),
+    ("events_sessionize", sessionize _, sessionizeSql),
+    ("events_latest_per_key", latestPerKey _, latestPerKeySql))
+}
