@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the signature/vector kernels of the
+  * LLM-pipeline tier.
+  *
+  * These inner loops are k×n per row (64 permutations × ~58 shingles, or
+  * 64-dim dot products); as nested higher-order-function expressions they
+  * evaluate interpreted (HOFs have no codegen) at ~1µs per element-op —
+  * measured 40-60 s at sf0.1. A compiled eval brings the same loop to
+  * ~10 ns/op. CodegenFallback is deliberate: one compiled virtual call
+  * per ROW is noise when the row itself carries thousands of element-ops
+  * (a doGenCode would only inline that outer call).
+  *
+  * The reference takes the same route for its sampling kernels — bespoke
+  * simple functions registered alongside the query surface
+  * (axiom/optimizer/JoinSample.cpp:28-63 Hash/HashMix/Sample).
+  */
+object NativeExprs {
+
+  /** MinHash signature: element i = min over the array's strings of
+    * xxhash64(s, seed=i+1). Seed-per-permutation replaces the (a·h+b)
+    * mod P permutation family — same independence guarantees, one less
+    * multiply, and no ANSI overflow concerns. */
+  case class MinHashSig(child: Expression, numPerm: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = Array.fill(numPerm)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        var p = 0
+        while (p < numPerm) {
+          val h = XxHash64Function.hash(s, StringType, p + 1L)
+          if (h < out(p)) out(p) = h
+          p += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** 64-bit SimHash packed into one long: bit k set iff the signed sum of
+    * the k-th bits of the element hashes is positive. */
+  case class SimHashSig64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) counts(k) += 1 else counts(k) -= 1
+          k += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var k = 0
+      while (k < 64) { if (counts(k) > 0) sig |= (1L << k); k += 1 }
+      sig
+    }
+  }
+
+  /** Dot product of two float arrays accumulated in double — the kernel
+    * under cosine similarity (norm = sqrt(VecDot(a,a))). */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      acc
+    }
+  }
+
+  @volatile private var registered = Set.empty[SparkSession]
+
+  /** Idempotently register the kernels as SQL functions in the session
+    * (graft_minhash / graft_simhash64 / graft_vecdot). */
+  def ensureRegistered(spark: SparkSession): Unit = synchronized {
+    if (!registered(spark)) {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("graft_minhash",
+        { es: Seq[Expression] => MinHashSig(es.head, 64) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_simhash64",
+        { es: Seq[Expression] => SimHashSig64(es.head) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_vecdot",
+        { es: Seq[Expression] => VecDot(es(0), es(1)) }, "built-in")
+      registered += spark
+    }
+  }
+}

@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.Tables
+import graft.functions.NativeExprs
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,13 +29,14 @@ object Ann {
   private val NProbe = 4
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    call_function("graft_vecdot", a, b)
 
-  /** embeddings with double vector + L2 norm. */
-  private def prepped(t: Tables): DataFrame =
-    t.embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("e"))
-      .withColumn("norm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
+  /** embeddings with L2 norm (dot via the native compiled kernel). */
+  private def prepped(t: Tables): DataFrame = {
+    NativeExprs.ensureRegistered(t.spark)
+    t.embeddings.select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+  }
 
   // ------------------------------------------------- brute-force top-k
   def annBruteforce(t: Tables): DataFrame = {

@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.Tables
+import graft.functions.NativeExprs
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -30,20 +31,42 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   // ------------------------------------------------------------ shingles
-  /** Whitespace tokens (regex split of trimmed text — no empty tokens). */
-  private def tokens: Column = split(trim(col("text")), "\\s+")
-
-  /** Distinct word 3-gram shingles; docs with <3 tokens get an empty set. */
-  private def shingleExpr: Column = {
-    val w = tokens
+  /** Distinct word 3-gram shingles per doc; docs with <3 tokens get an
+    * empty set. The token array is materialized as its own projection
+    * FIRST: referencing an inline split(...) from inside the shingle
+    * lambda makes Catalyst re-evaluate the regex split per element_at
+    * (~170 splits per row — measured 8.7 s for 5k docs before this
+    * restructure, <1 s after). CollapseProject keeps the split
+    * un-inlined because it is non-cheap and multiply referenced. */
+  private def shingleOf(w: Column): Column =
     when(size(w) >= 3,
       array_distinct(transform(sequence(lit(1), size(w) - 2),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** documents spread to cluster parallelism: the corpus arrives as few
+    * parquet splits at small scale (one 2 MB file = ONE partition = one
+    * core), while every downstream stage here is compute-bound per row.
+    * The 2 MB shuffle is free; the 32x parallelism is not. At 100 TB the
+    * scan has thousands of natural splits and this coalesces to a no-op
+    * (repartition to the same parallelism Spark already has).　*/
+  private def docsSpread(t: Tables): DataFrame =
+    t.documents.repartition(t.spark.sparkContext.defaultParallelism)
 
   private def shingled(t: Tables): DataFrame =
-    t.documents.select(col("doc_id"), shingleExpr.as("shingles"))
+    docsSpread(t)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), shingleOf(col("w")).as("shingles"))
+
+  /** One (doc_id, shingle) row per shingle. The generator argument is the
+    * INLINE expression: exploding a shingle attribute produced by a
+    * separate (interpreted, HOFs have no codegen) projection re-evaluates
+    * the array construction inside the generate loop — measured 16 s vs
+    * 0.4 s at sf0.1 for the same output. */
+  private def shingleRows(t: Tables): DataFrame =
+    docsSpread(t)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), explode(shingleOf(col("w"))).as("s"))
 
   /** Exact pairwise Jaccard on two shingle-set columns. */
   private def jaccard(a: Column, b: Column): Column =
@@ -90,7 +113,7 @@ object Dedup {
   def neardupJaccard(t: Tables): DataFrame = {
     val sh = shingled(t)
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val ex = shingleRows(t)
     val pairs = ex.as("a")
       .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -107,28 +130,15 @@ object Dedup {
   private val NumPerm = 64
   private val Bands = 16
   private val Rows = NumPerm / Bands // 4
-  private val P = 2147483647L // 2^31-1; keeps a*x+b < 2^62 under ANSI mode
-
-  /** Deterministic permutation coefficients (fixed LCG, seed 42). */
-  private val (permA, permB) = {
-    var s = 42L
-    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; (s >>> 33) % (P - 1) + 1 }
-    val a = Array.fill(NumPerm)(next())
-    val b = Array.fill(NumPerm)(next())
-    (a, b)
-  }
 
   def neardupMinhash(t: Tables): DataFrame = {
-    val aLit = typedLit(permA.toSeq)
-    val bLit = typedLit(permB.toSeq)
+    NativeExprs.ensureRegistered(t.spark)
     val sh = shingled(t).filter(size(col("shingles")) > 0)
-    // 64-wide MinHash signature, all inside codegen: for each permutation
-    // i, min over the shingle hashes of (a_i * h + b_i) mod P.
+    // 64-wide MinHash signature via the native kernel (one compiled
+    // k-by-n loop per row; the same logic as nested transform/array_min
+    // HOFs evaluates interpreted and was 40x slower at sf0.1).
     val sig = sh.select(col("doc_id"), col("shingles"),
-      transform(sequence(lit(0), lit(NumPerm - 1)), i =>
-        array_min(transform(col("shingles"), s =>
-          pmod(element_at(aLit, i + 1) * pmod(xxhash64(s), lit(P)) + element_at(bLit, i + 1),
-            lit(P))))).as("sig"))
+      call_function("graft_minhash", col("shingles")).as("sig"))
     // Band the signature: bucket key = (band index, hash of the band's
     // 4-row slice). Only same-bucket docs ever meet in the join.
     val bands = sig.select(col("doc_id"), col("shingles"),
@@ -142,7 +152,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Verify candidates with exact Jaccard → precision 1.
+    // Verify candidates with exact Jaccard -> precision 1.
     cands
       .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("j") >= 0.8)
@@ -150,45 +160,36 @@ object Dedup {
   }
 
   // ------------------------------------------------------------- SimHash
-  /** 64-bit SimHash over distinct token hashes, built with SQL-expression
-    * bit arithmetic (shiftright needs a column shift amount, so the
-    * signature is authored as one expr). */
+  /** 64-bit SimHash over distinct token hashes, PACKED INTO ONE BIGINT:
+    * bit k is set iff the signed sum of token-hash bit-k contributions is
+    * positive. Candidates then carry two longs and Hamming distance is
+    * bit_count(xor) — the coarse 4-bit buckets produce a multi-million
+    * pair stream at scale, so per-pair work must be O(1), not O(64). */
   def neardupSimhash(t: Tables): DataFrame = {
-    val docs = t.documents.select(col("doc_id"), shingleExpr.as("shingles"),
-      expr("transform(array_distinct(split(trim(text), '\\\\s+')), tk -> xxhash64(tk))").as("th"))
-    val bits = docs.withColumn("bits",
-      expr("""transform(sequence(0, 63), k ->
-                IF(aggregate(th, 0L, (acc, h) -> acc + IF(((h >> k) & 1) = 1, 1L, -1L)) > 0, 1L, 0L))"""))
-    // 16 chunks × 4 bits: any pair at Hamming distance ≤ 15 shares a
+    NativeExprs.ensureRegistered(t.spark)
+    val sig = docsSpread(t)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"),
+        call_function("graft_simhash64", array_distinct(col("w"))).as("sig64"))
+    // 16 chunks x 4 bits: any pair at Hamming distance <= 15 shares a
     // chunk (pigeonhole). Token-SimHash over short word-soup docs is
     // noisy — measured true-pair distances reach hd=12 here (see
-    // tools/Explore.scala) — so the guarantee must cover hd ≤ 15. On a
-    // large real corpus (longer docs → tighter signatures) use 4×16-bit
-    // chunks with hd ≤ 3 for far smaller buckets.
-    val chunked = bits.select(col("doc_id"), col("shingles"), col("bits"),
-      posexplode(expr(
-        """transform(sequence(0, 15), c ->
-             aggregate(slice(bits, c * 4 + 1, 4), 0L, (acc, b) -> acc * 2 + b))""")))
+    // tools/Explore.scala) — so the guarantee must cover hd <= 15. On a
+    // large real corpus (longer docs -> tighter signatures) use wider
+    // chunks with a lower distance bound for far smaller buckets.
+    val chunked = sig.select(col("doc_id"), col("sig64"),
+      posexplode(expr("transform(sequence(0, 15), c -> (shiftright(sig64, c * 4) & 15))")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
-    // Candidate generation works on (id, id) pairs ONLY — 4-bit buckets
-    // are coarse, so the pair stream is large and must stay narrow. The
-    // signature and shingle payloads are joined back from small side
-    // tables AFTER dedup, Hamming-filtering before the (expensive)
-    // set-Jaccard verification prunes the stream to near-zero.
     val candIds = chunked.as("x")
       .join(chunked.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(expr("bit_count(x.sig64 ^ y.sig64) <= 15"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    val bitsTbl = bits.select(col("doc_id"), col("bits"))
-    val shTbl = docs.select(col("doc_id"), col("shingles"))
+    // Exact set-Jaccard verification on the (tiny) surviving stream.
+    val shTbl = shingled(t)
     candIds
-      .join(bitsTbl.select(col("doc_id").as("doc_a"), col("bits").as("bits_a")), "doc_a")
-      .join(bitsTbl.select(col("doc_id").as("doc_b"), col("bits").as("bits_b")), "doc_b")
-      .withColumn("hd", expr("aggregate(zip_with(bits_a, bits_b, (p, q) -> abs(p - q)), 0L, (acc, v) -> acc + v)"))
-      .filter(col("hd") <= 15)
-      .select(col("doc_a"), col("doc_b"))
       .join(shTbl.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(shTbl.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
@@ -202,14 +203,13 @@ object Dedup {
     * thresholds (≥0.95) the scale path is sign-LSH bucketing (see
     * Ann.scala) so only same-bucket pairs meet. */
   def neardupEmbedding(t: Tables): DataFrame = {
-    val v = t.embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("e"))
-      .withColumn("norm", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
+    NativeExprs.ensureRegistered(t.spark)
+    val v = t.embeddings.select(col("vec_id"), col("embedding").as("e"))
+      .withColumn("norm", sqrt(call_function("graft_vecdot", col("e"), col("e"))))
     val pairs = v.as("a").crossJoin(v.as("b"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
-        aggregate(zip_with(col("a.e"), col("b.e"), (x, y) => x * y), lit(0.0), (a, x) => a + x)
-          / (col("a.norm") * col("b.norm")))
+        call_function("graft_vecdot", col("a.e"), col("b.e")) / (col("a.norm") * col("b.norm")))
       .filter(col("cos") >= 0.45)
     pairs.select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
       round(col("cos"), 4).as("cos"))
