@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Events, Exprs, Relational, SqlOps, Tpch, TpchSql}
+import graft.queries.{Events, Exprs, Presto, Relational, SqlOps, Tpch, TpchSql}
 import graft.llm.{Ann, Dedup, Multimodal, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,6 +25,7 @@ object SparkEntry {
       Exprs.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       Exprs.sqlDriven ++
       SqlOps.all ++
+      Presto.all ++
       Events.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       Dedup.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       Ann.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++

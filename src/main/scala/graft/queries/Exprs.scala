@@ -229,6 +229,47 @@ object Exprs {
     """SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) >= 8)) AS tok
        FROM documents"""
 
+  /** MAP unnest — expands into key/value columns
+    * (LogicalPlanNode.h:576-580: "Expands maps into two columns"). */
+  def unnestMap(t: Tables): DataFrame =
+    t.documents
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), explode(map_from_arrays(
+        array(lit("n_chars"), lit("n_tokens")),
+        array(col("n_chars"), size(col("w")).cast("long")))))
+  val unnestMapSql: String =
+    """WITH m AS (SELECT doc_id,
+         map(['n_chars','n_tokens'],
+             [n_chars, len(string_split_regex(trim(text), '\s+'))::BIGINT]) AS mp
+       FROM documents)
+       SELECT doc_id, unnest(map_keys(mp)) AS key, unnest(map_values(mp)) AS value FROM m"""
+
+  /** Multi-collection zipped unnest: several arrays expand together,
+    * null-padded to the longest (LogicalPlanNode.h:581-585). The second
+    * array (each token's successor) is one shorter → a trailing null. */
+  def unnestZipped(t: Tables): DataFrame =
+    t.documents
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+      .withColumn("tok", col("w"))
+      .withColumn("nxt", slice(col("w"), lit(2), size(col("w")) - 1))
+      .select(col("doc_id"), explode(arrays_zip(col("tok"), col("nxt"))).as("z"))
+      .select(col("doc_id"), col("z.tok").as("tok"), col("z.nxt").as("nxt"))
+  val unnestZippedSql: String =
+    """WITH s AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+       SELECT doc_id, unnest(w) AS tok, unnest(w[2:]) AS nxt FROM s"""
+
+  /** Flatten ARRAY(ROW) into per-field columns via inline —
+    * UnnestNode.flattenArrayOfRows (LogicalPlanNode.h:600-612). */
+  def unnestInline(t: Tables): DataFrame =
+    t.documents
+      .withColumn("w", split(trim(col("text")), "\\s+"))
+      .withColumn("tok", col("w"))
+      .withColumn("tlen", transform(col("w"), x => length(x)))
+      .select(col("doc_id"), inline(arrays_zip(col("tok"), col("tlen"))))
+  val unnestInlineSql: String =
+    """WITH s AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+       SELECT doc_id, unnest(w) AS tok, unnest(list_transform(w, x -> length(x))) AS tlen FROM s"""
+
   // -------------------------------------------------------------- events
   /** Tumbling-window aggregation over the events stream table — batch
     * form; the identical groupBy(window(...)) plan runs under Structured
@@ -260,6 +301,9 @@ object Exprs {
     ("unnest_tokens", unnestTokens _, unnestTokensSql),
     ("unnest_ordinality", unnestOrdinality _, unnestOrdinalitySql),
     ("unnest_empty_drops", unnestEmptyDrops _, unnestEmptyDropsSql),
+    ("unnest_map", unnestMap _, unnestMapSql),
+    ("unnest_zipped", unnestZipped _, unnestZippedSql),
+    ("unnest_inline", unnestInline _, unnestInlineSql),
     ("events_tumbling", eventsTumbling _, eventsTumblingSql))
 
   /** Entries that must run through spark.sql (FILTER clause). */

@@ -1,0 +1,70 @@
+package graft.sql
+
+import graft.Catalog
+import graft.functions.Registry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Presto-dialect SQL entry: a light pre-rewriter lowering Presto-isms to
+  * Spark SQL, then Catalyst takes over — the Spark rendering of the
+  * reference's SQL front door (axiom/sql/presto grammar +
+  * PrestoParser.cpp lowering onto the logical plan; SURVEY §3.1/§7.2
+  * step 4: "run through Spark SQL with a small pre-rewriter for
+  * Presto-isms").
+  *
+  * Spark SQL already accepts most of the reference's tested subset
+  * (TIMESTAMP/DATE/INTERVAL literals, EXTRACT, LIKE, BETWEEN, IN, CASE,
+  * ||-concat, lambdas `x -> expr`); what differs is function NAMES — the
+  * registry's translation table (graft.functions.Registry, mirroring
+  * FunctionRegistry.h canonical names) — plus double-quoted identifiers.
+  */
+object PrestoRewriter {
+
+  /** Function renames applied at the SQL text level. Only names that
+    * differ between the dialects (identity entries skipped). */
+  private val renames: Seq[(String, String)] =
+    Registry.fns.collect {
+      case (presto, m) if m.sparkName != presto => presto -> m.sparkName
+    }.toSeq.sortBy(-_._1.length) // longest first so e.g. day_of_week wins over day
+
+  /** Split SQL into string-literal and non-literal segments so rewrites
+    * never touch quoted text. */
+  private def segments(sql: String): Seq[(String, Boolean)] = {
+    val out = Seq.newBuilder[(String, Boolean)]
+    val cur = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr && c == '\'') {
+        out += ((cur.toString, false)); cur.clear(); cur.append(c); inStr = true
+      } else if (inStr && c == '\'') {
+        // '' escape stays inside the literal
+        if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { cur.append("''"); i += 1 }
+        else { cur.append(c); out += ((cur.toString, true)); cur.clear(); inStr = false }
+      } else cur.append(c)
+      i += 1
+    }
+    if (cur.nonEmpty) out += ((cur.toString, inStr))
+    out.result()
+  }
+
+  /** Rewrite Presto SQL text into Spark SQL text. */
+  def rewrite(sql: String): String =
+    segments(sql).map {
+      case (lit, true) => lit
+      case (code, false) =>
+        var s = code
+        // double-quoted identifiers → backticks
+        s = s.replaceAll("\"([A-Za-z_][A-Za-z0-9_]*)\"", "`$1`")
+        // function renames (word boundary, immediately before a paren)
+        for ((from, to) <- renames)
+          s = s.replaceAll("(?i)\\b" + from + "\\s*\\(", to + "(")
+        s
+    }.mkString
+
+  /** Parse-and-run a Presto-dialect query over the catalog tables. */
+  def sql(spark: SparkSession, sfDir: String, prestoSql: String): DataFrame = {
+    Catalog.registerAll(spark, sfDir)
+    spark.sql(rewrite(prestoSql))
+  }
+}

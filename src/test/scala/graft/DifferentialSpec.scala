@@ -1,0 +1,40 @@
+package graft
+
+import graft.queries.Tpch
+import org.apache.spark.sql.SparkSession
+
+/** Multi-config differential execution — the Spark rendering of the
+  * reference's parallelism matrix (HiveQueriesTestBase.cpp:75-114: the
+  * optimized multi-fragment plan must produce the same rows under
+  * workers×drivers ∈ {1,4}×{1,4}). Here the axes that can change Spark's
+  * physical plan are AQE and whole-stage codegen; parallelism is the
+  * shuffle-partition count. Every config must agree with the default
+  * session's answer. */
+class DifferentialSpec extends SparkSpec {
+
+  private val queries: Seq[(String, Tables => org.apache.spark.sql.DataFrame)] = Seq(
+    ("q1", Tpch.q1 _), ("q3", Tpch.q3 _), ("q13", Tpch.q13 _), ("q16", Tpch.q16 _))
+
+  private def rows(s: SparkSession, fn: Tables => org.apache.spark.sql.DataFrame): Set[String] =
+    fn(Tables(s, sfDir)).collect().map(_.mkString("|")).toSet
+
+  private val configs: Seq[(String, Map[String, String])] = Seq(
+    ("aqe-off", Map("spark.sql.adaptive.enabled" -> "false")),
+    ("codegen-off", Map("spark.sql.codegen.wholeStage" -> "false")),
+    ("partitions-1", Map("spark.sql.shuffle.partitions" -> "1")),
+    ("aqe-off-codegen-off-p1", Map(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.shuffle.partitions" -> "1")))
+
+  queries.foreach { case (qname, fn) =>
+    test(s"$qname: identical rows under all engine configs") {
+      val expected = rows(spark, fn)
+      configs.foreach { case (cname, conf) =>
+        val s = spark.newSession()
+        conf.foreach { case (k, v) => s.conf.set(k, v) }
+        assert(rows(s, fn) == expected, s"config $cname diverged for $qname")
+      }
+    }
+  }
+}

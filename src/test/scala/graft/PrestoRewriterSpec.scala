@@ -1,0 +1,40 @@
+package graft
+
+import graft.sql.PrestoRewriter
+
+/** The Presto→Spark SQL text rewriter: renames must not touch string
+  * literals or partial identifier matches. */
+class PrestoRewriterSpec extends SparkSpec {
+
+  test("renames functions outside string literals only") {
+    val in = "SELECT strpos(text, 'strpos(x)'), cardinality(a) FROM t"
+    val out = PrestoRewriter.rewrite(in)
+    assert(out == "SELECT instr(text, 'strpos(x)'), size(a) FROM t")
+  }
+
+  test("double-quoted identifiers become backticks; '' escape preserved") {
+    assert(PrestoRewriter.rewrite("""SELECT "lang" FROM t WHERE x = 'it''s'""")
+      == "SELECT `lang` FROM t WHERE x = 'it''s'")
+  }
+
+  test("does not rewrite inside longer identifiers") {
+    assert(PrestoRewriter.rewrite("SELECT array_contains(a, 1), power(x, 2) FROM t")
+      == "SELECT array_contains(a, 1), power(x, 2) FROM t")
+  }
+
+  test("approx_distinct executes via approx_count_distinct") {
+    val df = PrestoRewriter.sql(spark, sfDir,
+      "SELECT approx_distinct(o_custkey) AS ad FROM orders")
+    val ad = df.collect().head.getLong(0)
+    val exact = Tables(spark, sfDir).orders.select("o_custkey").distinct().count()
+    assert(math.abs(ad - exact).toDouble / exact < 0.1, s"approx=$ad exact=$exact")
+  }
+
+  test("presto q6 text equals DataFrame q6 result") {
+    val presto = PrestoRewriter.sql(spark, sfDir, queries.Presto.q6Presto)
+      .collect().map(_.mkString("|")).toSet
+    val df = queries.Tpch.q6(Tables(spark, sfDir))
+      .collect().map(_.mkString("|")).toSet
+    assert(presto == df)
+  }
+}
