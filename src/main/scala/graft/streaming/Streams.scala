@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events shape — the extension
+  * beyond the batch-only reference (SURVEY §2.8: no streaming exists in
+  * the tree; the `events` table and this module are north-star scope).
+  *
+  * Three canonical stateful patterns, each written so the SAME logic runs
+  * on the batch table (tested for equivalence in StreamingSpec):
+  *  - watermarked tumbling-window aggregation (append mode — late data
+  *    beyond the watermark is dropped, windows close and emit once);
+  *  - sliding-window aggregation;
+  *  - session windows via flatMapGroupsWithState (processing-time-free,
+  *    event-time gap sessionization with explicit state).
+  *
+  * Scale notes: state is partitioned by the grouping key (user_id /
+  * event_type) — the same shuffle a batch groupBy does, but long-lived;
+  * watermarks bound state size, which is what makes 100 TB/day streams
+  * feasible (state holds only open windows, not history).
+  */
+object Streams {
+
+  final case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Int)
+  final case class SessionOut(user_id: Long, start: Timestamp, n_events: Int, duration_sec: Long)
+
+  /** Watermarked tumbling 1h window — append mode compatible. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total"))
+
+  /** Sliding window: 1h length, 15m slide. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** Event-time session windows (30-minute gap) with explicit state via
+    * flatMapGroupsWithState — the custom-state escape hatch
+    * (KeyValueGroupedDataset, SURVEY operator list (d)). Emits a session
+    * when the gap closes it; EventTimeTimeout + watermark GC the state. */
+  def sessions(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            // watermark passed: flush every open session
+            val out = state.getOption.getOrElse(Nil).map(s =>
+              SessionOut(userId, new Timestamp(s.start), s.n, (s.end - s.start) / 1000))
+            state.remove()
+            out.iterator
+          } else {
+            // fold sorted events into gap-separated sessions
+            val evs = rows.map(_.ts.getTime).toSeq.sorted
+            val open = state.getOption.getOrElse(Nil)
+            val (closed, stillOpen) = evs.foldLeft((List.empty[SessionState], open)) {
+              case ((done, cur), t) =>
+                cur match {
+                  case s :: rest if t - s.end <= gapMs =>
+                    (done, s.copy(end = math.max(s.end, t), n = s.n + 1) :: rest)
+                  case s :: rest => (s :: done, SessionState(t, t, 1) :: rest)
+                  case Nil => (done, SessionState(t, t, 1) :: Nil)
+                }
+            }
+            state.update(stillOpen)
+            state.setTimeoutTimestamp(stillOpen.headOption.map(_.end + gapMs)
+              .getOrElse(evs.lastOption.getOrElse(0L) + gapMs))
+            closed.map(s =>
+              SessionOut(userId, new Timestamp(s.start), s.n, (s.end - s.start) / 1000)).iterator
+          }
+      }
+  }
+
+  /** Batch reference implementation of the same sessionization (for the
+    * equivalence test and as the backfill path of a lambda-free
+    * batch/stream dual deployment). */
+  def sessionsBatch(spark: SparkSession, events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val bySession = Window.partitionBy(col("user_id"), col("session_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("boundary",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("boundary")).over(byUser))
+      .select(col("user_id"), col("ts"), col("session_id"))
+      .withColumn("start", min(col("ts")).over(bySession))
+      .withColumn("end", max(col("ts")).over(bySession))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("start"), count(lit(1)).cast("int").as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_sec"))
+      .select(col("user_id"), col("start"), col("n_events"), col("duration_sec"))
+  }
+}

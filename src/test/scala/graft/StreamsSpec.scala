@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The streaming module's three stateful patterns, each checked for
+  * batch/stream equivalence on the same rows. */
+class StreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val events = Seq(
+    Event(ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+    Event(ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+    Event(ts("2024-01-01 10:20:00"), 1, "view", 3.0),
+    Event(ts("2024-01-01 11:30:00"), 1, "click", 4.0), // >30m gap → new session for user 1
+    Event(ts("2024-01-01 10:05:00"), 2, "view", 5.0),
+    Event(ts("2024-01-01 12:00:00"), 2, "view", 6.0),  // new session for user 2
+    // far-future event advances the watermark past every session gap
+    Event(ts("2024-01-02 09:00:00"), 3, "click", 7.0))
+
+  test("watermarked tumbling agg: stream (append) equals batch on closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Event]
+    val q = Streams.tumbling(stream.toDF())
+      .writeStream.format("memory").queryName("s_tumble")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      // advance watermark in a second microbatch so earlier windows close
+      stream.addData(Event(ts("2024-01-03 00:00:00"), 9, "noop", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("s_tumble")
+        .collect().map(_.mkString("|")).toSet
+      val batch = Streams.tumbling(events.toDF())
+        .collect().map(_.mkString("|")).toSet
+      // every closed (emitted) window matches its batch counterpart
+      assert(streamed.subsetOf(batch))
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("session windows via flatMapGroupsWithState equal the batch window form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Event]
+    val q = Streams.sessions(stream.toDS())
+      .writeStream.format("memory").queryName("s_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      stream.addData(Event(ts("2024-01-03 00:00:00"), 9, "noop", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("s_sessions")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getInt(2), r.getLong(3))).toSet
+      val batch = Streams.sessionsBatch(spark, events.toDF())
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getInt(2), r.getLong(3))).toSet
+      // sessions for users 1 and 2 are closed by the watermark; the
+      // far-future rows' own sessions may still be open in the stream
+      val closed = batch.filter(_._2.before(ts("2024-01-02 00:00:00")))
+      assert(closed.subsetOf(streamed), s"missing: ${closed -- streamed}; got $streamed")
+      assert(streamed.subsetOf(batch), s"extra: ${streamed -- batch}")
+    } finally q.stop()
+  }
+
+  test("sliding windows emit multiple windows per event") {
+    import spark.implicits._
+    val batch = Streams.sliding(events.toDF()).collect()
+    // 1h window sliding by 15m → each event appears in 4 windows
+    val clickWindows = batch.filter(_.getString(1) == "click")
+    assert(clickWindows.map(_.getLong(2)).sum == events.count(_.event_type == "click") * 4)
+  }
+}
