@@ -38,9 +38,24 @@ class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  private def samplingEnabled: Boolean =
+    spark.conf.getOption("graft.sampling.enabled").contains("true")
+
   private def recordedRows(plan: LogicalPlan): Option[Long] = plan match {
     case Filter(cond, rel: LogicalRelation) =>
-      relPath(rel).flatMap(p => History.lookup(History.scanKey(p, conjuncts(cond))))
+      relPath(rel).flatMap { p =>
+        val key = History.scanKey(p, conjuncts(cond))
+        History.lookup(key).orElse {
+          // No history yet: optionally sample the predicate at plan time
+          // (reference sampleFilters, OptimizerOptions.h:53-57) and
+          // memoize so each key is sampled once.
+          if (samplingEnabled && !Sampling.inProgress) {
+            val est = Sampling.estimateFilteredRows(spark, rel, cond)
+            History.put(key, est)
+            Some(est)
+          } else None
+        }
+      }
     case Project(_, child) => recordedRows(child)
     case rel: LogicalRelation =>
       relPath(rel).flatMap(p => History.lookup(History.scanKey(p, Nil)))
@@ -49,7 +64,7 @@ class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     History.load() // no-op after first call
-    if (History.size == 0) plan
+    if (History.size == 0 && !samplingEnabled) plan
     else plan.transformUp {
       // This rule runs after EliminateResolvedHint, so the hint goes on
       // the Join node itself (a ResolvedHint wrapper would no longer be

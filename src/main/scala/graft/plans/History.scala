@@ -65,6 +65,8 @@ object History {
   }
 
   def lookup(key: String): Option[Long] = store.get(key)
+  def put(key: String, rows: Long): Unit = store.put(key, rows)
+  def asMap: Map[String, Long] = store.toMap
   def size: Int = store.size
   def clear(): Unit = { store.clear(); loadedFrom = None }
 

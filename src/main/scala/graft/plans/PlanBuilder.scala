@@ -66,6 +66,35 @@ final class PlanBuilder private (val df: DataFrame) {
         .withColumn("ordinality", col("pos") + 1).drop("pos"))
     else next(df.select(col("*"), explode(arr).as(as)))
 
+  /** Unnest a map column into key/value columns (LogicalPlanNode.h:576-580). */
+  def unnestMap(m: Column, keyAs: String = "key", valueAs: String = "value"): PlanBuilder =
+    next(df.select(col("*"), explode(m).as(Seq(keyAs, valueAs))))
+
+  /** Unnest several arrays zipped together, null-padded to the longest
+    * (LogicalPlanNode.h:581-585). Names must match the input columns. */
+  def unnestZipped(arrs: Seq[Column]): PlanBuilder = {
+    val zipped = df.select(col("*"), explode(arrays_zip(arrs: _*)).as("_z"))
+    next(arrs.foldLeft(zipped) { (d, a) =>
+      val n = a.toString
+      d.withColumn(s"${n}_elem", col(s"_z.$n"))
+    }.drop("_z"))
+  }
+
+  // ------------------------------------------------------------- window
+  /** Windowed projection (Expr.h:526-612; the reference declares but
+    * never plans windows — SURVEY §2.6: we exceed it). */
+  def window(partitionBy: Seq[Column], orderBy: Seq[Column],
+             exprs: (org.apache.spark.sql.expressions.WindowSpec => Column)*): PlanBuilder = {
+    val spec = org.apache.spark.sql.expressions.Window
+      .partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    next(df.select(col("*") +: exprs.map(f => f(spec)): _*))
+  }
+
+  /** Grouping-sets aggregation (LogicalPlanNode.h:282-366). */
+  def aggregateGroupingSets(sets: Seq[Seq[Column]], keys: Seq[Column],
+                            aggs: Seq[Column]): PlanBuilder =
+    next(df.groupingSets(sets, keys: _*).agg(aggs.head, aggs.tail: _*))
+
   // ------------------------------------------------------------- set ops
   def unionAll(others: PlanBuilder*): PlanBuilder =
     next(others.foldLeft(df)((acc, o) => acc.union(o.df)))

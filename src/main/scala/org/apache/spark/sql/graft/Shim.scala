@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSession}
+
+/** Access shim for `private[sql]` planner entry points — the standard
+  * pattern for Spark-extension libraries that must execute auxiliary
+  * plans from inside planning (here: plan-time sampling, SURVEY §4.8). */
+object Shim {
+  /** Materialize a DataFrame over an arbitrary logical plan. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+}
