@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.Registry
+import org.apache.spark.sql.functions._
+
+/** Broad Presto-surface function sweep through the registry — the parity
+  * check SURVEY §2.5 calls for (the reference resolves these by name in
+  * Velox's Presto library; we resolve through Registry.call into Spark
+  * built-ins and pin the semantics here). */
+class FunctionParitySpec extends SparkSpec {
+
+  private lazy val row = {
+    import spark.implicits._
+    Seq((-3.7, 2.25, "Hello World", Seq(10, 20, 30), "2024-03-15 13:45:30"))
+      .toDF("d", "p", "s", "arr", "tstr")
+      .withColumn("ts", col("tstr").cast("timestamp"))
+  }
+
+  private def eval(c: org.apache.spark.sql.Column): Any =
+    row.select(c).collect().head.get(0)
+
+  test("math functions") {
+    assert(eval(Registry.call("abs", col("d"))) == 3.7)
+    assert(eval(Registry.call("floor", col("d"))) == -4L)
+    assert(eval(Registry.call("ceil", col("d"))) == -3L)
+    assert(eval(Registry.call("sqrt", col("p"))) == 1.5)
+    assert(eval(Registry.call("pow", col("p"), lit(2))) == 5.0625)
+    assert(eval(Registry.call("round", col("d"))) == -4.0)
+    assert(eval(Registry.call("ln", lit(math.E))) == 1.0)
+    assert(eval(Registry.call("log2", lit(8))) == 3.0)
+    assert(eval(Registry.call("is_nan", lit(Double.NaN))) == true)
+  }
+
+  test("string functions") {
+    assert(eval(Registry.call("length", col("s"))) == 11)
+    assert(eval(Registry.call("lower", col("s"))) == "hello world")
+    assert(eval(Registry.call("upper", col("s"))) == "HELLO WORLD")
+    assert(eval(Registry.call("strpos", col("s"), lit("World"))) == 7)
+    assert(eval(Registry.call("substr", col("s"), lit(1), lit(5))) == "Hello")
+    assert(eval(Registry.call("replace", col("s"), lit("l"), lit("L"))) == "HeLLo WorLd")
+    assert(eval(Registry.call("reverse", lit("abc"))) == "cba")
+    assert(eval(Registry.call("split_part", col("s"), lit(" "), lit(2))) == "World")
+    assert(eval(Registry.call("codepoint", lit("A"))) == 65)
+    assert(eval(Registry.call("regexp_like", col("s"), lit("^Hel"))) == true)
+    assert(eval(Registry.call("md5", lit("abc"))) == "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("array functions") {
+    assert(eval(Registry.call("cardinality", col("arr"))) == 3)
+    assert(eval(Registry.call("contains", col("arr"), lit(20))) == true)
+    assert(eval(Registry.call("element_at", col("arr"), lit(2))) == 20)
+    assert(eval(Registry.call("slice", col("arr"), lit(2), lit(2)))
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(20, 30))
+    assert(eval(Registry.call("array_distinct", lit(Array(1, 1, 2))))
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(1, 2))
+  }
+
+  test("temporal functions") {
+    assert(eval(Registry.call("year", col("ts"))) == 2024)
+    assert(eval(Registry.call("month", col("ts"))) == 3)
+    assert(eval(Registry.call("day", col("ts"))) == 15)
+    assert(eval(Registry.call("hour", col("ts"))) == 13)
+    assert(eval(Registry.call("day_of_year", col("ts"))) == 75)
+    assert(eval(Registry.call("day_of_week", col("ts"))) == 6) // Friday (Spark: 1=Sunday)
+    assert(eval(Registry.call("date_trunc", lit("HOUR"), col("ts"))).toString == "2024-03-15 13:00:00.0")
+    assert(eval(Registry.call("to_unixtime", col("ts"))) == 1710510330L)
+  }
+
+  test("null-handling functions") {
+    assert(eval(Registry.call("coalesce", lit(null).cast("int"), lit(7))) == 7)
+    assert(eval(Registry.call("greatest", col("d"), col("p"))) == 2.25)
+    assert(eval(Registry.call("least", col("d"), col("p"))) == -3.7)
+  }
+
+  test("aggregate metadata covers the Presto aggregate surface") {
+    Seq("sum", "avg", "min", "max", "count", "stddev", "corr",
+      "approx_distinct", "approx_percentile", "arbitrary", "array_agg")
+      .foreach(n => assert(Registry.isAggregate(n), s"$n should be an aggregate"))
+    Seq("abs", "strpos", "cardinality")
+      .foreach(n => assert(!Registry.isAggregate(n), s"$n should not be an aggregate"))
+  }
+}
