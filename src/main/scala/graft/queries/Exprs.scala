@@ -200,6 +200,25 @@ object Exprs {
          ON c_custkey = o_custkey
        GROUP BY c_custkey, c_name, c_mktsegment"""
 
+  /** TRY special form (Expr.h:292-299: null on failure of the child) via
+    * Spark's try_* family — try_divide/try_add null out the exact error
+    * classes Presto's TRY suppresses (div-by-zero, overflow) under ANSI
+    * mode instead of failing the query. */
+  def specialTry(t: Tables): DataFrame =
+    t.orders.select(
+      col("o_orderkey"),
+      try_divide(col("o_totalprice"), col("o_custkey") % 3).as("risky_div"),
+      try_add(col("o_orderkey") + lit(1L), lit(Long.MaxValue)).as("overflow_add"),
+      try_element_at(array(lit(1), lit(2)), lit(9)).as("oob"))
+      .filter(col("o_orderkey") < 1000)
+  val specialTrySql: String =
+    """SELECT o_orderkey,
+       CASE WHEN o_custkey % 3 = 0 THEN NULL
+            ELSE o_totalprice / (o_custkey % 3) END AS risky_div,
+       CAST(NULL AS BIGINT) AS overflow_add,
+       CAST(NULL AS INT) AS oob
+       FROM orders WHERE o_orderkey < 1000"""
+
   // --------------------------------------------------------------- unnest
   // UnnestNode (LogicalPlanNode.h:571-657): array expansion, ordinality,
   // empty-collection-drops-row (explode, not explode_outer).
@@ -298,6 +317,7 @@ object Exprs {
     ("hof_filter", hofFilter _, hofFilterSql),
     ("hof_zip_with", hofZipWith _, hofZipWithSql),
     ("special_forms", specialForms _, specialFormsSql),
+    ("special_try", specialTry _, specialTrySql),
     ("unnest_tokens", unnestTokens _, unnestTokensSql),
     ("unnest_ordinality", unnestOrdinality _, unnestOrdinalitySql),
     ("unnest_empty_drops", unnestEmptyDrops _, unnestEmptyDropsSql),
