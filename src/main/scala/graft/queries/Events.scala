@@ -72,8 +72,28 @@ object Events {
              FROM events) s
        WHERE rn = 1"""
 
+  /** As-of join: each purchase finds the user's most recent prior click
+    * (graft.operators.AsOfJoin — union+window formulation, one shuffle).
+    * Oracle: DuckDB's native ASOF JOIN. */
+  def asof(t: Tables): DataFrame = {
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = t.events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    graft.operators.AsOfJoin.asofJoin(
+      purchases, clicks, key = "user_id", time = "ts",
+      valueCol = "click_id", as = "last_click_id")
+      .select(col("event_id"), col("user_id"), col("last_click_id"))
+  }
+  val asofSql: String =
+    """SELECT p.event_id, p.user_id, c.event_id AS last_click_id
+       FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+       ASOF JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND p.ts >= c.ts"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("events_json_extract", jsonExtract _, jsonExtractSql),
     ("events_sessionize", sessionize _, sessionizeSql),
-    ("events_latest_per_key", latestPerKey _, latestPerKeySql))
+    ("events_latest_per_key", latestPerKey _, latestPerKeySql),
+    ("events_asof", asof _, asofSql))
 }

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+
+  test("asof join picks the latest prior value per key (hand oracle)") {
+    import spark.implicits._
+    val quotes = Seq( // key, time, price
+      (1L, 10L, 100.0), (1L, 20L, 110.0), (1L, 30L, 120.0),
+      (2L, 15L, 50.0)).toDF("user_id", "ts", "price")
+    val trades = Seq( // key, time, qty
+      (1L, 25L, 5), (1L, 10L, 7), (1L, 5L, 9), (2L, 15L, 3), (3L, 40L, 1))
+      .toDF("user_id", "ts", "qty")
+    val got = AsOfJoin.asofJoin(trades, quotes, "user_id", "ts", "price", "last_price")
+      .select("user_id", "ts", "qty", "last_price")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      (1L, 25L, 5, 110.0), // latest quote <= 25 is t=20
+      (1L, 10L, 7, 100.0), // inclusive: quote at exactly t=10
+      (2L, 15L, 3, 50.0)))
+    // trade at t=5 (no prior quote) and user 3 (no quotes) are dropped
+  }
+
+  test("binned range join equals naive range join") {
+    import spark.implicits._
+    val points = (1 to 500).map(i => (i.toLong, i * 0.37)).toDF("pid", "v")
+    val intervals = Seq((0.0, 25.0, "low"), (25.0, 90.0, "mid"),
+      (90.0, 200.0, "high"), (10.0, 30.0, "overlap")).toDF("lo", "hi", "band")
+    val binned = AsOfJoin.binnedRangeJoin(points, "v", intervals, "lo", "hi", binWidth = 20.0)
+      .select("pid", "band").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = points.join(intervals, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("pid", "band").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(binned == naive)
+    assert(binned.nonEmpty)
+  }
+}
