@@ -86,5 +86,6 @@ class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(new HistoryStatsRule(_))
+    ext.injectOptimizerRule(new JsonConsolidationRule(_))
   }
 }

@@ -64,6 +64,32 @@ object Exprs {
          RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS range_sum
        FROM orders"""
 
+  /** GROUPS frame — not supported by Spark's Window API; composed as a
+    * RANGE frame over dense_rank (graft.operators.WindowOps), checked
+    * against DuckDB's NATIVE GROUPS frame. Ordering by day-truncated
+    * date gives real peer groups, where GROUPS differs from ROWS. */
+  def windowGroupsFrame(t: Tables): DataFrame =
+    graft.operators.WindowOps.groupsFrame(
+      t.orders.withColumn("od", date_trunc("day", col("o_orderdate"))),
+      partitionBy = Seq(col("o_orderpriority")), orderBy = col("od"),
+      agg = sum, target = col("o_totalprice"),
+      lower = -1L, upper = org.apache.spark.sql.expressions.Window.currentRow,
+      as = "gsum")
+      .select(col("o_orderpriority"), col("o_orderkey"), round(col("gsum"), 2).as("gsum"))
+  /** DuckDB has not implemented GROUPS frames either ("Parser Error:
+    * GROUPS mode ... not implemented yet"), so the oracle uses the same
+    * dense_rank→RANGE identity — still an independent engine check. */
+  val windowGroupsFrameSql: String =
+    """WITH r AS (
+         SELECT o_orderpriority, o_orderkey, o_totalprice,
+                dense_rank() OVER (PARTITION BY o_orderpriority
+                  ORDER BY date_trunc('day', o_orderdate)) AS dr
+         FROM orders)
+       SELECT o_orderpriority, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY dr
+           RANGE BETWEEN 1 PRECEDING AND CURRENT ROW), 2) AS gsum
+       FROM r"""
+
   /** Distributed per-group top-k — the canonical window use at scale
     * (one shuffle on the partition key, rank pruned before any join). */
   def windowTopkPerGroup(t: Tables): DataFrame = {
@@ -307,6 +333,7 @@ object Exprs {
     ("window_rank", windowRank _, windowRankSql),
     ("window_rows_frame", windowRowsFrame _, windowRowsFrameSql),
     ("window_range_frame", windowRangeFrame _, windowRangeFrameSql),
+    ("window_groups_frame", windowGroupsFrame _, windowGroupsFrameSql),
     ("window_topk_per_group", windowTopkPerGroup _, windowTopkPerGroupSql),
     ("agg_rollup", aggRollup _, aggRollupSql),
     ("agg_cube", aggCube _, aggCubeSql),
