@@ -30,7 +30,8 @@ object SparkEntry {
       Dedup.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       Ann.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       TextStats.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
-      Multimodal.all.map { case (n, f, sql) => (n, adapt(f), sql) }
+      Multimodal.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
+      graft.sources.Formats.all.map { case (n, f, sql) => (n, adapt(f), sql) }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

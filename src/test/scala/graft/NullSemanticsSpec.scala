@@ -66,6 +66,19 @@ class NullSemanticsSpec extends SparkSpec {
     assert(r.getInt(0) == 12 && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  /** Pins the documented divergence from the reference's error-tolerant
+    * AND/OR (Expr.h:227-231: "Returns false if at least one input
+    * evaluates to false even if some inputs ... throw", EITHER side):
+    * Spark short-circuits left-to-right only, so `false AND error` is
+    * false but `error AND false` throws under ANSI. */
+  test("AND short-circuit is left-to-right (documented reference divergence)") {
+    val safe = spark.sql("SELECT false AND (1/0 > 1) AS v").collect().head
+    assert(!safe.getBoolean(0))
+    intercept[Exception] {
+      spark.sql("SELECT (1/0 > 1) AND false AS v").collect()
+    }
+  }
+
   /** HOF semantics vs a Scala reference model over generated arrays. */
   test("transform/filter/aggregate HOFs match Scala model (property)") {
     val prop = Prop.forAllNoShrink(Gen.listOfN(40, Gen.listOf(Gen.chooseNum(-50, 50)))) { arrays =>
