@@ -74,6 +74,7 @@ object Sessions {
     SparkSession.builder()
       .master(master)
       .appName(appName)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
