@@ -77,6 +77,28 @@ object NativeExprs {
     }
   }
 
+  /** Fraction of positions where two long arrays agree — the MinHash
+    * Jaccard estimator (E[match fraction] = J), used as the cheap
+    * mid-tier of tiered near-dup verification. */
+  case class SigMatchFraction(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      if (n == 0) 0.0
+      else {
+        var eq = 0
+        var i = 0
+        while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+        eq.toDouble / n
+      }
+    }
+  }
+
   /** Dot product of two float arrays accumulated in double — the kernel
     * under cosine similarity (norm = sqrt(VecDot(a,a))). */
   case class VecDot(left: Expression, right: Expression)
@@ -108,6 +130,8 @@ object NativeExprs {
         { es: Seq[Expression] => SimHashSig64(es.head) }, "built-in")
       reg.createOrReplaceTempFunction("graft_vecdot",
         { es: Seq[Expression] => VecDot(es(0), es(1)) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_sigmatch",
+        { es: Seq[Expression] => SigMatchFraction(es(0), es(1)) }, "built-in")
       registered += spark
     }
   }
