@@ -3,6 +3,7 @@ package graft.llm
 import graft.Tables
 import graft.functions.NativeExprs
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data deduplication over the `documents` table.
@@ -126,6 +127,37 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jacc"))
   }
 
+  /** Exact Jaccard with PREFIX FILTERING (SSJoin/PPJoin): order each
+    * doc's shingles by ascending global frequency; for threshold τ, two
+    * sets with J ≥ τ MUST share a shingle within their first
+    * n−⌈τ·n⌉+1 shingles (if all prefix shingles differed, too few
+    * common elements could remain). The inverted-index join then runs
+    * only on the prefixes — the rarest ~20% of each doc's shingles — so
+    * hot shingles never drive the candidate blowup. Same output as
+    * [[neardupJaccard]], verified against the same oracle. */
+  def neardupJaccardPrefix(t: Tables): DataFrame = {
+    val tau = 0.8
+    val ex = shingleRows(t)
+    val freq = ex.groupBy(col("s")).agg(count(lit(1)).as("f"))
+    val ranked = ex.join(freq, "s")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("s"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val prefix = ranked.filter(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .select(col("doc_id"), col("s"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val shTbl = shingled(t)
+    cands
+      .join(shTbl.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(shTbl.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("j") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jacc"))
+  }
+
   // ------------------------------------------------------- MinHash + LSH
   private val NumPerm = 64
   private val Bands = 16
@@ -245,6 +277,7 @@ object Dedup {
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("dedup_exact", dedupExact _, dedupExactSql),
     ("neardup_jaccard", neardupJaccard _, neardupOracleSql),
+    ("neardup_jaccard_prefix", neardupJaccardPrefix _, neardupOracleSql),
     ("neardup_minhash", neardupMinhash _, neardupOracleSql),
     ("neardup_simhash", neardupSimhash _, neardupOracleSql),
     ("neardup_embedding", neardupEmbedding _, neardupEmbeddingSql))

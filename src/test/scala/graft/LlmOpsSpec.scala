@@ -12,6 +12,12 @@ class LlmOpsSpec extends SparkSpec {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("prefix-filtered Jaccard equals the plain inverted-index Jaccard") {
+    val truth = pairSet(Dedup.neardupJaccard(tables))
+    val pf = pairSet(Dedup.neardupJaccardPrefix(tables))
+    assert(pf == truth, s"missing=${truth -- pf} extra=${pf -- truth}")
+  }
+
   test("MinHash LSH reproduces exact Jaccard ground truth") {
     val truth = pairSet(Dedup.neardupJaccard(tables))
     val mh = pairSet(Dedup.neardupMinhash(tables))
