@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Events, Exprs, Presto, Relational, SqlOps, Tpch, TpchSql}
+import graft.queries.{Events, Exprs, Presto, Relational, SqlOps, Tpch, Tpch2, TpchSql}
 import graft.llm.{Ann, Dedup, Multimodal, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,6 +20,7 @@ object SparkEntry {
     * not SQL-expressible and the driver should do a rows-only check). */
   private def allEntries: Seq[(String, (SparkSession, String) => DataFrame, String)] =
     Tpch.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
+      Tpch2.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       TpchSql.all ++
       Relational.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       Exprs.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++

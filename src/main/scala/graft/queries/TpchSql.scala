@@ -16,9 +16,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * entry is checked three ways: Spark-DataFrame vs Spark-SQL vs DuckDB.
   */
 object TpchSql {
-  /** name → (query, oracle) for every Tpch.all entry, suffixed _sql. */
+  /** name → (query, oracle) for every TPC-H entry, suffixed _sql. */
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] =
-    Tpch.all.map { case (name, _, sql) =>
+    (Tpch.all ++ Tpch2.all).map { case (name, _, sql) =>
       (s"${name}_sql",
         (spark: SparkSession, sfDir: String) => {
           Catalog.registerAll(spark, sfDir)

@@ -11,7 +11,8 @@ class QuerySmokeSpec extends SparkSpec {
     "join_anti", "subq_not_exists", "neardup_embedding",
     // selective constant filters with no qualifying rows at sf0.001
     // (non-empty at sf0.01, where the oracle gate runs):
-    "tpch_q2", "tpch_q2_sql", "tpch_q7", "tpch_q7_sql")
+    "tpch_q2", "tpch_q2_sql", "tpch_q7", "tpch_q7_sql",
+    "tpch_q22", "tpch_q22_sql")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {
