@@ -64,6 +64,24 @@ object Exprs {
          RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS range_sum
        FROM orders"""
 
+  /** Per-key top-k via the bounded-buffer AGGREGATOR (operators/TopK) —
+    * map-side partial aggregation sends at most k rows per key per
+    * partition into the shuffle, vs the window form shuffling every row.
+    * Oracle: the window formulation in DuckDB. */
+  def topkAggregator(t: Tables): DataFrame =
+    graft.operators.TopK.perKey(
+      t.orders.select(col("o_custkey").as("key"), col("o_totalprice").as("score"),
+        col("o_orderkey").as("id")),
+      "key", "score", "id", k = 3)
+      .select(col("key"), col("rk"), col("id"), round(col("score"), 2).as("score"))
+  val topkAggregatorSql: String =
+    """SELECT key, rk, id, round(score, 2) AS score
+       FROM (SELECT o_custkey AS key, o_orderkey AS id, o_totalprice AS score,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rk
+             FROM orders) s
+       WHERE rk <= 3"""
+
   /** GROUPS frame — not supported by Spark's Window API; composed as a
     * RANGE frame over dense_rank (graft.operators.WindowOps), checked
     * against DuckDB's NATIVE GROUPS frame. Ordering by day-truncated
@@ -335,6 +353,7 @@ object Exprs {
     ("window_range_frame", windowRangeFrame _, windowRangeFrameSql),
     ("window_groups_frame", windowGroupsFrame _, windowGroupsFrameSql),
     ("window_topk_per_group", windowTopkPerGroup _, windowTopkPerGroupSql),
+    ("topk_aggregator", topkAggregator _, topkAggregatorSql),
     ("agg_rollup", aggRollup _, aggRollupSql),
     ("agg_cube", aggCube _, aggCubeSql),
     ("agg_grouping_sets", aggGroupingSets _, aggGroupingSetsSql),
