@@ -1,0 +1,32 @@
+package graft
+
+/** Global plan audit: NO registered query may plan an unintended
+  * cartesian product. The whitelist names the queries whose semantics
+  * ARE a (bounded) product: explicit cross joins, single-row scalar
+  * subquery joins, broadcast probe×corpus scans, and pairwise similarity
+  * over the whole corpus. Everything else planning a CartesianProduct or
+  * unconditioned BroadcastNestedLoopJoin is a scale bug. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val intendedProducts = Set(
+    "join_cross",             // region × nation, constant size
+    "tpch_q11", "tpch_q11_sql", // single-row grand-total theta join
+    "tpch_q15", "tpch_q15_sql", // single-row max-revenue theta join
+    "tpch_q22", "tpch_q22_sql", // single-row avg-balance theta join
+    "subq_scalar",            // single-row scalar subquery
+    "neardup_embedding",      // all-pairs cosine (documented exact tier)
+    "ann_bruteforce_topk",    // broadcast probes × corpus (map-side scan)
+    "ann_ivf_topk",           // broadcast centroids × corpus assignment
+    "emb_quantize_int8")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name plans no unintended cartesian") {
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      val hasProduct = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      assert(!hasProduct || intendedProducts(name),
+        s"$name plans a product join:\n${plan.linesIterator.filter(l =>
+          l.contains("CartesianProduct") || l.contains("BroadcastNestedLoopJoin")).mkString("\n")}")
+    }
+  }
+}
