@@ -110,6 +110,36 @@ object Dedup {
   val dedupExactSql: String =
     "SELECT min(doc_id) AS canonical_id, count(*) AS n_copies FROM documents GROUP BY text"
 
+  /** Exact dedup keeping the BEST copy per content group (not the first):
+    * canonical = highest distinct-token ratio, doc_id tie-break — the
+    * policy real corpus builds use (keep the cleanest duplicate). One
+    * shuffle on the digest + a window over the (tiny) duplicate groups. */
+  def dedupKeepBest(t: Tables): DataFrame = {
+    val w = col("w")
+    val scored = t.documents
+      .select(col("doc_id"), col("text"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), col("text"),
+        (size(array_distinct(w)).cast("double") / size(w)).as("quality"))
+    val rankW = Window.partitionBy(sha2(col("text"), 256))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), round(col("quality"), 4).as("quality"))
+  }
+  val dedupKeepBestSql: String =
+    """WITH scored AS (
+         SELECT doc_id, text,
+                len(list_distinct(string_split_regex(trim(text), '\s+'))) * 1.0
+                  / len(string_split_regex(trim(text), '\s+')) AS quality
+         FROM documents)
+       SELECT doc_id, round(quality, 4) AS quality
+       FROM (SELECT doc_id, quality,
+               row_number() OVER (PARTITION BY text
+                 ORDER BY quality DESC, doc_id) AS rn
+             FROM scored) s
+       WHERE rn = 1"""
+
   // --------------------------------------- exact n-gram Jaccard (ground)
   def neardupJaccard(t: Tables): DataFrame = {
     val sh = shingled(t)
@@ -276,6 +306,7 @@ object Dedup {
 
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("dedup_exact", dedupExact _, dedupExactSql),
+    ("dedup_keep_best", dedupKeepBest _, dedupKeepBestSql),
     ("neardup_jaccard", neardupJaccard _, neardupOracleSql),
     ("neardup_jaccard_prefix", neardupJaccardPrefix _, neardupOracleSql),
     ("neardup_minhash", neardupMinhash _, neardupOracleSql),

@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis over `documents`: token statistics, quality scoring,
@@ -121,9 +122,65 @@ object TextStats {
        count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique
        FROM documents GROUP BY source"""
 
+  // -------------------------------------------- cross-source decontamination
+  /** Train/eval contamination check: normalized fingerprints appearing in
+    * MORE THAN ONE source, with the source list — the decontamination
+    * sweep of a corpus build (e.g. benchmark text leaked into training
+    * shards). One shuffle on the fingerprint. */
+  def crossSourceLeak(t: Tables): DataFrame =
+    t.documents
+      .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+        concat_ws(",", sort_array(collect_set(col("source")))).as("sources"),
+        count(lit(1)).as("n_docs"))
+      .filter(col("n_sources") >= 2)
+      .select(col("fp"), col("n_sources"), col("sources"), col("n_docs"))
+  val crossSourceLeakSql: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         count(DISTINCT source) AS n_sources,
+         array_to_string(list_sort(list_distinct(list(source))), ',') AS sources,
+         count(*) AS n_docs
+       FROM documents
+       GROUP BY 1 HAVING count(DISTINCT source) >= 2"""
+
+  /** End-to-end corpus build: quality-filter → exact-dedup (keep min id)
+    * → materialize → digest. The composition a real pipeline runs
+    * nightly, as one declarative plan plus one parquet write. */
+  def corpusBuild(t: Tables): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    val kept = t.documents
+      .filter(length(col("text")) >= 50 &&
+        size(array_distinct(toks)).cast("double") / size(toks) >= 0.2)
+    val deduped = kept
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val dir = "/root/repo/target/corpus/build"
+    deduped.select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .write.mode("overwrite").parquet(dir)
+    t.spark.read.parquet(dir)
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("n_chars"),
+        countDistinct(col("source")).as("n_sources"))
+  }
+  val corpusBuildSql: String =
+    """WITH kept AS (
+         SELECT * FROM documents
+         WHERE length(text) >= 50
+           AND len(list_distinct(string_split_regex(trim(text), '\s+'))) * 1.0
+               / len(string_split_regex(trim(text), '\s+')) >= 0.2),
+       deduped AS (
+         SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                        FROM kept) s WHERE rn = 1)
+       SELECT count(*) AS n_docs, sum(length(text)) AS n_chars,
+              count(DISTINCT source) AS n_sources
+       FROM deduped"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("text_token_stats", tokenStats _, tokenStatsSql),
     ("text_quality", quality _, qualitySql),
     ("text_langid", langId _, langIdSql),
-    ("text_fingerprint", fingerprint _, fingerprintSql))
+    ("text_fingerprint", fingerprint _, fingerprintSql),
+    ("text_cross_source_leak", crossSourceLeak _, crossSourceLeakSql),
+    ("pipeline_corpus_build", corpusBuild _, corpusBuildSql))
 }

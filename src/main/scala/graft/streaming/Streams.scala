@@ -85,6 +85,26 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the preceding hour. Both sides carry watermarks so
+    * Spark can bound the join state (clicks older than the interval +
+    * watermark are evicted) — the state-bounding contract that makes
+    * stream-stream joins feasible at scale. */
+  def purchaseAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+    val p = purchases.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("purchase_value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("p_ts"), col("c_ts"),
+        col("purchase_value"), col("click_value"))
+  }
+
   /** Batch reference implementation of the same sessionization (for the
     * equivalence test and as the backfill path of a lambda-free
     * batch/stream dual deployment). */

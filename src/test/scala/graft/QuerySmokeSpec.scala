@@ -12,7 +12,7 @@ class QuerySmokeSpec extends SparkSpec {
     // selective constant filters with no qualifying rows at sf0.001
     // (non-empty at sf0.01, where the oracle gate runs):
     "tpch_q2", "tpch_q2_sql", "tpch_q7", "tpch_q7_sql",
-    "tpch_q22", "tpch_q22_sql")
+    "tpch_q22", "tpch_q22_sql", "text_cross_source_leak")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes at sf0.001") {

@@ -76,4 +76,31 @@ class StreamsSpec extends SparkSpec {
     val clickWindows = batch.filter(_.getString(1) == "click")
     assert(clickWindows.map(_.getLong(2)).sum == events.count(_.event_type == "click") * 4)
   }
+
+  test("stream-stream interval join matches the batch interval join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clickStream = MemoryStream[Event]
+    val purchaseStream = MemoryStream[Event]
+    val joined = Streams.purchaseAttribution(
+      clickStream.toDF(), purchaseStream.toDF())
+    val q = joined.writeStream.format("memory").queryName("s_attr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val clicks = events.filter(_.event_type == "click")
+      val purchases = Seq(
+        Event(ts("2024-01-01 10:30:00"), 1, "purchase", 10.0),
+        Event(ts("2024-01-01 12:00:00"), 1, "purchase", 20.0),
+        Event(ts("2024-01-01 10:30:00"), 2, "purchase", 30.0))
+      clickStream.addData(clicks: _*)
+      purchaseStream.addData(purchases: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("s_attr").collect().map(_.mkString("|")).toSet
+      val batch = Streams.purchaseAttribution(
+        clicks.toDF(), purchases.toDF()).collect().map(_.mkString("|")).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      // user 1's 10:30 purchase attributes to the 10:00 and 10:10 clicks
+      assert(streamed.count(_.startsWith("1|2024-01-01 10:30")) == 2)
+    } finally q.stop()
+  }
 }
