@@ -196,6 +196,21 @@ object Relational {
        round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1 ELSE o_totalprice END), 2) AS total
        FROM orders"""
 
+  /** Partitioned table write: Hive-style directory layout + read-back
+    * through a partition-pruned filter — the write side of §2.7's
+    * partitioning story (the read-side pruning is plan-asserted in
+    * PartitionedLayoutSpec). */
+  def tableWritePartitioned(t: Tables): DataFrame = {
+    val dir = s"$twBase/partitioned"
+    t.orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    t.spark.read.parquet(dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+  val tableWritePartitionedSql: String =
+    """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total
+       FROM orders WHERE o_orderpriority = '1-URGENT'"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("values_table", valuesTable _, valuesSql),
     ("set_union", setUnion _, setUnionSql),
@@ -214,5 +229,6 @@ object Relational {
     ("limit_offset", limitOffset _, limitOffsetSql),
     ("table_write_insert", tableWriteInsert _, tableWriteInsertSql),
     ("table_write_delete", tableWriteDelete _, tableWriteDeleteSql),
-    ("table_write_update", tableWriteUpdate _, tableWriteUpdateSql))
+    ("table_write_update", tableWriteUpdate _, tableWriteUpdateSql),
+    ("table_write_partitioned", tableWritePartitioned _, tableWritePartitionedSql))
 }
