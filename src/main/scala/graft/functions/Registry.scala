@@ -54,7 +54,44 @@ object Registry {
       "split_part" -> FnMeta("split_part"),
       "date_trunc" -> FnMeta("date_trunc"),
       "date_add" -> FnMeta("date_add"),
-      "date_diff" -> FnMeta("datediff"))
+      "date_diff" -> FnMeta("datediff"),
+      "array_position" -> FnMeta("array_position"),
+      "array_remove" -> FnMeta("array_remove"),
+      "array_sort" -> FnMeta("array_sort"),
+      "arrays_overlap" -> FnMeta("arrays_overlap"),
+      "flatten" -> FnMeta("flatten"),
+      "array_max" -> FnMeta("array_max"),
+      "array_min" -> FnMeta("array_min"),
+      "array_join" -> FnMeta("array_join"),
+      "repeat" -> FnMeta("repeat"),
+      "map_concat" -> FnMeta("map_concat"),
+      "map_from_entries" -> FnMeta("map_from_entries"),
+      "chr" -> FnMeta("char"),
+      "lpad" -> FnMeta("lpad"),
+      "rpad" -> FnMeta("rpad"),
+      "levenshtein_distance" -> FnMeta("levenshtein", cost = 8.0),
+      "hamming_distance" -> FnMeta("levenshtein", cost = 8.0), // nearest built-in
+      "to_hex" -> FnMeta("hex"),
+      "from_hex" -> FnMeta("unhex"),
+      "bit_count" -> FnMeta("bit_count"),
+      // Presto's scalar bitwise_and/or/xor have no NAMED Spark function
+      // (only the & | ^ operators) — callers use Column operators.
+      "regexp_extract" -> FnMeta("regexp_extract", cost = 4.0),
+      "regexp_replace" -> FnMeta("regexp_replace", cost = 4.0),
+      "format_datetime" -> FnMeta("date_format"),
+      "date_parse" -> FnMeta("to_timestamp"),
+      "current_date" -> FnMeta("current_date", deterministic = false),
+      "now" -> FnMeta("now", deterministic = false),
+      "width_bucket" -> FnMeta("width_bucket"),
+      "truncate" -> FnMeta("trunc"),
+      "mod" -> FnMeta("mod"),
+      "sign" -> FnMeta("signum"),
+      "cbrt" -> FnMeta("cbrt"),
+      "degrees" -> FnMeta("degrees"),
+      "radians" -> FnMeta("radians"))
+    // NOTE: Presto's nullary infinity()/nan() are literals in Spark
+    // (double('Infinity')) — not name-mappable, so not registry entries
+    // (the SQL rewriter must never substitute a non-identifier).
     val aggs = Seq("sum", "avg", "min", "max", "count", "stddev", "variance",
       "corr", "covar_samp", "covar_pop", "skewness", "kurtosis")
       .map(n => n -> FnMeta(n, isAggregate = true))

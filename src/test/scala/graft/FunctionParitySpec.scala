@@ -72,6 +72,20 @@ class FunctionParitySpec extends SparkSpec {
     assert(eval(Registry.call("least", col("d"), col("p"))) == -3.7)
   }
 
+  test("extended surface: regex, padding, bitwise, buckets") {
+    assert(eval(Registry.call("regexp_extract", col("s"), lit("(\\w+) (\\w+)"), lit(2))) == "World")
+    assert(eval(Registry.call("lpad", lit("7"), lit(3), lit("0"))) == "007")
+    assert(eval(Registry.call("levenshtein_distance", lit("kitten"), lit("sitting"))) == 3)
+    assert(eval(Registry.call("to_hex", lit(255L))) == "FF")
+    assert(eval(Registry.call("bit_count", lit(7L))) == 3)
+    assert(eval(lit(12L).bitwiseAND(lit(10L))) == 8L) // operator form; no named fn
+    assert(eval(Registry.call("width_bucket", lit(5.5), lit(0.0), lit(10.0), lit(5))) == 3L)
+    assert(eval(Registry.call("sign", lit(-8.0))) == -1.0)
+    assert(eval(Registry.call("array_max", col("arr"))) == 30)
+    assert(eval(Registry.call("array_join", col("arr"), lit("-"))) == "10-20-30")
+    assert(eval(Registry.call("format_datetime", col("ts"), lit("yyyy/MM"))) == "2024/03")
+  }
+
   test("aggregate metadata covers the Presto aggregate surface") {
     Seq("sum", "avg", "min", "max", "count", "stddev", "corr",
       "approx_distinct", "approx_percentile", "arbitrary", "array_agg")
