@@ -31,12 +31,14 @@ object Catalog {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
     // reader rejects; with spark.sql.legacy.parquet.nanosAsLong (set in
     // Sessions.builder) it reads as nanos-since-epoch LONG, converted
-    // back to a timestamp here (micros precision — the synthetic data is
-    // ms-granular, so nothing is lost).
+    // back to a timestamp here at micros precision. The data is
+    // µs-granular, so integer floor-division is required: `/` on Columns
+    // is double division, and nanos ~1.7e18 exceed double's 53-bit
+    // mantissa, which truncated ~1.6% of rows a microsecond early.
     if (name == "events")
       raw.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     else raw
   }
 

@@ -54,7 +54,10 @@ object Registry {
       "split_part" -> FnMeta("split_part"),
       "date_trunc" -> FnMeta("date_trunc"),
       "date_add" -> FnMeta("date_add"),
-      "date_diff" -> FnMeta("datediff"),
+      // 3-arg Presto form handled by the injected PrestoCompat function
+      // (unit-aware TimestampDiff); name kept identical so SQL text is
+      // untouched and arity decides.
+      "date_diff" -> FnMeta("date_diff"),
       "array_position" -> FnMeta("array_position"),
       "array_remove" -> FnMeta("array_remove"),
       "array_sort" -> FnMeta("array_sort"),
@@ -63,14 +66,18 @@ object Registry {
       "array_max" -> FnMeta("array_max"),
       "array_min" -> FnMeta("array_min"),
       "array_join" -> FnMeta("array_join"),
-      "repeat" -> FnMeta("repeat"),
+      // Presto repeat(elem, n) builds an ARRAY — Spark's same-named
+      // function repeats a STRING; array_repeat is the honest match.
+      "repeat" -> FnMeta("array_repeat"),
       "map_concat" -> FnMeta("map_concat"),
       "map_from_entries" -> FnMeta("map_from_entries"),
       "chr" -> FnMeta("char"),
       "lpad" -> FnMeta("lpad"),
       "rpad" -> FnMeta("rpad"),
       "levenshtein_distance" -> FnMeta("levenshtein", cost = 8.0),
-      "hamming_distance" -> FnMeta("levenshtein", cost = 8.0), // nearest built-in
+      // hamming_distance is a DIFFERENT metric from levenshtein — it gets
+      // a real implementation (PrestoCompat.HammingDistance), not an alias.
+      "hamming_distance" -> FnMeta("hamming_distance", cost = 8.0),
       "to_hex" -> FnMeta("hex"),
       "from_hex" -> FnMeta("unhex"),
       "bit_count" -> FnMeta("bit_count"),
@@ -79,11 +86,15 @@ object Registry {
       "regexp_extract" -> FnMeta("regexp_extract", cost = 4.0),
       "regexp_replace" -> FnMeta("regexp_replace", cost = 4.0),
       "format_datetime" -> FnMeta("date_format"),
-      "date_parse" -> FnMeta("to_timestamp"),
+      // date_parse takes MySQL %-patterns, to_timestamp Java patterns —
+      // PrestoCompat converts the pattern at plan time under this name.
+      "date_parse" -> FnMeta("date_parse"),
       "current_date" -> FnMeta("current_date", deterministic = false),
       "now" -> FnMeta("now", deterministic = false),
       "width_bucket" -> FnMeta("width_bucket"),
-      "truncate" -> FnMeta("trunc"),
+      // Presto truncate is NUMERIC truncation toward zero; Spark trunc is
+      // a date function — PrestoCompat provides the numeric one.
+      "truncate" -> FnMeta("truncate"),
       "mod" -> FnMeta("mod"),
       "sign" -> FnMeta("signum"),
       "cbrt" -> FnMeta("cbrt"),

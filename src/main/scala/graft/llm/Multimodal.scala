@@ -58,7 +58,7 @@ object Multimodal {
       .groupBy(col("origin"))
       .agg(count(lit(1)).as("n"), sum(col("n_bytes_claimed")).as("bytes"))
   val mmMetaOnlySql: String =
-    "SELECT source AS origin, count(*) AS n, sum(n_chars) AS bytes FROM documents GROUP BY source"
+    "SELECT source AS origin, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS bytes FROM documents GROUP BY source"
 
   /** Partition-wise decode via mapPartitions — the batch shape a vectorized
     * decode (Arrow/pandas-style) uses: one decoder instance per partition,

@@ -172,7 +172,7 @@ object TextStats {
        deduped AS (
          SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
                         FROM kept) s WHERE rn = 1)
-       SELECT count(*) AS n_docs, sum(length(text)) AS n_chars,
+       SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars,
               count(DISTINCT source) AS n_sources
        FROM deduped"""
 

@@ -33,8 +33,12 @@ class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  private def relPath(rel: LogicalRelation): Option[String] = rel.relation match {
-    case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString).sorted.mkString(";"))
+  /** (root paths, current total bytes) — the size is the data fingerprint
+    * half of the history key, so counts recorded against smaller/older
+    * data can never justify a broadcast of the grown relation. */
+  private def relPath(rel: LogicalRelation): Option[(String, Long)] = rel.relation match {
+    case fs: HadoopFsRelation =>
+      Some((fs.location.rootPaths.map(_.toString).sorted.mkString(";"), fs.location.sizeInBytes))
     case _ => None
   }
 
@@ -43,8 +47,8 @@ class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def recordedRows(plan: LogicalPlan): Option[Long] = plan match {
     case Filter(cond, rel: LogicalRelation) =>
-      relPath(rel).flatMap { p =>
-        val key = History.scanKey(p, conjuncts(cond))
+      relPath(rel).flatMap { case (p, bytes) =>
+        val key = History.scanKey(p, bytes, conjuncts(cond))
         History.lookup(key).orElse {
           // No history yet: optionally sample the predicate at plan time
           // (reference sampleFilters, OptimizerOptions.h:53-57) and
@@ -58,7 +62,9 @@ class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     case Project(_, child) => recordedRows(child)
     case rel: LogicalRelation =>
-      relPath(rel).flatMap(p => History.lookup(History.scanKey(p, Nil)))
+      relPath(rel).flatMap { case (p, bytes) =>
+        History.lookup(History.scanKey(p, bytes, Nil))
+      }
     case _ => None
   }
 
@@ -87,5 +93,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(new HistoryStatsRule(_))
     ext.injectOptimizerRule(new JsonConsolidationRule(_))
+    // Presto functions with no honest Spark rename (SURVEY §2.5):
+    // session-wide so Registry.call and Presto-dialect SQL both resolve.
+    graft.functions.PrestoCompat.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions.PrestoCompat", name),
+        builder))
+    }
   }
 }

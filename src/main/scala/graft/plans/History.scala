@@ -30,12 +30,15 @@ object History {
   def defaultPath = "/root/repo/target/history.json"
 
   /** Stable key for (relation, filters): attribute ids stripped, conjunct
-    * order normalized. */
-  def scanKey(path: String, filters: Seq[Expression]): String = {
+    * order normalized. `dataSize` (total bytes from the FileIndex) is a
+    * data fingerprint: if the underlying files grow or shrink (history
+    * recorded at sf0.01, reused at sf0.1), the key no longer matches and
+    * the stale cardinality can never force-broadcast a now-large relation. */
+  def scanKey(path: String, dataSize: Long, filters: Seq[Expression]): String = {
     val norm = filters
       .map(_.transform { case a: AttributeReference => UnresolvedMarker(a.name) }.toString)
       .sorted.mkString(",")
-    path + "|" + norm
+    path + "#" + dataSize + "|" + norm
   }
 
   /** Placeholder leaf so two plans' equal-named columns key identically. */
@@ -60,7 +63,7 @@ object History {
     case s: FileSourceScanExec =>
       val path = s.relation.location.rootPaths.map(_.toString).sorted.mkString(";")
       val rows = s.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
-      if (rows >= 0) store.put(scanKey(path, s.dataFilters), rows)
+      if (rows >= 0) store.put(scanKey(path, s.relation.location.sizeInBytes, s.dataFilters), rows)
     case _ => ()
   }
 

@@ -50,8 +50,8 @@ object Events {
                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
          FROM events)
        SELECT user_id,
-              sum(CASE WHEN prev_ts IS NULL
-                        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+              CAST(sum(CASE WHEN prev_ts IS NULL
+                        OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
               count(*) AS n_events
        FROM g GROUP BY user_id"""
 

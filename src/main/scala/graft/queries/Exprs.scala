@@ -272,14 +272,17 @@ object Exprs {
   val unnestTokensSql =
     "SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
 
-  /** Unnest with 1-based ordinality (posexplode is 0-based → +1). */
+  /** Unnest with 1-based ordinality (posexplode is 0-based → +1).
+    * `val_q` quantizes the float via floor(x·10⁴) — pure IEEE double ops,
+    * engine-stable, unlike round() whose decimal-vs-fp implementations
+    * disagree on ~0.01% of values between Spark and the oracle. */
   def unnestOrdinality(t: Tables): DataFrame =
     t.embeddings.select(col("vec_id"), posexplode(col("embedding")))
-      .select(col("vec_id"), (col("pos") + 1).as("ord"),
-        round(col("col").cast("double"), 4).as("val"))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("ord"),
+        floor(col("col").cast("double") * 10000).cast("long").as("val_q"))
   val unnestOrdinalitySql =
     """SELECT vec_id, generate_subscripts(embedding, 1) AS ord,
-       round(unnest(embedding)::DOUBLE, 4) AS val
+       CAST(floor(unnest(embedding)::DOUBLE * 10000) AS BIGINT) AS val_q
        FROM embeddings"""
 
   /** Rows whose filtered array is empty are DROPPED — matching the

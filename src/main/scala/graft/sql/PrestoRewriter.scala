@@ -49,8 +49,16 @@ object PrestoRewriter {
   }
 
   /** Rewrite Presto SQL text into Spark SQL text. */
-  def rewrite(sql: String): String =
-    segments(sql).map {
+  def rewrite(sql: String): String = {
+    // Arg-transform rewrite that must see across the quote boundary:
+    // Presto date_diff('unit', a, b) → timestampdiff(UNIT, a, b). Spark's
+    // PARSER owns the name `date_diff` (grammar production demanding an
+    // unquoted unit), so the injected 3-arg function can never receive it
+    // from SQL text — the unit literal itself has to be rewritten.
+    val pre = sql.replaceAll(
+      "(?i)\\bdate_diff\\s*\\(\\s*'(year|quarter|month|week|day|hour|minute|second|millisecond|microsecond)'\\s*,",
+      "timestampdiff($1,")
+    segments(pre).map {
       case (lit, true) => lit
       case (code, false) =>
         var s = code
@@ -61,6 +69,7 @@ object PrestoRewriter {
           s = s.replaceAll("(?i)\\b" + from + "\\s*\\(", to + "(")
         s
     }.mkString
+  }
 
   /** Parse-and-run a Presto-dialect query over the catalog tables. */
   def sql(spark: SparkSession, sfDir: String, prestoSql: String): DataFrame = {

@@ -86,6 +86,54 @@ class FunctionParitySpec extends SparkSpec {
     assert(eval(Registry.call("format_datetime", col("ts"), lit("yyyy/MM"))) == "2024/03")
   }
 
+  test("hamming_distance is Hamming, not Levenshtein") {
+    // 'abc' vs 'cab': Levenshtein would say 2 — Hamming is 3.
+    assert(eval(Registry.call("hamming_distance", lit("abc"), lit("cab"))) == 3L)
+    assert(eval(Registry.call("hamming_distance", lit("karolin"), lit("kathrin"))) == 3L)
+    assert(eval(Registry.call("hamming_distance", lit("same"), lit("same"))) == 0L)
+    // unequal lengths must ERROR (Presto INVALID_FUNCTION_ARGUMENT), not guess
+    intercept[Exception] {
+      eval(Registry.call("hamming_distance", lit("ab"), lit("abc")))
+    }
+  }
+
+  test("truncate is numeric truncation toward zero, not date trunc") {
+    assert(eval(Registry.call("truncate", lit(3.789))) == 3.0)
+    assert(eval(Registry.call("truncate", lit(-3.789))) == -3.0)
+    assert(eval(Registry.call("truncate", lit(3.789), lit(2))) == 3.78)
+    assert(eval(Registry.call("truncate", lit(-3.789), lit(1))) == -3.7)
+    assert(eval(Registry.call("truncate", lit(17.18), lit(-1))) == 10.0)
+  }
+
+  test("date_parse converts MySQL patterns; date_diff keeps Presto operand order") {
+    assert(eval(Registry.call("date_parse", lit("2024-03-15 13:45:30"),
+      lit("%Y-%m-%d %H:%i:%s"))).toString == "2024-03-15 13:45:30.0")
+    assert(eval(Registry.call("date_parse", lit("15/03/2024"),
+      lit("%d/%m/%Y"))).toString == "2024-03-15 00:00:00.0")
+    // Presto date_diff(unit, t1, t2) = t2 - t1 in units
+    val t2 = col("ts") // 2024-03-15 13:45:30
+    val t1 = to_timestamp(lit("2024-03-14 13:45:30"))
+    assert(eval(Registry.call("date_diff", lit("day"), t1, t2)) == 1L)
+    assert(eval(Registry.call("date_diff", lit("hour"), t2, t1)) == -24L)
+    assert(eval(Registry.call("date_diff", lit("second"), t1, t2)) == 86400L)
+    // 2-arg Spark form still means datediff(end, start) in days
+    assert(eval(Registry.call("date_diff",
+      to_date(lit("2024-03-15")), to_date(lit("2024-03-14")))) == 1)
+  }
+
+  test("repeat builds an array (Presto), never repeats a string") {
+    assert(eval(Registry.call("repeat", lit(7), lit(3)))
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(7, 7, 7))
+  }
+
+  test("presto names resolve through SQL text too (injected functions)") {
+    val df = spark.sql(graft.sql.PrestoRewriter.rewrite(
+      "SELECT hamming_distance('abc', 'cab') AS h, truncate(-3.789, 1) AS t, " +
+      "date_diff('hour', TIMESTAMP '2024-03-14 00:00:00', TIMESTAMP '2024-03-15 06:00:00') AS dd"))
+    val r = df.collect().head
+    assert(r.getLong(0) == 3L && r.getDouble(1) == -3.7 && r.getLong(2) == 30L)
+  }
+
   test("aggregate metadata covers the Presto aggregate surface") {
     Seq("sum", "avg", "min", "max", "count", "stddev", "corr",
       "approx_distinct", "approx_percentile", "arbitrary", "array_agg")
