@@ -93,6 +93,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(new HistoryStatsRule(_))
     ext.injectOptimizerRule(new JsonConsolidationRule(_))
+    // Whole-operator extension (custom-operator ladder rung (c)): the
+    // native merge as-of join's logical node needs its planner strategy.
+    ext.injectPlannerStrategy(_ => new graft.operators.NativeAsOfJoin.AsOfJoinStrategy)
     // Presto functions with no honest Spark rename (SURVEY §2.5):
     // session-wide so Registry.call and Presto-dialect SQL both resolve.
     graft.functions.PrestoCompat.builders.foreach { case (name, builder) =>

@@ -91,9 +91,24 @@ object Events {
        ASOF JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
          ON p.user_id = c.user_id AND p.ts >= c.ts"""
 
+  /** Same as-of query through the NATIVE whole-operator path
+    * (graft.operators.NativeAsOfJoin: logical node + strategy + merge
+    * exec) — dual-surface proof against the same DuckDB ASOF oracle. */
+  def asofNative(t: Tables): DataFrame = {
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = t.events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    graft.operators.NativeAsOfJoin.asofJoinNative(
+      purchases, clicks, key = "user_id", time = "ts",
+      valueCol = "click_id", as = "last_click_id")
+      .select(col("event_id"), col("user_id"), col("last_click_id"))
+  }
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("events_json_extract", jsonExtract _, jsonExtractSql),
     ("events_sessionize", sessionize _, sessionizeSql),
     ("events_latest_per_key", latestPerKey _, latestPerKeySql),
-    ("events_asof", asof _, asofSql))
+    ("events_asof", asof _, asofSql),
+    ("events_asof_native", asofNative _, asofSql))
 }

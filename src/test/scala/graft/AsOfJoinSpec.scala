@@ -23,6 +23,42 @@ class AsOfJoinSpec extends SparkSpec {
     // trade at t=5 (no prior quote) and user 3 (no quotes) are dropped
   }
 
+  test("native as-of exec matches the hand oracle and the composed form") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, 10L, 100.0), (1L, 20L, 110.0), (1L, 30L, 120.0),
+      (2L, 15L, 50.0)).toDF("user_id", "ts", "price")
+    val trades = Seq(
+      (1L, 25L, 5), (1L, 10L, 7), (1L, 5L, 9), (2L, 15L, 3), (3L, 40L, 1))
+      .toDF("user_id", "ts", "qty")
+    val native = graft.operators.NativeAsOfJoin.asofJoinNative(
+      trades, quotes, "user_id", "ts", "price", "last_price")
+    val got = native.select("user_id", "ts", "qty", "last_price")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      (1L, 25L, 5, 110.0), (1L, 10L, 7, 100.0), (2L, 15L, 3, 50.0)))
+    val composed = AsOfJoin.asofJoin(trades, quotes, "user_id", "ts", "price", "last_price")
+      .select("user_id", "ts", "qty", "last_price")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got == composed)
+  }
+
+  test("native as-of plans via AsOfJoinExec with planner-inserted exchanges, no cartesian") {
+    import spark.implicits._
+    val quotes = (1 to 200).map(i => (i.toLong % 10, i.toLong, i * 1.0)).toDF("user_id", "ts", "price")
+    val trades = (1 to 300).map(i => (i.toLong % 10, i.toLong + 3, i)).toDF("user_id", "ts", "qty")
+    val df = graft.operators.NativeAsOfJoin.asofJoinNative(
+      trades, quotes, "user_id", "ts", "price", "last_price")
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix in plan rendering
+    assert(plan.contains("AsOfJoin "), s"expected AsOfJoin exec node in:\n$plan")
+    assert(plan.contains("Exchange"), "EnsureRequirements should cluster both sides")
+    assert(plan.contains("Sort"), "EnsureRequirements should sort both sides")
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"))
+    // result sanity at a size where multiple partitions are exercised
+    assert(df.count() > 250)
+  }
+
   test("binned range join equals naive range join") {
     import spark.implicits._
     val points = (1 to 500).map(i => (i.toLong, i * 0.37)).toDF("pid", "v")
