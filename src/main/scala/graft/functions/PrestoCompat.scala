@@ -136,7 +136,23 @@ object PrestoCompat {
       if (es.length == 3)
         new TimestampDiff(literalString(es(0), "date_diff").toUpperCase, es(1), es(2))
       else DateDiff(es(0), es(1))
-    })
+    },
+    // Presto date_format ALSO takes MySQL %-patterns (format_datetime is
+    // the Joda/Java-pattern one) — same conversion as date_parse, in the
+    // formatting direction. Registered under a graft-prefixed name because
+    // Spark's own date_format (Java patterns) must keep its meaning on the
+    // Spark-dialect surface; Registry/PrestoRewriter map the Presto name
+    // here.
+    "presto_date_format" -> { es: Seq[Expression] =>
+      val javaFmt = mysqlToJavaFormat(literalString(es(1), "presto_date_format"))
+      new DateFormatClass(es(0), Literal(UTF8String.fromString(javaFmt), StringType))
+    },
+    // Presto's named bitwise scalars have no named Spark twins — only the
+    // & | ^ ~ operators, which these lower onto directly.
+    "bitwise_and" -> { es: Seq[Expression] => BitwiseAnd(es(0), es(1)) },
+    "bitwise_or" -> { es: Seq[Expression] => BitwiseOr(es(0), es(1)) },
+    "bitwise_xor" -> { es: Seq[Expression] => BitwiseXor(es(0), es(1)) },
+    "bitwise_not" -> { es: Seq[Expression] => BitwiseNot(es(0)) })
 
   val identifiers: Seq[FunctionIdentifier] =
     builders.map { case (n, _) => FunctionIdentifier(n) }

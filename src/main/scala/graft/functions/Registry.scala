@@ -86,6 +86,31 @@ object Registry {
       "regexp_extract" -> FnMeta("regexp_extract", cost = 4.0),
       "regexp_replace" -> FnMeta("regexp_replace", cost = 4.0),
       "format_datetime" -> FnMeta("date_format"),
+      // Presto date_format takes MYSQL %-patterns (unlike format_datetime)
+      // → PrestoCompat's converting implementation, not Spark's date_format.
+      "date_format" -> FnMeta("presto_date_format"),
+      // Presto reduce(arr, init, merge, finish) ≡ Spark aggregate (same
+      // 4-arg HOF shape).
+      "reduce" -> FnMeta("aggregate"),
+      // Presto zip(a, b) → array of rows ≡ Spark arrays_zip (structs).
+      "zip" -> FnMeta("arrays_zip"),
+      "bitwise_and" -> FnMeta("bitwise_and"),
+      "bitwise_or" -> FnMeta("bitwise_or"),
+      "bitwise_xor" -> FnMeta("bitwise_xor"),
+      "bitwise_not" -> FnMeta("bitwise_not"),
+      // Presto logical right shift = Spark shiftrightunsigned (Spark's
+      // shiftright is the ARITHMETIC shift).
+      "bitwise_left_shift" -> FnMeta("shiftleft"),
+      "bitwise_right_shift" -> FnMeta("shiftrightunsigned"),
+      "bitwise_shift_right_arithmetic" -> FnMeta("shiftright"),
+      "regexp_count" -> FnMeta("regexp_count", cost = 4.0),
+      "typeof" -> FnMeta("typeof"),
+      "shuffle" -> FnMeta("shuffle", deterministic = false),
+      "array_except" -> FnMeta("array_except"),
+      "map_entries" -> FnMeta("map_entries"),
+      "map_zip_with" -> FnMeta("map_zip_with"),
+      "transform_keys" -> FnMeta("transform_keys"),
+      "transform_values" -> FnMeta("transform_values"),
       // date_parse takes MySQL %-patterns, to_timestamp Java patterns —
       // PrestoCompat converts the pattern at plan time under this name.
       "date_parse" -> FnMeta("date_parse"),

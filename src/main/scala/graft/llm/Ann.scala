@@ -68,7 +68,15 @@ object Ann {
   /** Coarse centroids: a deterministic sample of corpus vectors (every
     * 31st id). A production build replaces this with k-means iterates —
     * the partitioning/probing structure is identical. */
-  def annIvf(t: Tables): DataFrame = {
+  def annIvf(t: Tables): DataFrame = annIvf(t, NProbe)
+
+  /** `nProbe` generalization; `Int.MaxValue` probes every list, which
+    * makes IVF EXACT (each vector lives in exactly one inverted list, so
+    * probing all lists scores the whole corpus) — that variant is
+    * registered with the brute-force oracle as a hash-checked proof of
+    * the IVF partition/probe plumbing, while the approximate default
+    * stays recall-gated in LlmOpsSpec. */
+  def annIvf(t: Tables, nProbe: Int): DataFrame = {
     val v = prepped(t)
     val cents = v.filter(pmod(col("vec_id"), lit(31)) === 0)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("norm").as("cnorm"))
@@ -86,7 +94,7 @@ object Ann {
     val probes = q.crossJoin(broadcast(cents))
       .withColumn("csim", dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
       .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= NProbe)
+      .filter(col("prank") <= nProbe)
       .select(col("q_id"), col("qe"), col("qnorm"), col("c_id").as("list_id"))
     // Score only within probed lists, then per-query top-k.
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -133,6 +141,8 @@ object Ann {
 
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("ann_bruteforce_topk", annBruteforce _, annBruteforceSql),
-    ("ann_ivf_topk", annIvf _, ""), // approximate → rows-only check
+    ("ann_ivf_topk", ((t: Tables) => annIvf(t)) , ""), // approximate → rows-only check
+    // full-probe IVF is exact → same oracle as brute force
+    ("ann_ivf_fullprobe", ((t: Tables) => annIvf(t, Int.MaxValue)), annBruteforceSql),
     ("emb_quantize_int8", quantizeInt8 _, quantizeInt8Sql))
 }

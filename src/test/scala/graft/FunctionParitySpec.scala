@@ -121,6 +121,36 @@ class FunctionParitySpec extends SparkSpec {
       to_date(lit("2024-03-15")), to_date(lit("2024-03-14")))) == 1)
   }
 
+  test("date_format takes MySQL patterns (format_datetime takes Java ones)") {
+    assert(eval(Registry.call("date_format", col("ts"), lit("%Y-%m-%d %H:%i"))) == "2024-03-15 13:45")
+    assert(eval(Registry.call("date_format", col("ts"), lit("%d/%m/%y"))) == "15/03/24")
+    // and the Spark-dialect builtin is NOT shadowed: Java pattern still works
+    assert(eval(date_format(col("ts"), "yyyy/MM")) == "2024/03")
+  }
+
+  test("bitwise named scalars and shift direction semantics") {
+    assert(eval(Registry.call("bitwise_and", lit(12L), lit(10L))) == 8L)
+    assert(eval(Registry.call("bitwise_or", lit(12L), lit(10L))) == 14L)
+    assert(eval(Registry.call("bitwise_xor", lit(12L), lit(10L))) == 6L)
+    assert(eval(Registry.call("bitwise_not", lit(0L))) == -1L)
+    assert(eval(Registry.call("bitwise_left_shift", lit(1L), lit(3))) == 8L)
+    // logical (zero-fill) right shift, not arithmetic:
+    assert(eval(Registry.call("bitwise_right_shift", lit(-1L), lit(60))) == 15L)
+    assert(eval(Registry.call("bitwise_shift_right_arithmetic", lit(-8L), lit(1))) == -4L)
+  }
+
+  test("reduce and zip lower to aggregate / arrays_zip through SQL text") {
+    val df = spark.sql(graft.sql.PrestoRewriter.rewrite(
+      "SELECT reduce(array(1, 2, 3), 0, (s, x) -> s + x, s -> s) AS total, " +
+      "zip(array(1, 2), array('a', 'b')) AS z, " +
+      "regexp_count('abcabca', 'a') AS rc"))
+    val r = df.collect().head
+    assert(r.getInt(0) == 6)
+    assert(r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getInt(0), x.getString(1))) ==
+      Seq((1, "a"), (2, "b")))
+    assert(r.getInt(2) == 3)
+  }
+
   test("repeat builds an array (Presto), never repeats a string") {
     assert(eval(Registry.call("repeat", lit(7), lit(3)))
       .asInstanceOf[scala.collection.Seq[Int]].toSeq == Seq(7, 7, 7))
