@@ -199,11 +199,15 @@ object Dedup {
     // 64-wide MinHash signature via the native kernel (one compiled
     // k-by-n loop per row; the same logic as nested transform/array_min
     // HOFs evaluates interpreted and was 40x slower at sf0.1).
-    val sig = sh.select(col("doc_id"), col("shingles"),
+    val sig = sh.select(col("doc_id"),
       call_function("graft_minhash", col("shingles")).as("sig"))
     // Band the signature: bucket key = (band index, hash of the band's
-    // 4-row slice). Only same-bucket docs ever meet in the join.
-    val bands = sig.select(col("doc_id"), col("shingles"),
+    // 4-row slice). Only same-bucket docs ever meet in the join. The
+    // banded stream carries ONLY (doc_id, band, bh): exploding with the
+    // shingle array attached would push 16 copies of every doc's array
+    // through the bucket shuffle — at 100 TB that 16x's the exchange for
+    // data the join never reads.
+    val bands = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)), j =>
         hash(slice(col("sig"), j * Rows + 1, lit(Rows)), j))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
@@ -211,11 +215,13 @@ object Dedup {
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.shingles").as("sh_a"), col("y.shingles").as("sh_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Verify candidates with exact Jaccard -> precision 1.
+    // Verify candidates with exact Jaccard -> precision 1; shingle sets
+    // join in AFTER pair dedup, once per side.
     cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jacc"))

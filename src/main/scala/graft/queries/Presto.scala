@@ -60,11 +60,30 @@ object Presto {
          AND l_discount BETWEEN 0.05 AND 0.07
          AND l_quantity < 24"""
 
+  /** MySQL-pattern datetime surface: date_format / date_parse roundtrip
+    * plus unit-form date_diff — the three functions whose naive rename
+    * silently corrupts results (see PrestoCompat). DuckDB's strftime/
+    * strptime speak the same %-patterns, so the oracle checks the
+    * PATTERN CONVERSION, not just the plumbing. */
+  val datetimePresto: String =
+    """SELECT o_orderpriority,
+         date_format(min(o_orderdate), '%Y-%m-%d') AS first_day,
+         min(date_parse(date_format(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')) AS first_day_ts,
+         max(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS max_days_since
+       FROM orders GROUP BY o_orderpriority"""
+  val datetimeOracle: String =
+    """SELECT o_orderpriority,
+         strftime(min(o_orderdate), '%Y-%m-%d') AS first_day,
+         min(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d')) AS first_day_ts,
+         max(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS max_days_since
+       FROM orders GROUP BY o_orderpriority"""
+
   private def run(presto: String)(s: SparkSession, d: String): DataFrame =
     PrestoRewriter.sql(s, d, presto)
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
-    ("presto_q6", run(q6Presto) _, q6Oracle))
+    ("presto_q6", run(q6Presto) _, q6Oracle),
+    ("presto_datetime", run(datetimePresto) _, datetimeOracle))
 }
