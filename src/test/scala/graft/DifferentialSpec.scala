@@ -15,7 +15,8 @@ class DifferentialSpec extends SparkSpec {
   private val queries: Seq[(String, Tables => org.apache.spark.sql.DataFrame)] = Seq(
     ("q1", Tpch.q1 _), ("q3", Tpch.q3 _), ("q13", Tpch.q13 _), ("q16", Tpch.q16 _),
     ("minhash", graft.llm.Dedup.neardupMinhash _),
-    ("asof", graft.queries.Events.asof _))
+    ("asof", graft.queries.Events.asof _),
+    ("asof-native", graft.queries.Events.asofNative _))
 
   private def rows(s: SparkSession, fn: Tables => org.apache.spark.sql.DataFrame): Set[String] =
     fn(Tables(s, sfDir)).collect().map(_.mkString("|")).toSet
