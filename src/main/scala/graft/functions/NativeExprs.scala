@@ -99,21 +99,75 @@ object NativeExprs {
     }
   }
 
-  /** Dot product of two float arrays accumulated in double — the kernel
-    * under cosine similarity (norm = sqrt(VecDot(a,a))). */
+  /** Dot product of two float or double arrays accumulated in double —
+    * the kernel under cosine similarity (norm = sqrt(VecDot(a,a))).
+    * Element type is read from the (resolved) child schema at execution. */
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
+    @transient private lazy val isFloat: Boolean = left.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val n = math.min(x.numElements(), y.numElements())
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      if (isFloat)
+        while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      else
+        while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
       acc
+    }
+  }
+
+  /** Sign-LSH bucket ids over a double array: `tables` independent
+    * hyperplane sets of `bits` Rademacher (±1) hyperplanes each; bit j of
+    * table l is the sign of the projection onto plane (l, j). Output
+    * element l packs (table, bucket) into one long, so an explode + equi
+    * self-join on the value compares only same-table-same-bucket pairs.
+    * Hyperplanes are derived from `seed` via java.util.Random's specified
+    * LCG — identical on every executor with no broadcast. */
+  case class SignLshSig(child: Expression, tables: Int, bits: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+    @transient private var planeCache: Array[Double] = _
+    private def planes(dims: Int): Array[Double] = {
+      if (planeCache == null || planeCache.length != tables * bits * dims) {
+        val rnd = new java.util.Random(seed)
+        planeCache = Array.fill(tables * bits * dims)(if (rnd.nextBoolean()) 1.0 else -1.0)
+      }
+      planeCache
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val dims = arr.numElements()
+      val pl = planes(dims)
+      val v = new Array[Double](dims)
+      var d = 0
+      while (d < dims) { v(d) = arr.getDouble(d); d += 1 }
+      val out = new Array[Long](tables)
+      var l = 0
+      while (l < tables) {
+        var bucket = 0L
+        var j = 0
+        while (j < bits) {
+          val base = (l * bits + j) * dims
+          var s = 0.0
+          d = 0
+          while (d < dims) { s += v(d) * pl(base + d); d += 1 }
+          if (s > 0) bucket |= (1L << j)
+          j += 1
+        }
+        out(l) = (l.toLong << 32) | bucket
+        l += 1
+      }
+      new GenericArrayData(out)
     }
   }
 
@@ -132,6 +186,15 @@ object NativeExprs {
         { es: Seq[Expression] => VecDot(es(0), es(1)) }, "built-in")
       reg.createOrReplaceTempFunction("graft_sigmatch",
         { es: Seq[Expression] => SigMatchFraction(es(0), es(1)) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_signlsh",
+        { es: Seq[Expression] =>
+          def intLit(e: Expression): Int = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_signlsh: tables/bits must be int literals, got $other")
+          }
+          SignLshSig(es(0), intLit(es(1)), intLit(es(2)), seed = 7L)
+        }, "built-in")
       registered += spark
     }
   }

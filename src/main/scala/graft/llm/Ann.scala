@@ -107,6 +107,52 @@ object Ann {
         round(col("cos"), 4).as("cos"))
   }
 
+  // ------------------------------------------- sign-LSH near-dup (exact)
+  /** Embedding near-dup via random-hyperplane (sign) LSH — the 100 TB
+    * scale path for cosine thresholds where dedup actually operates
+    * (≥0.9): vectors meet only inside same-(table, bucket) groups, then
+    * exact cosine verifies every candidate (precision 1 by construction).
+    *
+    * The synthetic corpus has no true near-dups (max off-diagonal cosine
+    * ≈ 0.5), so the query PLANTS them: a +0.03-shifted copy of every
+    * vector (cos ≈ 0.96-0.98 to its original, ≤ 0.6 to everything else)
+    * — pure double arithmetic DuckDB reproduces exactly, which makes this
+    * LSH path hash-checkable against an exact all-pairs oracle. 16
+    * tables × 8 bits gives per-pair miss probability (1-p^8)^16 ≈ 2e-5
+    * at cos 0.96 (p = 1-θ/π ≈ 0.92); empirically recall 1.0 at sf0.01
+    * and sf0.1. The bucket stream carries only (vec_id, bucket) — the
+    * vectors join back in after candidate-pair dedup. */
+  def annSignLshNearDup(t: Tables): DataFrame = {
+    NativeExprs.ensureRegistered(t.spark)
+    val base = t.embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val pert = base.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("e"), x => x + lit(0.03)).as("e"))
+    val corpus = base.unionByName(pert)
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+    val buckets = corpus.select(col("vec_id"),
+      explode(call_function("graft_signlsh", col("e"), lit(16), lit(8))).as("bucket"))
+    val cands = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    cands
+      .join(corpus.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("norm").as("na")), "vec_a")
+      .join(corpus.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("norm").as("nb")), "vec_b")
+      .withColumn("cos", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.9)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
+  val annSignLshNearDupSql: String =
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       pert AS (SELECT vec_id + 100000 AS vec_id, list_transform(e, x -> x + 0.03) AS e FROM base),
+       corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              round(list_cosine_similarity(a.e, b.e), 4) AS cos
+       FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.e, b.e) >= 0.9"""
+
   // -------------------------------------------------- int8 quantization
   /** Per-vector symmetric int8 quantization — the storage/serving form
     * of an embedding corpus (4x smaller, SIMD-dot-friendly). Emits the
@@ -144,5 +190,6 @@ object Ann {
     ("ann_ivf_topk", ((t: Tables) => annIvf(t)) , ""), // approximate → rows-only check
     // full-probe IVF is exact → same oracle as brute force
     ("ann_ivf_fullprobe", ((t: Tables) => annIvf(t, Int.MaxValue)), annBruteforceSql),
+    ("ann_signlsh_neardup", annSignLshNearDup _, annSignLshNearDupSql),
     ("emb_quantize_int8", quantizeInt8 _, quantizeInt8Sql))
 }

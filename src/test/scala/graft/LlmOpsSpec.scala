@@ -41,6 +41,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall $recall%.3f below floor")
   }
 
+  test("sign-LSH near-dup finds every planted pair (recall 1, precision 1)") {
+    val n = tables.embeddings.count()
+    val got = Ann.annSignLshNearDup(tables)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = tables.embeddings.select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+    assert(got == expected,
+      s"n=$n missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("exact dedup groups cover every document exactly once") {
     val total = Dedup.dedupExact(tables).agg(sum("n_copies")).collect().head.getLong(0)
     assert(total == tables.documents.count())

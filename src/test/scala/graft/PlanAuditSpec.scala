@@ -17,6 +17,7 @@ class PlanAuditSpec extends SparkSpec {
     "neardup_embedding",      // all-pairs cosine (documented exact tier)
     "ann_bruteforce_topk",    // broadcast probes × corpus (map-side scan)
     "ann_ivf_topk",           // broadcast centroids × corpus assignment
+    "ann_ivf_fullprobe",      // same centroid-assignment product, all lists probed
     "emb_quantize_int8")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
