@@ -105,6 +105,20 @@ object Streams {
         col("purchase_value"), col("click_value"))
   }
 
+  /** Streaming ingest DEDUP — the streaming half of the corpus-build
+    * pipeline (llm.Dedup.dedupExact is the batch half): documents arrive
+    * as (ts, doc_id, text); exact duplicates (same content digest) within
+    * the watermark horizon are dropped, keeping the first arrival. State
+    * holds one digest per distinct doc bounded by the watermark — the
+    * dropDuplicatesWithinWatermark contract that keeps state finite on an
+    * unbounded 100 TB/day feed (a plain dropDuplicates would accrete
+    * state forever). */
+  def streamingDedup(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("digest", sha2(col("text"), 256))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Batch reference implementation of the same sessionization (for the
     * equivalence test and as the backfill path of a lambda-free
     * batch/stream dual deployment). */

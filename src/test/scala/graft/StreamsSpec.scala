@@ -45,6 +45,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicates, keeps first arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    final case class Doc(ts: Timestamp, doc_id: Long, text: String)
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.streamingDedup(docs)
+      .writeStream.format("memory").queryName("s_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "alpha"),
+        (ts("2024-01-01 10:01:00"), 2L, "beta"),
+        (ts("2024-01-01 10:02:00"), 3L, "alpha"), // dup of doc 1 within watermark
+        (ts("2024-01-01 10:03:00"), 4L, "gamma"))
+      q.processAllAvailable()
+      stream.addData((ts("2024-01-01 10:04:00"), 5L, "beta")) // dup of doc 2
+      q.processAllAvailable()
+      val kept = spark.table("s_dedup").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 2L, 4L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("session windows via flatMapGroupsWithState equal the batch window form") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
