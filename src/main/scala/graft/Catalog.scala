@@ -45,10 +45,23 @@ object Catalog {
   /** Register every table as a temp view so `spark.sql` works alongside
     * the DataFrame API (same dual surface as the reference: PlanBuilder
     * and the Presto SQL frontend feed one logical-plan layer).
+    *
+    * Memoized per (session, sfDir): each registration re-reads 10
+    * parquet footers for schemas, which dominated every SQL-surface
+    * query's latency when paid per call. Re-registering only happens
+    * when the same session switches scale factors.
     */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    tableNames.foreach { t =>
-      load(spark, sfDir, t).createOrReplaceTempView(t)
+    if (registeredDir.get(spark) != sfDir) synchronized {
+      if (registeredDir.get(spark) != sfDir) {
+        tableNames.foreach { t =>
+          load(spark, sfDir, t).createOrReplaceTempView(t)
+        }
+        registeredDir.put(spark, sfDir)
+      }
     }
 }
 
