@@ -38,6 +38,47 @@ object Exprs {
        lag(o_orderkey, 1) OVER w AS prev_key, lead(o_orderkey, 1) OVER w AS next_key
        FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
 
+  /** Distribution window functions: ntile / percent_rank / cume_dist /
+    * first_value / nth_value over the same deterministic ordering
+    * (rounding unneeded: the ratios are single IEEE divisions, identical
+    * across engines; the driver compares with rtol anyway). */
+  def windowDist(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t.orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      ntile(4).over(w).as("quartile"),
+      percent_rank().over(w).as("prk"),
+      cume_dist().over(w).as("cd"),
+      first_value(col("o_orderkey")).over(w).as("first_key"),
+      nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+  }
+  val windowDistSql =
+    """SELECT o_custkey, o_orderkey,
+       ntile(4) OVER w AS quartile, percent_rank() OVER w AS prk,
+       cume_dist() OVER w AS cd, first_value(o_orderkey) OVER w AS first_key,
+       nth_value(o_orderkey, 2) OVER w AS second_key
+       FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+  /** Statistical-moment aggregates (corr / covariances / stddev / var) —
+    * both engines use numerically stable one-pass co-moments, so raw
+    * doubles agree within the driver's rtol. */
+  def aggMoments(t: Tables): DataFrame =
+    t.lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("qp_corr"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("qp_covs"),
+        covar_pop(col("l_quantity"), col("l_extendedprice")).as("qp_covp"),
+        stddev_samp(col("l_quantity")).as("q_sd"),
+        var_pop(col("l_quantity")).as("q_varp"))
+  val aggMomentsSql =
+    """SELECT l_returnflag,
+       corr(l_quantity, l_extendedprice) AS qp_corr,
+       covar_samp(l_quantity, l_extendedprice) AS qp_covs,
+       covar_pop(l_quantity, l_extendedprice) AS qp_covp,
+       stddev_samp(l_quantity) AS q_sd,
+       var_pop(l_quantity) AS q_varp
+       FROM lineitem GROUP BY l_returnflag"""
+
   /** ROWS frame: running sum over the 3 most recent rows. */
   def windowRowsFrame(t: Tables): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
@@ -352,6 +393,8 @@ object Exprs {
 
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("window_rank", windowRank _, windowRankSql),
+    ("window_dist", windowDist _, windowDistSql),
+    ("agg_moments", aggMoments _, aggMomentsSql),
     ("window_rows_frame", windowRowsFrame _, windowRowsFrameSql),
     ("window_range_frame", windowRangeFrame _, windowRangeFrameSql),
     ("window_groups_frame", windowGroupsFrame _, windowGroupsFrameSql),

@@ -78,6 +78,22 @@ object Presto {
          max(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS max_days_since
        FROM orders GROUP BY o_orderpriority"""
 
+  /** String-distance parity: hamming_distance (graft's native expression
+    * — Presto has no Spark twin) and levenshtein_distance, both checked
+    * against DuckDB's native hamming()/levenshtein(). Equal-length
+    * operands by construction (Presto/DuckDB hamming both error
+    * otherwise). */
+  val stringsPresto: String =
+    """SELECT doc_id,
+         hamming_distance(substr(text, 1, 8), substr(reverse(text), 1, 8)) AS hd,
+         CAST(levenshtein_distance(substr(text, 1, 12), substr(text, 3, 12)) AS BIGINT) AS ld
+       FROM documents WHERE length(text) >= 16 AND doc_id < 200"""
+  val stringsOracle: String =
+    """SELECT doc_id,
+         hamming(substr(text, 1, 8), substr(reverse(text), 1, 8)) AS hd,
+         CAST(levenshtein(substr(text, 1, 12), substr(text, 3, 12)) AS BIGINT) AS ld
+       FROM documents WHERE length(text) >= 16 AND doc_id < 200"""
+
   private def run(presto: String)(s: SparkSession, d: String): DataFrame =
     PrestoRewriter.sql(s, d, presto)
 
@@ -85,5 +101,6 @@ object Presto {
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
     ("presto_q6", run(q6Presto) _, q6Oracle),
-    ("presto_datetime", run(datetimePresto) _, datetimeOracle))
+    ("presto_datetime", run(datetimePresto) _, datetimeOracle),
+    ("presto_strings", run(stringsPresto) _, stringsOracle))
 }
