@@ -235,50 +235,49 @@ object Dedup {
     * pair stream at scale, so per-pair work must be O(1), not O(64). */
   def neardupSimhash(t: Tables): DataFrame = {
     NativeExprs.ensureRegistered(t.spark)
-    val sig = docsSpread(t)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"),
-        call_function("graft_simhash64", array_distinct(col("w"))).as("sig64"))
     // 16 chunks x 4 bits: any pair at Hamming distance <= 15 shares a
     // chunk (pigeonhole). Token-SimHash over short word-soup docs is
     // noisy — measured true-pair distances reach hd=12 here (see
     // tools/Explore.scala) — so the guarantee must cover hd <= 15. On a
     // large real corpus (longer docs -> tighter signatures) use wider
     // chunks with a lower distance bound for far smaller buckets.
-    // The bucket join's INPUT is tiny (16 rows/doc) but its OUTPUT is the
-    // coarse-bucket pair enumeration — AQE would coalesce the join to 1-2
-    // partitions from the input size and serialize the expansion; an
-    // explicit repartition on the bucket key pins the parallelism.
-    val chunked = sig.select(col("doc_id"), col("sig64"),
-      posexplode(expr("transform(sequence(0, 15), c -> (shiftright(sig64, c * 4) & 15))")))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "cv")
-      .repartition(t.spark.sparkContext.defaultParallelism, col("chunk"), col("cv"))
-    val candIds = chunked.as("x")
-      .join(chunked.as("y"),
+    //
+    // BUCKET KEY REFINEMENT: on a vocabulary-collapsed corpus the chunk
+    // buckets alone DEGENERATE — nearly every pair shares a chunk value
+    // (measured ~12.5M of 12.5M possible pairs at sf0.1), so enumerating
+    // chunk-bucket pairs and filtering afterwards was the entire cost of
+    // this query. The MinHash mid-tier is therefore moved INTO the
+    // bucket key: a candidate must share a simhash chunk AND a MinHash
+    // band (16 bands x 4 rows; P[band hit] = 1-(1-J^4)^16 ≈ 1 for
+    // J ≥ 0.8). 256 (chunk, band) rows per doc replace 16, but bucket
+    // population falls from O(corpus) to O(true near-dup groups), which
+    // is the difference between O(n²) and O(n) pair enumeration here —
+    // and the same two-level key is exactly what a 100 TB corpus needs
+    // when any single hash family's buckets run hot.
+    val base = docsSpread(t)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), col("w"), shingleOf(col("w")).as("shingles"))
+      .select(col("doc_id"),
+        call_function("graft_simhash64", array_distinct(col("w"))).as("sig64"),
+        call_function("graft_minhash", col("shingles")).as("mh"))
+    val keyed = base.select(col("doc_id"), col("sig64"),
+      explode(expr(s"""flatten(transform(sequence(0, 15), c ->
+        transform(sequence(0, ${Bands - 1}), b ->
+          struct(c AS chunk, (shiftright(sig64, c * 4) & 15) AS cv,
+                 b AS band, hash(slice(mh, b * $Rows + 1, $Rows), b) AS bh))))""")).as("k"))
+      .select(col("doc_id"), col("sig64"), col("k.chunk").as("chunk"),
+        col("k.cv").as("cv"), col("k.band").as("band"), col("k.bh").as("bh"))
+    val candIds = keyed.as("x")
+      .join(keyed.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .filter(expr("bit_count(x.sig64 ^ y.sig64) <= 15"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // TIERED verification. This synthetic corpus draws every doc from one
-    // tiny vocabulary, so token signatures COLLAPSE: nearly all pairs
-    // pass the Hamming tier (measured: ~12.5M of 12.5M possible at
-    // sf0.1) and running set-Jaccard on all of them dominated the
-    // query. The mid-tier estimates Jaccard from MinHash signature
-    // agreement (compiled O(64) per pair) and prunes to the true
-    // near-dups before the O(set) exact verification. On a natural
-    // corpus the Hamming tier already prunes and the mid-tier is a
-    // cheap no-op.
-    val mhTbl = shingled(t).filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), call_function("graft_minhash", col("shingles")).as("mh"))
-    val surviving = candIds
-      .join(mhTbl.select(col("doc_id").as("doc_a"), col("mh").as("mh_a")), "doc_a")
-      .join(mhTbl.select(col("doc_id").as("doc_b"), col("mh").as("mh_b")), "doc_b")
-      .filter(call_function("graft_sigmatch", col("mh_a"), col("mh_b")) >= 0.6)
-      .select(col("doc_a"), col("doc_b"))
     // Exact set-Jaccard verification on the (tiny) surviving stream.
     val shTbl = shingled(t)
-    surviving
+    candIds
       .join(shTbl.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(shTbl.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
