@@ -54,9 +54,16 @@ object Dedup {
   private def docsSpread(t: Tables): DataFrame =
     t.documents.repartition(t.spark.sparkContext.defaultParallelism)
 
+  /** NOTE the filter is on size(w), BEFORE shingling — the equivalent
+    * post-hoc `filter(size(shingles) > 0)` gets predicate-pushed below
+    * the projection, substituting the whole shingle expression (and then
+    * the split) into the condition: the regex split re-evaluates per
+    * element and the filter alone cost 7.6 s vs 0.6 s for the projection
+    * at sf0.1. Token-count is the same predicate, one cheap split. */
   private def shingled(t: Tables): DataFrame =
     docsSpread(t)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
       .select(col("doc_id"), shingleOf(col("w")).as("shingles"))
 
   /** One (doc_id, shingle) row per shingle. The generator argument is the
@@ -195,12 +202,19 @@ object Dedup {
 
   def neardupMinhash(t: Tables): DataFrame = {
     NativeExprs.ensureRegistered(t.spark)
-    val sh = shingled(t).filter(size(col("shingles")) > 0)
+    val sh = shingled(t) // already token-filtered: no doc has empty shingles
     // 64-wide MinHash signature via the native kernel (one compiled
     // k-by-n loop per row; the same logic as nested transform/array_min
     // HOFs evaluates interpreted and was 40x slower at sf0.1).
+    // The repartition is an OPTIMIZATION BARRIER as much as a spread:
+    // without it CollapseProject inlines graft_minhash into the band
+    // generator's lambda, re-evaluating the 64-permutation signature per
+    // BAND (16x per doc — measured 8.2 s vs 2.3 s warm at sf0.1). An
+    // exchange of 5k (id, 512B sig) rows is noise; recomputing
+    // signatures 16x at 100 TB is not.
     val sig = sh.select(col("doc_id"),
       call_function("graft_minhash", col("shingles")).as("sig"))
+      .repartition(t.spark.sparkContext.defaultParallelism)
     // Band the signature: bucket key = (band index, hash of the band's
     // 4-row slice). Only same-bucket docs ever meet in the join. The
     // banded stream carries ONLY (doc_id, band, bh): exploding with the
@@ -256,6 +270,7 @@ object Dedup {
     // when any single hash family's buckets run hot.
     val base = docsSpread(t)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3) // cheap-predicate form; see shingled()
       .select(col("doc_id"), col("w"), shingleOf(col("w")).as("shingles"))
       .select(col("doc_id"),
         call_function("graft_simhash64", array_distinct(col("w"))).as("sig64"),

@@ -134,6 +134,22 @@ object NativeAsOfJoin {
     }
   }
 
+  /** FORWARD as-of: for each left row, the EARLIEST right row with
+    * rightTime >= leftTime in the key group — DuckDB's
+    * `ASOF JOIN ... ON l.t <= r.t`. Implemented by running the backward
+    * merge over negated epoch-micros: max(-t) over {-rt <= -lt} is
+    * min(t) over {rt >= lt}, so the same exec (and its distribution/
+    * ordering contract) serves both directions. */
+  def asofJoinNativeForward(left: DataFrame, right: DataFrame,
+                            key: String, time: String,
+                            valueCol: String, as: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val neg = "_negts"
+    val l = left.withColumn(neg, expr(s"-unix_micros($time)"))
+    val r = right.withColumn(neg, expr(s"-unix_micros($time)"))
+    asofJoinNative(l, r, key, neg, valueCol, as).drop(neg)
+  }
+
   /** DataFrame-level API mirroring [[AsOfJoin.asofJoin]]. Both inputs
     * must carry `key` and `time` columns; the right's `valueCol` is
     * attached to matching left rows as `as`. */

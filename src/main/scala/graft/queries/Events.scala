@@ -105,10 +105,30 @@ object Events {
       .select(col("event_id"), col("user_id"), col("last_click_id"))
   }
 
+  /** FORWARD as-of through the native operator: each purchase finds the
+    * user's next click at-or-after it. Time negation reuses the same
+    * backward merge exec; oracle is DuckDB's forward ASOF. */
+  def asofForward(t: Tables): DataFrame = {
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val clicks = t.events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    graft.operators.NativeAsOfJoin.asofJoinNativeForward(
+      purchases, clicks, key = "user_id", time = "ts",
+      valueCol = "click_id", as = "next_click_id")
+      .select(col("event_id"), col("user_id"), col("next_click_id"))
+  }
+  val asofForwardSql: String =
+    """SELECT p.event_id, p.user_id, c.event_id AS next_click_id
+       FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+       ASOF JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND p.ts <= c.ts"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("events_json_extract", jsonExtract _, jsonExtractSql),
     ("events_sessionize", sessionize _, sessionizeSql),
     ("events_latest_per_key", latestPerKey _, latestPerKeySql),
     ("events_asof", asof _, asofSql),
-    ("events_asof_native", asofNative _, asofSql))
+    ("events_asof_native", asofNative _, asofSql),
+    ("events_asof_forward", asofForward _, asofForwardSql))
 }

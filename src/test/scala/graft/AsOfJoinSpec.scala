@@ -43,6 +43,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == composed)
   }
 
+  test("forward as-of picks the earliest at-or-after value per key") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts("2024-01-01 00:00:10"), 100.0), (1L, ts("2024-01-01 00:00:20"), 110.0),
+      (1L, ts("2024-01-01 00:00:30"), 120.0), (2L, ts("2024-01-01 00:00:15"), 50.0))
+      .toDF("user_id", "ts", "price")
+    val trades = Seq(
+      (1L, ts("2024-01-01 00:00:25"), 5), (1L, ts("2024-01-01 00:00:10"), 7),
+      (1L, ts("2024-01-01 00:00:35"), 9), (2L, ts("2024-01-01 00:00:15"), 3))
+      .toDF("user_id", "ts", "qty")
+    val got = graft.operators.NativeAsOfJoin.asofJoinNativeForward(
+      trades, quotes, "user_id", "ts", "price", "next_price")
+      .select("user_id", "qty", "next_price")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      (1L, 5, 120.0),  // earliest quote >= 00:25 is 00:30
+      (1L, 7, 100.0),  // inclusive: quote at exactly 00:10
+      (2L, 3, 50.0)))
+    // trade at 00:35 (no later quote) is dropped
+  }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
   test("native as-of plans via AsOfJoinExec with planner-inserted exchanges, no cartesian") {
     import spark.implicits._
     val quotes = (1 to 200).map(i => (i.toLong % 10, i.toLong, i * 1.0)).toDF("user_id", "ts", "price")
