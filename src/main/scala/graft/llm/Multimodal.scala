@@ -88,6 +88,43 @@ object Multimodal {
                                i -> ord(substr(text, i, 1))))::BIGINT AS byte_sum
        FROM documents"""
 
+  /** STUB — stands in for an image resize (libvips/PIL-style): keeps
+    * every `stride`-th byte. Deterministic so the oracle reproduces it. */
+  object FakeResizer {
+    def resize(payload: Array[Byte], stride: Int): (Int, Long) = {
+      var n = 0
+      var sum = 0L
+      var i = 0
+      while (i < payload.length) { n += 1; sum += (payload(i) & 0xff).toLong; i += stride }
+      (n, sum)
+    }
+  }
+
+  /** Resize as a partition-wise binary→binary transform (same batch
+    * shape as decode): payload in, resized payload metadata out. A real
+    * pipeline would emit the resized binary column; the digest keeps the
+    * stub oracle-checkable. */
+  def mmResize(t: Tables): DataFrame = {
+    val in = mmTable(t).select(col("doc_id"), col("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_resized", IntegerType, nullable = false),
+      StructField("resized_sum", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val (n, sum) = FakeResizer.resize(r.getAs[Array[Byte]](1), stride = 2)
+        Row(r.getLong(0), n, sum)
+      }
+    }(enc)
+  }
+  val mmResizeSql: String =
+    """SELECT doc_id,
+       CAST((octet_length(encode(text)) + 1) // 2 AS INT) AS n_resized,
+       list_sum(list_transform(range(1, octet_length(encode(text)) + 1, 2),
+                               i -> ord(substr(text, i, 1))))::BIGINT AS resized_sum
+       FROM documents"""
+
   /** Frame/byte sampling: every 50th byte of each payload — the
     * frame-sample pattern for video (sample positions, then fetch), as a
     * lateral unnest so no row ever materializes the full decoded frame
@@ -108,5 +145,6 @@ object Multimodal {
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("mm_meta_only", mmMetaOnly _, mmMetaOnlySql),
     ("mm_decode_features", mmDecodeFeatures _, mmDecodeFeaturesSql),
+    ("mm_resize", mmResize _, mmResizeSql),
     ("mm_frame_sample", mmFrameSample _, mmFrameSampleSql))
 }
