@@ -51,18 +51,19 @@ object Catalog {
     * query's latency when paid per call. Re-registering only happens
     * when the same session switches scale factors.
     */
-  private val registeredDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  // Weak keys: sessions must stay collectable (differential tests spin
+  // up many short-lived ones). All access synchronized — WeakHashMap is
+  // not thread-safe.
+  private val registeredDir = new java.util.WeakHashMap[SparkSession, String]()
 
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
-    if (registeredDir.get(spark) != sfDir) synchronized {
-      if (registeredDir.get(spark) != sfDir) {
-        tableNames.foreach { t =>
-          load(spark, sfDir, t).createOrReplaceTempView(t)
-        }
-        registeredDir.put(spark, sfDir)
+  def registerAll(spark: SparkSession, sfDir: String): Unit = synchronized {
+    if (registeredDir.get(spark) != sfDir) {
+      tableNames.foreach { t =>
+        load(spark, sfDir, t).createOrReplaceTempView(t)
       }
+      registeredDir.put(spark, sfDir)
     }
+  }
 }
 
 /** Convenience accessors for one scale-factor directory. */

@@ -107,20 +107,24 @@ object NativeExprs {
     override def dataType: DataType = DoubleType
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
-    @transient private lazy val isFloat: Boolean = left.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
+    // Element accessor PER SIDE: mixed float/double arguments would
+    // otherwise read 8-byte slots from a 4-byte-packed array — silent
+    // garbage, not an error.
+    private def accessor(e: Expression): (ArrayData, Int) => Double = e.dataType match {
+      case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+      case other => throw new IllegalArgumentException(
+        s"graft_vecdot expects array<float|double>, got $other")
     }
+    @transient private lazy val getL = accessor(left)
+    @transient private lazy val getR = accessor(right)
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val n = math.min(x.numElements(), y.numElements())
       var acc = 0.0
       var i = 0
-      if (isFloat)
-        while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-      else
-        while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) { acc += getL(x, i) * getR(y, i); i += 1 }
       acc
     }
   }
@@ -193,7 +197,12 @@ object NativeExprs {
             case other => throw new IllegalArgumentException(
               s"graft_signlsh: tables/bits must be int literals, got $other")
           }
-          SignLshSig(es(0), intLit(es(1)), intLit(es(2)), seed = 7L)
+          // SignLshSig reads doubles; cast up front so a raw
+          // array<float> embedding column works instead of silently
+          // producing garbage buckets (no-op when already double).
+          val asDouble = org.apache.spark.sql.catalyst.expressions.Cast(
+            es(0), ArrayType(DoubleType))
+          SignLshSig(asDouble, intLit(es(1)), intLit(es(2)), seed = 7L)
         }, "built-in")
       registered += spark
     }

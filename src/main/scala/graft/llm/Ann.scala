@@ -115,7 +115,9 @@ object Ann {
     *
     * The synthetic corpus has no true near-dups (max off-diagonal cosine
     * ≈ 0.5), so the query PLANTS them: a +0.03-shifted copy of every
-    * vector (cos ≈ 0.96-0.98 to its original, ≤ 0.6 to everything else)
+    * vector under id -(vec_id+1) — negative, so planted ids can never
+    * collide with real ids at ANY corpus size — (cos ≈ 0.96-0.98 to its
+    * original, ≤ 0.6 to everything else)
     * — pure double arithmetic DuckDB reproduces exactly, which makes this
     * LSH path hash-checkable against an exact all-pairs oracle. 16
     * tables × 8 bits gives per-pair miss probability (1-p^8)^16 ≈ 2e-5
@@ -126,7 +128,7 @@ object Ann {
     NativeExprs.ensureRegistered(t.spark)
     val base = t.embeddings.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("e"))
-    val pert = base.select((col("vec_id") + 100000).as("vec_id"),
+    val pert = base.select((-(col("vec_id") + 1)).as("vec_id"),
       transform(col("e"), x => x + lit(0.03)).as("e"))
     val corpus = base.unionByName(pert)
       .withColumn("norm", sqrt(dot(col("e"), col("e"))))
@@ -146,7 +148,7 @@ object Ann {
   }
   val annSignLshNearDupSql: String =
     """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       pert AS (SELECT vec_id + 100000 AS vec_id, list_transform(e, x -> x + 0.03) AS e FROM base),
+       pert AS (SELECT -(vec_id + 1) AS vec_id, list_transform(e, x -> x + 0.03) AS e FROM base),
        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
               round(list_cosine_similarity(a.e, b.e), 4) AS cos

@@ -116,17 +116,26 @@ object NativeAsOfJoin {
         lIter.flatMap { l =>
           val lk = lKeyProj(l)
           val lt = lTimeProj(l)
+          // SQL ASOF semantics: NULL keys/times never match (the oracle's
+          // ON k = k AND t >= t is false on NULL). Natural ordering sorts
+          // nulls first, so null rows are consumed/skipped up front.
+          val lNull = lk.anyNull || lt.anyNull
           var scan = true
           while (scan && rBuf.hasNext) {
             val r = rBuf.head
-            val ck = keyOrd.compare(rKeyProj(r), lk)
-            if (ck < 0) { rBuf.next() } // right key fully behind: discard
-            else if (ck == 0 && timeOrd.compare(rTimeProj(r), lt) <= 0) {
-              // in-key and at-or-before: becomes the current best match
-              lastKey = lk.copy(); lastValue = valueProj(r).copy(); rBuf.next()
-            } else scan = false // right is ahead of this left row
+            val rk = rKeyProj(r)
+            val rt = rTimeProj(r)
+            if (rk.anyNull || rt.anyNull) { rBuf.next() } // never a match
+            else {
+              val ck = keyOrd.compare(rk, lk)
+              if (ck < 0) { rBuf.next() } // right key fully behind: discard
+              else if (ck == 0 && !lNull && timeOrd.compare(rt, lt) <= 0) {
+                // in-key and at-or-before: becomes the current best match
+                lastKey = lk.copy(); lastValue = valueProj(r).copy(); rBuf.next()
+              } else scan = false // right is ahead of this left row
+            }
           }
-          if (lastKey != null && keyOrd.compare(lastKey, lk) == 0)
+          if (!lNull && lastKey != null && keyOrd.compare(lastKey, lk) == 0)
             Some(outProj(joined(l, lastValue)))
           else None
         }

@@ -20,11 +20,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PrestoRewriter {
 
   /** Function renames applied at the SQL text level. Only names that
-    * differ between the dialects (identity entries skipped). */
-  private val renames: Seq[(String, String)] =
+    * differ between the dialects (identity entries skipped). Applied in
+    * ONE alternation pass: sequential per-name replacement would CHAIN
+    * renames whose target is itself a renamed source (format_datetime →
+    * date_format → presto_date_format would route Java patterns into the
+    * MySQL converter). */
+  private val renameMap: Map[String, String] =
     Registry.fns.collect {
       case (presto, m) if m.sparkName != presto => presto -> m.sparkName
-    }.toSeq.sortBy(-_._1.length) // longest first so e.g. day_of_week wins over day
+    }
+  private val renamePattern =
+    ("(?i)\\b(" + renameMap.keys.toSeq.sortBy(-_.length).mkString("|") + ")\\s*\\(").r
 
   /** Split SQL into string-literal and non-literal segments so rewrites
     * never touch quoted text. */
@@ -64,9 +70,11 @@ object PrestoRewriter {
         var s = code
         // double-quoted identifiers → backticks
         s = s.replaceAll("\"([A-Za-z_][A-Za-z0-9_]*)\"", "`$1`")
-        // function renames (word boundary, immediately before a paren)
-        for ((from, to) <- renames)
-          s = s.replaceAll("(?i)\\b" + from + "\\s*\\(", to + "(")
+        // function renames (word boundary, immediately before a paren),
+        // every name substituted exactly once
+        s = renamePattern.replaceAllIn(s,
+          m => java.util.regex.Matcher.quoteReplacement(
+            renameMap(m.group(1).toLowerCase) + "("))
         s
     }.mkString
   }

@@ -47,7 +47,7 @@ class LlmOpsSpec extends SparkSpec {
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val expected = tables.embeddings.select("vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(0) + 100000L)).toSet
+      .map(r => (-(r.getLong(0) + 1L), r.getLong(0))).toSet
     assert(got == expected,
       s"n=$n missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }

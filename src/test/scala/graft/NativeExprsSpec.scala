@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.NativeExprs
+import org.apache.spark.sql.functions._
+
+/** Unit coverage of the compiled kernel library (functions/NativeExprs)
+  * — each kernel is a public library function, tested here independently
+  * of the queries that use it. */
+class NativeExprsSpec extends SparkSpec {
+
+  NativeExprs.ensureRegistered(spark)
+
+  private def one(c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c).collect().head.get(0)
+  }
+
+  test("graft_minhash: equal sets → equal signatures; estimator via graft_sigmatch") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a b c", "b c d", "c d e"), Seq("a b c", "b c d", "c d e")),
+      (Seq("a b c", "b c d", "c d e"), Seq("x y z", "y z w", "z w v")))
+      .toDF("s1", "s2")
+      .select(call_function("graft_sigmatch",
+        call_function("graft_minhash", col("s1")),
+        call_function("graft_minhash", col("s2"))).as("m"))
+      .collect().map(_.getDouble(0))
+    assert(df(0) == 1.0)   // identical sets: all 64 minima agree
+    assert(df(1) < 0.3)    // disjoint sets: agreement ≈ J = 0
+  }
+
+  test("graft_simhash64: identical token sets get identical signatures") {
+    import spark.implicits._
+    val sigs = Seq(Seq("alpha", "beta", "gamma"), Seq("alpha", "beta", "gamma"))
+      .toDF("w").select(call_function("graft_simhash64", col("w")).as("s"))
+      .collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("graft_vecdot: float, double, and MIXED element types all read correctly") {
+    val f = array(lit(1.0f), lit(2.0f), lit(3.0f))
+    val d = array(lit(1.0), lit(2.0), lit(3.0))
+    assert(one(call_function("graft_vecdot", f, f)) == 14.0)
+    assert(one(call_function("graft_vecdot", d, d)) == 14.0)
+    // mixed: per-side accessors, not left-type-wins
+    assert(one(call_function("graft_vecdot", f, d)) == 14.0)
+    assert(one(call_function("graft_vecdot", d, f)) == 14.0)
+  }
+
+  test("graft_signlsh: deterministic, table-prefixed, and float-input safe") {
+    val d = array(lit(0.5), lit(-0.25), lit(0.125), lit(1.0))
+    val f = array(lit(0.5f), lit(-0.25f), lit(0.125f), lit(1.0f))
+    val a = one(call_function("graft_signlsh", d, lit(4), lit(8)))
+      .asInstanceOf[scala.collection.Seq[Long]].toSeq
+    val b = one(call_function("graft_signlsh", d, lit(4), lit(8)))
+      .asInstanceOf[scala.collection.Seq[Long]].toSeq
+    // the builder casts float arrays to double: same buckets either way
+    val c = one(call_function("graft_signlsh", f, lit(4), lit(8)))
+      .asInstanceOf[scala.collection.Seq[Long]].toSeq
+    assert(a == b && a == c)
+    assert(a.length == 4)
+    // element l carries its table index in the high 32 bits
+    assert(a.zipWithIndex.forall { case (v, l) => (v >> 32) == l })
+  }
+
+  test("native as-of join ignores NULL keys and NULL times (SQL ASOF semantics)") {
+    import spark.implicits._
+    val right = Seq(
+      (Some(1L), Some(10L), 100.0),
+      (Some(1L), None, 666.0),      // null time: never a match
+      (None, Some(5L), 777.0))      // null key: never a match
+      .toDF("user_id", "ts", "price")
+    val left = Seq((Some(1L), Some(20L), 1), (None, Some(20L), 2))
+      .toDF("user_id", "ts", "qty")
+    val got = graft.operators.NativeAsOfJoin.asofJoinNative(
+      left, right, "user_id", "ts", "price", "p")
+      .select("qty", "p").collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(got == Set((1, 100.0))) // null-key left row emits nothing
+  }
+
+  test("format_datetime keeps Java patterns through the rewriter (no rename chaining)") {
+    val sql = graft.sql.PrestoRewriter.rewrite(
+      "SELECT format_datetime(TIMESTAMP '2024-03-15 13:45:30', 'yyyy-MM-dd') AS s")
+    assert(sql.contains("date_format("), sql)
+    assert(!sql.contains("presto_date_format"), sql)
+    assert(spark.sql(sql).collect().head.getString(0) == "2024-03-15")
+  }
+}
