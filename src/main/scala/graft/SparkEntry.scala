@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Events, Exprs, Presto, Relational, SqlOps, Tpch, Tpch2, TpchSql}
-import graft.llm.{Ann, Dedup, Multimodal, TextStats}
+import graft.llm.{Ann, Corpus, Dedup, Multimodal, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,6 +31,7 @@ object SparkEntry {
       Dedup.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       Ann.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       TextStats.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
+      Corpus.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       Multimodal.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       graft.sources.Formats.all.map { case (n, f, sql) => (n, adapt(f), sql) }
 

@@ -1,0 +1,278 @@
+package graft.llm
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators: the stages between "scored documents"
+  * and "training shards" of a large-scale LLM data pipeline —
+  * duplicate-cluster resolution, deterministic downsampling, context
+  * packing, chunking, and corpus-level term statistics.
+  *
+  * Everything here is declarative Spark (codegen'd expressions, no UDFs)
+  * except the connected-components fixpoint, which is inherently
+  * iterative: that loop is data-parallel per iteration and converges in
+  * O(cluster diameter) rounds — near-dup clusters are shallow (duplicate
+  * families, not social graphs), so 3-5 rounds in practice.
+  */
+object Corpus {
+
+  private def toks = split(trim(col("text")), "\\s+")
+
+  // ----------------------------------------- duplicate-cluster resolution
+  /** Connected components over the verified near-dup pair graph
+    * (MinHash+LSH candidates, exact-Jaccard verified at τ=0.8 — see
+    * [[Dedup.neardupMinhash]]), via hash-min label propagation: every
+    * node starts as its own component; each round every node takes the
+    * min label among itself and its neighbors; fixpoint = components.
+    *
+    * This is THE missing step between pair finding and actual dedup: a
+    * doc pair list doesn't say which docs to drop — transitive groups do
+    * (keep one canonical doc per component).
+    *
+    * Scale notes (100 TB): each round is one equi-join + one groupBy on
+    * the edge list — no driver-side data, only a converged? count. The
+    * lineage is cut per round with localCheckpoint, or the plan doubles
+    * every iteration. Rounds needed = graph diameter; for adversarial
+    * long-chain graphs switch to the large-star/small-star algorithm
+    * (alternating min-propagation that halves path lengths, O(log d)
+    * rounds) — same join shape, different edge rewrite.
+    */
+  def dedupClusterCC(t: Tables): DataFrame = {
+    val pairs = Dedup.neardupMinhash(t).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var comp = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < 20) {
+      val nbrMin = edges
+        .join(comp.select(col("id").as("dst"), col("comp")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("nbr_min"))
+      val next = comp.as("o")
+        .join(nbrMin.as("n"), col("o.id") === col("n.id"), "left")
+        .select(col("o.id").as("id"),
+          least(col("o.comp"), coalesce(col("n.nbr_min"), col("o.comp"))).as("comp"))
+        .localCheckpoint(true)
+      val changed = next.as("a")
+        .join(comp.as("b"), col("a.id") === col("b.id"))
+        .filter(col("a.comp") =!= col("b.comp"))
+        .count()
+      comp = next
+      converged = changed == 0
+      round += 1
+    }
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_n"))
+    comp.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("component"), col("cluster_n"))
+  }
+
+  /** DuckDB ground truth: transitive closure by recursive CTE over the
+    * same exact-Jaccard ≥ 0.8 edges; component = min reachable id. */
+  val dedupClusterCCSql: String =
+    """WITH RECURSIVE toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+       ), sh AS (
+         SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w)-1)]) AS shingles
+         FROM toks WHERE len(w) >= 3
+       ), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       ),
+       pj AS (
+         SELECT doc_a, doc_b
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+       ),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM pj
+                 UNION SELECT doc_b, doc_a FROM pj),
+       reach AS (
+         SELECT DISTINCT a AS id, a AS r FROM edges
+         UNION
+         SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r
+       ),
+       comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       cs AS (SELECT component, count(*) AS cluster_n FROM comp GROUP BY component)
+       SELECT c.id AS doc_id, c.component, cs.cluster_n
+       FROM comp c JOIN cs ON cs.component = c.component"""
+
+  // -------------------------------------------------- deterministic sample
+  /** Stratified downsampling with a DETERMINISTIC content hash — the
+    * corpus-mixing stage (e.g. upsample wiki, downsample crawl). Every
+    * doc maps to one of 256 buckets via its md5 prefix; a per-source
+    * threshold keeps bucket < thr of 256 (thr/256 = the source's mix
+    * rate). Content-hash bucketing (not rand()) makes the sample
+    * reproducible across runs/engines and consistent for identical texts.
+    *
+    * Scale: pure narrow projection + filter — runs at scan speed, no
+    * shuffle, and the filter prunes before any downstream stage. */
+  def sampleStratified(t: Tables): DataFrame = {
+    val hex = "0123456789abcdef"
+    val b1 = expr(s"instr('$hex', substr(md5(text), 1, 1)) - 1")
+    val b2 = expr(s"instr('$hex', substr(md5(text), 2, 1)) - 1")
+    val thr = expr("""CASE CAST(substr(source, 4) AS INT) % 4
+                        WHEN 0 THEN 256 WHEN 1 THEN 128
+                        WHEN 2 THEN 64 ELSE 32 END""")
+    t.documents
+      .withColumn("bucket", (b1 * 16 + b2).cast("bigint"))
+      .filter(col("bucket") < thr)
+      .select(col("doc_id"), col("source"), col("bucket"))
+  }
+  val sampleStratifiedSql: String =
+    """WITH b AS (
+         SELECT doc_id, source,
+                CAST((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+                     + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1 AS BIGINT) AS bucket
+         FROM documents)
+       SELECT doc_id, source, bucket FROM b
+       WHERE bucket < CASE CAST(substr(source, 4) AS INT) % 4
+                        WHEN 0 THEN 256 WHEN 1 THEN 128
+                        WHEN 2 THEN 64 ELSE 32 END"""
+
+  // ------------------------------------------------------ context packing
+  /** Greedy sequential packing of documents into fixed-token contexts
+    * (CTX=2048): docs are laid end-to-end in doc_id order and a doc
+    * starts in bin ⌊cum_before/CTX⌋ — the first-come packing used to
+    * build training batches. The running sum is windowed PER SOURCE
+    * (= per shard): a single global ordering would serialize the scan at
+    * 100 TB, while per-shard packing is embarrassingly parallel and is
+    * what production packers do (pack within each input shard). */
+  def packSequences(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    t.documents
+      .select(col("source"), col("doc_id"), size(toks).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / 2048.0))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+      .select(col("source"), col("bin"), col("n_docs"), col("bin_tokens"))
+  }
+  val packSequencesSql: String =
+    """WITH s AS (
+         SELECT source, doc_id,
+                len(string_split_regex(trim(text), '\s+')) AS n_tok FROM documents
+       ), c AS (
+         SELECT source, doc_id, n_tok,
+                sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         FROM s)
+       SELECT source, CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS bin,
+              count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+       FROM c GROUP BY 1, 2"""
+
+  // ----------------------------------------------------- sliding chunking
+  /** Sliding-window chunking (64-token chunks, stride 32) — the
+    * doc→context-window explosion for embedding/retrieval pipelines.
+    * Emits (chunk_id, length, head token) per window; the generator input
+    * is the INLINE sequence expression (an attribute from a separate
+    * projection would re-evaluate its producer per generated row — see
+    * Dedup.shingleRows). Narrow op: one generate, no shuffle. */
+  def docChunkSliding(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 1, lit(32))).as("s"))
+      .select(col("doc_id"),
+        (col("s") / 32).cast("bigint").as("chunk_id"),
+        least(lit(64), size(col("w")) - col("s")).cast("bigint").as("n_tok"),
+        element_at(col("w"), col("s") + 1).as("head_tok"))
+  val docChunkSlidingSql: String =
+    """WITH s AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+       ), st AS (
+         SELECT doc_id, len(w) AS n, w, unnest(range(0, len(w), 32)) AS strt FROM s)
+       SELECT doc_id, CAST(floor(strt / 32.0) AS BIGINT) AS chunk_id,
+              CAST(least(64, n - strt) AS BIGINT) AS n_tok,
+              w[strt + 1] AS head_tok
+       FROM st"""
+
+  // -------------------------------------------------------------- TF-IDF
+  /** Top-3 TF-IDF terms per document (smooth idf = ln((1+N)/(1+df))+1,
+    * sklearn convention). Scores are floor-quantized to 1e-4 BEFORE
+    * ranking so the order is identical across engines (ties then break
+    * on the term itself). The doc count joins in as a broadcast single
+    * row; tf and df are two shuffles on (doc, term) / term.
+    *
+    * Scale: df for hot terms is a skewed groupBy — partial aggregation
+    * absorbs it map-side; the per-doc rank window partitions by doc_id
+    * (no hot keys). */
+  def tfidfTopTerms(t: Tables): DataFrame = {
+    val tf = t.documents
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = t.documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score_q",
+        floor(col("tf") * (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + 1.0) * 10000))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score_q").desc, col("term"))).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("score_q"))
+  }
+  val tfidfTopTermsSql: String =
+    """WITH tfx AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+       ), tfg AS (
+         SELECT doc_id, term, count(*) AS tf FROM tfx GROUP BY 1, 2
+       ), dfg AS (
+         SELECT term, count(*) AS df FROM tfg GROUP BY 1
+       ), n AS (SELECT count(*) AS n_docs FROM documents),
+       sc AS (
+         SELECT tfg.doc_id, tfg.term,
+                CAST(floor(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0) * 10000) AS BIGINT) AS score_q
+         FROM tfg JOIN dfg ON tfg.term = dfg.term CROSS JOIN n)
+       SELECT doc_id, rk, term, score_q FROM (
+         SELECT doc_id, term, score_q,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_q DESC, term) AS rk
+         FROM sc) r WHERE rk <= 3"""
+
+  // ------------------------------------------------------- corpus n-grams
+  /** Corpus-wide top-20 bigrams — the n-gram census behind contamination
+    * filters and boilerplate detection. Top-k via global sort-limit
+    * (TakeOrdered: per-partition top-20 then a 20-row driver merge — no
+    * full sort even at 100 TB); ties break on the bigram. */
+  def ngramTopBigrams(t: Tables): DataFrame =
+    t.documents
+      .select(toks.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+             i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+  val ngramTopBigramsSql: String =
+    """WITH s AS (
+         SELECT string_split_regex(trim(text), '\s+') AS w FROM documents
+       ), bg AS (
+         SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+         FROM s WHERE len(w) >= 2)
+       SELECT bigram, count(*) AS cnt FROM bg
+       GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20"""
+
+  val all: Seq[(String, Tables => DataFrame, String)] = Seq(
+    ("dedup_cluster_cc", dedupClusterCC _, dedupClusterCCSql),
+    ("sample_stratified", sampleStratified _, sampleStratifiedSql),
+    ("pack_sequences", packSequences _, packSequencesSql),
+    ("doc_chunk_sliding", docChunkSliding _, docChunkSlidingSql),
+    ("tfidf_top_terms", tfidfTopTerms _, tfidfTopTermsSql),
+    ("ngram_top_bigrams", ngramTopBigrams _, ngramTopBigramsSql))
+}

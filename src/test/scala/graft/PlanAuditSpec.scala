@@ -18,7 +18,8 @@ class PlanAuditSpec extends SparkSpec {
     "ann_bruteforce_topk",    // broadcast probes × corpus (map-side scan)
     "ann_ivf_topk",           // broadcast centroids × corpus assignment
     "ann_ivf_fullprobe",      // same centroid-assignment product, all lists probed
-    "emb_quantize_int8")
+    "emb_quantize_int8",
+    "tfidf_top_terms")       // single-row doc-count broadcast join
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans no unintended cartesian") {
