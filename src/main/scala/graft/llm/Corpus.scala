@@ -20,6 +20,12 @@ object Corpus {
 
   private def toks = split(trim(col("text")), "\\s+")
 
+  /** documents spread to cluster parallelism — the small-SF corpus is one
+    * parquet file = ONE scan partition, and the explode-heavy operators
+    * below are compute-bound per row (see Dedup.docsSpread). */
+  private def spread(t: Tables): DataFrame =
+    t.documents.repartition(t.spark.sparkContext.defaultParallelism)
+
   // ----------------------------------------- duplicate-cluster resolution
   /** Connected components over the verified near-dup pair graph
     * (MinHash+LSH candidates, exact-Jaccard verified at τ=0.8 — see
@@ -40,13 +46,22 @@ object Corpus {
     * rounds) — same join shape, different edge rewrite.
     */
   def dedupClusterCC(t: Tables): DataFrame = {
+    // Materialize the pair list ONCE before mirroring it: the union's two
+    // branches would otherwise each re-run the whole MinHash pipeline.
     val pairs = Dedup.neardupMinhash(t).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .localCheckpoint(true)
-    var comp = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Init already folds one propagation round in (comp = min(self, direct
+    // neighbors)): the first round always relabels every non-singleton
+    // node, so starting from the identity labeling would spend a full
+    // join + convergence check discovering that.
+    var comp = edges
+      .groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("id"), least(col("id"), col("m")).as("comp"))
       .localCheckpoint(true)
     var converged = false
     var round = 0
@@ -55,16 +70,16 @@ object Corpus {
         .join(comp.select(col("id").as("dst"), col("comp")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("nbr_min"))
+      // The moved flag rides along into the checkpoint so convergence is a
+      // filter-count on already-materialized rows, not a second join pass.
       val next = comp.as("o")
         .join(nbrMin.as("n"), col("o.id") === col("n.id"), "left")
         .select(col("o.id").as("id"),
-          least(col("o.comp"), coalesce(col("n.nbr_min"), col("o.comp"))).as("comp"))
+          least(col("o.comp"), coalesce(col("n.nbr_min"), col("o.comp"))).as("comp"),
+          (coalesce(col("n.nbr_min"), col("o.comp")) < col("o.comp")).as("moved"))
         .localCheckpoint(true)
-      val changed = next.as("a")
-        .join(comp.as("b"), col("a.id") === col("b.id"))
-        .filter(col("a.comp") =!= col("b.comp"))
-        .count()
-      comp = next
+      val changed = next.filter(col("moved")).count()
+      comp = next.drop("moved")
       converged = changed == 0
       round += 1
     }
@@ -180,7 +195,7 @@ object Corpus {
     * projection would re-evaluate its producer per generated row — see
     * Dedup.shingleRows). Narrow op: one generate, no shuffle. */
   def docChunkSliding(t: Tables): DataFrame =
-    t.documents
+    spread(t)
       .select(col("doc_id"), toks.as("w"))
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(0), size(col("w")) - 1, lit(32))).as("s"))
@@ -209,7 +224,7 @@ object Corpus {
     * absorbs it map-side; the per-doc rank window partitions by doc_id
     * (no hot keys). */
   def tfidfTopTerms(t: Tables): DataFrame = {
-    val tf = t.documents
+    val tf = spread(t)
       .select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -249,7 +264,7 @@ object Corpus {
     * (TakeOrdered: per-partition top-20 then a 20-row driver merge — no
     * full sort even at 100 TB); ties break on the bigram. */
   def ngramTopBigrams(t: Tables): DataFrame =
-    t.documents
+    spread(t)
       .select(toks.as("w"))
       .filter(size(col("w")) >= 2)
       .select(explode(expr(

@@ -1,0 +1,89 @@
+package graft
+
+import graft.llm.{Corpus, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators: invariants + a union-find ground truth
+  * for the connected-components clustering. */
+class CorpusOpsSpec extends SparkSpec {
+
+  test("dedup_cluster_cc matches driver-side union-find on the same edges") {
+    val pairs = Dedup.neardupMinhash(tables)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs")
+    // classic union-find over the collected (tiny) edge list
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => k -> find(k)).toMap
+    val got = Corpus.dedupClusterCC(tables)
+      .select("doc_id", "component").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("cluster components are closed: both endpoints of every edge share a label") {
+    val cc = Corpus.dedupClusterCC(tables).select("doc_id", "component")
+    val e = Dedup.neardupMinhash(tables).select("doc_a", "doc_b")
+    val crossLabel = e
+      .join(cc.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("component", "ca"), "doc_a")
+      .join(cc.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("component", "cb"), "doc_b")
+      .filter(col("ca") =!= col("cb"))
+    assert(crossLabel.count() == 0)
+  }
+
+  test("pack_sequences conserves tokens and numbers bins contiguously") {
+    val packed = Corpus.packSequences(tables).collect()
+    val totTokens = tables.documents
+      .select(sum(size(split(trim(col("text")), "\\s+"))))
+      .head().getLong(0)
+    assert(packed.map(_.getAs[Long]("bin_tokens")).sum == totTokens)
+    packed.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val bins = rows.map(_.getAs[Long]("bin")).sorted
+      assert(bins.head == 0 && bins.toSet == (0L to bins.last).toSet)
+    }
+  }
+
+  test("doc_chunk_sliding emits ceil(n_tok/32) chunks per doc, all 1..64 tokens") {
+    val chunks = Corpus.docChunkSliding(tables)
+    val perDoc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val docs = tables.documents
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_tok"))
+    val bad = perDoc.join(docs, "doc_id")
+      .filter(col("n_chunks") =!= ceil(col("n_tok") / 32.0).cast("long"))
+    assert(bad.count() == 0)
+    assert(chunks.filter(col("n_tok") < 1 || col("n_tok") > 64).count() == 0)
+  }
+
+  test("stratified sample keeps only buckets under each source's threshold and is deterministic") {
+    val s1 = Corpus.sampleStratified(tables).collect().map(_.mkString("|")).toSet
+    val s2 = Corpus.sampleStratified(tables).collect().map(_.mkString("|")).toSet
+    assert(s1 == s2) // content-hash bucketing: no rand(), rerun-identical
+    val bad = Corpus.sampleStratified(tables).filter(
+      col("bucket") >= expr("""CASE CAST(substr(source, 4) AS INT) % 4
+          WHEN 0 THEN 256 WHEN 1 THEN 128 WHEN 2 THEN 64 ELSE 32 END"""))
+    assert(bad.count() == 0)
+  }
+
+  test("tfidf emits at most 3 ranked terms per doc, rank-1 first") {
+    val tf = Corpus.tfidfTopTerms(tables)
+    val perDoc = tf.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min("rk").as("lo"), max("rk").as("hi"))
+    assert(perDoc.filter(col("n") > 3 || col("lo") =!= 1 || col("hi") > 3).count() == 0)
+  }
+
+  test("top bigrams are count-descending with deterministic tie order") {
+    val rows = Corpus.ngramTopBigrams(tables).collect()
+      .map(r => (r.getAs[String]("bigram"), r.getAs[Long]("cnt")))
+    assert(rows.length == 20)
+    assert(rows.sliding(2).forall { case Array((b1, c1), (b2, c2)) =>
+      c1 > c2 || (c1 == c2 && b1 < b2) })
+  }
+}
