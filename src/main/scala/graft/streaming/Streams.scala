@@ -44,6 +44,21 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
 
+  /** Built-in session windows (30-minute gap): the declarative
+    * counterpart of [[sessions]] — `session_window` merges events whose
+    * gaps stay under 30m and lets Spark manage the merging state. Same
+    * watermark bound; the custom-state version exists for policies the
+    * built-in can't express (per-session caps, carried aggregates).
+    * Boundary nuance vs [[sessionsBatch]]: the built-in closes a session
+    * when gap >= 30m (window is [ts, ts+gap)), the batch window version
+    * when gap > 30m — equal only when no inter-event gap is exactly 30m. */
+  def sessionsBuiltin(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).cast("int").as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start"), col("n_events"))
+
   /** Event-time session windows (30-minute gap) with explicit state via
     * flatMapGroupsWithState — the custom-state escape hatch
     * (KeyValueGroupedDataset, SURVEY operator list (d)). Emits a session

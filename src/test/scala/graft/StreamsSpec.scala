@@ -93,6 +93,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("built-in session_window stream equals the custom-state sessionizer on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Event]
+    val q = Streams.sessionsBuiltin(stream.toDF())
+      .writeStream.format("memory").queryName("s_sessions_builtin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(events: _*)
+      q.processAllAvailable()
+      stream.addData(Event(ts("2024-01-03 00:00:00"), 9, "noop", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("s_sessions_builtin")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getInt(2))).toSet
+      // the custom-state sessionizer emits the same (user, start, n) facts
+      val batch = Streams.sessionsBatch(spark, events.toDF())
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getInt(2))).toSet
+      val closed = batch.filter(_._2.before(ts("2024-01-02 00:00:00")))
+      assert(closed.subsetOf(streamed), s"missing: ${closed -- streamed}; got $streamed")
+      assert(streamed.subsetOf(batch), s"extra: ${streamed -- batch}")
+    } finally q.stop()
+  }
+
   test("sliding windows emit multiple windows per event") {
     import spark.implicits._
     val batch = Streams.sliding(events.toDF()).collect()
