@@ -107,6 +107,62 @@ object Ann {
         round(col("cos"), 4).as("cos"))
   }
 
+  // ------------------------------------------------- k-means (IVF train)
+  /** One exact Lloyd iteration of the k-means that trains IVF coarse
+    * centroids (the production replacement for [[annIvf]]'s sampled
+    * centroids): assign every vector to its nearest seed (cosine), then
+    * recompute each centroid as the element-wise mean of its list. Emits
+    * per-cluster population and the first two centroid coordinates.
+    *
+    * Scale: assignment is a broadcast(seeds) × corpus map-side scan; the
+    * mean is one shuffle on (cluster, dim) with map-side partial sums —
+    * the same two-stage shape at any corpus size. Full training = this
+    * step iterated (driver loop like Corpus.dedupClusterCC, converging on
+    * centroid drift). */
+  def kmeansStep(t: Tables): DataFrame = {
+    NativeExprs.ensureRegistered(t.spark)
+    val base = t.embeddings
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+    val seeds = base.filter(pmod(col("vec_id"), lit(31)) === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("norm").as("cnorm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
+    val assigned = base.crossJoin(broadcast(seeds))
+      .withColumn("csim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("c_id"), col("vec_id"), col("e"))
+    val dimMeans = assigned
+      .select(col("c_id"), posexplode(col("e")))
+      .groupBy(col("c_id"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+    val newCents = dimMeans.groupBy(col("c_id"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("ce"))
+    val counts = assigned.groupBy(col("c_id")).agg(count(lit(1)).as("n_assigned"))
+    newCents.join(counts, "c_id")
+      .select(col("c_id"), col("n_assigned"),
+        round(element_at(col("ce"), 1), 6).as("c1"),
+        round(element_at(col("ce"), 2), 6).as("c2"))
+  }
+  val kmeansStepSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 31 = 0),
+       a AS (
+         SELECT v.vec_id, c.c_id, v.e,
+                row_number() OVER (
+                  PARTITION BY v.vec_id
+                  ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.c_id) AS arank
+         FROM v CROSS JOIN c),
+       asg AS (SELECT vec_id, c_id, e FROM a WHERE arank = 1),
+       d AS (SELECT c_id, unnest(range(1, len(e) + 1)) AS pos, unnest(e) AS x FROM asg),
+       m AS (SELECT c_id, pos, avg(x) AS m FROM d GROUP BY 1, 2),
+       nc AS (SELECT c_id, list(m ORDER BY pos) AS ce FROM m GROUP BY 1),
+       n AS (SELECT c_id, count(*) AS n_assigned FROM asg GROUP BY 1)
+       SELECT nc.c_id, n.n_assigned,
+              round(ce[1], 6) AS c1, round(ce[2], 6) AS c2
+       FROM nc JOIN n ON nc.c_id = n.c_id"""
+
   // ------------------------------------------- sign-LSH near-dup (exact)
   /** Embedding near-dup via random-hyperplane (sign) LSH — the 100 TB
     * scale path for cosine thresholds where dedup actually operates
@@ -193,5 +249,6 @@ object Ann {
     // full-probe IVF is exact → same oracle as brute force
     ("ann_ivf_fullprobe", ((t: Tables) => annIvf(t, Int.MaxValue)), annBruteforceSql),
     ("ann_signlsh_neardup", annSignLshNearDup _, annSignLshNearDupSql),
+    ("emb_kmeans_step", kmeansStep _, kmeansStepSql),
     ("emb_quantize_int8", quantizeInt8 _, quantizeInt8Sql))
 }

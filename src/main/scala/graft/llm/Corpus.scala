@@ -46,6 +46,8 @@ object Corpus {
     * rounds) — same join shape, different edge rewrite.
     */
   def dedupClusterCC(t: Tables): DataFrame = {
+    val sc = t.spark.sparkContext
+    val persistedBefore = sc.getPersistentRDDs.keySet
     // Materialize the pair list ONCE before mirroring it: the union's two
     // branches would otherwise each re-run the whole MinHash pipeline.
     val pairs = Dedup.neardupMinhash(t).select(col("doc_a"), col("doc_b"))
@@ -84,8 +86,23 @@ object Corpus {
       round += 1
     }
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_n"))
-    comp.join(sizes, "comp")
+    val result = comp.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("component"), col("cluster_n"))
+      .localCheckpoint(true)
+    // Release this query's intermediate checkpoints: the loop parks one
+    // cached block set per round in the block manager, and in a long
+    // batch session (Bench runs 140+ queries in one JVM) that residue
+    // degrades later queries. The result's own checkpoint — the newest
+    // persisted RDD — stays; nothing persisted by other queries is
+    // touched (ids snapshotted on entry).
+    val persistedNow = sc.getPersistentRDDs
+    val created = persistedNow.keySet -- persistedBefore
+    if (created.nonEmpty) {
+      val keep = created.max // result checkpoint: created last
+      created.filter(_ != keep).foreach(id =>
+        persistedNow.get(id).foreach(_.unpersist(blocking = false)))
+    }
+    result
   }
 
   /** DuckDB ground truth: transitive closure by recursive CTE over the
@@ -156,6 +173,25 @@ object Corpus {
        WHERE bucket < CASE CAST(substr(source, 4) AS INT) % 4
                         WHEN 0 THEN 256 WHEN 1 THEN 128
                         WHEN 2 THEN 64 ELSE 32 END"""
+
+  /** Fixed-size per-stratum sample (5 docs per source), ranked by content
+    * hash — the deterministic equivalent of per-group reservoir sampling:
+    * md5 order is uniform-pseudorandom yet reproducible across runs and
+    * engines (a true reservoir's output depends on encounter order).
+    * One shuffle on source; rank window per stratum has no hot keys. */
+  def sampleReservoir(t: Tables): DataFrame =
+    t.documents
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(md5(col("text")), col("doc_id"))).cast("bigint"))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("doc_id"))
+  val sampleReservoirSql: String =
+    """SELECT source, rk, doc_id FROM (
+         SELECT source, doc_id,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY md5(text), doc_id) AS rk
+         FROM documents) s
+       WHERE rk <= 5"""
 
   // ------------------------------------------------------ context packing
   /** Greedy sequential packing of documents into fixed-token contexts
@@ -286,6 +322,7 @@ object Corpus {
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("dedup_cluster_cc", dedupClusterCC _, dedupClusterCCSql),
     ("sample_stratified", sampleStratified _, sampleStratifiedSql),
+    ("sample_reservoir", sampleReservoir _, sampleReservoirSql),
     ("pack_sequences", packSequences _, packSequencesSql),
     ("doc_chunk_sliding", docChunkSliding _, docChunkSlidingSql),
     ("tfidf_top_terms", tfidfTopTerms _, tfidfTopTermsSql),

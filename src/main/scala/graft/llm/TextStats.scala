@@ -144,6 +144,38 @@ object TextStats {
        FROM documents
        GROUP BY 1 HAVING count(DISTINCT source) >= 2"""
 
+  // -------------------------------------------- intra-doc repetition removal
+  /** Order-preserving token dedup WITHIN each document — the intra-doc
+    * repetition-removal stage of a corpus build (the token-level analogue
+    * of duplicate-line stripping). Spark's `array_distinct` keeps first
+    * occurrences in encounter order; the oracle reconstructs that order
+    * explicitly via min(position) since DuckDB's `list_distinct` does not
+    * define one. Narrow projection — scan-speed at any corpus size. */
+  def dedupTokens(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("bigint").as("n_tok"),
+        array_distinct(col("w")).as("d"))
+      .select(col("doc_id"), col("n_tok"),
+        size(col("d")).cast("bigint").as("n_kept"),
+        round(size(col("d")) / col("n_tok").cast("double"), 4).as("kept_ratio"),
+        array_join(slice(col("d"), 1, 5), " ").as("head5"))
+  val dedupTokensSql: String =
+    """WITH s AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+       ), e AS (
+         SELECT doc_id, len(w) AS n_tok,
+                unnest(w) AS tok, unnest(range(1, len(w) + 1)) AS pos
+         FROM s
+       ), f AS (
+         SELECT doc_id, n_tok, tok, min(pos) AS mn FROM e GROUP BY 1, 2, 3
+       ), g AS (
+         SELECT doc_id, n_tok, list(tok ORDER BY mn) AS d FROM f GROUP BY 1, 2)
+       SELECT doc_id, n_tok, len(d) AS n_kept,
+              round(len(d) / n_tok::DOUBLE, 4) AS kept_ratio,
+              array_to_string(d[1:5], ' ') AS head5
+       FROM g"""
+
   /** End-to-end corpus build: quality-filter → exact-dedup (keep min id)
     * → materialize → digest. The composition a real pipeline runs
     * nightly, as one declarative plan plus one parquet write. */
@@ -182,5 +214,6 @@ object TextStats {
     ("text_langid", langId _, langIdSql),
     ("text_fingerprint", fingerprint _, fingerprintSql),
     ("text_cross_source_leak", crossSourceLeak _, crossSourceLeakSql),
+    ("text_dedup_tokens", dedupTokens _, dedupTokensSql),
     ("pipeline_corpus_build", corpusBuild _, corpusBuildSql))
 }

@@ -124,8 +124,55 @@ object Events {
        ASOF JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
          ON p.user_id = c.user_id AND p.ts <= c.ts"""
 
+  // ------------------------------------------------------------ gap fill
+  /** Time-series gap fill: hourly per-type averages on a COMPLETE hour
+    * grid (missing buckets forward-filled with the last observation) —
+    * the resample/interpolate step before any windowed model sees the
+    * series. The grid is generated per group with sequence+explode (no
+    * driver-side loop, no calendar table); the fill is one window shuffle
+    * on event_type with an ignore-nulls running last. At 100 TB the
+    * grid's size is bounded by (groups × buckets), independent of event
+    * volume — the aggregation before it is what touches the raw data. */
+  def gapfill(t: Tables): DataFrame = {
+    val b = t.events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(round(avg(col("value")), 4).as("v"))
+      .select(col("event_type"), col("w.start").as("m"), col("v"))
+    val grid = b.groupBy(col("event_type"))
+      .agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("m"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(b, Seq("event_type", "m"), "left")
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("v").isNull.cast("long"))
+      .select(col("event_type"), col("m"), col("filled"), col("is_gap"))
+  }
+  val gapfillSql: String =
+    """WITH b AS (
+         SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS m,
+                round(avg(value), 4) AS v
+         FROM events GROUP BY 1, 2
+       ), ext AS (
+         SELECT event_type, min(m) AS lo, max(m) AS hi FROM b GROUP BY 1
+       ), grid AS (
+         SELECT event_type,
+                unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS m
+         FROM ext
+       ), j AS (
+         SELECT g.event_type, g.m, b.v
+         FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.m = g.m)
+       SELECT event_type, m,
+              last_value(v IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+              CAST(v IS NULL AS BIGINT) AS is_gap
+       FROM j"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("events_json_extract", jsonExtract _, jsonExtractSql),
+    ("events_gapfill", gapfill _, gapfillSql),
     ("events_sessionize", sessionize _, sessionizeSql),
     ("events_latest_per_key", latestPerKey _, latestPerKeySql),
     ("events_asof", asof _, asofSql),

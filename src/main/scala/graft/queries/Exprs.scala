@@ -79,6 +79,30 @@ object Exprs {
        var_pop(l_quantity) AS q_varp
        FROM lineitem GROUP BY l_returnflag"""
 
+  /** Exact ordered-statistic aggregates: interpolated percentiles
+    * (Spark `percentile` ≙ DuckDB `quantile_cont`, both linear
+    * interpolation on the sorted values) — the exact tier under
+    * `approx_percentile`. Exact percentile is a full sort per group at
+    * scale; the approximate sketch is the 100 TB path, but its outputs
+    * are engine-specific and can't be hash-checked, so the oracle pins
+    * the exact form. */
+  def aggPercentiles(t: Tables): DataFrame =
+    t.lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("q_p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("q_p90"),
+        percentile(col("l_extendedprice"), lit(0.99)).as("p_p99"),
+        min(col("l_quantity")).as("q_min"),
+        max(col("l_quantity")).as("q_max"))
+  val aggPercentilesSql =
+    """SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS q_p50,
+       quantile_cont(l_quantity, 0.9) AS q_p90,
+       quantile_cont(l_extendedprice, 0.99) AS p_p99,
+       min(l_quantity) AS q_min,
+       max(l_quantity) AS q_max
+       FROM lineitem GROUP BY l_returnflag"""
+
   /** ROWS frame: running sum over the 3 most recent rows. */
   def windowRowsFrame(t: Tables): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
@@ -395,6 +419,7 @@ object Exprs {
     ("window_rank", windowRank _, windowRankSql),
     ("window_dist", windowDist _, windowDistSql),
     ("agg_moments", aggMoments _, aggMomentsSql),
+    ("agg_percentiles", aggPercentiles _, aggPercentilesSql),
     ("window_rows_frame", windowRowsFrame _, windowRowsFrameSql),
     ("window_range_frame", windowRangeFrame _, windowRangeFrameSql),
     ("window_groups_frame", windowGroupsFrame _, windowGroupsFrameSql),

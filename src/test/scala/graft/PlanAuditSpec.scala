@@ -19,6 +19,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_ivf_topk",           // broadcast centroids × corpus assignment
     "ann_ivf_fullprobe",      // same centroid-assignment product, all lists probed
     "emb_quantize_int8",
+    "emb_kmeans_step",        // broadcast seeds × corpus assignment scan
     "tfidf_top_terms")       // single-row doc-count broadcast join
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
