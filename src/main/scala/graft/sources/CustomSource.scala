@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** A complete DataSource V2 connector — the Spark rendering of the
+  * reference's connector surface (ConnectorMetadata table resolution,
+  * ConnectorSplitManager split enumeration, TableLayout pruning;
+  * reference `axiom/connectors/ConnectorMetadata.h`,
+  * `ConnectorSplitManager.h`, `connectors/tpch/TpchConnectorMetadata.cpp`
+  * — the dbgen-style generator connector whose rows are a pure function
+  * of the row id, which is exactly what makes this one oracle-checkable).
+  *
+  * The scan planning demonstrates the three contracts a 100 TB connector
+  * must honor:
+  *  - column pruning: `pruneColumns` narrows the reader's schema, so a
+  *    2-column projection never materializes the rest;
+  *  - filter pushdown: id-range predicates are absorbed COMPLETELY
+  *    (returned as non-residual), bounding generation at the source;
+  *  - split pruning: the id space is enumerated as `splits` contiguous
+  *    ranges and splits wholly outside the pushed bounds are never
+  *    planned — the connector-side analogue of partition pruning (fewer
+  *    tasks, not just fewer rows).
+  */
+class RangeDocSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-range"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = RangeDocSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RangeDocTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("splits", "8").toInt)
+}
+
+object RangeDocSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("val", LongType, nullable = false),
+    StructField("tag", StringType, nullable = false)))
+  /** Deterministic row content: pure integer functions of the id, so any
+    * engine (the DuckDB oracle uses `range()`) regenerates identical rows. */
+  def valOf(id: Long): Long = (id * 37) % 1000
+  def tagOf(id: Long): String = "t" + (id % 7)
+}
+
+final class RangeDocTable(rows: Long, splits: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_range($rows)"
+  override def schema(): StructType = RangeDocSource.Schema
+  override def capabilities(): util.Set[TableCapability] = Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RangeDocScanBuilder(rows, splits)
+}
+
+final class RangeDocScanBuilder(rows: Long, splits: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = RangeDocSource.Schema
+  private var idLo = 0L
+  private var idHi = rows - 1
+  private var pushed = Array.empty[Filter]
+
+  private def bound(f: Filter): Boolean = f match {
+    case GreaterThan("id", v: Number)        => idLo = math.max(idLo, v.longValue + 1); true
+    case GreaterThanOrEqual("id", v: Number) => idLo = math.max(idLo, v.longValue); true
+    case LessThan("id", v: Number)           => idHi = math.min(idHi, v.longValue - 1); true
+    case LessThanOrEqual("id", v: Number)    => idHi = math.min(idHi, v.longValue); true
+    case EqualTo("id", v: Number) =>
+      idLo = math.max(idLo, v.longValue); idHi = math.min(idHi, v.longValue); true
+    case _ => false
+  }
+
+  /** Absorb id-range conjuncts into the scan bounds; everything else is
+    * residual (Spark re-evaluates it above the scan). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (absorbed, residual) = filters.partition(bound)
+    pushed = absorbed
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new RangeDocScan(rows, splits, idLo, idHi, required)
+}
+
+final class RangeDocScan(rows: Long, splits: Int, idLo: Long, idHi: Long,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-range rows=$rows splits=$splits bounds=[$idLo,$idHi]"
+
+  /** Enumerate the full id space as `splits` contiguous ranges, then DROP
+    * splits wholly outside the pushed bounds (split pruning). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (idHi < idLo) return Array.empty
+    val per = math.max(1L, (rows + splits - 1) / splits)
+    (0 until splits).iterator
+      .map { i => (i * per, math.min((i + 1) * per - 1, rows - 1)) }
+      .filter { case (lo, hi) => lo <= hi && hi >= idLo && lo <= idHi }
+      .map { case (lo, hi) => RangeDocPartition(math.max(lo, idLo), math.min(hi, idHi)) }
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = RangeDocReaderFactory(required)
+}
+
+final case class RangeDocPartition(lo: Long, hi: Long) extends InputPartition
+
+final case class RangeDocReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rp = p.asInstanceOf[RangeDocPartition]
+    new PartitionReader[InternalRow] {
+      private var cur = rp.lo - 1
+      override def next(): Boolean = { cur += 1; cur <= rp.hi }
+      override def get(): InternalRow = InternalRow.fromSeq(schema.fieldNames.toSeq.map {
+        case "id"  => cur
+        case "val" => RangeDocSource.valOf(cur)
+        case "tag" => UTF8String.fromString(RangeDocSource.tagOf(cur))
+      })
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Registered query over the connector (independent of the driver's
+  * parquet tables — the oracle regenerates the rows with `range()`). */
+object CustomSource {
+  def pushdownQuery(spark: SparkSession): DataFrame =
+    spark.read.format("graft-range")
+      .option("rows", "10000").option("splits", "16").load()
+      .filter(col("id") >= 2000 && col("id") < 8000)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+
+  val pushdownQuerySql: String =
+    """SELECT 't' || (i % 7) AS tag, count(*) AS n,
+              CAST(sum((i * 37) % 1000) AS BIGINT) AS sum_val,
+              min(i) AS min_id, max(i) AS max_id
+       FROM range(2000, 8000) t(i) GROUP BY 1"""
+
+  val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("source_custom_pushdown", (s, _) => pushdownQuery(s), pushdownQuerySql))
+}
