@@ -146,6 +146,23 @@ object CustomSource {
               min(i) AS min_id, max(i) AS max_id
        FROM range(2000, 8000) t(i) GROUP BY 1"""
 
+  /** TableWrite through the graft-mem connector's atomic commit protocol:
+    * write a projection, read it back, digest — the connector-backed
+    * counterpart of the copy-on-write parquet table_write_* entries. */
+  def memWriteRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = graft.Tables(spark, sfDir)
+    t.nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.format("graft-mem").option("table", "nation_rt").mode("overwrite").save()
+    spark.read.format("graft-mem").option("table", "nation_rt").load()
+      .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("key_sum"),
+        min(col("n_name")).as("first_name"), max(col("n_regionkey")).as("max_region"))
+  }
+  val memWriteRoundtripSql: String =
+    """SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+              min(n_name) AS first_name, max(n_regionkey) AS max_region
+       FROM nation"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
-    ("source_custom_pushdown", (s, _) => pushdownQuery(s), pushdownQuerySql))
+    ("source_custom_pushdown", (s, _) => pushdownQuery(s), pushdownQuerySql),
+    ("table_write_connector", memWriteRoundtrip _, memWriteRoundtripSql))
 }

@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** In-memory DSv2 connector with the FULL batch-write commit protocol —
+  * the Spark rendering of the reference's write lifecycle
+  * (`ConnectorMetadata.h:569-627` createTable / beginWrite / finishWrite /
+  * abortWrite) and of its in-memory TestConnector
+  * (`axiom/connectors/tests/TestConnector.h`).
+  *
+  * Write protocol (the part worth demonstrating): every task's
+  * DataWriter buffers its rows and ships them to the driver as its
+  * commit message; nothing becomes visible until BatchWrite.commit
+  * installs ALL task outputs atomically. A failed/aborted job therefore
+  * leaves the table exactly as it was — the same all-or-nothing contract
+  * a production sink implements with staging files + a commit manifest
+  * instead of memory. Truncation (overwrite mode) happens inside commit,
+  * not before, so even overwrite is atomic.
+  */
+class MemSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-mem"
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val name = MemSource.tableName(options.asCaseSensitiveMap())
+    MemTables.schemaOf(name).getOrElse(
+      throw new IllegalArgumentException(s"graft-mem table '$name' does not exist"))
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new MemTable(MemSource.tableName(properties), schema)
+}
+
+object MemSource {
+  private[sources] def tableName(props: util.Map[String, String]): String = {
+    val n = props.get("table")
+    require(n != null && n.nonEmpty, "graft-mem requires option 'table'")
+    n
+  }
+}
+
+/** Driver-side catalog of in-memory tables (rows are UnsafeRow copies). */
+object MemTables {
+  private val tables = TrieMap.empty[String, (StructType, Vector[InternalRow])]
+  def schemaOf(name: String): Option[StructType] = tables.get(name).map(_._1)
+  def rowsOf(name: String): Vector[InternalRow] = tables.get(name).map(_._2).getOrElse(Vector.empty)
+  def install(name: String, schema: StructType, rows: Vector[InternalRow], truncate: Boolean): Unit =
+    tables.updateWith(name) {
+      case Some((s, old)) if !truncate => Some((s, old ++ rows))
+      case _ => Some((schema, rows))
+    }
+  def drop(name: String): Unit = tables.remove(name)
+}
+
+final class MemTable(name: String, schema0: StructType) extends Table
+    with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft_mem($name)"
+  override def schema(): StructType = MemTables.schemaOf(name).getOrElse(schema0)
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new MemScan(name, schema())
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new MemWriteBuilder(name, info.schema())
+}
+
+// ------------------------------------------------------------------ read
+final class MemScan(name: String, schema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MemPartition(MemTables.rowsOf(name)))
+  override def createReaderFactory(): PartitionReaderFactory = MemReaderFactory()
+}
+final case class MemPartition(rows: Vector[InternalRow]) extends InputPartition
+final case class MemReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val it = p.asInstanceOf[MemPartition].rows.iterator
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = { if (it.hasNext) { cur = it.next(); true } else false }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+// ----------------------------------------------------------------- write
+final class MemWriteBuilder(name: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new MemBatchWrite(name, schema, doTruncate)
+  }
+}
+
+/** Commit messages carry each task's buffered rows back to the driver;
+  * commit() is the single visibility point (finishWrite); abort() is a
+  * no-op because nothing escaped the tasks (abortWrite). */
+final case class MemCommit(rows: Array[InternalRow]) extends WriterCommitMessage
+
+final class MemBatchWrite(name: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    MemWriterFactory()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    MemTables.install(name, schema,
+      messages.iterator.flatMap(_.asInstanceOf[MemCommit].rows).toVector, truncate)
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class MemWriterFactory() extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = Vector.newBuilder[InternalRow]
+      override def write(row: InternalRow): Unit = buf += row.copy()
+      override def commit(): WriterCommitMessage = MemCommit(buf.result().toArray)
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
