@@ -163,6 +163,46 @@ object Ann {
               round(ce[1], 6) AS c1, round(ce[2], 6) AS c2
        FROM nc JOIN n ON nc.c_id = n.c_id"""
 
+  /** Full spherical k-means training: [[kmeansStep]]'s assign/mean cycle
+    * iterated with the same driver-loop pattern as Corpus.dedupClusterCC
+    * (per-round localCheckpoint, data-parallel rounds, driver sees only
+    * the scalar objective). Returns the per-iteration objective
+    * Σ cos(vector, assigned centroid) — for spherical k-means (cosine
+    * assignment + mean update) it is non-decreasing, which the test
+    * asserts. Clusters that empty drop out (documented; production
+    * reseeds them from the farthest vectors). */
+  def kmeansTrain(t: Tables, iters: Int = 4): Seq[Double] = {
+    NativeExprs.ensureRegistered(t.spark)
+    val base = t.embeddings
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+      .localCheckpoint(true)
+    var cents = base.filter(pmod(col("vec_id"), lit(31)) === 0)
+      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("norm").as("cnorm"))
+      .localCheckpoint(true)
+    val objs = Seq.newBuilder[Double]
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
+    for (_ <- 1 to iters) {
+      val assigned = base.crossJoin(broadcast(cents))
+        .withColumn("csim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
+        .withColumn("arank", row_number().over(wAssign))
+        .filter(col("arank") === 1)
+        .select(col("c_id"), col("e"), col("csim"))
+        .localCheckpoint(true)
+      objs += assigned.agg(sum(col("csim"))).head().getDouble(0)
+      cents = assigned
+        .select(col("c_id"), posexplode(col("e")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("c_id"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("ce"))
+        .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
+        .localCheckpoint(true)
+    }
+    objs.result()
+  }
+
   // ------------------------------------------- sign-LSH near-dup (exact)
   /** Embedding near-dup via random-hyperplane (sign) LSH — the 100 TB
     * scale path for cosine thresholds where dedup actually operates

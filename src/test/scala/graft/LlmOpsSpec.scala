@@ -41,6 +41,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall $recall%.3f below floor")
   }
 
+  test("spherical k-means training objective is monotone non-decreasing") {
+    val objs = Ann.kmeansTrain(tables, iters = 4)
+    info(s"objective per iteration: ${objs.map(o => f"$o%.4f").mkString(" -> ")}")
+    assert(objs.size == 4)
+    assert(objs.sliding(2).forall { case Seq(a, b) => b >= a - 1e-9 },
+      s"objective decreased: $objs")
+    assert(objs.last > objs.head - 1e-9)
+  }
+
   test("sign-LSH near-dup finds every planted pair (recall 1, precision 1)") {
     val n = tables.embeddings.count()
     val got = Ann.annSignLshNearDup(tables)
