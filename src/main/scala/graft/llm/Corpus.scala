@@ -201,16 +201,21 @@ object Corpus {
     * (= per shard): a single global ordering would serialize the scan at
     * 100 TB, while per-shard packing is embarrassingly parallel and is
     * what production packers do (pack within each input shard). */
-  def packSequences(t: Tables): DataFrame = {
+  /** Packing core over any (source, doc_id, n_tok) relation — separated
+    * so properties (token conservation, overflow spill, bin contiguity)
+    * are checkable on arbitrary generated corpora, not just the fixture. */
+  private[graft] def packBins(docs: DataFrame, ctx: Int): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-    t.documents
-      .select(col("source"), col("doc_id"), size(toks).as("n_tok"))
+    docs
       .withColumn("cum", sum(col("n_tok")).over(w))
-      .withColumn("bin", floor((col("cum") - col("n_tok")) / 2048.0))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / lit(ctx.toDouble)))
       .groupBy(col("source"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
       .select(col("source"), col("bin"), col("n_docs"), col("bin_tokens"))
   }
+
+  def packSequences(t: Tables): DataFrame =
+    packBins(t.documents.select(col("source"), col("doc_id"), size(toks).as("n_tok")), 2048)
   val packSequencesSql: String =
     """WITH s AS (
          SELECT source, doc_id,

@@ -51,6 +51,34 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("packing property: random corpora match a sequential reference packer") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // docs up to 5000 tokens: exercises the overflow case (a single doc
+    // larger than the 2048-token context) the fixture corpus never hits
+    val genDocs = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0, 5000)))
+    val prop = Prop.forAllNoShrink(genDocs) { raw =>
+      val docs = raw.zipWithIndex.map { case ((s, n), i) => (s"s$s", i.toLong, n.toLong) }
+      val got = graft.llm.Corpus.packBins(
+        docs.toDF("source", "doc_id", "n_tok"), 2048)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      // sequential reference: lay docs end to end per source in id order
+      val expected = docs.groupBy(_._1).flatMap { case (src, ds) =>
+        var cum = 0L
+        ds.sortBy(_._2).map { case (_, _, n) =>
+          val bin = cum / 2048; cum += n; (src, bin) -> n
+        }.groupBy(_._1).map { case (k, vs) =>
+          k -> (vs.size.toLong, vs.map(_._2).sum)
+        }
+      }
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("doc_chunk_sliding emits ceil(n_tok/32) chunks per doc, all 1..64 tokens") {
     val chunks = Corpus.docChunkSliding(tables)
     val perDoc = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
