@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -90,12 +90,41 @@ final class RangeDocScanBuilder(rows: Long, splits: Int) extends ScanBuilder
   override def build(): Scan = new RangeDocScan(rows, splits, idLo, idHi, required)
 }
 
-final class RangeDocScan(rows: Long, splits: Int, idLo: Long, idHi: Long,
-    required: StructType) extends Scan with Batch {
+final class RangeDocScan(rows: Long, splits: Int, idLo0: Long, idHi0: Long,
+    required: StructType) extends Scan with Batch with SupportsRuntimeFiltering {
+  private var idLo = idLo0
+  private var idHi = idHi0
+  // Runtime IN-set from a dynamic filter (null = none). Kept alongside the
+  // range bounds: bounds prune whole splits, the set prunes rows.
+  private var idSet: Set[Long] = null
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-range rows=$rows splits=$splits bounds=[$idLo,$idHi]"
+
+  /** Runtime (dynamic) filtering — the Spark-idiomatic analogue of the
+    * reference's index-lookup join (TableScan with lookupKeys,
+    * RelationOp.h:271-318): when this scan sits under a join, Spark ships
+    * the build side's observed id set here BEFORE planning input
+    * partitions, and splits outside the set's range are never started —
+    * point-lookup behavior from a plain scan + join plan. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) =>
+      val ids = vs.collect { case n: Number => n.longValue() }
+      if (ids.nonEmpty) {
+        idSet = if (idSet == null) ids.toSet else idSet intersect ids.toSet
+        idLo = math.max(idLo, ids.min)
+        idHi = math.min(idHi, ids.max)
+      }
+    case GreaterThan("id", v: Number)        => idLo = math.max(idLo, v.longValue + 1)
+    case GreaterThanOrEqual("id", v: Number) => idLo = math.max(idLo, v.longValue)
+    case LessThan("id", v: Number)           => idHi = math.min(idHi, v.longValue - 1)
+    case LessThanOrEqual("id", v: Number)    => idHi = math.min(idHi, v.longValue)
+    case _ => ()
+  }
 
   /** Enumerate the full id space as `splits` contiguous ranges, then DROP
     * splits wholly outside the pushed bounds (split pruning). */
@@ -105,20 +134,29 @@ final class RangeDocScan(rows: Long, splits: Int, idLo: Long, idHi: Long,
     (0 until splits).iterator
       .map { i => (i * per, math.min((i + 1) * per - 1, rows - 1)) }
       .filter { case (lo, hi) => lo <= hi && hi >= idLo && lo <= idHi }
-      .map { case (lo, hi) => RangeDocPartition(math.max(lo, idLo), math.min(hi, idHi)) }
+      .map { case (lo, hi) =>
+        RangeDocPartition(math.max(lo, idLo), math.min(hi, idHi), idSet) }
+      .filter(p => p.members == null || p.members.exists(i => i >= p.lo && i <= p.hi))
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = RangeDocReaderFactory(required)
 }
 
-final case class RangeDocPartition(lo: Long, hi: Long) extends InputPartition
+/** `members == null` means "all ids in [lo, hi]"; a non-null set narrows
+  * the range to its members (runtime point lookups). */
+final case class RangeDocPartition(lo: Long, hi: Long, members: Set[Long] = null)
+    extends InputPartition
 
 final case class RangeDocReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val rp = p.asInstanceOf[RangeDocPartition]
     new PartitionReader[InternalRow] {
       private var cur = rp.lo - 1
-      override def next(): Boolean = { cur += 1; cur <= rp.hi }
+      override def next(): Boolean = {
+        cur += 1
+        while (cur <= rp.hi && rp.members != null && !rp.members.contains(cur)) cur += 1
+        cur <= rp.hi
+      }
       override def get(): InternalRow = InternalRow.fromSeq(schema.fieldNames.toSeq.map {
         case "id"  => cur
         case "val" => RangeDocSource.valOf(cur)

@@ -49,6 +49,32 @@ class CustomSourceSpec extends SparkSpec {
     assert(rows == expected)
   }
 
+  test("runtime IN-filter narrows splits and rows (index-lookup analogue)") {
+    val scan = batchScan(read).scan.asInstanceOf[graft.sources.RangeDocScan]
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("id"))
+    // simulate the dynamic filter Spark ships from a join's build side
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array[Any](17L, 4242L, 9001L))))
+    val parts = scan.planInputPartitions().map(_.asInstanceOf[RangeDocPartition]).toSeq
+    // 16 splits of 625: ids 17, 4242, 9001 live in splits 0, 6, 14
+    assert(parts.length == 3, s"got $parts")
+    val factory = scan.createReaderFactory()
+    val delivered = parts.flatMap { p =>
+      val r = factory.createReader(p)
+      Iterator.continually(r).takeWhile(_.next()).map(_.get().getLong(0)).toList
+    }
+    assert(delivered.toSet == Set(17L, 4242L, 9001L), s"got $delivered")
+  }
+
+  test("join against a small id list is correct under runtime filtering") {
+    import spark.implicits._
+    val keys = Seq(5L, 625L, 1250L, 9999L).toDF("k")
+    val joined = read.join(keys, col("id") === col("k"))
+      .select(col("id"), col("val")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(joined == Set(5L, 625L, 1250L, 9999L).map(i => (i, (i * 37) % 1000)))
+  }
+
   test("registered pushdown query returns the oracle's aggregate") {
     val got = CustomSource.pushdownQuery(spark).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -30,6 +30,16 @@ class PrestoRewriterSpec extends SparkSpec {
     assert(math.abs(ad - exact).toDouble / exact < 0.1, s"approx=$ad exact=$exact")
   }
 
+  test("all 22 TPC-H SQL texts run through the Presto dialect entry unchanged") {
+    (queries.Tpch.all ++ queries.Tpch2.all).foreach { case (name, _, sqlText) =>
+      Catalog.registerAll(spark, sfDir)
+      val direct = spark.sql(sqlText).collect().map(_.mkString("|")).sorted.toSeq
+      val presto = PrestoRewriter.sql(spark, sfDir, sqlText)
+        .collect().map(_.mkString("|")).sorted.toSeq
+      assert(direct == presto, s"$name diverged under the Presto rewriter")
+    }
+  }
+
   test("presto q6 text equals DataFrame q6 result") {
     val presto = PrestoRewriter.sql(spark, sfDir, queries.Presto.q6Presto)
       .collect().map(_.mkString("|")).toSet
