@@ -144,6 +144,41 @@ object TextStats {
        FROM documents
        GROUP BY 1 HAVING count(DISTINCT source) >= 2"""
 
+  // --------------------------------------------- unigram LM quality score
+  /** Per-document average negative log-likelihood under the corpus's own
+    * unigram language model — the perplexity-proxy quality filter (docs
+    * full of corpus-rare tokens score high/implausible, boilerplate
+    * scores low). Two shuffles (term counts, per-doc score); the corpus
+    * total joins as a broadcast single row; the score is floor-quantized
+    * before comparison so both engines agree bit-for-bit.
+    *
+    * A real pipeline swaps the unigram model for an n-gram or neural
+    * scorer; the dataflow (corpus stats pass → broadcast → per-doc score
+    * pass) is identical at 100 TB. */
+  def unigramLogprob(t: Tables): DataFrame = {
+    val tk = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tk"))
+    val freq = tk.groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).cast("double").as("tot"))
+    tk.join(freq, "tk")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        floor(avg(-log(col("cnt").cast("double") / col("tot"))) * 10000).as("nll_q"))
+      .select(col("doc_id"), col("n_tok"), col("nll_q"))
+  }
+  val unigramLogprobSql: String =
+    """WITH tk AS (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk FROM documents
+       ), f AS (
+         SELECT tk, count(*) AS cnt FROM tk GROUP BY 1
+       ), tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM f)
+       SELECT doc_id, count(*) AS n_tok,
+              CAST(floor(avg(-ln(cnt / tot)) * 10000) AS BIGINT) AS nll_q
+       FROM tk JOIN f USING (tk) CROSS JOIN tot
+       GROUP BY doc_id"""
+
   // -------------------------------------------- intra-doc repetition removal
   /** Order-preserving token dedup WITHIN each document — the intra-doc
     * repetition-removal stage of a corpus build (the token-level analogue
@@ -215,5 +250,6 @@ object TextStats {
     ("text_fingerprint", fingerprint _, fingerprintSql),
     ("text_cross_source_leak", crossSourceLeak _, crossSourceLeakSql),
     ("text_dedup_tokens", dedupTokens _, dedupTokensSql),
+    ("text_unigram_logprob", unigramLogprob _, unigramLogprobSql),
     ("pipeline_corpus_build", corpusBuild _, corpusBuildSql))
 }

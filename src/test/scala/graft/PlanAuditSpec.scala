@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkSpec {
     "ann_ivf_fullprobe",      // same centroid-assignment product, all lists probed
     "emb_quantize_int8",
     "emb_kmeans_step",        // broadcast seeds × corpus assignment scan
-    "tfidf_top_terms")       // single-row doc-count broadcast join
+    "tfidf_top_terms",        // single-row doc-count broadcast join
+    "text_unigram_logprob")  // single-row corpus-total broadcast join
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans no unintended cartesian") {
