@@ -141,6 +141,63 @@ object Corpus {
        SELECT c.id AS doc_id, c.component, cs.cluster_n
        FROM comp c JOIN cs ON cs.component = c.component"""
 
+  /** Canonical-doc selection per near-dup CLUSTER: composes the CC
+    * labeling with the keep-best policy (highest distinct-token ratio,
+    * id tie-break) — the final "which copy survives" decision of a dedup
+    * pipeline, made per transitive group rather than per pair. */
+  def dedupClusterKeepBest(t: Tables): DataFrame = {
+    val scored = t.documents
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"),
+        (size(array_distinct(col("w"))).cast("double") / size(col("w"))).as("quality"))
+    dedupClusterCC(t).join(scored, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("component")).orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("doc_id").as("canonical_id"),
+        round(col("quality"), 4).as("quality"), col("cluster_n"))
+  }
+  val dedupClusterKeepBestSql: String =
+    """WITH RECURSIVE toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+       ), sh AS (
+         SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w)-1)]) AS shingles
+         FROM toks WHERE len(w) >= 3
+       ), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       ),
+       pj AS (
+         SELECT doc_a, doc_b
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+       ),
+       edges AS (SELECT doc_a AS a, doc_b AS b FROM pj
+                 UNION SELECT doc_b, doc_a FROM pj),
+       reach AS (
+         SELECT DISTINCT a AS id, a AS r FROM edges
+         UNION
+         SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r
+       ),
+       comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       cs AS (SELECT component, count(*) AS cluster_n FROM comp GROUP BY component),
+       q AS (SELECT doc_id, len(list_distinct(w)) * 1.0 / len(w) AS quality FROM toks)
+       SELECT component, doc_id AS canonical_id, round(quality, 4) AS quality, cluster_n
+       FROM (SELECT c.id AS doc_id, c.component, cs.cluster_n, q.quality,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY q.quality DESC, c.id) AS rk
+             FROM comp c
+             JOIN cs ON cs.component = c.component
+             JOIN q ON q.doc_id = c.id) s
+       WHERE rk = 1"""
+
   // -------------------------------------------------- deterministic sample
   /** Stratified downsampling with a DETERMINISTIC content hash — the
     * corpus-mixing stage (e.g. upsample wiki, downsample crawl). Every
@@ -254,6 +311,61 @@ object Corpus {
               w[strt + 1] AS head_tok
        FROM st"""
 
+  // ----------------------------------------------- end-to-end shard build
+  /** The capstone composition a training-data pipeline ships nightly:
+    * quality filter → exact dedup (keep min id) → deterministic 50%
+    * stratified sample → 2048-token context packing per source →
+    * Hive-partitioned shard write → per-source shard stats read back
+    * from the materialized output (so the digest verifies the WRITTEN
+    * data, not the plan). One declarative plan plus one partitioned
+    * write; every stage is an operator proven green on its own above. */
+  def shardBuild(t: Tables): DataFrame = {
+    val b1 = expr("instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1")
+    val b2 = expr("instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1")
+    val kept = t.documents.filter(length(col("text")) >= 50 &&
+      size(array_distinct(toks)).cast("double") / size(toks) >= 0.2)
+    val deduped = kept
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    val sampled = deduped.filter((b1 * 16 + b2) < 128)
+    val packed = sampled
+      .select(col("source"), col("doc_id"), size(toks).as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / 2048.0))
+      .select(col("source"), col("doc_id"), col("n_tok"), col("bin"))
+    val dir = "/root/repo/target/corpus/shards"
+    packed.write.mode("overwrite").partitionBy("source").parquet(dir)
+    t.spark.read.parquet(dir)
+      .groupBy(col("source"))
+      .agg(countDistinct(col("bin")).as("n_bins"), count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"))
+  }
+  val shardBuildSql: String =
+    """WITH kept AS (
+         SELECT * FROM documents
+         WHERE length(text) >= 50
+           AND len(list_distinct(string_split_regex(trim(text), '\s+'))) * 1.0
+               / len(string_split_regex(trim(text), '\s+')) >= 0.2
+       ), ded AS (
+         SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY text
+                          ORDER BY doc_id) AS rn FROM kept) s WHERE rn = 1
+       ), samp AS (
+         SELECT * FROM ded
+         WHERE (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+               + instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1 < 128
+       ), pk AS (
+         SELECT source, doc_id,
+                len(string_split_regex(trim(text), '\s+')) AS n_tok,
+                sum(len(string_split_regex(trim(text), '\s+'))) OVER (
+                  PARTITION BY source ORDER BY doc_id) AS cum
+         FROM samp)
+       SELECT source,
+              count(DISTINCT CAST(floor((cum - n_tok) / 2048.0) AS BIGINT)) AS n_bins,
+              count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       FROM pk GROUP BY 1"""
+
   // -------------------------------------------------------------- TF-IDF
   /** Top-3 TF-IDF terms per document (smooth idf = ln((1+N)/(1+df))+1,
     * sklearn convention). Scores are floor-quantized to 1e-4 BEFORE
@@ -326,10 +438,12 @@ object Corpus {
 
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("dedup_cluster_cc", dedupClusterCC _, dedupClusterCCSql),
+    ("dedup_cluster_keep_best", dedupClusterKeepBest _, dedupClusterKeepBestSql),
     ("sample_stratified", sampleStratified _, sampleStratifiedSql),
     ("sample_reservoir", sampleReservoir _, sampleReservoirSql),
     ("pack_sequences", packSequences _, packSequencesSql),
     ("doc_chunk_sliding", docChunkSliding _, docChunkSlidingSql),
+    ("pipeline_shard_build", shardBuild _, shardBuildSql),
     ("tfidf_top_terms", tfidfTopTerms _, tfidfTopTermsSql),
     ("ngram_top_bigrams", ngramTopBigrams _, ngramTopBigramsSql))
 }
