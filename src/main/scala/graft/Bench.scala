@@ -33,10 +33,31 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the last ~2000 chars of output, so the
+    // stdout JSON line must stay compact: the 22 TPC-H DataFrame queries
+    // individually (BASELINE.md's headline table) plus per-family group
+    // totals for everything else. The full per-query map goes to a file.
+    def fmt(v: Double) = f"$v%.3f"
+    val fullJson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullPath = java.nio.file.Paths.get("target/bench_full.json")
+    java.nio.file.Files.createDirectories(fullPath.getParent)
+    java.nio.file.Files.write(fullPath,
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullJson,"sf":"$sfDir"}"""
+        .getBytes("UTF-8"))
+    System.err.println(s"[bench] full per-query timings -> $fullPath")
+    val headline = results.filter { case (n, _) => n.matches("tpch_q\\d+") }
+    val groups = results
+      .filterNot { case (n, _) => n.matches("tpch_q\\d+") }
+      .groupBy { case (n, _) =>
+        if (n.matches("tpch_q\\d+_sql")) "tpch_sql" else n.takeWhile(_ != '_')
+      }
+      .map { case (g, rs) => s"grp_$g" -> rs.map(_._2).sum }
+    val compact = (headline ++ groups).sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
