@@ -89,12 +89,19 @@ object Corpus {
     val result = comp.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("component"), col("cluster_n"))
       .localCheckpoint(true)
-    // Release this query's intermediate checkpoints: the loop parks one
-    // cached block set per round in the block manager, and in a long
-    // batch session (Bench runs 140+ queries in one JVM) that residue
-    // degrades later queries. The result's own checkpoint — the newest
-    // persisted RDD — stays; nothing persisted by other queries is
-    // touched (ids snapshotted on entry).
+    releaseLoopCheckpoints(sc, persistedBefore)
+    result
+  }
+
+  /** Release a query's intermediate loop checkpoints: each round parks one
+    * cached block set in the block manager, and in a long batch session
+    * (Bench runs 140+ queries in one JVM) that residue degrades later
+    * queries. The result's own checkpoint — the newest persisted RDD —
+    * stays; nothing persisted by other queries is touched (ids
+    * snapshotted on entry).
+    */
+  private def releaseLoopCheckpoints(sc: org.apache.spark.SparkContext,
+                                     persistedBefore: scala.collection.Set[Int]): Unit = {
     val persistedNow = sc.getPersistentRDDs
     val created = persistedNow.keySet -- persistedBefore
     if (created.nonEmpty) {
@@ -102,6 +109,90 @@ object Corpus {
       created.filter(_ != keep).foreach(id =>
         persistedNow.get(id).foreach(_.unpersist(blocking = false)))
     }
+  }
+
+  /** Alternating large-star / small-star connected components (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14): same
+    * labeling semantics as the hash-min loop in [[dedupClusterCC]], but
+    * path lengths halve every round, so convergence is O(log diameter)
+    * rounds instead of O(diameter) — the variant to reach for when
+    * near-dup chains are adversarially long (boilerplate families,
+    * templated pages chained by overlapping shingles).
+    *
+    * The edge list is kept directed high→low (`a > b`). One round is two
+    * passes, each a single join + groupBy over the edges — nothing ever
+    * needs the graph centralized:
+    *  - large-star: every neighbor v > u is re-attached to u's minimum
+    *    neighbor (over the symmetric view);
+    *  - small-star: every neighbor v < u, and u itself, is attached to
+    *    u's overall minimum.
+    * At the fixpoint the edge list IS the labeling: every non-root node
+    * carries exactly one edge to its component's minimum id. Convergence
+    * is detected by a (count, xor-of-hashes) set signature — two scans,
+    * no driver-side edge materialization (bit_xor, unlike sum, cannot
+    * overflow under ANSI mode).
+    *
+    * Returns (labels `(id, comp)`, rounds run).
+    */
+  private[graft] def connectedComponentsStar(pairs: DataFrame): (DataFrame, Int) = {
+    var edges = pairs.toDF("pa", "pb")
+      .select(greatest(col("pa"), col("pb")).as("a"), least(col("pa"), col("pb")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var curSig = signature(edges)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 30) {
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val largeMin = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(largeMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      val smallMin = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val withM = ls.join(smallMin, "a")
+      val ss = withM.select(col("b").as("x"), col("m"))
+        .union(smallMin.select(col("a").as("x"), col("m")))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("a"), col("m").as("b"))
+        .distinct()
+        .localCheckpoint(true)
+      val nextSig = signature(ss)
+      converged = nextSig == curSig
+      curSig = nextSig
+      edges = ss
+      rounds += 1
+    }
+    val comp = edges.select(col("a").as("id"), col("b").as("comp"))
+      .union(edges.select(col("b").as("id"), col("b").as("comp")))
+      .distinct()
+    (comp, rounds)
+  }
+
+  /** [[dedupClusterCC]]'s output computed by [[connectedComponentsStar]]:
+    * identical (doc_id, component, cluster_n) contract and oracle, O(log
+    * diameter) rounds. */
+  def dedupClusterCCStar(t: Tables): DataFrame = {
+    val sc = t.spark.sparkContext
+    val persistedBefore = sc.getPersistentRDDs.keySet
+    val pairs = Dedup.neardupMinhash(t).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val (comp, _) = connectedComponentsStar(pairs)
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_n"))
+    val result = comp.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("component"), col("cluster_n"))
+      .localCheckpoint(true)
+    releaseLoopCheckpoints(sc, persistedBefore)
     result
   }
 
@@ -438,6 +529,7 @@ object Corpus {
 
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("dedup_cluster_cc", dedupClusterCC _, dedupClusterCCSql),
+    ("dedup_cluster_cc_star", dedupClusterCCStar _, dedupClusterCCSql),
     ("dedup_cluster_keep_best", dedupClusterKeepBest _, dedupClusterKeepBestSql),
     ("sample_stratified", sampleStratified _, sampleStratifiedSql),
     ("sample_reservoir", sampleReservoir _, sampleReservoirSql),

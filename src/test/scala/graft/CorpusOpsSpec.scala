@@ -29,6 +29,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("large-star/small-star CC agrees with hash-min CC on the fixture graph") {
+    val hashMin = Corpus.dedupClusterCC(tables)
+      .select("doc_id", "component", "cluster_n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val star = Corpus.dedupClusterCCStar(tables)
+      .select("doc_id", "component", "cluster_n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(star == hashMin)
+  }
+
+  test("star CC labels an adversarial 256-diameter path in O(log d) rounds") {
+    import spark.implicits._
+    // Path 0-1-2-…-256: hash-min label propagation needs 256 rounds here;
+    // the alternating star rewrite must collapse it in ≤ ~2·log2(256).
+    val path = (0L until 256L).map(i => (i, i + 1)).toDF("pa", "pb")
+    val (comp, rounds) = Corpus.connectedComponentsStar(path)
+    val labels = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 257)
+    assert(labels.values.forall(_ == 0L), "all nodes must label to the path minimum")
+    assert(rounds <= 16, s"expected O(log d) convergence, took $rounds rounds")
+  }
+
+  test("star CC separates disjoint cliques and survives an empty edge list") {
+    import spark.implicits._
+    val cliqueA = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val cliqueB = for (i <- 10L to 12L; j <- (i + 1) to 12L) yield (i, j)
+    val (comp, _) = Corpus.connectedComponentsStar((cliqueA ++ cliqueB).toDF("pa", "pb"))
+    val labels = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(labels(_) == 0L) && (10L to 12L).forall(labels(_) == 10L))
+    val (empty, _) = Corpus.connectedComponentsStar(Seq.empty[(Long, Long)].toDF("pa", "pb"))
+    assert(empty.count() == 0)
+  }
+
   test("cluster components are closed: both endpoints of every edge share a label") {
     val cc = Corpus.dedupClusterCC(tables).select("doc_id", "component")
     val e = Dedup.neardupMinhash(tables).select("doc_a", "doc_b")
