@@ -164,6 +164,18 @@ class FunctionParitySpec extends SparkSpec {
     assert(r.getLong(0) == 3L && r.getDouble(1) == -3.7 && r.getLong(2) == 30L)
   }
 
+  test("every registry row maps to a resolvable Spark function") {
+    // A rename that points at a nonexistent (or typo'd) Spark name would
+    // otherwise surface only when a query first uses it. PrestoCompat's
+    // injected functions (hamming_distance, truncate, date_parse, …) are
+    // registered by the session extensions, so one resolvability rule
+    // covers builtins and injections alike.
+    val unresolvable = Registry.fns.values.map(_.sparkName).toSet
+      .filterNot(n => spark.catalog.functionExists(n))
+    assert(unresolvable.isEmpty,
+      s"registry rows with no resolvable Spark function: ${unresolvable.toSeq.sorted.mkString(", ")}")
+  }
+
   test("aggregate metadata covers the Presto aggregate surface") {
     Seq("sum", "avg", "min", "max", "count", "stddev", "corr",
       "approx_distinct", "approx_percentile", "arbitrary", "array_agg")

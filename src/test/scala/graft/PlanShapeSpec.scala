@@ -93,4 +93,40 @@ class PlanShapeSpec extends SparkSpec {
     val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse(fail("no scan"))
     assert(!read.contains("text"), s"payload/text not pruned: $read")
   }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // At 100 TB the fact side of a selective join must not ship rows the
+    // build side will discard: Spark's InjectRuntimeFilter plants a
+    // bloom-filter semi-filter (might_contain over a bloom_filter_agg
+    // scalar subquery) on the probe side. The thresholds exist for tiny
+    // local data, so lower them to make the local plan show the 100 TB
+    // shape; broadcast is disabled because a broadcast join already
+    // prunes at the build site.
+    import org.apache.spark.sql.functions.col
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val selective = tables.orders.filter(col("o_totalprice") > 400000.0)
+      val joined = tables.lineitem
+        .join(selective, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("o_totalprice"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no bloom runtime filter injected:\n${optimized.take(800)}")
+      // and the filtered plan returns exactly the un-tricked rows
+      val expected = {
+        confs.keys.foreach(k => saved(k).fold(spark.conf.unset(k))(spark.conf.set(k, _)))
+        joined.count()
+      }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      assert(joined.count() == expected)
+    } finally {
+      confs.keys.foreach(k => saved(k).fold(spark.conf.unset(k))(spark.conf.set(k, _)))
+    }
+  }
 }
