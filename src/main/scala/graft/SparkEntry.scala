@@ -34,6 +34,7 @@ object SparkEntry {
       Corpus.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       Multimodal.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       graft.sources.Formats.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
+      graft.sources.ZOrder.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       graft.sources.CustomSource.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,78 @@
+package graft
+
+import graft.sources.ZOrder
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: the point of Morton clustering is that every file's
+  * bounding box is tight in BOTH dimensions, so min/max stats can prune
+  * on either column. These tests measure that property directly on the
+  * written files — the honest stand-in for a file-stats catalog. */
+class ZOrderSpec extends SparkSpec {
+
+  private val zDir = "/root/repo/target/zorder-spec/z"
+  private val aDir = "/root/repo/target/zorder-spec/asort"
+
+  /** Per-file [min, max] of both dims, normalized to [0, 1] spans. */
+  private def fileBoxes(dir: String): Seq[(Double, Double, Double, Double)] = {
+    val full = spark.read.parquet(dir)
+    val g = full.agg(
+      min("o_custkey").cast("double"), max("o_custkey").cast("double"),
+      min("o_totalprice").cast("double"), max("o_totalprice").cast("double")).head()
+    val (aLo, aHi, bLo, bHi) = (g.getDouble(0), g.getDouble(1), g.getDouble(2), g.getDouble(3))
+    full.groupBy(input_file_name())
+      .agg(
+        min("o_custkey").cast("double"), max("o_custkey").cast("double"),
+        min("o_totalprice").cast("double"), max("o_totalprice").cast("double"))
+      .collect()
+      .map { r =>
+        ((r.getDouble(1) - aLo) / (aHi - aLo), (r.getDouble(2) - aLo) / (aHi - aLo),
+          (r.getDouble(3) - bLo) / (bHi - bLo), (r.getDouble(4) - bLo) / (bHi - bLo))
+      }
+      .toSeq
+  }
+
+  private lazy val written: Unit = {
+    val df = tables.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    ZOrder.zorderWrite(df, "o_custkey", "o_totalprice", zDir, nFiles = 16)
+    df.repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+      .write.mode("overwrite").parquet(aDir)
+  }
+
+  test("per-file extent of the NON-leading dimension is bounded (vs full-range under single-column sort)") {
+    written
+    val zSpanB = fileBoxes(zDir).map { case (_, _, bMin, bMax) => bMax - bMin }
+    val aSpanB = fileBoxes(aDir).map { case (_, _, bMin, bMax) => bMax - bMin }
+    val (zAvg, aAvg) = (zSpanB.sum / zSpanB.size, aSpanB.sum / aSpanB.size)
+    // Single-column sort leaves each file spanning ~the whole price range;
+    // 16 z-files split a 2-D space into ~4×4 tiles, so ~1/4 span per dim.
+    assert(aAvg > 0.9, f"control layout unexpectedly clustered: avg price span $aAvg%.2f")
+    assert(zAvg < aAvg / 2, f"z-order span $zAvg%.2f not < half of $aAvg%.2f")
+  }
+
+  test("a selective predicate on the non-leading dimension intersects fewer file boxes") {
+    written
+    // File-stats pruning keeps a file only if its box intersects the
+    // predicate range — count survivors for o_totalprice in a 10% band.
+    def survivors(dir: String): Int =
+      fileBoxes(dir).count { case (_, _, bMin, bMax) => bMax >= 0.45 && bMin <= 0.55 }
+    val (zs, as) = (survivors(zDir), survivors(aDir))
+    assert(as >= 14, s"single-col sort should keep nearly all 16 files, kept $as")
+    assert(zs <= as / 2, s"z-order kept $zs of 16 files, not < half of $as")
+  }
+
+  test("z-order relayout is lossless: row set identical to the source") {
+    written
+    val src = tables.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    assert(spark.read.parquet(zDir).except(src).count() == 0)
+    assert(src.except(spark.read.parquet(zDir)).count() == 0)
+  }
+
+  test("morton interleave places bit i of x at 2i and of y at 2i+1") {
+    import spark.implicits._
+    val df = Seq((5L, 3L)).toDF("x", "y") // x=101, y=011 -> z = 011011 + x bit2 at 4 -> 0b011011=27? compute below
+    val z = df.select(ZOrder.interleave(col("x"), col("y"))).head().getLong(0)
+    // x bits: 1@0, 0@1, 1@2 -> z bits 1@0, 1@4; y bits: 1@0, 1@1 -> z bits 1@1, 1@3
+    assert(z == ((1L << 0) | (1L << 4) | (1L << 1) | (1L << 3)))
+  }
+}
