@@ -129,7 +129,10 @@ object Registry {
     // (double('Infinity')) — not name-mappable, so not registry entries
     // (the SQL rewriter must never substitute a non-identifier).
     val aggs = Seq("sum", "avg", "min", "max", "count", "stddev", "variance",
-      "corr", "covar_samp", "covar_pop", "skewness", "kurtosis")
+      "corr", "covar_samp", "covar_pop", "skewness", "kurtosis",
+      "min_by", "max_by", "bool_and", "bool_or", "count_if",
+      "regr_slope", "regr_intercept", "regr_r2", "regr_count",
+      "regr_avgx", "regr_avgy")
       .map(n => n -> FnMeta(n, isAggregate = true))
     val scalars = Seq("abs", "round", "floor", "ceil", "sqrt", "exp", "length",
       "lower", "upper", "trim", "ltrim", "rtrim", "substr", "concat", "replace",

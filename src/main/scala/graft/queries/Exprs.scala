@@ -79,6 +79,63 @@ object Exprs {
        var_pop(l_quantity) AS q_varp
        FROM lineitem GROUP BY l_returnflag"""
 
+  /** Argument-selector and boolean aggregates: min_by/max_by (reference
+    * FunctionRegistry surfaces them as Presto min_by/max_by), bool_and /
+    * bool_or, and a conditional count. The min_by/max_by ORDERING value
+    * is the unique (l_orderkey, l_linenumber) key so both engines pick
+    * the same row — selector aggregates on non-unique orderings are
+    * nondeterministic in ANY engine and can't be oracle-checked. */
+  def aggArgminmax(t: Tables): DataFrame =
+    t.lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        min_by(col("l_extendedprice"), col("l_orderkey") * 8 + col("l_linenumber")).as("first_price"),
+        max_by(col("l_extendedprice"), col("l_orderkey") * 8 + col("l_linenumber")).as("last_price"),
+        bool_and(col("l_quantity") < 55).as("all_small"),
+        bool_or(col("l_discount") > 0.05).as("any_disc"),
+        count_if(col("l_tax") > 0.04).as("n_taxed"))
+  val aggArgminmaxSql =
+    """SELECT l_returnflag,
+       min_by(l_extendedprice, l_orderkey * 8 + l_linenumber) AS first_price,
+       max_by(l_extendedprice, l_orderkey * 8 + l_linenumber) AS last_price,
+       bool_and(l_quantity < 55) AS all_small,
+       bool_or(l_discount > 0.05) AS any_disc,
+       CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxed
+       FROM lineitem GROUP BY l_returnflag"""
+
+  /** Deterministic string aggregation: collect_set → sort_array →
+    * array_join pins an order, unlike raw listagg/string_agg whose
+    * output order is input-order-dependent in both engines. */
+  def aggCollectStr(t: Tables): DataFrame =
+    t.orders.groupBy(col("o_orderstatus"))
+      .agg(
+        array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("prios"),
+        count(lit(1)).as("n"))
+  val aggCollectStrSql =
+    """SELECT o_orderstatus,
+       array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS prios,
+       count(*) AS n
+       FROM orders GROUP BY o_orderstatus"""
+
+  /** Linear-regression aggregate family (regr_*): both engines compute
+    * one-pass stable co-moments, so raw doubles agree within the
+    * driver's rtol like [[aggMoments]]. */
+  def aggRegression(t: Tables): DataFrame =
+    t.lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("slope"),
+        regr_intercept(col("l_extendedprice"), col("l_quantity")).as("icept"),
+        regr_r2(col("l_extendedprice"), col("l_quantity")).as("r2"),
+        regr_avgx(col("l_extendedprice"), col("l_quantity")).as("avgx"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+  val aggRegressionSql =
+    """SELECT l_returnflag,
+       regr_slope(l_extendedprice, l_quantity) AS slope,
+       regr_intercept(l_extendedprice, l_quantity) AS icept,
+       regr_r2(l_extendedprice, l_quantity) AS r2,
+       regr_avgx(l_extendedprice, l_quantity) AS avgx,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+       FROM lineitem GROUP BY l_returnflag"""
+
   /** Exact ordered-statistic aggregates: interpolated percentiles
     * (Spark `percentile` ≙ DuckDB `quantile_cont`, both linear
     * interpolation on the sorted values) — the exact tier under
@@ -420,6 +477,9 @@ object Exprs {
     ("window_dist", windowDist _, windowDistSql),
     ("agg_moments", aggMoments _, aggMomentsSql),
     ("agg_percentiles", aggPercentiles _, aggPercentilesSql),
+    ("agg_argminmax", aggArgminmax _, aggArgminmaxSql),
+    ("agg_collect_str", aggCollectStr _, aggCollectStrSql),
+    ("agg_regression", aggRegression _, aggRegressionSql),
     ("window_rows_frame", windowRowsFrame _, windowRowsFrameSql),
     ("window_range_frame", windowRangeFrame _, windowRangeFrameSql),
     ("window_groups_frame", windowGroupsFrame _, windowGroupsFrameSql),
