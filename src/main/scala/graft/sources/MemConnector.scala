@@ -6,6 +6,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{streaming => wstream}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -58,7 +59,22 @@ object MemTables {
       case Some((s, old)) if !truncate => Some((s, old ++ rows))
       case _ => Some((schema, rows))
     }
-  def drop(name: String): Unit = tables.remove(name)
+  def drop(name: String): Unit = { tables.remove(name); epochs.remove(name); () }
+
+  /** Committed epoch ids per table — the idempotence ledger for the
+    * streaming sink. */
+  private val epochs = TrieMap.empty[String, Set[Long]]
+  def committedEpochs(name: String): Set[Long] = epochs.getOrElse(name, Set.empty)
+  def installEpoch(name: String, schema: StructType, epochId: Long,
+      rows: Vector[InternalRow]): Unit = synchronized {
+    if (!committedEpochs(name).contains(epochId)) {
+      install(name, schema, rows, truncate = false)
+      epochs.updateWith(name) {
+        case Some(done) => Some(done + epochId)
+        case None => Some(Set(epochId))
+      }
+    }
+  }
 }
 
 final class MemTable(name: String, schema0: StructType) extends Table
@@ -67,7 +83,7 @@ final class MemTable(name: String, schema0: StructType) extends Table
   override def schema(): StructType = MemTables.schemaOf(name).getOrElse(schema0)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -106,6 +122,8 @@ final class MemWriteBuilder(name: String, schema: StructType)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new MemBatchWrite(name, schema, doTruncate)
+    override def toStreaming: wstream.StreamingWrite =
+      new MemStreamingWrite(name, schema)
   }
 }
 
@@ -133,4 +151,30 @@ final case class MemWriterFactory() extends DataWriterFactory {
       override def abort(): Unit = ()
       override def close(): Unit = ()
     }
+}
+
+// ------------------------------------------------------------- streaming
+/** Micro-batch streaming sink: same task-buffered commit messages as the
+  * batch path, committed once PER EPOCH. Exactly-once under replay comes
+  * from epoch idempotence — after a failure the engine re-runs the last
+  * uncommitted batch and re-delivers its commit, so `commit(epochId)`
+  * must install a given epoch at most once ([[MemTables.installEpoch]]
+  * records committed epoch ids per table and drops re-deliveries). This
+  * is the in-memory twin of the transactional-sink pattern (epoch id
+  * stored with the data, writes conditional on it). */
+final class MemStreamingWrite(name: String, schema: StructType)
+    extends wstream.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): wstream.StreamingDataWriterFactory =
+    MemStreamingWriterFactory()
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    MemTables.installEpoch(name, schema, epochId,
+      messages.iterator.flatMap(_.asInstanceOf[MemCommit].rows).toVector)
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class MemStreamingWriterFactory() extends wstream.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    MemWriterFactory().createWriter(partitionId, taskId)
 }

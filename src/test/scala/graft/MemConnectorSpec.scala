@@ -44,6 +44,44 @@ class MemConnectorSpec extends SparkSpec {
     assert(mem("t_fail").count() == 5)
   }
 
+  test("streaming write: micro-batch epochs land exactly-once end to end") {
+    MemTables.drop("t_stream")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Long]
+    val dir = java.nio.file.Files.createTempDirectory("graft-mem-ckpt").toString
+    val q = in.toDF().withColumnRenamed("value", "id")
+      .writeStream.format("graft-mem")
+      .option("table", "t_stream")
+      .option("checkpointLocation", dir)
+      .start()
+    try {
+      in.addData(0L until 10L: _*); q.processAllAvailable()
+      assert(mem("t_stream").count() == 10)
+      in.addData(10L until 25L: _*); q.processAllAvailable()
+      val got = mem("t_stream").collect().map(_.getLong(0)).toSet
+      assert(got == (0L until 25L).toSet)
+      assert(MemTables.committedEpochs("t_stream").size >= 2)
+    } finally q.stop()
+  }
+
+  test("streaming commit is idempotent under epoch re-delivery (failure replay)") {
+    MemTables.drop("t_replay")
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val sw = new graft.sources.MemStreamingWrite("t_replay", schema)
+    val msg = graft.sources.MemCommit(Array(InternalRow(1L), InternalRow(2L)))
+    sw.commit(7L, Array(msg))
+    // after a failure the engine re-runs the batch and re-delivers epoch 7
+    sw.commit(7L, Array(msg))
+    assert(MemTables.rowsOf("t_replay").size == 2, "epoch 7 must install at most once")
+    sw.commit(8L, Array(msg))
+    assert(MemTables.rowsOf("t_replay").size == 4)
+    assert(MemTables.committedEpochs("t_replay") == Set(7L, 8L))
+  }
+
   test("reading a missing table fails with a clear error") {
     val e = intercept[Exception] {
       spark.read.format("graft-mem").option("table", "nope_missing").load()
