@@ -83,6 +83,45 @@ object ZOrder {
     """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
        count(DISTINCT o_custkey) AS n_cust FROM orders"""
 
+  /** Per-file min/max of `c` — the manifest a production writer records
+    * at write time (Iceberg/Delta-style); recomputed here with one
+    * group-by on input_file_name since local parquet has no stats
+    * catalog. Pruning = keep files whose [lo, hi] intersects the
+    * predicate range. */
+  private[graft] def fileStats(df: DataFrame, c: String): Array[(String, Double, Double)] =
+    df.groupBy(input_file_name().as("f"))
+      .agg(min(col(c)).cast("double").as("lo"), max(col(c)).cast("double").as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+
+  /** Stats-pruned read over the z-ordered layout: a band predicate on the
+    * NON-leading layout column skips every file whose bounding box misses
+    * the band (possible only because z-order bounded that column per
+    * file), then the exact residual filter runs on the survivors — sound
+    * regardless of pruning, fast because of it. */
+  def zorderPrunedRead(t: Tables): DataFrame = {
+    val dir = s"$base/orders_zorder"
+    zorderWrite(
+      t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "o_custkey", "o_totalprice", dir, nFiles = 16)
+    val (pLo, pHi) = (100000.0, 150000.0)
+    val keep = fileStats(t.spark.read.parquet(dir), "o_totalprice")
+      .collect { case (f, lo, hi) if hi >= pLo && lo <= pHi => f }
+    require(keep.nonEmpty, "band predicate pruned every file — widen the band")
+    t.spark.read.parquet(keep: _*)
+      .filter(col("o_totalprice").between(pLo, pHi))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+  }
+
+  val zorderPrunedReadSql: String =
+    """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
+       count(DISTINCT o_custkey) AS n_cust FROM orders
+       WHERE o_totalprice BETWEEN 100000 AND 150000"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
-    ("layout_zorder", zorderRoundtrip _, zorderRoundtripSql))
+    ("layout_zorder", zorderRoundtrip _, zorderRoundtripSql),
+    ("layout_zorder_pruned_read", zorderPrunedRead _, zorderPrunedReadSql))
 }

@@ -68,6 +68,22 @@ class ZOrderSpec extends SparkSpec {
     assert(src.except(spark.read.parquet(zDir)).count() == 0)
   }
 
+  test("stats-pruned read skips files yet returns the exact filtered result") {
+    val pruned = ZOrder.zorderPrunedRead(tables)
+    val expected = tables.orders
+      .filter(col("o_totalprice").between(100000.0, 150000.0))
+      .agg(count(lit(1)), round(sum(col("o_totalprice")), 2),
+        countDistinct(col("o_custkey"))).head()
+    val got = pruned.head()
+    assert((got.getLong(0), got.getDouble(1), got.getLong(2)) ==
+      (expected.getLong(0), expected.getDouble(1), expected.getLong(2)))
+    // and the plan genuinely reads fewer than the 16 written files
+    val survivors = ZOrder.fileStats(
+      spark.read.parquet("/root/repo/target/zorder/orders_zorder"), "o_totalprice")
+      .count { case (_, lo, hi) => hi >= 100000.0 && lo <= 150000.0 }
+    assert(survivors < 16, s"band predicate should skip files, kept $survivors/16")
+  }
+
   test("morton interleave places bit i of x at 2i and of y at 2i+1") {
     import spark.implicits._
     val df = Seq((5L, 3L)).toDF("x", "y") // x=101, y=011 -> z = 011011 + x bit2 at 4 -> 0b011011=27? compute below
