@@ -243,7 +243,52 @@ object TextStats {
               count(DISTINCT source) AS n_sources
        FROM deduped"""
 
+  // -------------------------------------------------------- repetition
+  /** Gopher-style repetition signals: fraction of tokens taken by the
+    * single most frequent word, and fraction of duplicated bigrams
+    * (1 - distinct/total). Both shapes are explode → groupBy keyed by
+    * doc_id, so at 100 TB every shuffle is per-document local work with
+    * map-side partial aggregation — no corpus-wide state. */
+  def repetition(t: Tables): DataFrame = {
+    val toks = t.documents.select(col("doc_id"),
+      posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+    val wordStats = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_cnt"), sum("c").as("n_tok"))
+    val bigrams = toks
+      .withColumn("nxt",
+        lead("tok", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .where(col("nxt").isNotNull)
+      .select(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("bg"))
+    val bgStats = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_bg"), sum("c").as("n_bg"))
+    wordStats.join(bgStats, Seq("doc_id"))
+      .select(col("doc_id"),
+        round(col("top_cnt") / col("n_tok"), 4).as("top_word_frac"),
+        round(lit(1.0) - col("n_distinct_bg") / col("n_bg"), 4)
+          .as("dup_bigram_frac"))
+  }
+  val repetitionSql: String =
+    """WITH tk AS (
+         SELECT doc_id,
+                unnest(string_split_regex(trim(text), '\s+')) AS tok,
+                generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+         FROM documents),
+       wc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+       ws AS (SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_tok FROM wc GROUP BY 1),
+       nx AS (SELECT doc_id, tok,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+              FROM tk),
+       bgr AS (SELECT doc_id, tok || ' ' || nxt AS bg FROM nx WHERE nxt IS NOT NULL),
+       bc AS (SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY 1, 2),
+       bs AS (SELECT doc_id, count(*) AS n_distinct_bg, sum(c) AS n_bg FROM bc GROUP BY 1)
+       SELECT ws.doc_id,
+              round(top_cnt * 1.0 / n_tok, 4) AS top_word_frac,
+              round(1.0 - n_distinct_bg * 1.0 / n_bg, 4) AS dup_bigram_frac
+       FROM ws JOIN bs ON ws.doc_id = bs.doc_id"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
+    ("text_repetition", repetition _, repetitionSql),
     ("text_token_stats", tokenStats _, tokenStatsSql),
     ("text_quality", quality _, qualitySql),
     ("text_langid", langId _, langIdSql),
