@@ -152,7 +152,12 @@ object PrestoCompat {
     "bitwise_and" -> { es: Seq[Expression] => BitwiseAnd(es(0), es(1)) },
     "bitwise_or" -> { es: Seq[Expression] => BitwiseOr(es(0), es(1)) },
     "bitwise_xor" -> { es: Seq[Expression] => BitwiseXor(es(0), es(1)) },
-    "bitwise_not" -> { es: Seq[Expression] => BitwiseNot(es(0)) })
+    "bitwise_not" -> { es: Seq[Expression] => BitwiseNot(es(0)) },
+    // Presto TRY(expr) special form (reference axiom/sql/presto/ast/
+    // AstFunctions.h:190; Expr.h:292-299 — null on runtime failure of the
+    // child). Lowered by the dialect parser onto Catalyst's codegen'd
+    // TryEval, the same kernel behind Spark's try_add/try_divide.
+    "graft_try" -> { es: Seq[Expression] => TryEval(es.head) })
 
   val identifiers: Seq[FunctionIdentifier] =
     builders.map { case (n, _) => FunctionIdentifier(n) }

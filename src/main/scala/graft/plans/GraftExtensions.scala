@@ -96,6 +96,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator extension (custom-operator ladder rung (c)): the
     // native merge as-of join's logical node needs its planner strategy.
     ext.injectPlannerStrategy(_ => new graft.operators.NativeAsOfJoin.AsOfJoinStrategy)
+    // Presto SQL front door (reference axiom/sql/presto): a dialect
+    // parser gated on graft.sql.dialect=presto, delegating to Spark's
+    // parser after PrestoDialect lowering. See graft.sql.PrestoParser.
+    ext.injectParser((session, delegate) => new graft.sql.PrestoParser(session, delegate))
     // Presto functions with no honest Spark rename (SURVEY §2.5):
     // session-wide so Registry.call and Presto-dialect SQL both resolve.
     graft.functions.PrestoCompat.builders.foreach { case (name, builder) =>

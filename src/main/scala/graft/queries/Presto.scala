@@ -94,13 +94,128 @@ object Presto {
          CAST(levenshtein(substr(text, 1, 12), substr(text, 3, 12)) AS BIGINT) AS ld
        FROM documents WHERE length(text) >= 16 AND doc_id < 200"""
 
+  // ------------------------------------------------------------------
+  // Round-6 parser-breadth entries: constructs Spark's grammar does NOT
+  // share, lowered structurally by the injected PrestoParser/
+  // PrestoDialect (reference: axiom/sql/presto/ast/AstBuilder.cpp).
+
+  /** FROM-clause UNNEST WITH ORDINALITY (AstBuilder.cpp UNNEST relation).
+    * Ordinality is 1-based BIGINT, as in Presto. */
+  val unnestFromPresto: String =
+    """SELECT doc_id, tok, ord
+       FROM documents CROSS JOIN UNNEST(split(trim(text), ' ')) WITH ORDINALITY AS u(tok, ord)
+       WHERE doc_id < 40"""
+  val unnestFromOracle: String =
+    """SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok,
+         unnest(generate_series(1, len(string_split(trim(text), ' ')))) AS ord
+       FROM documents WHERE doc_id < 40"""
+
+  /** Multi-collection UNNEST: Presto zips collections of unequal length
+    * null-padded — same contract as DuckDB's zipped unnest()s. */
+  val unnestMultiPresto: String =
+    """SELECT doc_id, w, x
+       FROM documents CROSS JOIN UNNEST(split(trim(text), ' '), slice(split(trim(text), ' '), 2, 3)) AS u(w, x)
+       WHERE doc_id < 30"""
+  val unnestMultiOracle: String =
+    """SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w,
+         unnest(string_split(trim(text), ' ')[2:4]) AS x
+       FROM documents WHERE doc_id < 30"""
+
+  /** TRY(expr) special form (AstFunctions.h:190; Expr.h:292-299): null on
+    * runtime failure — bad cast, numeric overflow — per row. */
+  val tryPresto: String =
+    """SELECT o_orderkey,
+         TRY(CAST(substr(o_orderpriority, 1, 1) AS INTEGER)) AS maybe_int,
+         TRY(CAST(substr(o_orderpriority, 3, 3) AS INTEGER)) AS bad_int,
+         TRY(CAST(o_orderkey AS TINYINT)) AS small_key
+       FROM orders WHERE o_orderkey < 400"""
+  val tryOracle: String =
+    """SELECT o_orderkey,
+         TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS maybe_int,
+         TRY_CAST(substr(o_orderpriority, 3, 3) AS INTEGER) AS bad_int,
+         TRY_CAST(o_orderkey AS TINYINT) AS small_key
+       FROM orders WHERE o_orderkey < 400"""
+
+  /** ARRAY[..] / ROW(..) constructors + ROW type syntax in CAST
+    * (AstFunctions.h:279,396). The array column is compared as its
+    * canonical string form; row fields are projected out through the
+    * Presto `CAST(.. AS ROW(..)).field` dereference. */
+  val rowArrayPresto: String =
+    """SELECT o_orderkey,
+         CAST(ARRAY[o_orderkey, o_custkey, 7] AS VARCHAR) AS arr_str,
+         CAST(ROW(o_orderkey, round(o_totalprice, 2)) AS ROW(k BIGINT, v DOUBLE)).v AS rv,
+         element_at(ARRAY[o_orderkey, o_custkey], 2) AS second_elem
+       FROM orders WHERE o_orderkey < 200"""
+  val rowArrayOracle: String =
+    """SELECT o_orderkey,
+         CAST([o_orderkey, o_custkey, 7] AS VARCHAR) AS arr_str,
+         round(o_totalprice, 2) AS rv,
+         [o_orderkey, o_custkey][2] AS second_elem
+       FROM orders WHERE o_orderkey < 200"""
+
+  /** AT TIME ZONE (AstFunctions.h:355): the wall-clock in the target zone
+    * of the same instant. Session zone is UTC on both engines; the DuckDB
+    * twin is the double application naive→instant→target-zone naive. */
+  val atTimezonePresto: String =
+    """SELECT o_orderkey,
+         o_orderdate AT TIME ZONE 'America/New_York' AS ny_wallclock,
+         hour(o_orderdate AT TIME ZONE 'Asia/Tokyo') AS tokyo_hour
+       FROM orders WHERE o_orderkey < 300"""
+  val atTimezoneOracle: String =
+    """SELECT o_orderkey,
+         (o_orderdate AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS ny_wallclock,
+         hour((o_orderdate AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo') AS tokyo_hour
+       FROM orders WHERE o_orderkey < 300"""
+
   private def run(presto: String)(s: SparkSession, d: String): DataFrame =
     PrestoRewriter.sql(s, d, presto)
+
+  /** Presto INSERT INTO lowered onto the DSv2 write lifecycle: CREATE via
+    * MemCatalog.createTable, INSERT through MemTable's all-or-nothing
+    * BatchWrite, result read back from the committed table
+    * (AstStatements.h:44-721 Insert; ConnectorMetadata.h:569-627). */
+  def insertSelect(s: SparkSession, d: String): DataFrame = {
+    PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS graft_mem.default.presto_sink")
+    PrestoRewriter.sql(s, d,
+      "CREATE TABLE graft_mem.default.presto_sink (o_orderpriority VARCHAR, n BIGINT, total DOUBLE)")
+    PrestoRewriter.sql(s, d,
+      """INSERT INTO graft_mem.default.presto_sink
+         SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders WHERE o_orderkey < 2000 GROUP BY o_orderpriority""")
+    s.table("graft_mem.default.presto_sink")
+  }
+  val insertSelectOracle: String =
+    """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders WHERE o_orderkey < 2000 GROUP BY o_orderpriority"""
+
+  /** Presto CTAS (CreateTableAsSelect) with dialect constructs in the
+    * SELECT — catalog createTable + write in one statement. */
+  def ctas(s: SparkSession, d: String): DataFrame = {
+    PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS graft_mem.default.presto_ctas")
+    PrestoRewriter.sql(s, d,
+      """CREATE TABLE graft_mem.default.presto_ctas AS
+         SELECT o_orderpriority,
+           CAST(cardinality(ARRAY[o_orderkey, o_custkey]) AS BIGINT) AS two,
+           TRY(CAST(substr(o_orderpriority, 3, 1) AS INTEGER)) AS lead_digit
+         FROM orders WHERE o_orderkey < 500""")
+    s.table("graft_mem.default.presto_ctas")
+  }
+  val ctasOracle: String =
+    """SELECT o_orderpriority, CAST(2 AS BIGINT) AS two,
+         TRY_CAST(substr(o_orderpriority, 3, 1) AS INTEGER) AS lead_digit
+       FROM orders WHERE o_orderkey < 500"""
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
     ("presto_q6", run(q6Presto) _, q6Oracle),
     ("presto_datetime", run(datetimePresto) _, datetimeOracle),
-    ("presto_strings", run(stringsPresto) _, stringsOracle))
+    ("presto_strings", run(stringsPresto) _, stringsOracle),
+    ("presto_unnest_from", run(unnestFromPresto) _, unnestFromOracle),
+    ("presto_unnest_multi", run(unnestMultiPresto) _, unnestMultiOracle),
+    ("presto_try", run(tryPresto) _, tryOracle),
+    ("presto_row_array", run(rowArrayPresto) _, rowArrayOracle),
+    ("presto_at_timezone", run(atTimezonePresto) _, atTimezoneOracle),
+    ("presto_insert_select", insertSelect _, insertSelectOracle),
+    ("presto_ctas", ctas _, ctasOracle))
 }

@@ -1,0 +1,97 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** TableCatalog over [[MemTables]] — the SQL-statement entry to the
+  * in-memory connector's write lifecycle. With
+  * `spark.sql.catalog.graft_mem = graft.sources.MemCatalog`, the
+  * statements the reference lowers through its AST
+  * (axiom/sql/presto/ast/AstStatements.h:44-721 Insert/CreateTableAsSelect;
+  * ConnectorMetadata.h:569-627 createTable/beginWrite/finishWrite) run as
+  * plain SQL here: `CREATE TABLE graft_mem.ns.t ...`, `INSERT INTO
+  * graft_mem.ns.t SELECT ...`, `CREATE TABLE graft_mem.ns.t AS SELECT
+  * ...` — Catalyst plans them onto [[MemTable]]'s DSv2 BatchWrite, whose
+  * commit protocol stays all-or-nothing (MemConnectorSpec).
+  *
+  * Tables are keyed by the dotted identifier; namespaces are implicit
+  * (any single-level namespace works, "default" by convention) — the
+  * in-memory store has no hierarchy worth modeling.
+  */
+class MemCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = "graft_mem"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  private def key(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val prefix = if (namespace.isEmpty) "" else namespace.mkString(".") + "."
+    MemTables.names.filter(_.startsWith(prefix))
+      .map(n => Identifier.of(namespace, n.stripPrefix(prefix))).toArray
+  }
+
+  private def parts(ident: Identifier): Seq[String] =
+    (ident.namespace() :+ ident.name()).toSeq
+
+  override def loadTable(ident: Identifier): Table =
+    MemTables.schemaOf(key(ident)) match {
+      case Some(s) => new MemTable(key(ident), s)
+      case None => throw new NoSuchTableException(parts(ident))
+    }
+
+  override def tableExists(ident: Identifier): Boolean =
+    MemTables.exists(key(ident))
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(parts(ident))
+    val schema = org.apache.spark.sql.graft.Shim.v2ColumnsToStructType(info.columns())
+    MemTables.create(key(ident), schema)
+    new MemTable(key(ident), schema)
+  }
+
+  // Older entry points chain to the TableInfo one by default; kept
+  // explicit so direct callers (tests) hit the same path.
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    createTable(ident, new TableInfo.Builder()
+      .withColumns(org.apache.spark.sql.graft.Shim.structTypeToV2Columns(schema))
+      .withPartitions(partitions).withProperties(properties).build())
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft_mem: ALTER TABLE not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val existed = tableExists(ident)
+    MemTables.drop(key(ident))
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft_mem: RENAME TABLE not supported")
+
+  // ------------------------------------------------- namespaces (flat)
+  override def listNamespaces(): Array[Array[String]] = Array(Array("default"))
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else throw new NoSuchNamespaceException(namespace)
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length <= 1
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = ()
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft_mem: ALTER NAMESPACE not supported")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = false
+}

@@ -54,6 +54,12 @@ object MemTables {
   private val tables = TrieMap.empty[String, (StructType, Vector[InternalRow])]
   def schemaOf(name: String): Option[StructType] = tables.get(name).map(_._1)
   def rowsOf(name: String): Vector[InternalRow] = tables.get(name).map(_._2).getOrElse(Vector.empty)
+  def names: Seq[String] = tables.keys.toSeq
+  /** DDL create: install an empty table with this schema (createTable in
+    * the reference's ConnectorMetadata.h:569 lifecycle). */
+  def create(name: String, schema: StructType): Unit =
+    tables.put(name, (schema, Vector.empty))
+  def exists(name: String): Boolean = tables.contains(name)
   def install(name: String, schema: StructType, rows: Vector[InternalRow], truncate: Boolean): Unit =
     tables.updateWith(name) {
       case Some((s, old)) if !truncate => Some((s, old ++ rows))

@@ -1,0 +1,583 @@
+package graft.sql
+
+import scala.collection.mutable
+
+/** Structural Presto → Spark SQL lowering — the grammar-aware half of the
+  * Presto front door (the function-NAME half stays in [[PrestoRewriter]]).
+  *
+  * The reference parses Presto SQL with a full ANTLR grammar and lowers
+  * the AST onto its logical plan (axiom/sql/presto/grammar/PrestoSql.g4;
+  * axiom/sql/presto/ast/AstBuilder.cpp). Spark already owns a complete
+  * SQL grammar, so the Spark-first rendering is a DIALECT FRONT END:
+  * tokenize the Presto text, lower the constructs Spark's grammar does
+  * not share onto equivalent Spark constructs, and delegate the rest of
+  * parsing/analysis to Catalyst via the injected [[PrestoParser]]. This
+  * is a real tokenizer + bracket-matched, scope-tracked transforms — not
+  * regex — so string literals, nesting, and subqueries are handled.
+  *
+  * Lowerings (reference files cited per pass):
+  *  - `CROSS JOIN UNNEST(e1..en) [WITH ORDINALITY] [AS] a(c1..cm)` and
+  *    `LEFT JOIN UNNEST(..) ON TRUE` → `LATERAL VIEW [OUTER]` over
+  *    explode/inline (AstBuilder.cpp UNNEST relation; Spark's UNNEST
+  *    grammar gap). Ordinality is 1-based BIGINT like Presto's.
+  *  - `TRY(expr)` → `graft_try(expr)` = Catalyst TryEval (AstFunctions.h:190).
+  *  - `ARRAY[..]` → `array(..)` (AstFunctions.h:279 arrayConstructor).
+  *  - `ROW(..)` value constructor → `struct(..)`; `CAST(x AS ROW(f T,..))`
+  *    type syntax → `STRUCT<f: T,..>` incl. nested ARRAY(T)/MAP(K,V)
+  *    (AstFunctions.h:396 rowConstructor; Presto type grammar).
+  *  - `x AT TIME ZONE 'z'` → `convert_timezone('UTC', 'z',
+  *    cast(x as timestamp_ntz))` (AstFunctions.h:355) — session zone is
+  *    UTC, so the NTZ wall-clock in 'z' of the same instant, which is
+  *    exactly what Presto renders for timestamp-with-timezone.
+  *  - bare `VARCHAR`/`REAL`/`JSON` type words → `STRING`/`FLOAT`/`STRING`.
+  */
+object PrestoDialect {
+
+  // ------------------------------------------------------------ tokenizer
+  sealed trait Tok { def text: String }
+  final case class Word(text: String) extends Tok { val lower: String = text.toLowerCase }
+  final case class Quoted(text: String) extends Tok // "ident" or `ident`, quotes kept
+  final case class Str(text: String) extends Tok    // 'literal', quotes kept
+  final case class Num(text: String) extends Tok
+  final case class Sym(text: String) extends Tok
+  final case class Space(text: String) extends Tok
+
+  private val twoCharOps = Set("||", "<=", ">=", "<>", "!=", "->", "=>")
+
+  def tokenize(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c.isWhitespace) {
+        val s = i; while (i < n && sql.charAt(i).isWhitespace) i += 1
+        out += Space(sql.substring(s, i))
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1
+        out += Space(" ")
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        i += 2; while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, n)
+        out += Space(" ")
+      } else if (c == '\'') {
+        val s = i; i += 1
+        var done = false
+        while (i < n && !done) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < n && sql.charAt(i + 1) == '\'') i += 2 else { i += 1; done = true }
+          } else i += 1
+        }
+        out += Str(sql.substring(s, i))
+      } else if (c == '"' || c == '`') {
+        val s = i; i += 1
+        while (i < n && sql.charAt(i) != c) i += 1
+        i = math.min(i + 1, n)
+        out += Quoted(sql.substring(s, i))
+      } else if (c.isDigit) {
+        val s = i
+        while (i < n && (sql.charAt(i).isDigit || sql.charAt(i) == '.')) i += 1
+        if (i < n && (sql.charAt(i) == 'e' || sql.charAt(i) == 'E')) {
+          val save = i
+          i += 1
+          if (i < n && (sql.charAt(i) == '+' || sql.charAt(i) == '-')) i += 1
+          if (i < n && sql.charAt(i).isDigit) { while (i < n && sql.charAt(i).isDigit) i += 1 }
+          else i = save
+        }
+        out += Num(sql.substring(s, i))
+      } else if (c.isLetter || c == '_') {
+        val s = i
+        while (i < n && (sql.charAt(i).isLetterOrDigit || sql.charAt(i) == '_' || sql.charAt(i) == '$')) i += 1
+        out += Word(sql.substring(s, i))
+      } else {
+        if (i + 1 < n && twoCharOps(sql.substring(i, i + 2))) {
+          out += Sym(sql.substring(i, i + 2)); i += 2
+        } else { out += Sym(c.toString); i += 1 }
+      }
+    }
+    out.result()
+  }
+
+  def render(toks: Seq[Tok]): String = toks.map(_.text).mkString
+
+  // --------------------------------------------------------- tok helpers
+  private def isSpace(t: Tok) = t.isInstanceOf[Space]
+  private def nextM(toks: Vector[Tok], i: Int): Int = {
+    var j = i + 1; while (j < toks.length && isSpace(toks(j))) j += 1
+    if (j < toks.length) j else -1
+  }
+  private def prevM(toks: Vector[Tok], i: Int): Int = {
+    var j = i - 1; while (j >= 0 && isSpace(toks(j))) j -= 1
+    j
+  }
+  private def wordAt(toks: Vector[Tok], i: Int): String = toks.lift(i) match {
+    case Some(w: Word) => w.lower
+    case _ => ""
+  }
+  private def isOpen(t: Tok) = t == Sym("(") || t == Sym("[")
+  private def isClose(t: Tok) = t == Sym(")") || t == Sym("]")
+
+  /** Index of the bracket matching the opener at i (forward). -1 if none. */
+  private def matchFwd(toks: Vector[Tok], i: Int): Int = {
+    var depth = 0; var j = i
+    while (j < toks.length) {
+      if (isOpen(toks(j))) depth += 1
+      else if (isClose(toks(j))) { depth -= 1; if (depth == 0) return j }
+      j += 1
+    }
+    -1
+  }
+
+  /** Index of the bracket matching the closer at i (backward). -1 if none. */
+  private def matchBwd(toks: Vector[Tok], i: Int): Int = {
+    var depth = 0; var j = i
+    while (j >= 0) {
+      if (isClose(toks(j))) depth += 1
+      else if (isOpen(toks(j))) { depth -= 1; if (depth == 0) return j }
+      j -= 1
+    }
+    -1
+  }
+
+  /** Bracket depth just before each token. */
+  private def depths(toks: Vector[Tok]): Array[Int] = {
+    val d = new Array[Int](toks.length + 1)
+    var cur = 0
+    var i = 0
+    while (i < toks.length) {
+      d(i) = cur
+      if (isOpen(toks(i))) cur += 1 else if (isClose(toks(i))) cur -= 1
+      i += 1
+    }
+    d(toks.length) = cur
+    d
+  }
+
+  /** Split a token slice on top-level commas. */
+  private def splitTop(ts: Vector[Tok]): Vector[Vector[Tok]] = {
+    val out = Vector.newBuilder[Vector[Tok]]
+    var depth = 0
+    var cur = Vector.newBuilder[Tok]
+    ts.foreach { t =>
+      if (isOpen(t)) depth += 1
+      else if (isClose(t)) depth -= 1
+      if (t == Sym(",") && depth == 0) { out += cur.result(); cur = Vector.newBuilder[Tok] }
+      else cur += t
+    }
+    val last = cur.result()
+    if (last.exists(!isSpace(_))) out += last
+    out.result()
+  }
+
+  // ------------------------------------------------- pass: UNNEST joins
+  private val clauseKw = Set("where", "group", "having", "window", "order",
+    "limit", "offset", "union", "intersect", "except", "qualify", "fetch")
+  private val aliasStop = clauseKw ++ Set("on", "cross", "left", "right",
+    "full", "inner", "outer", "join", "as", "with", "lateral", "natural", "using")
+
+  private final case class UnnestSpec(start: Int, end: Int, depth: Int,
+    outer: Boolean, exprs: Vector[String], cols: Vector[String],
+    alias: String, ordinality: Boolean)
+
+  /** `CROSS JOIN UNNEST(..)` / `LEFT JOIN UNNEST(..) ON TRUE` → Spark
+    * `LATERAL VIEW [OUTER]` appended at the end of the FROM clause of the
+    * same scope. Single array/map without ordinality lowers to `explode`;
+    * the general case (multi-array zip, ordinality) lowers to
+    * `inline(slice(transform(sequence(..)..)..))` with Presto's
+    * null-padding and 1-based BIGINT ordinality. */
+  private[sql] def rewriteUnnestJoins(toks: Vector[Tok]): Vector[Tok] = {
+    val dep = depths(toks)
+    val specs = mutable.ArrayBuffer.empty[UnnestSpec]
+    var i = 0
+    var uid = 0
+    while (i < toks.length) {
+      if (wordAt(toks, i) == "unnest" && wordAt(toks, prevM(toks, i)) == "join") {
+        val joinIdx = prevM(toks, i)
+        // collect join-type words going back: CROSS | LEFT [OUTER] | INNER
+        var start = joinIdx
+        var kws = Set.empty[String]
+        var p = prevM(toks, joinIdx)
+        while (p >= 0 && Set("cross", "left", "inner", "outer")(wordAt(toks, p))) {
+          kws += wordAt(toks, p); start = p; p = prevM(toks, p)
+        }
+        val unsupported = Set("right", "full")(wordAt(toks, p))
+        val open = nextM(toks, i)
+        if (!unsupported && open >= 0 && toks(open) == Sym("(")) {
+          val close = matchFwd(toks, open)
+          if (close >= 0) {
+            val exprs = splitTop(toks.slice(open + 1, close)).map(render(_).trim)
+            var k = nextM(toks, close)
+            var ordinality = false
+            if (wordAt(toks, k) == "with" && wordAt(toks, nextM(toks, k)) == "ordinality") {
+              ordinality = true; k = nextM(toks, nextM(toks, k))
+            }
+            if (wordAt(toks, k) == "as") k = nextM(toks, k)
+            var alias = ""
+            var cols = Vector.empty[String]
+            toks.lift(k) match {
+              case Some(w: Word) if !aliasStop(w.lower) =>
+                alias = w.text; k = nextM(toks, k)
+              case Some(q: Quoted) =>
+                alias = q.text.substring(1, q.text.length - 1); k = nextM(toks, k)
+              case _ =>
+            }
+            if (k >= 0 && toks(k) == Sym("(")) {
+              val cClose = matchFwd(toks, k)
+              cols = splitTop(toks.slice(k + 1, cClose)).map(render(_).trim).map {
+                c => if (c.startsWith("\"")) c.substring(1, c.length - 1) else c
+              }
+              k = nextM(toks, cClose)
+            }
+            val outer = kws("left")
+            // LEFT JOIN UNNEST must close with ON TRUE (Presto grammar).
+            var ok = true
+            var end = if (k >= 0) k else toks.length
+            if (outer) {
+              if (wordAt(toks, k) == "on" && wordAt(toks, nextM(toks, k)) == "true")
+                end = nextM(toks, k) + 1
+              else ok = false
+            } else if (wordAt(toks, k) == "on") {
+              // CROSS JOIN has no ON; an ON here means something we don't model
+              ok = false
+            }
+            if (ok) {
+              uid += 1
+              if (alias.isEmpty) alias = s"__graft_u$uid"
+              if (cols.isEmpty)
+                cols = if (exprs.length == 1 && !ordinality) Vector("col")
+                       else (1 to exprs.length).map(x => s"c$x").toVector ++
+                            (if (ordinality) Vector("ordinality") else Vector.empty)
+              specs += UnnestSpec(start, end, dep(start), outer, exprs, cols, alias, ordinality)
+              i = end - 1
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    if (specs.isEmpty) return toks
+
+    // Insertion point per spec: first clause keyword (or scope close, or
+    // end of stream) at the spec's own depth, scanning right of the span.
+    val inserts = mutable.Map.empty[Int, mutable.ArrayBuffer[String]]
+    specs.foreach { sp =>
+      var j = sp.end
+      var at = toks.length
+      var found = false
+      while (j < toks.length && !found) {
+        if (dep(j) < sp.depth) { at = j; found = true }
+        else if (dep(j) == sp.depth && clauseKw(wordAt(toks, j))) { at = j; found = true }
+        else j += 1
+      }
+      if (!found) at = toks.length
+      inserts.getOrElseUpdate(at, mutable.ArrayBuffer.empty) += renderLateral(sp)
+    }
+    val removed = specs.map(sp => (sp.start, sp.end)).toVector
+    def inRemoved(idx: Int) = removed.exists { case (s, e) => idx >= s && idx < e }
+    val out = Vector.newBuilder[Tok]
+    for (idx <- 0 to toks.length) {
+      inserts.get(idx).foreach(_.foreach { lv =>
+        out += Space(" "); out ++= tokenize(lv); out += Space(" ")
+      })
+      if (idx < toks.length && !inRemoved(idx)) out += toks(idx)
+    }
+    out.result()
+  }
+
+  private def renderLateral(sp: UnnestSpec): String = {
+    val outer = if (sp.outer) "OUTER " else ""
+    if (sp.exprs.length == 1 && !sp.ordinality) {
+      // explode covers both arrays (1 col) and maps (2 cols: key, value)
+      s"LATERAL VIEW ${outer}EXPLODE(${sp.exprs.head}) ${sp.alias} AS ${sp.cols.mkString(", ")}"
+    } else {
+      val dataCols = if (sp.ordinality) sp.cols.dropRight(1) else sp.cols
+      require(dataCols.length == sp.exprs.length,
+        s"UNNEST arity: ${sp.exprs.length} collections but ${dataCols.length} column aliases")
+      val sizes = sp.exprs.map(e => s"coalesce(size($e), 0)")
+      val m = if (sizes.length == 1) sizes.head else s"greatest(${sizes.mkString(", ")})"
+      val fields = dataCols.zip(sp.exprs).map { case (c, e) =>
+        s"try_element_at($e, __gi + 1) AS $c"
+      } ++ (if (sp.ordinality) Vector(s"CAST(__gi + 1 AS BIGINT) AS ${sp.cols.last}") else Vector.empty)
+      // slice(.., 1, m) keeps the guard element count honest when every
+      // collection is empty/null (sequence(0, -1) would count DOWN).
+      val arr = s"slice(transform(sequence(0, greatest($m, 1) - 1), " +
+        s"__gi -> struct(${fields.mkString(", ")})), 1, $m)"
+      s"LATERAL VIEW ${outer}INLINE($arr) ${sp.alias}"
+    }
+  }
+
+  // ---------------------------------------------- pass: CAST type syntax
+  /** Presto type text → Spark type text: ROW(f T,..) → STRUCT<f: T,..>,
+    * ARRAY(T) → ARRAY<T>, MAP(K,V) → MAP<K,V>, bare VARCHAR/JSON → STRING,
+    * REAL → FLOAT. Applies inside CAST/TRY_CAST(.. AS <type>). */
+  private[sql] def rewriteCastTypes(toks: Vector[Tok]): Vector[Tok] = {
+    val edits = mutable.ArrayBuffer.empty[(Int, Int, String)] // [from, until) -> text
+    var i = 0
+    while (i < toks.length) {
+      val w = wordAt(toks, i)
+      if ((w == "cast" || w == "try_cast") && toks.lift(nextM(toks, i)).contains(Sym("("))) {
+        val open = nextM(toks, i)
+        val close = matchFwd(toks, open)
+        if (close >= 0) {
+          // the top-level AS inside these parens
+          var depth = 0
+          var asIdx = -1
+          var j = open + 1
+          while (j < close) {
+            if (isOpen(toks(j))) depth += 1
+            else if (isClose(toks(j))) depth -= 1
+            else if (depth == 0 && wordAt(toks, j) == "as") asIdx = j
+            j += 1
+          }
+          if (asIdx >= 0)
+            typeToSpark(toks.slice(asIdx + 1, close)).foreach { t =>
+              edits += ((asIdx + 1, close, " " + t))
+            }
+        }
+      }
+      i += 1
+    }
+    applyEdits(toks, edits.toVector)
+  }
+
+  /** Some((sparkTypeText)) when the slice parses as a Presto type; None
+    * leaves the text untouched (already-Spark types pass through). */
+  private[sql] def typeToSpark(ts: Vector[Tok]): Option[String] = {
+    val ms = ts.filterNot(isSpace)
+    var pos = 0
+    def peek: Tok = if (pos < ms.length) ms(pos) else Sym("")
+    def peekWord: String = peek match { case w: Word => w.lower; case _ => "" }
+    def take(): Tok = { val t = peek; pos += 1; t }
+    def expect(s: String): Boolean = if (peek == Sym(s)) { pos += 1; true } else false
+    def parseType(): Option[String] = peekWord match {
+      case "row" =>
+        take()
+        if (!expect("(")) return None
+        val fields = mutable.ArrayBuffer.empty[String]
+        var ok = true
+        var done = false
+        while (ok && !done) {
+          val name = take() match {
+            case w: Word => w.text
+            case q: Quoted => "`" + q.text.substring(1, q.text.length - 1) + "`"
+            case _ => ok = false; ""
+          }
+          if (ok) parseType() match {
+            case Some(t) => fields += s"$name: $t"
+            case None => ok = false
+          }
+          if (ok) {
+            if (expect(",")) ()
+            else if (expect(")")) done = true
+            else ok = false
+          }
+        }
+        if (ok) Some(s"STRUCT<${fields.mkString(", ")}>") else None
+      case "array" =>
+        take()
+        if (!expect("(")) return None
+        parseType().filter(_ => expect(")")).map(t => s"ARRAY<$t>")
+      case "map" =>
+        take()
+        if (!expect("(")) return None
+        for {
+          k <- parseType()
+          if expect(",")
+          v <- parseType()
+          if expect(")")
+        } yield s"MAP<$k, $v>"
+      case "varchar" | "char" =>
+        val kw = take().text.toUpperCase
+        if (peek == Sym("(")) { // length-parameterized: Spark accepts as-is
+          pos += 1; val l = take().text; if (!expect(")")) return None
+          Some(s"$kw($l)")
+        } else Some("STRING")
+      case "json" => take(); Some("STRING")
+      case "real" => take(); Some("FLOAT")
+      case "double" =>
+        take()
+        if (peekWord == "precision") take()
+        Some("DOUBLE")
+      case "" => None
+      case _ =>
+        // simple word type, possibly multi-word (e.g. TIMESTAMP WITH TIME
+        // ZONE → TIMESTAMP; the session zone is the rendering zone).
+        val first = take().text
+        if (first.toLowerCase == "timestamp" && peekWord == "with") {
+          take(); if (peekWord == "time") take(); if (peekWord == "zone") take()
+          Some("TIMESTAMP")
+        } else if (peek == Sym("(")) { // decimal(p, s) etc.
+          val open = pos
+          pos += 1
+          val inner = mutable.ArrayBuffer.empty[String]
+          while (pos < ms.length && peek != Sym(")")) inner += take().text
+          if (expect(")")) Some(s"$first(${inner.mkString})") else { pos = open; Some(first) }
+        } else Some(first)
+    }
+    val r = parseType()
+    if (pos == ms.length) r else None
+  }
+
+  private def applyEdits(toks: Vector[Tok], edits: Vector[(Int, Int, String)]): Vector[Tok] = {
+    if (edits.isEmpty) return toks
+    val sorted = edits.sortBy(_._1)
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    sorted.foreach { case (from, until, text) =>
+      while (i < from) { out += toks(i); i += 1 }
+      out ++= tokenize(text)
+      i = until
+    }
+    while (i < toks.length) { out += toks(i); i += 1 }
+    out.result()
+  }
+
+  // ------------------------------------- passes: ROW / ARRAY[..] / TRY
+  /** `ROW(..)` value constructor → `struct(..)` (type positions were
+    * already lowered by rewriteCastTypes, so any remaining ROW( is a
+    * constructor). */
+  private[sql] def rewriteRowCtor(toks: Vector[Tok]): Vector[Tok] =
+    toks.zipWithIndex.map {
+      case (w: Word, i) if w.lower == "row" && toks.lift(nextM(toks, i)).contains(Sym("(")) &&
+          wordAt(toks, prevM(toks, i)) != "as" =>
+        Word("struct")
+      case (t, _) => t
+    }
+
+  /** `ARRAY[e1, e2]` → `array(e1, e2)` (bracket-matched, nests). */
+  private[sql] def rewriteArrayBrackets(toks: Vector[Tok]): Vector[Tok] = {
+    val swap = mutable.Set.empty[Int]
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case w: Word if w.lower == "array" =>
+          val nx = nextM(toks, i)
+          if (nx >= 0 && toks(nx) == Sym("[")) {
+            val close = matchFwd(toks, nx)
+            if (close >= 0) { swap += nx; swap += close }
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    if (swap.isEmpty) toks
+    else toks.zipWithIndex.map {
+      case (Sym("["), i) if swap(i) => Sym("(")
+      case (Sym("]"), i) if swap(i) => Sym(")")
+      case (t, _) => t
+    }
+  }
+
+  /** `TRY(expr)` → `graft_try(expr)` = TryEval (null on runtime error). */
+  private[sql] def rewriteTry(toks: Vector[Tok]): Vector[Tok] =
+    toks.zipWithIndex.map {
+      case (w: Word, i) if w.lower == "try" && toks.lift(nextM(toks, i)).contains(Sym("(")) &&
+          toks.lift(prevM(toks, i)).forall(p => p != Sym(".")) =>
+        Word("graft_try")
+      case (t, _) => t
+    }
+
+  // ------------------------------------------------ pass: AT TIME ZONE
+  /** `x AT TIME ZONE 'z'` → `convert_timezone('UTC', 'z',
+    * cast(x as timestamp_ntz))`. Operand capture walks back over one
+    * postfix-primary (literal, ident chain, function call, parens,
+    * subscript); the zone is a string literal or an ident/call. */
+  private[sql] def rewriteAtTimeZone(toks: Vector[Tok]): Vector[Tok] = {
+    val edits = mutable.ArrayBuffer.empty[(Int, Int, String)]
+
+    def chainStart(j0: Int): Int = {
+      var s = primaryOnly(j0)
+      var p = prevM(toks, s)
+      while (p >= 0 && toks(p) == Sym(".")) {
+        val q = prevM(toks, p)
+        if (q >= 0 && (toks(q).isInstanceOf[Word] || toks(q).isInstanceOf[Quoted] || isClose(toks(q)))) {
+          s = primaryOnly(q); p = prevM(toks, s)
+        } else return s
+      }
+      s
+    }
+    def primaryOnly(j: Int): Int = toks(j) match {
+      case Sym(")") =>
+        val open = matchBwd(toks, j)
+        if (open < 0) j
+        else {
+          val p = prevM(toks, open)
+          if (p >= 0 && (toks(p).isInstanceOf[Word] || toks(p).isInstanceOf[Quoted])) p else open
+        }
+      case Sym("]") =>
+        val open = matchBwd(toks, j)
+        if (open < 0) j
+        else {
+          val p = prevM(toks, open)
+          if (p >= 0) chainStart(p) else open
+        }
+      case _ => j
+    }
+
+    var i = 0
+    while (i < toks.length) {
+      if (wordAt(toks, i) == "at" && wordAt(toks, nextM(toks, i)) == "time" &&
+          wordAt(toks, nextM(toks, nextM(toks, i))) == "zone") {
+        val zoneKw = nextM(toks, nextM(toks, i))
+        val opEnd = prevM(toks, i)
+        val tzStart = nextM(toks, zoneKw)
+        if (opEnd >= 0 && tzStart >= 0 && wordAt(toks, tzStart) != "interval") {
+          var tzEnd = tzStart
+          toks(tzStart) match {
+            case _: Word | _: Quoted =>
+              val nx = nextM(toks, tzStart)
+              if (nx >= 0 && toks(nx) == Sym("(")) {
+                val c = matchFwd(toks, nx); if (c >= 0) tzEnd = c
+              }
+            case _ =>
+          }
+          val opStart = chainStart(opEnd)
+          val operand = render(toks.slice(opStart, opEnd + 1)).trim
+          val tz = render(toks.slice(tzStart, tzEnd + 1)).trim
+          edits += ((opStart, tzEnd + 1,
+            s"convert_timezone('UTC', $tz, cast($operand as timestamp_ntz))"))
+          i = tzEnd
+        }
+      }
+      i += 1
+    }
+    applyEdits(toks, edits.toVector)
+  }
+
+  // ------------------------------------------------- pass: bare types
+  /** Bare Presto type words outside CAST (DDL column lists): VARCHAR →
+    * STRING (Spark's VARCHAR demands a length), JSON → STRING, REAL →
+    * FLOAT. Length-parameterized VARCHAR(n) is valid Spark and kept. */
+  private[sql] def rewriteBareTypes(toks: Vector[Tok]): Vector[Tok] =
+    toks.zipWithIndex.map {
+      case (w: Word, i) if (w.lower == "varchar" || w.lower == "json") &&
+          !toks.lift(nextM(toks, i)).contains(Sym("(")) &&
+          !toks.lift(prevM(toks, i)).contains(Sym(".")) =>
+        Word("STRING")
+      case (w: Word, i) if w.lower == "real" &&
+          !toks.lift(prevM(toks, i)).contains(Sym(".")) =>
+        Word("FLOAT")
+      case (t, _) => t
+    }
+
+  // ------------------------------------------- pass: quoted identifiers
+  /** Presto double-quoted identifiers → Spark backticks (handles names
+    * the rename-pass regex cannot: spaces, punctuation). */
+  private[sql] def rewriteQuotedIdents(toks: Vector[Tok]): Vector[Tok] =
+    toks.map {
+      case q: Quoted if q.text.startsWith("\"") =>
+        Quoted("`" + q.text.substring(1, q.text.length - 1).replace("`", "``") + "`")
+      case t => t
+    }
+
+  // -------------------------------------------------------------- entry
+  private val passes: Seq[Vector[Tok] => Vector[Tok]] = Seq(
+    rewriteUnnestJoins, rewriteCastTypes, rewriteRowCtor,
+    rewriteArrayBrackets, rewriteTry, rewriteAtTimeZone, rewriteBareTypes,
+    rewriteQuotedIdents)
+
+  /** Full Presto-dialect lowering: structural passes, then the
+    * function-name/identifier pass ([[PrestoRewriter.rewrite]]). */
+  def transform(sql: String): String =
+    PrestoRewriter.rewrite(render(passes.foldLeft(tokenize(sql))((t, f) => f(t))))
+}

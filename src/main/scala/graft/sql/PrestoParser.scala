@@ -1,0 +1,61 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The Presto SQL front door as an injected Catalyst parser — the Spark
+  * rendering of the reference's grammar + AST lowering
+  * (axiom/sql/presto/grammar/PrestoSql.g4; ast/AstBuilder.cpp;
+  * PrestoParser.cpp lowering onto the logical plan).
+  *
+  * Installed session-wide via SparkSessionExtensions.injectParser and
+  * gated on the session conf `graft.sql.dialect = presto` (set by
+  * [[PrestoRewriter.sql]] for the duration of a dialect query, settable
+  * by any user session). When active, statement/query/expression text is
+  * lowered by [[PrestoDialect.transform]] — structural constructs Spark's
+  * grammar lacks (FROM-clause UNNEST, TRY, ARRAY[..], ROW(..),
+  * AT TIME ZONE, Presto type syntax) plus the function-name translation
+  * table — and the result is parsed by Spark's own parser, so every
+  * statement kind Spark supports (SELECT, INSERT, CTAS, CREATE/DROP,
+  * EXPLAIN, SHOW, ...) flows through the same dialect door the way the
+  * reference routes all of AstStatements.h through one AstBuilder.
+  * Identifier/type parsing delegates untransformed: those surfaces are
+  * dialect-identical.
+  */
+class PrestoParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  private def active: Boolean =
+    session.conf.getOption(PrestoParser.DialectConf).contains("presto")
+  private def lower(text: String): String =
+    if (active) PrestoDialect.transform(text) else text
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(lower(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(lower(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(lower(sqlText))
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object PrestoParser {
+  /** Session conf selecting the SQL dialect: "spark" (default) or
+    * "presto". */
+  val DialectConf = "graft.sql.dialect"
+}

@@ -79,9 +79,23 @@ object PrestoRewriter {
     }.mkString
   }
 
-  /** Parse-and-run a Presto-dialect query over the catalog tables. */
+  /** Parse-and-run a Presto-dialect statement over the catalog tables.
+    *
+    * The RAW Presto text goes to spark.sql: the injected dialect parser
+    * ([[PrestoParser]], via spark.sql.extensions) sees
+    * `graft.sql.dialect=presto` and applies the full
+    * [[PrestoDialect.transform]] lowering (structural constructs + the
+    * rename pass above) before delegating to Spark's parser. Parsing and
+    * analysis happen eagerly inside spark.sql, so restoring the conf
+    * after the call is safe. */
   def sql(spark: SparkSession, sfDir: String, prestoSql: String): DataFrame = {
     Catalog.registerAll(spark, sfDir)
-    spark.sql(rewrite(prestoSql))
+    val prev = spark.conf.getOption(PrestoParser.DialectConf)
+    spark.conf.set(PrestoParser.DialectConf, "presto")
+    try spark.sql(prestoSql)
+    finally prev match {
+      case Some(v) => spark.conf.set(PrestoParser.DialectConf, v)
+      case None => spark.conf.unset(PrestoParser.DialectConf)
+    }
   }
 }

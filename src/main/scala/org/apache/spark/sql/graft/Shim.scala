@@ -11,4 +11,12 @@ object Shim {
   /** Materialize a DataFrame over an arbitrary logical plan. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** V2 column <-> StructType bridges (CatalogV2Util is private[sql]). */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util.v2ColumnsToStructType(cols)
+  def structTypeToV2Columns(
+      schema: org.apache.spark.sql.types.StructType): Array[org.apache.spark.sql.connector.catalog.Column] =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util.structTypeToV2Columns(schema)
 }

@@ -1,0 +1,142 @@
+package graft
+
+import graft.sql.{PrestoDialect, PrestoParser, PrestoRewriter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The structural Presto front door: PrestoDialect token transforms +
+  * the injected PrestoParser (spark.sql.extensions), checked both at the
+  * text level and end-to-end against DataFrame-API equivalents. */
+class PrestoDialectSpec extends SparkSpec {
+
+  private def t(sql: String): String = PrestoDialect.transform(sql)
+  private def presto(sql: String): DataFrame = PrestoRewriter.sql(spark, sfDir, sql)
+
+  // ------------------------------------------------------------- text
+  test("string literals and comments are never rewritten") {
+    val in = "SELECT 'TRY(x) ARRAY[1] \"q\" AT TIME ZONE' AS s -- TRY(ARRAY[)\nFROM t"
+    val out = t(in)
+    assert(out.contains("'TRY(x) ARRAY[1] \"q\" AT TIME ZONE'"))
+    assert(!out.contains("graft_try"))
+  }
+
+  test("TRY only rewrites call positions; try_cast untouched") {
+    assert(t("SELECT TRY(1/0), try_cast('x' AS INT) FROM t")
+      === "SELECT graft_try(1/0), try_cast('x' AS INT) FROM t")
+    assert(t("SELECT a.try FROM t") === "SELECT a.try FROM t")
+  }
+
+  test("nested ARRAY brackets and subscripts") {
+    assert(t("SELECT ARRAY[ARRAY[1, 2], ARRAY[x[1]]] FROM t")
+      === "SELECT ARRAY(ARRAY(1, 2), ARRAY(x[1])) FROM t")
+  }
+
+  test("ROW constructor vs ROW type position") {
+    val out = t("SELECT CAST(ROW(a, b) AS ROW(x BIGINT, y ARRAY(VARCHAR))) FROM t")
+    assert(out === "SELECT CAST(struct(a, b) AS STRUCT<x: BIGINT, y: ARRAY<STRING>>) FROM t")
+  }
+
+  test("type conversion: MAP, nested ROW, varchar(n), double precision, timestamp with time zone") {
+    assert(t("SELECT CAST(x AS MAP(VARCHAR, ROW(a DOUBLE PRECISION, b VARCHAR(12), c TIMESTAMP WITH TIME ZONE))) FROM t")
+      === "SELECT CAST(x AS MAP<STRING, STRUCT<a: DOUBLE, b: VARCHAR(12), c: TIMESTAMP>>) FROM t")
+    // already-Spark type text passes through unchanged
+    assert(t("SELECT CAST(a AS STRUCT<x: INT>) FROM t")
+      === "SELECT CAST(a AS STRUCT<x: INT>) FROM t")
+  }
+
+  test("AT TIME ZONE captures function-call and dotted operands") {
+    assert(t("SELECT max(ts) AT TIME ZONE 'Asia/Tokyo' FROM t")
+      === "SELECT convert_timezone('UTC', 'Asia/Tokyo', cast(max(ts) as timestamp_ntz)) FROM t")
+    assert(t("SELECT o.ts AT TIME ZONE 'UTC' FROM t o")
+      === "SELECT convert_timezone('UTC', 'UTC', cast(o.ts as timestamp_ntz)) FROM t o")
+  }
+
+  test("UNNEST join lowers to LATERAL VIEW at end of the same FROM scope") {
+    val out = t("SELECT doc_id, w FROM documents CROSS JOIN UNNEST(split(text, ' ')) AS u(w) WHERE doc_id < 5")
+    assert(out.contains("LATERAL VIEW EXPLODE(split(text, ' ')) u AS w WHERE"))
+    // subquery scoping: the lateral view stays inside the derived table
+    val sub = t("SELECT n FROM (SELECT doc_id, w FROM documents CROSS JOIN UNNEST(a) u(w) GROUP BY 1, 2) z")
+    assert(sub.contains("LATERAL VIEW EXPLODE(a) u AS w GROUP BY 1, 2) z"))
+  }
+
+  test("LEFT JOIN UNNEST ON TRUE becomes LATERAL VIEW OUTER") {
+    val out = t("SELECT doc_id, w FROM documents LEFT JOIN UNNEST(a) AS u(w) ON TRUE")
+    assert(out.contains("LATERAL VIEW OUTER EXPLODE(a) u AS w"))
+  }
+
+  // ------------------------------------------------------------ engine
+  test("FROM-UNNEST equals DataFrame explode") {
+    val viaSql = presto(
+      "SELECT doc_id, w FROM documents CROSS JOIN UNNEST(split(trim(text), ' ')) AS u(w) WHERE doc_id < 20")
+    val viaDf = tables.documents.filter(col("doc_id") < 20)
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("w"))
+    assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
+  }
+
+  test("UNNEST WITH ORDINALITY is 1-based BIGINT") {
+    val df = presto(
+      "SELECT doc_id, w, ord FROM documents CROSS JOIN UNNEST(split(trim(text), ' ')) WITH ORDINALITY AS u(w, ord) WHERE doc_id = 3")
+    assert(df.schema("ord").dataType.typeName === "long")
+    val words = df.orderBy("ord").collect()
+    assert(words.head.getLong(2) === 1L)
+    assert(words.map(_.getLong(2)).toSeq === (1L to words.length).toSeq)
+  }
+
+  test("multi-collection UNNEST null-pads the shorter one; empty drops row; OUTER keeps it") {
+    spark.sql("SELECT 1 AS id, array(10, 20, 30) AS a, array('x') AS b")
+      .createOrReplaceTempView("uz")
+    val zipped = presto("SELECT id, x, y FROM uz CROSS JOIN UNNEST(a, b) AS u(x, y)")
+      .orderBy("x").collect()
+    assert(zipped.length === 3)
+    assert(zipped.map(r => (r.getInt(1), if (r.isNullAt(2)) null else r.getString(2))).toSeq
+      === Seq((10, "x"), (20, null), (30, null)))
+    spark.sql("SELECT 1 AS id, array() AS a UNION ALL SELECT 2, array('k')")
+      .createOrReplaceTempView("ue")
+    assert(presto("SELECT id, x FROM ue CROSS JOIN UNNEST(a) AS u(x)").count() === 1)
+    val outer = presto("SELECT id, x FROM ue LEFT JOIN UNNEST(a) AS u(x) ON TRUE")
+    assert(outer.count() === 2)
+    assert(outer.filter(col("x").isNull).select("id").head().getInt(0) === 1)
+  }
+
+  test("TRY returns null on runtime error, value otherwise") {
+    val r = presto("SELECT TRY(CAST('12' AS INTEGER)) AS ok, TRY(CAST('xy' AS INTEGER)) AS bad " +
+      "FROM orders WHERE o_orderkey = 1").head()
+    assert(r.getInt(0) === 12)
+    assert(r.isNullAt(1))
+  }
+
+  test("ROW cast + dereference and ARRAY constructor") {
+    val r = presto("SELECT CAST(ROW(1, 2.5) AS ROW(a BIGINT, b DOUBLE)).b AS v, " +
+      "cardinality(ARRAY[1, 2, 3]) AS n FROM orders WHERE o_orderkey = 1").head()
+    assert(r.getDouble(0) === 2.5)
+    assert(r.getInt(1) === 3)
+  }
+
+  test("dialect conf gates the transform: spark dialect text is untouched") {
+    // TRY( would be rewritten under presto dialect; without the conf the
+    // parser must pass text through (and Spark then rejects unknown TRY).
+    assertThrows[Exception](spark.sql("SELECT TRY(1/0)").collect())
+    assert(spark.conf.getOption(PrestoParser.DialectConf).isEmpty)
+  }
+
+  test("INSERT INTO graft_mem flows the DSv2 write lifecycle and reads back") {
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_sink")
+    presto("CREATE TABLE graft_mem.default.spec_sink (k BIGINT, v VARCHAR)")
+    presto("INSERT INTO graft_mem.default.spec_sink SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey < 10")
+    val n = spark.table("graft_mem.default.spec_sink").count()
+    assert(n === spark.table("orders").filter(col("o_orderkey") < 10).count())
+    // append (no truncate) accumulates
+    presto("INSERT INTO graft_mem.default.spec_sink SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey < 10")
+    assert(spark.table("graft_mem.default.spec_sink").count() === 2 * n)
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_sink")
+  }
+
+  test("CTAS through the presto door") {
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_ctas")
+    presto("CREATE TABLE graft_mem.default.spec_ctas AS SELECT o_orderkey, ARRAY[o_orderkey] AS a FROM orders WHERE o_orderkey < 5")
+    val df = spark.table("graft_mem.default.spec_ctas")
+    assert(df.count() > 0)
+    assert(df.schema("a").dataType.typeName === "array")
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_ctas")
+  }
+}
