@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -45,6 +46,37 @@ class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def samplingEnabled: Boolean =
     spark.conf.getOption("graft.sampling.enabled").contains("true")
 
+  /** Join-fanout sampling gate — the reference's OptimizerOptions
+    * .sampleJoins (JoinSample.cpp:217), separate from sampleFilters. */
+  private def joinSamplingEnabled: Boolean =
+    spark.conf.getOption("graft.sampling.joins").contains("true")
+
+  /** Scan-shaped = (optionally filtered/projected) file relation. Join
+    * sampling is restricted to scan-shaped sides, like the reference's
+    * sampleJoin which samples the two leaf scans of one join — so the
+    * sampled plan never executes a nested join as a side effect. */
+  private def scanShaped(plan: LogicalPlan): Boolean = plan match {
+    case Filter(_, child) => scanShaped(child)
+    case Project(_, child) => scanShaped(child)
+    case rel: LogicalRelation => relPath(rel).isDefined
+    case _ => false
+  }
+
+  /** Canonical history key for a plan subtree: scans key on (path, data
+    * fingerprint, pushed filters); joins compose their sides' keys with
+    * the normalized join condition. */
+  private def canonicalKey(plan: LogicalPlan): Option[String] = plan match {
+    case Filter(cond, rel: LogicalRelation) =>
+      relPath(rel).map { case (p, bytes) => History.scanKey(p, bytes, conjuncts(cond)) }
+    case rel: LogicalRelation =>
+      relPath(rel).map { case (p, bytes) => History.scanKey(p, bytes, Nil) }
+    case Project(_, child) => canonicalKey(child)
+    case Join(l, r, Inner, Some(cond), _) =>
+      for (lk <- canonicalKey(l); rk <- canonicalKey(r))
+        yield s"join[$lk * $rk | ${History.exprKey(conjuncts(cond))}]"
+    case _ => None
+  }
+
   private def recordedRows(plan: LogicalPlan): Option[Long] = plan match {
     case Filter(cond, rel: LogicalRelation) =>
       relPath(rel).flatMap { case (p, bytes) =>
@@ -65,12 +97,28 @@ class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
       relPath(rel).flatMap { case (p, bytes) =>
         History.lookup(History.scanKey(p, bytes, Nil))
       }
+    // A join side that is itself an inner equi-join: its OUTPUT rows are
+    // what the parent's broadcast decision needs, and static stats get
+    // them wrong exactly when the key distribution is skewed. Sample the
+    // join once (reference sampleJoins), memoize under the canonical
+    // join key.
+    case j @ Join(l, r, Inner, Some(cond), _) =>
+      canonicalKey(j).flatMap { key =>
+        History.lookup(key).orElse {
+          if (joinSamplingEnabled && !Sampling.inProgress &&
+              scanShaped(l) && scanShaped(r) && Sampling.hasEquiConjunct(cond, l, r)) {
+            val est = Sampling.estimateJoinOutputRows(spark, l, r, cond)
+            History.put(key, est)
+            Some(est)
+          } else None
+        }
+      }
     case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     History.load() // no-op after first call
-    if (History.size == 0 && !samplingEnabled) plan
+    if (History.size == 0 && !samplingEnabled && !joinSamplingEnabled) plan
     else plan.transformUp {
       // This rule runs after EliminateResolvedHint, so the hint goes on
       // the Join node itself (a ResolvedHint wrapper would no longer be

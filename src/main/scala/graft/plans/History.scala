@@ -34,12 +34,14 @@ object History {
     * data fingerprint: if the underlying files grow or shrink (history
     * recorded at sf0.01, reused at sf0.1), the key no longer matches and
     * the stale cardinality can never force-broadcast a now-large relation. */
-  def scanKey(path: String, dataSize: Long, filters: Seq[Expression]): String = {
-    val norm = filters
-      .map(_.transform { case a: AttributeReference => UnresolvedMarker(a.name) }.toString)
-      .sorted.mkString(",")
-    path + "#" + dataSize + "|" + norm
-  }
+  def scanKey(path: String, dataSize: Long, filters: Seq[Expression]): String =
+    path + "#" + dataSize + "|" + exprKey(filters)
+
+  /** Canonical text for an expression set: attribute ids stripped,
+    * conjunct order normalized — shared by scan keys and join keys. */
+  def exprKey(exprs: Seq[Expression]): String = exprs
+    .map(_.transform { case a: AttributeReference => UnresolvedMarker(a.name) }.toString)
+    .sorted.mkString(",")
 
   /** Placeholder leaf so two plans' equal-named columns key identically. */
   private case class UnresolvedMarker(name: String) extends org.apache.spark.sql.catalyst.expressions.LeafExpression {

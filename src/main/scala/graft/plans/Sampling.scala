@@ -1,14 +1,17 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Sample}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, LogicalPlan, Project, Sample}
 import org.apache.spark.sql.graft.Shim
 
 /** Plan-time sampling selectivity — the Spark rendering of the
   * reference's sampled leaf estimation (History::setLeafSelectivity
   * Cost.h:52-57; TableLayout::sample ConnectorMetadata.h:253-269; gated
-  * by OptimizerOptions.sampleFilters, OptimizerOptions.h:53-57).
+  * by OptimizerOptions.sampleFilters, OptimizerOptions.h:53-57) and
+  * sampled join fanout (JoinSample.cpp:217 sampleJoin, hash-sampled key
+  * intersection at :28-63, gated by OptimizerOptions.sampleJoins).
   *
   * When the optimizer meets a filtered scan with no recorded history, it
   * runs the predicate over a bounded sample of the actual files and
@@ -21,7 +24,11 @@ import org.apache.spark.sql.graft.Shim
   */
 object Sampling {
 
-  private val SampleTarget = 50000.0
+  private val DefaultSampleTarget = 50000.0
+
+  private def sampleTarget(spark: SparkSession): Double =
+    spark.conf.getOption("graft.sampling.targetRows").map(_.toDouble)
+      .getOrElse(DefaultSampleTarget)
 
   /** Re-entrancy guard: the sampling jobs themselves pass through the
     * optimizer; they must not trigger further sampling. */
@@ -35,11 +42,76 @@ object Sampling {
       val total = Shim.ofRows(spark, rel).count() // parquet metadata count
       if (total == 0) 0L
       else {
-        val frac = math.min(1.0, SampleTarget / total.toDouble)
+        val frac = math.min(1.0, sampleTarget(spark) / total.toDouble)
         val sampledPlan = Filter(cond, Sample(0.0, frac, withReplacement = false, 42L, rel))
         val matches = Shim.ofRows(spark, sampledPlan).count()
         math.round(matches / frac)
       }
     } finally inSampling.set(false)
+  }
+
+  /** True iff `cond` carries at least one equi-conjunct that splits
+    * across the two sides — the sampled join then plans as a hash join,
+    * so its cost is linear in the sampled inputs. Pure theta joins are
+    * never sampled (the sampled plan itself would be a nested loop). */
+  def hasEquiConjunct(cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(cond).exists {
+      case EqualTo(a, b) =>
+        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
+          (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
+      case _ => false
+    }
+  }
+
+  /** Estimate the output rows of an inner equi-join by sampled execution
+    * — the reference's sampleJoin (JoinSample.cpp:217): mis-estimated
+    * join fanout is the classic cause of a wrong broadcast/shuffle
+    * choice at 100×, because Σₖ lₖ·rₖ is invisible to per-side static
+    * stats when the key distribution is skewed.
+    *
+    * Estimator: Bernoulli row-sample BOTH sides at rate p = 1/√f and
+    * scale the sampled join count by f = 1/p². This is unbiased for the
+    * fanout sum (every (l,r) pair survives with probability p²) and,
+    * unlike the reference's coordinated key-hash sampling, keeps bounded
+    * variance when one heavy key dominates the output: a coordinated
+    * scheme keeps or drops a heavy key's ENTIRE lₖ·rₖ block at rate 1/f
+    * (relative std ≈ √f on one-hot skew), while row sampling keeps
+    * ~p·lₖ of its left rows and ~p·rₖ of its right rows so the block's
+    * contribution concentrates (relative std ≈ 1/√(p·min(lₖ,rₖ))).
+    * Sampled-side sizes are ~n/√f rows, so the sampled hash join stays
+    * a bounded fraction of the real one; `f` is sized from the larger
+    * side's unfiltered row count (parquet metadata, no data scan).
+    */
+  def estimateJoinOutputRows(spark: SparkSession, left: LogicalPlan, right: LogicalPlan,
+                             cond: Expression): Long = {
+    inSampling.set(true)
+    try {
+      val lTotal = roughRows(spark, left)
+      val rTotal = roughRows(spark, right)
+      if (lTotal == 0 || rTotal == 0) 0L
+      else {
+        val f = math.max(1.0, math.max(lTotal, rTotal).toDouble / sampleTarget(spark))
+        val p = math.min(1.0, 1.0 / math.sqrt(f))
+        def samp(plan: LogicalPlan, seed: Long): LogicalPlan =
+          if (p >= 1.0) plan else Sample(0.0, p, withReplacement = false, seed, plan)
+        val j = Join(samp(left, 42L), samp(right, 43L), Inner, Some(cond), JoinHint.NONE)
+        val matches = Shim.ofRows(spark, j).count()
+        math.round(matches * f)
+      }
+    } finally inSampling.set(false)
+  }
+
+  /** Cheap row-count upper bound used only to size the sample rate:
+    * strip filters/projections down to the bare relation, whose count is
+    * parquet-metadata-only. An over-count just makes the sample rate a
+    * touch conservative. */
+  private def roughRows(spark: SparkSession, plan: LogicalPlan): Long = plan match {
+    case Filter(_, child) => roughRows(spark, child)
+    case Project(_, child) => roughRows(spark, child)
+    case other => Shim.ofRows(spark, other).count()
   }
 }

@@ -1,11 +1,15 @@
 package graft
 
-import graft.plans.{History, HistoryStatsRule}
+import graft.plans.{History, HistoryStatsRule, Sampling}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.Join
 
 /** Plan-time sampling: with no prior history, a filtered-dimension join
   * must broadcast on the FIRST planning, from a sampled selectivity
-  * estimate (reference sampleFilters path). */
+  * estimate (reference sampleFilters path); join OUTPUT fanout is
+  * estimated by sampled execution (reference sampleJoins path,
+  * JoinSample.cpp:217) where static per-side stats are blind to key
+  * skew. */
 class SamplingSpec extends SparkSpec {
 
   test("sampled selectivity broadcasts a filtered dim with no prior history") {
@@ -33,5 +37,88 @@ class SamplingSpec extends SparkSpec {
     val actual = dim.count()
     assert(est <= actual * 3 + 50 && est >= actual / 3 - 1,
       s"estimate $est far from actual $actual")
+  }
+
+  /** Two tables, 100 keys with 100 rows each, plus one heavy key (7)
+    * with 5000 extra rows on BOTH sides. True inner-join output is
+    * 99·100² + 5100² ≈ 27M; the textbook static estimate |L|·|R|/ndv
+    * ≈ 2.3M is ~12× under — the skew is invisible per side (both sides
+    * are a 15.1k-row table any row-count heuristic calls broadcastable). */
+  private def writeSkewed(s: org.apache.spark.sql.SparkSession): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_joinsample").toString
+    import s.implicits._
+    val rows = (0 until 100).flatMap(k => Seq.fill(100)(k)) ++ Seq.fill(5000)(7)
+    rows.zipWithIndex.toDF("k", "payload").write.mode("overwrite").parquet(s"$dir/L")
+    rows.zipWithIndex.toDF("k", "payload").write.mode("overwrite").parquet(s"$dir/R")
+    dir
+  }
+
+  test("sampled join fanout is accurate under one-key skew where static stats are ~12x off") {
+    val s = spark.newSession()
+    s.conf.set("graft.sampling.targetRows", "500") // force a real (non-degenerate) sample
+    val dir = writeSkewed(s)
+    val l = s.read.parquet(s"$dir/L")
+    val r = s.read.parquet(s"$dir/R").withColumnRenamed("payload", "payload_r")
+    val joined = l.join(r, "k")
+    val jn = joined.queryExecution.optimizedPlan.collect { case j: Join => j }.head
+    val t0 = System.nanoTime()
+    val est = Sampling.estimateJoinOutputRows(s, jn.left, jn.right, jn.condition.get)
+    val sampleMs = (System.nanoTime() - t0) / 1e6
+    val actual = joined.count() // 990_000 + 5100² = 27_000_000
+    val naive = (l.count() * r.count()) / 100 // |L|·|R| / ndv(k)
+    assert(naive * 5 < actual, s"fixture lost its skew: naive=$naive actual=$actual")
+    assert(est >= actual / 5 && est <= actual * 5,
+      s"sampled estimate $est far from actual $actual (naive static: $naive, ${sampleMs}ms)")
+  }
+
+  test("join-fanout sampling blocks a skew-exploded broadcast and enables a tiny-output one") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("graft.sampling.joins", "true")
+    s.conf.set("graft.sampling.targetRows", "500")
+    History.clear()
+    s.experimental.extraOptimizations = Seq(new HistoryStatsRule(s))
+    val dir = writeSkewed(s)
+    import s.implicits._
+    (0 until 200).map(k => (k, s"c$k")).toDF("k", "name")
+      .write.mode("overwrite").parquet(s"$dir/C")
+
+    val l = s.read.parquet(s"$dir/L")
+    val r = s.read.parquet(s"$dir/R").withColumnRenamed("payload", "payload_r")
+    val c = s.read.parquet(s"$dir/C")
+
+    // Skewed child join: 27M output rows from two 15.1k-row inputs. A
+    // per-side row-count heuristic says "broadcast"; the sampled fanout
+    // says 27M >> broadcastRowLimit, so NO hint may appear.
+    val skewParent = l.join(r, "k").join(c, "k")
+    val skewPlan = skewParent.queryExecution.executedPlan.toString
+    assert(!skewPlan.contains("BroadcastHashJoin"),
+      s"skew-exploded join side must not broadcast:\n$skewPlan")
+    val skewEst = History.asMap.collectFirst { case (k, v) if k.startsWith("join[") => v }
+      .getOrElse(fail(s"no join fanout memoized: ${History.asMap.keys}"))
+    assert(skewEst > 500000L, s"sampled fanout $skewEst missed the 27M-row explosion")
+
+    // Tiny-output child join: filters cut the key intersection to ~5
+    // keys → ~50k output rows. Static join stats (product of sizes)
+    // would never broadcast it; the sampled fanout must.
+    History.clear()
+    val lf = l.filter(col("k") < 5)
+    val rf = r.filter(col("k") < 5)
+    val tinyParent = lf.join(rf, "k").join(c, "k")
+    val tinyPlan = tinyParent.queryExecution.executedPlan.toString
+    assert(tinyPlan.contains("BroadcastHashJoin"),
+      s"tiny sampled fanout must broadcast the child join in the parent:\n$tinyPlan")
+
+    // Memoization: re-planning the same query must hit History, not
+    // re-sample — the planning-latency budget for the cached path.
+    val sizeBefore = History.size
+    val t0 = System.nanoTime()
+    tinyParent.queryExecution.executedPlan // fresh QueryExecution? same DF caches; build anew:
+    val replanned = lf.join(rf, "k").join(c, "k").queryExecution.executedPlan.toString
+    val replanMs = (System.nanoTime() - t0) / 1e6
+    assert(replanned.contains("BroadcastHashJoin"))
+    assert(History.size == sizeBefore, "re-planning re-sampled instead of hitting History")
+    assert(replanMs < 5000, s"cached-join replanning took ${replanMs}ms")
   }
 }
