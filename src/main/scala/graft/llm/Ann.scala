@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   *  - IVF top-k: the 100 TB path. A fixed set of coarse centroids
   *    partitions the corpus into lists (one shuffle on list id, done
   *    once and reusable); each query probes only its nProbe nearest
-  *    lists. Approximate → verified by recall against brute force in
-  *    the test suite, and registered rows-only with the driver.
+  *    lists. Approximate vs brute force (recall-gated in LlmOpsSpec)
+  *    but deterministic, so the oracle replays the exact IVF algorithm
+  *    and hash-checks it (see [[annIvfSql]]).
   *
   * All arithmetic in double precision on both engines so rank order is
   * stable across Spark and DuckDB.
@@ -106,6 +107,44 @@ object Ann {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
         round(col("cos"), 4).as("cos"))
   }
+
+  /** The registered-`nProbe` IVF result is *deterministic* — coarse
+    * assignment, probe selection, and candidate ranking are all pure
+    * double arithmetic with explicit tie-breaks — so DuckDB can replay
+    * the exact same algorithm and the approximate entry is still
+    * rows+schema+hash-checkable. The oracle below IS that replay (same
+    * shape as [[kmeansStepSql]]'s assignment step). Recall-vs-brute-force
+    * stays a separate quality gate in LlmOpsSpec: hash equality proves
+    * the IVF semantics (partition/probe/rank), the recall floor judges
+    * its approximation quality. */
+  val annIvfSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 31 = 0),
+       a AS (SELECT v.vec_id, c.c_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.c_id) AS arank
+             FROM v CROSS JOIN c),
+       lists AS (SELECT vec_id, c_id AS list_id FROM a WHERE arank = 1),
+       q AS (SELECT vec_id AS q_id, e FROM v WHERE vec_id < $NQueries),
+       pr AS (SELECT q.q_id, c.c_id AS list_id,
+                row_number() OVER (
+                  PARTITION BY q.q_id
+                  ORDER BY list_cosine_similarity(q.e, c.ce) DESC, c.c_id) AS prank
+              FROM q CROSS JOIN c),
+       scored AS (
+         SELECT p.q_id, l.vec_id AS neighbor_id,
+                list_cosine_similarity(qv.e, nv.e) AS cos,
+                row_number() OVER (
+                  PARTITION BY p.q_id
+                  ORDER BY list_cosine_similarity(qv.e, nv.e) DESC, l.vec_id) AS rk
+         FROM (SELECT q_id, list_id FROM pr WHERE prank <= $NProbe) p
+         JOIN lists l ON p.list_id = l.list_id
+         JOIN v qv ON qv.vec_id = p.q_id
+         JOIN v nv ON nv.vec_id = l.vec_id
+         WHERE l.vec_id <> p.q_id)
+       SELECT q_id, neighbor_id, rk, round(cos, 4) AS cos
+       FROM scored WHERE rk <= $K"""
 
   // ------------------------------------------------- k-means (IVF train)
   /** One exact Lloyd iteration of the k-means that trains IVF coarse
@@ -285,7 +324,8 @@ object Ann {
 
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("ann_bruteforce_topk", annBruteforce _, annBruteforceSql),
-    ("ann_ivf_topk", ((t: Tables) => annIvf(t)) , ""), // approximate → rows-only check
+    // approximate by design, but deterministically so → exact IVF-replay oracle
+    ("ann_ivf_topk", ((t: Tables) => annIvf(t)), annIvfSql),
     // full-probe IVF is exact → same oracle as brute force
     ("ann_ivf_fullprobe", ((t: Tables) => annIvf(t, Int.MaxValue)), annBruteforceSql),
     ("ann_signlsh_neardup", annSignLshNearDup _, annSignLshNearDupSql),

@@ -27,8 +27,8 @@ class QuerySmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has either an oracle or a documented rows-only check") {
+  test("every query has an oracle (no rows-only entries remain)") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("ann_ivf_topk"), s"unexpected rows-only entries: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected rows-only entries: $noOracle")
   }
 }
