@@ -175,6 +175,70 @@ object NativeExprs {
     }
   }
 
+  /** Top-`nAssign` nearest-centroid list ids (by cosine, ties to the
+    * lower index) for one vector — the IVF coarse-assignment kernel used
+    * for bucketed embedding similarity. The centroid codebook arrives as
+    * a foldable nested-array literal: IVF codebooks are model artifacts
+    * of FIXED size k (trained offline, e.g. by [[graft.llm.Ann.kmeansTrain]]),
+    * so shipping them inside the plan is the Spark idiom for a broadcast
+    * model — the corpus itself never funnels through the driver. Keeping
+    * assignment a pure projection (instead of crossJoin(broadcast(cents))
+    * + window rank) also keeps BroadcastNestedLoopJoin out of the plan:
+    * the downstream candidate join is a plain equi-join on list id. */
+  case class IvfAssign(left: Expression, right: Expression, nAssign: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    // The codebook literal decodes once per task, not per row.
+    @transient private lazy val cents: Array[Array[Double]] = {
+      val arr = right.eval(null).asInstanceOf[ArrayData]
+      Array.tabulate(arr.numElements()) { i =>
+        val inner = arr.getArray(i)
+        Array.tabulate(inner.numElements())(inner.getDouble)
+      }
+    }
+    @transient private lazy val cnorms: Array[Double] = cents.map { c =>
+      var s = 0.0; var d = 0
+      while (d < c.length) { s += c(d) * c(d); d += 1 }
+      math.max(math.sqrt(s), 1e-12)
+    }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val dims = arr.numElements()
+      val v = new Array[Double](dims)
+      var d = 0
+      while (d < dims) { v(d) = arr.getDouble(d); d += 1 }
+      val k = cents.length
+      val sims = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val cv = cents(c)
+        var s = 0.0
+        d = 0
+        while (d < dims && d < cv.length) { s += v(d) * cv(d); d += 1 }
+        sims(c) = s / cnorms(c) // vector norm is a common positive factor; rank-invariant
+        c += 1
+      }
+      val a0 = math.min(nAssign, k)
+      val out = new Array[Int](a0)
+      val taken = new Array[Boolean](k)
+      var t = 0
+      while (t < a0) { // selection pass: a is tiny (<=8), k modest
+        var best = -1
+        c = 0
+        while (c < k) {
+          if (!taken(c) && (best < 0 || sims(c) > sims(best))) best = c
+          c += 1
+        }
+        taken(best) = true
+        out(t) = best
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   @volatile private var registered = Set.empty[SparkSession]
 
   /** Idempotently register the kernels as SQL functions in the session
@@ -203,6 +267,17 @@ object NativeExprs {
           val asDouble = org.apache.spark.sql.catalyst.expressions.Cast(
             es(0), ArrayType(DoubleType))
           SignLshSig(asDouble, intLit(es(1)), intLit(es(2)), seed = 7L)
+        }, "built-in")
+      reg.createOrReplaceTempFunction("graft_ivf_assign",
+        { es: Seq[Expression] =>
+          val n = es(2) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_ivf_assign: nAssign must be an int literal, got $other")
+          }
+          val asDouble = org.apache.spark.sql.catalyst.expressions.Cast(
+            es(0), ArrayType(DoubleType))
+          IvfAssign(asDouble, es(1), n)
         }, "built-in")
       registered += spark
     }

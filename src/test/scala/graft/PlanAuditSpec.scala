@@ -14,7 +14,6 @@ class PlanAuditSpec extends SparkSpec {
     "tpch_q15", "tpch_q15_sql", // single-row max-revenue theta join
     "tpch_q22", "tpch_q22_sql", // single-row avg-balance theta join
     "subq_scalar",            // single-row scalar subquery
-    "neardup_embedding",      // all-pairs cosine (documented exact tier)
     "ann_bruteforce_topk",    // broadcast probes × corpus (map-side scan)
     "ann_ivf_topk",           // broadcast centroids × corpus assignment
     "ann_ivf_fullprobe",      // same centroid-assignment product, all lists probed
