@@ -60,7 +60,12 @@ object Sampling {
       case other => Seq(other)
     }
     conjuncts(cond).exists {
-      case EqualTo(a, b) =>
+      // Both sides must REFERENCE columns: a literal's empty reference
+      // set is a subset of every outputSet, so without this guard a
+      // column-vs-constant equality (l.c = 5) on a theta join would
+      // count as a cross-side equi-conjunct and the sampled plan would
+      // execute as a plan-time nested-loop product.
+      case EqualTo(a, b) if a.references.nonEmpty && b.references.nonEmpty =>
         (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
           (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
       case _ => false
@@ -99,11 +104,30 @@ object Sampling {
         def samp(plan: LogicalPlan, seed: Long): LogicalPlan =
           if (p >= 1.0) plan else Sample(0.0, p, withReplacement = false, seed, plan)
         val j = Join(samp(left, 42L), samp(right, 43L), Inner, Some(cond), JoinHint.NONE)
-        val matches = Shim.ofRows(spark, j).count()
-        math.round(matches * f)
+        // Work cap (reference gate analogue: OptimizerOptions.sampleJoins,
+        // JoinSample.cpp:48-52): the sampled join's OUTPUT is
+        // ~true_output/f, which is unbounded for near-cross-product
+        // joins, so the sampled plan runs under a LocalLimit. A
+        // partition that hits the cap contributes `cap` rows, so
+        // matches >= cap iff the count may be truncated; the estimate
+        // then degrades to the FLOOR cap*f — with the default cap
+        // (2M) far above any broadcast row limit, a capped join can
+        // never be mistaken for broadcastable, and the plan-time job
+        // is bounded by cap rows per output partition.
+        val cap = joinOutputCap(spark)
+        val limited = org.apache.spark.sql.catalyst.plans.logical.LocalLimit(
+          org.apache.spark.sql.catalyst.expressions.Literal(cap.toInt), j)
+        val matches = Shim.ofRows(spark, limited).count()
+        math.round(math.min(matches, cap) * f)
       }
     } finally inSampling.set(false)
   }
+
+  /** Ceiling on sampled-join output rows (per partition, and the
+    * truncation-detection threshold on the total). */
+  private def joinOutputCap(spark: SparkSession): Long =
+    spark.conf.getOption("graft.sampling.joinOutputCap").map(_.toLong)
+      .getOrElse(2000000L)
 
   /** Cheap row-count upper bound used only to size the sample rate:
     * strip filters/projections down to the bare relation, whose count is
