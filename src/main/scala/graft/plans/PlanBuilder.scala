@@ -123,6 +123,53 @@ final class PlanBuilder private (val df: DataFrame) {
 }
 
 object PlanBuilder {
+
+  /** Typed per-aggregate modifiers — the builder surface for the
+    * reference's AggregateExpr options (Expr.h:453-524 distinct /
+    * filter / ordering; PlanBuilder.h:237-260 aggregate): wrap any
+    * aggregate Column with DISTINCT, a per-row FILTER condition, and/or
+    * an ORDER BY (order-sensitive aggregates such as listagg /
+    * percentile_cont / mode). Compiles onto the underlying Catalyst
+    * aggregate node — the same shape Spark's own `FILTER (WHERE …)` /
+    * `DISTINCT` / `WITHIN GROUP` SQL produces — so partial aggregation
+    * and codegen plan exactly as for native syntax. */
+  def agg(e: Column, distinct: Boolean = false, filter: Option[Column] = None,
+          orderBy: Seq[Column] = Nil): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, SupportsOrderingWithinGroup}
+    import org.apache.spark.sql.graft.Shim
+    val sortOrders = orderBy.map(c => Shim.expression(c) match {
+      case s: SortOrder => s
+      case other => SortOrder(other, Ascending)
+    })
+    // The argument must BE the aggregate call (modifiers attach to one
+    // specific aggregate — wrap with round()/cast() OUTSIDE agg()). Only
+    // the root node is rewritten: a tree-wide transform would also match
+    // ordinary functions inside the filter/ordering expressions.
+    val rewritten = Shim.expression(e) match {
+      // Column-API functions arrive unresolved; SQL-built ones resolved.
+      case f: UnresolvedFunction =>
+        f.copy(isDistinct = distinct || f.isDistinct,
+          filter = filter.map(Shim.expression).orElse(f.filter),
+          orderingWithinGroup = if (sortOrders.nonEmpty) sortOrders else f.orderingWithinGroup)
+      case ae: AggregateExpression =>
+        val fn =
+          if (sortOrders.isEmpty) ae.aggregateFunction
+          else ae.aggregateFunction match {
+            case o: SupportsOrderingWithinGroup => o.withOrderingWithinGroup(sortOrders)
+            case other => throw new IllegalArgumentException(
+              s"aggregate ${other.prettyName} is not order-sensitive " +
+                "(ORDER BY applies to listagg/string_agg, mode, percentile_cont/disc)")
+          }
+        ae.copy(aggregateFunction = fn, isDistinct = distinct || ae.isDistinct,
+          filter = filter.map(Shim.expression).orElse(ae.filter))
+      case other => throw new IllegalArgumentException(
+        s"PlanBuilder.agg() expects the aggregate call itself (e.g. sum(x)), got: $other")
+    }
+    Shim.column(rewritten)
+  }
+
   /** ValuesNode (LogicalPlanNode.h:121-157). */
   def values(spark: SparkSession, schema: StructType, rows: Seq[Row]): PlanBuilder = {
     val list = new java.util.ArrayList[Row](rows.size)

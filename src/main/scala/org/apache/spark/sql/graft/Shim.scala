@@ -12,6 +12,16 @@ object Shim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 
+  /** Column <-> Catalyst Expression bridges (classic.ExpressionUtils is
+    * the blessed conversion seam in Spark 4's split Column API). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    // Eager conversion (not ExpressionUtils.expression, which returns a
+    // lazy ColumnNodeExpression wrapper): callers pattern-match on the
+    // catalyst tree, e.g. PlanBuilder.agg rewriting UnresolvedFunction.
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** V2 column <-> StructType bridges (CatalogV2Util is private[sql]). */
   def v2ColumnsToStructType(
       cols: Array[org.apache.spark.sql.connector.catalog.Column]): org.apache.spark.sql.types.StructType =

@@ -85,6 +85,54 @@ class PlanBuilderSpec extends SparkSpec {
     assert(Registry.reversible("<") == ">")
   }
 
+  test("typed per-agg FILTER through the builder mirrors agg_filter") {
+    // Builder twin of the agg_filter oracle entry (SQL FILTER (WHERE …)).
+    val got = PlanBuilder.tableScan(tables, "lineitem")
+      .aggregate(Seq(col("l_returnflag")), Seq(
+        PlanBuilder.agg(count(lit(1)), filter = Some(col("l_quantity") > 25)).as("big_cnt"),
+        round(PlanBuilder.agg(sum(col("l_extendedprice")),
+          filter = Some(col("l_discount") > 0.05)), 2).as("disc_rev")))
+      .build
+    val want = graft.queries.Exprs.aggFilter(spark, sfDir)
+    assert(got.orderBy("l_returnflag").collect().toSeq ==
+      want.orderBy("l_returnflag").collect().toSeq)
+  }
+
+  test("typed per-agg DISTINCT through the builder mirrors agg_distinct") {
+    val got = PlanBuilder.tableScan(tables, "orders")
+      .aggregate(Seq(col("o_orderpriority")), Seq(
+        PlanBuilder.agg(count(col("o_custkey")), distinct = true).as("n_cust"),
+        round(PlanBuilder.agg(sum(col("o_totalprice")), distinct = true), 2)
+          .as("sum_distinct_price")))
+      .build
+    val want = graft.queries.Exprs.aggDistinct(tables)
+    assert(got.orderBy("o_orderpriority").collect().toSeq ==
+      want.orderBy("o_orderpriority").collect().toSeq)
+  }
+
+  test("typed per-agg ORDER BY through the builder mirrors agg_ordered") {
+    // listagg(x) WITHIN GROUP (ORDER BY …) — the ordered-aggregate form
+    // the reference models as AggregateExpr.ordering.
+    val got = PlanBuilder.tableScan(tables, "orders")
+      .filter(col("o_custkey") < 100)
+      .aggregate(Seq(col("o_custkey")), Seq(
+        PlanBuilder.agg(
+          call_function("listagg", col("o_orderkey").cast("string"), lit(",")),
+          orderBy = Seq(col("o_orderdate").asc, col("o_orderkey").asc)).as("keys")))
+      .build
+    val want = graft.queries.Exprs.aggOrdered(tables)
+    assert(got.orderBy("o_custkey").collect().toSeq ==
+      want.orderBy("o_custkey").collect().toSeq)
+    // Non-order-sensitive aggregates must reject ORDER BY loudly.
+    intercept[Exception] {
+      PlanBuilder.tableScan(tables, "orders")
+        .aggregate(Seq(col("o_custkey")), Seq(
+          PlanBuilder.agg(sum(col("o_totalprice")),
+            orderBy = Seq(col("o_orderdate"))).as("x")))
+        .build.collect()
+    }
+  }
+
   test("builder tableWrite round-trips") {
     val out = PlanBuilder.tableScan(tables, "nation", Seq("n_nationkey", "n_name"))
       .tableWrite("/root/repo/target/tablewrite/builder_nation")
