@@ -205,6 +205,53 @@ object Presto {
          TRY_CAST(substr(o_orderpriority, 3, 1) AS INTEGER) AS lead_digit
        FROM orders WHERE o_orderkey < 500"""
 
+  /** Presto DELETE statement (AstStatements.h:573 Delete) through the
+    * dialect door onto the row-level copy-on-write path
+    * (MemTable.newRowLevelOperationBuilder): Catalyst rewrites the
+    * statement as scan → filter-out → ReplaceData on the DSv2 commit
+    * protocol. The oracle replays the surviving-row predicate. */
+  def deleteStmt(s: SparkSession, d: String): DataFrame = {
+    PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS graft_mem.default.presto_del")
+    PrestoRewriter.sql(s, d,
+      """CREATE TABLE graft_mem.default.presto_del AS
+         SELECT o_orderkey, o_orderpriority, o_totalprice
+         FROM orders WHERE o_orderkey < 2000""")
+    PrestoRewriter.sql(s, d,
+      """DELETE FROM graft_mem.default.presto_del
+         WHERE o_orderpriority = '1-URGENT' OR o_totalprice > 200000.0""")
+    s.table("graft_mem.default.presto_del")
+  }
+  val deleteOracle: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+       WHERE o_orderkey < 2000
+         AND NOT (o_orderpriority = '1-URGENT' OR o_totalprice > 200000.0)"""
+
+  /** Presto UPDATE statement (AstStatements.h:541 Update) through the
+    * dialect door: same row-level rewrite, SET expressions evaluated
+    * per matched row ('||' concat is a dialect-exercised operator). The
+    * additive SET expression keeps both engines bit-identical (no
+    * rounding seams). */
+  def updateStmt(s: SparkSession, d: String): DataFrame = {
+    PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS graft_mem.default.presto_upd")
+    PrestoRewriter.sql(s, d,
+      """CREATE TABLE graft_mem.default.presto_upd AS
+         SELECT o_orderkey, o_orderpriority, o_totalprice
+         FROM orders WHERE o_orderkey < 2000""")
+    PrestoRewriter.sql(s, d,
+      """UPDATE graft_mem.default.presto_upd
+         SET o_totalprice = o_totalprice + 1000.0,
+             o_orderpriority = 'X-' || o_orderpriority
+         WHERE o_orderkey % 3 = 0""")
+    s.table("graft_mem.default.presto_upd")
+  }
+  val updateOracle: String =
+    """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'X-' || o_orderpriority
+              ELSE o_orderpriority END AS o_orderpriority,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS o_totalprice
+       FROM orders WHERE o_orderkey < 2000"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -217,5 +264,7 @@ object Presto {
     ("presto_row_array", run(rowArrayPresto) _, rowArrayOracle),
     ("presto_at_timezone", run(atTimezonePresto) _, atTimezoneOracle),
     ("presto_insert_select", insertSelect _, insertSelectOracle),
-    ("presto_ctas", ctas _, ctasOracle))
+    ("presto_ctas", ctas _, ctasOracle),
+    ("presto_delete", deleteStmt _, deleteOracle),
+    ("presto_update", updateStmt _, updateOracle))
 }

@@ -84,7 +84,7 @@ object MemTables {
 }
 
 final class MemTable(name: String, schema0: StructType) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
   override def name(): String = s"graft_mem($name)"
   override def schema(): StructType = MemTables.schemaOf(name).getOrElse(schema0)
   override def capabilities(): util.Set[TableCapability] =
@@ -98,6 +98,32 @@ final class MemTable(name: String, schema0: StructType) extends Table
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new MemWriteBuilder(name, info.schema())
+
+  /** SQL DELETE/UPDATE/MERGE — the statement entry to the copy-on-write
+    * path (reference Update/Delete AST, AstStatements.h:541,573, onto the
+    * connector write lifecycle, ConnectorMetadata.h:569-627). Group-based
+    * copy-on-write with the WHOLE table as the single group: Catalyst
+    * rewrites the statement as scan → modify → ReplaceData, and the
+    * replacement write truncates-and-installs inside one atomic commit —
+    * the same rewrite a parquet/Iceberg-style connector does per file
+    * group, collapsed to one group for an in-memory table. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new RowLevelOperation {
+      override def command(): RowLevelOperation.Command = info.command()
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder {
+          override def build(): Scan = new MemScan(name, schema())
+        }
+      override def newWriteBuilder(wInfo: LogicalWriteInfo): WriteBuilder = {
+        // ReplaceData writes back the full surviving/updated content of
+        // every read group — here the whole table, so the write must
+        // replace, not append.
+        val b = new MemWriteBuilder(name, wInfo.schema())
+        b.truncate()
+        b
+      }
+    }
 }
 
 // ------------------------------------------------------------------ read
@@ -141,18 +167,38 @@ final case class MemCommit(rows: Array[InternalRow]) extends WriterCommitMessage
 final class MemBatchWrite(name: String, schema: StructType, truncate: Boolean)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    MemWriterFactory()
+    MemWriterFactory(schema)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     MemTables.install(name, schema,
       messages.iterator.flatMap(_.asInstanceOf[MemCommit].rows).toVector, truncate)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final case class MemWriterFactory() extends DataWriterFactory {
+final case class MemWriterFactory(schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = Vector.newBuilder[InternalRow]
-      override def write(row: InternalRow): Unit = buf += row.copy()
+      private val types = schema.fields.map(_.dataType)
+      private val toUnsafe =
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(types)
+      private val scratch =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(types.length)
+      override def write(row: InternalRow): Unit = {
+        // Row-level rewrites (ReplaceData) PREPEND plan-internal metadata
+        // (__row_operation) to the rows the writer sees while the
+        // LogicalWriteInfo schema stays the table schema — align by
+        // dropping the leading extras, then normalize to a fresh
+        // UnsafeRow (incoming buffers are reused between rows).
+        val r =
+          if (row.numFields == types.length) row
+          else {
+            val off = row.numFields - types.length
+            var i = 0
+            while (i < types.length) { scratch.update(i, row.get(i + off, types(i))); i += 1 }
+            scratch
+          }
+        buf += toUnsafe(r).copy()
+      }
       override def commit(): WriterCommitMessage = MemCommit(buf.result().toArray)
       override def abort(): Unit = ()
       override def close(): Unit = ()
@@ -172,15 +218,15 @@ final class MemStreamingWrite(name: String, schema: StructType)
     extends wstream.StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): wstream.StreamingDataWriterFactory =
-    MemStreamingWriterFactory()
+    MemStreamingWriterFactory(schema)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     MemTables.installEpoch(name, schema, epochId,
       messages.iterator.flatMap(_.asInstanceOf[MemCommit].rows).toVector)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-final case class MemStreamingWriterFactory() extends wstream.StreamingDataWriterFactory {
+final case class MemStreamingWriterFactory(schema: StructType) extends wstream.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    MemWriterFactory().createWriter(partitionId, taskId)
+    MemWriterFactory(schema).createWriter(partitionId, taskId)
 }

@@ -88,4 +88,19 @@ class MemConnectorSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("does not exist"))
   }
+
+  test("SQL DELETE and UPDATE rewrite through the row-level operation") {
+    spark.sql("DROP TABLE IF EXISTS graft_mem.default.t_dml")
+    spark.sql("CREATE TABLE graft_mem.default.t_dml (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_mem.default.t_dml VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    spark.sql("DELETE FROM graft_mem.default.t_dml WHERE k % 2 = 0")
+    def snap() = spark.table("graft_mem.default.t_dml").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(snap() == Set((1L, "a"), (3L, "c")))
+    spark.sql("UPDATE graft_mem.default.t_dml SET v = concat(v, '!') WHERE k = 3")
+    assert(snap() == Set((1L, "a"), (3L, "c!")))
+    // Deleting everything leaves an empty, still-readable table.
+    spark.sql("DELETE FROM graft_mem.default.t_dml WHERE true")
+    assert(snap().isEmpty)
+  }
 }
