@@ -91,6 +91,7 @@ object Sessions {
       .master(master)
       .appName(appName)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.queryExecutionListeners", "graft.plans.HistoryListener")
       .config("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")

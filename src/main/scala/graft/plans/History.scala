@@ -4,9 +4,12 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.BaseJoinExec
 
 /** Execution-history store — the Spark rendering of the reference's
   * VeloxHistory (axiom/optimizer/VeloxHistory.h:44-50,
@@ -38,10 +41,21 @@ object History {
     path + "#" + dataSize + "|" + exprKey(filters)
 
   /** Canonical text for an expression set: attribute ids stripped,
-    * conjunct order normalized — shared by scan keys and join keys. */
+    * conjunct order normalized, commutative equality orientation
+    * normalized (so the logical `l.k = r.k` and the physical
+    * EqualTo(leftKey, rightKey) reconstruction key identically) —
+    * shared by scan keys and join keys. */
   def exprKey(exprs: Seq[Expression]): String = exprs
-    .map(_.transform { case a: AttributeReference => UnresolvedMarker(a.name) }.toString)
+    .map(_.transform { case a: AttributeReference => UnresolvedMarker(a.name) }
+      .transform { case EqualTo(a, b) if a.toString > b.toString => EqualTo(b, a) }
+      .toString)
     .sorted.mkString(",")
+
+  /** Conjunct split shared by the rule, the sampler, and actual-recording. */
+  def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
 
   /** Placeholder leaf so two plans' equal-named columns key identically. */
   private case class UnresolvedMarker(name: String) extends org.apache.spark.sql.catalyst.expressions.LeafExpression {
@@ -54,19 +68,78 @@ object History {
     override def toString: String = s"col($name)"
   }
 
-  /** Execute the frame and record per-scan actual output rows. */
+  /** Execute the frame and record per-subtree actual output rows. */
   def record(df: DataFrame): Unit = {
     df.count() // drive execution so metrics are populated
     recordPlan(df.queryExecution.executedPlan)
   }
 
-  private def recordPlan(plan: SparkPlan): Unit = plan.foreach {
-    case a: AdaptiveSparkPlanExec => recordPlan(a.executedPlan)
+  /** Record actuals from an already-executed query — the reference's
+    * post-run history feedback (VeloxHistory::recordVeloxExecution,
+    * VeloxHistory.cpp:32-70: per-node actual cardinalities from
+    * TaskStats, reused to cost future plans). Both scans AND inner
+    * equi-join subtrees are recorded, under the SAME canonical keys the
+    * plan-time sampler writes — so a repeated workload plans from
+    * actuals with sampling disabled, and sampling is only ever needed
+    * for never-executed shapes. */
+  def recordExecution(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+    recordPlan(qe.executedPlan)
+
+  private def recordPlan(plan: SparkPlan): Unit =
+    walk(plan) { p =>
+      val rows = p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+      if (rows >= 0) p match {
+        case s: FileSourceScanExec => store.put(physKey(s).get, rows)
+        case j: BaseJoinExec => physKey(j).foreach(k => store.put(k, rows))
+        case _ => ()
+      }
+    }
+
+  /** Physical-tree traversal that crosses the barriers `foreach` cannot:
+    * AQE roots and materialized query stages are leaf-like wrappers. */
+  private def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+    f(p)
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    kids.foreach(walk(_)(f))
+  }
+
+  /** Canonical history key of a PHYSICAL subtree, mirroring the logical
+    * canonicalKey the planner rule builds: scans key on (path, data
+    * fingerprint, pushed filters); inner equi joins compose their sides'
+    * keys with the normalized join condition (equi conjuncts
+    * reconstructed as EqualTo(leftKey, rightKey) — exprKey normalizes
+    * the orientation). Exchanges, codegen wrappers, projections and
+    * residual filters are transparent, as Project/Filter are on the
+    * logical side. */
+  private def physKey(p: SparkPlan): Option[String] = p match {
+    case a: AdaptiveSparkPlanExec => physKey(a.executedPlan)
+    case q: QueryStageExec => physKey(q.plan)
+    case r: ReusedExchangeExec => physKey(r.child)
+    case w: WholeStageCodegenExec => physKey(w.child)
+    case i: InputAdapter => physKey(i.child)
+    case e: ShuffleExchangeExec => physKey(e.child)
+    case b: BroadcastExchangeExec => physKey(b.child)
+    case r: AQEShuffleReadExec => physKey(r.child)
+    case pr: ProjectExec => physKey(pr.child)
+    case f: FilterExec => physKey(f.child)
+    // Sorts and columnar transitions are physical artifacts of the
+    // strategy choice, invisible on the logical side.
+    case s: org.apache.spark.sql.execution.SortExec => physKey(s.child)
+    case c: org.apache.spark.sql.execution.ColumnarToRowExec => physKey(c.child)
+    case c: org.apache.spark.sql.execution.RowToColumnarExec => physKey(c.child)
     case s: FileSourceScanExec =>
       val path = s.relation.location.rootPaths.map(_.toString).sorted.mkString(";")
-      val rows = s.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
-      if (rows >= 0) store.put(scanKey(path, s.relation.location.sizeInBytes, s.dataFilters), rows)
-    case _ => ()
+      Some(scanKey(path, s.relation.location.sizeInBytes, s.dataFilters))
+    case j: BaseJoinExec if j.joinType == Inner && j.leftKeys.nonEmpty =>
+      val equi = j.leftKeys.zip(j.rightKeys).map { case (l, r) => EqualTo(l, r) }
+      for (lk <- physKey(j.left); rk <- physKey(j.right))
+        yield s"join[$lk * $rk | ${exprKey(equi ++ j.condition.toSeq.flatMap(conjuncts))}]"
+    case _ => None
   }
 
   def lookup(key: String): Option[Long] = store.get(key)
@@ -102,4 +175,20 @@ object History {
       loadedFrom = Some(path)
     }
   }
+}
+
+/** Session hook feeding [[History]] from execution actuals — every
+  * successful query's scan and join subtree cardinalities are recorded
+  * when `graft.history.recordActuals` is true (default off, like the
+  * reference's opt-in history flags, TpchPlanTest.cpp:33-38). Registered
+  * session-wide via spark.sql.queryExecutionListeners in
+  * graft.Sessions.builder; the gate is read per query so a session can
+  * turn feedback on/off live. */
+class HistoryListener extends org.apache.spark.sql.util.QueryExecutionListener {
+  override def onSuccess(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+    if (qe.sparkSession.conf.get("graft.history.recordActuals", "false").toBoolean)
+      History.recordExecution(qe)
+  override def onFailure(funcName: String,
+      qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
 }

@@ -40,6 +40,52 @@ class HistoryStatsSpec extends SparkSpec {
       s"expected history-hinted broadcast, got:\n$after")
   }
 
+  test("execution actuals recorded by the listener drive re-planning without sampling") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("graft.history.recordActuals", "true")
+    // sampling stays DISABLED throughout: feedback must come from actuals
+    val t = Tables(s, sfDir)
+    History.clear()
+    s.experimental.extraOptimizations = Seq(new graft.plans.HistoryStatsRule(s))
+    s.listenerManager.register(new graft.plans.HistoryListener)
+
+    val dim = t.part.filter(col("p_brand") === "Brand#3")
+    def child = t.lineitem
+      .join(dim, col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("l_quantity"))
+
+    // First run: no history -> shuffle join; the listener records scan
+    // AND join-subtree actuals asynchronously after success.
+    val firstPlan = child.queryExecution.executedPlan.toString
+    assert(!firstPlan.contains("BroadcastHashJoin"))
+    child.write.format("noop").mode("overwrite").save()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (History.size == 0 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(History.size > 0, "listener recorded nothing")
+    assert(History.asMap.keys.exists(_.startsWith("join[")),
+      s"no join-subtree actual recorded: ${History.asMap.keys}")
+
+    // Re-plan the same shape: the filtered dim's actual rows (tiny) must
+    // broadcast it — from recorded actuals, with sampling off.
+    val replanned = t.lineitem
+      .join(t.part.filter(col("p_brand") === "Brand#3"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_brand"), col("l_quantity"))
+      .queryExecution.executedPlan.toString
+    assert(replanned.contains("BroadcastHashJoin"),
+      s"recorded actuals did not drive the broadcast:\n$replanned")
+
+    // And a parent join over the recorded child join reads the CHILD
+    // JOIN's actual output rows (the quantity static stats cannot see).
+    val joinKey = History.asMap.keys.find(_.startsWith("join[")).get
+    val joinRows = History.asMap(joinKey)
+    val actual = child.count()
+    assert(joinRows == actual, s"join actual $joinRows != $actual")
+    s.listenerManager.clear()
+  }
+
   test("history persists and reloads across stores") {
     val path = "/root/repo/target/history_test.json"
     History.save(path)
