@@ -141,6 +141,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(new HistoryStatsRule(_))
     ext.injectOptimizerRule(new JsonConsolidationRule(_))
+    ext.injectOptimizerRule(new SubfieldDecompositionRule(_))
     // Whole-operator extension (custom-operator ladder rung (c)): the
     // native merge as-of join's logical node needs its planner strategy.
     ext.injectPlannerStrategy(_ => new graft.operators.NativeAsOfJoin.AsOfJoinStrategy)
