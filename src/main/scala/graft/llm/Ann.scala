@@ -27,7 +27,15 @@ object Ann {
 
   private val K = 5
   private val NQueries = 20 // probe vectors: vec_id < 20
-  private val NProbe = 4
+  private val NProbe = 6
+  /** Each corpus vector is REPLICATED into its NAssign nearest lists —
+    * the standard IVF recall lever for vectors near list boundaries
+    * (where a query's true neighbors live when it probes the adjacent
+    * list). Storage cost NAssign×; recall at this corpus/codebook:
+    * 0.94 @ k=5 vs 0.50 for single-assign probe-4 (tools/DbgIvf grid).
+    * Candidates are deduped per (query, vector) BEFORE ranking, so a
+    * twice-met vector cannot occupy two top-k slots. */
+  private val NAssign = 3
 
   private def dot(a: Column, b: Column): Column =
     call_function("graft_vecdot", a, b)
@@ -81,12 +89,13 @@ object Ann {
     val v = prepped(t)
     val cents = v.filter(pmod(col("vec_id"), lit(31)) === 0)
       .select(col("vec_id").as("c_id"), col("e").as("ce"), col("norm").as("cnorm"))
-    // Assign every vector to its nearest centroid → inverted lists.
+    // Assign every vector to its NAssign nearest centroids → replicated
+    // inverted lists (multi-assign; see [[NAssign]]).
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
     val lists = v.crossJoin(broadcast(cents))
       .withColumn("csim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
       .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") === 1)
+      .filter(col("arank") <= NAssign)
       .select(col("c_id").as("list_id"), col("vec_id"), col("e"), col("norm"))
     // Each query probes its nProbe nearest lists only.
     val q = v.filter(col("vec_id") < NQueries)
@@ -97,10 +106,13 @@ object Ann {
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nProbe)
       .select(col("q_id"), col("qe"), col("qnorm"), col("c_id").as("list_id"))
-    // Score only within probed lists, then per-query top-k.
+    // Score only within probed lists; dedup (query, vector) BEFORE the
+    // ranking window so a replicated vector fills one top-k slot, not
+    // NAssign of them; then per-query top-k.
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     probes.join(lists, "list_id")
       .filter(col("q_id") =!= col("vec_id"))
+      .dropDuplicates("q_id", "vec_id")
       .withColumn("cos", dot(col("qe"), col("e")) / (col("qnorm") * col("norm")))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= K)
@@ -116,7 +128,17 @@ object Ann {
     * shape as [[kmeansStepSql]]'s assignment step). Recall-vs-brute-force
     * stays a separate quality gate in LlmOpsSpec: hash equality proves
     * the IVF semantics (partition/probe/rank), the recall floor judges
-    * its approximation quality. */
+    * its approximation quality.
+    *
+    * Cross-engine tie note: ranking compares unrounded doubles computed
+    * by different kernels (graft_vecdot vs list_cosine_similarity), so
+    * two CANDIDATES of one query whose cosines differ by less than the
+    * accumulated ulp error (~1e-15) could in principle rank differently
+    * across engines. On this corpus the closest same-query candidate gap
+    * is orders of magnitude wider, and the data is fixed (seed 42), so
+    * the gate is deterministic; if regenerated data ever flaked it,
+    * round the sims to one fixed precision before ranking on BOTH
+    * engines. */
   val annIvfSql: String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
        c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 31 = 0),
@@ -125,24 +147,27 @@ object Ann {
                  PARTITION BY v.vec_id
                  ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.c_id) AS arank
              FROM v CROSS JOIN c),
-       lists AS (SELECT vec_id, c_id AS list_id FROM a WHERE arank = 1),
+       lists AS (SELECT vec_id, c_id AS list_id FROM a WHERE arank <= $NAssign),
        q AS (SELECT vec_id AS q_id, e FROM v WHERE vec_id < $NQueries),
        pr AS (SELECT q.q_id, c.c_id AS list_id,
                 row_number() OVER (
                   PARTITION BY q.q_id
                   ORDER BY list_cosine_similarity(q.e, c.ce) DESC, c.c_id) AS prank
               FROM q CROSS JOIN c),
-       scored AS (
-         SELECT p.q_id, l.vec_id AS neighbor_id,
-                list_cosine_similarity(qv.e, nv.e) AS cos,
-                row_number() OVER (
-                  PARTITION BY p.q_id
-                  ORDER BY list_cosine_similarity(qv.e, nv.e) DESC, l.vec_id) AS rk
+       cand AS (
+         SELECT DISTINCT p.q_id, l.vec_id
          FROM (SELECT q_id, list_id FROM pr WHERE prank <= $NProbe) p
          JOIN lists l ON p.list_id = l.list_id
-         JOIN v qv ON qv.vec_id = p.q_id
-         JOIN v nv ON nv.vec_id = l.vec_id
-         WHERE l.vec_id <> p.q_id)
+         WHERE l.vec_id <> p.q_id),
+       scored AS (
+         SELECT cd.q_id, cd.vec_id AS neighbor_id,
+                list_cosine_similarity(qv.e, nv.e) AS cos,
+                row_number() OVER (
+                  PARTITION BY cd.q_id
+                  ORDER BY list_cosine_similarity(qv.e, nv.e) DESC, cd.vec_id) AS rk
+         FROM cand cd
+         JOIN v qv ON qv.vec_id = cd.q_id
+         JOIN v nv ON nv.vec_id = cd.vec_id)
        SELECT q_id, neighbor_id, rk, round(cos, 4) AS cos
        FROM scored WHERE rk <= $K"""
 

@@ -30,15 +30,15 @@ class LlmOpsSpec extends SparkSpec {
     assert(sh == truth, s"missing=${truth -- sh} extra=${sh -- truth}")
   }
 
-  test("IVF ANN recall@5 >= 0.5 vs brute force") {
+  test("IVF ANN recall@5 >= 0.9 vs brute force") {
     def topk(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("q_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = topk(Ann.annBruteforce(tables))
     val approx = topk(Ann.annIvf(tables))
     val recall = (exact & approx).size.toDouble / exact.size
-    info(f"IVF recall@5 = $recall%.3f (probing 4 of ~16 lists)")
-    assert(recall >= 0.5, f"recall $recall%.3f below floor")
+    info(f"IVF recall@5 = $recall%.3f (assign-3 replicated lists, probing 6 of ~17)")
+    assert(recall >= 0.9, f"recall $recall%.3f below floor")
   }
 
   test("spherical k-means training objective is monotone non-decreasing") {
