@@ -252,6 +252,33 @@ object Presto {
               ELSE o_totalprice END AS o_totalprice
        FROM orders WHERE o_orderkey < 2000"""
 
+  /** MERGE INTO — upsert through the same row-level rewrite (matched →
+    * update, not-matched → insert). The reference's AST stops at
+    * Update/Delete (AstStatements.h:541,573); MERGE is the lakehouse
+    * upsert a training-data pipeline needs for canonical-record tables,
+    * so it is included as an extension on the identical machinery. */
+  def mergeStmt(s: SparkSession, d: String): DataFrame = {
+    PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS graft_mem.default.presto_merge")
+    PrestoRewriter.sql(s, d,
+      """CREATE TABLE graft_mem.default.presto_merge AS
+         SELECT o_orderkey, o_orderpriority, o_totalprice
+         FROM orders WHERE o_orderkey < 1000""")
+    PrestoRewriter.sql(s, d,
+      """MERGE INTO graft_mem.default.presto_merge t
+         USING (SELECT o_orderkey, o_orderpriority, o_totalprice
+                FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500) s
+         ON t.o_orderkey = s.o_orderkey
+         WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 5000.0
+         WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority, o_totalprice)
+           VALUES (s.o_orderkey, s.o_orderpriority, s.o_totalprice)""")
+    s.table("graft_mem.default.presto_merge")
+  }
+  val mergeOracle: String =
+    """SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey >= 500 AND o_orderkey < 1000
+              THEN o_totalprice + 5000.0 ELSE o_totalprice END AS o_totalprice
+       FROM orders WHERE o_orderkey < 1500"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -266,5 +293,6 @@ object Presto {
     ("presto_insert_select", insertSelect _, insertSelectOracle),
     ("presto_ctas", ctas _, ctasOracle),
     ("presto_delete", deleteStmt _, deleteOracle),
-    ("presto_update", updateStmt _, updateOracle))
+    ("presto_update", updateStmt _, updateOracle),
+    ("presto_merge", mergeStmt _, mergeOracle))
 }

@@ -103,4 +103,18 @@ class MemConnectorSpec extends SparkSpec {
     spark.sql("DELETE FROM graft_mem.default.t_dml WHERE true")
     assert(snap().isEmpty)
   }
+
+  test("SQL MERGE INTO upserts through the row-level operation") {
+    spark.sql("DROP TABLE IF EXISTS graft_mem.default.t_merge")
+    spark.sql("CREATE TABLE graft_mem.default.t_merge (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_mem.default.t_merge VALUES (1,'a'),(2,'b'),(3,'c')")
+    spark.sql("""MERGE INTO graft_mem.default.t_merge t
+                 USING (SELECT * FROM VALUES (2,'B2'),(4,'D4') AS src(k, v)) s
+                 ON t.k = s.k
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val got = spark.table("graft_mem.default.t_merge").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "D4")))
+  }
 }
