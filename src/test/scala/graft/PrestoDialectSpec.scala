@@ -139,4 +139,22 @@ class PrestoDialectSpec extends SparkSpec {
     assert(df.schema("a").dataType.typeName === "array")
     presto("DROP TABLE IF EXISTS graft_mem.default.spec_ctas")
   }
+
+  test("DELETE/UPDATE statements compose with dialect constructs") {
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_dml")
+    presto("CREATE TABLE graft_mem.default.spec_dml (k BIGINT, tag VARCHAR)")
+    presto("INSERT INTO graft_mem.default.spec_dml VALUES (1,'x1'),(2,'y2'),(3,'x3'),(4,'oops')")
+    // dialect TRY + cardinality(ARRAY[..]) inside a DELETE predicate
+    presto("""DELETE FROM graft_mem.default.spec_dml
+              WHERE TRY(CAST(substr(tag, 2, 1) AS INTEGER)) IS NULL""")
+    def snap() = spark.table("graft_mem.default.spec_dml").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(snap() == Set((1L, "x1"), (2L, "y2"), (3L, "x3")), snap())
+    // '||' concat and a dialect function in an UPDATE SET expression
+    presto("""UPDATE graft_mem.default.spec_dml
+              SET tag = tag || CAST(cardinality(ARRAY[k, k]) AS VARCHAR)
+              WHERE k = 2""")
+    assert(snap() == Set((1L, "x1"), (2L, "y22"), (3L, "x3")), snap())
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_dml")
+  }
 }
