@@ -527,12 +527,49 @@ object Corpus {
        SELECT bigram, count(*) AS cnt FROM bg
        GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20"""
 
+  // ------------------------------------------------ domain mixture
+  /** Domain-mixture construction: downsample each source to hit target
+    * mixture WEIGHTS within a document budget — the op that turns a
+    * scored corpus into a training mix (web 40% / code 30% / ... ). Per
+    * source s: keepFrac_s = min(1, budget·w_s / n_s); a document
+    * survives iff its deterministic per-doc uniform (Knuth
+    * multiplicative hash of doc_id, pure BIGINT arithmetic both engines
+    * reproduce exactly) falls below keepFrac_s. Unlisted sources are
+    * excluded (mixture spec is exhaustive).
+    *
+    * Scale: per-source counts are one tiny aggregation broadcast back
+    * onto the corpus — the filter itself is map-side; no corpus
+    * shuffle, no driver-side data. Deterministic → exactly
+    * reproducible mixes across reruns and engines (vs rand()-based
+    * sampling, which is neither). */
+  def corpusMixture(t: Tables): DataFrame = {
+    val weights = Seq(("src0", 0.4), ("src1", 0.3), ("src2", 0.2), ("src3", 0.1))
+    val budget = 60
+    val w = t.spark.createDataFrame(weights).toDF("source", "wgt")
+    val fracs = t.documents.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+      .join(w, "source")
+      .withColumn("keep_frac", least(lit(1.0), lit(budget) * col("wgt") / col("n_src")))
+    t.documents.join(broadcast(fracs), "source")
+      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1000000L)))
+      .filter(col("h") < col("keep_frac") * 1000000)
+      .select(col("doc_id"), col("source"))
+  }
+  val corpusMixtureSql: String =
+    """WITH w(source, wgt) AS (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
+       c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+       f AS (SELECT c.source, least(1.0, 60 * w.wgt / c.n_src) AS keep_frac
+             FROM c JOIN w ON c.source = w.source)
+       SELECT d.doc_id, d.source
+       FROM documents d JOIN f ON d.source = f.source
+       WHERE (d.doc_id * 2654435761) % 1000000 < f.keep_frac * 1000000"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("dedup_cluster_cc", dedupClusterCC _, dedupClusterCCSql),
     ("dedup_cluster_cc_star", dedupClusterCCStar _, dedupClusterCCSql),
     ("dedup_cluster_keep_best", dedupClusterKeepBest _, dedupClusterKeepBestSql),
     ("sample_stratified", sampleStratified _, sampleStratifiedSql),
     ("sample_reservoir", sampleReservoir _, sampleReservoirSql),
+    ("sample_mixture", corpusMixture _, corpusMixtureSql),
     ("pack_sequences", packSequences _, packSequencesSql),
     ("doc_chunk_sliding", docChunkSliding _, docChunkSlidingSql),
     ("pipeline_shard_build", shardBuild _, shardBuildSql),

@@ -140,6 +140,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(perDoc.filter(col("n") > 3 || col("lo") =!= 1 || col("hi") > 3).count() == 0)
   }
 
+  test("domain mixture hits target proportions deterministically") {
+    val mix = Corpus.corpusMixture(tables)
+    val bySource = mix.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // only the four spec'd sources survive
+    assert(bySource.keySet.subsetOf(Set("src0", "src1", "src2", "src3")), bySource)
+    // proportions track the 0.4/0.3/0.2/0.1 weights (hash sampling on a
+    // tiny per-source population → generous tolerance, but ordering and
+    // rough magnitude must hold)
+    val n = bySource.values.sum.toDouble
+    assert(n > 0)
+    val p0 = bySource.getOrElse("src0", 0L) / n
+    val p3 = bySource.getOrElse("src3", 0L) / n
+    assert(p0 > p3, s"mixture ordering lost: $bySource")
+    assert(math.abs(p0 - 0.4) < 0.25, s"src0 share $p0 far from 0.4 ($bySource)")
+    // deterministic: identical result on rerun
+    val again = Corpus.corpusMixture(tables).collect().map(_.getLong(0)).toSet
+    assert(again == mix.collect().map(_.getLong(0)).toSet)
+  }
+
   test("top bigrams are count-descending with deterministic tie order") {
     val rows = Corpus.ngramTopBigrams(tables).collect()
       .map(r => (r.getAs[String]("bigram"), r.getAs[Long]("cnt")))
