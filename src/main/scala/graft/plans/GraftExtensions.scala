@@ -105,7 +105,7 @@ class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case j @ Join(l, r, Inner, Some(cond), _) =>
       canonicalKey(j).flatMap { key =>
         History.lookup(key).orElse {
-          if (joinSamplingEnabled && !Sampling.inProgress &&
+          if (joinSamplingEnabled && Sampling.joinSamplingAllowed && !Sampling.inProgress &&
               scanShaped(l) && scanShaped(r) && Sampling.hasEquiConjunct(cond, l, r)) {
             val est = Sampling.estimateJoinOutputRows(spark, l, r, cond)
             History.put(key, est)

@@ -93,6 +93,7 @@ object Sampling {
     */
   def estimateJoinOutputRows(spark: SparkSession, left: LogicalPlan, right: LogicalPlan,
                              cond: Expression): Long = {
+    val t0 = System.nanoTime()
     inSampling.set(true)
     try {
       val lTotal = roughRows(spark, left)
@@ -120,7 +121,10 @@ object Sampling {
         val matches = Shim.ofRows(spark, limited).count()
         math.round(math.min(matches, cap) * f)
       }
-    } finally inSampling.set(false)
+    } finally {
+      inSampling.set(false)
+      noteJoinSampleElapsed(spark, (System.nanoTime() - t0) / 1000000)
+    }
   }
 
   /** Ceiling on sampled-join output rows (per partition, and the
@@ -128,6 +132,23 @@ object Sampling {
   private def joinOutputCap(spark: SparkSession): Long =
     spark.conf.getOption("graft.sampling.joinOutputCap").map(_.toLong)
       .getOrElse(2000000L)
+
+  /** Wall-clock circuit breaker: if one sampled-join estimate exceeds
+    * the time budget (graft.sampling.joinTimeBudgetMs, default 5000),
+    * further join sampling in this process is skipped — the planner
+    * falls back to static estimates instead of paying pathological
+    * plan-time latency per join. Memoized estimates keep serving. */
+  private val joinBudgetBreached = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def joinSamplingAllowed: Boolean = !joinBudgetBreached.get()
+  def resetJoinSamplingBreaker(): Unit = joinBudgetBreached.set(false)
+
+  private def joinTimeBudgetMs(spark: SparkSession): Long =
+    spark.conf.getOption("graft.sampling.joinTimeBudgetMs").map(_.toLong)
+      .getOrElse(5000L)
+
+  /** Record a completed estimate's cost against the budget. */
+  private[plans] def noteJoinSampleElapsed(spark: SparkSession, elapsedMs: Long): Unit =
+    if (elapsedMs > joinTimeBudgetMs(spark)) joinBudgetBreached.set(true)
 
   /** Cheap row-count upper bound used only to size the sample rate:
     * strip filters/projections down to the bare relation, whose count is

@@ -78,6 +78,7 @@ class SamplingSpec extends SparkSpec {
     s.conf.set("graft.sampling.joins", "true")
     s.conf.set("graft.sampling.targetRows", "500")
     History.clear()
+    Sampling.resetJoinSamplingBreaker() // a slow prior suite must not gate this one
     s.experimental.extraOptimizations = Seq(new HistoryStatsRule(s))
     val dir = writeSkewed(s)
     import s.implicits._
@@ -165,5 +166,36 @@ class SamplingSpec extends SparkSpec {
     // far below running the 228M-row sampled product to completion.
     assert(est >= 5000L, s"capped estimate $est below the cap floor")
     assert(est <= 300000L, s"estimate $est suggests the cap did not truncate the sampled join")
+  }
+
+  test("the wall-clock circuit breaker stops join sampling after a slow estimate") {
+    val s = spark.newSession()
+    s.conf.set("graft.sampling.joins", "true")
+    s.conf.set("graft.sampling.targetRows", "500")
+    s.conf.set("graft.sampling.joinTimeBudgetMs", "0") // any estimate breaches
+    History.clear()
+    Sampling.resetJoinSamplingBreaker()
+    s.experimental.extraOptimizations = Seq(new HistoryStatsRule(s))
+    val dir = writeSkewed(s)
+    import s.implicits._
+    (0 until 200).map(k => (k, s"c$k")).toDF("k", "name")
+      .write.mode("overwrite").parquet(s"$dir/C")
+    val l = s.read.parquet(s"$dir/L")
+    val r = s.read.parquet(s"$dir/R").withColumnRenamed("payload", "payload_r")
+    val c = s.read.parquet(s"$dir/C")
+
+    // First child join gets sampled (and trips the zero budget)...
+    l.join(r, "k").join(c, "k").queryExecution.executedPlan
+    assert(!Sampling.joinSamplingAllowed, "zero budget did not trip the breaker")
+    val sampled = History.asMap.keys.count(_.startsWith("join["))
+    assert(sampled == 1, s"expected exactly one sampled join, got $sampled")
+
+    // ...a DIFFERENT join shape must now skip sampling (static fallback).
+    val lf = l.filter(col("k") < 5)
+    val rf = r.filter(col("k") < 5)
+    lf.join(rf, "k").join(c, "k").queryExecution.executedPlan
+    assert(History.asMap.keys.count(_.startsWith("join[")) == sampled,
+      "breaker tripped but a new join was still sampled")
+    Sampling.resetJoinSamplingBreaker()
   }
 }
