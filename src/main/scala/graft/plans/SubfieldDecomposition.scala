@@ -37,6 +37,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Like all graft rules, injected via GraftExtensions (operator-
   * optimization batch, ahead of Early Filter and Projection Push-Down
   * where SchemaPruning lives).
+  *
+  * Layout note: parquet's reader cannot skip individual MAP keys, so
+  * the storage half of the reference's map-as-struct optimization
+  * corresponds to materializing feature maps as STRUCT columns (the
+  * layout the pruning test uses); this rule supplies the access-rewrite
+  * half for both layouts — struct extractions become scan-prunable,
+  * map extractions avoid materializing whole transformed maps.
   */
 class SubfieldDecompositionRule(spark: SparkSession) extends Rule[LogicalPlan] {
 

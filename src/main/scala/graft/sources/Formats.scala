@@ -53,8 +53,20 @@ object Formats {
       .json(dir))
   }
 
+  /** Avro (row-oriented, the common ingest/interchange format alongside
+    * columnar parquet/ORC). The implementation classes ship inside Spark
+    * 4's sql jar but the short name "avro" is service-registered only by
+    * the external module, so the format is addressed by class name. */
+  def avroRoundtrip(t: Tables): DataFrame = {
+    val dir = s"$base/orders_avro"
+    val fmt = "org.apache.spark.sql.avro.AvroFileFormat"
+    subset(t).write.mode("overwrite").format(fmt).save(dir)
+    digest(t.spark.read.format(fmt).load(dir))
+  }
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("format_orc_roundtrip", orcRoundtrip _, digestOracleSql),
     ("format_csv_roundtrip", csvRoundtrip _, digestOracleSql),
-    ("format_json_roundtrip", jsonRoundtrip _, digestOracleSql))
+    ("format_json_roundtrip", jsonRoundtrip _, digestOracleSql),
+    ("format_avro_roundtrip", avroRoundtrip _, digestOracleSql))
 }
