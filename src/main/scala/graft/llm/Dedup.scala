@@ -337,9 +337,20 @@ object Dedup {
 
   /** Core tiered pipeline over any (vec_id: long, e: array<double>)
     * frame — parameterized so tests can plant near-dups and assert
-    * recall against an exact all-pairs check. */
+    * recall against an exact all-pairs check.
+    *
+    * `maxLshBucket` caps the sign-LSH family's bucket size (hot-bucket
+    * guard): a bucket larger than the cap is dropped from the LSH tier,
+    * bounding its candidate volume by tables·n·cap — LINEAR in the
+    * corpus — instead of quadratic when a dense region collapses into
+    * one bucket. Dense regions are exactly where the IVF lists (size-
+    * bounded by the codebook: ~stride·nAssign per list) still generate
+    * candidates, so the cap degrades recall gracefully rather than
+    * abruptly; at the verification scales no bucket approaches the
+    * default cap and the output is unchanged. */
   def neardupEmbeddingOver(spark: org.apache.spark.sql.SparkSession,
-                           vecs: DataFrame, tau: Double): DataFrame = {
+                           vecs: DataFrame, tau: Double,
+                           maxLshBucket: Int = 256): DataFrame = {
     NativeExprs.ensureRegistered(spark)
     val v = vecs.withColumn("norm", sqrt(call_function("graft_vecdot", col("e"), col("e"))))
     // Coarse codebook: deterministic stride-31 corpus sample standing in
@@ -356,9 +367,13 @@ object Dedup {
     val ivfKeys = v.select(col("vec_id"),
       explode(call_function("graft_ivf_assign", col("e"), centsLit, lit(4))).as("list_id"))
       .select(col("vec_id"), (lit(1L << 62) + col("list_id")).as("key"))
-    // Family 2: sign-LSH buckets.
+    // Family 2: sign-LSH buckets, hot buckets dropped (see maxLshBucket;
+    // the size window shuffles on the same key the candidate join needs).
     val lshKeys = v.select(col("vec_id"),
       explode(call_function("graft_signlsh", col("e"), lit(32), lit(6))).as("key"))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("key"))))
+      .filter(col("bsz") <= maxLshBucket)
+      .drop("bsz")
     val keys = ivfKeys.unionByName(lshKeys)
     // Candidates share a bucket key — one equi-join shuffle on the key;
     // the stream carries only (vec_id, key), vectors join back after

@@ -98,6 +98,16 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => (-(r.getLong(0) + 1L), r.getLong(0))).toSet
     assert((expected -- got).isEmpty,
       s"planted pairs missed: ${(expected -- got).take(5)}")
+
+    // Hot-bucket guard degrades gracefully: with the LSH tier fully
+    // capped away (maxLshBucket = 0), the IVF lists alone still find
+    // every planted pair — dense regions stay covered when hot LSH
+    // buckets are dropped at scale.
+    val ivfOnly = Dedup.neardupEmbeddingOver(spark, corpus, 0.9, maxLshBucket = 0)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((expected -- ivfOnly).isEmpty,
+      s"IVF tier alone missed planted pairs under a full LSH cap: ${(expected -- ivfOnly).take(5)}")
   }
 
   test("exact dedup groups cover every document exactly once") {
