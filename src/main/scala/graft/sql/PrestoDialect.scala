@@ -560,6 +560,36 @@ object PrestoDialect {
       case (t, _) => t
     }
 
+  // ---------------------------------------------- pass: EXPLAIN options
+  /** Presto `EXPLAIN (TYPE LOGICAL|DISTRIBUTED|IO|VALIDATE [, FORMAT …])`
+    * (AstStatements.h:597 Explain + ExplainOption) → the closest Spark
+    * explain mode: LOGICAL → EXTENDED (output includes the full logical
+    * plan), DISTRIBUTED → FORMATTED (physical stages + exchanges — the
+    * fragment view), IO → COST (stats-annotated plan), VALIDATE → plain
+    * EXPLAIN (analysis runs; output ignored by callers that only check
+    * validity). FORMAT options drop — Spark explain output is text.
+    * `EXPLAIN ANALYZE` is deliberately left untouched: it EXECUTES the
+    * query in Presto, so mapping it to a non-executing EXPLAIN would
+    * silently change semantics — better a loud parse error. */
+  private[sql] def rewriteExplainOptions(toks: Vector[Tok]): Vector[Tok] = {
+    val i0 = nextM(toks, -1)
+    if (!wordAt(toks, i0).equalsIgnoreCase("explain")) return toks
+    val iP = nextM(toks, i0)
+    if (!toks.lift(iP).contains(Sym("("))) return toks
+    val close = matchFwd(toks, iP)
+    if (close <= iP) return toks
+    val opts = toks.slice(iP + 1, close).collect { case w: Word => w.lower }
+    // Only an options list (led by TYPE/FORMAT) rewrites — `EXPLAIN
+    // (SELECT …)` is a parenthesized query and must pass through.
+    if (!opts.headOption.exists(h => h == "type" || h == "format")) return toks
+    val mode: Vector[Tok] =
+      if (opts.contains("distributed")) Vector(Space(" "), Word("FORMATTED"))
+      else if (opts.contains("logical")) Vector(Space(" "), Word("EXTENDED"))
+      else if (opts.contains("io")) Vector(Space(" "), Word("COST"))
+      else Vector.empty // VALIDATE or bare FORMAT: plain EXPLAIN
+    toks.take(i0 + 1) ++ mode ++ toks.drop(close + 1)
+  }
+
   // ------------------------------------------- pass: quoted identifiers
   /** Presto double-quoted identifiers → Spark backticks (handles names
     * the rename-pass regex cannot: spaces, punctuation). */
@@ -572,7 +602,7 @@ object PrestoDialect {
 
   // -------------------------------------------------------------- entry
   private val passes: Seq[Vector[Tok] => Vector[Tok]] = Seq(
-    rewriteUnnestJoins, rewriteCastTypes, rewriteRowCtor,
+    rewriteExplainOptions, rewriteUnnestJoins, rewriteCastTypes, rewriteRowCtor,
     rewriteArrayBrackets, rewriteTry, rewriteAtTimeZone, rewriteBareTypes,
     rewriteQuotedIdents)
 

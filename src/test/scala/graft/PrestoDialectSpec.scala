@@ -140,6 +140,20 @@ class PrestoDialectSpec extends SparkSpec {
     presto("DROP TABLE IF EXISTS graft_mem.default.spec_ctas")
   }
 
+  test("EXPLAIN (TYPE ...) options lower to Spark explain modes") {
+    def low(s: String) = graft.sql.PrestoDialect.transform(s)
+    assert(low("EXPLAIN (TYPE DISTRIBUTED) SELECT 1") == "EXPLAIN FORMATTED SELECT 1")
+    assert(low("EXPLAIN (TYPE LOGICAL) SELECT 1") == "EXPLAIN EXTENDED SELECT 1")
+    assert(low("EXPLAIN (TYPE IO, FORMAT JSON) SELECT 1") == "EXPLAIN COST SELECT 1")
+    assert(low("EXPLAIN (TYPE VALIDATE) SELECT 1") == "EXPLAIN SELECT 1")
+    // a parenthesized query is NOT an options list
+    assert(low("EXPLAIN (SELECT 1)") == "EXPLAIN (SELECT 1)")
+    // end-to-end: the distributed form returns a formatted physical plan
+    val rows = presto("EXPLAIN (TYPE DISTRIBUTED) SELECT count(*) FROM orders")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(rows.contains("Physical Plan"), rows.take(200))
+  }
+
   test("DELETE/UPDATE statements compose with dialect constructs") {
     presto("DROP TABLE IF EXISTS graft_mem.default.spec_dml")
     presto("CREATE TABLE graft_mem.default.spec_dml (k BIGINT, tag VARCHAR)")
