@@ -16,7 +16,10 @@ class DifferentialSpec extends SparkSpec {
     ("q1", Tpch.q1 _), ("q3", Tpch.q3 _), ("q13", Tpch.q13 _), ("q16", Tpch.q16 _),
     ("minhash", graft.llm.Dedup.neardupMinhash _),
     ("asof", graft.queries.Events.asof _),
-    ("asof-native", graft.queries.Events.asofNative _))
+    ("asof-native", graft.queries.Events.asofNative _),
+    // exercises the injected JsonConsolidationRule, so the rules-off
+    // config below actually changes its plan
+    ("json-extract", graft.queries.Events.jsonExtract _))
 
   private def rows(s: SparkSession, fn: Tables => org.apache.spark.sql.DataFrame): Set[String] =
     fn(Tables(s, sfDir)).collect().map(_.mkString("|")).toSet
@@ -28,7 +31,13 @@ class DifferentialSpec extends SparkSpec {
     ("aqe-off-codegen-off-p1", Map(
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.codegen.wholeStage" -> "false",
-      "spark.sql.shuffle.partitions" -> "1")))
+      "spark.sql.shuffle.partitions" -> "1")),
+    // every graft-injected optimizer rule excluded: the rewrites must be
+    // pure optimizations — identical rows with and without them
+    ("graft-rules-off", Map(
+      "spark.sql.optimizer.excludedRules" ->
+        Seq("graft.plans.HistoryStatsRule", "graft.plans.JsonConsolidationRule",
+          "graft.plans.SubfieldDecompositionRule").mkString(","))))
 
   queries.foreach { case (qname, fn) =>
     test(s"$qname: identical rows under all engine configs") {
