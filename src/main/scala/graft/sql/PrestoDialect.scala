@@ -595,7 +595,10 @@ object PrestoDialect {
     * the rename-pass regex cannot: spaces, punctuation). */
   private[sql] def rewriteQuotedIdents(toks: Vector[Tok]): Vector[Tok] =
     toks.map {
-      case q: Quoted if q.text.startsWith("\"") =>
+      // require a TERMINATED quote: an unterminated `"` (length-1 token
+      // at end of input) passes through so the real parser reports it,
+      // instead of this pass crashing on substring bounds
+      case q: Quoted if q.text.length >= 2 && q.text.startsWith("\"") && q.text.endsWith("\"") =>
         Quoted("`" + q.text.substring(1, q.text.length - 1).replace("`", "``") + "`")
       case t => t
     }
