@@ -287,6 +287,42 @@ object TextStats {
               round(1.0 - n_distinct_bg * 1.0 / n_bg, 4) AS dup_bigram_frac
        FROM ws JOIN bs ON ws.doc_id = bs.doc_id"""
 
+  // ------------------------------------------------------- PII scrubbing
+  /** PII redaction — the scrub stage every training-data pipeline runs
+    * before text ships: regex-match emails/phone numbers, count them,
+    * and replace with typed placeholders. The synthetic corpus contains
+    * no PII, so the query PLANTS a deterministic email + phone per
+    * document (same pattern as the planted near-dups: the plumbing is
+    * the deliverable, the planted data makes it verifiable), then
+    * redacts and emits counts plus the scrubbed text for the oracle to
+    * hash. Pure narrow projection — scan-speed at any corpus size. */
+  def piiScrub(t: Tables): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    t.documents.select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("pii_text"))
+      .select(col("doc_id"),
+        regexp_count(col("pii_text"), lit(emailRe)).as("n_emails"),
+        regexp_count(col("pii_text"), lit(phoneRe)).as("n_phones"),
+        regexp_replace(regexp_replace(col("pii_text"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("redacted"))
+  }
+  val piiScrubSql: String =
+    """WITH p AS (
+         SELECT doc_id,
+                text || ' contact user' || doc_id || '@example.com or +1-555-' ||
+                  lpad((doc_id % 10000)::VARCHAR, 4, '0') AS pii_text
+         FROM documents)
+       SELECT doc_id,
+              len(regexp_extract_all(pii_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+              len(regexp_extract_all(pii_text, '\+1-555-[0-9]{4}')) AS n_phones,
+              regexp_replace(regexp_replace(pii_text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+       FROM p"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("text_repetition", repetition _, repetitionSql),
     ("text_token_stats", tokenStats _, tokenStatsSql),
@@ -296,5 +332,6 @@ object TextStats {
     ("text_cross_source_leak", crossSourceLeak _, crossSourceLeakSql),
     ("text_dedup_tokens", dedupTokens _, dedupTokensSql),
     ("text_unigram_logprob", unigramLogprob _, unigramLogprobSql),
+    ("text_pii_scrub", piiScrub _, piiScrubSql),
     ("pipeline_corpus_build", corpusBuild _, corpusBuildSql))
 }

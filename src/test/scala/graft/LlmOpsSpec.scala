@@ -110,6 +110,18 @@ class LlmOpsSpec extends SparkSpec {
       s"IVF tier alone missed planted pairs under a full LSH cap: ${(expected -- ivfOnly).take(5)}")
   }
 
+  test("PII scrub redacts every planted match and leaves no residue") {
+    val df = graft.llm.TextStats.piiScrub(tables)
+    val residual = df.filter(
+      col("redacted").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+") ||
+        col("redacted").rlike("\\+1-555-[0-9]{4}")).count()
+    assert(residual == 0, s"$residual documents kept un-redacted PII")
+    assert(df.filter(col("n_emails") < 1 || col("n_phones") < 1).count() == 0,
+      "planted PII not detected in some documents")
+    assert(df.filter(col("redacted").contains("<EMAIL>") &&
+      col("redacted").contains("<PHONE>")).count() == df.count())
+  }
+
   test("exact dedup groups cover every document exactly once") {
     val total = Dedup.dedupExact(tables).agg(sum("n_copies")).collect().head.getLong(0)
     assert(total == tables.documents.count())
