@@ -347,6 +347,74 @@ object Ann {
          qe[1] AS q1, qe[2] AS q2
        FROM q"""
 
+  // ------------------------------------------- product quantization (PQ)
+  /** Product-quantization encode — the serving-side compression between
+    * int8 (4×) and binary hashing: split each vector into M=8 subvectors
+    * of 8 dims, encode each against a K=16-entry per-subspace codebook
+    * (argmin L2, ties to the lower code) → 8 codes ≈ 8 bytes/vector
+    * (32× smaller), with the per-vector reconstruction error emitted so
+    * quality loss is measurable in-pipeline. Codebooks here are the
+    * deterministic stride-31 corpus sample (production trains them with
+    * the kmeansTrain loop per subspace — same structure); the encode is
+    * relational (explode subspaces × broadcast codebook → argmin), so
+    * the DuckDB oracle replays it exactly.
+    *
+    * Scale: the codebook is a fixed-size broadcast model artifact; the
+    * encode stream carries (vec_id, m, 8 doubles) and one groupBy on
+    * vec_id reassembles codes — linear, no corpus product. */
+  def pqEncode(t: Tables): DataFrame = {
+    val M = 8; val Kc = 16; val D = 8
+    val v = t.embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val sub = v.select(col("vec_id"), explode(transform(sequence(lit(0), lit(M - 1)),
+        m => struct(m.as("m"), slice(col("e"), m * D + 1, lit(D)).as("sv")))).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    val cents = v.filter(pmod(col("vec_id"), lit(31)) === 0)
+      .withColumn("c_idx",
+        row_number().over(Window.orderBy(col("vec_id"))) - 1) // 17 rows: global window is fine
+      .filter(col("c_idx") < Kc)
+    val cbSub = cents.select(col("c_idx"), explode(transform(sequence(lit(0), lit(M - 1)),
+        m => struct(m.as("m"), slice(col("e"), m * D + 1, lit(D)).as("csv")))).as("s"))
+      .select(col("c_idx"), col("s.m").as("m"), col("s.csv").as("csv"))
+    val wBest = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist"), col("c_idx"))
+    val assigned = sub.join(broadcast(cbSub), "m")
+      .withColumn("dist", aggregate(zip_with(col("sv"), col("csv"),
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .withColumn("abserr", aggregate(zip_with(col("sv"), col("csv"),
+        (a, b) => abs(a - b)), lit(0.0), (acc, x) => acc + x))
+    assigned.groupBy(col("vec_id"))
+      .agg(concat_ws(",", transform(array_sort(collect_list(struct(col("m"), col("c_idx")))),
+        s => s.getField("c_idx").cast("string"))).as("codes"),
+        round(sum(col("abserr")) / (M * D), 6).as("mae"))
+  }
+  val pqEncodeSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       cb AS (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS c_idx
+              FROM v WHERE vec_id % 31 = 0 QUALIFY c_idx < 16),
+       sub AS (SELECT vec_id, m, e[m*8+1 : m*8+8] AS sv
+               FROM v, unnest(range(0, 8)) AS t(m)),
+       cbsub AS (SELECT c_idx, m, e[m*8+1 : m*8+8] AS csv
+                 FROM cb, unnest(range(0, 8)) AS t(m)),
+       scored AS (
+         SELECT s.vec_id, s.m, c.c_idx,
+                list_sum(list_transform(range(1, 9),
+                  i -> (s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i]))) AS dist,
+                list_sum(list_transform(range(1, 9),
+                  i -> abs(s.sv[i] - c.csv[i]))) AS abserr
+         FROM sub s JOIN cbsub c ON s.m = c.m),
+       best AS (
+         SELECT vec_id, m, c_idx, abserr,
+                row_number() OVER (PARTITION BY vec_id, m
+                                   ORDER BY dist, c_idx) AS rn
+         FROM scored)
+       SELECT vec_id,
+              array_to_string(list(c_idx ORDER BY m), ',') AS codes,
+              round(sum(abserr) / 64, 6) AS mae
+       FROM best WHERE rn = 1 GROUP BY vec_id"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("ann_bruteforce_topk", annBruteforce _, annBruteforceSql),
     // approximate by design, but deterministically so → exact IVF-replay oracle
@@ -355,5 +423,6 @@ object Ann {
     ("ann_ivf_fullprobe", ((t: Tables) => annIvf(t, Int.MaxValue)), annBruteforceSql),
     ("ann_signlsh_neardup", annSignLshNearDup _, annSignLshNearDupSql),
     ("emb_kmeans_step", kmeansStep _, kmeansStepSql),
-    ("emb_quantize_int8", quantizeInt8 _, quantizeInt8Sql))
+    ("emb_quantize_int8", quantizeInt8 _, quantizeInt8Sql),
+    ("emb_pq_encode", pqEncode _, pqEncodeSql))
 }
