@@ -362,36 +362,61 @@ object Ann {
     * Scale: the codebook is a fixed-size broadcast model artifact; the
     * encode stream carries (vec_id, m, 8 doubles) and one groupBy on
     * vec_id reassembles codes — linear, no corpus product. */
-  def pqEncode(t: Tables): DataFrame = {
-    val M = 8; val Kc = 16; val D = 8
-    val v = t.embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("e"))
-    val sub = v.select(col("vec_id"), explode(transform(sequence(lit(0), lit(M - 1)),
-        m => struct(m.as("m"), slice(col("e"), m * D + 1, lit(D)).as("sv")))).as("s"))
+  private val PqM = 8; private val PqK = 16; private val PqD = 8
+
+  /** (vec_id, m, sv): the corpus exploded into per-subspace vectors. */
+  private def pqSub(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), explode(transform(sequence(lit(0), lit(PqM - 1)),
+        m => struct(m.as("m"), slice(col("e"), m * PqD + 1, lit(PqD)).as("sv")))).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-    val cents = v.filter(pmod(col("vec_id"), lit(31)) === 0)
+
+  /** (c_idx, m, csv): the per-subspace codebook from the corpus sample. */
+  private def pqCbSub(v: DataFrame): DataFrame =
+    v.filter(pmod(col("vec_id"), lit(31)) === 0)
       .withColumn("c_idx",
         row_number().over(Window.orderBy(col("vec_id"))) - 1) // 17 rows: global window is fine
-      .filter(col("c_idx") < Kc)
-    val cbSub = cents.select(col("c_idx"), explode(transform(sequence(lit(0), lit(M - 1)),
-        m => struct(m.as("m"), slice(col("e"), m * D + 1, lit(D)).as("csv")))).as("s"))
+      .filter(col("c_idx") < PqK)
+      .select(col("c_idx"), explode(transform(sequence(lit(0), lit(PqM - 1)),
+        m => struct(m.as("m"), slice(col("e"), m * PqD + 1, lit(PqD)).as("csv")))).as("s"))
       .select(col("c_idx"), col("s.m").as("m"), col("s.csv").as("csv"))
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** (vec_id, m, c_idx, abserr): argmin-L2 code per subspace. */
+  private def pqAssign(v: DataFrame): DataFrame = {
     val wBest = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("dist"), col("c_idx"))
-    val assigned = sub.join(broadcast(cbSub), "m")
-      .withColumn("dist", aggregate(zip_with(col("sv"), col("csv"),
-        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+    pqSub(v).join(broadcast(pqCbSub(v)), "m")
+      .withColumn("dist", sqDist(col("sv"), col("csv")))
       .withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1)
       .withColumn("abserr", aggregate(zip_with(col("sv"), col("csv"),
         (a, b) => abs(a - b)), lit(0.0), (acc, x) => acc + x))
-    assigned.groupBy(col("vec_id"))
+      .select(col("vec_id"), col("m"), col("c_idx"), col("abserr"))
+  }
+
+  /** L2-NORMALIZED corpus for the PQ family: on the unit sphere L2 and
+    * cosine agree, so ADC's squared-distance tables rank the same way
+    * the cosine-serving stack does. */
+  private def pqCorpus(t: Tables): DataFrame = {
+    NativeExprs.ensureRegistered(t.spark)
+    t.embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e0"))
+      .withColumn("nrm", sqrt(call_function("graft_vecdot", col("e0"), col("e0"))))
+      .select(col("vec_id"), transform(col("e0"), x => x / col("nrm")).as("e"))
+  }
+
+  def pqEncode(t: Tables): DataFrame =
+    pqAssign(pqCorpus(t)).groupBy(col("vec_id"))
       .agg(concat_ws(",", transform(array_sort(collect_list(struct(col("m"), col("c_idx")))),
         s => s.getField("c_idx").cast("string"))).as("codes"),
-        round(sum(col("abserr")) / (M * D), 6).as("mae"))
-  }
+        round(sum(col("abserr")) / (PqM * PqD), 6).as("mae"))
   val pqEncodeSql: String =
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    """WITH v AS (SELECT vec_id,
+              list_transform(embedding::DOUBLE[], x -> x /
+                sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS e
+            FROM embeddings),
        cb AS (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS c_idx
               FROM v WHERE vec_id % 31 = 0 QUALIFY c_idx < 16),
        sub AS (SELECT vec_id, m, e[m*8+1 : m*8+8] AS sv
@@ -415,6 +440,100 @@ object Ann {
               round(sum(abserr) / 64, 6) AS mae
        FROM best WHERE rn = 1 GROUP BY vec_id"""
 
+  /** PQ serving read path pairing with [[pqEncode]] — the standard
+    * two-stage ANN: (1) ADC prefilter: per query, precompute the M×K
+    * table of exact subspace distances to every codebook entry (a tiny
+    * broadcast), score every ENCODED vector by summing M table lookups
+    * (original vectors untouched — the corpus is 8 codes/vector during
+    * the scan), keep the top [[AdcRerank]]; (2) exact rerank: the
+    * original vectors join back for the prefiltered candidates only
+    * (queries×AdcRerank rows, never the corpus) and exact cosine picks
+    * the final top-k. Approximate but fully deterministic, so the
+    * DuckDB oracle replays both stages; recall vs exact brute force is
+    * gated separately in LlmOpsSpec.
+    *
+    * Scale: codes stream linearly; one groupBy on (q_id, vec_id) sums
+    * the lookups; the rerank join touches a constant number of rows per
+    * query. No corpus product, no corpus-wide vector shuffle. */
+  private val AdcRerank = 100 // ADC prefilter width fed to exact rerank
+
+  def annPqAdc(t: Tables): DataFrame = {
+    val v = pqCorpus(t)
+    val enc = pqAssign(v).select(col("vec_id"), col("m"), col("c_idx"))
+    val dtab = pqSub(v.filter(col("vec_id") < NQueries))
+      .withColumnRenamed("vec_id", "q_id").withColumnRenamed("sv", "qsv")
+      .join(broadcast(pqCbSub(v)), "m")
+      .withColumn("qdist", sqDist(col("qsv"), col("csv")))
+      .select(col("q_id"), col("m"), col("c_idx"), col("qdist"))
+    // Stage 1: ADC prefilter — rank every encoded vector by summed
+    // table lookups, keep the top AdcRerank per query.
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val prefiltered = enc.join(broadcast(dtab), Seq("m", "c_idx"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qdist")).as("adc"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("prk", row_number().over(wAdc))
+      .filter(col("prk") <= AdcRerank)
+      .select(col("q_id"), col("vec_id"))
+    // Stage 2: exact rerank — original vectors join back ONLY for the
+    // prefiltered candidates (queries×AdcRerank rows, not the corpus).
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    prefiltered
+      .join(v.select(col("vec_id").as("q_id"), col("e").as("qe")), "q_id")
+      .join(v, "vec_id")
+      .withColumn("cos", call_function("graft_vecdot", col("qe"), col("e")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
+        round(col("cos"), 4).as("cos"))
+  }
+  val annPqAdcSql: String =
+    s"""WITH v AS (SELECT vec_id,
+              list_transform(embedding::DOUBLE[], x -> x /
+                sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS e
+            FROM embeddings),
+       cb AS (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS c_idx
+              FROM v WHERE vec_id % 31 = 0 QUALIFY c_idx < 16),
+       sub AS (SELECT vec_id, m, e[m*8+1 : m*8+8] AS sv
+               FROM v, unnest(range(0, 8)) AS t(m)),
+       cbsub AS (SELECT c_idx, m, e[m*8+1 : m*8+8] AS csv
+                 FROM cb, unnest(range(0, 8)) AS t(m)),
+       scored AS (
+         SELECT s.vec_id, s.m, c.c_idx,
+                list_sum(list_transform(range(1, 9),
+                  i -> (s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i]))) AS dist
+         FROM sub s JOIN cbsub c ON s.m = c.m),
+       enc AS (
+         SELECT vec_id, m, c_idx FROM (
+           SELECT vec_id, m, c_idx,
+                  row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist, c_idx) AS rn
+           FROM scored) x WHERE rn = 1),
+       dtab AS (
+         SELECT s.vec_id AS q_id, s.m, c.c_idx,
+                list_sum(list_transform(range(1, 9),
+                  i -> (s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i]))) AS qdist
+         FROM sub s JOIN cbsub c ON s.m = c.m
+         WHERE s.vec_id < $NQueries),
+       pre AS (
+         SELECT q_id, vec_id FROM (
+           SELECT d.q_id, e.vec_id, sum(d.qdist) AS adc,
+                  row_number() OVER (PARTITION BY d.q_id
+                                     ORDER BY sum(d.qdist), e.vec_id) AS prk
+           FROM enc e JOIN dtab d ON e.m = d.m AND e.c_idx = d.c_idx
+           WHERE d.q_id <> e.vec_id
+           GROUP BY d.q_id, e.vec_id) x WHERE prk <= 100),
+       rer AS (
+         SELECT p.q_id, p.vec_id AS neighbor_id,
+                list_dot_product(qv.e, nv.e) AS cos
+         FROM pre p
+         JOIN v qv ON qv.vec_id = p.q_id
+         JOIN v nv ON nv.vec_id = p.vec_id)
+       SELECT q_id, neighbor_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk,
+              round(cos, 4) AS cos
+       FROM rer QUALIFY rk <= $K"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("ann_bruteforce_topk", annBruteforce _, annBruteforceSql),
     // approximate by design, but deterministically so → exact IVF-replay oracle
@@ -424,5 +543,6 @@ object Ann {
     ("ann_signlsh_neardup", annSignLshNearDup _, annSignLshNearDupSql),
     ("emb_kmeans_step", kmeansStep _, kmeansStepSql),
     ("emb_quantize_int8", quantizeInt8 _, quantizeInt8Sql),
-    ("emb_pq_encode", pqEncode _, pqEncodeSql))
+    ("emb_pq_encode", pqEncode _, pqEncodeSql),
+    ("ann_pq_adc", annPqAdc _, annPqAdcSql))
 }
