@@ -24,8 +24,10 @@ object ScalingReport {
     ("neardup_embedding", "bounded: IVF lists linear + capped LSH"),
     ("ann_ivf_topk", "sublinear probes over linear lists"),
     ("text_token_stats", "linear (expression-only)"),
+    ("text_pii_scrub", "linear (regex projection)"),
     ("events_asof_native", "~n log n (range-partitioned merge)"),
-    ("sample_mixture", "linear (broadcast fractions, map-side filter)"))
+    ("sample_mixture", "linear (broadcast fractions, map-side filter)"),
+    ("ann_pq_adc", "linear code scan + constant rerank/query"))
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq("0.001", "0.01", "0.1")
