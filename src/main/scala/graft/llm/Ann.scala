@@ -73,10 +73,105 @@ object Ann {
              WHERE q.vec_id < $NQueries AND q.vec_id <> v.vec_id) s
        WHERE rk <= $K"""
 
+  // --------------------------------------------- trained codebooks
+  /** Codebook size and Lloyd iterations shared by the embedding family
+    * (IVF lists, bucketed near-dup blocking, k-means demos). FIXED
+    * knobs: the model artifact is k rows regardless of corpus size. */
+  private[llm] val CbK = 16
+  private[llm] val CbIters = 2
+
+  /** Overflow-safe deterministic spread hash used to pick k seed
+    * vectors: reduce vec_id into [0, 2^31) FIRST so the LCG product
+    * stays far below int64 overflow at any id (DuckDB raises on BIGINT
+    * overflow where Spark wraps — bounding the intermediate keeps the
+    * two engines bit-identical at multi-billion-row ids). */
+  private[llm] def seedHash(id: Column): Column =
+    pmod(pmod(id, lit(2147483648L)) * lit(1103515245L) + lit(12345L), lit(2147483647L))
+  private[llm] def seedHashSql(id: String): String =
+    s"(($id % 2147483648) * 1103515245 + 12345) % 2147483647"
+
+  /** Distributed spherical k-means codebook trainer — the fixed-k model
+    * artifact that retires the old stride-31 corpus sample (whose
+    * driver collect grew as n/31 with the corpus). Seeds are the k
+    * hash-smallest vectors (a distributed `orderBy.limit(k)` top-k —
+    * never a corpus-proportional structure); each Lloyd round assigns
+    * every vector to its nearest centroid by cosine (broadcast of the
+    * k-row codebook × corpus, map-side) and recomputes centroids as
+    * per-dimension means, one (c_id, dim) shuffle with partial aggs.
+    *
+    * Centroids are ROUNDED to 6 decimals after every update: the mean
+    * is the only order-dependent float reduction in the loop, and
+    * rounding at each fixed point makes the trained codebook
+    * bit-identical across engines (and across Spark's own shuffle
+    * orders), so DuckDB replays the whole training exactly — see
+    * [[trainCodebookSql]] — and downstream oracle entries stay
+    * hash-checkable. Same precedent as [[kmeansStep]]'s round-6 output.
+    *
+    * Empty clusters drop out (production reseeds from the farthest
+    * vectors); input must carry (vec_id, e: array<double>, norm).
+    * Reference: the reference trains its layout stats from data the
+    * same way (axiom ConnectorMetadata.h:253-269 `TableLayout::sample`). */
+  /** The k hash-smallest vectors as seed centroids (c_id 0..k-1) — a
+    * distributed `orderBy.limit(k)` top-k (TakeOrderedAndProject); the
+    * row_number window runs over the k surviving rows only. */
+  private[llm] def seedCents(v: DataFrame, k: Int = CbK): DataFrame = {
+    val seedW = Window.orderBy(col("h"), col("vec_id"))
+    v.withColumn("h", seedHash(col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .withColumn("c_id", (row_number().over(seedW) - 1).cast("long"))
+      .select(col("c_id"), col("e").as("ce"), col("norm").as("cnorm"))
+  }
+
+  def trainCodebook(v: DataFrame, k: Int = CbK, iters: Int = CbIters): DataFrame = {
+    var cents = seedCents(v, k).localCheckpoint(true)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
+    for (_ <- 1 to iters) {
+      cents = v.crossJoin(broadcast(cents))
+        .withColumn("csim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
+        .withColumn("arank", row_number().over(wAssign))
+        .filter(col("arank") === 1)
+        .select(col("c_id"), posexplode(col("e")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("c_id"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => round(s.getField("m"), 6)).as("ce"))
+        .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** DuckDB replay of [[trainCodebook]]: the unrolled CTE chain
+    * (seed pick + `iters` assign/mean rounds, round-6 at each update).
+    * Assumes a CTE `v(vec_id, e)` is in scope; the trained codebook is
+    * `cb_t$iters(c_id, ce)`. */
+  def trainCodebookSql(k: Int = CbK, iters: Int = CbIters): String = {
+    val seed =
+      s"""cb_t0 AS (
+         SELECT e AS ce,
+                row_number() OVER (ORDER BY ${seedHashSql("vec_id")}, vec_id) - 1 AS c_id
+         FROM v QUALIFY c_id < $k)"""
+    val steps = (1 to iters).map { i =>
+      s"""asg_t$i AS (
+           SELECT vec_id, e, c_id FROM (
+             SELECT v.vec_id, v.e, c.c_id,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.c_id) AS r
+             FROM v CROSS JOIN cb_t${i - 1} c) x WHERE r = 1),
+         cb_t$i AS (
+           SELECT c_id, list(round(m, 6) ORDER BY pos) AS ce FROM (
+             SELECT c_id, pos, avg(x) AS m FROM (
+               SELECT c_id, unnest(range(1, len(e) + 1)) AS pos, unnest(e) AS x
+               FROM asg_t$i) d GROUP BY 1, 2) g GROUP BY 1)"""
+    }
+    (seed +: steps).mkString(",\n       ")
+  }
+
   // ------------------------------------------------------- IVF top-k
-  /** Coarse centroids: a deterministic sample of corpus vectors (every
-    * 31st id). A production build replaces this with k-means iterates —
-    * the partitioning/probing structure is identical. */
+  /** Coarse centroids: the [[trainCodebook]] fixed-k spherical-k-means
+    * codebook (deterministic, round-6 fixed points, so the oracle
+    * replays the training exactly). */
   def annIvf(t: Tables): DataFrame = annIvf(t, NProbe)
 
   /** `nProbe` generalization; `Int.MaxValue` probes every list, which
@@ -87,8 +182,7 @@ object Ann {
     * stays recall-gated in LlmOpsSpec. */
   def annIvf(t: Tables, nProbe: Int): DataFrame = {
     val v = prepped(t)
-    val cents = v.filter(pmod(col("vec_id"), lit(31)) === 0)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("norm").as("cnorm"))
+    val cents = trainCodebook(v)
     // Assign every vector to its NAssign nearest centroids → replicated
     // inverted lists (multi-assign; see [[NAssign]]).
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
@@ -141,7 +235,8 @@ object Ann {
     * engines. */
   val annIvfSql: String =
     s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 31 = 0),
+       ${trainCodebookSql()},
+       c AS (SELECT c_id, ce FROM cb_t$CbIters),
        a AS (SELECT v.vec_id, c.c_id,
                row_number() OVER (
                  PARTITION BY v.vec_id
@@ -173,8 +268,9 @@ object Ann {
 
   // ------------------------------------------------- k-means (IVF train)
   /** One exact Lloyd iteration of the k-means that trains IVF coarse
-    * centroids (the production replacement for [[annIvf]]'s sampled
-    * centroids): assign every vector to its nearest seed (cosine), then
+    * centroids (the single-step, introspectable twin of
+    * [[trainCodebook]], which now feeds [[annIvf]] and the embedding
+    * near-dup): assign every vector to its nearest seed (cosine), then
     * recompute each centroid as the element-wise mean of its list. Emits
     * per-cluster population and the first two centroid coordinates.
     *
@@ -188,8 +284,7 @@ object Ann {
     val base = t.embeddings
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
       .withColumn("norm", sqrt(dot(col("e"), col("e"))))
-    val seeds = base.filter(pmod(col("vec_id"), lit(31)) === 0)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("norm").as("cnorm"))
+    val seeds = seedCents(base)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
     val assigned = base.crossJoin(broadcast(seeds))
       .withColumn("csim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
@@ -210,8 +305,10 @@ object Ann {
         round(element_at(col("ce"), 2), 6).as("c2"))
   }
   val kmeansStepSql: String =
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-       c AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id % 31 = 0),
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       c AS (SELECT e AS ce,
+               row_number() OVER (ORDER BY ${seedHashSql("vec_id")}, vec_id) - 1 AS c_id
+             FROM v QUALIFY c_id < $CbK),
        a AS (
          SELECT v.vec_id, c.c_id, v.e,
                 row_number() OVER (
@@ -241,9 +338,7 @@ object Ann {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
       .withColumn("norm", sqrt(dot(col("e"), col("e"))))
       .localCheckpoint(true)
-    var cents = base.filter(pmod(col("vec_id"), lit(31)) === 0)
-      .select(col("vec_id").as("c_id"), col("e").as("ce"), col("norm").as("cnorm"))
-      .localCheckpoint(true)
+    var cents = seedCents(base).localCheckpoint(true)
     val objs = Seq.newBuilder[Double]
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
     for (_ <- 1 to iters) {
@@ -353,11 +448,11 @@ object Ann {
     * of 8 dims, encode each against a K=16-entry per-subspace codebook
     * (argmin L2, ties to the lower code) → 8 codes ≈ 8 bytes/vector
     * (32× smaller), with the per-vector reconstruction error emitted so
-    * quality loss is measurable in-pipeline. Codebooks here are the
-    * deterministic stride-31 corpus sample (production trains them with
-    * the kmeansTrain loop per subspace — same structure); the encode is
-    * relational (explode subspaces × broadcast codebook → argmin), so
-    * the DuckDB oracle replays it exactly.
+    * quality loss is measurable in-pipeline. Codebooks are TRAINED
+    * per-subspace L2 k-means ([[pqCbTrained]] — fixed 8×16 model
+    * artifact, round-6 fixed points); the encode is relational (explode
+    * subspaces × broadcast codebook → argmin), so the DuckDB oracle
+    * replays training and encode exactly.
     *
     * Scale: the codebook is a fixed-size broadcast model artifact; the
     * encode stream carries (vec_id, m, 8 doubles) and one groupBy on
@@ -370,24 +465,76 @@ object Ann {
         m => struct(m.as("m"), slice(col("e"), m * PqD + 1, lit(PqD)).as("sv")))).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
 
-  /** (c_idx, m, csv): the per-subspace codebook from the corpus sample. */
-  private def pqCbSub(v: DataFrame): DataFrame =
-    v.filter(pmod(col("vec_id"), lit(31)) === 0)
-      .withColumn("c_idx",
-        row_number().over(Window.orderBy(col("vec_id"))) - 1) // 17 rows: global window is fine
-      .filter(col("c_idx") < PqK)
-      .select(col("c_idx"), explode(transform(sequence(lit(0), lit(PqM - 1)),
-        m => struct(m.as("m"), slice(col("e"), m * PqD + 1, lit(PqD)).as("csv")))).as("s"))
-      .select(col("c_idx"), col("s.m").as("m"), col("s.csv").as("csv"))
-
   private def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
-  /** (vec_id, m, c_idx, abserr): argmin-L2 code per subspace. */
-  private def pqAssign(v: DataFrame): DataFrame = {
+  /** (c_idx, m, csv): per-subspace PQ codebooks TRAINED with classic
+    * Lloyd L2 k-means (all 8 subspaces iterate inside one DataFrame
+    * job, grouped by m). Seeds are the hash-smallest [[PqK]] vectors'
+    * subvectors; every update rounds to 6 decimals so the trained
+    * codebook is a cross-engine fixed point exactly like
+    * [[trainCodebook]] — [[pqTrainSql]] is the DuckDB replay. The
+    * codebook stays a fixed 8×16-row broadcast model artifact. */
+  private def pqCbTrained(v: DataFrame, iters: Int = CbIters): DataFrame = {
+    val seedW = Window.orderBy(col("h"), col("vec_id"))
+    val seeds = v.withColumn("h", seedHash(col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(PqK)
+      .withColumn("c_idx", (row_number().over(seedW) - 1).cast("int"))
+    var cb = seeds.select(col("c_idx"), explode(transform(sequence(lit(0), lit(PqM - 1)),
+        m => struct(m.as("m"), slice(col("e"), m * PqD + 1, lit(PqD)).as("csv")))).as("s"))
+      .select(col("c_idx"), col("s.m").as("m"), col("s.csv").as("csv"))
+      .localCheckpoint(true)
+    val wBest = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("dist"), col("c_idx"))
+    for (_ <- 1 to iters) {
+      cb = pqSub(v).join(broadcast(cb), "m")
+        .withColumn("dist", sqDist(col("sv"), col("csv")))
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("m"), col("c_idx"), posexplode(col("sv")))
+        .groupBy(col("m"), col("c_idx"), col("pos"))
+        .agg(avg(col("col")).as("mu"))
+        .groupBy(col("m"), col("c_idx"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("mu")))),
+          s => round(s.getField("mu"), 6)).as("csv"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** DuckDB replay of [[pqCbTrained]] (seed subvectors + `iters` L2
+    * assign/mean rounds). Assumes CTEs `v(vec_id, e)` and
+    * `sub(vec_id, m, sv)` in scope; the codebook is
+    * `cbsub_t$iters(m, c_idx, csv)`. */
+  def pqTrainSql(iters: Int = CbIters): String = {
+    val seed =
+      s"""cq AS (SELECT e,
+                row_number() OVER (ORDER BY ${seedHashSql("vec_id")}, vec_id) - 1 AS c_idx
+              FROM v QUALIFY c_idx < $PqK),
+       cbsub_t0 AS (SELECT c_idx, m, e[m*8+1 : m*8+8] AS csv
+                    FROM cq, unnest(range(0, 8)) AS t(m))"""
+    val steps = (1 to iters).map { i =>
+      s"""pasg_t$i AS (
+           SELECT m, c_idx, sv FROM (
+             SELECT s.m, s.sv, c.c_idx,
+                    row_number() OVER (PARTITION BY s.vec_id, s.m
+                      ORDER BY list_sum(list_transform(range(1, 9),
+                        j -> (s.sv[j] - c.csv[j]) * (s.sv[j] - c.csv[j]))), c.c_idx) AS rn
+             FROM sub s JOIN cbsub_t${i - 1} c ON s.m = c.m) x WHERE rn = 1),
+         cbsub_t$i AS (
+           SELECT m, c_idx, list(round(mu, 6) ORDER BY pos) AS csv FROM (
+             SELECT m, c_idx, pos, avg(x) AS mu FROM (
+               SELECT m, c_idx, unnest(range(1, len(sv) + 1)) AS pos, unnest(sv) AS x
+               FROM pasg_t$i) d GROUP BY 1, 2, 3) g GROUP BY 1, 2)"""
+    }
+    (seed +: steps).mkString(",\n       ")
+  }
+
+  /** (vec_id, m, c_idx, abserr): argmin-L2 code per subspace against a
+    * trained codebook. */
+  private def pqAssign(v: DataFrame, cb: DataFrame): DataFrame = {
     val wBest = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("dist"), col("c_idx"))
-    pqSub(v).join(broadcast(pqCbSub(v)), "m")
+    pqSub(v).join(broadcast(cb), "m")
       .withColumn("dist", sqDist(col("sv"), col("csv")))
       .withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1)
@@ -407,22 +554,22 @@ object Ann {
       .select(col("vec_id"), transform(col("e0"), x => x / col("nrm")).as("e"))
   }
 
-  def pqEncode(t: Tables): DataFrame =
-    pqAssign(pqCorpus(t)).groupBy(col("vec_id"))
+  def pqEncode(t: Tables): DataFrame = {
+    val v = pqCorpus(t)
+    pqAssign(v, pqCbTrained(v)).groupBy(col("vec_id"))
       .agg(concat_ws(",", transform(array_sort(collect_list(struct(col("m"), col("c_idx")))),
         s => s.getField("c_idx").cast("string"))).as("codes"),
         round(sum(col("abserr")) / (PqM * PqD), 6).as("mae"))
+  }
   val pqEncodeSql: String =
-    """WITH v AS (SELECT vec_id,
+    s"""WITH v AS (SELECT vec_id,
               list_transform(embedding::DOUBLE[], x -> x /
                 sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS e
             FROM embeddings),
-       cb AS (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS c_idx
-              FROM v WHERE vec_id % 31 = 0 QUALIFY c_idx < 16),
        sub AS (SELECT vec_id, m, e[m*8+1 : m*8+8] AS sv
                FROM v, unnest(range(0, 8)) AS t(m)),
-       cbsub AS (SELECT c_idx, m, e[m*8+1 : m*8+8] AS csv
-                 FROM cb, unnest(range(0, 8)) AS t(m)),
+       ${pqTrainSql()},
+       cbsub AS (SELECT c_idx, m, csv FROM cbsub_t$CbIters),
        scored AS (
          SELECT s.vec_id, s.m, c.c_idx,
                 list_sum(list_transform(range(1, 9),
@@ -459,18 +606,23 @@ object Ann {
 
   def annPqAdc(t: Tables): DataFrame = {
     val v = pqCorpus(t)
-    val enc = pqAssign(v).select(col("vec_id"), col("m"), col("c_idx"))
+    val cb = pqCbTrained(v) // trained once, shared by encode + query tables
+    val enc = pqAssign(v, cb).select(col("vec_id"), col("m"), col("c_idx"))
     val dtab = pqSub(v.filter(col("vec_id") < NQueries))
       .withColumnRenamed("vec_id", "q_id").withColumnRenamed("sv", "qsv")
-      .join(broadcast(pqCbSub(v)), "m")
+      .join(broadcast(cb), "m")
       .withColumn("qdist", sqDist(col("qsv"), col("csv")))
       .select(col("q_id"), col("m"), col("c_idx"), col("qdist"))
     // Stage 1: ADC prefilter — rank every encoded vector by summed
     // table lookups, keep the top AdcRerank per query.
+    // adc is an 8-term double sum whose accumulation order is engine-
+    // dependent (Spark partial aggs vs DuckDB group order); round to a
+    // fixed precision BEFORE the rank so ulp-close candidates at the
+    // prk cutoff cannot order differently across engines.
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
     val prefiltered = enc.join(broadcast(dtab), Seq("m", "c_idx"))
       .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("qdist")).as("adc"))
+      .agg(round(sum(col("qdist")), 9).as("adc"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("prk", row_number().over(wAdc))
       .filter(col("prk") <= AdcRerank)
@@ -492,12 +644,10 @@ object Ann {
               list_transform(embedding::DOUBLE[], x -> x /
                 sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS e
             FROM embeddings),
-       cb AS (SELECT e, row_number() OVER (ORDER BY vec_id) - 1 AS c_idx
-              FROM v WHERE vec_id % 31 = 0 QUALIFY c_idx < 16),
        sub AS (SELECT vec_id, m, e[m*8+1 : m*8+8] AS sv
                FROM v, unnest(range(0, 8)) AS t(m)),
-       cbsub AS (SELECT c_idx, m, e[m*8+1 : m*8+8] AS csv
-                 FROM cb, unnest(range(0, 8)) AS t(m)),
+       ${pqTrainSql()},
+       cbsub AS (SELECT c_idx, m, csv FROM cbsub_t$CbIters),
        scored AS (
          SELECT s.vec_id, s.m, c.c_idx,
                 list_sum(list_transform(range(1, 9),
@@ -517,9 +667,9 @@ object Ann {
          WHERE s.vec_id < $NQueries),
        pre AS (
          SELECT q_id, vec_id FROM (
-           SELECT d.q_id, e.vec_id, sum(d.qdist) AS adc,
+           SELECT d.q_id, e.vec_id, round(sum(d.qdist), 9) AS adc,
                   row_number() OVER (PARTITION BY d.q_id
-                                     ORDER BY sum(d.qdist), e.vec_id) AS prk
+                                     ORDER BY round(sum(d.qdist), 9), e.vec_id) AS prk
            FROM enc e JOIN dtab d ON e.m = d.m AND e.c_idx = d.c_idx
            WHERE d.q_id <> e.vec_id
            GROUP BY d.q_id, e.vec_id) x WHERE prk <= 100),

@@ -306,20 +306,22 @@ object Dedup {
     * all-pairs product. Two independent deterministic candidate
     * families, unioned:
     *
-    *  - IVF-list blocking: every vector joins the lists of its 4
+    *  - IVF-list blocking: every vector joins the lists of its 5
     *    nearest coarse centroids ([[NativeExprs.IvfAssign]], a pure
-    *    projection over a fixed-size codebook literal — the broadcast
-    *    model idiom, no join product in the plan). Candidates are pairs
-    *    sharing a list. Lists scale as the codebook size k, so candidate
-    *    volume is O(n·listSize) — linear in the corpus for fixed k-per-
+    *    projection over a fixed-size TRAINED codebook literal
+    *    ([[graft.llm.Ann.trainCodebook]]) — the broadcast model idiom,
+    *    no join product in the plan). Candidates are pairs sharing a
+    *    list. Lists scale as the codebook size k, so candidate volume
+    *    is O(n·listSize) — linear in the corpus for fixed k-per-
     *    data-density, never O(n²).
     *  - sign-LSH banding (32 tables × 6 bits): hyperplane buckets patch
     *    IVF boundary misses with an independent hash family.
     *
     * Every candidate is verified with exact cosine, so precision is 1 by
     * construction; recall is parameter-governed (nAssign / tables /
-    * bits). Both families are deterministic (fixed codebook sample,
-    * fixed hyperplane seed), and on this corpus the union reproduces the
+    * bits). Both families are deterministic (deterministically trained
+    * fixed-k codebook, fixed hyperplane seed), and on this corpus the
+    * union reproduces the
     * exact all-pairs ground truth — each family ALONE reaches recall
     * 1.0 at the verification scale, measured via tools/ExploreEmb — so
     * the all-pairs DuckDB oracle stays hash-checkable while living only
@@ -353,19 +355,21 @@ object Dedup {
                            maxLshBucket: Int = 256): DataFrame = {
     NativeExprs.ensureRegistered(spark)
     val v = vecs.withColumn("norm", sqrt(call_function("graft_vecdot", col("e"), col("e"))))
-    // Coarse codebook: deterministic stride-31 corpus sample standing in
-    // for a kmeansTrain-trained codebook (Ann.scala). The collect is
-    // bounded by the codebook size k — a model artifact like any
-    // broadcast ML model — NOT the corpus (k is a fixed knob at scale;
-    // here it tracks this tiny corpus's density).
-    val cents: Seq[Seq[Double]] = v
-      .filter(pmod(col("vec_id"), lit(31)) === 0).orderBy(col("vec_id"))
-      .select(col("e")).collect().map(_.getSeq[Double](0)).toSeq
+    // Coarse codebook: the Ann.trainCodebook fixed-k spherical-k-means
+    // model. The collect is bounded by the codebook size k (16 rows) —
+    // a model artifact like any broadcast ML model — NEVER the corpus:
+    // training is distributed (broadcast assign + (c_id, dim) shuffle)
+    // and only the k trained centroids come back to the driver to form
+    // the graft_ivf_assign literal.
+    val cents: Seq[Seq[Double]] = Ann
+      .trainCodebook(v.select(col("vec_id"), col("e"), col("norm")))
+      .orderBy(col("c_id"))
+      .select(col("ce")).collect().map(_.getSeq[Double](0)).toSeq
     val centsLit = typedlit(cents)
     // Family 1: IVF multi-assign lists (keys namespaced above 2^62 so
     // they can never collide with sign-LSH's (table<<32 | bucket) keys).
     val ivfKeys = v.select(col("vec_id"),
-      explode(call_function("graft_ivf_assign", col("e"), centsLit, lit(4))).as("list_id"))
+      explode(call_function("graft_ivf_assign", col("e"), centsLit, lit(5))).as("list_id"))
       .select(col("vec_id"), (lit(1L << 62) + col("list_id")).as("key"))
     // Family 2: sign-LSH buckets, hot buckets dropped (see maxLshBucket;
     // the size window shuffles on the same key the candidate join needs).
