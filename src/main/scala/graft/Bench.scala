@@ -29,18 +29,23 @@ object Bench {
     // closest to the machine's actual capability, and repeats within
     // one JVM share codegen/page-cache state so the floor is stable.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(3)
-    // Queries slower than the cutoff are not repeated: a single heavy
-    // observation is representative enough, and repeating it under the
-    // very contention the repeats defend against would blow the total
-    // bench budget (worst case stays ~1x for heavy + ~3x for fast).
-    val repeatCutoffSec = sys.env.get("SPARK_GRAFT_REPEAT_CUTOFF").map(_.toDouble).getOrElse(10.0)
+    // Heavy queries are repeated under a per-query cumulative-time
+    // budget instead of a single-shot cutoff: EVERY query gets at least
+    // 2 reps (one contended observation is exactly the noise the min-of
+    // protocol exists to reject — the old 10 s cutoff exempted the five
+    // heaviest entries and they posted 3-9x their idle-box profiles),
+    // and further reps run only while the projected cumulative spend
+    // stays inside the budget. Worst case per heavy query ~2x its own
+    // runtime; fast queries keep all `repeat` reps.
+    val heavyBudgetSec = sys.env.get("SPARK_GRAFT_HEAVY_BUDGET").map(_.toDouble).getOrElse(60.0)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .map { case (name, fn) =>
       var best = Double.MaxValue
+      var spent = 0.0
       var rep = 1
       var go = true
-      while (go && rep <= repeat) {
+      while (go) {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -49,7 +54,10 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-28s $dt%8.2f s (rep $rep)")
         best = math.min(best, dt)
-        go = dt < repeatCutoffSec
+        spent += dt
+        // min 2 reps always; continue only if the next rep (projected
+        // at the last observation) fits the cumulative budget.
+        go = rep < repeat && (rep < 2 || spent + dt <= heavyBudgetSec)
         rep += 1
       }
       name -> best

@@ -20,7 +20,11 @@ object ScalingReport {
     ("tpch_q10", "~linear (scan + broadcast dims + agg)"),
     ("dedup_exact", "linear (digest shuffle)"),
     ("neardup_minhash", "~linear (banded buckets + verify)"),
+    ("neardup_jaccard", "documented naive exact tier (ground truth)"),
     ("neardup_jaccard_prefix", "~linear (prefix-filtered index)"),
+    ("dedup_cluster_keep_best", "near-dup + O(log d) CC rounds + window"),
+    ("pipeline_corpus_build", "linear, I/O-bound (write + read-back)"),
+    ("pipeline_shard_build", "linear, I/O-bound (partitioned write)"),
     ("neardup_embedding", "bounded: IVF lists linear + capped LSH"),
     ("ann_ivf_topk", "sublinear probes over linear lists"),
     ("text_token_stats", "linear (expression-only)"),
