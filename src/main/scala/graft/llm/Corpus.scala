@@ -542,18 +542,35 @@ object Corpus {
     * shuffle, no driver-side data. Deterministic → exactly
     * reproducible mixes across reruns and engines (vs rand()-based
     * sampling, which is neither). */
-  def corpusMixture(t: Tables): DataFrame = {
-    val weights = Seq(("src0", 0.4), ("src1", 0.3), ("src2", 0.2), ("src3", 0.1))
-    val budget = 60
-    val w = t.spark.createDataFrame(weights).toDF("source", "wgt")
-    val fracs = t.documents.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
+  /** Parameterized mixture API: `weights` must be positive and sum to 1
+    * (the mixture spec is a partition of the budget), `budget` positive.
+    * The per-doc uniform bounds doc_id into [0, 2^31) BEFORE the Knuth
+    * multiply so the product stays inside int64 at any id — Spark would
+    * silently wrap on overflow where DuckDB raises, so an unbounded
+    * `doc_id * 2654435761` stops being cross-engine-exact at
+    * doc_id ≳ 3.5e9 (multi-billion-document corpora). */
+  def corpusMixtureOver(docs: DataFrame, weights: Seq[(String, Double)],
+                        budget: Long): DataFrame = {
+    require(budget > 0, s"mixture budget must be positive, got $budget")
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"every mixture weight must be positive: $weights")
+    val wsum = weights.map(_._2).sum
+    require(math.abs(wsum - 1.0) < 1e-9,
+      s"mixture weights must sum to 1, got $wsum: $weights")
+    val w = docs.sparkSession.createDataFrame(weights).toDF("source", "wgt")
+    val fracs = docs.groupBy(col("source")).agg(count(lit(1)).as("n_src"))
       .join(w, "source")
       .withColumn("keep_frac", least(lit(1.0), lit(budget) * col("wgt") / col("n_src")))
-    t.documents.join(broadcast(fracs), "source")
-      .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(1000000L)))
+    docs.join(broadcast(fracs), "source")
+      .withColumn("h", pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+        lit(1000000L)))
       .filter(col("h") < col("keep_frac") * 1000000)
       .select(col("doc_id"), col("source"))
   }
+
+  def corpusMixture(t: Tables): DataFrame =
+    corpusMixtureOver(t.documents,
+      Seq(("src0", 0.4), ("src1", 0.3), ("src2", 0.2), ("src3", 0.1)), budget = 60L)
   val corpusMixtureSql: String =
     """WITH w(source, wgt) AS (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
        c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
@@ -561,7 +578,7 @@ object Corpus {
              FROM c JOIN w ON c.source = w.source)
        SELECT d.doc_id, d.source
        FROM documents d JOIN f ON d.source = f.source
-       WHERE (d.doc_id * 2654435761) % 1000000 < f.keep_frac * 1000000"""
+       WHERE ((d.doc_id % 2147483648) * 2654435761) % 1000000 < f.keep_frac * 1000000"""
 
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("dedup_cluster_cc", dedupClusterCC _, dedupClusterCCSql),

@@ -81,9 +81,29 @@ object History {
     * equi-join subtrees are recorded, under the SAME canonical keys the
     * plan-time sampler writes — so a repeated workload plans from
     * actuals with sampling disabled, and sampling is only ever needed
-    * for never-executed shapes. */
-  def recordExecution(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-    recordPlan(qe.executedPlan)
+    * for never-executed shapes.
+    *
+    * Executions containing any LIMIT-like node are NOT recorded: limits
+    * early-terminate upstream pipelines (with a broadcast join the
+    * probe-side scan, join, and limit share one codegen pipeline), so
+    * every numOutputRows beneath them is truncated, not an actual.
+    * This in particular excludes the plan-time join sampler's own
+    * LocalLimit-capped probes — without the guard a huge table could be
+    * recorded at the sampler's cap rows under the SAME canonical scan
+    * key a real query uses and subsequently be hinted for broadcast.
+    * (The async listener thread cannot consult Sampling.inProgress — a
+    * ThreadLocal on the planning thread — so the guard is structural.)
+    * Pure Sample executions stay recordable: filters push through
+    * Sample, so scan counts beneath are exact, and joins over sampled
+    * inputs never key (physKey is undefined through Sample). */
+  def recordExecution(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Offset, Tail}
+    val truncating = qe.analyzed.exists {
+      case _: LocalLimit | _: GlobalLimit | _: Offset | _: Tail => true
+      case _ => false
+    }
+    if (!truncating) recordPlan(qe.executedPlan)
+  }
 
   private def recordPlan(plan: SparkPlan): Unit =
     walk(plan) { p =>

@@ -117,7 +117,8 @@ object Sampling {
         // is bounded by cap rows per output partition.
         val cap = joinOutputCap(spark)
         val limited = org.apache.spark.sql.catalyst.plans.logical.LocalLimit(
-          org.apache.spark.sql.catalyst.expressions.Literal(cap.toInt), j)
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            math.min(cap, Int.MaxValue.toLong).toInt), j)
         val matches = Shim.ofRows(spark, limited).count()
         math.round(math.min(matches, cap) * f)
       }

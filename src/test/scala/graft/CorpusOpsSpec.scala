@@ -160,6 +160,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again == mix.collect().map(_.getLong(0)).toSet)
   }
 
+  test("parameterized mixture tracks requested weights within the budget and validates input") {
+    // per-source counts track budget*w_s for several weight/budget
+    // configurations (hash sampling on small per-source populations →
+    // generous tolerance, but each source must land near its target)
+    val configs = Seq(
+      (Seq(("src0", 0.5), ("src1", 0.5)), 40L),
+      (Seq(("src0", 0.6), ("src2", 0.3), ("src4", 0.1)), 50L),
+      (Seq(("src1", 0.25), ("src3", 0.25), ("src5", 0.25), ("src7", 0.25)), 80L))
+    for ((weights, budget) <- configs) {
+      val bySource = Corpus.corpusMixtureOver(tables.documents, weights, budget)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bySource.keySet.subsetOf(weights.map(_._1).toSet),
+        s"unlisted source leaked: $bySource")
+      for ((src, w) <- weights) {
+        val nSrc = tables.documents.filter(col("source") === src).count()
+        val target = math.min(budget * w, nSrc.toDouble) // keep_frac caps at 1
+        val got = bySource.getOrElse(src, 0L).toDouble
+        assert(math.abs(got - target) <= math.max(6.0, 0.5 * target),
+          s"$src: got $got, target $target (weights=$weights budget=$budget)")
+      }
+    }
+    // invalid specs are rejected up front
+    intercept[IllegalArgumentException] {
+      Corpus.corpusMixtureOver(tables.documents, Seq(("src0", 0.4), ("src1", 0.4)), 60L)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.corpusMixtureOver(tables.documents, Seq(("src0", 1.5), ("src1", -0.5)), 60L)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.corpusMixtureOver(tables.documents, Seq(("src0", 1.0)), 0L)
+    }
+  }
+
   test("top bigrams are count-descending with deterministic tie order") {
     val rows = Corpus.ngramTopBigrams(tables).collect()
       .map(r => (r.getAs[String]("bigram"), r.getAs[Long]("cnt")))

@@ -86,6 +86,31 @@ class HistoryStatsSpec extends SparkSpec {
     s.listenerManager.clear()
   }
 
+  test("limit-truncated executions are not recorded as actuals") {
+    val s = spark.newSession()
+    s.conf.set("graft.history.recordActuals", "true")
+    val t = Tables(s, sfDir)
+    History.clear()
+    s.listenerManager.register(new graft.plans.HistoryListener)
+    // A limit early-terminates the pipelines beneath it, so every
+    // numOutputRows under it is truncated — exactly the shape of the
+    // plan-time join sampler's LocalLimit-capped probes. Recording it
+    // would store a tiny count under the same canonical scan key a real
+    // query uses (and could force-broadcast a huge table later).
+    t.lineitem.limit(5).write.format("noop").mode("overwrite").save()
+    // The listener bus processes events in order: once the later
+    // un-limited region write lands in the store, the limited query's
+    // event (enqueued first) has already been handled.
+    t.region.write.format("noop").mode("overwrite").save()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (!History.asMap.keys.exists(_.contains("region")) && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(History.asMap.keys.exists(_.contains("region")), "listener never caught up")
+    assert(!History.asMap.keys.exists(_.contains("lineitem")),
+      s"limit-truncated scan was recorded: ${History.asMap.keys}")
+    s.listenerManager.clear()
+  }
+
   test("history persists and reloads across stores") {
     val path = "/root/repo/target/history_test.json"
     History.save(path)
