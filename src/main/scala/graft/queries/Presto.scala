@@ -279,6 +279,41 @@ object Presto {
               THEN o_totalprice + 5000.0 ELSE o_totalprice END AS o_totalprice
        FROM orders WHERE o_orderkey < 1500"""
 
+  /** Presto ANALYZE statement (AstStatements.h:636-659 Analyze) through
+    * the dialect door: lowered to Spark `ANALYZE TABLE t COMPUTE
+    * STATISTICS FOR ALL COLUMNS` — the stats-collection entry the
+    * reference pairs with its sampling/history machinery. The entry
+    * surfaces what the statement gathered (catalog row count + exact
+    * per-column min/max) as a result row the DuckDB oracle recomputes
+    * from the same data; the CBO reads the identical catalog stats at
+    * plan time (plan-stats assertion in PrestoDialectSpec). */
+  def analyzeStmt(s: SparkSession, d: String): DataFrame = {
+    PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS presto_analyze_t")
+    PrestoRewriter.sql(s, d,
+      """CREATE TABLE presto_analyze_t AS
+         SELECT o_orderkey, o_orderpriority, o_totalprice
+         FROM orders WHERE o_orderkey < 2000""")
+    PrestoRewriter.sql(s, d, "ANALYZE presto_analyze_t")
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("presto_analyze_t"))
+    val st = meta.stats.getOrElse(sys.error("ANALYZE gathered no table stats"))
+    val nRows = st.rowCount.map(_.toLong)
+      .getOrElse(sys.error("ANALYZE gathered no row count"))
+    val price = st.colStats.getOrElse("o_totalprice",
+      sys.error("ANALYZE FOR ALL COLUMNS gathered no o_totalprice stats"))
+    import org.apache.spark.sql.functions.{col, round => sround}
+    import s.implicits._
+    Seq((nRows, price.min.get.toDouble, price.max.get.toDouble))
+      .toDF("n_rows", "min_price", "max_price")
+      .select(col("n_rows"), sround(col("min_price"), 2).as("min_price"),
+        sround(col("max_price"), 2).as("max_price"))
+  }
+  val analyzeOracle: String =
+    """SELECT count(*) AS n_rows,
+         round(min(o_totalprice), 2) AS min_price,
+         round(max(o_totalprice), 2) AS max_price
+       FROM orders WHERE o_orderkey < 2000"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -294,5 +329,6 @@ object Presto {
     ("presto_ctas", ctas _, ctasOracle),
     ("presto_delete", deleteStmt _, deleteOracle),
     ("presto_update", updateStmt _, updateOracle),
-    ("presto_merge", mergeStmt _, mergeOracle))
+    ("presto_merge", mergeStmt _, mergeOracle),
+    ("presto_analyze", analyzeStmt _, analyzeOracle))
 }

@@ -590,6 +590,45 @@ object PrestoDialect {
     toks.take(i0 + 1) ++ mode ++ toks.drop(close + 1)
   }
 
+  // ---------------------------------------------- pass: ANALYZE statement
+  /** Presto `ANALYZE t [WITH (…)]` (AstStatements.h:636-659 Analyze) →
+    * Spark `ANALYZE TABLE t COMPUTE STATISTICS FOR ALL COLUMNS` — the
+    * stats-collection statement the reference pairs with its sampling /
+    * history machinery; Spark's CBO then reads the gathered row count
+    * and per-column min/max/ndv from the catalog at plan time. WITH
+    * properties are connector-specific collection hints with no Spark
+    * analogue and drop; any other trailing syntax passes through
+    * unchanged so the real parser reports it. `EXPLAIN ANALYZE` is
+    * untouched (its leading token is EXPLAIN). */
+  private[sql] def rewriteAnalyze(toks: Vector[Tok]): Vector[Tok] = {
+    val i0 = nextM(toks, -1)
+    if (!wordAt(toks, i0).equalsIgnoreCase("analyze")) return toks
+    // consume the (possibly dotted, possibly quoted) table name
+    var end = -1
+    var k = nextM(toks, i0) // nextM returns -1 past the last token
+    var continue = true
+    while (k >= 0 && continue) {
+      toks(k) match {
+        case w: Word if w.lower != "with" => end = k; k = nextM(toks, k)
+        case _: Quoted => end = k; k = nextM(toks, k)
+        case Sym(".") => end = k; k = nextM(toks, k)
+        case _ => continue = false
+      }
+    }
+    if (end < 0) return toks // no table name: let the parser complain
+    // after the name: end of statement or a WITH(...) property list
+    if (k >= 0) {
+      if (!wordAt(toks, k).equalsIgnoreCase("with")) return toks
+      val iP = nextM(toks, k)
+      if (iP < 0 || !toks.lift(iP).contains(Sym("("))) return toks
+      if (nextM(toks, matchFwd(toks, iP)) >= 0) return toks
+    }
+    (Vector(Word("ANALYZE"), Space(" "), Word("TABLE")) :+ Space(" ")) ++
+      toks.slice(nextM(toks, i0), end + 1) ++
+      Vector(Space(" "), Word("COMPUTE"), Space(" "), Word("STATISTICS"),
+        Space(" "), Word("FOR"), Space(" "), Word("ALL"), Space(" "), Word("COLUMNS"))
+  }
+
   // ------------------------------------------- pass: quoted identifiers
   /** Presto double-quoted identifiers → Spark backticks (handles names
     * the rename-pass regex cannot: spaces, punctuation). */
@@ -605,9 +644,9 @@ object PrestoDialect {
 
   // -------------------------------------------------------------- entry
   private val passes: Seq[Vector[Tok] => Vector[Tok]] = Seq(
-    rewriteExplainOptions, rewriteUnnestJoins, rewriteCastTypes, rewriteRowCtor,
-    rewriteArrayBrackets, rewriteTry, rewriteAtTimeZone, rewriteBareTypes,
-    rewriteQuotedIdents)
+    rewriteExplainOptions, rewriteAnalyze, rewriteUnnestJoins, rewriteCastTypes,
+    rewriteRowCtor, rewriteArrayBrackets, rewriteTry, rewriteAtTimeZone,
+    rewriteBareTypes, rewriteQuotedIdents)
 
   /** Full Presto-dialect lowering: structural passes, then the
     * function-name/identifier pass ([[PrestoRewriter.rewrite]]). */

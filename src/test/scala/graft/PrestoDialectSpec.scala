@@ -171,4 +171,47 @@ class PrestoDialectSpec extends SparkSpec {
     assert(snap() == Set((1L, "x1"), (2L, "y22"), (3L, "x3")), snap())
     presto("DROP TABLE IF EXISTS graft_mem.default.spec_dml")
   }
+
+  test("ANALYZE lowers to COMPUTE STATISTICS and feeds the CBO") {
+    // text level: bare, dotted + quoted, and WITH-properties forms
+    assert(t("ANALYZE t") == "ANALYZE TABLE t COMPUTE STATISTICS FOR ALL COLUMNS")
+    assert(t("""ANALYZE db."my table"""")
+      == "ANALYZE TABLE db.`my table` COMPUTE STATISTICS FOR ALL COLUMNS")
+    assert(t("ANALYZE a.b WITH (partitions = ARRAY['p'])")
+      == "ANALYZE TABLE a.b COMPUTE STATISTICS FOR ALL COLUMNS")
+    // EXPLAIN ANALYZE must stay untouched (executes in Presto)
+    assert(t("EXPLAIN ANALYZE SELECT 1") == "EXPLAIN ANALYZE SELECT 1")
+    // end-to-end: the gathered catalog stats reach the optimizer (CBO)
+    presto("DROP TABLE IF EXISTS spec_analyze_t")
+    presto("CREATE TABLE spec_analyze_t AS SELECT o_orderkey FROM orders WHERE o_orderkey < 100")
+    presto("ANALYZE spec_analyze_t")
+    val expected = spark.table("spec_analyze_t").count()
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table("spec_analyze_t").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(expected)),
+        s"CBO row count ${stats.rowCount} != analyzed $expected")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+      case None => spark.conf.unset("spark.sql.cbo.enabled")
+    }
+    presto("DROP TABLE IF EXISTS spec_analyze_t")
+  }
+
+  test("SHOW COLUMNS and DESCRIBE survive the dialect passes") {
+    // Presto's ShowColumns (AstStatements.h:721) and DescribeTable parse
+    // natively in Spark; these pin that the lowering passes leave the
+    // statements untouched end-to-end. Transactions and CALL have no
+    // Spark analogue and are documented out of scope (README).
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_show")
+    presto("CREATE TABLE graft_mem.default.spec_show (k BIGINT, tag VARCHAR)")
+    val shown = presto("SHOW COLUMNS FROM graft_mem.default.spec_show")
+      .collect().map(_.getString(0)).toSet
+    assert(shown == Set("k", "tag"), shown)
+    val described = presto("DESCRIBE graft_mem.default.spec_show")
+      .select("col_name").collect().map(_.getString(0)).toSet
+    assert(Set("k", "tag").subsetOf(described), described)
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_show")
+  }
 }
