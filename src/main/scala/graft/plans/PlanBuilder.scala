@@ -95,6 +95,27 @@ final class PlanBuilder private (val df: DataFrame) {
                             aggs: Seq[Column]): PlanBuilder =
     next(df.groupingSets(sets, keys: _*).agg(aggs.head, aggs.tail: _*))
 
+  // ---------------------------------------------------------- subqueries
+  /** EXISTS filter (PlanBuilder.cpp:675 exists; QueryGraph.h:445-464
+    * kLeftSemiFilter): keep rows for which `sub` returns at least one
+    * row. Correlate by marking outer references inside `sub` with
+    * `Column.outer()`. Catalyst's RewritePredicateSubquery lowers this
+    * to the same left-semi join the subq_exists SQL entry plans. */
+  def exists(sub: PlanBuilder): PlanBuilder = next(df.filter(sub.df.exists()))
+
+  /** NOT EXISTS → anti join (QueryGraph.h kAnti). */
+  def notExists(sub: PlanBuilder): PlanBuilder = next(df.filter(!sub.df.exists()))
+
+  /** IN-subquery filter: `key IN (sub)` where `sub` produces a single
+    * column, with SQL IN null semantics (NOT the EXISTS rewrite) —
+    * lowers to the same semi join as the subq_in SQL entry. */
+  def inSubquery(key: Column, sub: PlanBuilder): PlanBuilder =
+    next(df.filter(key.isin(sub.df)))
+
+  /** NOT IN (null-aware anti join, QueryGraph.h kAnti). */
+  def notInSubquery(key: Column, sub: PlanBuilder): PlanBuilder =
+    next(df.filter(!key.isin(sub.df)))
+
   // ------------------------------------------------------------- set ops
   def unionAll(others: PlanBuilder*): PlanBuilder =
     next(others.foldLeft(df)((acc, o) => acc.union(o.df)))
@@ -186,4 +207,15 @@ object PlanBuilder {
 
   /** Wrap an arbitrary DataFrame (PlanBuilder.h:185 from). */
   def from(df: DataFrame): PlanBuilder = new PlanBuilder(df)
+
+  /** Scalar subquery (lp::Subquery, PrestoParser.cpp:468; planned as a
+    * single-row derived table, DerivedTable.cpp:182 findSingleRowDts):
+    * the one-row/one-column plan as a Column usable inside any
+    * expression — filters, projections, arithmetic.
+    *
+    * Limitation (Spark 4.1 DataFrame subquery API): `Column.outer()`
+    * references do not resolve beneath an Aggregate inside `scalar()`,
+    * so CORRELATED scalar subqueries stay on the SQL surface (the
+    * subq_scalar_corr entry) — EXISTS/IN correlation works fine. */
+  def scalarSubquery(sub: PlanBuilder): Column = sub.df.scalar()
 }

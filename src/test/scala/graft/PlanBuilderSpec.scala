@@ -133,6 +133,65 @@ class PlanBuilderSpec extends SparkSpec {
     }
   }
 
+  test("builder exists/notExists mirror the subq_exists/subq_not_exists SQL entries") {
+    Catalog.registerAll(spark, sfDir)
+    val ex = PlanBuilder.tableScan(tables, "customer")
+      .exists(PlanBuilder.tableScan(tables, "orders")
+        .filter(col("o_custkey") === col("c_custkey").outer() &&
+          col("o_totalprice") > 400000))
+      .project(col("c_custkey"), col("c_name"))
+      .build
+    assert(rowsOf(ex) == rowsOf(spark.sql(graft.queries.SqlOps.subqExistsSql)))
+    val exPlan = ex.queryExecution.executedPlan.toString
+    assert(exPlan.contains("LeftSemi"), s"EXISTS did not lower to a semi join:\n$exPlan")
+
+    val nex = PlanBuilder.tableScan(tables, "supplier")
+      .notExists(PlanBuilder.tableScan(tables, "lineitem")
+        .filter(col("l_suppkey") === col("s_suppkey").outer() && col("l_quantity") > 49))
+      .project(col("s_suppkey"), col("s_name"))
+      .build
+    assert(rowsOf(nex) == rowsOf(spark.sql(graft.queries.SqlOps.subqNotExistsSql)))
+    assert(nex.queryExecution.executedPlan.toString.contains("LeftAnti"))
+  }
+
+  test("builder inSubquery/notInSubquery mirror the subq_in/subq_not_in SQL entries") {
+    Catalog.registerAll(spark, sfDir)
+    def natKeys = PlanBuilder.tableScan(tables, "nation")
+      .filter(col("n_regionkey") === 2)
+      .project(col("n_nationkey"))
+    val in = PlanBuilder.tableScan(tables, "customer")
+      .inSubquery(col("c_nationkey"), natKeys)
+      .project(col("c_custkey"), col("c_acctbal"))
+      .build
+    assert(rowsOf(in) == rowsOf(spark.sql(graft.queries.SqlOps.subqInSql)))
+    assert(in.queryExecution.executedPlan.toString.contains("LeftSemi"))
+
+    val notIn = PlanBuilder.tableScan(tables, "customer")
+      .notInSubquery(col("c_nationkey"), natKeys)
+      .project(col("c_custkey"), col("c_acctbal"))
+      .build
+    assert(rowsOf(notIn) == rowsOf(spark.sql(graft.queries.SqlOps.subqNotInSql)))
+  }
+
+  test("builder scalarSubquery mirrors the subq_scalar SQL entry") {
+    Catalog.registerAll(spark, sfDir)
+    val sc = PlanBuilder.tableScan(tables, "orders")
+      .filter(col("o_totalprice") > lit(2) * PlanBuilder.scalarSubquery(
+        PlanBuilder.tableScan(tables, "orders")
+          .aggregate(Nil, Seq(avg(col("o_totalprice")).as("a")))))
+      .project(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .build
+    assert(rowsOf(sc) == rowsOf(spark.sql(graft.queries.SqlOps.subqScalarSql)))
+    // the scalar column composes inside arithmetic anywhere a Column is
+    val ratio = PlanBuilder.tableScan(tables, "orders")
+      .project(col("o_orderkey"),
+        round(col("o_totalprice") / PlanBuilder.scalarSubquery(
+          PlanBuilder.tableScan(tables, "orders")
+            .aggregate(Nil, Seq(max(col("o_totalprice")).as("m")))), 4).as("frac"))
+      .build
+    assert(ratio.agg(max(col("frac"))).head().getDouble(0) == 1.0)
+  }
+
   test("builder tableWrite round-trips") {
     val out = PlanBuilder.tableScan(tables, "nation", Seq("n_nationkey", "n_name"))
       .tableWrite("/root/repo/target/tablewrite/builder_nation")
