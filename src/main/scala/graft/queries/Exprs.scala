@@ -341,6 +341,27 @@ object Exprs {
   val hofZipWithSql =
     "SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], list_reverse(embedding)::DOUBLE[]), 4) AS dot_rev FROM embeddings"
 
+  /** Map-function subfield decomposition (reference FunctionRegistry.h:
+    * 111-178 valuePathToArgPath / subfieldArg; SubfieldDecomposition):
+    * key lookups THROUGH map_filter / transform_values / map_zip_with
+    * collapse to guarded direct lookups, and the map constructors then
+    * fold away entirely — the plan never materializes any intermediate
+    * map. The oracle computes the decomposed scalar forms directly. */
+  def subfieldMapFns(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"),
+      expr("map_filter(map('chars', cast(n_chars as double), 'id', cast(doc_id as double))," +
+        " (k, v) -> v > 500.0D)['chars']").as("big_chars"),
+      expr("transform_values(map('n', coalesce(cast(n_chars as double), 0.0D))," +
+        " (k, v) -> v / 100.0D)['n']").as("chars_pct"),
+      expr("map_zip_with(map('w', coalesce(cast(n_chars as double), 0.0D)), map('w', 2.0D)," +
+        " (k, x, y) -> x * y)['w']").as("chars_x2"))
+  val subfieldMapFnsSql =
+    """SELECT doc_id,
+       CASE WHEN CAST(n_chars AS DOUBLE) > 500.0 THEN CAST(n_chars AS DOUBLE) END AS big_chars,
+       COALESCE(CAST(n_chars AS DOUBLE), 0.0) / 100.0 AS chars_pct,
+       COALESCE(CAST(n_chars AS DOUBLE), 0.0) * 2.0 AS chars_x2
+       FROM documents"""
+
   // -------------------------------------------------------- special forms
   /** COALESCE / IF / SWITCH / NULLIF / TRY_CAST (Expr.h:212-378) over a
     * relation with real nulls (left join misses). */
@@ -493,6 +514,7 @@ object Exprs {
     ("hof_transform_agg", hofTransformAgg _, hofTransformAggSql),
     ("hof_filter", hofFilter _, hofFilterSql),
     ("hof_zip_with", hofZipWith _, hofZipWithSql),
+    ("subfield_map_fns", subfieldMapFns _, subfieldMapFnsSql),
     ("special_forms", specialForms _, specialFormsSql),
     ("special_try", specialTry _, specialTrySql),
     ("unnest_tokens", unnestTokens _, unnestTokensSql),

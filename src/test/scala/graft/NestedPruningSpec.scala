@@ -55,6 +55,73 @@ class NestedPruningSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, Some(20.0)), (2L, None)))
   }
 
+  test("map_filter access decomposes to a guarded direct key lookup") {
+    import spark.implicits._
+    val df = Seq((1L, Map("a" -> 2.0, "b" -> 9.0)), (2L, Map("a" -> 7.0)),
+      (3L, Map("b" -> 1.0))).toDF("id", "m")
+    val q = df.select(col("id"),
+      expr("map_filter(m, (k, v) -> v > 3.0)['a']").as("va"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("map_filter"), optimized)
+    val got = q.orderBy("id").collect().map(r => (r.getLong(0), Option(r.get(1))))
+    // id=1: a->2.0 filtered out; id=2: a->7.0 kept; id=3: no 'a' key.
+    assert(got.toSeq == Seq((1L, None), (2L, Some(7.0)), (3L, None)))
+  }
+
+  test("map_zip_with access decomposes to direct lookups on both maps") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Map("a" -> 2.0), Map("a" -> 3.0)), // key in both
+      (2L, Map("a" -> 5.0), Map("b" -> 1.0)), // key in left only
+      (3L, Map("b" -> 4.0), Map("a" -> 6.0)), // key in right only
+      (4L, Map("b" -> 1.0), Map("c" -> 2.0))) // key in neither
+      .toDF("id", "m1", "m2")
+    val q = df.select(col("id"),
+      expr("map_zip_with(m1, m2, (k, x, y) -> coalesce(x, 0.0) + coalesce(y, 0.0))['a']")
+        .as("va"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("map_zip_with"), optimized)
+    val got = q.orderBy("id").collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(got.toSeq == Seq(
+      (1L, Some(5.0)), (2L, Some(5.0)), (3L, Some(6.0)), (4L, None)))
+  }
+
+  test("element_at chains decompose through stacked map functions") {
+    import spark.implicits._
+    val df = Seq((1L, Map("a" -> 2.0, "b" -> 9.0)), (2L, Map("b" -> 5.0)))
+      .toDF("id", "m")
+    // try_element_at is the null-on-missing subscript (ANSI element_at
+    // must keep its missing-key error, so only the null-safe form may
+    // rewrite to a guarded lookup). Two stacked functions unwind in one
+    // optimizer pass.
+    val q = df.select(col("id"),
+      expr("try_element_at(transform_values(map_filter(m, (k, v) -> v < 5.0)," +
+        " (k, v) -> v * 10.0), 'a')").as("va"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("transform_values"), optimized)
+    assert(!optimized.contains("map_filter"), optimized)
+    val got = q.orderBy("id").collect().map(r => (r.getLong(0), Option(r.get(1))))
+    assert(got.toSeq == Seq((1L, Some(20.0)), (2L, None)))
+  }
+
+  test("nondeterministic inputs are not duplicated by the decomposition") {
+    import spark.implicits._
+    val dir = "/root/repo/target/nested/nondet"
+    Seq((1L, Map("a" -> 2.0))).toDF("id", "m")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    // The coalesce rewrite would evaluate each input twice (IsNotNull +
+    // extract); with a rand()-bearing branch that changes semantics, so
+    // the rule must leave the expression alone.
+    val q = df.select(col("id"),
+      expr("coalesce(if(rand() > 0.5, m, null), m)['a']").as("va"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("coalesce"),
+      s"nondeterministic coalesce was rewritten: $optimized")
+    val got = q.collect().map(r => Option(r.get(1)))
+    assert(got.toSeq == Seq(Some(2.0)))
+  }
+
   test("struct subfield access prunes the parquet ReadSchema to that field") {
     val dir = "/root/repo/target/nested/mm"
     Multimodal.mmTable(tables).write.mode("overwrite").parquet(dir)
