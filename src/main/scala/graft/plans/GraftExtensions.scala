@@ -46,6 +46,12 @@ class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def samplingEnabled: Boolean =
     spark.conf.getOption("graft.sampling.enabled").contains("true")
 
+  /** Interpolation over recorded operating points (History.interpolateScan,
+    * the reference's Model.h) — on by default: it only fires when the same
+    * scan shape was recorded at two or more other data sizes. */
+  private def interpolateEnabled: Boolean =
+    !spark.conf.getOption("graft.history.interpolate").contains("false")
+
   /** Join-fanout sampling gate — the reference's OptimizerOptions
     * .sampleJoins (JoinSample.cpp:217), separate from sampleFilters. */
   private def joinSamplingEnabled: Boolean =
@@ -82,6 +88,11 @@ class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
       relPath(rel).flatMap { case (p, bytes) =>
         val key = History.scanKey(p, bytes, conjuncts(cond))
         History.lookup(key).orElse {
+          // Unseen data size, known shape: interpolate between recorded
+          // operating points (Model.h) BEFORE paying for a sample.
+          if (interpolateEnabled) History.interpolateScan(p, bytes, conjuncts(cond))
+          else None
+        }.orElse {
           // No history yet: optionally sample the predicate at plan time
           // (reference sampleFilters, OptimizerOptions.h:53-57) and
           // memoize so each key is sampled once.
@@ -95,7 +106,9 @@ class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case Project(_, child) => recordedRows(child)
     case rel: LogicalRelation =>
       relPath(rel).flatMap { case (p, bytes) =>
-        History.lookup(History.scanKey(p, bytes, Nil))
+        History.lookup(History.scanKey(p, bytes, Nil)).orElse {
+          if (interpolateEnabled) History.interpolateScan(p, bytes, Nil) else None
+        }
       }
     // A join side that is itself an inner equi-join: its OUTPUT rows are
     // what the parent's broadcast decision needs, and static stats get

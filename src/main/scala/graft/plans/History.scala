@@ -162,6 +162,48 @@ object History {
     case _ => None
   }
 
+  /** Interpolate a scan's output rows at an UNSEEN data size from
+    * recorded operating points of the same shape — the reference's
+    * sampled-point prediction model (axiom/optimizer/Model.h:17-100: "the
+    * model predicts the value at an arbitrary point … based on the
+    * measures of the neighboring points and the slope along each
+    * dimension between the closest points on either side; if the point is
+    * outside of the range … estimated according to the slope between the
+    * two outermost values"), instantiated at rank 1: the shape is
+    * (path, canonical filter set), the dimension is the data-size
+    * fingerprint, the measure is observed rows.
+    *
+    * This closes the history gap the size fingerprint opens on purpose:
+    * a workload re-run after the table grew misses every exact key (so a
+    * stale count can never force-broadcast grown data), but with two or
+    * more recorded sizes of the same shape the filter's selectivity trend
+    * is known — predict along it instead of falling back to sampling or
+    * static estimates. Extrapolation is broadcast-safe in the dangerous
+    * direction: growing data extrapolates to MORE rows, making a
+    * broadcast hint less likely, never more.
+    */
+  def interpolateScan(path: String, dataSize: Long, filters: Seq[Expression]): Option[Long] = {
+    val prefix = path + "#"
+    val suffix = "|" + exprKey(filters)
+    val pts = store.iterator.flatMap { case (k, v) =>
+      if (k.length > prefix.length + suffix.length &&
+          k.startsWith(prefix) && k.endsWith(suffix)) {
+        val mid = k.substring(prefix.length, k.length - suffix.length)
+        if (mid.nonEmpty && mid.forall(_.isDigit)) Some((mid.toLong, v)) else None
+      } else None
+    }.toSeq.sortBy(_._1)
+    if (pts.size < 2) None
+    else {
+      val i = pts.indexWhere(_._1 >= dataSize)
+      val (lo, hi) =
+        if (i < 0) (pts(pts.size - 2), pts.last) // beyond largest: outermost slope
+        else if (i == 0) (pts.head, pts(1)) // below smallest: innermost slope
+        else (pts(i - 1), pts(i)) // bracketing points
+      val slope = (hi._2 - lo._2).toDouble / (hi._1 - lo._1).toDouble
+      Some(math.max(0L, math.round(lo._2 + slope * (dataSize - lo._1).toDouble)))
+    }
+  }
+
   def lookup(key: String): Option[Long] = store.get(key)
   def put(key: String, rows: Long): Unit = store.put(key, rows)
   def asMap: Map[String, Long] = store.toMap

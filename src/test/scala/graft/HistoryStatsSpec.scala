@@ -111,6 +111,65 @@ class HistoryStatsSpec extends SparkSpec {
     s.listenerManager.clear()
   }
 
+  test("an unseen data size interpolates between recorded operating points, skipping sampling") {
+    // The size fingerprint makes a grown table miss every exact key by
+    // design; with the SAME shape recorded at two other sizes the
+    // reference's Model (Model.h:17-100) predicts along the slope instead
+    // of re-sampling. Fabricate two operating points bracketing the real
+    // size and assert the re-plan broadcasts from the interpolated count
+    // while the sampler (enabled!) is never consulted — the exact key
+    // stays absent because only the sampling path memoizes it.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("graft.sampling.enabled", "true")
+    val t = Tables(s, sfDir)
+
+    def query = {
+      val dim = t.part.filter(col("p_brand") === "Brand#3")
+      t.lineitem.join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+    }
+
+    History.clear()
+    s.experimental.extraOptimizations = Seq(new graft.plans.HistoryStatsRule(s))
+
+    // Discover the real canonical key + actual rows for the filtered dim.
+    History.record(query)
+    val keyRe = "^(.*)#(\\d+)\\|(.*)$".r
+    val (path, realSize, fk, rows) = History.asMap.collectFirst {
+      case (keyRe(p, sz, f), r) if p.contains("part.parquet") && f.nonEmpty =>
+        (p, sz.toLong, f, r)
+    }.get
+    val realKey = s"$path#$realSize|$fk"
+
+    // Same shape at two NEIGHBORING sizes; the real size stays unseen.
+    History.clear()
+    History.put(s"$path#${realSize - 1000}|$fk", rows)
+    History.put(s"$path#${realSize + 1000}|$fk", rows)
+
+    val plan = query.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"interpolated operating points did not drive the broadcast:\n$plan")
+    assert(!History.asMap.contains(realKey),
+      "exact key was memoized — the sampler ran instead of the interpolation")
+  }
+
+  test("interpolation predicts inside and extrapolates outside the recorded range") {
+    val path = "memory:/model_test"
+    History.clear()
+    History.put(History.scanKey(path, 1000, Nil), 100)
+    History.put(History.scanKey(path, 3000, Nil), 300)
+    History.put(History.scanKey(path, 5000, Nil), 900)
+    assert(History.interpolateScan(path, 2000, Nil).contains(200L)) // bracketed
+    assert(History.interpolateScan(path, 4000, Nil).contains(600L)) // bracketed, steeper segment
+    assert(History.interpolateScan(path, 6000, Nil).contains(1200L)) // beyond largest: outermost slope
+    assert(History.interpolateScan(path, 500, Nil).contains(50L)) // below smallest: innermost slope
+    assert(History.interpolateScan(path, 1000, Nil).contains(100L)) // exact point
+    assert(History.interpolateScan("memory:/other", 2000, Nil).isEmpty) // unknown shape
+    History.clear()
+  }
+
   test("history persists and reloads across stores") {
     val path = "/root/repo/target/history_test.json"
     History.save(path)
