@@ -289,6 +289,14 @@ object Presto {
     * plan time (plan-stats assertion in PrestoDialectSpec). */
   def analyzeStmt(s: SparkSession, d: String): DataFrame = {
     PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS presto_analyze_t")
+    // ANALYZE needs a spark_catalog (V1) table for catalog stats, and the
+    // default catalog is JVM-scoped while its managed LOCATION is not: a
+    // table created in a previous JVM leaves its warehouse directory
+    // behind, the DROP above no-ops (empty catalog), and CTAS refuses to
+    // reuse the location. Clear the stale directory explicitly.
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.conf.warehousePath, "presto_analyze_t")
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
     PrestoRewriter.sql(s, d,
       """CREATE TABLE presto_analyze_t AS
          SELECT o_orderkey, o_orderpriority, o_totalprice
