@@ -111,6 +111,21 @@ object Ann {
     * vectors); input must carry (vec_id, e: array<double>, norm).
     * Reference: the reference trains its layout stats from data the
     * same way (axiom ConnectorMetadata.h:253-269 `TableLayout::sample`). */
+  /** Bounded deterministic TRAINING sample: codebooks are trained on the
+    * [[TrainN]] hash-smallest vectors (a distributed `orderBy.limit`
+    * top-k), never the full corpus — the standard vector-index practice
+    * (FAISS trains IVF/PQ codebooks on a bounded sample of the corpus).
+    * This makes training cost O(TrainN · k · iters) — CONSTANT in corpus
+    * size — while the assign/encode stages remain the only linear scans.
+    * The sample is hash-ranked, so it is deterministic and the DuckDB
+    * oracles replay it exactly; at the verification scales (≤ TrainN
+    * vectors) the sample IS the corpus and nothing changes. */
+  private[llm] val TrainN = 512
+
+  private[llm] def trainSample(v: DataFrame): DataFrame =
+    v.withColumn("h", seedHash(col("vec_id")))
+      .orderBy(col("h"), col("vec_id")).limit(TrainN).drop("h")
+
   /** The k hash-smallest vectors as seed centroids (c_id 0..k-1) — a
     * distributed `orderBy.limit(k)` top-k (TakeOrderedAndProject); the
     * row_number window runs over the k surviving rows only. */
@@ -123,10 +138,13 @@ object Ann {
   }
 
   def trainCodebook(v: DataFrame, k: Int = CbK, iters: Int = CbIters): DataFrame = {
-    var cents = seedCents(v, k).localCheckpoint(true)
+    // Lloyd rounds iterate over the BOUNDED sample (seedCents over the
+    // sample equals seedCents over v: same ordering, same top-k).
+    val vs = trainSample(v).localCheckpoint(true)
+    var cents = seedCents(vs, k).localCheckpoint(true)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
     for (_ <- 1 to iters) {
-      cents = v.crossJoin(broadcast(cents))
+      cents = vs.crossJoin(broadcast(cents))
         .withColumn("csim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
         .withColumn("arank", row_number().over(wAssign))
         .filter(col("arank") === 1)
@@ -148,17 +166,22 @@ object Ann {
     * `cb_t$iters(c_id, ce)`. */
   def trainCodebookSql(k: Int = CbK, iters: Int = CbIters): String = {
     val seed =
-      s"""cb_t0 AS (
+      s"""cbsmp AS (
+         SELECT vec_id, e FROM (
+           SELECT vec_id, e,
+                  row_number() OVER (ORDER BY ${seedHashSql("vec_id")}, vec_id) AS srk
+           FROM v) z WHERE srk <= $TrainN),
+       cb_t0 AS (
          SELECT e AS ce,
                 row_number() OVER (ORDER BY ${seedHashSql("vec_id")}, vec_id) - 1 AS c_id
-         FROM v QUALIFY c_id < $k)"""
+         FROM cbsmp QUALIFY c_id < $k)"""
     val steps = (1 to iters).map { i =>
       s"""asg_t$i AS (
            SELECT vec_id, e, c_id FROM (
              SELECT v.vec_id, v.e, c.c_id,
                     row_number() OVER (PARTITION BY v.vec_id
                       ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.c_id) AS r
-             FROM v CROSS JOIN cb_t${i - 1} c) x WHERE r = 1),
+             FROM cbsmp v CROSS JOIN cb_t${i - 1} c) x WHERE r = 1),
          cb_t$i AS (
            SELECT c_id, list(round(m, 6) ORDER BY pos) AS ce FROM (
              SELECT c_id, pos, avg(x) AS m FROM (
@@ -476,8 +499,11 @@ object Ann {
     * [[trainCodebook]] — [[pqTrainSql]] is the DuckDB replay. The
     * codebook stays a fixed 8×16-row broadcast model artifact. */
   private def pqCbTrained(v: DataFrame, iters: Int = CbIters): DataFrame = {
+    // Bounded training sample, like [[trainCodebook]]: Lloyd rounds cost
+    // O(TrainN), not O(corpus); seeds are unchanged (same top-PqK).
+    val vs = trainSample(v.select(col("vec_id"), col("e"))).localCheckpoint(true)
     val seedW = Window.orderBy(col("h"), col("vec_id"))
-    val seeds = v.withColumn("h", seedHash(col("vec_id")))
+    val seeds = vs.withColumn("h", seedHash(col("vec_id")))
       .orderBy(col("h"), col("vec_id")).limit(PqK)
       .withColumn("c_idx", (row_number().over(seedW) - 1).cast("int"))
     var cb = seeds.select(col("c_idx"), explode(transform(sequence(lit(0), lit(PqM - 1)),
@@ -486,7 +512,7 @@ object Ann {
       .localCheckpoint(true)
     val wBest = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("dist"), col("c_idx"))
     for (_ <- 1 to iters) {
-      cb = pqSub(v).join(broadcast(cb), "m")
+      cb = pqSub(vs).join(broadcast(cb), "m")
         .withColumn("dist", sqDist(col("sv"), col("csv")))
         .withColumn("rn", row_number().over(wBest))
         .filter(col("rn") === 1)
@@ -507,7 +533,13 @@ object Ann {
     * `cbsub_t$iters(m, c_idx, csv)`. */
   def pqTrainSql(iters: Int = CbIters): String = {
     val seed =
-      s"""cq AS (SELECT e,
+      s"""pqsmp AS (
+         SELECT vec_id FROM (
+           SELECT vec_id,
+                  row_number() OVER (ORDER BY ${seedHashSql("vec_id")}, vec_id) AS srk
+           FROM v) z WHERE srk <= $TrainN),
+       pqsub AS (SELECT s.* FROM sub s JOIN pqsmp USING (vec_id)),
+       cq AS (SELECT e,
                 row_number() OVER (ORDER BY ${seedHashSql("vec_id")}, vec_id) - 1 AS c_idx
               FROM v QUALIFY c_idx < $PqK),
        cbsub_t0 AS (SELECT c_idx, m, e[m*8+1 : m*8+8] AS csv
@@ -519,7 +551,7 @@ object Ann {
                     row_number() OVER (PARTITION BY s.vec_id, s.m
                       ORDER BY list_sum(list_transform(range(1, 9),
                         j -> (s.sv[j] - c.csv[j]) * (s.sv[j] - c.csv[j]))), c.c_idx) AS rn
-             FROM sub s JOIN cbsub_t${i - 1} c ON s.m = c.m) x WHERE rn = 1),
+             FROM pqsub s JOIN cbsub_t${i - 1} c ON s.m = c.m) x WHERE rn = 1),
          cbsub_t$i AS (
            SELECT m, c_idx, list(round(mu, 6) ORDER BY pos) AS csv FROM (
              SELECT m, c_idx, pos, avg(x) AS mu FROM (
@@ -684,6 +716,141 @@ object Ann {
               round(cos, 4) AS cos
        FROM rer QUALIFY rk <= $K"""
 
+  // ------------------------------------------------ IVF + PQ (combined)
+  /** The full serving configuration — IVF coarse pruning composed with
+    * PQ/ADC scoring and exact rerank, the architecture every production
+    * vector index (FAISS IVFPQ) deploys at billion-vector scale:
+    *
+    *  1. coarse: queries probe their nProbe nearest coarse centroids;
+    *     only those lists' members become candidates (IVF prunes the
+    *     corpus to a fraction before anything is scored);
+    *  2. ADC: candidates are scored from their 8-byte PQ codes via the
+    *     per-query distance table — the original vectors are NOT read;
+    *  3. rerank: the top [[AdcRerank]] per query join their full vectors
+    *     back for exact cosine, which picks the final top-k.
+    *
+    * Everything is the trained fixed-k model artifacts ([[trainCodebook]]
+    * coarse, [[pqCbTrained]] subspace) — broadcasts, never
+    * corpus-proportional. The scan cost at 100 TB is: code stream of the
+    * probed lists only (≈ nProbe/k of the corpus × 8 bytes/vector), one
+    * groupBy on (q_id, vec_id), and a constant-size rerank join per
+    * query. Fully deterministic (round-6 codebooks, round-9 ADC, explicit
+    * tie-breaks), so the DuckDB oracle replays all three stages;
+    * recall-vs-brute-force is gated separately in LlmOpsSpec. */
+  def annIvfPq(t: Tables): DataFrame = {
+    val v = pqCorpus(t).withColumn("norm", sqrt(call_function("graft_vecdot", col("e"), col("e"))))
+    val coarse = trainCodebook(v) // (c_id, ce, cnorm): fixed-k broadcast
+    val pqcb = pqCbTrained(v) // (c_idx, m, csv): fixed 8x16 broadcast
+    // IVF membership carries ONLY (list_id, vec_id) — vectors stay put.
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
+    val lists = v.crossJoin(broadcast(coarse))
+      .withColumn("csim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") <= NAssign)
+      .select(col("c_id").as("list_id"), col("vec_id"))
+    val enc = pqAssign(v, pqcb).select(col("vec_id"), col("m"), col("c_idx"))
+    val q = v.filter(col("vec_id") < NQueries)
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_id"))
+    val probed = q.select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("csim", dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= NProbe)
+      .select(col("q_id"), col("c_id").as("list_id"))
+    // Per-query ADC distance table against the subspace codebook.
+    val dtab = pqSub(q.select(col("vec_id"), col("e")))
+      .withColumnRenamed("vec_id", "q_id").withColumnRenamed("sv", "qsv")
+      .join(broadcast(pqcb), "m")
+      .withColumn("qdist", sqDist(col("qsv"), col("csv")))
+      .select(col("q_id"), col("m"), col("c_idx"), col("qdist"))
+    // Stage 1+2: candidates from probed lists only, scored from codes.
+    val cands = probed.join(lists, "list_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id")).dropDuplicates("q_id", "vec_id")
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val prefiltered = cands.join(enc, "vec_id")
+      .join(broadcast(dtab), Seq("q_id", "m", "c_idx"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("qdist")), 9).as("adc"))
+      .withColumn("prk", row_number().over(wAdc))
+      .filter(col("prk") <= AdcRerank)
+      .select(col("q_id"), col("vec_id"))
+    // Stage 3: exact rerank over the surviving candidates only.
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    prefiltered
+      .join(v.select(col("vec_id").as("q_id"), col("e").as("qe")), "q_id")
+      .join(v.select(col("vec_id"), col("e")), "vec_id")
+      .withColumn("cos", call_function("graft_vecdot", col("qe"), col("e")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rk"),
+        round(col("cos"), 4).as("cos"))
+  }
+  val annIvfPqSql: String =
+    s"""WITH v AS (SELECT vec_id,
+              list_transform(embedding::DOUBLE[], x -> x /
+                sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y * y)))) AS e
+            FROM embeddings),
+       sub AS (SELECT vec_id, m, e[m*8+1 : m*8+8] AS sv
+               FROM v, unnest(range(0, 8)) AS t(m)),
+       ${trainCodebookSql()},
+       c AS (SELECT c_id, ce FROM cb_t$CbIters),
+       ${pqTrainSql()},
+       cbsub AS (SELECT c_idx, m, csv FROM cbsub_t$CbIters),
+       a AS (SELECT v.vec_id, c.c_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.c_id) AS arank
+             FROM v CROSS JOIN c),
+       lists AS (SELECT vec_id, c_id AS list_id FROM a WHERE arank <= $NAssign),
+       q AS (SELECT vec_id AS q_id, e FROM v WHERE vec_id < $NQueries),
+       pr AS (SELECT q.q_id, c.c_id AS list_id,
+                row_number() OVER (
+                  PARTITION BY q.q_id
+                  ORDER BY list_cosine_similarity(q.e, c.ce) DESC, c.c_id) AS prank
+              FROM q CROSS JOIN c),
+       scored AS (
+         SELECT s.vec_id, s.m, c.c_idx,
+                list_sum(list_transform(range(1, 9),
+                  i -> (s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i]))) AS dist
+         FROM sub s JOIN cbsub c ON s.m = c.m),
+       enc AS (
+         SELECT vec_id, m, c_idx FROM (
+           SELECT vec_id, m, c_idx,
+                  row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist, c_idx) AS rn
+           FROM scored) x WHERE rn = 1),
+       dtab AS (
+         SELECT s.vec_id AS q_id, s.m, c.c_idx,
+                list_sum(list_transform(range(1, 9),
+                  i -> (s.sv[i] - c.csv[i]) * (s.sv[i] - c.csv[i]))) AS qdist
+         FROM sub s JOIN cbsub c ON s.m = c.m
+         WHERE s.vec_id < $NQueries),
+       cand AS (
+         SELECT DISTINCT p.q_id, l.vec_id
+         FROM (SELECT q_id, list_id FROM pr WHERE prank <= $NProbe) p
+         JOIN lists l ON p.list_id = l.list_id
+         WHERE l.vec_id <> p.q_id),
+       pre AS (
+         SELECT q_id, vec_id FROM (
+           SELECT cd.q_id, cd.vec_id, round(sum(d.qdist), 9) AS adc,
+                  row_number() OVER (PARTITION BY cd.q_id
+                                     ORDER BY round(sum(d.qdist), 9), cd.vec_id) AS prk
+           FROM cand cd
+           JOIN enc e ON e.vec_id = cd.vec_id
+           JOIN dtab d ON d.q_id = cd.q_id AND d.m = e.m AND d.c_idx = e.c_idx
+           GROUP BY cd.q_id, cd.vec_id) x WHERE prk <= $AdcRerank),
+       rer AS (
+         SELECT p.q_id, p.vec_id AS neighbor_id,
+                list_dot_product(qv.e, nv.e) AS cos
+         FROM pre p
+         JOIN v qv ON qv.vec_id = p.q_id
+         JOIN v nv ON nv.vec_id = p.vec_id)
+       SELECT q_id, neighbor_id,
+              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rk,
+              round(cos, 4) AS cos
+       FROM rer QUALIFY rk <= $K"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("ann_bruteforce_topk", annBruteforce _, annBruteforceSql),
     // approximate by design, but deterministically so → exact IVF-replay oracle
@@ -694,5 +861,7 @@ object Ann {
     ("emb_kmeans_step", kmeansStep _, kmeansStepSql),
     ("emb_quantize_int8", quantizeInt8 _, quantizeInt8Sql),
     ("emb_pq_encode", pqEncode _, pqEncodeSql),
-    ("ann_pq_adc", annPqAdc _, annPqAdcSql))
+    ("ann_pq_adc", annPqAdc _, annPqAdcSql),
+    // IVF pruning × PQ/ADC scoring × exact rerank — the combined serving path
+    ("ann_ivfpq_topk", annIvfPq _, annIvfPqSql))
 }

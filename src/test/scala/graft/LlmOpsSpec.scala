@@ -54,6 +54,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.9, f"recall $recall%.3f below floor")
   }
 
+  test("IVF+PQ combined search recall@5 >= 0.8 vs brute force") {
+    def topk(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk(Ann.annBruteforce(tables))
+    val combined = topk(Ann.annIvfPq(tables))
+    val recall = (exact & combined).size.toDouble / exact.size
+    info(f"IVF+PQ recall@5 = $recall%.3f (probe 6/16 lists, ADC over codes, rerank 100)")
+    // The combined path compounds both approximations (IVF ~0.94 x
+    // ADC-prefilter ~0.9+), so its floor sits below either alone.
+    assert(recall >= 0.8, f"recall $recall%.3f below floor")
+  }
+
   test("spherical k-means training objective is monotone non-decreasing") {
     val objs = Ann.kmeansTrain(tables, iters = 4)
     info(s"objective per iteration: ${objs.map(o => f"$o%.4f").mkString(" -> ")}")
