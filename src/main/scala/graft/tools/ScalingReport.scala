@@ -31,7 +31,8 @@ object ScalingReport {
     ("text_pii_scrub", "linear (regex projection)"),
     ("events_asof_native", "~n log n (range-partitioned merge)"),
     ("sample_mixture", "linear (broadcast fractions, map-side filter)"),
-    ("ann_pq_adc", "linear code scan + constant rerank/query"))
+    ("ann_pq_adc", "linear code scan + constant rerank/query"),
+    ("ann_ivfpq_topk", "IVF-pruned code scan + constant rerank/query"))
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq("0.001", "0.01", "0.1")
