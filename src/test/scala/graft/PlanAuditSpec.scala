@@ -17,6 +17,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_bruteforce_topk",    // broadcast probes × corpus (map-side scan)
     "ann_ivf_topk",           // broadcast centroids × corpus assignment
     "ann_ivf_fullprobe",      // same centroid-assignment product, all lists probed
+    "ann_ivfpq_topk",         // same broadcast(16-centroid codebook) × corpus assignment
     "emb_quantize_int8",
     "emb_kmeans_step",        // broadcast seeds × corpus assignment scan
     "tfidf_top_terms",        // single-row doc-count broadcast join
