@@ -19,7 +19,11 @@ class DifferentialSpec extends SparkSpec {
     ("asof-native", graft.queries.Events.asofNative _),
     // exercises the injected JsonConsolidationRule, so the rules-off
     // config below actually changes its plan
-    ("json-extract", graft.queries.Events.jsonExtract _))
+    ("json-extract", graft.queries.Events.jsonExtract _),
+    // exercises SubfieldDecompositionRule (map_filter / transform_values /
+    // map_zip_with lookups): rules-off must produce identical rows from
+    // the undecomposed plan
+    ("subfield-maps", graft.queries.Exprs.subfieldMapFns _))
 
   private def rows(s: SparkSession, fn: Tables => org.apache.spark.sql.DataFrame): Set[String] =
     fn(Tables(s, sfDir)).collect().map(_.mkString("|")).toSet
