@@ -144,6 +144,61 @@ object TextStats {
        FROM documents
        GROUP BY 1 HAVING count(DISTINCT source) >= 2"""
 
+  // --------------------------------------- span-level exact-substring dedup
+  /** Span-level EXACT-substring duplication census — the granularity
+    * document-level dedup misses (two distinct documents sharing one
+    * long boilerplate paragraph; Lee et al.'s ExactSubstr motivation).
+    * The paper's suffix array becomes a distributed content-anchored
+    * k-gram scheme (winnowing family): hash every [[GramK]]-char gram,
+    * keep a gram as an ANCHOR iff its hash starts with '0' (expected
+    * 1/16 keep rate). Selection depends only on gram CONTENT, so two
+    * copies of a span anchor at the same offsets inside the span no
+    * matter where it sits in each document — no alignment problem, no
+    * pairwise comparison. A shared span of length L carries ~(L-63)/16
+    * expected anchors; an anchor hash seen in ≥2 distinct documents
+    * marks duplicated content, and the per-document census reports the
+    * duplicated-anchor fraction (the paper's "how much of this doc is
+    * copied" signal that drives span excision or doc downweighting).
+    *
+    * Scale: the gram stream is length/1 rows pre-filter but carries only
+    * (doc_id, 32-char hash) after the anchor filter (~1/16 of chars);
+    * two hash-keyed shuffles (distinct-doc census, anchor join-back) and
+    * one doc_id agg. Linear end to end; no pairs, no spans materialized. */
+  private val GramK = 64
+
+  def dupSpansOver(docs: DataFrame): DataFrame = {
+    val anchors = docs
+      .filter(length(col("text")) >= GramK)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - lit(GramK - 1))).as("pos"))
+      .withColumn("h", md5(expr(s"substring(text, pos, $GramK)")))
+      .filter(substring(col("h"), 1, 1) === "0")
+      .select(col("doc_id"), col("h"))
+    val dup = anchors.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1).as("is_dup"))
+    anchors.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_anchors"),
+        count(col("is_dup")).as("n_dup_anchors"))
+      .withColumn("dup_frac", round(col("n_dup_anchors") / col("n_anchors"), 4))
+  }
+
+  def dupSpans(t: Tables): DataFrame = dupSpansOver(t.documents)
+  val dupSpansSql: String =
+    s"""WITH g AS (
+         SELECT d.doc_id, md5(substr(d.text, t.pos::INT, $GramK)) AS h
+         FROM documents d, unnest(range(1, length(d.text) - ${GramK - 2})) AS t(pos)
+         WHERE length(d.text) >= $GramK),
+       k AS (SELECT doc_id, h FROM g WHERE substr(h, 1, 1) = '0'),
+       dup AS (SELECT h FROM k GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+       SELECT k.doc_id, count(*) AS n_anchors,
+              count(dup.h) AS n_dup_anchors,
+              round(count(dup.h) / count(*), 4) AS dup_frac
+       FROM k LEFT JOIN dup ON k.h = dup.h
+       GROUP BY k.doc_id"""
+
   // --------------------------------------------- unigram LM quality score
   /** Per-document average negative log-likelihood under the corpus's own
     * unigram language model — the perplexity-proxy quality filter (docs
@@ -331,6 +386,7 @@ object TextStats {
     ("text_fingerprint", fingerprint _, fingerprintSql),
     ("text_cross_source_leak", crossSourceLeak _, crossSourceLeakSql),
     ("text_dedup_tokens", dedupTokens _, dedupTokensSql),
+    ("text_dup_spans", dupSpans _, dupSpansSql),
     ("text_unigram_logprob", unigramLogprob _, unigramLogprobSql),
     ("text_pii_scrub", piiScrub _, piiScrubSql),
     ("pipeline_corpus_build", corpusBuild _, corpusBuildSql))

@@ -148,6 +148,28 @@ class LlmOpsSpec extends SparkSpec {
       col("redacted").contains("<PHONE>")).count() == df.count())
   }
 
+  test("dup-span census flags a planted shared paragraph and only it") {
+    import spark.implicits._
+    // Three unique docs plus one 600-char paragraph planted into two of
+    // them at DIFFERENT offsets — the alignment case stride-based gram
+    // sampling would miss and content-anchored selection handles.
+    def filler(seed: Int, n: Int): String =
+      Iterator.iterate(seed.toLong)(s => s * 6364136223846793005L + 1442695040888963407L)
+        .map(s => ((s >>> 33) % 26 + 'a').toChar).take(n).mkString
+    val para = filler(99, 600)
+    val docs = Seq(
+      (1L, filler(1, 300) + para + filler(2, 100)),
+      (2L, filler(3, 50) + para + filler(4, 400)),
+      (3L, filler(5, 900))).toDF("doc_id", "text")
+    val got = graft.llm.TextStats.dupSpansOver(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L)._2 > 0 && got(2L)._2 > 0,
+      s"planted shared paragraph not flagged: $got")
+    assert(got(3L)._2 == 0, s"unique doc falsely flagged: $got")
+    // The shared paragraph anchors identically in both docs.
+    assert(got(1L)._2 == got(2L)._2, s"asymmetric dup anchors: $got")
+  }
+
   test("exact dedup groups cover every document exactly once") {
     val total = Dedup.dedupExact(tables).agg(sum("n_copies")).collect().head.getLong(0)
     assert(total == tables.documents.count())
