@@ -186,6 +186,71 @@ object TextStats {
   }
 
   def dupSpans(t: Tables): DataFrame = dupSpansOver(t.documents)
+
+  /** The excision half of the span-level dedup (what Lee et al. actually
+    * DO with the matches): merge each document's duplicated anchors into
+    * maximal character intervals (classic gaps-and-islands — a new
+    * island starts where the next anchor no longer overlaps the previous
+    * gram's [pos, pos+K-1] extent) and report what a cut would remove:
+    * spans to excise, characters cut, characters kept. Runs entirely on
+    * (doc_id, pos) integers: one window over each document's anchors and
+    * two aggregations — the heavy text column never enters the shuffle.
+    * Only documents that contain duplicated spans appear. */
+  def dupSpanExcise(t: Tables): DataFrame = dupSpanExciseOver(t.documents)
+
+  def dupSpanExciseOver(docs: DataFrame): DataFrame = {
+    val anchors = docs
+      .filter(length(col("text")) >= GramK)
+      .select(col("doc_id"), col("text"), length(col("text")).as("doc_len"),
+        explode(sequence(lit(1), length(col("text")) - lit(GramK - 1))).as("pos"))
+      .withColumn("h", md5(expr(s"substring(text, pos, $GramK)")))
+      .filter(substring(col("h"), 1, 1) === "0")
+      .select(col("doc_id"), col("doc_len"), col("pos"), col("h"))
+    val dup = anchors.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    anchors.join(dup, "h")
+      .withColumn("prev", lag(col("pos"), 1).over(wOrd))
+      .withColumn("new_isl",
+        when(col("prev").isNull || col("pos") - col("prev") > GramK - 1, 1).otherwise(0))
+      .withColumn("isl", sum(col("new_isl")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("doc_len"), col("isl"))
+      .agg((max(col("pos")) - min(col("pos")) + GramK).cast("long").as("span_len"))
+      .groupBy(col("doc_id"), col("doc_len"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("cut_chars"))
+      .select(col("doc_id"), col("n_spans"), col("cut_chars"),
+        (col("doc_len").cast("long") - col("cut_chars")).as("kept_chars"))
+  }
+  val dupSpanExciseSql: String =
+    s"""WITH g AS (
+         SELECT d.doc_id, length(d.text) AS doc_len,
+                t.pos::INT AS pos, md5(substr(d.text, t.pos::INT, $GramK)) AS h
+         FROM documents d, unnest(range(1, length(d.text) - ${GramK - 2})) AS t(pos)
+         WHERE length(d.text) >= $GramK),
+       k AS (SELECT doc_id, doc_len, pos, h FROM g WHERE substr(h, 1, 1) = '0'),
+       dup AS (SELECT h FROM k GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       da AS (SELECT k.* FROM k JOIN dup ON k.h = dup.h),
+       isl AS (
+         SELECT doc_id, doc_len, pos,
+                sum(CASE WHEN prev IS NULL OR pos - prev > ${GramK - 1}
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS isl
+         FROM (SELECT doc_id, doc_len, pos,
+                      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+               FROM da) x),
+       spans AS (
+         SELECT doc_id, doc_len, isl,
+                (max(pos) - min(pos) + $GramK)::BIGINT AS span_len
+         FROM isl GROUP BY doc_id, doc_len, isl)
+       SELECT doc_id, count(*) AS n_spans,
+              sum(span_len)::BIGINT AS cut_chars,
+              (doc_len - sum(span_len))::BIGINT AS kept_chars
+       FROM spans GROUP BY doc_id, doc_len"""
   val dupSpansSql: String =
     s"""WITH g AS (
          SELECT d.doc_id, md5(substr(d.text, t.pos::INT, $GramK)) AS h
@@ -387,6 +452,7 @@ object TextStats {
     ("text_cross_source_leak", crossSourceLeak _, crossSourceLeakSql),
     ("text_dedup_tokens", dedupTokens _, dedupTokensSql),
     ("text_dup_spans", dupSpans _, dupSpansSql),
+    ("text_dup_span_excise", dupSpanExcise _, dupSpanExciseSql),
     ("text_unigram_logprob", unigramLogprob _, unigramLogprobSql),
     ("text_pii_scrub", piiScrub _, piiScrubSql),
     ("pipeline_corpus_build", corpusBuild _, corpusBuildSql))

@@ -170,6 +170,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(1L)._2 == got(2L)._2, s"asymmetric dup anchors: $got")
   }
 
+  test("span excision cuts the planted paragraph's extent from both carriers") {
+    import spark.implicits._
+    def filler(seed: Int, n: Int): String =
+      Iterator.iterate(seed.toLong)(s => s * 6364136223846793005L + 1442695040888963407L)
+        .map(s => ((s >>> 33) % 26 + 'a').toChar).take(n).mkString
+    val para = filler(99, 600)
+    val docs = Seq(
+      (1L, filler(1, 300) + para + filler(2, 100)),
+      (2L, filler(3, 50) + para + filler(4, 400)),
+      (3L, filler(5, 900))).toDF("doc_id", "text")
+    val got = graft.llm.TextStats.dupSpanExciseOver(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(1L, 2L), s"wrong docs flagged for excision: $got")
+    val docLen = Map(1L -> 1000L, 2L -> 1050L)
+    for ((doc, (nSpans, cut, kept)) <- got) {
+      assert(nSpans >= 1 && cut >= 64 && cut <= 600,
+        s"doc $doc: cut $cut chars outside the planted 600-char extent")
+      assert(kept == docLen(doc) - cut, s"doc $doc: kept $kept != len - cut")
+    }
+    // Identical anchors inside the shared span => identical spans cut.
+    assert(got(1L)._1 == got(2L)._1 && got(1L)._2 == got(2L)._2,
+      s"asymmetric excision: $got")
+  }
+
   test("exact dedup groups cover every document exactly once") {
     val total = Dedup.dedupExact(tables).agg(sum("n_copies")).collect().head.getLong(0)
     assert(total == tables.documents.count())
