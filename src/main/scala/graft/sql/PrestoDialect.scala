@@ -629,6 +629,34 @@ object PrestoDialect {
         Space(" "), Word("FOR"), Space(" "), Word("ALL"), Space(" "), Word("COLUMNS"))
   }
 
+  // ------------------------------------------ pass: CREATE VIEW security
+  /** Presto `CREATE [OR REPLACE] VIEW v [SECURITY DEFINER|INVOKER] AS q`
+    * (AstStatements.h:143-189 CreateView, `Security` enum): Spark views
+    * have no security mode (they always run with the querying session's
+    * permissions — INVOKER semantics), so the clause drops and the rest
+    * of the statement — including Presto constructs inside the view
+    * body — lowers through the remaining passes. Anything else between
+    * the view name and AS passes through for the real parser to report. */
+  private[sql] def rewriteViewSecurity(toks: Vector[Tok]): Vector[Tok] = {
+    val i0 = nextM(toks, -1)
+    if (!wordAt(toks, i0).equalsIgnoreCase("create")) return toks
+    var i = nextM(toks, i0)
+    if (wordAt(toks, i).equalsIgnoreCase("or")) i = nextM(toks, nextM(toks, i))
+    if (!wordAt(toks, i).equalsIgnoreCase("view")) return toks
+    var k = nextM(toks, i)
+    while (k >= 0 && !wordAt(toks, k).equalsIgnoreCase("as")) {
+      if (wordAt(toks, k).equalsIgnoreCase("security")) {
+        val m = nextM(toks, k)
+        val mode = wordAt(toks, m).toLowerCase
+        return if (mode == "definer" || mode == "invoker")
+          toks.take(k) ++ toks.drop(m + 1)
+        else toks
+      }
+      k = nextM(toks, k)
+    }
+    toks
+  }
+
   // ------------------------------------------- pass: quoted identifiers
   /** Presto double-quoted identifiers → Spark backticks (handles names
     * the rename-pass regex cannot: spaces, punctuation). */
@@ -644,7 +672,7 @@ object PrestoDialect {
 
   // -------------------------------------------------------------- entry
   private val passes: Seq[Vector[Tok] => Vector[Tok]] = Seq(
-    rewriteExplainOptions, rewriteAnalyze, rewriteUnnestJoins, rewriteCastTypes,
+    rewriteExplainOptions, rewriteAnalyze, rewriteViewSecurity, rewriteUnnestJoins, rewriteCastTypes,
     rewriteRowCtor, rewriteArrayBrackets, rewriteTry, rewriteAtTimeZone,
     rewriteBareTypes, rewriteQuotedIdents)
 

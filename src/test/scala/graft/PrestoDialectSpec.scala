@@ -214,4 +214,32 @@ class PrestoDialectSpec extends SparkSpec {
     assert(Set("k", "tag").subsetOf(described), described)
     presto("DROP TABLE IF EXISTS graft_mem.default.spec_show")
   }
+
+  test("CREATE VIEW drops the Presto SECURITY clause and lowers the body") {
+    // Presto CreateView (AstStatements.h:143-189) carries a SECURITY
+    // DEFINER|INVOKER mode Spark's parser rejects; the dialect drops it
+    // (Spark views always run as the querying session — INVOKER
+    // semantics) while the view BODY still lowers through the dialect
+    // (TRY + ARRAY[..] here). DROP VIEW passes through natively.
+    presto("DROP VIEW IF EXISTS spec_sec_view")
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_sec_base")
+    presto("CREATE TABLE graft_mem.default.spec_sec_base (k BIGINT, tag VARCHAR)")
+    presto("INSERT INTO graft_mem.default.spec_sec_base VALUES (1, 'P7'), (2, 'xx')")
+    // Body constructs must lower to PERSISTENT functions: TRY would
+    // lower to the session-temporary graft_try, which Spark forbids
+    // inside a persistent view — ARRAY[..]/cardinality lower to
+    // built-ins (array/size) and prove the body passes run.
+    presto("""CREATE VIEW spec_sec_view SECURITY DEFINER AS
+              SELECT k, TRY_CAST(substr(tag, 2, 1) AS INTEGER) AS d,
+                     cardinality(ARRAY[k, k]) AS two
+              FROM graft_mem.default.spec_sec_base""")
+    val rows = presto("SELECT count(*) AS n, min(two) AS t FROM spec_sec_view").collect()
+    assert(rows.head.getLong(0) == 2L && rows.head.getInt(1) == 2, rows.toSeq)
+    // OR REPLACE + INVOKER variant replaces the same view.
+    presto("""CREATE OR REPLACE VIEW spec_sec_view SECURITY INVOKER AS
+              SELECT k FROM graft_mem.default.spec_sec_base WHERE k < 2""")
+    assert(presto("SELECT * FROM spec_sec_view").columns.toSeq == Seq("k"))
+    presto("DROP VIEW IF EXISTS spec_sec_view")
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_sec_base")
+  }
 }
