@@ -23,7 +23,10 @@ class DifferentialSpec extends SparkSpec {
     // exercises SubfieldDecompositionRule (map_filter / transform_values /
     // map_zip_with lookups): rules-off must produce identical rows from
     // the undecomposed plan
-    ("subfield-maps", graft.queries.Exprs.subfieldMapFns _))
+    ("subfield-maps", graft.queries.Exprs.subfieldMapFns _),
+    // window-heavy gaps-and-islands over hashed anchors: partition count
+    // and AQE must not change island boundaries
+    ("dup-span-excise", graft.llm.TextStats.dupSpanExcise _))
 
   private def rows(s: SparkSession, fn: Tables => org.apache.spark.sql.DataFrame): Set[String] =
     fn(Tables(s, sfDir)).collect().map(_.mkString("|")).toSet
