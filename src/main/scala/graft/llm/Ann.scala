@@ -122,20 +122,27 @@ object Ann {
     * vectors) the sample IS the corpus and nothing changes. */
   private[llm] val TrainN = 512
 
-  private[llm] def trainSample(v: DataFrame): DataFrame =
-    v.withColumn("h", seedHash(col("vec_id")))
-      .orderBy(col("h"), col("vec_id")).limit(TrainN).drop("h")
-
-  /** The k hash-smallest vectors as seed centroids (c_id 0..k-1) — a
-    * distributed `orderBy.limit(k)` top-k (TakeOrderedAndProject); the
-    * row_number window runs over the k surviving rows only. */
-  private[llm] def seedCents(v: DataFrame, k: Int = CbK): DataFrame = {
-    val seedW = Window.orderBy(col("h"), col("vec_id"))
+  /** The k hash-smallest rows with their rank 0..k-1 — the ONE
+    * deterministic seed/sample picker behind [[trainSample]],
+    * [[seedCents]] and the PQ seeds: a distributed `orderBy.limit(k)`
+    * top-k (TakeOrderedAndProject); the row_number window runs over the
+    * k surviving rows only. A change to the hash scheme lands in every
+    * consumer at once AND must change the [[seedHashSql]] twins. */
+  private[llm] def hashTopK(v: DataFrame, k: Int): DataFrame = {
+    val w = Window.orderBy(col("h"), col("vec_id"))
     v.withColumn("h", seedHash(col("vec_id")))
       .orderBy(col("h"), col("vec_id")).limit(k)
-      .withColumn("c_id", (row_number().over(seedW) - 1).cast("long"))
-      .select(col("c_id"), col("e").as("ce"), col("norm").as("cnorm"))
+      .withColumn("rank", row_number().over(w) - 1)
+      .drop("h")
   }
+
+  private[llm] def trainSample(v: DataFrame): DataFrame =
+    hashTopK(v, TrainN).drop("rank")
+
+  /** The k hash-smallest vectors as seed centroids (c_id 0..k-1). */
+  private[llm] def seedCents(v: DataFrame, k: Int = CbK): DataFrame =
+    hashTopK(v, k).select(col("rank").cast("long").as("c_id"),
+      col("e").as("ce"), col("norm").as("cnorm"))
 
   def trainCodebook(v: DataFrame, k: Int = CbK, iters: Int = CbIters): DataFrame = {
     // Lloyd rounds iterate over the BOUNDED sample (seedCents over the
@@ -502,10 +509,7 @@ object Ann {
     // Bounded training sample, like [[trainCodebook]]: Lloyd rounds cost
     // O(TrainN), not O(corpus); seeds are unchanged (same top-PqK).
     val vs = trainSample(v.select(col("vec_id"), col("e"))).localCheckpoint(true)
-    val seedW = Window.orderBy(col("h"), col("vec_id"))
-    val seeds = vs.withColumn("h", seedHash(col("vec_id")))
-      .orderBy(col("h"), col("vec_id")).limit(PqK)
-      .withColumn("c_idx", (row_number().over(seedW) - 1).cast("int"))
+    val seeds = hashTopK(vs, PqK).withColumn("c_idx", col("rank").cast("int"))
     var cb = seeds.select(col("c_idx"), explode(transform(sequence(lit(0), lit(PqM - 1)),
         m => struct(m.as("m"), slice(col("e"), m * PqD + 1, lit(PqD)).as("csv")))).as("s"))
       .select(col("c_idx"), col("s.m").as("m"), col("s.csv").as("csv"))

@@ -166,19 +166,27 @@ object TextStats {
     * one doc_id agg. Linear end to end; no pairs, no spans materialized. */
   private val GramK = 64
 
+  /** (doc_id, doc_len, pos, h): the content-anchored gram stream shared
+    * by the census and the excision — ONE definition of what an anchor
+    * is, so the two ops (and their SQL twins) cannot drift apart. */
+  private def anchorsOver(docs: DataFrame): DataFrame = docs
+    .filter(length(col("text")) >= GramK)
+    .select(col("doc_id"), col("text"), length(col("text")).as("doc_len"),
+      explode(sequence(lit(1), length(col("text")) - lit(GramK - 1))).as("pos"))
+    .withColumn("h", md5(expr(s"substring(text, pos, $GramK)")))
+    .filter(substring(col("h"), 1, 1) === "0")
+    .select(col("doc_id"), col("doc_len"), col("pos"), col("h"))
+
+  /** Anchor hashes seen in >= 2 distinct documents. */
+  private def dupHashes(anchors: DataFrame): DataFrame = anchors
+    .groupBy(col("h"))
+    .agg(countDistinct(col("doc_id")).as("nd"))
+    .filter(col("nd") >= 2)
+    .select(col("h"))
+
   def dupSpansOver(docs: DataFrame): DataFrame = {
-    val anchors = docs
-      .filter(length(col("text")) >= GramK)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - lit(GramK - 1))).as("pos"))
-      .withColumn("h", md5(expr(s"substring(text, pos, $GramK)")))
-      .filter(substring(col("h"), 1, 1) === "0")
-      .select(col("doc_id"), col("h"))
-    val dup = anchors.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("h"), lit(1).as("is_dup"))
-    anchors.join(dup, Seq("h"), "left")
+    val anchors = anchorsOver(docs)
+    anchors.join(dupHashes(anchors).withColumn("is_dup", lit(1)), Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_anchors"),
         count(col("is_dup")).as("n_dup_anchors"))
@@ -199,19 +207,9 @@ object TextStats {
   def dupSpanExcise(t: Tables): DataFrame = dupSpanExciseOver(t.documents)
 
   def dupSpanExciseOver(docs: DataFrame): DataFrame = {
-    val anchors = docs
-      .filter(length(col("text")) >= GramK)
-      .select(col("doc_id"), col("text"), length(col("text")).as("doc_len"),
-        explode(sequence(lit(1), length(col("text")) - lit(GramK - 1))).as("pos"))
-      .withColumn("h", md5(expr(s"substring(text, pos, $GramK)")))
-      .filter(substring(col("h"), 1, 1) === "0")
-      .select(col("doc_id"), col("doc_len"), col("pos"), col("h"))
-    val dup = anchors.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("h"))
+    val anchors = anchorsOver(docs)
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    anchors.join(dup, "h")
+    anchors.join(dupHashes(anchors), "h")
       .withColumn("prev", lag(col("pos"), 1).over(wOrd))
       .withColumn("new_isl",
         when(col("prev").isNull || col("pos") - col("prev") > GramK - 1, 1).otherwise(0))

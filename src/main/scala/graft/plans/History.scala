@@ -30,6 +30,14 @@ object History {
   private val store = TrieMap.empty[String, Long]
   @volatile private var loadedFrom: Option[String] = None
 
+  /** Every store mutation bumps this; the interpolation shape index
+    * rebuilds lazily when it observes a new version. */
+  private val storeVersion = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def putInternal(key: String, rows: Long): Unit = {
+    store.put(key, rows)
+    storeVersion.incrementAndGet()
+  }
+
   def defaultPath = "/root/repo/target/history.json"
 
   /** Stable key for (relation, filters): attribute ids stripped, conjunct
@@ -109,8 +117,8 @@ object History {
     walk(plan) { p =>
       val rows = p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
       if (rows >= 0) p match {
-        case s: FileSourceScanExec => store.put(physKey(s).get, rows)
-        case j: BaseJoinExec => physKey(j).foreach(k => store.put(k, rows))
+        case s: FileSourceScanExec => putInternal(physKey(s).get, rows)
+        case j: BaseJoinExec => physKey(j).foreach(k => putInternal(k, rows))
         case _ => ()
       }
     }
@@ -182,16 +190,30 @@ object History {
     * direction: growing data extrapolates to MORE rows, making a
     * broadcast hint less likely, never more.
     */
+  // Shape index backing interpolateScan: (path, filterKey) -> sorted
+  // (dataSize, rows) points, rebuilt lazily on store-version change so
+  // the optimizer rule pays one map lookup per miss instead of a full
+  // store scan per filtered-scan node per plan compile.
+  private val scanKeyRe = """^([^#]*)#(\d+)\|(.*)$""".r
+  @volatile private var indexedVersion = -1L
+  @volatile private var shapeIndex: Map[(String, String), IndexedSeq[(Long, Long)]] = Map.empty
+
+  private def shapePoints(path: String, filterKey: String): IndexedSeq[(Long, Long)] = {
+    val v = storeVersion.get
+    if (indexedVersion != v) synchronized {
+      if (indexedVersion != v) {
+        shapeIndex = store.toSeq
+          .collect { case (scanKeyRe(p, sz, f), rows) => ((p, f), (sz.toLong, rows)) }
+          .groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1).toIndexedSeq }
+        indexedVersion = v
+      }
+    }
+    shapeIndex.getOrElse((path, filterKey), IndexedSeq.empty)
+  }
+
   def interpolateScan(path: String, dataSize: Long, filters: Seq[Expression]): Option[Long] = {
-    val prefix = path + "#"
-    val suffix = "|" + exprKey(filters)
-    val pts = store.iterator.flatMap { case (k, v) =>
-      if (k.length > prefix.length + suffix.length &&
-          k.startsWith(prefix) && k.endsWith(suffix)) {
-        val mid = k.substring(prefix.length, k.length - suffix.length)
-        if (mid.nonEmpty && mid.forall(_.isDigit)) Some((mid.toLong, v)) else None
-      } else None
-    }.toSeq.sortBy(_._1)
+    val pts = shapePoints(path, exprKey(filters))
     if (pts.size < 2) None
     else {
       val i = pts.indexWhere(_._1 >= dataSize)
@@ -205,10 +227,10 @@ object History {
   }
 
   def lookup(key: String): Option[Long] = store.get(key)
-  def put(key: String, rows: Long): Unit = store.put(key, rows)
+  def put(key: String, rows: Long): Unit = putInternal(key, rows)
   def asMap: Map[String, Long] = store.toMap
   def size: Int = store.size
-  def clear(): Unit = { store.clear(); loadedFrom = None }
+  def clear(): Unit = { store.clear(); storeVersion.incrementAndGet(); loadedFrom = None }
 
   /** Persist/load as JSON — cross-session history like the reference's
     * --history_save_path (TpchPlanTest.cpp:33-38). */
@@ -232,7 +254,7 @@ object History {
       val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*(\d+)""".r
       entry.findAllMatchIn(txt).foreach { m =>
         val k = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
-        store.put(k, m.group(2).toLong)
+        putInternal(k, m.group(2).toLong)
       }
       loadedFrom = Some(path)
     }

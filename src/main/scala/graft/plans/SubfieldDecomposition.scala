@@ -50,9 +50,11 @@ import org.apache.spark.sql.types.MapType
   * map extractions avoid materializing whole transformed maps.
   */
 class SubfieldDecompositionRule(spark: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case e if SubfieldFunctions.step(e).isDefined => SubfieldFunctions.step(e).get
-  }
+  // Function.unlift keeps step() to ONE evaluation per expression node:
+  // transformDown drives the rule via applyOrElse, which unlift
+  // implements without the separate isDefinedAt probe a guard would pay.
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions(Function.unlift(SubfieldFunctions.step))
 }
 
 /** The function-subfield metadata registry (FunctionRegistry analogue):
@@ -71,9 +73,21 @@ object SubfieldFunctions {
   /** One decomposition step for extract-over-f, or None. Entries are
     * tried in registry order; `e.deterministic` gates every entry whose
     * rewrite duplicates a subexpression (coalesce, the map lambdas).
+    * applyOrElse evaluates each entry's pattern once, with no per-entry
+    * Option allocation — this runs for every expression of every plan.
     */
-  def step(e: Expression): Option[Expression] =
-    table.iterator.map(m => m.rewrite.lift(e)).collectFirst { case Some(r) => r }
+  def step(e: Expression): Option[Expression] = {
+    val it = table.iterator
+    while (it.hasNext) {
+      val r = it.next().rewrite.applyOrElse(e, SubfieldFunctions.NoMatch)
+      if (r ne NoMatchSentinel) return Some(r)
+    }
+    None
+  }
+
+  private val NoMatchSentinel: Expression =
+    org.apache.spark.sql.catalyst.expressions.Literal(null)
+  private val NoMatch: Expression => Expression = _ => NoMatchSentinel
 
   val table: Seq[Meta] = Seq(
     // extract(If(p, a, b)) -> If(p, extract(a), extract(b)).

@@ -598,24 +598,32 @@ object PrestoDialect {
     * and per-column min/max/ndv from the catalog at plan time. WITH
     * properties are connector-specific collection hints with no Spark
     * analogue and drop; any other trailing syntax passes through
-    * unchanged so the real parser reports it. `EXPLAIN ANALYZE` is
-    * untouched (its leading token is EXPLAIN). */
+    * unchanged so the real parser reports it. Spark's own
+    * `ANALYZE TABLE[S] …` forms and `EXPLAIN ANALYZE` are untouched. */
   private[sql] def rewriteAnalyze(toks: Vector[Tok]): Vector[Tok] = {
     val i0 = nextM(toks, -1)
     if (!wordAt(toks, i0).equalsIgnoreCase("analyze")) return toks
-    // consume the (possibly dotted, possibly quoted) table name
-    var end = -1
-    var k = nextM(toks, i0) // nextM returns -1 past the last token
-    var continue = true
-    while (k >= 0 && continue) {
-      toks(k) match {
-        case w: Word if w.lower != "with" => end = k; k = nextM(toks, k)
-        case _: Quoted => end = k; k = nextM(toks, k)
-        case Sym(".") => end = k; k = nextM(toks, k)
-        case _ => continue = false
-      }
+    def isNamePart(i: Int): Boolean = toks.lift(i).exists {
+      case _: Word | _: Quoted => true
+      case _ => false
     }
-    if (end < 0) return toks // no table name: let the parser complain
+    // Spark's own ANALYZE TABLE/TABLES statements must pass through
+    // untouched — only Presto's bare `ANALYZE name` form rewrites.
+    val h = wordAt(toks, nextM(toks, i0))
+    if (h == "table" || h == "tables") return toks
+    // consume STRICTLY a dotted identifier chain: part (. part)*; any
+    // other trailing token means this is not Presto's Analyze shape and
+    // the statement passes through for the real parser to report.
+    var k = nextM(toks, i0) // nextM returns -1 past the last token
+    if (!isNamePart(k)) return toks // no table name: let the parser complain
+    var end = k
+    k = nextM(toks, k)
+    while (k >= 0 && toks.lift(k).contains(Sym("."))) {
+      val p = nextM(toks, k)
+      if (!isNamePart(p)) return toks
+      end = p
+      k = nextM(toks, p)
+    }
     // after the name: end of statement or a WITH(...) property list
     if (k >= 0) {
       if (!wordAt(toks, k).equalsIgnoreCase("with")) return toks

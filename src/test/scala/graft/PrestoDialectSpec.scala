@@ -181,6 +181,15 @@ class PrestoDialectSpec extends SparkSpec {
       == "ANALYZE TABLE a.b COMPUTE STATISTICS FOR ALL COLUMNS")
     // EXPLAIN ANALYZE must stay untouched (executes in Presto)
     assert(t("EXPLAIN ANALYZE SELECT 1") == "EXPLAIN ANALYZE SELECT 1")
+    // Spark's OWN ANALYZE TABLE/TABLES forms must pass through — the
+    // dialect door accepts native Spark statements too, and rewriting
+    // them would corrupt valid syntax into a double-keyword parse error.
+    assert(t("ANALYZE TABLE t COMPUTE STATISTICS")
+      == "ANALYZE TABLE t COMPUTE STATISTICS")
+    assert(t("ANALYZE TABLES IN db COMPUTE STATISTICS")
+      == "ANALYZE TABLES IN db COMPUTE STATISTICS")
+    // non-Analyze trailing syntax passes through for the real parser
+    assert(t("ANALYZE t COMPUTE STATISTICS") == "ANALYZE t COMPUTE STATISTICS")
     // end-to-end: the gathered catalog stats reach the optimizer (CBO)
     presto("DROP TABLE IF EXISTS spec_analyze_t")
     presto("CREATE TABLE spec_analyze_t AS SELECT o_orderkey FROM orders WHERE o_orderkey < 100")
