@@ -149,33 +149,51 @@ object TextStats {
     * document-level dedup misses (two distinct documents sharing one
     * long boilerplate paragraph; Lee et al.'s ExactSubstr motivation).
     * The paper's suffix array becomes a distributed content-anchored
-    * k-gram scheme (winnowing family): hash every [[GramK]]-char gram,
-    * keep a gram as an ANCHOR iff its hash starts with '0' (expected
-    * 1/16 keep rate). Selection depends only on gram CONTENT, so two
+    * k-gram scheme (winnowing/CDC family): a [[GramK]]-char gram is an
+    * ANCHOR iff its first character's code point ≡ 0 (mod 8) — see
+    * [[anchorsOver]]. Selection depends only on gram CONTENT, so two
     * copies of a span anchor at the same offsets inside the span no
     * matter where it sits in each document — no alignment problem, no
-    * pairwise comparison. A shared span of length L carries ~(L-63)/16
+    * pairwise comparison. A shared span of length L carries ~(L-63)/8
     * expected anchors; an anchor hash seen in ≥2 distinct documents
     * marks duplicated content, and the per-document census reports the
     * duplicated-anchor fraction (the paper's "how much of this doc is
     * copied" signal that drives span excision or doc downweighting).
     *
-    * Scale: the gram stream is length/1 rows pre-filter but carries only
-    * (doc_id, 32-char hash) after the anchor filter (~1/16 of chars);
+    * Scale: positions pre-filter cost one ascii() each; the stream
+    * carries (doc_id, 32-char hash) for only the ~1/8 that anchor;
     * two hash-keyed shuffles (distinct-doc census, anchor join-back) and
     * one doc_id agg. Linear end to end; no pairs, no spans materialized. */
   private val GramK = 64
 
   /** (doc_id, doc_len, pos, h): the content-anchored gram stream shared
     * by the census and the excision — ONE definition of what an anchor
-    * is, so the two ops (and their SQL twins) cannot drift apart. */
+    * is, so the two ops (and their SQL twins) cannot drift apart.
+    *
+    * Anchor selection is a CDC-style byte condition — the gram's FIRST
+    * character's code point ≡ 0 (mod 8) — evaluated on the raw text, so
+    * the expensive md5 runs ONLY on the ≈1/8 of positions that anchor
+    * (one ascii() per position replaces a 64-char hash per position;
+    * 8× less hashing than hash-then-subsample at 2× the anchor
+    * density). Selection depends only on content, so two copies of a
+    * span anchor at the same in-span offsets at any document offset;
+    * md5 of the full 64-char gram then identifies the content. The keep
+    * rate is data-dependent (chars with code ≡ 0 mod 8 — 'h','p','x' on
+    * lowercase text). */
   private def anchorsOver(docs: DataFrame): DataFrame = docs
     .filter(length(col("text")) >= GramK)
-    .select(col("doc_id"), col("text"), length(col("text")).as("doc_len"),
-      explode(sequence(lit(1), length(col("text")) - lit(GramK - 1))).as("pos"))
-    .withColumn("h", md5(expr(s"substring(text, pos, $GramK)")))
-    .filter(substring(col("h"), 1, 1) === "0")
-    .select(col("doc_id"), col("doc_len"), col("pos"), col("h"))
+    .select(col("doc_id"), length(col("text")).as("doc_len"),
+      // Selection AND hashing happen inside the per-document HOF chain,
+      // so the heavy text column is materialized once per DOCUMENT and
+      // the exploded stream carries only (pos, hash) structs — never
+      // a copy of the text per position row.
+      explode(expr(
+        s"""transform(
+              filter(sequence(1, length(text) - ${GramK - 1}),
+                     p -> ascii(substring(text, p, 1)) % 8 = 0),
+              p -> struct(p AS pos, md5(substring(text, p, $GramK)) AS h))"""))
+        .as("a"))
+    .select(col("doc_id"), col("doc_len"), col("a.pos").as("pos"), col("a.h").as("h"))
 
   /** Anchor hashes seen in >= 2 distinct documents. */
   private def dupHashes(anchors: DataFrame): DataFrame = anchors
@@ -224,12 +242,12 @@ object TextStats {
         (col("doc_len").cast("long") - col("cut_chars")).as("kept_chars"))
   }
   val dupSpanExciseSql: String =
-    s"""WITH g AS (
+    s"""WITH k AS (
          SELECT d.doc_id, length(d.text) AS doc_len,
                 t.pos::INT AS pos, md5(substr(d.text, t.pos::INT, $GramK)) AS h
          FROM documents d, unnest(range(1, length(d.text) - ${GramK - 2})) AS t(pos)
-         WHERE length(d.text) >= $GramK),
-       k AS (SELECT doc_id, doc_len, pos, h FROM g WHERE substr(h, 1, 1) = '0'),
+         WHERE length(d.text) >= $GramK
+           AND ord(substr(d.text, t.pos::INT, 1)) % 8 = 0),
        dup AS (SELECT h FROM k GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
        da AS (SELECT k.* FROM k JOIN dup ON k.h = dup.h),
        isl AS (
@@ -250,11 +268,11 @@ object TextStats {
               (doc_len - sum(span_len))::BIGINT AS kept_chars
        FROM spans GROUP BY doc_id, doc_len"""
   val dupSpansSql: String =
-    s"""WITH g AS (
+    s"""WITH k AS (
          SELECT d.doc_id, md5(substr(d.text, t.pos::INT, $GramK)) AS h
          FROM documents d, unnest(range(1, length(d.text) - ${GramK - 2})) AS t(pos)
-         WHERE length(d.text) >= $GramK),
-       k AS (SELECT doc_id, h FROM g WHERE substr(h, 1, 1) = '0'),
+         WHERE length(d.text) >= $GramK
+           AND ord(substr(d.text, t.pos::INT, 1)) % 8 = 0),
        dup AS (SELECT h FROM k GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
        SELECT k.doc_id, count(*) AS n_anchors,
               count(dup.h) AS n_dup_anchors,

@@ -32,7 +32,9 @@ object ScalingReport {
     ("events_asof_native", "~n log n (range-partitioned merge)"),
     ("sample_mixture", "linear (broadcast fractions, map-side filter)"),
     ("ann_pq_adc", "linear code scan + constant rerank/query"),
-    ("ann_ivfpq_topk", "IVF-pruned code scan + constant rerank/query"))
+    ("ann_ivfpq_topk", "IVF-pruned code scan + constant rerank/query"),
+    ("text_dup_spans", "linear gram stream, hash-keyed shuffles"),
+    ("text_dup_span_excise", "same anchors + per-doc window"))
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq("0.001", "0.01", "0.1")
