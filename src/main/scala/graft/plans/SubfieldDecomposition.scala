@@ -42,6 +42,15 @@ import org.apache.spark.sql.types.MapType
   * `try_element_at(transform_values(map_filter(m, p), f), 'k')` unwinds
   * to a guarded direct lookup on `m` in one pass.
   *
+  * The reference's remaining FunctionMetadata fields map as follows:
+  * `isArrayConstructor`/`isMapConstructor` (extraction over a
+  * constructor folds to the argument) are Spark's own
+  * SimplifyExtractValueOps; the `explode` translator (ONE call used at
+  * several result paths decomposed into per-path expressions, e.g. a
+  * map-wide array_sort read at [k1][0] and [k2][1]) falls out of this
+  * rule's per-extraction rewriting — each extraction node is rewritten
+  * independently, so multi-path use needs no separate mechanism here.
+  *
   * Layout note: parquet's reader cannot skip individual MAP keys, so
   * the storage half of the reference's map-as-struct optimization
   * corresponds to materializing feature maps as STRUCT columns (the
