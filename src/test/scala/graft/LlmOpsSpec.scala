@@ -170,6 +170,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(got(1L)._2 == got(2L)._2, s"asymmetric dup anchors: $got")
   }
 
+  test("span census property: random planted corpora match a Scala reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7) // fixed seed: deterministic trials
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (trial <- 1 to 3) {
+      val nDocs = 8
+      val texts = Array.fill(nDocs)(
+        Iterator.continually(('a' + rnd.nextInt(26)).toChar).take(80 + rnd.nextInt(400)).mkString)
+      // plant shared spans at random offsets (may overlap, may repeat)
+      for (_ <- 1 to 3) {
+        val src = rnd.nextInt(nDocs)
+        val dst = (src + 1 + rnd.nextInt(nDocs - 1)) % nDocs
+        val s = texts(src)
+        if (s.length >= 64) {
+          val start = rnd.nextInt(s.length - 63)
+          val maxLen = s.length - start
+          val len = 64 + rnd.nextInt(math.max(1, math.min(200, maxLen - 63)))
+          val span = s.substring(start, math.min(s.length, start + len))
+          val d = texts(dst)
+          val at = rnd.nextInt(d.length + 1)
+          texts(dst) = d.substring(0, at) + span + d.substring(at)
+        }
+      }
+      // independent O(n*len) reference: same anchor rule, same census
+      val anchors = for {
+        (t, i) <- texts.zipWithIndex.toSeq if t.length >= 64
+        p <- 0 to t.length - 64 if t.charAt(p).toInt % 8 == 0
+      } yield (i.toLong, md5hex(t.substring(p, p + 64)))
+      val dupSet = anchors.groupBy(_._2)
+        .filter { case (_, as) => as.map(_._1).distinct.size >= 2 }.keySet
+      val expect = anchors.groupBy(_._1).map { case (id, as) =>
+        id -> (as.size.toLong, as.count(a => dupSet(a._2)).toLong)
+      }
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+      val got = graft.llm.TextStats.dupSpansOver(docs)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == expect, s"trial $trial: $got != $expect")
+    }
+  }
+
   test("span excision cuts the planted paragraph's extent from both carriers") {
     import spark.implicits._
     def filler(seed: Int, n: Int): String =
