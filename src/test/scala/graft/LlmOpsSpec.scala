@@ -198,16 +198,29 @@ class LlmOpsSpec extends SparkSpec {
       val anchors = for {
         (t, i) <- texts.zipWithIndex.toSeq if t.length >= 64
         p <- 0 to t.length - 64 if t.charAt(p).toInt % 8 == 0
-      } yield (i.toLong, md5hex(t.substring(p, p + 64)))
-      val dupSet = anchors.groupBy(_._2)
+      } yield (i.toLong, p + 1, md5hex(t.substring(p, p + 64))) // 1-based pos
+      val dupSet = anchors.groupBy(_._3)
         .filter { case (_, as) => as.map(_._1).distinct.size >= 2 }.keySet
       val expect = anchors.groupBy(_._1).map { case (id, as) =>
-        id -> (as.size.toLong, as.count(a => dupSet(a._2)).toLong)
+        id -> (as.size.toLong, as.count(a => dupSet(a._3)).toLong)
       }
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
       val got = graft.llm.TextStats.dupSpansOver(docs)
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       assert(got == expect, s"trial $trial: $got != $expect")
+      // reference gaps-and-islands excision over the same dup anchors
+      val expectCut = anchors.filter(a => dupSet(a._3)).groupBy(_._1).map { case (id, as) =>
+        val ps = as.map(_._2).sorted
+        val spans = ps.tail.foldLeft(List((ps.head, ps.head))) { case (acc @ ((s0, e0) :: rest), p) =>
+          if (p - e0 <= 63) (s0, p) :: rest else (p, p) :: acc
+        }
+        id -> (spans.size.toLong,
+          spans.map { case (s0, e0) => (e0 - s0 + 64).toLong }.sum,
+          texts(id.toInt).length.toLong - spans.map { case (s0, e0) => (e0 - s0 + 64).toLong }.sum)
+      }
+      val gotCut = graft.llm.TextStats.dupSpanExciseOver(docs)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(gotCut == expectCut, s"trial $trial excise: $gotCut != $expectCut")
     }
   }
 
