@@ -94,6 +94,14 @@ object Sessions {
       .config("spark.sql.queryExecutionListeners", "graft.plans.HistoryListener")
       .config("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
       .config("spark.sql.shuffle.partitions", "32")
+      // Cost-based optimization incl. the join-order DP — the analogue
+      // of the reference's makeJoins memo search (axiom/optimizer/
+      // Optimization.cpp:1555-1616). Inert until cardinalities exist:
+      // graft's path-backed scans have no row counts until
+      // CardinalityStatsRule installs them from History/Analyze, and
+      // CostBasedJoinReorder requires a row count on every join input.
+      .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

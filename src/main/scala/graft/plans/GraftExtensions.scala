@@ -138,9 +138,19 @@ class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // folded in before physical planning reads Join.hint).
       case j @ Join(left, right, _, _, hint)
           if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
+        // A hint is only worth its cost when it ADDS information: if the
+        // side's Statistics (file size, or CardinalityStatsRule's
+        // installed row counts) already fall under the auto-broadcast
+        // threshold, Spark broadcasts it unhinted — and keeping
+        // JoinHint.NONE is what allows CostBasedJoinReorder (which only
+        // fires on unhinted joins) to reorder the join tree.
+        def alreadyBroadcastBySize(side: LogicalPlan): Boolean = {
+          val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+          thr > 0 && side.stats.sizeInBytes <= BigInt(thr)
+        }
         def sideHint(side: LogicalPlan): Option[HintInfo] =
           recordedRows(side) match {
-            case Some(rows) if rows <= broadcastRowLimit =>
+            case Some(rows) if rows <= broadcastRowLimit && !alreadyBroadcastBySize(side) =>
               Some(HintInfo(strategy = Some(BROADCAST)))
             case _ => None
           }
@@ -152,6 +162,11 @@ class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
 /** spark.sql.extensions entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Statistics install must precede the hint rule within the batch:
+    // a side whose installed stats already broadcast needs NO hint, and
+    // leaving JoinHint.NONE is what lets CostBasedJoinReorder (the
+    // reference's join-order DP analogue) run on the join.
+    ext.injectOptimizerRule(new CardinalityStatsRule(_))
     ext.injectOptimizerRule(new HistoryStatsRule(_))
     ext.injectOptimizerRule(new JsonConsolidationRule(_))
     ext.injectOptimizerRule(new SubfieldDecompositionRule(_))

@@ -202,7 +202,12 @@ object History {
     val v = storeVersion.get
     if (indexedVersion != v) synchronized {
       if (indexedVersion != v) {
+        // Join keys (`join[<key> * <key> | cond]`) also contain '#' and
+        // '|' and would otherwise index as bogus scan shapes — scan keys
+        // are only ever produced by scanKey, whose path never starts
+        // with the join prefix.
         shapeIndex = store.toSeq
+          .filterNot(_._1.startsWith("join["))
           .collect { case (scanKeyRe(p, sz, f), rows) => ((p, f), (sz.toLong, rows)) }
           .groupBy(_._1)
           .map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1).toIndexedSeq }
@@ -222,7 +227,13 @@ object History {
         else if (i == 0) (pts.head, pts(1)) // below smallest: innermost slope
         else (pts(i - 1), pts(i)) // bracketing points
       val slope = (hi._2 - lo._2).toDouble / (hi._1 - lo._1).toDouble
-      Some(math.max(0L, math.round(lo._2 + slope * (dataSize - lo._1).toDouble)))
+      val raw = math.max(0L, math.round(lo._2 + slope * (dataSize - lo._1).toDouble))
+      // Beyond the largest recorded point, a negative outermost slope
+      // (noisy / non-monotone history) would predict FEWER rows for
+      // grown data and could force a broadcast of a now-large relation.
+      // Clamp upward extrapolation to at least the largest recorded
+      // rows so growth stays broadcast-safe in the dangerous direction.
+      Some(if (i < 0) math.max(raw, pts.last._2) else raw)
     }
   }
 

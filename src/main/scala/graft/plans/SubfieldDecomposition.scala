@@ -148,6 +148,15 @@ object SubfieldFunctions {
     // predicate kept it, exactly like the guarded rewrite. A null
     // predicate drops the entry in map_filter and falls to the null
     // branch here. m['k'] is duplicated — deterministic inputs only.
+    // ACCEPTED error-semantics divergence: And short-circuits on
+    // IsNotNull(m['k']), so for a present-but-null VALUE the substituted
+    // predicate is never evaluated — a runtime error the original lambda
+    // would raise on that null (e.g. ANSI element_at inside the
+    // predicate) is suppressed, while the RESULT is identical. This is
+    // the same trade Spark's own null-intolerant rewrites make; gating on
+    // !valueNullable (as transform_values/map_zip_with must for VALUE
+    // correctness) would forfeit subfield pruning on every nullable-value
+    // map for an error-only difference.
     Meta("map_filter") {
       case g @ NullSafeMapLookup(MapFilter(m, LambdaFunction(pred, args, _)), key)
           if g.deterministic =>

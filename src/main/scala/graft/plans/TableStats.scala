@@ -1,0 +1,178 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Column-level statistics store for path-backed tables — the engine's
+  * ANALYZE artifact. The reference trains its cost model from history
+  * and sampling (History::setLeafSelectivity, axiom/optimizer/Cost.h:
+  * 52-57); Spark's cost-based optimizer consumes `CatalogStatistics`
+  * (row count + per-column NDV/min/max/null/width). [[Analyze]] computes
+  * those in one distributed pass and this store keeps them keyed by
+  * (path, size fingerprint) — the same fingerprint [[History]] uses, so
+  * stats recorded against one data size can never describe grown data.
+  */
+object TableStats {
+  private val store = TrieMap.empty[(String, Long), Map[String, CatalogColumnStat]]
+
+  def put(path: String, bytes: Long, cols: Map[String, CatalogColumnStat]): Unit =
+    store.put((path, bytes), cols)
+  def get(path: String, bytes: Long): Map[String, CatalogColumnStat] =
+    store.getOrElse((path, bytes), Map.empty)
+  def clear(): Unit = store.clear()
+  def size: Int = store.size
+}
+
+/** ANALYZE for path-backed tables: one aggregate job computes row count
+  * and per-column stats, feeding [[History]] (row count under the bare
+  * scan key) and [[TableStats]] (column stats). The Spark-catalog
+  * ANALYZE TABLE path covers catalog tables; graft's tables are
+  * path-registered temp views, which Spark's ANALYZE cannot target —
+  * this is their equivalent, and [[CardinalityStatsRule]] is the seam
+  * that feeds both back into optimizer [[Statistics]].
+  *
+  * Scale note: the job is a single full-scan aggregate (count, HLL NDV,
+  * min/max, lengths) with map-side partial aggregation — one row ever
+  * reaches the driver, so it behaves at 100 TB exactly like any other
+  * full-table aggregate.
+  */
+object Analyze {
+
+  /** Atomic types whose min/max round-trip through
+    * CatalogColumnStat.fromExternalString as plain numeric text. */
+  private def numericLike(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
+  private def varLen(dt: DataType): Boolean = dt match {
+    case _: StringType | _: BinaryType => true
+    case _ => false
+  }
+
+  /** Analyze a bare path-backed table (the DataFrame must be a plain
+    * scan — filters would skew the stats it claims for the whole table).
+    * Returns the row count. */
+  def table(spark: SparkSession, df: DataFrame): Long = {
+    val rels = df.queryExecution.analyzed.collect { case r: LogicalRelation => r }
+    require(rels.size == 1, s"Analyze.table expects one base relation, got ${rels.size}")
+    val fs = rels.head.relation match {
+      case h: HadoopFsRelation => h
+      case other => throw new IllegalArgumentException(s"not a file relation: $other")
+    }
+    val path = fs.location.rootPaths.map(_.toString).sorted.mkString(";")
+    val bytes = fs.location.sizeInBytes
+
+    // Stats only for atomic columns: NDV sketches over arrays/structs are
+    // both expensive and useless to the join estimator.
+    val cols = df.schema.fields.filter(f => numericLike(f.dataType) || varLen(f.dataType) ||
+      f.dataType.isInstanceOf[BooleanType] || f.dataType.isInstanceOf[DateType])
+    val aggs: Seq[Column] = count(lit(1)).as("_n") +: cols.zipWithIndex.flatMap { case (f, i) =>
+      val c = col(f.name)
+      val base = Seq(
+        approx_count_distinct(c).as(s"_ndv$i"),
+        count(c).as(s"_nn$i"))
+      val mm =
+        if (numericLike(f.dataType))
+          Seq(min(c).cast(StringType).as(s"_min$i"), max(c).cast(StringType).as(s"_max$i"))
+        else Seq(lit(null).cast(StringType).as(s"_min$i"), lit(null).cast(StringType).as(s"_max$i"))
+      val len =
+        if (varLen(f.dataType))
+          Seq(avg(length(c)).as(s"_avg$i"), max(length(c)).cast(LongType).as(s"_maxl$i"))
+        else Seq(lit(null).cast(DoubleType).as(s"_avg$i"), lit(null).cast(LongType).as(s"_maxl$i"))
+      base ++ mm ++ len
+    }.toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+
+    val n = row.getAs[Long]("_n")
+    val colStats = cols.zipWithIndex.map { case (f, i) =>
+      val ndv = row.getAs[Long](s"_ndv$i")
+      val nulls = n - row.getAs[Long](s"_nn$i")
+      val (avgLen, maxLen) =
+        if (varLen(f.dataType))
+          (Option(row.getAs[java.lang.Double](s"_avg$i")).map(d => math.round(d)),
+           Option(row.getAs[java.lang.Long](s"_maxl$i")).map(Long.unbox))
+        else (Some(f.dataType.defaultSize.toLong), Some(f.dataType.defaultSize.toLong))
+      f.name -> CatalogColumnStat(
+        distinctCount = Some(BigInt(ndv)),
+        min = Option(row.getAs[String](s"_min$i")),
+        max = Option(row.getAs[String](s"_max$i")),
+        nullCount = Some(BigInt(nulls)),
+        avgLen = avgLen,
+        maxLen = maxLen)
+    }.toMap
+
+    History.put(History.scanKey(path, bytes, Nil), n)
+    TableStats.put(path, bytes, colStats)
+    n
+  }
+}
+
+/** Feeds recorded/analyzed cardinalities into Catalyst [[Statistics]] so
+  * Spark's cost-based optimizer — including the join-order DP
+  * (CostBasedJoinReorder, the analogue of the reference's makeJoins memo
+  * search, axiom/optimizer/Optimization.cpp:1555-1616 over the memo at
+  * Plan.h:317-340) — costs plans from real row counts instead of file
+  * sizes.
+  *
+  * A path-backed `LogicalRelation` carries no catalog entry, so its
+  * static `Statistics` is the raw file size with no row count, and the
+  * DP (which requires every join input to have a row count) never fires.
+  * This rule installs a synthetic catalog-table entry whose
+  * `CatalogStatistics` hold:
+  *   - row count: the bare-scan actual recorded by [[History]] (execution
+  *     feedback or [[Analyze]]), or the Model.h-style interpolation at an
+  *     unseen data-size fingerprint;
+  *   - column stats: [[TableStats]] from the last ANALYZE at this exact
+  *     fingerprint (NDV/min/max/nulls — what Filter/Join estimation use).
+  *
+  * Runs in the operator-optimization batch, before Spark's "Join Reorder"
+  * batch, so the DP sees the installed stats. Fixpoint-stable: relations
+  * that already carry a catalog entry (real catalog tables, or a prior
+  * iteration's install) are left untouched.
+  */
+class CardinalityStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    !spark.conf.getOption("graft.history.statistics").contains("false")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    History.load() // no-op after first call
+    if (History.size == 0) return plan
+    plan.transformUp {
+      case rel: LogicalRelation if rel.catalogTable.isEmpty =>
+        rel.relation match {
+          case fs: HadoopFsRelation =>
+            val path = fs.location.rootPaths.map(_.toString).sorted.mkString(";")
+            val bytes = fs.location.sizeInBytes
+            History.lookup(History.scanKey(path, bytes, Nil))
+              .orElse(History.interpolateScan(path, bytes, Nil)) match {
+              case Some(rows) =>
+                val entry = CatalogTable(
+                  identifier = TableIdentifier("graft_stats"),
+                  tableType = CatalogTableType.EXTERNAL,
+                  storage = CatalogStorageFormat.empty,
+                  schema = fs.schema,
+                  provider = Some("parquet"),
+                  stats = Some(CatalogStatistics(
+                    sizeInBytes = BigInt(bytes),
+                    rowCount = Some(BigInt(rows)),
+                    colStats = TableStats.get(path, bytes))))
+                rel.copy(catalogTable = Some(entry))
+              case None => rel
+            }
+          case _ => rel
+        }
+    }
+  }
+}

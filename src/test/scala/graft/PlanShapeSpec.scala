@@ -157,4 +157,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges.min <= 3, s"exchange widths: $exchanges")
     assert(exchanges.forall(_ <= 6), s"an exchange carries unexpectedly wide rows: $exchanges")
   }
+
+  test("cbo: fact-first 3-table join reorders dimension-first from analyzed row counts") {
+    // The reference's join-order DP (makeJoins, Optimization.cpp:
+    // 1555-1616) rendered on Spark: CostBasedJoinReorder fires once
+    // CardinalityStatsRule installs real row counts from Analyze/History.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val s = spark.newSession()
+    val t = Tables(s, sfDir)
+    def leafTables(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Set[String] =
+      p.collect { case r: LogicalRelation =>
+        r.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.getName).mkString
+      }.toSet
+    def q = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey"), col("n_name"))
+    try {
+      // No statistics: the written (fact-first) order survives — the
+      // bottom join is orders ⋈ customer exactly as authored.
+      graft.plans.History.clear(); graft.plans.TableStats.clear()
+      val before = q.queryExecution.optimizedPlan.collect {
+        case j: Join => leafTables(j)
+      }
+      assert(before.last == Set("orders.parquet", "customer.parquet"),
+        s"unexpected pre-stats join tree: $before")
+
+      // With row counts + column NDVs the DP must join the two small
+      // dimensions first and bring the fact in last.
+      Seq(t.orders, t.customer, t.nation).foreach(graft.plans.Analyze.table(s, _))
+      val after = q.queryExecution.optimizedPlan.collect {
+        case j: Join => leafTables(j)
+      }
+      assert(after.last == Set("customer.parquet", "nation.parquet"),
+        s"join-order DP did not reorder dimension-first: $after")
+    } finally { graft.plans.History.clear(); graft.plans.TableStats.clear() }
+  }
 }
