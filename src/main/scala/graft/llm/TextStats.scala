@@ -241,6 +241,75 @@ object TextStats {
       .select(col("doc_id"), col("n_spans"), col("cut_chars"),
         (col("doc_len").cast("long") - col("cut_chars")).as("kept_chars"))
   }
+  /** The excision applied: the corpus with every duplicated span CUT OUT
+    * (Lee et al.'s actual pipeline output — deduplicated text, not just
+    * the census). Islands are merged exactly as in [[dupSpanExciseOver]];
+    * each document's few intervals are collected to a sorted array and
+    * the cleaned text is stitched by ONE per-document HOF fold over them
+    * (substring concatenation of the kept gaps) — the heavy text column
+    * is joined in once by doc_id and never enters the anchor shuffles or
+    * the window. Documents without duplicated spans (and those shorter
+    * than a gram) pass through unchanged, so the result IS the corpus. */
+  def dupSpanCut(t: Tables): DataFrame = dupSpanCutOver(t.documents)
+
+  def dupSpanCutOver(docs: DataFrame): DataFrame = {
+    val anchors = anchorsOver(docs)
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = anchors.join(dupHashes(anchors), "h")
+      .withColumn("prev", lag(col("pos"), 1).over(wOrd))
+      .withColumn("new_isl",
+        when(col("prev").isNull || col("pos") - col("prev") > GramK - 1, 1).otherwise(0))
+      .withColumn("isl", sum(col("new_isl")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(GramK - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("spans"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, col("text")).otherwise(expr(
+          """aggregate(spans, named_struct('nxt', 1, 'acc', ''),
+               (st, sp) -> named_struct('nxt', sp.e + 1,
+                 'acc', concat(st.acc, substring(text, st.nxt, sp.s - st.nxt))),
+               st -> concat(st.acc, substring(text, st.nxt)))"""))
+          .as("cleaned_text"))
+  }
+  val dupSpanCutSql: String =
+    s"""WITH k AS (
+         SELECT d.doc_id, t.pos::INT AS pos,
+                md5(substr(d.text, t.pos::INT, $GramK)) AS h
+         FROM documents d, unnest(range(1, length(d.text) - ${GramK - 2})) AS t(pos)
+         WHERE length(d.text) >= $GramK
+           AND ord(substr(d.text, t.pos::INT, 1)) % 8 = 0),
+       dup AS (SELECT h FROM k GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       isl AS (
+         SELECT doc_id, pos,
+                sum(CASE WHEN prev IS NULL OR pos - prev > ${GramK - 1}
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS isl
+         FROM (SELECT k.doc_id, k.pos,
+                      lag(k.pos) OVER (PARTITION BY k.doc_id ORDER BY k.pos) AS prev
+               FROM k JOIN dup ON k.h = dup.h) x),
+       spans AS (
+         SELECT doc_id, isl, min(pos) AS s, max(pos) + ${GramK - 1} AS e
+         FROM isl GROUP BY doc_id, isl),
+       seg AS (
+         SELECT doc_id, s, e,
+                lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+         FROM spans),
+       cut AS (
+         SELECT seg.doc_id,
+                string_agg(substr(d.text, seg.prev_e + 1, seg.s - seg.prev_e - 1),
+                           '' ORDER BY seg.s)
+                  || substr(d.text, max(seg.e) + 1) AS cleaned_text
+         FROM seg JOIN documents d ON seg.doc_id = d.doc_id
+         GROUP BY seg.doc_id, d.text)
+       SELECT doc_id, cleaned_text FROM cut
+       UNION ALL
+       SELECT doc_id, text AS cleaned_text FROM documents
+       WHERE doc_id NOT IN (SELECT doc_id FROM cut)"""
+
   val dupSpanExciseSql: String =
     s"""WITH k AS (
          SELECT d.doc_id, length(d.text) AS doc_len,
@@ -469,6 +538,7 @@ object TextStats {
     ("text_dedup_tokens", dedupTokens _, dedupTokensSql),
     ("text_dup_spans", dupSpans _, dupSpansSql),
     ("text_dup_span_excise", dupSpanExcise _, dupSpanExciseSql),
+    ("text_dup_span_cut", dupSpanCut _, dupSpanCutSql),
     ("text_unigram_logprob", unigramLogprob _, unigramLogprobSql),
     ("text_pii_scrub", piiScrub _, piiScrubSql),
     ("pipeline_corpus_build", corpusBuild _, corpusBuildSql))

@@ -221,6 +221,55 @@ class LlmOpsSpec extends SparkSpec {
       val gotCut = graft.llm.TextStats.dupSpanExciseOver(docs)
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
       assert(gotCut == expectCut, s"trial $trial excise: $gotCut != $expectCut")
+      // cleaned-corpus twin: the HOF stitching must equal character-level
+      // removal of every island's [s, e+63] extent (independent reference)
+      val islands = anchors.filter(a => dupSet(a._3)).groupBy(_._1).map { case (id, as) =>
+        val ps = as.map(_._2).sorted
+        id -> ps.tail.foldLeft(List((ps.head, ps.head))) { case (acc @ ((s0, e0) :: rest), p) =>
+          if (p - e0 <= 63) (s0, p) :: rest else (p, p) :: acc
+        }
+      }
+      val expClean = texts.zipWithIndex.map { case (t, i) =>
+        i.toLong -> (islands.get(i.toLong) match {
+          case None => t
+          case Some(spans) =>
+            val ranges = spans.map { case (s0, e0) => (s0, e0 + 63) } // 1-based inclusive chars
+            t.zipWithIndex.collect {
+              case (c, idx) if !ranges.exists { case (a, b) => idx + 1 >= a && idx + 1 <= b } => c
+            }.mkString
+        })
+      }.toMap
+      val gotClean = graft.llm.TextStats.dupSpanCutOver(docs)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(gotClean == expClean, s"trial $trial cut: $gotClean != $expClean")
+    }
+  }
+
+  test("span cut emits the corpus with the planted paragraph removed, others untouched") {
+    import spark.implicits._
+    def filler(seed: Int, n: Int): String =
+      Iterator.iterate(seed.toLong)(s => s * 6364136223846793005L + 1442695040888963407L)
+        .map(s => ((s >>> 33) % 26 + 'a').toChar).take(n).mkString
+    val para = filler(99, 600)
+    val texts = Map(
+      1L -> (filler(1, 300) + para + filler(2, 100)),
+      2L -> (filler(3, 50) + para + filler(4, 400)),
+      3L -> filler(5, 900))
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val kept = graft.llm.TextStats.dupSpanExciseOver(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val cut = graft.llm.TextStats.dupSpanCutOver(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut.keySet == Set(1L, 2L, 3L), "cut output must cover the whole corpus")
+    assert(cut(3L) == texts(3L), "doc without duplicated spans must pass through unchanged")
+    for (id <- Seq(1L, 2L)) {
+      val (orig, c) = (texts(id), cut(id))
+      assert(c.length.toLong == kept(id), s"doc $id: cleaned length ${c.length} != kept_chars ${kept(id)}")
+      // One planted paragraph => one contiguous island: the cleaned text
+      // must be a prefix + suffix of the original.
+      val pre = (0 until c.length).takeWhile(i => c(i) == orig(i)).size
+      val suf = (0 until c.length).takeWhile(i => c(c.length - 1 - i) == orig(orig.length - 1 - i)).size
+      assert(pre + suf >= c.length, s"doc $id: cleaned text is not a prefix+suffix of the original")
     }
   }
 
