@@ -43,9 +43,20 @@ object ZOrder {
         .bitwiseOR(shiftleft(y.bitwiseAND(lit(1L << i)), i + 1))
     }
 
+  /** Manifest metadata table for a layout dir — the Iceberg/Delta
+    * manifest analogue: per-file bounding boxes of both layout columns,
+    * recorded at WRITE time as their own tiny parquet table. Reads that
+    * prune consult this table, never the data files. */
+  private[graft] def manifestDir(dir: String): String = dir + "_manifest"
+
   /** Write `df` to `dir` as `nFiles` parquet files clustered by the
-    * z-value of (a, b). Bounds come from one tiny agg pass; the range
-    * repartition gives contiguous, balanced z-slices per file. */
+    * z-value of (a, b), then record the per-file min/max manifest.
+    * Bounds come from one tiny agg pass; the range repartition gives
+    * contiguous, balanced z-slices per file. The manifest pass reads
+    * only the two layout columns of the freshly written files (a
+    * production writer accumulates these stats inside the write task;
+    * recomputing post-write is the local stand-in with the same
+    * artifact). */
   def zorderWrite(df: DataFrame, a: String, b: String, dir: String, nFiles: Int): Unit = {
     val r = df.agg(
       min(col(a)).cast("double"), max(col(a)).cast("double"),
@@ -58,6 +69,12 @@ object ZOrder {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
+    df.sparkSession.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(
+        min(col(a)).cast("double").as(s"${a}_lo"), max(col(a)).cast("double").as(s"${a}_hi"),
+        min(col(b)).cast("double").as(s"${b}_lo"), max(col(b)).cast("double").as(s"${b}_hi"))
+      .write.mode("overwrite").parquet(manifestDir(dir))
   }
 
   // ------------------------------------------------------------ registry
@@ -83,30 +100,48 @@ object ZOrder {
     """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
        count(DISTINCT o_custkey) AS n_cust FROM orders"""
 
-  /** Per-file min/max of `c` — the manifest a production writer records
-    * at write time (Iceberg/Delta-style); recomputed here with one
-    * group-by on input_file_name since local parquet has no stats
-    * catalog. Pruning = keep files whose [lo, hi] intersects the
-    * predicate range. */
+  /** TEST-SUPPORT ONLY: recompute per-file min/max of `c` by scanning
+    * the data (ZOrderSpec cross-checks the manifest against this). The
+    * query prune path never calls it — it reads [[manifestDir]]. */
   private[graft] def fileStats(df: DataFrame, c: String): Array[(String, Double, Double)] =
     df.groupBy(input_file_name().as("f"))
       .agg(min(col(c)).cast("double").as("lo"), max(col(c)).cast("double").as("hi"))
       .collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
 
+  /** Manifest-driven file prune — Iceberg `planFiles` shape: the band
+    * predicate semi-joins the manifest metadata table (a tiny parquet
+    * scan with the range predicate PUSHED DOWN to it), and the driver
+    * streams out ONLY the surviving file paths — which any Spark scan
+    * must hold anyway to plan its splits. The full stats table never
+    * materializes as a driver array (the round-8 `fileStats` collect),
+    * and no data file is opened to decide the prune. At 100 TB / ~10⁶
+    * files this is O(survivors) driver memory, O(manifest) executor
+    * work. */
+  private[graft] def pruneFilesByManifest(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      c: String, pLo: Double, pHi: Double): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    spark.read.parquet(manifestDir(dir))
+      .filter(col(s"${c}_hi") >= pLo && col(s"${c}_lo") <= pHi)
+      .select(col("f"))
+      .toLocalIterator().asScala.map(_.getString(0)).toSeq
+  }
+
   /** Stats-pruned read over the z-ordered layout: a band predicate on the
     * NON-leading layout column skips every file whose bounding box misses
     * the band (possible only because z-order bounded that column per
     * file), then the exact residual filter runs on the survivors — sound
-    * regardless of pruning, fast because of it. */
+    * regardless of pruning, fast because of it. The skip decision comes
+    * from the write-time manifest ([[pruneFilesByManifest]]), not from
+    * re-scanning the data. */
   def zorderPrunedRead(t: Tables): DataFrame = {
     val dir = s"$base/orders_zorder"
     zorderWrite(
       t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
       "o_custkey", "o_totalprice", dir, nFiles = 16)
     val (pLo, pHi) = (100000.0, 150000.0)
-    val keep = fileStats(t.spark.read.parquet(dir), "o_totalprice")
-      .collect { case (f, lo, hi) if hi >= pLo && lo <= pHi => f }
+    val keep = pruneFilesByManifest(t.spark, dir, "o_totalprice", pLo, pHi)
     require(keep.nonEmpty, "band predicate pruned every file — widen the band")
     t.spark.read.parquet(keep: _*)
       .filter(col("o_totalprice").between(pLo, pHi))

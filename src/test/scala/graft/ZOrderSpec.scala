@@ -84,6 +84,26 @@ class ZOrderSpec extends SparkSpec {
     assert(survivors < 16, s"band predicate should skip files, kept $survivors/16")
   }
 
+  test("manifest metadata table drives the prune and matches recomputed file boxes") {
+    // The query path's skip decision comes from the write-time manifest
+    // (no data scan, no full stats array on the driver); this test
+    // cross-checks it against boxes recomputed by scanning the data.
+    val dir = "/root/repo/target/zorder/orders_zorder"
+    ZOrder.zorderWrite(
+      tables.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "o_custkey", "o_totalprice", dir, nFiles = 16)
+    val viaManifest =
+      ZOrder.pruneFilesByManifest(spark, dir, "o_totalprice", 100000.0, 150000.0).toSet
+    val viaScan = ZOrder.fileStats(spark.read.parquet(dir), "o_totalprice")
+      .collect { case (f, lo, hi) if hi >= 100000.0 && lo <= 150000.0 => f }.toSet
+    assert(viaManifest == viaScan,
+      s"manifest survivors != recomputed survivors:\n$viaManifest\n$viaScan")
+    assert(viaManifest.nonEmpty && viaManifest.size < 16,
+      s"expected a real prune, kept ${viaManifest.size}/16")
+    // the manifest is a metadata table: 16 rows, one per data file
+    assert(spark.read.parquet(ZOrder.manifestDir(dir)).count() == 16)
+  }
+
   test("morton interleave places bit i of x at 2i and of y at 2i+1") {
     import spark.implicits._
     val df = Seq((5L, 3L)).toDF("x", "y") // x=101, y=011 -> z = 011011 + x bit2 at 4 -> 0b011011=27? compute below
