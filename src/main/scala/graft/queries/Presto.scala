@@ -322,6 +322,24 @@ object Presto {
          round(max(o_totalprice), 2) AS max_price
        FROM orders WHERE o_orderkey < 2000"""
 
+  /** Presto PREPARE / EXECUTE USING / DEALLOCATE PREPARE
+    * (AstStatements.h:340-374) through the dialect door: PREPARE
+    * validates and stores the parameterized body per session, EXECUTE
+    * splices the USING arguments into the `?` slots token-wise and runs
+    * the result through the normal lowering. The oracle runs the
+    * equivalent bound query directly. */
+  def prepareStmt(s: SparkSession, d: String): DataFrame = {
+    PrestoRewriter.sql(s, d,
+      """PREPARE graft_prep FROM
+         SELECT n_regionkey, count(*) AS n FROM nation
+         WHERE n_regionkey <= ? GROUP BY n_regionkey""")
+    try PrestoRewriter.sql(s, d, "EXECUTE graft_prep USING 2")
+    finally PrestoRewriter.sql(s, d, "DEALLOCATE PREPARE graft_prep")
+  }
+  val prepareOracle: String =
+    """SELECT n_regionkey, count(*) AS n FROM nation
+       WHERE n_regionkey <= 2 GROUP BY n_regionkey"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -338,5 +356,6 @@ object Presto {
     ("presto_delete", deleteStmt _, deleteOracle),
     ("presto_update", updateStmt _, updateOracle),
     ("presto_merge", mergeStmt _, mergeOracle),
-    ("presto_analyze", analyzeStmt _, analyzeOracle))
+    ("presto_analyze", analyzeStmt _, analyzeOracle),
+    ("presto_prepare", prepareStmt _, prepareOracle))
 }

@@ -637,6 +637,151 @@ object PrestoDialect {
         Space(" "), Word("FOR"), Space(" "), Word("ALL"), Space(" "), Word("COLUMNS"))
   }
 
+  // ---------------------------------------------- pass: CREATE SCHEMA
+  /** Presto `CREATE SCHEMA [IF NOT EXISTS] name [WITH (…)]`
+    * (AstStatements.h:237-258 CreateSchema) → Spark's grammar-identical
+    * CREATE SCHEMA with the WITH property list dropped: the properties
+    * are connector placement hints (location, format defaults) with no
+    * Spark-session analogue — the same trade as ANALYZE's WITH. The
+    * bare form passes through byte-identical; a WITH that is not a
+    * terminal property list passes through for the real parser to
+    * report. */
+  private[sql] def rewriteCreateSchema(toks: Vector[Tok]): Vector[Tok] = {
+    val i0 = nextM(toks, -1)
+    if (!wordAt(toks, i0).equalsIgnoreCase("create")) return toks
+    if (!wordAt(toks, nextM(toks, i0)).equalsIgnoreCase("schema")) return toks
+    var k = nextM(toks, nextM(toks, i0))
+    while (k >= 0 && !wordAt(toks, k).equalsIgnoreCase("with")) k = nextM(toks, k)
+    if (k < 0) return toks
+    val iP = nextM(toks, k)
+    if (iP < 0 || !toks.lift(iP).contains(Sym("("))) return toks
+    val close = matchFwd(toks, iP)
+    if (close <= iP || nextM(toks, close) >= 0) return toks
+    toks.take(k) ++ toks.drop(close + 1)
+  }
+
+  // ------------------------------------- pass: unsupported statement guard
+  /** Statement kinds whose semantics Spark cannot honestly provide fail
+    * FAST with a clear, actionable error instead of a confusing
+    * downstream parse error: materialized views (CREATE/DROP/REFRESH
+    * MATERIALIZED VIEW, AstStatements.h:191-236) — Spark has no
+    * refreshable materialized view, and silently degrading to a virtual
+    * view or a one-shot CTAS would change staleness semantics; role and
+    * privilege management (CREATE/DROP ROLE, GRANT, REVOKE, SET ROLE,
+    * AstStatements.h:300-374) — ACLs live in the external catalog
+    * layer, not the engine. Transactions and CALL are likewise out of
+    * scope (README matrix); they already fail in Spark's parser. */
+  private[sql] def rejectUnsupported(toks: Vector[Tok]): Vector[Tok] = {
+    val i0 = nextM(toks, -1)
+    val h = wordAt(toks, i0).toLowerCase
+    val h2 = wordAt(toks, nextM(toks, i0)).toLowerCase
+    def fail(what: String, hint: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"Presto $what is not supported by the graft engine: $hint")
+    if ((h == "create" || h == "drop" || h == "refresh") && h2 == "materialized")
+      fail(s"${h.toUpperCase} MATERIALIZED VIEW",
+        "Spark has no refreshable materialized view; use CREATE VIEW (virtual, always " +
+        "fresh) or CREATE TABLE AS SELECT (one-shot materialization)")
+    if (((h == "create" || h == "drop") && h2 == "role") || (h == "set" && h2 == "role"))
+      fail(s"${h.toUpperCase} ROLE", "role management belongs to the external catalog/ACL layer")
+    if (h == "grant" || h == "revoke")
+      fail(h.toUpperCase, "privilege management belongs to the external catalog/ACL layer")
+    toks
+  }
+
+  // --------------------------------- statement layer: PREPARE / EXECUTE
+  /** Presto PREPARE / EXECUTE [USING …] / DEALLOCATE PREPARE
+    * (AstStatements.h:340-374) parsed at the statement level — the
+    * dialect door ([[PrestoParser]]) stores PREPARE bodies per session,
+    * splices EXECUTE arguments into the `?` parameter slots token-wise
+    * ([[spliceParams]]), and runs the spliced text through the normal
+    * lowering. Spark's own `EXECUTE IMMEDIATE` is NOT intercepted. */
+  sealed trait StatementAction
+  final case class PrepareStmt(name: String, body: String) extends StatementAction
+  final case class ExecuteStmt(name: String, args: Seq[String]) extends StatementAction
+  final case class DeallocateStmt(name: String) extends StatementAction
+
+  def statementAction(sql: String): Option[StatementAction] = {
+    val toks = tokenize(sql)
+    val i0 = nextM(toks, -1)
+    def nameAt(i: Int): Option[String] = toks.lift(i) match {
+      case Some(w: Word) => Some(w.lower)
+      case _ => None
+    }
+    wordAt(toks, i0).toLowerCase match {
+      case "prepare" =>
+        val iN = nextM(toks, i0)
+        val iF = nextM(toks, iN)
+        for {
+          name <- nameAt(iN)
+          if wordAt(toks, iF).equalsIgnoreCase("from")
+          body = render(toks.drop(iF + 1)).trim
+          if body.nonEmpty
+        } yield PrepareStmt(name, body)
+      case "execute" =>
+        val iN = nextM(toks, i0)
+        nameAt(iN) match {
+          case Some(name) if name != "immediate" => // EXECUTE IMMEDIATE is Spark's
+            val iU = nextM(toks, iN)
+            if (iU < 0) Some(ExecuteStmt(name, Nil))
+            else if (wordAt(toks, iU).equalsIgnoreCase("using"))
+              Some(ExecuteStmt(name, splitTopLevel(toks.drop(iU + 1))))
+            else None
+          case _ => None
+        }
+      case "deallocate" =>
+        val iP = nextM(toks, i0)
+        if (!wordAt(toks, iP).equalsIgnoreCase("prepare")) None
+        else {
+          val iN = nextM(toks, iP)
+          nameAt(iN).filter(_ => nextM(toks, iN) < 0).map(DeallocateStmt)
+        }
+      case _ => None
+    }
+  }
+
+  /** Split a token run on top-level commas, rendering each piece. */
+  private def splitTopLevel(toks: Vector[Tok]): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var cur = Vector.newBuilder[Tok]
+    toks.foreach {
+      case s @ Sym("(") => depth += 1; cur += s
+      case s @ Sym(")") => depth -= 1; cur += s
+      case s @ Sym("[") => depth += 1; cur += s
+      case s @ Sym("]") => depth -= 1; cur += s
+      case Sym(",") if depth == 0 => out += render(cur.result()).trim; cur = Vector.newBuilder[Tok]
+      case t => cur += t
+    }
+    val last = render(cur.result()).trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  /** Number of `?` parameter slots in a statement body. */
+  def paramCount(body: String): Int = tokenize(body).count(_ == Sym("?"))
+
+  /** Replace each `?` parameter slot (outside strings — the tokenizer
+    * guarantees that) with the next USING argument, parenthesized so an
+    * expression argument keeps its own precedence. Count mismatches fail
+    * loudly, like Presto's "Incorrect number of parameters". */
+  def spliceParams(body: String, args: Seq[String]): String = {
+    var i = 0
+    val out = tokenize(body).map {
+      case Sym("?") =>
+        if (i >= args.length)
+          throw new IllegalArgumentException(
+            s"prepared statement has more than ${args.length} parameter(s): USING supplied too few")
+        val a = args(i); i += 1
+        Sym("(" + a + ")")
+      case t => t
+    }
+    if (i < args.length)
+      throw new IllegalArgumentException(
+        s"prepared statement has $i parameter(s) but USING supplied ${args.length}")
+    render(out)
+  }
+
   // ------------------------------------------ pass: CREATE VIEW security
   /** Presto `CREATE [OR REPLACE] VIEW v [SECURITY DEFINER|INVOKER] AS q`
     * (AstStatements.h:143-189 CreateView, `Security` enum): Spark views
@@ -680,6 +825,7 @@ object PrestoDialect {
 
   // -------------------------------------------------------------- entry
   private val passes: Seq[Vector[Tok] => Vector[Tok]] = Seq(
+    rejectUnsupported, rewriteCreateSchema,
     rewriteExplainOptions, rewriteAnalyze, rewriteViewSecurity, rewriteUnnestJoins, rewriteCastTypes,
     rewriteRowCtor, rewriteArrayBrackets, rewriteTry, rewriteAtTimeZone,
     rewriteBareTypes, rewriteQuotedIdents)

@@ -34,8 +34,35 @@ class PrestoParser(session: SparkSession, delegate: ParserInterface)
   private def lower(text: String): String =
     if (active) PrestoDialect.transform(text) else text
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(lower(sqlText))
+  /** PREPARE bodies are stored in the session conf (Presto-identical
+    * lifetime: per session, no cross-session leakage) under this
+    * namespace, keyed by the case-normalized statement name. */
+  private def prepKey(name: String): String = "graft.sql.prepared." + name
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    if (!active) return delegate.parsePlan(sqlText)
+    PrestoDialect.statementAction(sqlText) match {
+      case Some(PrestoDialect.PrepareStmt(name, body)) =>
+        // Validate the body NOW (Presto parses at PREPARE time), store
+        // the raw dialect text, acknowledge with a one-row result.
+        delegate.parsePlan(PrestoDialect.transform(
+          PrestoDialect.spliceParams(body, Seq.fill(
+            PrestoDialect.paramCount(body))("null"))))
+        session.conf.set(prepKey(name), body)
+        delegate.parsePlan(s"SELECT '$name' AS prepared")
+      case Some(PrestoDialect.ExecuteStmt(name, args)) =>
+        val body = session.conf.getOption(prepKey(name)).getOrElse(throw
+          new IllegalArgumentException(s"prepared statement not found: $name"))
+        delegate.parsePlan(PrestoDialect.transform(
+          PrestoDialect.spliceParams(body, args)))
+      case Some(PrestoDialect.DeallocateStmt(name)) =>
+        if (session.conf.getOption(prepKey(name)).isEmpty)
+          throw new IllegalArgumentException(s"prepared statement not found: $name")
+        session.conf.unset(prepKey(name))
+        delegate.parsePlan(s"SELECT '$name' AS deallocated")
+      case None => delegate.parsePlan(lower(sqlText))
+    }
+  }
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(lower(sqlText))
   override def parseExpression(sqlText: String): Expression =

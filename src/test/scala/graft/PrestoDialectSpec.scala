@@ -251,4 +251,59 @@ class PrestoDialectSpec extends SparkSpec {
     presto("DROP VIEW IF EXISTS spec_sec_view")
     presto("DROP TABLE IF EXISTS graft_mem.default.spec_sec_base")
   }
+
+  test("CREATE SCHEMA drops Presto WITH properties; bare form passes through") {
+    assert(t("CREATE SCHEMA IF NOT EXISTS ps_x WITH (location = '/tmp/x', owner = 'a')").trim
+      === "CREATE SCHEMA IF NOT EXISTS ps_x")
+    assert(t("CREATE SCHEMA plain_s") === "CREATE SCHEMA plain_s")
+    presto("CREATE SCHEMA IF NOT EXISTS spec_presto_schema WITH (location = '/tmp/nope')")
+    assert(spark.catalog.databaseExists("spec_presto_schema"),
+      "CREATE SCHEMA through the dialect door must land in the catalog")
+    presto("DROP SCHEMA spec_presto_schema")
+  }
+
+  test("materialized view and role/grant statements fail fast with clear errors") {
+    // AstStatements.h:191-236 (materialized views), :300-374 (roles):
+    // explicit rejects, not confusing downstream parse errors.
+    val mv = intercept[UnsupportedOperationException] {
+      presto("CREATE MATERIALIZED VIEW mv AS SELECT 1 AS x")
+    }
+    assert(mv.getMessage.contains("MATERIALIZED VIEW") &&
+      mv.getMessage.contains("CREATE TABLE AS"), mv.getMessage)
+    val rf = intercept[UnsupportedOperationException] {
+      presto("REFRESH MATERIALIZED VIEW mv")
+    }
+    assert(rf.getMessage.contains("MATERIALIZED VIEW"), rf.getMessage)
+    val gr = intercept[UnsupportedOperationException] {
+      presto("GRANT SELECT ON nation TO alice")
+    }
+    assert(gr.getMessage.contains("GRANT"), gr.getMessage)
+    val sr = intercept[UnsupportedOperationException] { presto("SET ROLE admin") }
+    assert(sr.getMessage.contains("ROLE"), sr.getMessage)
+    // plain SET must NOT be caught by the SET ROLE reject
+    presto("SET spark.sql.ansi.enabled = true")
+    presto("SET spark.sql.ansi.enabled = false")
+  }
+
+  test("PREPARE/EXECUTE USING/DEALLOCATE round-trip with parameter splicing") {
+    presto("""PREPARE spec_q FROM
+              SELECT n_name FROM nation WHERE n_regionkey = ?
+              ORDER BY n_name LIMIT ?""")
+    val got = presto("EXECUTE spec_q USING 2, 3").collect().map(_.getString(0)).toSeq
+    val expect = presto(
+      "SELECT n_name FROM nation WHERE n_regionkey = 2 ORDER BY n_name LIMIT 3")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == expect && got.size == 3, s"$got != $expect")
+    // parameters splice inside dialect constructs too
+    presto("PREPARE spec_arr FROM SELECT element_at(ARRAY[?, 2], 1) AS a")
+    assert(presto("EXECUTE spec_arr USING 5").collect().head.getInt(0) == 5)
+    // count mismatches and unknown names fail loudly
+    intercept[IllegalArgumentException] { presto("EXECUTE spec_q USING 2") }
+    intercept[IllegalArgumentException] { presto("EXECUTE no_such_stmt") }
+    presto("DEALLOCATE PREPARE spec_q")
+    presto("DEALLOCATE PREPARE spec_arr")
+    intercept[IllegalArgumentException] { presto("EXECUTE spec_q USING 2, 3") }
+    // Spark's own EXECUTE IMMEDIATE is not intercepted by the layer
+    assert(presto("EXECUTE IMMEDIATE 'SELECT 41 + 1'").collect().head.getInt(0) == 42)
+  }
 }
