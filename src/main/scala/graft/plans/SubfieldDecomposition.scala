@@ -49,7 +49,8 @@ import org.apache.spark.sql.types.MapType
   * several result paths decomposed into per-path expressions, e.g. a
   * map-wide array_sort read at [k1][0] and [k2][1]) falls out of this
   * rule's per-extraction rewriting — each extraction node is rewritten
-  * independently, so multi-path use needs no separate mechanism here.
+  * independently, so multi-path use needs no separate mechanism here
+  * (pinned by NestedPruningSpec "one call read at two paths").
   *
   * Layout note: parquet's reader cannot skip individual MAP keys, so
   * the storage half of the reference's map-as-struct optimization

@@ -122,6 +122,48 @@ class NestedPruningSpec extends SparkSpec {
     assert(got.toSeq == Seq(Some(2.0)))
   }
 
+  test("one call read at two paths decomposes per path (explode translator analogue)") {
+    // Reference FunctionRegistry.h:152-166: the `explode` translator
+    // lets ONE call used at several result paths decompose into per-path
+    // expressions. Here that falls out of per-extraction rewriting —
+    // each extraction node rewrites independently.
+    // (a) map: one transform_values call subscripted at TWO keys becomes
+    //     two direct guarded lookups; no transformed map materializes.
+    import spark.implicits._
+    val df = Seq((1L, Map("a" -> 2.0, "b" -> 3.0)), (2L, Map("b" -> 5.0))).toDF("id", "m")
+    val q = df.select(col("id"),
+      expr("transform_values(m, (k, v) -> v * 10.0)['a']").as("va"),
+      expr("transform_values(m, (k, v) -> v * 10.0)['b']").as("vb"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("transform_values"), optimized)
+    val got = q.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(got.toSeq == Seq((1L, Some(20.0), Some(30.0)), (2L, None, Some(50.0))))
+
+    // (b) stored wide struct: one coalesce call read at TWO fields —
+    //     ReadSchema prunes to exactly those two, not the rest.
+    val dir = "/root/repo/target/nested/features_multi"
+    val wide = struct((1 to 8).map(i => (col("doc_id") * i).cast("double").as(s"f$i")): _*)
+    tables.documents.select(col("doc_id"), wide.as("features_a"),
+      when(col("doc_id") % 2 === 0, wide).as("features_b"), col("text").as("payload"))
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val q2 = stored.select(col("doc_id"),
+      coalesce(col("features_b"), col("features_a")).getField("f1").as("v1"),
+      coalesce(col("features_b"), col("features_a")).getField("f3").as("v3"))
+    val scan = q2.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val read = scan.requiredSchema.catalogString
+    assert(read.contains("f1") && read.contains("f3"), read)
+    assert(!read.contains("f2") && !read.contains("f4") && !read.contains("payload"),
+      s"one call read at two paths must prune to exactly those paths: $read")
+    // both structs hold identical values, so v1 = id*1 and v3 = id*3
+    q2.orderBy("doc_id").limit(10).collect().foreach { r =>
+      assert(r.getDouble(1) == r.getLong(0) * 1.0 && r.getDouble(2) == r.getLong(0) * 3.0, r)
+    }
+  }
+
   test("struct subfield access prunes the parquet ReadSchema to that field") {
     val dir = "/root/repo/target/nested/mm"
     Multimodal.mmTable(tables).write.mode("overwrite").parquet(dir)
