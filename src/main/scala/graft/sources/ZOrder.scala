@@ -156,7 +156,28 @@ object ZOrder {
        count(DISTINCT o_custkey) AS n_cust FROM orders
        WHERE o_totalprice BETWEEN 100000 AND 150000"""
 
+  /** Index-integrated pruned read: the same band query as
+    * [[zorderPrunedRead]], but written as a plain `read + filter` — the
+    * file skip happens INSIDE scan planning because the scan's
+    * [[ZOrderFileIndex]] translates the pushed band predicate into a
+    * manifest query. No caller-side path list; this is the shape a user's
+    * ad-hoc query gets for free. ZOrderSpec asserts the scan's file count
+    * actually dropped. */
+  def zorderIndexedRead(t: Tables): DataFrame = {
+    val dir = s"$base/orders_zorder_fidx"
+    zorderWrite(
+      t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "o_custkey", "o_totalprice", dir, nFiles = 16)
+    ZOrderFileIndex.read(t.spark, dir, Seq("o_custkey", "o_totalprice"))
+      .filter(col("o_totalprice").between(100000.0, 150000.0))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+  }
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("layout_zorder", zorderRoundtrip _, zorderRoundtripSql),
-    ("layout_zorder_pruned_read", zorderPrunedRead _, zorderPrunedReadSql))
+    ("layout_zorder_pruned_read", zorderPrunedRead _, zorderPrunedReadSql),
+    ("layout_zorder_indexed_read", zorderIndexedRead _, zorderPrunedReadSql))
 }

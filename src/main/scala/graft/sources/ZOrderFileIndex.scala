@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Manifest-driven [[FileIndex]] over a z-ordered layout: Spark's scan
+  * planner hands `listFiles` the pushed data filters, and the index
+  * answers with ONLY the files whose write-time bounding boxes can
+  * match — so a plain `read.filter(band)` skips files with no caller
+  * cooperation. This is the Iceberg `planFiles` / Delta data-skipping
+  * integration point (the reference's connector layer exposes layout
+  * metadata for the same purpose: axiom/connectors/ConnectorMetadata.h
+  * TableLayout), expressed through Spark's own scan machinery instead of
+  * a pre-computed path list ([[ZOrder.pruneFilesByManifest]] remains the
+  * explicit-call twin).
+  *
+  * Scale shape: the driver holds the file LISTING (paths + sizes — any
+  * FileIndex must, to plan splits), never the stats. The skip decision
+  * is a filtered scan of the manifest parquet with the translated bounds
+  * predicate PUSHED DOWN, streamed back as O(survivors). At 100 TB /
+  * ~10⁶ files the manifest is a few MB of parquet and the prune is one
+  * executor-side metadata query, Iceberg-style.
+  */
+final class ZOrderFileIndex(
+    spark: SparkSession,
+    dir: String,
+    statCols: Seq[String]) extends FileIndex {
+
+  private val root = new Path(dir)
+  private def fs: FileSystem = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+  // Listing keyed by file NAME (part-*.parquet is unique within the
+  // layout dir); the manifest records input_file_name() URIs whose
+  // scheme/slash form differs from FileStatus.getPath, so the name is
+  // the stable join key.
+  @volatile private var byName: Map[String, FileStatus] = listNow()
+
+  private def listNow(): Map[String, FileStatus] =
+    fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.getName -> s).toMap
+
+  override def rootPaths: Seq[Path] = Seq(root)
+  override def partitionSchema: StructType = StructType(Nil)
+  override def sizeInBytes: Long = byName.values.map(_.getLen).sum
+  override def inputFiles: Array[String] = byName.values.map(_.getPath.toString).toArray
+  override def refresh(): Unit = byName = listNow()
+
+  /** Translate one pushed predicate leaf on stat column `c` into the
+    * equivalent test on the manifest's `[c_lo, c_hi]` box: a file can
+    * hold `v >= L` only if its hi reaches L, `v <= U` only if its lo is
+    * under U, `v = k` only if the box straddles k. Conjunctions recurse;
+    * anything else (IsNotNull, disjunctions, non-stat columns) prunes
+    * nothing — the residual filter still runs on every surviving row, so
+    * under-translation is always sound, never wrong. */
+  private def toManifestPred(e: Expression): Option[Column] = e match {
+    case And(l, r) =>
+      (toManifestPred(l), toManifestPred(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b)
+      }
+    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) if stat(a) => Some(col(s"${a.name}_hi") >= v.toString.toDouble)
+    case GreaterThan(a: Attribute, Literal(v, _)) if stat(a) => Some(col(s"${a.name}_hi") > v.toString.toDouble)
+    case LessThanOrEqual(a: Attribute, Literal(v, _)) if stat(a) => Some(col(s"${a.name}_lo") <= v.toString.toDouble)
+    case LessThan(a: Attribute, Literal(v, _)) if stat(a) => Some(col(s"${a.name}_lo") < v.toString.toDouble)
+    case EqualTo(a: Attribute, Literal(v, _)) if stat(a) =>
+      Some(col(s"${a.name}_lo") <= v.toString.toDouble && col(s"${a.name}_hi") >= v.toString.toDouble)
+    case GreaterThanOrEqual(Literal(v, _), a: Attribute) if stat(a) => toManifestPred(LessThanOrEqual(a, Literal(v)))
+    case LessThanOrEqual(Literal(v, _), a: Attribute) if stat(a) => toManifestPred(GreaterThanOrEqual(a, Literal(v)))
+    case EqualTo(Literal(v, _), a: Attribute) if stat(a) => toManifestPred(EqualTo(a, Literal(v)))
+    case _ => None
+  }
+
+  private def stat(a: Attribute): Boolean = statCols.contains(a.name)
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val pred = dataFilters.flatMap(toManifestPred).reduceOption(_ && _)
+    val survivors: Seq[FileStatus] = pred match {
+      case None => byName.values.toSeq
+      case Some(p) =>
+        import scala.jdk.CollectionConverters._
+        spark.read.parquet(ZOrder.manifestDir(dir))
+          .filter(p).select(col("f"))
+          .toLocalIterator().asScala
+          .flatMap(r => byName.get(new Path(r.getString(0)).getName))
+          .toSeq
+    }
+    Seq(PartitionDirectory(InternalRow.empty, survivors.toArray))
+  }
+}
+
+object ZOrderFileIndex {
+
+  /** A DataFrame over the z-ordered layout whose scan plans its file list
+    * through [[ZOrderFileIndex]] — filters the user writes on `statCols`
+    * become manifest prunes automatically. Public-API wiring: a
+    * [[HadoopFsRelation]] (a `BaseRelation`) handed to
+    * `baseRelationToDataFrame`, so FileSourceStrategy produces a normal
+    * parquet `FileSourceScanExec` with pushdown, codegen and column
+    * pruning intact. */
+  def read(spark: SparkSession, dir: String, statCols: Seq[String]): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val rel = HadoopFsRelation(
+      location = new ZOrderFileIndex(spark, dir, statCols),
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    spark.baseRelationToDataFrame(rel)
+  }
+}

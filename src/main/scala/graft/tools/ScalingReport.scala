@@ -23,6 +23,8 @@ object ScalingReport {
     ("neardup_jaccard", "documented naive exact tier (ground truth)"),
     ("neardup_jaccard_prefix", "~linear (prefix-filtered index)"),
     ("dedup_cluster_keep_best", "near-dup + O(log d) CC rounds + window"),
+    ("dedup_cluster_cc", "O(log d) hash-min CC rounds, checkpoints released"),
+    ("dedup_cluster_cc_star", "large/small-star CC, O(log d) rounds"),
     ("pipeline_corpus_build", "linear, I/O-bound (write + read-back)"),
     ("pipeline_shard_build", "linear, I/O-bound (partitioned write)"),
     ("neardup_embedding", "bounded: IVF lists linear + capped LSH"),
@@ -34,7 +36,8 @@ object ScalingReport {
     ("ann_pq_adc", "linear code scan + constant rerank/query"),
     ("ann_ivfpq_topk", "IVF-pruned code scan + constant rerank/query"),
     ("text_dup_spans", "linear gram stream, hash-keyed shuffles"),
-    ("text_dup_span_excise", "same anchors + per-doc window"))
+    ("text_dup_span_excise", "same anchors + per-doc window"),
+    ("text_dup_span_cut", "excision islands + per-doc stitch join"))
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq("0.001", "0.01", "0.1")

@@ -104,6 +104,35 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(ZOrder.manifestDir(dir)).count() == 16)
   }
 
+  test("FileIndex-integrated read prunes inside scan planning: fewer files, exact result") {
+    // A plain read + filter — no caller-side path list. The scan's
+    // ZOrderFileIndex translates the pushed band predicate into a
+    // manifest query, so the FileSourceScanExec itself plans fewer files.
+    val dir = "/root/repo/target/zorder-spec/fidx"
+    ZOrder.zorderWrite(
+      tables.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "o_custkey", "o_totalprice", dir, nFiles = 16)
+    val df = graft.sources.ZOrderFileIndex.read(spark, dir, Seq("o_custkey", "o_totalprice"))
+      .filter(col("o_totalprice").between(100000.0, 150000.0))
+    val expected = tables.orders
+      .filter(col("o_totalprice").between(100000.0, 150000.0))
+      .agg(count(lit(1)), round(sum(col("o_totalprice")), 2),
+        countDistinct(col("o_custkey"))).head()
+    val got = df.agg(count(lit(1)), round(sum(col("o_totalprice")), 2),
+      countDistinct(col("o_custkey"))).head()
+    assert((got.getLong(0), got.getDouble(1), got.getLong(2)) ==
+      (expected.getLong(0), expected.getDouble(1), expected.getLong(2)))
+    val scan = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val planned = scan.selectedPartitions.totalNumberOfFiles
+    assert(planned > 0 && planned < 16,
+      s"index should plan a strict subset of the 16 files, planned $planned")
+    // an unselective query through the same index still sees every file
+    val full = graft.sources.ZOrderFileIndex.read(spark, dir, Seq("o_custkey", "o_totalprice"))
+    assert(full.count() == tables.orders.count())
+  }
+
   test("morton interleave places bit i of x at 2i and of y at 2i+1") {
     import spark.implicits._
     val df = Seq((5L, 3L)).toDF("x", "y") // x=101, y=011 -> z = 011011 + x bit2 at 4 -> 0b011011=27? compute below
