@@ -340,6 +340,34 @@ object Presto {
     """SELECT n_regionkey, count(*) AS n FROM nation
        WHERE n_regionkey <= 2 GROUP BY n_regionkey"""
 
+  /** Presto `WITH RECURSIVE` (PrestoSql.g4:169 `WITH RECURSIVE?
+    * namedQuery`): Spark 4 shares the syntax and executes it as an
+    * iterative UnionLoop, so the dialect's job is only the usual
+    * in-body lowering — the recursion form passes through. The
+    * recursive relation here is a bounded month sequence that then
+    * drives a real equi-join + aggregate over orders: the recursive
+    * side stays tiny (12 rows, broadcastable), the fact side scans
+    * once — the scale-safe way to use recursion as a dimension
+    * generator. */
+  val recursivePresto: String =
+    """WITH RECURSIVE seq (m) AS (
+         SELECT 1
+         UNION ALL
+         SELECT m + 1 FROM seq WHERE m < 12
+       )
+       SELECT m, count(o_orderkey) AS n_orders
+       FROM seq LEFT JOIN orders ON month(o_orderdate) = m
+       GROUP BY m"""
+  val recursiveOracle: String =
+    """WITH RECURSIVE seq (m) AS (
+         SELECT 1
+         UNION ALL
+         SELECT m + 1 FROM seq WHERE m < 12
+       )
+       SELECT m, count(o_orderkey) AS n_orders
+       FROM seq LEFT JOIN orders ON month(o_orderdate) = m
+       GROUP BY m"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -357,5 +385,6 @@ object Presto {
     ("presto_update", updateStmt _, updateOracle),
     ("presto_merge", mergeStmt _, mergeOracle),
     ("presto_analyze", analyzeStmt _, analyzeOracle),
-    ("presto_prepare", prepareStmt _, prepareOracle))
+    ("presto_prepare", prepareStmt _, prepareOracle),
+    ("presto_recursive_cte", run(recursivePresto) _, recursiveOracle))
 }

@@ -306,4 +306,29 @@ class PrestoDialectSpec extends SparkSpec {
     // Spark's own EXECUTE IMMEDIATE is not intercepted by the layer
     assert(presto("EXECUTE IMMEDIATE 'SELECT 41 + 1'").collect().head.getInt(0) == 42)
   }
+
+  test("WITH RECURSIVE passes through the dialect and executes iteratively") {
+    // grammar-shared (PrestoSql.g4:169): the recursion form is untouched...
+    val out = t("WITH RECURSIVE t (n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 5) SELECT * FROM t")
+    assert(out.startsWith("WITH RECURSIVE"))
+    // ...and genuinely recurses (10! needs 10 loop steps)
+    val fact = presto(
+      """WITH RECURSIVE f (n, fact) AS (
+           SELECT 1, CAST(1 AS BIGINT)
+           UNION ALL
+           SELECT n + 1, fact * (n + 1) FROM f WHERE n < 10
+         )
+         SELECT max(fact) AS f10 FROM f""").head()
+    assert(fact.getLong(0) == 3628800L)
+    // dialect lowerings still apply INSIDE the recursive body
+    // (ARRAY[..] constructor, cardinality); concat-grow an array per step
+    val r = presto(
+      """WITH RECURSIVE s (n, a) AS (
+           SELECT 1, ARRAY[1]
+           UNION ALL
+           SELECT n + 1, concat(a, ARRAY[n + 1]) FROM s WHERE n < 4
+         )
+         SELECT max(n) AS steps, max(cardinality(a)) AS width FROM s""").head()
+    assert(r.get(0).toString.toInt == 4 && r.get(1).toString.toInt == 4)
+  }
 }
