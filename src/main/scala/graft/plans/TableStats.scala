@@ -5,6 +5,7 @@ import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -39,12 +40,26 @@ object TableStats {
   * this is their equivalent, and [[CardinalityStatsRule]] is the seam
   * that feeds both back into optimizer [[Statistics]].
   *
-  * Scale note: the job is a single full-scan aggregate (count, HLL NDV,
-  * min/max, lengths) with map-side partial aggregation — one row ever
-  * reaches the driver, so it behaves at 100 TB exactly like any other
-  * full-table aggregate.
+  * When `spark.sql.statistics.histogram.enabled` is true (Spark's own
+  * gate for its catalog ANALYZE), a second aggregate pass adds an
+  * equi-height histogram per numeric column: pass 1's approximate
+  * percentiles fix the bin endpoints, pass 2 computes per-bin NDV with
+  * one `ApproxCountDistinctForIntervals` sketch per column — the same
+  * two-job shape as Spark's ANALYZE, so skewed columns get real
+  * range-predicate selectivity instead of the uniform min/max
+  * assumption (the reference folds exactly this into leaf selectivity,
+  * History::setLeafSelectivity / axiom/optimizer/Cost.h:52-57).
+  *
+  * Scale note: each pass is a single full-scan aggregate (count, HLL
+  * NDV, min/max, lengths; interval sketches) with map-side partial
+  * aggregation — one row ever reaches the driver, so ANALYZE behaves
+  * at 100 TB exactly like any other full-table aggregate.
   */
 object Analyze {
+
+  /** Equi-height bin count (Spark's spark.sql.statistics.histogram.numBins
+    * default). */
+  private val numBins = 254
 
   /** Atomic types whose min/max round-trip through
     * CatalogColumnStat.fromExternalString as plain numeric text. */
@@ -76,6 +91,8 @@ object Analyze {
     // both expensive and useless to the join estimator.
     val cols = df.schema.fields.filter(f => numericLike(f.dataType) || varLen(f.dataType) ||
       f.dataType.isInstanceOf[BooleanType] || f.dataType.isInstanceOf[DateType])
+    val withHist = spark.conf.getOption("spark.sql.statistics.histogram.enabled")
+      .exists(_.toBoolean)
     val aggs: Seq[Column] = count(lit(1)).as("_n") +: cols.zipWithIndex.flatMap { case (f, i) =>
       val c = col(f.name)
       val base = Seq(
@@ -89,11 +106,54 @@ object Analyze {
         if (varLen(f.dataType))
           Seq(avg(length(c)).as(s"_avg$i"), max(length(c)).cast(LongType).as(s"_maxl$i"))
         else Seq(lit(null).cast(DoubleType).as(s"_avg$i"), lit(null).cast(LongType).as(s"_maxl$i"))
-      base ++ mm ++ len
+      val pct =
+        if (withHist && numericLike(f.dataType))
+          Seq(percentile_approx(c.cast(DoubleType),
+            array((0 to numBins).map(j => lit(j.toDouble / numBins)): _*),
+            lit(10000)).as(s"_pct$i"))
+        else Seq.empty
+      base ++ mm ++ len ++ pct
     }.toSeq
     val row = df.agg(aggs.head, aggs.tail: _*).head()
 
     val n = row.getAs[Long]("_n")
+
+    // Second pass (histogram gate only): per-bin NDV for every numeric
+    // column in ONE aggregate — ApproxCountDistinctForIntervals keeps an
+    // HLL sketch per bin, exactly Spark's catalog-ANALYZE second job.
+    val histograms: Map[Int, logical.Histogram] =
+      if (!withHist) Map.empty
+      else {
+        val eps: Seq[(Int, Seq[Double])] = cols.zipWithIndex.flatMap { case (f, i) =>
+          if (!numericLike(f.dataType)) None
+          else Option(row.getAs[collection.Seq[Double]](s"_pct$i"))
+            .filter(_.nonEmpty).map(e => i -> e.toSeq)
+        }.toSeq
+        if (eps.isEmpty) Map.empty
+        else {
+          spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+            "graft_ndv_intervals",
+            es => new org.apache.spark.sql.catalyst.expressions.aggregate
+              .ApproxCountDistinctForIntervals(es(0), es(1),
+                org.apache.spark.sql.catalyst.expressions.Literal(0.05)),
+            "built-in")
+          val hAggs = eps.map { case (i, e) =>
+            call_function("graft_ndv_intervals",
+              col(cols(i).name).cast(DoubleType),
+              array(e.map(lit): _*)).as(s"_h$i")
+          }
+          val hRow = df.agg(hAggs.head, hAggs.tail: _*).head()
+          eps.map { case (i, e) =>
+            val ndvs = hRow.getAs[collection.Seq[Long]](s"_h$i")
+            val bins = e.sliding(2).zip(ndvs.iterator)
+              .map { case (Seq(lo, hi), ndv) => logical.HistogramBin(lo, hi, ndv) }
+              .toArray
+            val nonNull = row.getAs[Long](s"_nn$i")
+            i -> logical.Histogram(nonNull.toDouble / numBins, bins)
+          }.toMap
+        }
+      }
+
     val colStats = cols.zipWithIndex.map { case (f, i) =>
       val ndv = row.getAs[Long](s"_ndv$i")
       val nulls = n - row.getAs[Long](s"_nn$i")
@@ -108,7 +168,8 @@ object Analyze {
         max = Option(row.getAs[String](s"_max$i")),
         nullCount = Some(BigInt(nulls)),
         avgLen = avgLen,
-        maxLen = maxLen)
+        maxLen = maxLen,
+        histogram = histograms.get(i))
     }.toMap
 
     History.put(History.scanKey(path, bytes, Nil), n)

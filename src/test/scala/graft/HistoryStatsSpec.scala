@@ -226,6 +226,43 @@ class HistoryStatsSpec extends SparkSpec {
     } finally { History.clear(); graft.plans.TableStats.clear() }
   }
 
+  test("equi-height histograms fix range selectivity on skewed columns") {
+    // Min/max + NDV alone force the uniform assumption: a tail predicate
+    // over a skewed column estimates ~everything kept. ANALYZE under
+    // spark.sql.statistics.histogram.enabled adds per-column equi-height
+    // histograms (percentile endpoints + per-bin NDV sketches), and
+    // FilterEstimation then prices the tail at its true mass — the
+    // selectivity precision the reference's cost model gets from
+    // History::setLeafSelectivity (Cost.h:52-57).
+    val s = spark.newSession()
+    val dir = "/root/repo/target/analyze-hist/skew"
+    import s.implicits._
+    // 10k rows: 95% in {1..5}, 5% spread over [10k, 1M] — p95 ≈ 5.
+    val skew = (1 to 9500).map(i => (i % 5 + 1).toLong) ++
+      (1 to 500).map(i => 10000L + i * 1980L)
+    skew.toDF("v").repartition(4).write.mode("overwrite").parquet(dir)
+    val df = s.read.parquet(dir)
+    val actual = df.filter(col("v") > 10000).count()
+    try {
+      History.clear(); graft.plans.TableStats.clear()
+      graft.plans.Analyze.table(s, df)
+      val uniform = df.filter(col("v") > 10000)
+        .queryExecution.optimizedPlan.stats.rowCount.get.toLong
+      History.clear(); graft.plans.TableStats.clear()
+      s.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      graft.plans.Analyze.table(s, df)
+      val hist = df.filter(col("v") > 10000)
+        .queryExecution.optimizedPlan.stats.rowCount.get.toLong
+      assert(uniform > 8 * actual,
+        s"uniform min/max estimate should overshoot the skewed tail: $uniform vs actual $actual")
+      assert(hist < 3 * actual && hist > actual / 3,
+        s"histogram estimate should land near the true tail mass: $hist vs actual $actual")
+    } finally {
+      History.clear(); graft.plans.TableStats.clear()
+      s.conf.unset("spark.sql.statistics.histogram.enabled")
+    }
+  }
+
   test("interpolated row count at an unseen data size lands in scan Statistics") {
     // The Model.h-style operating-point interpolation must feed the CBO
     // at a size fingerprint never executed (workload re-run after the
