@@ -468,6 +468,41 @@ object PrestoDialect {
     }
   }
 
+  /** `TABLESAMPLE BERNOULLI(p)` / `TABLESAMPLE SYSTEM(p)`
+    * (PrestoSql.g4:333 sampledRelation) → Spark `TABLESAMPLE (p PERCENT)`.
+    * Spark's PERCENT sampling IS per-row Bernoulli, so BERNOULLI maps
+    * exactly; SYSTEM is implementation-defined block sampling in Presto
+    * ("any subset is a valid SYSTEM sample"), so row sampling is a
+    * conforming implementation of it too. The percentage tokens are
+    * copied verbatim inside the parens. */
+  private[sql] def rewriteTablesample(toks: Vector[Tok]): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < toks.length) {
+      var emitted = false
+      if (wordAt(toks, i) == "tablesample") {
+        val m = nextM(toks, i)
+        val method = wordAt(toks, m)
+        if (method == "bernoulli" || method == "system") {
+          val open = nextM(toks, m)
+          if (open >= 0 && toks(open) == Sym("(")) {
+            val close = matchFwd(toks, open)
+            if (close >= 0) {
+              out += toks(i) += Space(" ")
+              var j = open
+              while (j < close) { out += toks(j); j += 1 }
+              out += Space(" ") += Word("PERCENT") += Sym(")")
+              i = close + 1
+              emitted = true
+            }
+          }
+        }
+      }
+      if (!emitted) { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
   /** `TRY(expr)` → `graft_try(expr)` = TryEval (null on runtime error). */
   private[sql] def rewriteTry(toks: Vector[Tok]): Vector[Tok] =
     toks.zipWithIndex.map {
@@ -827,7 +862,7 @@ object PrestoDialect {
   private val passes: Seq[Vector[Tok] => Vector[Tok]] = Seq(
     rejectUnsupported, rewriteCreateSchema,
     rewriteExplainOptions, rewriteAnalyze, rewriteViewSecurity, rewriteUnnestJoins, rewriteCastTypes,
-    rewriteRowCtor, rewriteArrayBrackets, rewriteTry, rewriteAtTimeZone,
+    rewriteRowCtor, rewriteArrayBrackets, rewriteTry, rewriteTablesample, rewriteAtTimeZone,
     rewriteBareTypes, rewriteQuotedIdents)
 
   /** Full Presto-dialect lowering: structural passes, then the

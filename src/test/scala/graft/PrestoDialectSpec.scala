@@ -307,6 +307,29 @@ class PrestoDialectSpec extends SparkSpec {
     assert(presto("EXECUTE IMMEDIATE 'SELECT 41 + 1'").collect().head.getInt(0) == 42)
   }
 
+  test("TABLESAMPLE BERNOULLI/SYSTEM lower to PERCENT; LATERAL subqueries pass through") {
+    // sampledRelation (PrestoSql.g4:333): Spark PERCENT sampling IS
+    // per-row Bernoulli; SYSTEM is implementation-defined in Presto, so
+    // row sampling conforms there too.
+    assert(t("SELECT * FROM orders TABLESAMPLE BERNOULLI(10)")
+      === "SELECT * FROM orders TABLESAMPLE (10 PERCENT)")
+    assert(t("SELECT * FROM orders TABLESAMPLE SYSTEM (6.5) WHERE o_orderkey > 0")
+      === "SELECT * FROM orders TABLESAMPLE (6.5 PERCENT) WHERE o_orderkey > 0")
+    // a sample of ~half the table executes and lands in a sane band
+    val total = presto("SELECT count(*) AS n FROM orders").head().getLong(0)
+    val sampled = presto(
+      "SELECT count(*) AS n FROM orders TABLESAMPLE BERNOULLI(50)").head().getLong(0)
+    assert(sampled > total / 5 && sampled < total * 4 / 5,
+      s"BERNOULLI(50) of $total rows sampled $sampled")
+    // LATERAL (query) (PrestoSql.g4:354) is grammar-shared with Spark:
+    // a correlated lateral subquery passes through and executes
+    val r = presto(
+      """SELECT r_name, t.cnt FROM region, LATERAL (
+           SELECT count(*) AS cnt FROM nation WHERE n_regionkey = r_regionkey) t
+         ORDER BY r_name""").collect()
+    assert(r.length == 5 && r.forall(_.getLong(1) == 5), r.mkString(";"))
+  }
+
   test("WITH RECURSIVE passes through the dialect and executes iteratively") {
     // grammar-shared (PrestoSql.g4:169): the recursion form is untouched...
     val out = t("WITH RECURSIVE t (n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 5) SELECT * FROM t")
