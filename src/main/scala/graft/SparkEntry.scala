@@ -35,7 +35,8 @@ object SparkEntry {
       Multimodal.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       graft.sources.Formats.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       graft.sources.ZOrder.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
-      graft.sources.CustomSource.all
+      graft.sources.CustomSource.all ++
+      graft.streaming.Streams.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -155,4 +155,47 @@ object Streams {
         (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_sec"))
       .select(col("user_id"), col("start"), col("n_events"), col("duration_sec"))
   }
+
+  /** End-to-end Structured Streaming execution of the tumbling
+    * aggregation, oracle-checkable: replay the events parquet as a
+    * file-source micro-batch stream, aggregate in COMPLETE mode into a
+    * memory sink with `Trigger.AvailableNow`, and return the final
+    * table. Complete mode makes the drained stream's answer definitionally
+    * equal to the batch groupBy(window) result, so `events_tumbling`'s
+    * DuckDB SQL checks the STREAMING engine — watermark/append-mode
+    * emission (which drops the unclosed tail window by design) is pinned
+    * separately in StreamsSpec.
+    *
+    * Scale note: complete mode re-emits all windows per trigger, which is
+    * right for a bounded replay/backfill; an unbounded deployment uses
+    * the append-mode [[tumbling]] whose watermark bounds state. */
+  def tumblingStreamedEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    // The file source streams a DIRECTORY; events.parquet is a single
+    // file, so stream the sf dir with a glob pinned to it. Same
+    // nanos-long → micros-timestamp conversion Catalog.load applies.
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total"))
+    val name = "graft_stream_tumbling_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Driver-contract entries (SparkSession, sfDir) — streaming runs whose
+    * drained output is deterministic and SQL-expressible. */
+  val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("stream_tumbling", tumblingStreamedEntry _,
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+         count(*) AS n, round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2"""))
 }

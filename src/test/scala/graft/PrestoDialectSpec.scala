@@ -280,9 +280,16 @@ class PrestoDialectSpec extends SparkSpec {
     assert(gr.getMessage.contains("GRANT"), gr.getMessage)
     val sr = intercept[UnsupportedOperationException] { presto("SET ROLE admin") }
     assert(sr.getMessage.contains("ROLE"), sr.getMessage)
-    // plain SET must NOT be caught by the SET ROLE reject
-    presto("SET spark.sql.ansi.enabled = true")
-    presto("SET spark.sql.ansi.enabled = false")
+    // plain SET must NOT be caught by the SET ROLE reject — and must
+    // not leak: restore the session's original value afterwards (the
+    // shared-session ANSI flag is load-bearing for NullSemanticsSpec).
+    val ansi0 = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      presto("SET spark.sql.ansi.enabled = true")
+      presto("SET spark.sql.ansi.enabled = false")
+      assert(spark.conf.get("spark.sql.ansi.enabled") == "false",
+        "SET must actually reach the session conf")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansi0)
   }
 
   test("PREPARE/EXECUTE USING/DEALLOCATE round-trip with parameter splicing") {
