@@ -368,6 +368,45 @@ object Presto {
        FROM seq LEFT JOIN orders ON month(o_orderdate) = m
        GROUP BY m"""
 
+  /** Presto `SHOW STATS FOR t` (PrestoSql.g4:139) — reports the
+    * optimizer's estimated statistics (the ANALYZE artifact as the CBO
+    * sees it). The checked projection keeps the exactly-reproducible
+    * fields (null fraction, row count, min/max); NDV and data_size are
+    * approximate sketches and are pinned by spec instead. */
+  def showStatsStmt(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, round => sround}
+    graft.plans.Analyze.table(s, graft.Catalog.load(s, d, "orders"))
+    PrestoRewriter.sql(s, d, "SHOW STATS FOR orders")
+      .filter(col("column_name").isin("o_orderkey", "o_custkey", "o_totalprice") ||
+        col("column_name").isNull)
+      .select(col("column_name"),
+        sround(col("nulls_fraction"), 4).as("nulls_fraction"),
+        col("row_count"),
+        sround(expr("CAST(low_value AS DOUBLE)"), 2).as("low_v"),
+        sround(expr("CAST(high_value AS DOUBLE)"), 2).as("high_v"))
+  }
+  val showStatsOracle: String =
+    """SELECT 'o_orderkey' AS column_name,
+         round(1.0 - CAST(count(o_orderkey) AS DOUBLE) / count(*), 4) AS nulls_fraction,
+         CAST(NULL AS DOUBLE) AS row_count,
+         round(CAST(min(o_orderkey) AS DOUBLE), 2) AS low_v,
+         round(CAST(max(o_orderkey) AS DOUBLE), 2) AS high_v FROM orders
+       UNION ALL
+       SELECT 'o_custkey',
+         round(1.0 - CAST(count(o_custkey) AS DOUBLE) / count(*), 4),
+         CAST(NULL AS DOUBLE),
+         round(CAST(min(o_custkey) AS DOUBLE), 2),
+         round(CAST(max(o_custkey) AS DOUBLE), 2) FROM orders
+       UNION ALL
+       SELECT 'o_totalprice',
+         round(1.0 - CAST(count(o_totalprice) AS DOUBLE) / count(*), 4),
+         CAST(NULL AS DOUBLE),
+         round(CAST(min(o_totalprice) AS DOUBLE), 2),
+         round(CAST(max(o_totalprice) AS DOUBLE), 2) FROM orders
+       UNION ALL
+       SELECT NULL, CAST(NULL AS DOUBLE), CAST(count(*) AS DOUBLE),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -386,5 +425,6 @@ object Presto {
     ("presto_merge", mergeStmt _, mergeOracle),
     ("presto_analyze", analyzeStmt _, analyzeOracle),
     ("presto_prepare", prepareStmt _, prepareOracle),
-    ("presto_recursive_cte", run(recursivePresto) _, recursiveOracle))
+    ("presto_recursive_cte", run(recursivePresto) _, recursiveOracle),
+    ("presto_show_stats", showStatsStmt _, showStatsOracle))
 }

@@ -735,6 +735,9 @@ object PrestoDialect {
   final case class PrepareStmt(name: String, body: String) extends StatementAction
   final case class ExecuteStmt(name: String, args: Seq[String]) extends StatementAction
   final case class DeallocateStmt(name: String) extends StatementAction
+  /** `SHOW STATS FOR t` / `SHOW STATS FOR (query)` (PrestoSql.g4:139-140);
+    * `target` is the table name or the inner query text. */
+  final case class ShowStatsStmt(target: String, isQuery: Boolean) extends StatementAction
 
   def statementAction(sql: String): Option[StatementAction] = {
     val toks = tokenize(sql)
@@ -770,6 +773,25 @@ object PrestoDialect {
         else {
           val iN = nextM(toks, iP)
           nameAt(iN).filter(_ => nextM(toks, iN) < 0).map(DeallocateStmt)
+        }
+      case "show" =>
+        // only SHOW STATS FOR …; every other SHOW passes through to Spark
+        val iS = nextM(toks, i0)
+        val iF = nextM(toks, iS)
+        if (!wordAt(toks, iS).equalsIgnoreCase("stats") ||
+          !wordAt(toks, iF).equalsIgnoreCase("for")) None
+        else {
+          val iT = nextM(toks, iF)
+          toks.lift(iT) match {
+            case Some(Sym("(")) =>
+              val close = matchFwd(toks, iT)
+              if (close < 0) None
+              else Some(ShowStatsStmt(render(toks.slice(iT + 1, close)).trim, isQuery = true))
+            case Some(_) =>
+              val t = render(toks.drop(iT)).trim
+              if (t.nonEmpty) Some(ShowStatsStmt(t, isQuery = false)) else None
+            case None => None
+          }
         }
       case _ => None
     }

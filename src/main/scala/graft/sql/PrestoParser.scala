@@ -60,6 +60,11 @@ class PrestoParser(session: SparkSession, delegate: ParserInterface)
           throw new IllegalArgumentException(s"prepared statement not found: $name")
         session.conf.unset(prepKey(name))
         delegate.parsePlan(s"SELECT '$name' AS deallocated")
+      case Some(PrestoDialect.ShowStatsStmt(target, isQuery)) =>
+        // session.sql re-enters this parser (dialect still active), so
+        // the inner query gets the normal lowering exactly once.
+        val df = if (isQuery) session.sql(target) else session.table(target)
+        delegate.parsePlan(ShowStats.sqlFor(df))
       case None => delegate.parsePlan(lower(sqlText))
     }
   }

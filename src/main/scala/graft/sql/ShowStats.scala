@@ -1,0 +1,57 @@
+package graft.sql
+
+import org.apache.spark.sql.DataFrame
+
+/** `SHOW STATS FOR t` / `SHOW STATS FOR (query)` renderer
+  * (PrestoSql.g4:139-140): Presto reports the optimizer's ESTIMATED
+  * statistics for the target's output — so the honest Spark rendering
+  * reads the optimized plan's [[org.apache.spark.sql.catalyst.plans.logical.Statistics]],
+  * which is exactly what the CBO costs plans with (rowCount +
+  * per-attribute stats installed by ANALYZE / History through
+  * CardinalityStatsRule). Columns with no recorded stats print NULLs,
+  * Presto-identically.
+  *
+  * Output schema matches Presto's: column_name, data_size,
+  * distinct_values_count, nulls_fraction, row_count, low_value,
+  * high_value — one row per output column plus the table-level summary
+  * row (null column_name, row_count set). The result is rendered as a
+  * VALUES statement handed back to the delegate parser, so the SHOW
+  * statement stays a normal one-shot local query.
+  */
+object ShowStats {
+
+  def sqlFor(df: DataFrame): String = {
+    val plan = df.queryExecution.optimizedPlan
+    val stats = plan.stats
+    val rowCount = stats.rowCount
+
+    def dbl(o: Option[Double]): String =
+      o.filter(d => !d.isNaN && !d.isInfinite)
+        .map(d => s"CAST($d AS DOUBLE)").getOrElse("CAST(NULL AS DOUBLE)")
+    def str(o: Option[String]): String =
+      o.map(v => "'" + v.replace("'", "''") + "'").getOrElse("CAST(NULL AS STRING)")
+
+    val colRows = plan.output.map { a =>
+      val cs = stats.attributeStats.get(a)
+      val ndv = cs.flatMap(_.distinctCount).map(_.toDouble)
+      val nullsFrac = for {
+        c <- cs; nc <- c.nullCount; n <- rowCount if n > 0
+      } yield nc.toDouble / n.toDouble
+      val dataSize = for {
+        c <- cs; al <- c.avgLen; n <- rowCount
+      } yield al.toDouble * (n - c.nullCount.getOrElse(BigInt(0))).toDouble
+      val lo = cs.flatMap(_.min).map(_.toString)
+      val hi = cs.flatMap(_.max).map(_.toString)
+      s"(${str(Some(a.name))}, ${dbl(dataSize)}, ${dbl(ndv)}, ${dbl(nullsFrac)}, " +
+        s"CAST(NULL AS DOUBLE), ${str(lo)}, ${str(hi)})"
+    }
+    val summary =
+      s"(CAST(NULL AS STRING), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), " +
+        s"CAST(NULL AS DOUBLE), ${dbl(rowCount.map(_.toDouble))}, " +
+        "CAST(NULL AS STRING), CAST(NULL AS STRING))"
+    (colRows :+ summary).mkString(
+      "SELECT * FROM VALUES ", ", ",
+      " AS show_stats(column_name, data_size, distinct_values_count, " +
+        "nulls_fraction, row_count, low_value, high_value)")
+  }
+}

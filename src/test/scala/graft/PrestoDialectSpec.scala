@@ -337,6 +337,32 @@ class PrestoDialectSpec extends SparkSpec {
     assert(r.length == 5 && r.forall(_.getLong(1) == 5), r.mkString(";"))
   }
 
+  test("SHOW STATS FOR reports the CBO's view of ANALYZE stats, table and query forms") {
+    import graft.plans.History
+    try {
+      History.clear(); graft.plans.TableStats.clear()
+      graft.plans.Analyze.table(spark, graft.Catalog.load(spark, sfDir, "nation"))
+      val st = presto("SHOW STATS FOR nation").collect()
+      // one row per column + the summary row
+      assert(st.length == tables.nation.schema.length + 1, st.mkString(";"))
+      val byCol = st.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r).toMap
+      // n_nationkey: 25 distinct keys 0..24, no nulls — NDV is an HLL
+      // sketch (±5%), min/max strings exact
+      val nk = byCol("n_nationkey")
+      assert(math.abs(nk.getDouble(2) - 25.0) <= 2 && nk.getDouble(3) == 0.0, nk.toString)
+      assert(nk.getString(5) == "0" && nk.getString(6) == "24", nk.toString)
+      val summary = st.filter(_.isNullAt(0))
+      assert(summary.length == 1 && summary.head.getDouble(4) == 25.0)
+      // query form: the optimizer's estimate for a filtered projection
+      val q = presto("SHOW STATS FOR (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)")
+        .collect()
+      assert(q.length == 2, q.mkString(";"))
+      val qSummary = q.filter(_.isNullAt(0)).head
+      // FilterEstimation prices the equality at rows/ndv(n_regionkey) ≈ 25/5
+      assert(qSummary.getDouble(4) >= 3.0 && qSummary.getDouble(4) <= 7.0, qSummary.toString)
+    } finally { History.clear(); graft.plans.TableStats.clear() }
+  }
+
   test("WITH RECURSIVE passes through the dialect and executes iteratively") {
     // grammar-shared (PrestoSql.g4:169): the recursion form is untouched...
     val out = t("WITH RECURSIVE t (n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 5) SELECT * FROM t")
