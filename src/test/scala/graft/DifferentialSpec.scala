@@ -26,7 +26,10 @@ class DifferentialSpec extends SparkSpec {
     ("subfield-maps", graft.queries.Exprs.subfieldMapFns _),
     // window-heavy gaps-and-islands over hashed anchors: partition count
     // and AQE must not change island boundaries
-    ("dup-span-excise", graft.llm.TextStats.dupSpanExcise _))
+    ("dup-span-excise", graft.llm.TextStats.dupSpanExcise _),
+    // per-doc substring stitch over the excision islands: the emitted
+    // cleaned text must be byte-identical under every config
+    ("dup-span-cut", graft.llm.TextStats.dupSpanCut _))
 
   private def rows(s: SparkSession, fn: Tables => org.apache.spark.sql.DataFrame): Set[String] =
     fn(Tables(s, sfDir)).collect().map(_.mkString("|")).toSet
@@ -39,11 +42,17 @@ class DifferentialSpec extends SparkSpec {
       "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.codegen.wholeStage" -> "false",
       "spark.sql.shuffle.partitions" -> "1")),
+    // cost-based optimization off: join reorder / stats-driven choices
+    // must never change answers, only plans
+    ("cbo-off", Map(
+      "spark.sql.cbo.enabled" -> "false",
+      "spark.sql.cbo.joinReorder.enabled" -> "false")),
     // every graft-injected optimizer rule excluded: the rewrites must be
     // pure optimizations — identical rows with and without them
     ("graft-rules-off", Map(
       "spark.sql.optimizer.excludedRules" ->
-        Seq("graft.plans.HistoryStatsRule", "graft.plans.JsonConsolidationRule",
+        Seq("graft.plans.CardinalityStatsRule", "graft.plans.HistoryStatsRule",
+          "graft.plans.JsonConsolidationRule",
           "graft.plans.SubfieldDecompositionRule").mkString(","))))
 
   queries.foreach { case (qname, fn) =>
