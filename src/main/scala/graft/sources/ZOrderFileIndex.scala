@@ -56,25 +56,38 @@ final class ZOrderFileIndex(
     * equivalent test on the manifest's `[c_lo, c_hi]` box: a file can
     * hold `v >= L` only if its hi reaches L, `v <= U` only if its lo is
     * under U, `v = k` only if the box straddles k. Conjunctions recurse;
-    * anything else (IsNotNull, disjunctions, non-stat columns) prunes
-    * nothing — the residual filter still runs on every surviving row, so
-    * under-translation is always sound, never wrong. */
+    * anything else (IsNotNull, disjunctions, non-stat columns, null or
+    * non-numeric literals) prunes nothing — the residual filter still
+    * runs on every surviving row, so under-translation is always sound,
+    * never wrong. */
   private def toManifestPred(e: Expression): Option[Column] = e match {
     case And(l, r) =>
       (toManifestPred(l), toManifestPred(r)) match {
         case (Some(a), Some(b)) => Some(a && b)
         case (a, b) => a.orElse(b)
       }
-    case GreaterThanOrEqual(a: Attribute, Literal(v, _)) if stat(a) => Some(col(s"${a.name}_hi") >= v.toString.toDouble)
-    case GreaterThan(a: Attribute, Literal(v, _)) if stat(a) => Some(col(s"${a.name}_hi") > v.toString.toDouble)
-    case LessThanOrEqual(a: Attribute, Literal(v, _)) if stat(a) => Some(col(s"${a.name}_lo") <= v.toString.toDouble)
-    case LessThan(a: Attribute, Literal(v, _)) if stat(a) => Some(col(s"${a.name}_lo") < v.toString.toDouble)
-    case EqualTo(a: Attribute, Literal(v, _)) if stat(a) =>
-      Some(col(s"${a.name}_lo") <= v.toString.toDouble && col(s"${a.name}_hi") >= v.toString.toDouble)
-    case GreaterThanOrEqual(Literal(v, _), a: Attribute) if stat(a) => toManifestPred(LessThanOrEqual(a, Literal(v)))
-    case LessThanOrEqual(Literal(v, _), a: Attribute) if stat(a) => toManifestPred(GreaterThanOrEqual(a, Literal(v)))
-    case EqualTo(Literal(v, _), a: Attribute) if stat(a) => toManifestPred(EqualTo(a, Literal(v)))
+    case GreaterThanOrEqual(a: Attribute, Lit(v)) if stat(a) => Some(col(s"${a.name}_hi") >= v)
+    case GreaterThan(a: Attribute, Lit(v)) if stat(a) => Some(col(s"${a.name}_hi") > v)
+    case LessThanOrEqual(a: Attribute, Lit(v)) if stat(a) => Some(col(s"${a.name}_lo") <= v)
+    case LessThan(a: Attribute, Lit(v)) if stat(a) => Some(col(s"${a.name}_lo") < v)
+    case EqualTo(a: Attribute, Lit(v)) if stat(a) =>
+      Some(col(s"${a.name}_lo") <= v && col(s"${a.name}_hi") >= v)
+    case GreaterThanOrEqual(l @ Lit(_), a: Attribute) if stat(a) => toManifestPred(LessThanOrEqual(a, l))
+    case GreaterThan(l @ Lit(_), a: Attribute) if stat(a) => toManifestPred(LessThan(a, l))
+    case LessThanOrEqual(l @ Lit(_), a: Attribute) if stat(a) => toManifestPred(GreaterThanOrEqual(a, l))
+    case LessThan(l @ Lit(_), a: Attribute) if stat(a) => toManifestPred(GreaterThan(a, l))
+    case EqualTo(l @ Lit(_), a: Attribute) if stat(a) => toManifestPred(EqualTo(a, l))
     case _ => None
+  }
+
+  /** Matches only literals whose value reads as a number — the manifest
+    * records numeric boxes, so anything else must fall through to
+    * no-prune rather than throw inside scan planning. */
+  private object Lit {
+    def unapply(e: Expression): Option[Double] = e match {
+      case Literal(v, _) if v != null => scala.util.Try(v.toString.toDouble).toOption
+      case _ => None
+    }
   }
 
   private def stat(a: Attribute): Boolean = statCols.contains(a.name)

@@ -131,6 +131,12 @@ class ZOrderSpec extends SparkSpec {
     // an unselective query through the same index still sees every file
     val full = graft.sources.ZOrderFileIndex.read(spark, dir, Seq("o_custkey", "o_totalprice"))
     assert(full.count() == tables.orders.count())
+    // a disjunction is untranslatable → must fall back to NO prune (all
+    // rows correct), never to a wrong subset
+    val orPred = col("o_totalprice") < 50000.0 || col("o_totalprice") > 400000.0
+    val viaIndex = graft.sources.ZOrderFileIndex.read(spark, dir, Seq("o_custkey", "o_totalprice"))
+      .filter(orPred).count()
+    assert(viaIndex == tables.orders.filter(orPred).count())
   }
 
   test("morton interleave places bit i of x at 2i and of y at 2i+1") {
