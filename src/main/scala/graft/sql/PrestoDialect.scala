@@ -738,6 +738,9 @@ object PrestoDialect {
   /** `SHOW STATS FOR t` / `SHOW STATS FOR (query)` (PrestoSql.g4:139-140);
     * `target` is the table name or the inner query text. */
   final case class ShowStatsStmt(target: String, isQuery: Boolean) extends StatementAction
+  /** `EXPLAIN ANALYZE [VERBOSE] query` (PrestoSql.g4:126) — execute and
+    * annotate the plan with measured per-operator metrics. */
+  final case class ExplainAnalyzeStmt(body: String, verbose: Boolean) extends StatementAction
 
   def statementAction(sql: String): Option[StatementAction] = {
     val toks = tokenize(sql)
@@ -773,6 +776,17 @@ object PrestoDialect {
         else {
           val iN = nextM(toks, iP)
           nameAt(iN).filter(_ => nextM(toks, iN) < 0).map(DeallocateStmt)
+        }
+      case "explain" =>
+        // only EXPLAIN ANALYZE …; every other EXPLAIN form is handled by
+        // rewriteExplainOptions or passes through to Spark
+        val iA = nextM(toks, i0)
+        if (!wordAt(toks, iA).equalsIgnoreCase("analyze")) None
+        else {
+          val iV = nextM(toks, iA)
+          val verbose = wordAt(toks, iV).equalsIgnoreCase("verbose")
+          val body = render(toks.drop(if (verbose) iV + 1 else iA + 1)).trim
+          if (body.nonEmpty) Some(ExplainAnalyzeStmt(body, verbose)) else None
         }
       case "show" =>
         // only SHOW STATS FOR …; every other SHOW passes through to Spark

@@ -65,6 +65,8 @@ class PrestoParser(session: SparkSession, delegate: ParserInterface)
         // the inner query gets the normal lowering exactly once.
         val df = if (isQuery) session.sql(target) else session.table(target)
         delegate.parsePlan(ShowStats.sqlFor(df))
+      case Some(PrestoDialect.ExplainAnalyzeStmt(body, verbose)) =>
+        delegate.parsePlan(ShowStats.explainAnalyzeSql(session.sql(body), verbose))
       case None => delegate.parsePlan(lower(sqlText))
     }
   }

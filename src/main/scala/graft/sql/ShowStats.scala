@@ -20,6 +20,40 @@ import org.apache.spark.sql.DataFrame
   */
 object ShowStats {
 
+  /** `EXPLAIN ANALYZE [VERBOSE]` (PrestoSql.g4:126): Presto executes the
+    * query and prints the plan annotated with MEASURED per-operator
+    * statistics. Spark rendering: execute this DataFrame's own physical
+    * plan (`queryExecution.toRdd` — the same plan object, so its SQL
+    * metrics accumulate), then walk the final AQE plan printing each
+    * node with its observed metric values (numOutputRows etc.). Returned
+    * as Presto does it: rows of text in one `query_plan` column, with a
+    * summary line carrying total wall time. VERBOSE prints each node's
+    * full simpleString instead of the bare name. */
+  def explainAnalyzeSql(df: DataFrame, verbose: Boolean): String = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val t0 = System.nanoTime()
+    df.queryExecution.toRdd.count() // executes THIS plan; metrics fill
+    val wallMs = (System.nanoTime() - t0) / 1e6
+
+    def lines(p: SparkPlan, depth: Int): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => lines(a.executedPlan, depth)
+      case q: QueryStageExec => lines(q.plan, depth) // stages hide their subtree from children
+      case _ =>
+        val shown = p.metrics.toSeq.sortBy(_._1)
+          .filter(_._2.value > 0)
+          .map { case (k, m) => s"$k=${m.value}" }
+          .mkString(", ")
+        val head = if (verbose) p.simpleString(120) else p.nodeName
+        (("  " * depth) + head + (if (shown.nonEmpty) s" [$shown]" else "")) +:
+          p.children.flatMap(lines(_, depth + 1))
+    }
+    val all = lines(df.queryExecution.executedPlan, 0) :+
+      f"Total wall time: $wallMs%.1f ms"
+    all.map(l => s"('${l.replace("'", "''")}')").mkString(
+      "SELECT * FROM VALUES ", ", ", " AS explain_analyze(query_plan)")
+  }
+
   def sqlFor(df: DataFrame): String = {
     val plan = df.queryExecution.optimizedPlan
     val stats = plan.stats
