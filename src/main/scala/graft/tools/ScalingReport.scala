@@ -37,7 +37,9 @@ object ScalingReport {
     ("ann_ivfpq_topk", "IVF-pruned code scan + constant rerank/query"),
     ("text_dup_spans", "linear gram stream, hash-keyed shuffles"),
     ("text_dup_span_excise", "same anchors + per-doc window"),
-    ("text_dup_span_cut", "excision islands + per-doc stitch join"))
+    ("text_dup_span_cut", "excision islands + per-doc stitch join"),
+    ("stream_tumbling", "bounded replay: micro-batch stream, complete-mode agg"),
+    ("layout_zorder_indexed_read", "write: range shuffle; read: manifest-pruned scan"))
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq("0.001", "0.01", "0.1")
