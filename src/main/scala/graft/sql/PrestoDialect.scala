@@ -741,6 +741,9 @@ object PrestoDialect {
   /** `EXPLAIN ANALYZE [VERBOSE] query` (PrestoSql.g4:126) — execute and
     * annotate the plan with measured per-operator metrics. */
   final case class ExplainAnalyzeStmt(body: String, verbose: Boolean) extends StatementAction
+  /** `DESCRIBE INPUT|OUTPUT name` (PrestoSql.g4:157-158) over a prepared
+    * statement. */
+  final case class DescribeStmt(name: String, output: Boolean) extends StatementAction
 
   def statementAction(sql: String): Option[StatementAction] = {
     val toks = tokenize(sql)
@@ -776,6 +779,16 @@ object PrestoDialect {
         else {
           val iN = nextM(toks, iP)
           nameAt(iN).filter(_ => nextM(toks, iN) < 0).map(DeallocateStmt)
+        }
+      case "describe" =>
+        // only DESCRIBE INPUT|OUTPUT name; DESCRIBE table passes through
+        val iK = nextM(toks, i0)
+        val kind = wordAt(toks, iK).toLowerCase
+        if (kind != "input" && kind != "output") None
+        else {
+          val iN = nextM(toks, iK)
+          nameAt(iN).filter(_ => nextM(toks, iN) < 0)
+            .map(DescribeStmt(_, kind == "output"))
         }
       case "explain" =>
         // only EXPLAIN ANALYZE …; every other EXPLAIN form is handled by

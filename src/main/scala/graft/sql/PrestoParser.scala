@@ -67,6 +67,29 @@ class PrestoParser(session: SparkSession, delegate: ParserInterface)
         delegate.parsePlan(ShowStats.sqlFor(df))
       case Some(PrestoDialect.ExplainAnalyzeStmt(body, verbose)) =>
         delegate.parsePlan(ShowStats.explainAnalyzeSql(session.sql(body), verbose))
+      case Some(PrestoDialect.DescribeStmt(name, output)) =>
+        // DESCRIBE INPUT/OUTPUT over a prepared statement
+        // (AstStatements.h DescribeInput/DescribeOutput): OUTPUT analyzes
+        // the body (params as nulls) and lists the result columns; INPUT
+        // lists `?` positions (0-based, Presto-style) — parameter types
+        // are undeterminable from text, which Presto reports as unknown.
+        val body = session.conf.getOption(prepKey(name)).getOrElse(throw
+          new IllegalArgumentException(s"prepared statement not found: $name"))
+        if (output) {
+          val spliced = PrestoDialect.spliceParams(
+            body, Seq.fill(PrestoDialect.paramCount(body))("null"))
+          val rows = session.sql(PrestoDialect.transform(spliced)).schema.fields
+            .map(f => s"('${f.name.replace("'", "''")}', '${f.dataType.sql.toLowerCase}')")
+          delegate.parsePlan(rows.mkString(
+            "SELECT * FROM VALUES ", ", ", " AS describe_output(column_name, type)"))
+        } else {
+          val n = PrestoDialect.paramCount(body)
+          if (n == 0)
+            delegate.parsePlan(
+              "SELECT CAST(NULL AS INT) AS position, CAST(NULL AS STRING) AS type WHERE false")
+          else delegate.parsePlan((0 until n).map(i => s"($i, 'unknown')").mkString(
+            "SELECT * FROM VALUES ", ", ", " AS describe_input(position, type)"))
+        }
       case None => delegate.parsePlan(lower(sqlText))
     }
   }

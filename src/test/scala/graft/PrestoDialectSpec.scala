@@ -363,6 +363,29 @@ class PrestoDialectSpec extends SparkSpec {
     } finally { History.clear(); graft.plans.TableStats.clear() }
   }
 
+  test("DESCRIBE INPUT/OUTPUT report a prepared statement's params and result columns") {
+    presto("""PREPARE spec_desc FROM
+              SELECT n_name, CAST(n_regionkey + ? AS BIGINT) AS rk
+              FROM nation WHERE n_nationkey < ?""")
+    try {
+      val out = presto("DESCRIBE OUTPUT spec_desc").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(out == Seq(("n_name", "string"), ("rk", "bigint")), out.toString)
+      // 0-based positions, type undeterminable from text (Presto: unknown)
+      val in = presto("DESCRIBE INPUT spec_desc").collect()
+      assert(in.map(_.getInt(0)).toSeq == Seq(0, 1), in.mkString(";"))
+      assert(in.forall(_.getString(1) == "unknown"))
+      // zero-parameter body → empty DESCRIBE INPUT, not an error
+      presto("PREPARE spec_desc0 FROM SELECT 1 AS one")
+      assert(presto("DESCRIBE INPUT spec_desc0").collect().isEmpty)
+      presto("DEALLOCATE PREPARE spec_desc0")
+      // unknown name fails loudly
+      intercept[IllegalArgumentException] { presto("DESCRIBE OUTPUT no_such") }
+      // DESCRIBE table stays Spark's path
+      assert(presto("DESCRIBE nation").collect().nonEmpty)
+    } finally presto("DEALLOCATE PREPARE spec_desc")
+  }
+
   test("EXPLAIN ANALYZE executes the query and annotates measured metrics") {
     val rows = presto(
       "EXPLAIN ANALYZE SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey")
