@@ -157,7 +157,51 @@ object PrestoCompat {
     // AstFunctions.h:190; Expr.h:292-299 — null on runtime failure of the
     // child). Lowered by the dialect parser onto Catalyst's codegen'd
     // TryEval, the same kernel behind Spark's try_add/try_divide.
-    "graft_try" -> { es: Seq[Expression] => TryEval(es.head) })
+    "graft_try" -> { es: Seq[Expression] => TryEval(es.head) },
+    // Presto none_match(arr, λ) — no Spark name; forall with the negated
+    // lambda body (the analyzer requires the lambda's direct parent to be
+    // a higher-order function, so NOT(exists(...)) can't be the shape).
+    // any_match/all_match rename to exists/forall in the Registry.
+    "none_match" -> { es: Seq[Expression] =>
+      es(1) match {
+        case LambdaFunction(body, args, hidden) =>
+          ArrayForAll(es(0), LambdaFunction(Not(body), args, hidden))
+        case other => throw new IllegalArgumentException(
+          s"none_match: second argument must be a lambda, got $other")
+      } },
+    // Presto geometric_mean(x) = exp(avg(ln(x))) — composed from Spark's
+    // codegen'd kernels under the Presto name.
+    "geometric_mean" -> { es: Seq[Expression] =>
+      Exp(new aggregate.Average(Log(asDouble(es.head))).toAggregateExpression()) },
+    // Presto map_agg(k, v): map from the group's key/value pairs.
+    // Duplicate keys error under Spark's default mapKeyDedupPolicy —
+    // Presto's behavior exactly.
+    "map_agg" -> { es: Seq[Expression] =>
+      MapFromEntries(new aggregate.CollectList(
+        CreateStruct(Seq(es(0), es(1)))).toAggregateExpression()) },
+    // Presto checksum(x): order-insensitive aggregate digest. Rendered as
+    // XOR of per-row xxhash64 — same contract (order-insensitive,
+    // collision-resistant), BIGINT instead of Presto's varbinary.
+    "checksum" -> { es: Seq[Expression] =>
+      new aggregate.BitXorAgg(new XxHash64(Seq(es.head))).toAggregateExpression() },
+    // Presto url_extract_* family → parse_url parts (url_extract_port
+    // casts: parse_url returns the string form).
+    "url_extract_host" -> { es: Seq[Expression] => urlPart(es.head, "HOST") },
+    "url_extract_path" -> { es: Seq[Expression] => urlPart(es.head, "PATH") },
+    "url_extract_protocol" -> { es: Seq[Expression] => urlPart(es.head, "PROTOCOL") },
+    "url_extract_fragment" -> { es: Seq[Expression] => urlPart(es.head, "REF") },
+    "url_extract_query" -> { es: Seq[Expression] => urlPart(es.head, "QUERY") },
+    // parse_url has no PORT part — the port is the second ':'-segment of
+    // AUTHORITY; absent port → null, as in Presto.
+    "url_extract_port" -> { es: Seq[Expression] =>
+      Cast(SplitPart(urlPart(es.head, "AUTHORITY"),
+        Literal(UTF8String.fromString(":"), StringType), Literal(2)), LongType) },
+    "url_extract_parameter" -> { es: Seq[Expression] =>
+      new ParseUrl(Seq(asString(es(0)),
+        Literal(UTF8String.fromString("QUERY"), StringType), asString(es(1)))) })
+
+  private def urlPart(url: Expression, part: String): Expression =
+    new ParseUrl(Seq(asString(url), Literal(UTF8String.fromString(part), StringType)))
 
   val identifiers: Seq[FunctionIdentifier] =
     builders.map { case (n, _) => FunctionIdentifier(n) }

@@ -124,7 +124,26 @@ object Registry {
       "sign" -> FnMeta("signum"),
       "cbrt" -> FnMeta("cbrt"),
       "degrees" -> FnMeta("degrees"),
-      "radians" -> FnMeta("radians"))
+      "radians" -> FnMeta("radians"),
+      // Presto lambda-predicate trio: exists/forall are the Spark names;
+      // none_match is injected (PrestoCompat) as NOT exists.
+      "any_match" -> FnMeta("exists"),
+      "all_match" -> FnMeta("forall"),
+      "none_match" -> FnMeta("none_match"),
+      "starts_with" -> FnMeta("startswith"),
+      "to_base64" -> FnMeta("base64"),
+      "from_base64" -> FnMeta("unbase64"),
+      // injected composites/aggregates (PrestoCompat.builders)
+      "geometric_mean" -> FnMeta("geometric_mean", isAggregate = true),
+      "map_agg" -> FnMeta("map_agg", isAggregate = true, cost = 2.0),
+      "checksum" -> FnMeta("checksum", isAggregate = true, cost = 2.0),
+      "url_extract_host" -> FnMeta("url_extract_host", cost = 4.0),
+      "url_extract_path" -> FnMeta("url_extract_path", cost = 4.0),
+      "url_extract_protocol" -> FnMeta("url_extract_protocol", cost = 4.0),
+      "url_extract_fragment" -> FnMeta("url_extract_fragment", cost = 4.0),
+      "url_extract_query" -> FnMeta("url_extract_query", cost = 4.0),
+      "url_extract_port" -> FnMeta("url_extract_port", cost = 4.0),
+      "url_extract_parameter" -> FnMeta("url_extract_parameter", cost = 4.0))
     // NOTE: Presto's nullary infinity()/nan() are literals in Spark
     // (double('Infinity')) — not name-mappable, so not registry entries
     // (the SQL rewriter must never substitute a non-identifier).
@@ -137,9 +156,10 @@ object Registry {
     val scalars = Seq("abs", "round", "floor", "ceil", "sqrt", "exp", "length",
       "lower", "upper", "trim", "ltrim", "rtrim", "substr", "concat", "replace",
       "reverse", "coalesce", "greatest", "least", "year", "month", "day", "hour",
-      "minute", "second", "md5", "sha2", "xxhash64", "transform", "filter",
+      "minute", "second", "md5", "sha2", "xxhash64", "crc32", "transform", "filter",
       "zip_with", "aggregate", "array_distinct", "array_intersect", "array_union",
-      "explode", "posexplode", "sort_array", "array_sort", "map_keys", "map_values")
+      "explode", "posexplode", "sort_array", "array_sort", "map_keys", "map_values",
+      "url_encode", "url_decode")
       .map(n => n -> FnMeta(n))
     (aggs ++ scalars).toMap ++ renamed
   }

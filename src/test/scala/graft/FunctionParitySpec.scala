@@ -178,9 +178,37 @@ class FunctionParitySpec extends SparkSpec {
 
   test("aggregate metadata covers the Presto aggregate surface") {
     Seq("sum", "avg", "min", "max", "count", "stddev", "corr",
-      "approx_distinct", "approx_percentile", "arbitrary", "array_agg")
+      "approx_distinct", "approx_percentile", "arbitrary", "array_agg",
+      "map_agg", "checksum", "geometric_mean")
       .foreach(n => assert(Registry.isAggregate(n), s"$n should be an aggregate"))
-    Seq("abs", "strpos", "cardinality")
+    Seq("abs", "strpos", "cardinality", "none_match", "url_extract_host")
       .foreach(n => assert(!Registry.isAggregate(n), s"$n should not be an aggregate"))
+  }
+
+  test("lambda predicates, composed aggregates and the url family") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).collect().head
+    val r = p("""SELECT any_match(ARRAY[1,2,3], x -> x > 2) AS a,
+                        all_match(ARRAY[1,2,3], x -> x > 0) AS b,
+                        none_match(ARRAY[1,2,3], x -> x > 5) AS c""")
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    val gm = p("SELECT geometric_mean(x) AS g FROM VALUES (2.0), (8.0) AS t(x)").getDouble(0)
+    assert(math.abs(gm - 4.0) < 1e-9, gm.toString)
+    val m = p("SELECT map_agg(k, v) AS m FROM VALUES (1, 'a'), (2, 'b') AS t(k, v)")
+      .getMap[Int, String](0)
+    assert(m == Map(1 -> "a", 2 -> "b"), m.toString)
+    // checksum: order-insensitive aggregate digest
+    val c1 = p("SELECT checksum(x) AS c FROM VALUES (1), (2), (3) AS t(x)").getLong(0)
+    val c2 = p("SELECT checksum(x) AS c FROM VALUES (3), (1), (2) AS t(x)").getLong(0)
+    assert(c1 == c2 && c1 != 0L, s"$c1 vs $c2")
+    val u = p("""SELECT url_extract_host('https://example.com:8080/p?q=1#f') AS h,
+                        url_extract_port('https://example.com:8080/p') AS pt,
+                        url_extract_parameter('https://example.com/p?q=7&r=8', 'r') AS rp,
+                        url_extract_path('https://example.com:8080/p/x') AS pa""")
+    assert(u.getString(0) == "example.com" && u.getLong(1) == 8080L &&
+      u.getString(2) == "8" && u.getString(3) == "/p/x", u.toString)
+    val sb = p("""SELECT starts_with('hello', 'he') AS s,
+                         from_base64(to_base64(CAST('hi' AS BINARY))) AS b""")
+    assert(sb.getBoolean(0) && new String(sb.getAs[Array[Byte]](1)) == "hi")
   }
 }
