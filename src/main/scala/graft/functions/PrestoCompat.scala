@@ -198,7 +198,26 @@ object PrestoCompat {
         Literal(UTF8String.fromString(":"), StringType), Literal(2)), LongType) },
     "url_extract_parameter" -> { es: Seq[Expression] =>
       new ParseUrl(Seq(asString(es(0)),
-        Literal(UTF8String.fromString("QUERY"), StringType), asString(es(1)))) })
+        Literal(UTF8String.fromString("QUERY"), StringType), asString(es(1)))) },
+    // Presto ngrams(arr, n): array of all n-element windows, in order.
+    // Composed from codegen'd HOFs: slice at each valid start index; the
+    // guard-then-filter shape sidesteps Sequence's descending behavior
+    // when the array is shorter than n (sequence(1, 0) counts DOWN).
+    "ngrams" -> { es: Seq[Expression] =>
+      def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+      val (arr, n) = (es(0), es(1))
+      val i = lv("__ngram_i")
+      val g = lv("__ngram_g")
+      ArrayFilter(
+        ArrayTransform(
+          new Sequence(Literal(1), Greatest(Seq(Size(arr), Literal(1)))),
+          LambdaFunction(
+            If(LessThanOrEqual(Add(i, Subtract(n, Literal(1))), Size(arr)),
+              Slice(arr, i, n),
+              Literal.create(null, NullType)),
+            Seq(i))),
+        LambdaFunction(IsNotNull(g), Seq(g)))
+    })
 
   private def urlPart(url: Expression, part: String): Expression =
     new ParseUrl(Seq(asString(url), Literal(UTF8String.fromString(part), StringType)))

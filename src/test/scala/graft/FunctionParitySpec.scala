@@ -210,5 +210,10 @@ class FunctionParitySpec extends SparkSpec {
     val sb = p("""SELECT starts_with('hello', 'he') AS s,
                          from_base64(to_base64(CAST('hi' AS BINARY))) AS b""")
     assert(sb.getBoolean(0) && new String(sb.getAs[Array[Byte]](1)) == "hi")
+    // ngrams: every n-window in order; shorter-than-n arrays yield none
+    val ng = p("SELECT ngrams(ARRAY[1,2,3,4], 2) AS g, ngrams(ARRAY[1], 3) AS e")
+    assert(ng.getSeq[scala.collection.Seq[Int]](0).map(_.toSeq) ==
+      Seq(Seq(1, 2), Seq(2, 3), Seq(3, 4)), ng.toString)
+    assert(ng.getSeq[Any](1).isEmpty, ng.toString)
   }
 }
