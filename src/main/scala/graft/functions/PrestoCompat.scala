@@ -199,6 +199,43 @@ object PrestoCompat {
     "url_extract_parameter" -> { es: Seq[Expression] =>
       new ParseUrl(Seq(asString(es(0)),
         Literal(UTF8String.fromString("QUERY"), StringType), asString(es(1)))) },
+    // Presto multimap_agg(k, v): map from key to ALL its values in
+    // encounter order. Composed over one collect_list of (k, v) structs
+    // (the three references are semantically equal, so physical
+    // aggregation computes the list once): distinct keys → (key, values
+    // filtered from the list). Per-group cost O(distinct·n) — the
+    // group-local price of expressing a grouping inside an aggregate.
+    "multimap_agg" -> { es: Seq[Expression] =>
+      def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+      val pairs = new aggregate.CollectList(
+        CreateNamedStruct(Seq(
+          Literal(UTF8String.fromString("k"), StringType), es(0),
+          Literal(UTF8String.fromString("v"), StringType), es(1)))).toAggregateExpression()
+      val (x1, x2, x3, kk) = (lv("__mm_x1"), lv("__mm_x2"), lv("__mm_x3"), lv("__mm_k"))
+      MapFromEntries(ArrayTransform(
+        ArrayDistinct(ArrayTransform(pairs,
+          LambdaFunction(GetStructField(x1, 0, Some("k")), Seq(x1)))),
+        LambdaFunction(
+          CreateStruct(Seq(kk,
+            ArrayTransform(
+              ArrayFilter(pairs, LambdaFunction(
+                EqualTo(GetStructField(x2, 0, Some("k")), kk), Seq(x2))),
+              LambdaFunction(GetStructField(x3, 1, Some("v")), Seq(x3))))),
+          Seq(kk))))
+    },
+    // Presto histogram(x): map from value to occurrence count (bigint).
+    // Same composition shape as multimap_agg over one collected list.
+    "histogram" -> { es: Seq[Expression] =>
+      def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+      val vals = new aggregate.CollectList(es.head).toAggregateExpression()
+      val (v, e) = (lv("__h_v"), lv("__h_e"))
+      MapFromEntries(ArrayTransform(ArrayDistinct(vals),
+        LambdaFunction(
+          CreateStruct(Seq(v,
+            Cast(Size(ArrayFilter(vals,
+              LambdaFunction(EqualTo(e, v), Seq(e)))), LongType))),
+          Seq(v))))
+    },
     // Presto ngrams(arr, n): array of all n-element windows, in order.
     // Composed from codegen'd HOFs: slice at each valid start index; the
     // guard-then-filter shape sidesteps Sequence's descending behavior

@@ -215,5 +215,15 @@ class FunctionParitySpec extends SparkSpec {
     assert(ng.getSeq[scala.collection.Seq[Int]](0).map(_.toSeq) ==
       Seq(Seq(1, 2), Seq(2, 3), Seq(3, 4)), ng.toString)
     assert(ng.getSeq[Any](1).isEmpty, ng.toString)
+    // multimap_agg keeps ALL values per key in encounter order;
+    // histogram counts occurrences
+    val mm = p("""SELECT multimap_agg(k, v) AS m
+                  FROM VALUES (1, 'a'), (2, 'b'), (1, 'c') AS t(k, v)""")
+      .getMap[Int, scala.collection.Seq[String]](0)
+    assert(mm.view.mapValues(_.toSeq).toMap == Map(1 -> Seq("a", "c"), 2 -> Seq("b")),
+      mm.toString)
+    val h = p("SELECT histogram(x) AS h FROM VALUES ('a'), ('b'), ('a') AS t(x)")
+      .getMap[String, Long](0)
+    assert(h == Map("a" -> 2L, "b" -> 1L), h.toString)
   }
 }
