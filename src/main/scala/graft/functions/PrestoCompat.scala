@@ -236,6 +236,26 @@ object PrestoCompat {
               LambdaFunction(EqualTo(e, v), Seq(e)))), LongType))),
           Seq(v))))
     },
+    // Presto map_union(m): union of the group's maps. On duplicate keys
+    // Presto chooses an arbitrary value — first-encountered conforms.
+    // Same one-collected-list composition, over flattened map entries.
+    "map_union" -> { es: Seq[Expression] =>
+      def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+      val entries = Flatten(new aggregate.CollectList(
+        MapEntries(es.head)).toAggregateExpression())
+      val (e1, e2, e3, kk) = (lv("__mu_e1"), lv("__mu_e2"), lv("__mu_e3"), lv("__mu_k"))
+      MapFromEntries(ArrayTransform(
+        ArrayDistinct(ArrayTransform(entries,
+          LambdaFunction(GetStructField(e1, 0, Some("key")), Seq(e1)))),
+        LambdaFunction(
+          CreateStruct(Seq(kk,
+            ElementAt(ArrayTransform(
+              ArrayFilter(entries, LambdaFunction(
+                EqualTo(GetStructField(e2, 0, Some("key")), kk), Seq(e2))),
+              LambdaFunction(GetStructField(e3, 1, Some("value")), Seq(e3))),
+              Literal(1)))),
+          Seq(kk))))
+    },
     // Presto ngrams(arr, n): array of all n-element windows, in order.
     // Composed from codegen'd HOFs: slice at each valid start index; the
     // guard-then-filter shape sidesteps Sequence's descending behavior

@@ -146,7 +146,8 @@ object Registry {
       "url_extract_parameter" -> FnMeta("url_extract_parameter", cost = 4.0),
       "ngrams" -> FnMeta("ngrams", cost = 4.0),
       "multimap_agg" -> FnMeta("multimap_agg", isAggregate = true, cost = 4.0),
-      "histogram" -> FnMeta("histogram", isAggregate = true, cost = 4.0))
+      "histogram" -> FnMeta("histogram", isAggregate = true, cost = 4.0),
+      "map_union" -> FnMeta("map_union", isAggregate = true, cost = 4.0))
     // NOTE: Presto's nullary infinity()/nan() are literals in Spark
     // (double('Infinity')) — not name-mappable, so not registry entries
     // (the SQL rewriter must never substitute a non-identifier).

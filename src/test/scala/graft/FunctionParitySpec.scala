@@ -225,5 +225,11 @@ class FunctionParitySpec extends SparkSpec {
     val h = p("SELECT histogram(x) AS h FROM VALUES ('a'), ('b'), ('a') AS t(x)")
       .getMap[String, Long](0)
     assert(h == Map("a" -> 2L, "b" -> 1L), h.toString)
+    // map_union merges the group's maps; duplicate key keeps one value
+    val mu = p("""SELECT map_union(m) AS u
+                  FROM VALUES (map(1, 'a', 2, 'b')), (map(2, 'x', 3, 'c')) AS t(m)""")
+      .getMap[Int, String](0)
+    assert(mu.keySet == Set(1, 2, 3) && mu(1) == "a" && mu(3) == "c" &&
+      Set("b", "x").contains(mu(2)), mu.toString)
   }
 }
