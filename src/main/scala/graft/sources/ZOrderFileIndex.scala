@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.col
@@ -72,6 +72,24 @@ final class ZOrderFileIndex(
     case LessThan(a: Attribute, Lit(v)) if stat(a) => Some(col(s"${a.name}_lo") < v)
     case EqualTo(a: Attribute, Lit(v)) if stat(a) =>
       Some(col(s"${a.name}_lo") <= v && col(s"${a.name}_hi") >= v)
+    case EqualNullSafe(a: Attribute, Lit(v)) if stat(a) =>
+      Some(col(s"${a.name}_lo") <= v && col(s"${a.name}_hi") >= v)
+    // IN-list: a file can match only if SOME value lands in its box.
+    // Translate only when every element is a readable numeric literal —
+    // a partially-translated IN would wrongly prune files holding the
+    // untranslated values.
+    case In(a: Attribute, vs) if stat(a) && vs.nonEmpty =>
+      val ds = vs.map { case Lit(v) => Some(v); case _ => None }
+      if (ds.exists(_.isEmpty)) None
+      else Some(ds.flatten
+        .map(v => col(s"${a.name}_lo") <= v && col(s"${a.name}_hi") >= v)
+        .reduce(_ || _))
+    case InSet(a: Attribute, vs) if stat(a) && vs.nonEmpty =>
+      val ds = vs.toSeq.map(v => scala.util.Try(String.valueOf(v).toDouble).toOption)
+      if (ds.exists(_.isEmpty)) None
+      else Some(ds.flatten
+        .map(v => col(s"${a.name}_lo") <= v && col(s"${a.name}_hi") >= v)
+        .reduce(_ || _))
     case GreaterThanOrEqual(l @ Lit(_), a: Attribute) if stat(a) => toManifestPred(LessThanOrEqual(a, l))
     case GreaterThan(l @ Lit(_), a: Attribute) if stat(a) => toManifestPred(LessThan(a, l))
     case LessThanOrEqual(l @ Lit(_), a: Attribute) if stat(a) => toManifestPred(GreaterThanOrEqual(a, l))

@@ -137,6 +137,17 @@ class ZOrderSpec extends SparkSpec {
     val viaIndex = graft.sources.ZOrderFileIndex.read(spark, dir, Seq("o_custkey", "o_totalprice"))
       .filter(orPred).count()
     assert(viaIndex == tables.orders.filter(orPred).count())
+    // IN-list on the leading layout dimension: boxes bound o_custkey too,
+    // so a few nearby keys prune files AND return the exact rows
+    val inDf = graft.sources.ZOrderFileIndex.read(spark, dir, Seq("o_custkey", "o_totalprice"))
+      .filter(col("o_custkey").isin(1L, 2L, 3L))
+    assert(inDf.count() == tables.orders.filter(col("o_custkey").isin(1L, 2L, 3L)).count())
+    val inScan = inDf.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val inPlanned = inScan.selectedPartitions.totalNumberOfFiles
+    assert(inPlanned > 0 && inPlanned < 16,
+      s"IN-list should prune via the manifest, planned $inPlanned")
   }
 
   test("morton interleave places bit i of x at 2i and of y at 2i+1") {
