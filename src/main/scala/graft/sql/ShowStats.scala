@@ -45,8 +45,10 @@ object ShowStats {
           .map { case (k, m) => s"$k=${m.value}" }
           .mkString(", ")
         val head = if (verbose) p.simpleString(120) else p.nodeName
+        val sub = p.subqueries.flatMap(s =>
+          (("  " * (depth + 1)) + "Subquery:") +: lines(s, depth + 2))
         (("  " * depth) + head + (if (shown.nonEmpty) s" [$shown]" else "")) +:
-          p.children.flatMap(lines(_, depth + 1))
+          (sub ++ p.children.flatMap(lines(_, depth + 1)))
     }
     val all = lines(df.queryExecution.executedPlan, 0) :+
       f"Total wall time: $wallMs%.1f ms"

@@ -401,6 +401,12 @@ class PrestoDialectSpec extends SparkSpec {
     // plain EXPLAIN stays Spark's compile-only path
     val plain = presto("EXPLAIN SELECT 1").collect().map(_.getString(0))
     assert(!plain.exists(_.contains("Total wall time")), plain.mkString("\n"))
+    // subquery plans are rendered too, with their own metrics
+    val sq = presto(
+      """EXPLAIN ANALYZE SELECT count(*) AS n FROM nation
+         WHERE n_regionkey = (SELECT min(n_regionkey) FROM nation)""")
+      .collect().map(_.getString(0))
+    assert(sq.exists(_.trim.startsWith("Subquery:")), sq.mkString("\n"))
   }
 
   test("WITH RECURSIVE passes through the dialect and executes iteratively") {
