@@ -29,7 +29,11 @@ class DifferentialSpec extends SparkSpec {
     ("dup-span-excise", graft.llm.TextStats.dupSpanExcise _),
     // per-doc substring stitch over the excision islands: the emitted
     // cleaned text must be byte-identical under every config
-    ("dup-span-cut", graft.llm.TextStats.dupSpanCut _))
+    ("dup-span-cut", graft.llm.TextStats.dupSpanCut _),
+    // iterative UnionLoop execution (recursive CTE) joined to a fact
+    // table: loop-step results must not depend on AQE/codegen/partitions
+    ("recursive-cte", (t: Tables) => graft.sql.PrestoRewriter.sql(
+      t.spark, t.sfDir, graft.queries.Presto.recursivePresto)))
 
   private def rows(s: SparkSession, fn: Tables => org.apache.spark.sql.DataFrame): Set[String] =
     fn(Tables(s, sfDir)).collect().map(_.mkString("|")).toSet
