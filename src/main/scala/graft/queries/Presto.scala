@@ -407,6 +407,27 @@ object Presto {
        SELECT NULL, CAST(NULL AS DOUBLE), CAST(count(*) AS DOUBLE),
          CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders"""
 
+  /** The round-9 url_extract_* family end-to-end: URLs are synthesized
+    * from key columns, so the DuckDB oracle derives every expected part
+    * directly from the same columns — an independent implementation, not
+    * a replay of the parsing. */
+  val urlFnsPresto: String =
+    """SELECT o_orderkey AS k,
+         url_extract_host('https://ex' || CAST(o_orderkey % 3 AS VARCHAR)
+           || '.com:8080/p/' || CAST(o_orderkey AS VARCHAR)
+           || '?q=' || CAST(o_custkey AS VARCHAR)) AS host,
+         url_extract_port('https://ex.com:' || CAST(8000 + o_orderkey % 100 AS VARCHAR) || '/x') AS port,
+         url_extract_path('https://ex.com/p/' || CAST(o_orderkey AS VARCHAR)) AS path,
+         url_extract_parameter('https://ex.com/p?q=' || CAST(o_custkey AS VARCHAR) || '&r=2', 'q') AS q
+       FROM orders WHERE o_orderkey < 100"""
+  val urlFnsOracle: String =
+    """SELECT o_orderkey AS k,
+         'ex' || CAST(o_orderkey % 3 AS VARCHAR) || '.com' AS host,
+         8000 + o_orderkey % 100 AS port,
+         '/p/' || CAST(o_orderkey AS VARCHAR) AS path,
+         CAST(o_custkey AS VARCHAR) AS q
+       FROM orders WHERE o_orderkey < 100"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -426,5 +447,6 @@ object Presto {
     ("presto_analyze", analyzeStmt _, analyzeOracle),
     ("presto_prepare", prepareStmt _, prepareOracle),
     ("presto_recursive_cte", run(recursivePresto) _, recursiveOracle),
-    ("presto_show_stats", showStatsStmt _, showStatsOracle))
+    ("presto_show_stats", showStatsStmt _, showStatsOracle),
+    ("presto_url_fns", run(urlFnsPresto) _, urlFnsOracle))
 }
