@@ -191,11 +191,18 @@ object PrestoCompat {
     "url_extract_protocol" -> { es: Seq[Expression] => urlPart(es.head, "PROTOCOL") },
     "url_extract_fragment" -> { es: Seq[Expression] => urlPart(es.head, "REF") },
     "url_extract_query" -> { es: Seq[Expression] => urlPart(es.head, "QUERY") },
-    // parse_url has no PORT part — the port is the second ':'-segment of
-    // AUTHORITY; absent port → null, as in Presto.
+    // parse_url has no PORT part — the port is the trailing ':digits' of
+    // AUTHORITY. Anchored regexp (not split_part: 'user:pass@host:8080'
+    // has three ':'-segments) + nullif('') + TRY cast so an absent port
+    // returns NULL under ANSI mode instead of CAST_INVALID_INPUT, as in
+    // Presto.
     "url_extract_port" -> { es: Seq[Expression] =>
-      Cast(SplitPart(urlPart(es.head, "AUTHORITY"),
-        Literal(UTF8String.fromString(":"), StringType), Literal(2)), LongType) },
+      Cast(
+        new NullIf(
+          RegExpExtract(urlPart(es.head, "AUTHORITY"),
+            Literal(UTF8String.fromString(":([0-9]+)$"), StringType), Literal(1)),
+          Literal(UTF8String.fromString(""), StringType)),
+        LongType, None, EvalMode.TRY) },
     "url_extract_parameter" -> { es: Seq[Expression] =>
       new ParseUrl(Seq(asString(es(0)),
         Literal(UTF8String.fromString("QUERY"), StringType), asString(es(1)))) },
@@ -265,7 +272,7 @@ object PrestoCompat {
       val (arr, n) = (es(0), es(1))
       val i = lv("__ngram_i")
       val g = lv("__ngram_g")
-      ArrayFilter(
+      val body = ArrayFilter(
         ArrayTransform(
           new Sequence(Literal(1), Greatest(Seq(Size(arr), Literal(1)))),
           LambdaFunction(
@@ -274,6 +281,13 @@ object PrestoCompat {
               Literal.create(null, NullType)),
             Seq(i))),
         LambdaFunction(IsNotNull(g), Seq(g)))
+      // Presto: ngrams(NULL, n) is NULL (not []); n < 1 is
+      // INVALID_FUNCTION_ARGUMENT.
+      If(IsNull(arr), Literal.create(null, NullType),
+        If(LessThan(n, Literal(1)),
+          new RaiseError(Literal(UTF8String.fromString(
+            "ngrams: n must be at least 1"), StringType)),
+          body))
     })
 
   private def urlPart(url: Expression, part: String): Expression =

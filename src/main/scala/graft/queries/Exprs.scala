@@ -265,14 +265,22 @@ object Exprs {
     """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
 
-  /** Explicit GROUPING SETS list (not expressible as rollup/cube). */
+  /** Explicit GROUPING SETS list (not expressible as rollup/cube), with
+    * the grouping-set-id output column — AggregateNode's optional
+    * groupingSetId output (LogicalPlanNode.h:282-366); Spark's
+    * `grouping_id()` is the analogue and DuckDB's `GROUPING(cols…)`
+    * computes the same standard-SQL bitmask, so the id is oracle-checked
+    * value-for-value. */
   def aggGroupingSets(t: Tables): DataFrame =
     t.lineitem.groupingSets(
       Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
       col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("rev"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("rev"))
   val aggGroupingSetsSql =
-    """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+    """SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n, round(sum(l_extendedprice), 2) AS rev
        FROM lineitem
        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""
 

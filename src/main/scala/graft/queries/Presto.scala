@@ -428,6 +428,29 @@ object Presto {
          CAST(o_custkey AS VARCHAR) AS q
        FROM orders WHERE o_orderkey < 100"""
 
+  /** `IS [NOT] DISTINCT FROM` — the everyday Presto null-safe comparison
+    * (the reference's grammar parses it — AstExpressions.h comparison
+    * quantifiers — but its optimizer NYIs it: PrestoParser.cpp:239; this
+    * engine runs it). Spark's parser accepts the operator natively and
+    * lowers it to null-safe equality (`<=>`), which stays a hash-joinable
+    * equi-key — so the null-bucket join below is a real shuffled-hash/
+    * broadcast join, not a cartesian. Keys are NULL-bearing by
+    * construction (nullif) and the filter exercises both polarities. */
+  val isDistinctPresto: String =
+    """SELECT a.k AS k, count(*) AS n_pairs
+       FROM (SELECT nullif(mod(o_orderkey, 7), 0) AS k FROM orders WHERE o_orderkey < 500) a
+       JOIN (SELECT nullif(mod(o_orderkey, 7), 0) AS k FROM orders WHERE o_orderkey < 500) b
+         ON a.k IS NOT DISTINCT FROM b.k
+       WHERE a.k IS DISTINCT FROM 3
+       GROUP BY a.k"""
+  val isDistinctOracle: String =
+    """SELECT a.k AS k, count(*) AS n_pairs
+       FROM (SELECT nullif(mod(o_orderkey, 7), 0) AS k FROM orders WHERE o_orderkey < 500) a
+       JOIN (SELECT nullif(mod(o_orderkey, 7), 0) AS k FROM orders WHERE o_orderkey < 500) b
+         ON a.k IS NOT DISTINCT FROM b.k
+       WHERE a.k IS DISTINCT FROM 3
+       GROUP BY a.k"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -448,5 +471,6 @@ object Presto {
     ("presto_prepare", prepareStmt _, prepareOracle),
     ("presto_recursive_cte", run(recursivePresto) _, recursiveOracle),
     ("presto_show_stats", showStatsStmt _, showStatsOracle),
-    ("presto_url_fns", run(urlFnsPresto) _, urlFnsOracle))
+    ("presto_url_fns", run(urlFnsPresto) _, urlFnsOracle),
+    ("presto_is_distinct", run(isDistinctPresto) _, isDistinctOracle))
 }

@@ -3,6 +3,7 @@ package graft.sources
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Z-order (Morton-interleaved) data layout: files clustered so EVERY
   * participating dimension has bounded min/max extent per file, not just
@@ -57,23 +58,42 @@ object ZOrder {
     * production writer accumulates these stats inside the write task;
     * recomputing post-write is the local stand-in with the same
     * artifact). */
+  /** Order-preserving numeric encoding of a layout column, chosen so the
+    * manifest boxes compare directly against Catalyst's INTERNAL literal
+    * form of pushed predicates: DATE → days since epoch (a DateType
+    * literal IS its Int day count), TIMESTAMP → epoch micros (Long
+    * internal form), DECIMAL/numeric → double. Anything else gets a
+    * clear refusal instead of a runtime NPE mid-write. */
+  private[graft] def numify(c: Column, dt: DataType): Column = dt match {
+    case DateType => unix_date(c).cast("double")
+    case TimestampType => unix_micros(c).cast("double")
+    // NTZ's internal form is also epoch micros; sessions run UTC, so the
+    // TimestampType cast is micros-identity and unix_micros applies.
+    case TimestampNTZType => unix_micros(c.cast(TimestampType)).cast("double")
+    case _: NumericType => c.cast("double")
+    case other => throw new IllegalArgumentException(
+      s"z-order layout column must be numeric, DATE, TIMESTAMP or DECIMAL; got $other")
+  }
+
   def zorderWrite(df: DataFrame, a: String, b: String, dir: String, nFiles: Int): Unit = {
-    val r = df.agg(
-      min(col(a)).cast("double"), max(col(a)).cast("double"),
-      min(col(b)).cast("double"), max(col(b)).cast("double")).head()
+    val (na, nb) = (numify(col(a), df.schema(a).dataType), numify(col(b), df.schema(b).dataType))
+    val r = df.agg(min(na), max(na), min(nb), max(nb)).head()
+    require(!r.isNullAt(0) && !r.isNullAt(2),
+      s"z-order layout columns ($a, $b) have no non-null values to bound")
     val z = interleave(
-      bucket16(col(a), r.getDouble(0), r.getDouble(1)),
-      bucket16(col(b), r.getDouble(2), r.getDouble(3)))
+      bucket16(na, r.getDouble(0), r.getDouble(1)),
+      bucket16(nb, r.getDouble(2), r.getDouble(3)))
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
-    df.sparkSession.read.parquet(dir)
-      .groupBy(input_file_name().as("f"))
+    val rd = df.sparkSession.read.parquet(dir)
+    val (ra, rb) = (numify(col(a), rd.schema(a).dataType), numify(col(b), rd.schema(b).dataType))
+    rd.groupBy(input_file_name().as("f"))
       .agg(
-        min(col(a)).cast("double").as(s"${a}_lo"), max(col(a)).cast("double").as(s"${a}_hi"),
-        min(col(b)).cast("double").as(s"${b}_lo"), max(col(b)).cast("double").as(s"${b}_hi"))
+        min(ra).as(s"${a}_lo"), max(ra).as(s"${a}_hi"),
+        min(rb).as(s"${b}_lo"), max(rb).as(s"${b}_hi"))
       .write.mode("overwrite").parquet(manifestDir(dir))
   }
 
@@ -103,11 +123,13 @@ object ZOrder {
   /** TEST-SUPPORT ONLY: recompute per-file min/max of `c` by scanning
     * the data (ZOrderSpec cross-checks the manifest against this). The
     * query prune path never calls it — it reads [[manifestDir]]. */
-  private[graft] def fileStats(df: DataFrame, c: String): Array[(String, Double, Double)] =
+  private[graft] def fileStats(df: DataFrame, c: String): Array[(String, Double, Double)] = {
+    val n = numify(col(c), df.schema(c).dataType)
     df.groupBy(input_file_name().as("f"))
-      .agg(min(col(c)).cast("double").as("lo"), max(col(c)).cast("double").as("hi"))
+      .agg(min(n).as("lo"), max(n).as("hi"))
       .collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+  }
 
   /** Manifest-driven file prune — Iceberg `planFiles` shape: the band
     * predicate semi-joins the manifest metadata table (a tiny parquet
@@ -176,8 +198,42 @@ object ZOrder {
         countDistinct(col("o_custkey")).as("n_cust"))
   }
 
+  /** Time × id layout — the time-series-natural z-order shape (round-10:
+    * DATE/TIMESTAMP layout columns encode order-preservingly via
+    * [[numify]]; previously this NPE'd at write time). Same indexed-read
+    * path as [[zorderIndexedRead]]: the time band prunes through the
+    * manifest INSIDE scan planning, because temporal literals' internal
+    * forms (day counts / epoch micros) are exactly the manifest's
+    * encoding. */
+  def zorderDateIndexedRead(t: Tables): DataFrame = {
+    val dir = s"$base/orders_zorder_date"
+    zorderWrite(
+      t.orders.select(col("o_orderkey"), col("o_orderdate"), col("o_custkey"),
+        col("o_totalprice")),
+      "o_orderdate", "o_custkey", dir, nFiles = 16)
+    // The testdata column is timestamp[ms] (NTZ in Spark, 1995-2001
+    // range); literals are cast to the COLUMN's type so the pushed
+    // comparison keeps the bare attribute and the manifest prune fires.
+    ZOrderFileIndex.read(t.spark, dir, Seq("o_orderdate", "o_custkey"))
+      .filter(col("o_orderdate").between(
+        lit("1996-01-01").cast("timestamp_ntz"), lit("1996-06-30").cast("timestamp_ntz")))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  val zorderDateIndexedReadSql: String =
+    """SELECT count(*) AS n_rows, count(DISTINCT o_custkey) AS n_cust,
+       min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+       round(sum(o_totalprice), 2) AS total FROM orders
+       WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-06-30'"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("layout_zorder", zorderRoundtrip _, zorderRoundtripSql),
     ("layout_zorder_pruned_read", zorderPrunedRead _, zorderPrunedReadSql),
-    ("layout_zorder_indexed_read", zorderIndexedRead _, zorderPrunedReadSql))
+    ("layout_zorder_indexed_read", zorderIndexedRead _, zorderPrunedReadSql),
+    ("layout_zorder_date", zorderDateIndexedRead _, zorderDateIndexedReadSql))
 }

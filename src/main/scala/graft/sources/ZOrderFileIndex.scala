@@ -66,14 +66,14 @@ final class ZOrderFileIndex(
         case (Some(a), Some(b)) => Some(a && b)
         case (a, b) => a.orElse(b)
       }
-    case GreaterThanOrEqual(a: Attribute, Lit(v)) if stat(a) => Some(col(s"${a.name}_hi") >= v)
-    case GreaterThan(a: Attribute, Lit(v)) if stat(a) => Some(col(s"${a.name}_hi") > v)
-    case LessThanOrEqual(a: Attribute, Lit(v)) if stat(a) => Some(col(s"${a.name}_lo") <= v)
-    case LessThan(a: Attribute, Lit(v)) if stat(a) => Some(col(s"${a.name}_lo") < v)
+    case GreaterThanOrEqual(a: Attribute, Lit(v)) if stat(a) => Some(col(s"${a.name}_hi") >= dn(v))
+    case GreaterThan(a: Attribute, Lit(v)) if stat(a) => Some(col(s"${a.name}_hi") > dn(v))
+    case LessThanOrEqual(a: Attribute, Lit(v)) if stat(a) => Some(col(s"${a.name}_lo") <= up(v))
+    case LessThan(a: Attribute, Lit(v)) if stat(a) => Some(col(s"${a.name}_lo") < up(v))
     case EqualTo(a: Attribute, Lit(v)) if stat(a) =>
-      Some(col(s"${a.name}_lo") <= v && col(s"${a.name}_hi") >= v)
+      Some(col(s"${a.name}_lo") <= up(v) && col(s"${a.name}_hi") >= dn(v))
     case EqualNullSafe(a: Attribute, Lit(v)) if stat(a) =>
-      Some(col(s"${a.name}_lo") <= v && col(s"${a.name}_hi") >= v)
+      Some(col(s"${a.name}_lo") <= up(v) && col(s"${a.name}_hi") >= dn(v))
     // IN-list: a file can match only if SOME value lands in its box.
     // Translate only when every element is a readable numeric literal —
     // a partially-translated IN would wrongly prune files holding the
@@ -82,13 +82,13 @@ final class ZOrderFileIndex(
       val ds = vs.map { case Lit(v) => Some(v); case _ => None }
       if (ds.exists(_.isEmpty)) None
       else Some(ds.flatten
-        .map(v => col(s"${a.name}_lo") <= v && col(s"${a.name}_hi") >= v)
+        .map(v => col(s"${a.name}_lo") <= up(v) && col(s"${a.name}_hi") >= dn(v))
         .reduce(_ || _))
     case InSet(a: Attribute, vs) if stat(a) && vs.nonEmpty =>
       val ds = vs.toSeq.map(v => scala.util.Try(String.valueOf(v).toDouble).toOption)
       if (ds.exists(_.isEmpty)) None
       else Some(ds.flatten
-        .map(v => col(s"${a.name}_lo") <= v && col(s"${a.name}_hi") >= v)
+        .map(v => col(s"${a.name}_lo") <= up(v) && col(s"${a.name}_hi") >= dn(v))
         .reduce(_ || _))
     case GreaterThanOrEqual(l @ Lit(_), a: Attribute) if stat(a) => toManifestPred(LessThanOrEqual(a, l))
     case GreaterThan(l @ Lit(_), a: Attribute) if stat(a) => toManifestPred(LessThan(a, l))
@@ -100,13 +100,23 @@ final class ZOrderFileIndex(
 
   /** Matches only literals whose value reads as a number — the manifest
     * records numeric boxes, so anything else must fall through to
-    * no-prune rather than throw inside scan planning. */
+    * no-prune rather than throw inside scan planning. Catalyst's INTERNAL
+    * forms line up with the manifest encoding by construction: DateType
+    * literals are Int day counts and TimestampType literals Long micros,
+    * exactly what [[ZOrder.numify]] wrote into the boxes. */
   private object Lit {
     def unapply(e: Expression): Option[Double] = e match {
       case Literal(v, _) if v != null => scala.util.Try(v.toString.toDouble).toOption
       case _ => None
     }
   }
+
+  // The manifest stores boxes as DOUBLE; for 64-bit values beyond 2^53
+  // both the box and the literal may round (≤0.5 ulp each). Widening
+  // every comparison by 1 ulp makes the prune sound under that rounding
+  // — over-inclusion only costs the residual filter a few extra files.
+  private def dn(v: Double): Double = Math.nextDown(v)
+  private def up(v: Double): Double = Math.nextUp(v)
 
   private def stat(a: Attribute): Boolean = statCols.contains(a.name)
 
@@ -118,11 +128,22 @@ final class ZOrderFileIndex(
       case None => byName.values.toSeq
       case Some(p) =>
         import scala.jdk.CollectionConverters._
-        spark.read.parquet(ZOrder.manifestDir(dir))
-          .filter(p).select(col("f"))
+        // One manifest pass yields both the keep verdicts and the
+        // manifest's file-name coverage. A NULL verdict (null box values)
+        // means "unknown" → keep. Soundness gate: a listed data file
+        // ABSENT from the manifest (appended/compacted after
+        // zorderWrite) must not be silently pruned — the stats for it
+        // simply don't exist — so stale coverage falls back to the
+        // unpruned listing. Driver memory stays O(#files) names, which
+        // `byName` already holds to plan splits.
+        val verdicts = spark.read.parquet(ZOrder.manifestDir(dir))
+          .select(col("f"), p.as("__keep"))
           .toLocalIterator().asScala
-          .flatMap(r => byName.get(new Path(r.getString(0)).getName))
-          .toSeq
+          .map(r => new Path(r.getString(0)).getName ->
+            (r.isNullAt(1) || r.getBoolean(1)))
+          .toMap
+        if (!byName.keySet.subsetOf(verdicts.keySet)) byName.values.toSeq
+        else byName.collect { case (n, st) if verdicts(n) => st }.toSeq
     }
     Seq(PartitionDirectory(InternalRow.empty, survivors.toArray))
   }

@@ -52,7 +52,11 @@ object ShowStats {
     }
     val all = lines(df.queryExecution.executedPlan, 0) :+
       f"Total wall time: $wallMs%.1f ms"
-    all.map(l => s"('${l.replace("'", "''")}')").mkString(
+    // Escape backslashes BEFORE quotes: verbose plan strings carry regex
+    // patterns ('\d+') that Spark's string-literal parser would otherwise
+    // reinterpret as escapes and garble the generated statement.
+    all.map(l =>
+      s"('${l.replace("\\", "\\\\").replace("'", "''")}')").mkString(
       "SELECT * FROM VALUES ", ", ", " AS explain_analyze(query_plan)")
   }
 

@@ -433,4 +433,26 @@ class PrestoDialectSpec extends SparkSpec {
          SELECT max(n) AS steps, max(cardinality(a)) AS width FROM s""").head()
     assert(r.get(0).toString.toInt == 4 && r.get(1).toString.toInt == 4)
   }
+
+  test("IS [NOT] DISTINCT FROM is null-safe comparison (reference NYIs it: PrestoParser.cpp:239)") {
+    val r = presto(
+      """SELECT CAST(NULL AS INTEGER) IS DISTINCT FROM 1 AS a,
+                CAST(NULL AS INTEGER) IS NOT DISTINCT FROM CAST(NULL AS INTEGER) AS b,
+                1 IS DISTINCT FROM 1 AS c,
+                1 IS NOT DISTINCT FROM 2 AS d""").head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2) && !r.getBoolean(3), r.toString)
+    // as a join condition it stays an EQUI key (null-safe <=>), so the
+    // null bucket joins hash-style, never via a cartesian residual
+    val plan = presto(
+      """SELECT count(*) AS n FROM
+           (SELECT nullif(mod(o_orderkey, 7), 0) AS k FROM orders WHERE o_orderkey < 500) a
+           JOIN (SELECT nullif(mod(o_orderkey, 7), 0) AS k FROM orders WHERE o_orderkey < 500) b
+           ON a.k IS NOT DISTINCT FROM b.k""").queryExecution.executedPlan
+    val hasCartesian = plan.exists {
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec => true
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }
+    assert(!hasCartesian, "IS NOT DISTINCT FROM join must plan as an equi join")
+  }
 }

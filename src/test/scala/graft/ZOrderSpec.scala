@@ -150,6 +150,59 @@ class ZOrderSpec extends SparkSpec {
       s"IN-list should prune via the manifest, planned $inPlanned")
   }
 
+  test("temporal layout column: time band prunes through the manifest, exact result") {
+    // o_orderdate is timestamp[ms] (TimestampNTZ in Spark) — round-10:
+    // numify encodes temporal layout columns as epoch micros, matching
+    // the internal form of pushed timestamp literals, so time × id
+    // (the natural time-series z-order) prunes like any numeric dim.
+    val dir = "/root/repo/target/zorder-spec/tidx"
+    ZOrder.zorderWrite(
+      tables.orders.select(col("o_orderkey"), col("o_orderdate"), col("o_custkey")),
+      "o_orderdate", "o_custkey", dir, nFiles = 16)
+    val band = col("o_orderdate").between(
+      lit("1996-01-01").cast("timestamp_ntz"), lit("1996-06-30").cast("timestamp_ntz"))
+    val df = graft.sources.ZOrderFileIndex.read(spark, dir, Seq("o_orderdate", "o_custkey"))
+      .filter(band)
+    assert(df.count() == tables.orders.filter(band).count())
+    val scan = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val planned = scan.selectedPartitions.totalNumberOfFiles
+    assert(planned > 0 && planned < 16,
+      s"half-year band over ~6.5 years should prune, planned $planned/16")
+    // unsupported layout type still refuses fast with a clear message
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.zorderWrite(tables.orders.select(col("o_orderstatus"), col("o_custkey")),
+        "o_orderstatus", "o_custkey", dir + "-bad", nFiles = 2)
+    }
+    assert(e.getMessage.contains("z-order layout column"), e.getMessage)
+  }
+
+  test("a data file missing from the manifest disables the prune (no silent wrong results)") {
+    // Soundness gate for out-of-band appends: zorderWrite's manifest
+    // only knows the files IT wrote. If the directory later gains a file
+    // (append/compaction), translated predicates must fall back to the
+    // full listing — pruning by a manifest that never saw the file would
+    // silently drop its rows.
+    val dir = "/root/repo/target/zorder-spec/stale"
+    val src = tables.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    ZOrder.zorderWrite(src.filter(col("o_orderkey") % 2 === 0), "o_custkey", "o_totalprice",
+      dir, nFiles = 8)
+    // out-of-band append: odd keys land in a file the manifest never saw
+    src.filter(col("o_orderkey") % 2 === 1)
+      .write.mode("append").parquet(dir)
+    val pred = col("o_totalprice").between(100000.0, 150000.0)
+    val viaIndex = graft.sources.ZOrderFileIndex.read(spark, dir, Seq("o_custkey", "o_totalprice"))
+      .filter(pred)
+    assert(viaIndex.count() == src.filter(pred).count(),
+      "stale manifest must fall back to the unpruned listing, not drop appended rows")
+    val planned = viaIndex.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head.selectedPartitions.totalNumberOfFiles
+    val listed = spark.read.parquet(dir).inputFiles.length
+    assert(planned == listed, s"expected no prune ($listed files), planned $planned")
+  }
+
   test("morton interleave places bit i of x at 2i and of y at 2i+1") {
     import spark.implicits._
     val df = Seq((5L, 3L)).toDF("x", "y") // x=101, y=011 -> z = 011011 + x bit2 at 4 -> 0b011011=27? compute below
