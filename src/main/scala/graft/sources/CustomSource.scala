@@ -200,7 +200,33 @@ object CustomSource {
               min(n_name) AS first_name, max(n_regionkey) AS max_region
        FROM nation"""
 
+  /** Cross-connector join — one query spanning two connectors, the
+    * reference's multi-connector planning shape
+    * (axiom/optimizer/tests/PlanTest.cpp:444): the graft-mem DSv2 table
+    * (written through the atomic commit protocol) is the dimension, the
+    * parquet-backed customer table the fact. The 25-row mem side is
+    * explicitly broadcast — at 100 TB the fact side streams and the
+    * join never shuffles (PlanAuditSpec keeps every entry
+    * cartesian-free). The oracle replays the same join in DuckDB from
+    * the nation parquet the mem table was loaded from. */
+  def crossConnectorJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = graft.Tables(spark, sfDir)
+    t.nation.select(col("n_nationkey"), col("n_name"))
+      .write.format("graft-mem").option("table", "nation_dim").mode("overwrite").save()
+    val dim = spark.read.format("graft-mem").option("table", "nation_dim").load()
+    t.customer
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+  }
+  val crossConnectorJoinSql: String =
+    """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("source_custom_pushdown", (s, _) => pushdownQuery(s), pushdownQuerySql),
+    ("source_cross_connector", crossConnectorJoin _, crossConnectorJoinSql),
     ("table_write_connector", memWriteRoundtrip _, memWriteRoundtripSql))
 }

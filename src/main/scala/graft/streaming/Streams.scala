@@ -65,7 +65,18 @@ object Streams {
     * when the gap closes it; EventTimeTimeout + watermark GC the state. */
   def sessions(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = 30L * 60 * 1000
+    // State in MICROSECONDS (java.sql.Timestamp carries micros in its
+    // nanos field; getTime would truncate to ms and skew start/duration
+    // vs a full-precision batch oracle). Timeouts are set in ms — the
+    // watermark's clock.
+    val gapUs = 30L * 60 * 1000 * 1000
+    def us(t: Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def fromUs(u: Long): Timestamp = Timestamp.from(
+      java.time.Instant.ofEpochSecond(Math.floorDiv(u, 1000000L),
+        Math.floorMod(u, 1000000L) * 1000L))
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
@@ -75,27 +86,27 @@ object Streams {
           if (state.hasTimedOut) {
             // watermark passed: flush every open session
             val out = state.getOption.getOrElse(Nil).map(s =>
-              SessionOut(userId, new Timestamp(s.start), s.n, (s.end - s.start) / 1000))
+              SessionOut(userId, fromUs(s.start), s.n, (s.end - s.start) / 1000000))
             state.remove()
             out.iterator
           } else {
             // fold sorted events into gap-separated sessions
-            val evs = rows.map(_.ts.getTime).toSeq.sorted
+            val evs = rows.map(e => us(e.ts)).toSeq.sorted
             val open = state.getOption.getOrElse(Nil)
             val (closed, stillOpen) = evs.foldLeft((List.empty[SessionState], open)) {
               case ((done, cur), t) =>
                 cur match {
-                  case s :: rest if t - s.end <= gapMs =>
+                  case s :: rest if t - s.end <= gapUs =>
                     (done, s.copy(end = math.max(s.end, t), n = s.n + 1) :: rest)
                   case s :: rest => (s :: done, SessionState(t, t, 1) :: rest)
                   case Nil => (done, SessionState(t, t, 1) :: Nil)
                 }
             }
             state.update(stillOpen)
-            state.setTimeoutTimestamp(stillOpen.headOption.map(_.end + gapMs)
-              .getOrElse(evs.lastOption.getOrElse(0L) + gapMs))
+            state.setTimeoutTimestamp(stillOpen.headOption.map(s => (s.end + gapUs) / 1000)
+              .getOrElse((evs.lastOption.getOrElse(0L) + gapUs) / 1000))
             closed.map(s =>
-              SessionOut(userId, new Timestamp(s.start), s.n, (s.end - s.start) / 1000)).iterator
+              SessionOut(userId, fromUs(s.start), s.n, (s.end - s.start) / 1000000)).iterator
           }
       }
   }
@@ -191,11 +202,88 @@ object Streams {
     spark.table(name)
   }
 
+  /** End-to-end Structured Streaming SESSIONIZATION, oracle-checkable —
+    * the custom-state path ([[sessions]]: flatMapGroupsWithState +
+    * EventTimeTimeout) drained to completion. Append mode only emits a
+    * session once the gap (new data) or the watermark (timeout) closes
+    * it, and at end-of-stream each user's LAST session would sit open in
+    * state forever — so the replay stages the events file plus two
+    * far-future sentinel micro-batches (one file per trigger, mtime-
+    * ordered): sentinel 1 advances the watermark past every real
+    * timeout, sentinel 2's batch then processes those timeouts and
+    * flushes the remaining open sessions through the state store. The
+    * sentinel user's own rows are filtered from the result, leaving
+    * exactly the batch gaps-and-islands answer — hash-checked by the
+    * DuckDB oracle at session granularity (user, start, n, duration).
+    *
+    * Scale note: this is the bounded-replay/backfill shape; state per
+    * trigger holds only OPEN sessions (watermark GCs closed ones), the
+    * same bound an unbounded deployment relies on.
+    */
+  def sessionsStreamedEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val ev = graft.Catalog.load(spark, sfDir, "events")
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val stage = new java.io.File(
+      s"/root/repo/target/stream_sessions/${java.util.UUID.randomUUID().toString.take(8)}")
+    val inDir = new java.io.File(stage, "in")
+    inDir.mkdirs()
+    def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      val w = new java.io.File(stage, s"w_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(w.getPath)
+      val part = w.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(inDir, s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val base = System.currentTimeMillis()
+    def sentinel(daysAhead: Int): DataFrame =
+      Seq((new Timestamp(maxTs.getTime + daysAhead * 86400000L), -1L, "sentinel", 0.0))
+        .toDF("ts", "user_id", "event_type", "value")
+    stageFile(ev, "000_events", base)
+    stageFile(sentinel(3), "001_flush", base + 10000)
+    stageFile(sentinel(4), "002_flush", base + 20000)
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir.getPath)
+      .as[Event]
+    val out = sessions(stream)
+    val name = "graft_stream_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).filter(col("user_id") >= 0)
+      .select(col("user_id"), col("start"), col("n_events"), col("duration_sec"))
+  }
+
   /** Driver-contract entries (SparkSession, sfDir) — streaming runs whose
     * drained output is deterministic and SQL-expressible. */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("stream_tumbling", tumblingStreamedEntry _,
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
          count(*) AS n, round(sum(value), 2) AS total
-         FROM events GROUP BY 1, 2"""))
+         FROM events GROUP BY 1, 2"""),
+    ("stream_sessions", sessionsStreamedEntry _,
+      """WITH g AS (
+           SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+           FROM events),
+         b AS (
+           SELECT user_id, ts,
+                  CASE WHEN prev_ts IS NULL
+                            OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                       THEN 1 ELSE 0 END AS boundary
+           FROM g),
+         sess AS (
+           SELECT user_id, ts,
+                  sum(boundary) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+           FROM b)
+         SELECT user_id, min(ts) AS start, CAST(count(*) AS INT) AS n_events,
+                CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
+                  AS duration_sec
+         FROM sess GROUP BY user_id, sid"""))
 }
