@@ -259,6 +259,32 @@ object Streams {
       .select(col("user_id"), col("start"), col("n_events"), col("duration_sec"))
   }
 
+  /** End-to-end stream-stream INTERVAL JOIN, oracle-checkable — the
+    * [[purchaseAttribution]] join replayed from two file-source streams
+    * (clicks and purchases split out of the events table). An inner
+    * stream-stream join emits a match as soon as both rows have arrived
+    * — no watermark-close needed for emission (the watermarks exist to
+    * bound join STATE) — so a drained AvailableNow replay yields exactly
+    * the batch interval join, which DuckDB replays as SQL. */
+  def joinStreamedEntry(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.Catalog.load(spark, sfDir, "events")
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+    val stage = new java.io.File(
+      s"/root/repo/target/stream_join/${java.util.UUID.randomUUID().toString.take(8)}")
+    val (cDir, pDir) = (new java.io.File(stage, "clicks"), new java.io.File(stage, "purchases"))
+    ev.filter(col("event_type") === "click").write.mode("overwrite").parquet(cDir.getPath)
+    ev.filter(col("event_type") === "purchase").write.mode("overwrite").parquet(pDir.getPath)
+    def rs(d: java.io.File) = spark.readStream.schema(ev.schema).parquet(d.getPath)
+    val joined = purchaseAttribution(rs(cDir), rs(pDir))
+    val name = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Driver-contract entries (SparkSession, sfDir) — streaming runs whose
     * drained output is deterministic and SQL-expressible. */
   val entries: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
@@ -285,5 +311,12 @@ object Streams {
          SELECT user_id, min(ts) AS start, CAST(count(*) AS INT) AS n_events,
                 CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
                   AS duration_sec
-         FROM sess GROUP BY user_id, sid"""))
+         FROM sess GROUP BY user_id, sid"""),
+    ("stream_join", joinStreamedEntry _,
+      """SELECT p.user_id AS user_id, p.ts AS p_ts, c.ts AS c_ts,
+                p.value AS purchase_value, c.value AS click_value
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'"""))
 }
