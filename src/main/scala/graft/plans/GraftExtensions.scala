@@ -130,7 +130,7 @@ class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    History.load() // no-op after first call
+    History.autoload(spark) // opt-in via graft.history.autoload
     if (History.size == 0 && !samplingEnabled && !joinSamplingEnabled) plan
     else plan.transformUp {
       // This rule runs after EliminateResolvedHint, so the hint goes on

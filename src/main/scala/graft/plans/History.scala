@@ -257,6 +257,19 @@ object History {
     Files.write(p, json.getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Optimizer-rule seam for cross-session history reuse: load the
+    * persisted file only when the session OPTS IN — the reference's
+    * history reuse is likewise flag-gated (--history_save_path,
+    * TpchPlanTest.cpp:33-38). An ambient load here would leak one
+    * flow's persisted cardinalities (e.g. a bench run's Analyze at
+    * sf0.1) into every later session on the machine; the size
+    * fingerprint keeps such strays inert for differently-sized data,
+    * but sessions asserting exact store contents (specs) and flows
+    * wanting a clean static-estimate baseline must stay unpolluted by
+    * default. */
+  def autoload(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (spark.conf.getOption("graft.history.autoload").contains("true")) load()
+
   def load(path: String = defaultPath): Unit = {
     val p = Paths.get(path)
     if (Files.exists(p) && loadedFrom != Some(path)) {

@@ -208,7 +208,7 @@ class CardinalityStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
-    History.load() // no-op after first call
+    History.autoload(spark) // opt-in via graft.history.autoload
     if (History.size == 0) return plan
     plan.transformUp {
       case rel: LogicalRelation if rel.catalogTable.isEmpty =>
