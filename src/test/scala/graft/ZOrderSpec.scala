@@ -178,6 +178,37 @@ class ZOrderSpec extends SparkSpec {
     assert(e.getMessage.contains("z-order layout column"), e.getMessage)
   }
 
+  test("decimal layout column: bands prune with NO false prune across random bands") {
+    // DECIMAL layout columns encode via numify's double cast; the
+    // 1-ulp-widened box comparisons keep equality/range pruning sound
+    // under that rounding. Property-style: every random band over the
+    // decimal dimension returns exactly the unpruned answer.
+    val dir = "/root/repo/target/zorder-spec/decidx"
+    val src = tables.orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(12,2)").as("o_price_dec"))
+    ZOrder.zorderWrite(src, "o_price_dec", "o_custkey", dir, nFiles = 16)
+    val idx = () => graft.sources.ZOrderFileIndex.read(spark, dir, Seq("o_price_dec", "o_custkey"))
+    val rnd = new scala.util.Random(42)
+    var prunedAtLeastOnce = false
+    (1 to 6).foreach { _ =>
+      val lo = 1000.0 + rnd.nextDouble() * 400000.0
+      val hi = lo + rnd.nextDouble() * 60000.0
+      val band = col("o_price_dec").between(
+        lit(lo).cast("decimal(12,2)"), lit(hi).cast("decimal(12,2)"))
+      val df = idx().filter(band)
+      assert(df.count() == src.filter(band).count(), s"band [$lo,$hi] lost rows under prune")
+      val planned = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head.selectedPartitions.totalNumberOfFiles
+      if (planned < 16) prunedAtLeastOnce = true
+    }
+    assert(prunedAtLeastOnce, "no band ever pruned a file — index inert on decimal layout")
+    // point equality on a REAL decimal value must both prune and match
+    val v = src.select(col("o_price_dec")).head().getDecimal(0)
+    val eq = idx().filter(col("o_price_dec") === lit(v).cast("decimal(12,2)"))
+    assert(eq.count() == src.filter(col("o_price_dec") === lit(v).cast("decimal(12,2)")).count())
+  }
+
   test("a data file missing from the manifest disables the prune (no silent wrong results)") {
     // Soundness gate for out-of-band appends: zorderWrite's manifest
     // only knows the files IT wrote. If the directory later gains a file
