@@ -33,7 +33,10 @@ class DifferentialSpec extends SparkSpec {
     // iterative UnionLoop execution (recursive CTE) joined to a fact
     // table: loop-step results must not depend on AQE/codegen/partitions
     ("recursive-cte", (t: Tables) => graft.sql.PrestoRewriter.sql(
-      t.spark, t.sfDir, graft.queries.Presto.recursivePresto)))
+      t.spark, t.sfDir, graft.queries.Presto.recursivePresto)),
+    // round-10: manifest-pruned temporal z-order read — the FileIndex
+    // prune decision must never change the row set under any config
+    ("zorder-date-read", graft.sources.ZOrder.zorderDateIndexedRead _))
 
   private def rows(s: SparkSession, fn: Tables => org.apache.spark.sql.DataFrame): Set[String] =
     fn(Tables(s, sfDir)).collect().map(_.mkString("|")).toSet
@@ -68,5 +71,23 @@ class DifferentialSpec extends SparkSpec {
         assert(rows(s, fn) == expected, s"config $cname diverged for $qname")
       }
     }
+  }
+
+  test("q5 under ANALYZE stats (the bench flow): re-planned joins, identical rows everywhere") {
+    // Round-10: the bench warmup installs Analyze stats, and the
+    // join-order DP re-plans q5. Statistics must only ever change the
+    // PLAN — the same row set must come back under every config,
+    // including cbo-off (which ignores the stats) and rules-off (which
+    // never installs them).
+    try {
+      Catalog.tableNames.foreach(t =>
+        graft.plans.Analyze.table(spark, Catalog.load(spark, sfDir, t)))
+      val expected = rows(spark, Tpch.q5 _)
+      configs.foreach { case (cname, conf) =>
+        val s = spark.newSession()
+        conf.foreach { case (k, v) => s.conf.set(k, v) }
+        assert(rows(s, Tpch.q5 _) == expected, s"config $cname diverged for analyzed q5")
+      }
+    } finally { graft.plans.History.clear(); graft.plans.TableStats.clear() }
   }
 }
