@@ -451,6 +451,30 @@ object Presto {
        WHERE a.k IS DISTINCT FROM 3
        GROUP BY a.k"""
 
+  /** Quantified comparisons over real tables — `ANY`/`SOME`/`ALL`
+    * subquery predicates (the reference parses them,
+    * AstExpressions.h:404, but NYIs the lowering; Spark has no native
+    * syntax — the dialect lowers them, PrestoDialect.rewriteQuantifiedCmp).
+    * The inner projection computes each quantified predicate per row
+    * (witness, counterexample, NULL-element via nullif, empty-set
+    * identity); the outer aggregate folds them into oracle-stable
+    * counts. DuckDB evaluates the same text natively. */
+  val quantifiedPresto: String =
+    """SELECT
+         CAST(sum(CASE WHEN gt_any THEN 1 ELSE 0 END) AS BIGINT) AS n_gt_any,
+         CAST(sum(CASE WHEN le_all THEN 1 ELSE 0 END) AS BIGINT) AS n_le_all,
+         CAST(sum(CASE WHEN eq_any THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_any,
+         CAST(sum(CASE WHEN ne_all THEN 1 WHEN ne_all IS NULL THEN 10000 ELSE 0 END) AS BIGINT) AS ne_all_mix,
+         CAST(sum(CASE WHEN empty_all THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_all
+       FROM (
+         SELECT
+           o_totalprice > ANY (SELECT o_totalprice FROM orders WHERE o_orderkey < 100) AS gt_any,
+           o_totalprice <= ALL (SELECT o_totalprice FROM orders WHERE o_orderkey < 100) AS le_all,
+           o_custkey = ANY (SELECT o_custkey FROM orders WHERE o_orderkey < 50) AS eq_any,
+           o_custkey <> ALL (SELECT nullif(o_custkey, o_custkey % 7) FROM orders WHERE o_orderkey < 50) AS ne_all,
+           o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE o_orderkey < 0) AS empty_all
+         FROM orders) t"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -472,5 +496,6 @@ object Presto {
     ("presto_recursive_cte", run(recursivePresto) _, recursiveOracle),
     ("presto_show_stats", showStatsStmt _, showStatsOracle),
     ("presto_url_fns", run(urlFnsPresto) _, urlFnsOracle),
-    ("presto_is_distinct", run(isDistinctPresto) _, isDistinctOracle))
+    ("presto_is_distinct", run(isDistinctPresto) _, isDistinctOracle),
+    ("presto_quantified", run(quantifiedPresto) _, quantifiedPresto))
 }

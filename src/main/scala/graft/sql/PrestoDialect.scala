@@ -512,6 +512,40 @@ object PrestoDialect {
       case (t, _) => t
     }
 
+  // --------------------------- shared: backward postfix-primary capture
+  /** Start index of the postfix-primary chain ending at j0 — a literal,
+    * ident chain (a.b.c), function call, parenthesized expression or
+    * subscript. Shared by the AT TIME ZONE and quantified-comparison
+    * passes, both of which must capture their left operand. */
+  private def chainStart(toks: Vector[Tok], j0: Int): Int = {
+    var s = primaryOnly(toks, j0)
+    var p = prevM(toks, s)
+    while (p >= 0 && toks(p) == Sym(".")) {
+      val q = prevM(toks, p)
+      if (q >= 0 && (toks(q).isInstanceOf[Word] || toks(q).isInstanceOf[Quoted] || isClose(toks(q)))) {
+        s = primaryOnly(toks, q); p = prevM(toks, s)
+      } else return s
+    }
+    s
+  }
+  private def primaryOnly(toks: Vector[Tok], j: Int): Int = toks(j) match {
+    case Sym(")") =>
+      val open = matchBwd(toks, j)
+      if (open < 0) j
+      else {
+        val p = prevM(toks, open)
+        if (p >= 0 && (toks(p).isInstanceOf[Word] || toks(p).isInstanceOf[Quoted])) p else open
+      }
+    case Sym("]") =>
+      val open = matchBwd(toks, j)
+      if (open < 0) j
+      else {
+        val p = prevM(toks, open)
+        if (p >= 0) chainStart(toks, p) else open
+      }
+    case _ => j
+  }
+
   // ------------------------------------------------ pass: AT TIME ZONE
   /** `x AT TIME ZONE 'z'` → `convert_timezone('UTC', 'z',
     * cast(x as timestamp_ntz))`. Operand capture walks back over one
@@ -519,36 +553,6 @@ object PrestoDialect {
     * subscript); the zone is a string literal or an ident/call. */
   private[sql] def rewriteAtTimeZone(toks: Vector[Tok]): Vector[Tok] = {
     val edits = mutable.ArrayBuffer.empty[(Int, Int, String)]
-
-    def chainStart(j0: Int): Int = {
-      var s = primaryOnly(j0)
-      var p = prevM(toks, s)
-      while (p >= 0 && toks(p) == Sym(".")) {
-        val q = prevM(toks, p)
-        if (q >= 0 && (toks(q).isInstanceOf[Word] || toks(q).isInstanceOf[Quoted] || isClose(toks(q)))) {
-          s = primaryOnly(q); p = prevM(toks, s)
-        } else return s
-      }
-      s
-    }
-    def primaryOnly(j: Int): Int = toks(j) match {
-      case Sym(")") =>
-        val open = matchBwd(toks, j)
-        if (open < 0) j
-        else {
-          val p = prevM(toks, open)
-          if (p >= 0 && (toks(p).isInstanceOf[Word] || toks(p).isInstanceOf[Quoted])) p else open
-        }
-      case Sym("]") =>
-        val open = matchBwd(toks, j)
-        if (open < 0) j
-        else {
-          val p = prevM(toks, open)
-          if (p >= 0) chainStart(p) else open
-        }
-      case _ => j
-    }
-
     var i = 0
     while (i < toks.length) {
       if (wordAt(toks, i) == "at" && wordAt(toks, nextM(toks, i)) == "time" &&
@@ -566,12 +570,94 @@ object PrestoDialect {
               }
             case _ =>
           }
-          val opStart = chainStart(opEnd)
+          val opStart = chainStart(toks, opEnd)
           val operand = render(toks.slice(opStart, opEnd + 1)).trim
           val tz = render(toks.slice(tzStart, tzEnd + 1)).trim
           edits += ((opStart, tzEnd + 1,
             s"convert_timezone('UTC', $tz, cast($operand as timestamp_ntz))"))
           i = tzEnd
+        }
+      }
+      i += 1
+    }
+    applyEdits(toks, edits.toVector)
+  }
+
+  // --------------------------------- pass: quantified comparisons
+  /** `x <op> ANY|SOME|ALL (subquery)` — the reference's grammar parses
+    * these (AstExpressions.h:404 QuantifiedComparisonExpression) but its
+    * optimizer lowering NYIs them (PrestoParser.cpp defaultVisit), and
+    * Spark has no native quantified-comparison syntax at all; this
+    * engine runs them. Lowering, with exact three-valued semantics:
+    *  - `= ANY` → `IN`, `<> ALL` → `NOT IN` (the SQL-standard
+    *    equivalences — Spark's native null handling is already right);
+    *  - ordering ops and `= ALL` / `<> ANY` → a CASE over scalar
+    *    aggregates of the subquery (count, non-null count, min/max):
+    *    empty set hits the quantifier identity (ALL→TRUE, ANY→FALSE), a
+    *    definite witness/counterexample decides via the extreme value,
+    *    and remaining NULL elements or a NULL operand yield NULL.
+    * The operand splices more than once — SQL expressions are pure, and
+    * Spark's ReuseSubquery dedupes the repeated scalar subqueries.
+    * Uncorrelated subqueries only: a correlated one fails loudly at
+    * analysis (outer reference from a scalar-aggregate subquery), never
+    * silently wrong. */
+  private[sql] def rewriteQuantifiedCmp(toks: Vector[Tok]): Vector[Tok] = {
+    val cmpOps = Set("=", "<>", "!=", "<", "<=", ">", ">=")
+    val edits = mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length) {
+      val q = wordAt(toks, i)
+      if (q == "any" || q == "some" || q == "all") {
+        val opIdx = prevM(toks, i)
+        val parIdx = nextM(toks, i)
+        val isCmp = opIdx >= 0 && (toks(opIdx) match {
+          case Sym(s) => cmpOps(s); case _ => false
+        })
+        if (isCmp && parIdx >= 0 && toks(parIdx) == Sym("(")) {
+          val close = matchFwd(toks, parIdx)
+          val innerKw = wordAt(toks, nextM(toks, parIdx))
+          if (close > parIdx && (innerKw == "select" || innerKw == "with")) {
+            val opEnd = prevM(toks, opIdx)
+            val opStart = chainStart(toks, opEnd)
+            val x = render(toks.slice(opStart, opEnd + 1)).trim
+            val sub = render(toks.slice(parIdx + 1, close)).trim
+            val op = if (toks(opIdx).text == "!=") "<>" else toks(opIdx).text
+            val all = q == "all"
+            val cnt = s"(SELECT count(*) FROM ($sub) graft_qc(qc))"
+            val nn = s"(SELECT count(qc) FROM ($sub) graft_qc(qc))"
+            def ext(f: String) = s"(SELECT $f(qc) FROM ($sub) graft_qc(qc))"
+            val nb = "CAST(NULL AS BOOLEAN)"
+            val repl = (op, all) match {
+              case ("=", false) => s"(($x) IN ($sub))"
+              case ("<>", true) => s"(($x) NOT IN ($sub))"
+              case ("=", true) =>
+                val (mn, mx) = (ext("min"), ext("max"))
+                s"(CASE WHEN $cnt = 0 THEN TRUE" +
+                  s" WHEN ($x) <> $mn OR ($x) <> $mx THEN FALSE" +
+                  s" WHEN $cnt > $nn THEN $nb" +
+                  s" ELSE ($x) = $mn AND ($x) = $mx END)"
+              case ("<>", false) =>
+                val (mn, mx) = (ext("min"), ext("max"))
+                s"(CASE WHEN $cnt = 0 THEN FALSE" +
+                  s" WHEN ($x) <> $mn OR ($x) <> $mx THEN TRUE" +
+                  s" WHEN $cnt > $nn THEN $nb" +
+                  s" ELSE ($x) <> $mn END)"
+              case (o, false) => // witness search: > / >= vs min, < / <= vs max
+                val m = if (o == ">" || o == ">=") ext("min") else ext("max")
+                s"(CASE WHEN $cnt = 0 THEN FALSE" +
+                  s" WHEN ($x) $o $m THEN TRUE" +
+                  s" WHEN $cnt > $nn THEN $nb" +
+                  s" ELSE ($x) $o $m END)"
+              case (o, true) => // counterexample search: > / >= vs max, < / <= vs min
+                val m = if (o == ">" || o == ">=") ext("max") else ext("min")
+                s"(CASE WHEN $cnt = 0 THEN TRUE" +
+                  s" WHEN NOT(($x) $o $m) THEN FALSE" +
+                  s" WHEN $cnt > $nn THEN $nb" +
+                  s" ELSE ($x) $o $m END)"
+            }
+            edits += ((opStart, close + 1, repl))
+            i = close
+          }
         }
       }
       i += 1
@@ -912,7 +998,7 @@ object PrestoDialect {
     rejectUnsupported, rewriteCreateSchema,
     rewriteExplainOptions, rewriteAnalyze, rewriteViewSecurity, rewriteUnnestJoins, rewriteCastTypes,
     rewriteRowCtor, rewriteArrayBrackets, rewriteTry, rewriteTablesample, rewriteAtTimeZone,
-    rewriteBareTypes, rewriteQuotedIdents)
+    rewriteQuantifiedCmp, rewriteBareTypes, rewriteQuotedIdents)
 
   /** Full Presto-dialect lowering: structural passes, then the
     * function-name/identifier pass ([[PrestoRewriter.rewrite]]). */

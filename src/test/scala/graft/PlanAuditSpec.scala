@@ -21,7 +21,13 @@ class PlanAuditSpec extends SparkSpec {
     "emb_quantize_int8",
     "emb_kmeans_step",        // broadcast seeds × corpus assignment scan
     "tfidf_top_terms",        // single-row doc-count broadcast join
-    "text_unigram_logprob")  // single-row corpus-total broadcast join
+    "text_unigram_logprob",   // single-row corpus-total broadcast join
+    // `<> ALL` (NOT IN) as a PROJECTED value: Spark's null-aware
+    // existence join in a projection is a broadcast nested loop over
+    // the quantifier's subquery — bounded here (≤50-row broadcast
+    // side); the filter-position NOT IN (subq_not_in) stays a
+    // null-aware broadcast HASH join and is deliberately unlisted.
+    "presto_quantified")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans no unintended cartesian") {

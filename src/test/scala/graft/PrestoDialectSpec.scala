@@ -455,4 +455,35 @@ class PrestoDialectSpec extends SparkSpec {
     }
     assert(!hasCartesian, "IS NOT DISTINCT FROM join must plan as an equi join")
   }
+
+  test("quantified comparisons ANY/SOME/ALL lower with exact three-valued semantics") {
+    // The reference's grammar parses these (AstExpressions.h:404
+    // QuantifiedComparisonExpression) but its lowering NYIs them; Spark
+    // has no native syntax. Every branch of the CASE lowering is pinned:
+    // witness, counterexample, empty set, NULL elements, NULL operand.
+    def b(expr: String): Any = presto(s"SELECT $expr AS r").head().get(0)
+    assert(b("3 > ANY (SELECT * FROM (VALUES (2), (9)) t(v))") == true)
+    assert(b("3 > SOME (SELECT * FROM (VALUES (5), (9)) t(v))") == false)
+    assert(b("3 <= ALL (SELECT * FROM (VALUES (3), (9)) t(v))") == true)
+    assert(b("3 = ANY (SELECT * FROM (VALUES (1), (3)) t(v))") == true)
+    assert(b("3 <> ALL (SELECT * FROM (VALUES (1), (2)) t(v))") == true)
+    assert(b("3 = ALL (SELECT * FROM (VALUES (3), (3)) t(v))") == true)
+    assert(b("3 = ALL (SELECT * FROM (VALUES (3), (4)) t(v))") == false)
+    assert(b("3 <> ANY (SELECT * FROM (VALUES (3), (4)) t(v))") == true)
+    assert(b("3 <> ANY (SELECT * FROM (VALUES (3), (3)) t(v))") == false)
+    // empty set: the quantifier identities
+    assert(b("1 > ALL (SELECT 2 WHERE false)") == true)
+    assert(b("1 > ANY (SELECT 0 WHERE false)") == false)
+    // NULL elements: a definite witness/counterexample wins, else NULL
+    assert(b("5 > ANY (SELECT * FROM (VALUES (CAST(NULL AS INT)), (2)) t(v))") == true)
+    assert(b("5 > ANY (SELECT * FROM (VALUES (CAST(NULL AS INT)), (7)) t(v))") == null)
+    assert(b("5 > ALL (SELECT * FROM (VALUES (CAST(NULL AS INT)), (7)) t(v))") == false)
+    assert(b("5 > ALL (SELECT * FROM (VALUES (CAST(NULL AS INT)), (3)) t(v))") == null)
+    assert(b("5 = ALL (SELECT * FROM (VALUES (CAST(NULL AS INT)), (5)) t(v))") == null)
+    assert(b("5 <> ANY (SELECT * FROM (VALUES (CAST(NULL AS INT)), (5)) t(v))") == null)
+    // NULL operand over a non-empty set
+    assert(b("CAST(NULL AS INT) > ANY (SELECT * FROM (VALUES (2)) t(v))") == null)
+    // postfix-primary operand capture: function call on the left
+    assert(b("abs(-9) > ALL (SELECT * FROM (VALUES (3), (8)) t(v))") == true)
+  }
 }
