@@ -28,18 +28,29 @@ object Catalog {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    // reader rejects; with spark.sql.legacy.parquet.nanosAsLong (set in
-    // Sessions.builder) it reads as nanos-since-epoch LONG, converted
-    // back to a timestamp here at micros precision. The data is
-    // µs-granular, so integer floor-division is required: `/` on Columns
-    // is double division, and nanos ~1.7e18 exceed double's 53-bit
-    // mantissa, which truncated ~1.6% of rows a microsecond early.
-    if (name == "events")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    if (name == "events") normalizeEventsTs(raw) else raw
+  }
+
+  /** events.ts has arrived in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS), which Spark's vectorized reader only
+    * accepts as nanos-since-epoch LONG (spark.sql.legacy.parquet
+    * .nanosAsLong, set in Sessions.builder), and plain µs TIMESTAMP_NTZ.
+    * Both normalize to a session-zone (UTC) TIMESTAMP at micros
+    * precision so every consumer — batch, streaming replays, the DuckDB
+    * oracle — sees one type. The nanos→micros step needs integer floor
+    * division: `/` on Columns is double division, and nanos ~1.7e18
+    * exceed double's 53-bit mantissa, which truncated ~1.6% of rows a
+    * microsecond early. Works on streaming DataFrames too (schema-only
+    * dispatch). */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` works alongside

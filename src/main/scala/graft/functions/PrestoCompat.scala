@@ -288,10 +288,175 @@ object PrestoCompat {
           new RaiseError(Literal(UTF8String.fromString(
             "ngrams: n must be at least 1"), StringType)),
           body))
+    },
+    "cosine_similarity" -> { es: Seq[Expression] =>
+      CosineSimilarity(es(0), es(1)) },
+    // Presto word_stem(word[, lang]) — only English (the Porter stemmer)
+    // is implemented; other languages refuse loudly rather than stem with
+    // the wrong rules.
+    "word_stem" -> { es: Seq[Expression] =>
+      if (es.length >= 2) es(1) match {
+        case Literal(s: UTF8String, StringType) if s.toString == "en" => WordStem(es(0))
+        case other => throw new IllegalArgumentException(
+          s"word_stem: only language 'en' is supported, got $other")
+      } else WordStem(es.head) },
+    "cardinality" -> { es: Seq[Expression] => PrestoCardinality(es.head) },
+    // Presto set_agg(x): the group's distinct values as an array. Presto
+    // leaves the order unspecified; this implementation returns them
+    // sorted ascending — a deterministic (and so oracle-checkable)
+    // refinement. NULL elements are dropped (collect_list semantics) —
+    // documented divergence, same stance as AND/OR error-tolerance.
+    "set_agg" -> { es: Seq[Expression] =>
+      new SortArray(ArrayDistinct(
+        new aggregate.CollectList(es.head).toAggregateExpression()),
+        Literal(true)) },
+    // Presto set_union(arr): distinct union of the group's arrays — same
+    // deterministic sorted refinement.
+    "set_union" -> { es: Seq[Expression] =>
+      new SortArray(ArrayDistinct(Flatten(
+        new aggregate.CollectList(es.head).toAggregateExpression())),
+        Literal(true)) },
+    // Presto approx_set(x) → HyperLogLog sketch. Backed by Spark's
+    // datasketches HllSketchAgg at the default lgConfigK=12 (~1.6%
+    // standard error — Presto's default 0.01625). The max-standard-error
+    // overload would need an error→lgK mapping; refuse it loudly.
+    "approx_set" -> { es: Seq[Expression] =>
+      if (es.length > 1) throw new IllegalArgumentException(
+        "approx_set: the max-standard-error argument is not supported; " +
+          "the default (~1.6%, lgK=12) is always used")
+      new aggregate.HllSketchAgg(es.head).toAggregateExpression() },
+    // Presto merge(hll) → union of the group's sketches.
+    "merge" -> { es: Seq[Expression] =>
+      new aggregate.HllUnionAgg(es.head).toAggregateExpression() },
+    // Presto reduce_agg(x, s0, merge_in, merge_states): fold the group
+    // through the input lambda. Lowered onto one collected list folded by
+    // the codegen'd aggregate HOF — the same one-collected-list shape as
+    // multimap_agg. The state-combiner lambda is accepted but unused:
+    // with a single per-group list there is nothing to combine, which is
+    // semantics-preserving exactly because Presto requires the combiner
+    // to be consistent with the input function (associativity contract).
+    "reduce_agg" -> { es: Seq[Expression] =>
+      val fin = UnresolvedNamedLambdaVariable(Seq("__ra_s"))
+      ArrayAggregate(
+        new aggregate.CollectList(es(0)).toAggregateExpression(),
+        es(1),
+        es(2) match {
+          case l: LambdaFunction => l
+          case other => throw new IllegalArgumentException(
+            s"reduce_agg: third argument must be a lambda, got $other")
+        },
+        LambdaFunction(fin, Seq(fin)))
     })
 
   private def urlPart(url: Expression, part: String): Expression =
     new ParseUrl(Seq(asString(url), Literal(UTF8String.fromString(part), StringType)))
+
+  /** Presto cosine_similarity — dense form over array(double) and sparse
+    * form over map(varchar, double) (missing keys contribute 0). One name
+    * serves both, dispatching on the evaluated value, because the Presto
+    * function is overloaded on input type. Zero-norm inputs yield NaN
+    * (Presto/Velox behavior); dense arrays of different lengths error. */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_similarity"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(t: DataType) = t match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case MapType(StringType, DoubleType, _) => true
+        case _ => false
+      }
+      if (ok(left.dataType) && ok(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_similarity expects array<double> or map<string,double> on both sides, " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    private def num(v: Any): Double = v match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case null => 0.0
+    }
+    override def nullSafeEval(a: Any, b: Any): Any = (a, b) match {
+      case (x: org.apache.spark.sql.catalyst.util.ArrayData,
+            y: org.apache.spark.sql.catalyst.util.ArrayData) =>
+        val et = left.dataType.asInstanceOf[ArrayType].elementType
+        val ft = right.dataType.asInstanceOf[ArrayType].elementType
+        if (x.numElements() != y.numElements())
+          throw new IllegalArgumentException(
+            s"cosine_similarity: arrays must have the same length " +
+              s"(${x.numElements()} vs ${y.numElements()})")
+        var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+        while (i < x.numElements()) {
+          val xv = num(x.get(i, et)); val yv = num(y.get(i, ft))
+          dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
+        }
+        dot / (math.sqrt(nx) * math.sqrt(ny))
+      case (x: org.apache.spark.sql.catalyst.util.MapData,
+            y: org.apache.spark.sql.catalyst.util.MapData) =>
+        def toMap(m: org.apache.spark.sql.catalyst.util.MapData): Map[String, Double] = {
+          val ks = m.keyArray(); val vs = m.valueArray()
+          (0 until m.numElements()).map(i =>
+            ks.getUTF8String(i).toString -> num(vs.get(i, DoubleType))).toMap
+        }
+        val mx = toMap(x); val my = toMap(y)
+        val dot = mx.iterator.map { case (k, v) => v * my.getOrElse(k, 0.0) }.sum
+        val nx = math.sqrt(mx.valuesIterator.map(v => v * v).sum)
+        val ny = math.sqrt(my.valuesIterator.map(v => v * v).sum)
+        dot / (nx * ny)
+      case _ => throw new IllegalArgumentException(
+        "cosine_similarity: both sides must be arrays or both maps")
+    }
+  }
+
+  /** Presto word_stem(word): the Porter (1980) stemmer, ported from the
+    * author's reference porter.c (including its two documented
+    * departures: step-2 `bli`→`ble` and `logi`→`log`) — the same
+    * algorithm behind Presto's Lucene PorterStemmer and DuckDB's
+    * stem(w, 'porter'), which the oracle entry exploits. Operates on
+    * lowercase ASCII words; words shorter than 3 chars are returned
+    * unchanged, as in the original. */
+  case class WordStem(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "word_stem"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(PorterStemmer.stem(v.asInstanceOf[UTF8String].toString))
+  }
+
+  /** Presto cardinality — one name over container sizes AND HyperLogLog
+    * sketches (Presto overloads cardinality(hll) as the estimate reader
+    * for approx_set/merge). Arrays and maps keep Spark `size` semantics
+    * (INT, so existing callers' schemas are unchanged); a BINARY child is
+    * read as a datasketches HLL sketch (the representation Spark's
+    * hll_sketch_agg / our approx_set produces) and returns the rounded
+    * estimate as BIGINT, exactly like Spark's hll_sketch_estimate. */
+  case class PrestoCardinality(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override lazy val dataType: DataType = child.dataType match {
+      case BinaryType => LongType
+      case _ => IntegerType
+    }
+    override def prettyName: String = "cardinality"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case BinaryType | _: ArrayType | _: MapType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cardinality expects array, map or hll-sketch binary, got ${other.catalogString}")
+      }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def nullSafeEval(v: Any): Any = v match {
+      case b: Array[Byte] =>
+        Math.round(org.apache.datasketches.hll.HllSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(b)).getEstimate)
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => a.numElements()
+      case m: org.apache.spark.sql.catalyst.util.MapData => m.numElements()
+    }
+  }
 
   val identifiers: Seq[FunctionIdentifier] =
     builders.map { case (n, _) => FunctionIdentifier(n) }

@@ -32,7 +32,10 @@ object Registry {
       "approx_percentile" -> FnMeta("percentile_approx", isAggregate = true, cost = 4.0),
       "arbitrary" -> FnMeta("any_value", isAggregate = true),
       "array_agg" -> FnMeta("collect_list", isAggregate = true, cost = 2.0),
-      "cardinality" -> FnMeta("size"),
+      // cardinality is overloaded in Presto: container size AND the
+      // HLL-sketch estimate reader — the injected PrestoCompat expression
+      // dispatches on input type (array/map keep `size` semantics).
+      "cardinality" -> FnMeta("cardinality"),
       "contains" -> FnMeta("array_contains"),
       "codepoint" -> FnMeta("ascii"),
       "from_unixtime" -> FnMeta("timestamp_seconds"),
@@ -147,7 +150,18 @@ object Registry {
       "ngrams" -> FnMeta("ngrams", cost = 4.0),
       "multimap_agg" -> FnMeta("multimap_agg", isAggregate = true, cost = 4.0),
       "histogram" -> FnMeta("histogram", isAggregate = true, cost = 4.0),
-      "map_union" -> FnMeta("map_union", isAggregate = true, cost = 4.0))
+      "map_union" -> FnMeta("map_union", isAggregate = true, cost = 4.0),
+      // round-10 tail: similarity/sketch/set aggregates (PrestoCompat)
+      "cosine_similarity" -> FnMeta("cosine_similarity", cost = 8.0),
+      "word_stem" -> FnMeta("word_stem", cost = 8.0),
+      "set_agg" -> FnMeta("set_agg", isAggregate = true, cost = 2.0),
+      "set_union" -> FnMeta("set_union", isAggregate = true, cost = 4.0),
+      "approx_set" -> FnMeta("approx_set", isAggregate = true, cost = 2.0),
+      "merge" -> FnMeta("merge", isAggregate = true, cost = 2.0),
+      "reduce_agg" -> FnMeta("reduce_agg", isAggregate = true, cost = 4.0),
+      // Presto split_to_map(s, entryDelim, kvDelim) ≡ Spark str_to_map
+      // (same argument order).
+      "split_to_map" -> FnMeta("str_to_map"))
     // NOTE: Presto's nullary infinity()/nan() are literals in Spark
     // (double('Infinity')) — not name-mappable, so not registry entries
     // (the SQL rewriter must never substitute a non-identifier).

@@ -284,6 +284,27 @@ object Exprs {
        FROM lineitem
        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())"""
 
+  /** Heavy hitters via the Misra–Gries summary aggregator (Presto
+    * approx_most_frequent): per-source top-3 languages with counts. The
+    * capacity (64) exceeds the distinct-value count, so the sketch is in
+    * its exact regime and the output hash-matches the oracle's exact
+    * top-3; the approximate regime (capacity < distinct) is pinned in
+    * FunctionParitySpec. The map output is exploded to rows so the
+    * oracle replays the same (count desc, value asc) tie-break. */
+  def aggApproxFrequent(t: Tables): DataFrame = {
+    val amf = graft.operators.ApproxMostFrequent(3, col("lang"), 64)
+    t.documents.groupBy(col("source"))
+      .agg(amf.as("top_langs"))
+      .select(col("source"), explode(col("top_langs")).as(Seq("lang", "cnt")))
+  }
+  val aggApproxFrequentSql =
+    """SELECT source, lang, cnt FROM (
+         SELECT source, lang, count(*) AS cnt,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY count(*) DESC, lang) AS rk
+         FROM documents GROUP BY source, lang) t
+       WHERE rk <= 3"""
+
   /** Per-aggregate FILTER (WHERE …) — AggregateExpr.filter Expr.h:453-524.
     * Expressed through Spark SQL so the real FILTER clause is exercised
     * (the DataFrame-API equivalent is sum(when(cond, x))). */
@@ -518,6 +539,7 @@ object Exprs {
     ("agg_cube", aggCube _, aggCubeSql),
     ("agg_grouping_sets", aggGroupingSets _, aggGroupingSetsSql),
     ("agg_ordered", aggOrdered _, aggOrderedSql),
+    ("agg_approx_frequent", aggApproxFrequent _, aggApproxFrequentSql),
     ("agg_distinct", aggDistinct _, aggDistinctSql),
     ("hof_transform_agg", hofTransformAgg _, hofTransformAggSql),
     ("hof_filter", hofFilter _, hofFilterSql),

@@ -475,6 +475,57 @@ object Presto {
            o_totalprice > ALL (SELECT o_totalprice FROM orders WHERE o_orderkey < 0) AS empty_all
          FROM orders) t"""
 
+  /** cosine_similarity (dense array form) against DuckDB's native
+    * list_cosine_similarity — each embedding scored against its own
+    * reversal (deterministic, needs no join). Rounded to 6 digits to
+    * absorb summation-order difference between the implementations. */
+  val cosinePresto: String =
+    """SELECT vec_id, round(cosine_similarity(embedding, reverse(embedding)), 6) AS cos_rev
+       FROM embeddings WHERE vec_id < 200"""
+  val cosineOracle: String =
+    """SELECT vec_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], list_reverse(embedding)::DOUBLE[]), 6) AS cos_rev
+       FROM embeddings WHERE vec_id < 200"""
+
+  /** The Presto HLL workflow — approx_set per group, merge across
+    * groups, cardinality as the estimate reader. At these cardinalities
+    * (5 langs, 20 sources) the datasketches HLL is still in exact
+    * (coupon) mode, so the estimates equal DuckDB's exact distinct
+    * counts and the entry is hash-checkable; the approximate regime is
+    * pinned in FunctionParitySpec instead. */
+  val hllPresto: String =
+    """SELECT source AS grp, cardinality(approx_set(lang)) AS n_langs
+       FROM documents GROUP BY source
+       UNION ALL
+       SELECT 'ALL', cardinality(merge(s))
+       FROM (SELECT approx_set(lang) AS s FROM documents GROUP BY source)"""
+  val hllOracle: String =
+    """SELECT source AS grp, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       FROM documents GROUP BY source
+       UNION ALL
+       SELECT 'ALL', CAST(count(DISTINCT lang) AS BIGINT) FROM documents"""
+
+  /** Set aggregates + reduce_agg + split_to_map in one pass: set_agg /
+    * set_union return the sorted-distinct refinement (Presto leaves
+    * order unspecified), reduce_agg folds through the dialect's lambda
+    * syntax, split_to_map parses k=v text. Array outputs are joined to
+    * strings and the map is read back through element_at, because the
+    * driver compare hashes scalar columns. */
+  val setOpsPresto: String =
+    """SELECT source,
+         array_join(set_agg(lang), ',') AS langs,
+         array_join(set_union(split(lang || '-' || lang || 'x', '-')), ',') AS lang_parts,
+         reduce_agg(n_chars, CAST(0 AS BIGINT), (s, x) -> s + x, (a, b) -> a + b) AS total_chars,
+         element_at(split_to_map('src=' || min(source) || ',n=' || CAST(count(*) AS VARCHAR), ',', '='), 'n') AS n_str
+       FROM documents GROUP BY source"""
+  val setOpsOracle: String =
+    """SELECT source,
+         array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+         array_to_string(list_sort(list_distinct(flatten(list(string_split(lang || '-' || lang || 'x', '-'))))), ',') AS lang_parts,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(count(*) AS VARCHAR) AS n_str
+       FROM documents GROUP BY source"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -497,5 +548,8 @@ object Presto {
     ("presto_show_stats", showStatsStmt _, showStatsOracle),
     ("presto_url_fns", run(urlFnsPresto) _, urlFnsOracle),
     ("presto_is_distinct", run(isDistinctPresto) _, isDistinctOracle),
-    ("presto_quantified", run(quantifiedPresto) _, quantifiedPresto))
+    ("presto_quantified", run(quantifiedPresto) _, quantifiedPresto),
+    ("presto_cosine", run(cosinePresto) _, cosineOracle),
+    ("presto_hll_distinct", run(hllPresto) _, hllOracle),
+    ("presto_set_ops", run(setOpsPresto) _, setOpsOracle))
 }

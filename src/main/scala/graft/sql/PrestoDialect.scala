@@ -265,7 +265,12 @@ object PrestoDialect {
       var at = toks.length
       var found = false
       while (j < toks.length && !found) {
-        if (dep(j) < sp.depth) { at = j; found = true }
+        // A `)` carries the depth of the scope it CLOSES (depths()
+        // decrements after assigning), so the enclosing subquery's
+        // closing paren sits at dep == sp.depth — the LATERAL VIEW must
+        // land before it, inside the subquery, not after.
+        if (dep(j) < sp.depth ||
+            (dep(j) == sp.depth && isClose(toks(j)))) { at = j; found = true }
         else if (dep(j) == sp.depth && clauseKw(wordAt(toks, j))) { at = j; found = true }
         else j += 1
       }

@@ -184,12 +184,13 @@ object Streams {
     import org.apache.spark.sql.streaming.Trigger
     // The file source streams a DIRECTORY; events.parquet is a single
     // file, so stream the sf dir with a glob pinned to it. Same
-    // nanos-long → micros-timestamp conversion Catalog.load applies.
+    // ts normalization Catalog.load applies (schema-only dispatch, so it
+    // works on the streaming DataFrame).
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.Catalog.normalizeEventsTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
     val agg = stream
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))

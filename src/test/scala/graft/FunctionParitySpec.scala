@@ -251,4 +251,112 @@ class FunctionParitySpec extends SparkSpec {
     val err = intercept[Exception] { p("SELECT ngrams(ARRAY[1,2], 0) AS g") }
     assert(err.getMessage.contains("ngrams"), err.getMessage)
   }
+
+  test("word_stem implements the Porter algorithm (pinned to the published examples)") {
+    // Input→output pairs from Porter 1980 ("An algorithm for suffix
+    // stripping"): the per-step tables and the famous intro examples
+    // (GENERALIZATIONS→GENER, OSCILLATORS→OSCIL). DuckDB's independent
+    // stem() lives in its fts extension, unavailable offline — so the
+    // published vocabulary is the oracle here.
+    val pins = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+      "conflated" -> "conflate", "troubled" -> "troubl", "sized" -> "size",
+      "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+      "hissing" -> "hiss", "fizzed" -> "fizz", "failing" -> "fail",
+      "filing" -> "file",
+      "happy" -> "happi", "sky" -> "sky",
+      "relational" -> "relate",
+      "connect" -> "connect", "connected" -> "connect",
+      "connecting" -> "connect", "connection" -> "connect",
+      "connections" -> "connect",
+      "controlling" -> "control", "roll" -> "roll",
+      "generalization" -> "gener", "generalizations" -> "gener",
+      "oscillators" -> "oscil",
+      // length < 3 returned unchanged, as in porter.c
+      "is" -> "is", "be" -> "be")
+    pins.foreach { case (in, want) =>
+      val got = graft.functions.PorterStemmer.stem(in)
+      assert(got == want, s"word_stem($in) = $got, want $want")
+    }
+    // and through the SQL surface
+    import graft.sql.PrestoRewriter
+    val r = PrestoRewriter.sql(spark, sfDir,
+      "SELECT word_stem('generalizations') AS a, word_stem('oscillators', 'en') AS b").head()
+    assert(r.getString(0) == "gener" && r.getString(1) == "oscil", r.toString)
+  }
+
+  test("cosine_similarity: dense and sparse forms agree; Presto edge semantics") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    val r = p("""SELECT
+        cosine_similarity(ARRAY[1.0D, 2.0D, 3.0D], ARRAY[3.0D, 2.0D, 1.0D]) AS dense,
+        cosine_similarity(map(CAST('a' AS STRING), 1.0D, CAST('b' AS STRING), 2.0D, CAST('c' AS STRING), 3.0D),
+                          map(CAST('a' AS STRING), 3.0D, CAST('b' AS STRING), 2.0D, CAST('c' AS STRING), 1.0D)) AS sparse,
+        cosine_similarity(map(CAST('a' AS STRING), 1.0D), map(CAST('b' AS STRING), 1.0D)) AS disjoint,
+        cosine_similarity(ARRAY[0.0D, 0.0D], ARRAY[1.0D, 1.0D]) AS zero_norm""")
+    assert(math.abs(r.getDouble(0) - 10.0 / 14.0) < 1e-12, r.toString)
+    assert(r.getDouble(0) == r.getDouble(1), "dense and sparse must agree on the same vectors")
+    assert(r.getDouble(2) == 0.0, "disjoint sparse vectors have cosine 0")
+    assert(r.getDouble(3).isNaN, "zero-norm input is NaN, as in Presto/Velox")
+    val err = intercept[Exception] {
+      p("SELECT cosine_similarity(ARRAY[1.0D], ARRAY[1.0D, 2.0D]) AS x")
+    }
+    assert(err.getMessage.contains("same length"), err.getMessage)
+  }
+
+  test("cardinality dispatches: container size (INT) vs HLL estimate (BIGINT)") {
+    import graft.sql.PrestoRewriter
+    // container path keeps Spark size semantics (INT — existing callers)
+    val c = PrestoRewriter.sql(spark, sfDir,
+      "SELECT cardinality(ARRAY[1, 2, 3]) AS a, cardinality(map(1, 'x')) AS m").head()
+    assert(c.getInt(0) == 3 && c.getInt(1) == 1, c.toString)
+    // small-cardinality HLL is in exact (coupon) mode: estimate == truth
+    val exact = PrestoRewriter.sql(spark, sfDir,
+      """SELECT cardinality(merge(s)) AS n FROM (
+           SELECT approx_set(x % 40) AS s FROM (SELECT explode(sequence(1, 1000)) AS x) GROUP BY x % 4)""").head()
+    assert(exact.getLong(0) == 40L, exact.toString)
+    // large-cardinality regime: within the sketch's documented error
+    import spark.implicits._
+    val big = spark.range(100000).toDF("id")
+      .selectExpr("cardinality(approx_set(id)) AS n").head().getLong(0)
+    assert(math.abs(big - 100000L) < 5000, s"HLL estimate $big too far from 100000")
+  }
+
+  test("approx_most_frequent: exact when capacity suffices, sketch bounds when not") {
+    import spark.implicits._
+    // skewed multiset: value i appears (11 - i) * 10 times, i = 1..10
+    val rows = (1 to 10).flatMap(i => Seq.fill((11 - i) * 10)(s"v$i"))
+    val df = scala.util.Random.shuffle(rows).toDF("v")
+    // capacity 64 > 10 distinct → exact counts, top-3 deterministic
+    val exact = df.agg(graft.operators.ApproxMostFrequent(3, org.apache.spark.sql.functions.col("v"), 64).as("m"))
+      .head().getMap[String, Long](0)
+    assert(exact == Map("v1" -> 100L, "v2" -> 90L, "v3" -> 80L), exact.toString)
+    // capacity 5 < 10 distinct → Misra–Gries contract: reported counts
+    // underestimate by at most n/capacity, and the heaviest value survives
+    val n = rows.size
+    val approx = df.repartition(4).agg(
+      graft.operators.ApproxMostFrequent(3, org.apache.spark.sql.functions.col("v"), 5).as("m"))
+      .head().getMap[String, Long](0)
+    assert(approx.contains("v1"), s"heaviest value must survive: $approx")
+    approx.foreach { case (k, c) =>
+      val truth = (11 - k.drop(1).toInt) * 10
+      assert(c <= truth && c >= truth - n / 5, s"count for $k out of bounds: $c vs $truth")
+    }
+  }
+
+  test("set_agg / set_union / reduce_agg / split_to_map through the dialect") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    val r = p("""SELECT set_agg(x) AS sa, set_union(a) AS su,
+                        reduce_agg(x, CAST(0 AS BIGINT), (s, v) -> s + v, (s1, s2) -> s1 + s2) AS ra
+                 FROM VALUES (3, ARRAY[1, 2]), (1, ARRAY[2, 9]), (3, ARRAY[9]) AS t(x, a)""")
+    assert(r.getSeq[Int](0) == Seq(1, 3), r.toString)       // sorted distinct
+    assert(r.getSeq[Int](1) == Seq(1, 2, 9), r.toString)    // sorted distinct union
+    assert(r.getLong(2) == 7L, r.toString)                  // fold == sum
+    val m = p("SELECT split_to_map('a=1,b=2', ',', '=') AS m").getMap[String, String](0)
+    assert(m == Map("a" -> "1", "b" -> "2"), m.toString)
+  }
 }
