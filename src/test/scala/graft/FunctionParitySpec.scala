@@ -263,12 +263,17 @@ class FunctionParitySpec extends SparkSpec {
       "caress" -> "caress", "cats" -> "cat",
       "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
       "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
-      "conflated" -> "conflate", "troubled" -> "troubl", "sized" -> "size",
+      // Step-1b's table shows the INTERMEDIATE form conflate; step 5a then
+      // deletes the final e at m("conflat")=2, so porter.c end-to-end
+      // yields conflat (neighbors troubl/size differ precisely in 5a).
+      "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
       "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
       "hissing" -> "hiss", "fizzed" -> "fizz", "failing" -> "fail",
       "filing" -> "file",
       "happy" -> "happi", "sky" -> "sky",
-      "relational" -> "relate",
+      // Step-2's table shows relate; step 4 leaves ATE (m("rel")=1 ≤ 1)
+      // but step 5a deletes the e at m("relat")=2 → relat end-to-end.
+      "relational" -> "relat",
       "connect" -> "connect", "connected" -> "connect",
       "connecting" -> "connect", "connection" -> "connect",
       "connections" -> "connect",

@@ -7,9 +7,11 @@ import graft.sql.PrestoRewriter
 class PrestoRewriterSpec extends SparkSpec {
 
   test("renames functions outside string literals only") {
+    // cardinality is NOT renamed: it resolves to the native overloaded
+    // PrestoCardinality (container size OR HLL estimate) at analysis time.
     val in = "SELECT strpos(text, 'strpos(x)'), cardinality(a) FROM t"
     val out = PrestoRewriter.rewrite(in)
-    assert(out == "SELECT instr(text, 'strpos(x)'), size(a) FROM t")
+    assert(out == "SELECT instr(text, 'strpos(x)'), cardinality(a) FROM t")
   }
 
   test("double-quoted identifiers become backticks; '' escape preserved") {
