@@ -526,6 +526,56 @@ object Presto {
          CAST(count(*) AS VARCHAR) AS n_str
        FROM documents GROUP BY source"""
 
+  /** GROUPING SETS / ROLLUP / CUBE through the dialect (reference
+    * grammar PrestoSql.g4:284-290): Spark's syntax is compatible so the
+    * rewriter passes all three through untouched; grouping(col) flags
+    * disambiguate the NULL-filled super-aggregate rows on both sides. */
+  val groupingSetsPresto: String =
+    """SELECT 'gs' AS tier, source, lang,
+         CAST(grouping(source) AS INT) AS g_source, CAST(grouping(lang) AS INT) AS g_lang,
+         count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+       FROM documents GROUP BY GROUPING SETS ((source, lang), (source), ())
+       UNION ALL
+       SELECT 'rollup' AS tier, source, lang,
+         CAST(grouping(source) AS INT), CAST(grouping(lang) AS INT),
+         count(*), CAST(sum(n_chars) AS BIGINT)
+       FROM documents GROUP BY ROLLUP (source, lang)
+       UNION ALL
+       SELECT 'cube' AS tier, source, lang,
+         CAST(grouping(source) AS INT), CAST(grouping(lang) AS INT),
+         count(*), CAST(sum(n_chars) AS BIGINT)
+       FROM documents GROUP BY CUBE (source, lang)"""
+  val groupingSetsOracle: String = groupingSetsPresto
+
+  /** Window functions through the dialect as SQL TEXT (reference grammar
+    * PrestoSql.g4:504 `OVER '('`): ranking, ROWS and RANGE frames, a
+    * named WINDOW clause, and IGNORE NULLS. Presto/Spark spell
+    * ignore-nulls postfix (`lag(x) IGNORE NULLS OVER`); DuckDB spells it
+    * inside the call (`lag(x IGNORE NULLS) OVER`) — the oracle adapts.
+    * o_orderkey is unique, so every window is deterministic. */
+  val windowPresto: String =
+    """SELECT o_orderkey, o_orderpriority,
+         rank() OVER w AS rnk,
+         row_number() OVER w AS rn,
+         round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS run_sum,
+         CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+               RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_cnt,
+         lag(nullif(o_orderstatus, 'O')) IGNORE NULLS OVER w AS prev_nonopen
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)"""
+  val windowOracle: String =
+    """SELECT o_orderkey, o_orderpriority,
+         rank() OVER w AS rnk,
+         row_number() OVER w AS rn,
+         round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS run_sum,
+         CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+               RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_cnt,
+         lag(nullif(o_orderstatus, 'O') IGNORE NULLS) OVER w AS prev_nonopen
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -551,5 +601,7 @@ object Presto {
     ("presto_quantified", run(quantifiedPresto) _, quantifiedPresto),
     ("presto_cosine", run(cosinePresto) _, cosineOracle),
     ("presto_hll_distinct", run(hllPresto) _, hllOracle),
-    ("presto_set_ops", run(setOpsPresto) _, setOpsOracle))
+    ("presto_set_ops", run(setOpsPresto) _, setOpsOracle),
+    ("presto_grouping_sets", run(groupingSetsPresto) _, groupingSetsOracle),
+    ("presto_window", run(windowPresto) _, windowOracle))
 }

@@ -486,4 +486,43 @@ class PrestoDialectSpec extends SparkSpec {
     // postfix-primary operand capture: function call on the left
     assert(b("abs(-9) > ALL (SELECT * FROM (VALUES (3), (8)) t(v))") == true)
   }
+
+  test("GROUPING SETS / ROLLUP / CUBE text survives the rewriter untouched") {
+    // Reference grammar parses all three (PrestoSql.g4:284-290); Spark's
+    // syntax is compatible, so the dialect must pass them through with
+    // no token damage (GROUPING is also a function name — must not be
+    // treated as a call to rename).
+    val in = """SELECT a, grouping(a) AS g, count(*) AS n FROM t
+                GROUP BY GROUPING SETS ((a, b), (a), ())"""
+    assert(t(in) === in)
+    val ru = "SELECT a, b, sum(x) FROM t GROUP BY ROLLUP (a, b)"
+    assert(t(ru) === ru)
+    val cu = "SELECT a, b, sum(x) FROM t GROUP BY CUBE (a, b)"
+    assert(t(cu) === cu)
+    // end-to-end: rollup super-aggregate row appears with grouping flag
+    val df = presto(
+      """SELECT source, CAST(grouping(source) AS INT) AS g, count(*) AS n
+         FROM documents GROUP BY ROLLUP (source)""")
+    val rows = df.collect()
+    assert(rows.count(_.getInt(1) == 1) == 1, "exactly one grand-total row")
+    val total = rows.filter(_.getInt(1) == 1).head.getLong(2)
+    assert(total == rows.filter(_.getInt(1) == 0).map(_.getLong(2)).sum)
+  }
+
+  test("window functions as SQL text: OVER, named WINDOW, frames, IGNORE NULLS") {
+    // Reference grammar PrestoSql.g4:504 (`OVER '('`). The rewriter must
+    // leave the whole window surface untouched...
+    val in = """SELECT rank() OVER (PARTITION BY a ORDER BY b
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) FROM t"""
+    assert(t(in) === in)
+    // ...and the postfix IGNORE NULLS form must execute through spark.sql:
+    // lag skips the NULLed-out 'O' statuses.
+    val df = presto(
+      """SELECT o_orderkey,
+           lag(nullif(o_orderstatus, 'O')) IGNORE NULLS OVER
+             (ORDER BY o_orderkey) AS prev_nonopen
+         FROM orders WHERE o_orderkey < 100""")
+    val vals = df.collect().flatMap(r => Option(r.getString(1)))
+    assert(vals.nonEmpty && vals.forall(_ != "O"))
+  }
 }
