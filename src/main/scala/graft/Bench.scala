@@ -53,6 +53,7 @@ object Bench {
         plans.Analyze.table(spark, Catalog.load(spark, sfDir, t))
       }
       plans.History.save() // the reference's --history_save_path artifact
+      plans.TableStats.save() // column stats travel with the row counts
     }
     // Optional name filter (regex) for iterating on a subset locally.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)

@@ -268,7 +268,10 @@ object History {
     * wanting a clean static-estimate baseline must stay unpolluted by
     * default. */
   def autoload(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (spark.conf.getOption("graft.history.autoload").contains("true")) load()
+    if (spark.conf.getOption("graft.history.autoload").contains("true")) {
+      load()
+      TableStats.load() // column stats travel with the row counts
+    }
 
   def load(path: String = defaultPath): Unit = {
     val p = Paths.get(path)

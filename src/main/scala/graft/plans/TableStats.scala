@@ -23,13 +23,75 @@ import org.apache.spark.sql.types._
   */
 object TableStats {
   private val store = TrieMap.empty[(String, Long), Map[String, CatalogColumnStat]]
+  @volatile private var loadedFrom: Option[String] = None
 
   def put(path: String, bytes: Long, cols: Map[String, CatalogColumnStat]): Unit =
     store.put((path, bytes), cols)
   def get(path: String, bytes: Long): Map[String, CatalogColumnStat] =
     store.getOrElse((path, bytes), Map.empty)
-  def clear(): Unit = store.clear()
+  def clear(): Unit = { store.clear(); loadedFrom = None }
   def size: Int = store.size
+
+  def defaultPath = "/root/repo/target/table_stats.json"
+  // Flat-key separator: path ␁ bytes ␁ <colName>.<statKey>. Spark's own
+  // CatalogColumnStat.toMap/fromMap does the per-column serialization
+  // (including base64 histograms), so the file round-trips everything the
+  // join-order DP's selectivity estimation consumes.
+  private val Sep = "\u0001"
+
+  /** Persist alongside History.save() — the reference's
+    * --history_save_path artifact (TpchPlanTest.cpp:33-38) carries enough
+    * to re-plan in a later process; row counts alone do not (column NDVs
+    * drive join selectivity), so the two files travel together. */
+  def save(path: String = defaultPath): Unit = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val flat = store.toSeq.flatMap { case ((p, b), cols) =>
+      cols.toSeq.flatMap { case (col, st) =>
+        st.toMap(col).map { case (k, v) => s"$p$Sep$b$Sep$k" -> v }
+      }
+    }.sortBy(_._1)
+    val json = flat.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ",", "}")
+    val f = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(f.getParent)
+    java.nio.file.Files.write(f, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def load(path: String = defaultPath): Unit = {
+    val f = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(f) && loadedFrom != Some(path)) {
+      val txt = new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)
+      def unesc(s: String) = {
+        val sb = new StringBuilder; var i = 0
+        while (i < s.length) s.charAt(i) match {
+          case '\\' if i + 1 < s.length =>
+            s.charAt(i + 1) match {
+              case 'u' => sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+              case c => sb.append(c); i += 2
+            }
+          case c => sb.append(c); i += 1
+        }
+        sb.toString
+      }
+      val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+      val flat = entry.findAllMatchIn(txt)
+        .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toSeq
+      flat.groupBy(_._1.split(Sep, 3) match { case Array(p, b, _) => (p, b.toLong) })
+        .foreach { case ((p, b), pairs) =>
+          val props = pairs.map { case (k, v) => k.split(Sep, 3)(2) -> v }.toMap
+          val colNames = props.keys.map(k => k.substring(0, k.lastIndexOf('.'))).toSet
+          val cols = colNames.flatMap { c =>
+            CatalogColumnStat.fromMap("graft_stats", c, props).map(c -> _)
+          }.toMap
+          if (cols.nonEmpty) store.put((p, b), cols)
+        }
+      loadedFrom = Some(path)
+    }
+  }
 }
 
 /** ANALYZE for path-backed tables: one aggregate job computes row count

@@ -181,6 +181,53 @@ class HistoryStatsSpec extends SparkSpec {
     assert(History.size == sizeBefore)
   }
 
+  test("autoload replans a SECOND session from the persisted file with no re-ANALYZE") {
+    // The reference's --history_save_path round-trip (TpchPlanTest.cpp:
+    // 33-38): session 1 analyzes and persists; session 2 opts in via
+    // graft.history.autoload and must plan the SAME join trees from the
+    // file alone — CardinalityStatsRule installs the persisted counts,
+    // no Analyze runs in the second session.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def joinTrees(s: org.apache.spark.sql.SparkSession, name: String): Seq[Set[String]] =
+      SparkEntry.queries(name)(s, sfDir).queryExecution.optimizedPlan.collect {
+        case j: Join => j.collect {
+          case r: LogicalRelation =>
+            r.relation.asInstanceOf[HadoopFsRelation].location.rootPaths.map(_.getName).mkString
+        }.toSet
+      }
+    val probes = Seq("tpch_q5", "tpch_q8", "tpch_q9", "tpch_q18", "tpch_q21")
+    try {
+      History.clear(); graft.plans.TableStats.clear()
+      // --- session 1: stats-free baseline, then Analyze + persist
+      val s1 = spark.newSession()
+      val cold = probes.map(q => q -> joinTrees(s1, q)).toMap
+      Catalog.tableNames.foreach(t => graft.plans.Analyze.table(s1, Catalog.load(s1, sfDir, t)))
+      val warm = probes.map(q => q -> joinTrees(s1, q)).toMap
+      assert(probes.exists(q => cold(q) != warm(q)),
+        "Analyze changed no probe join tree; the warm/cold contrast is vacuous")
+      History.save() // the bench flow's artifacts (target/history.json +
+      graft.plans.TableStats.save() // target/table_stats.json)
+
+      // --- session 2: fresh store (as a new JVM would start), opt in
+      History.clear(); graft.plans.TableStats.clear()
+      val s2 = spark.newSession()
+      s2.conf.set("graft.history.autoload", "true")
+      val replayed = probes.map(q => q -> joinTrees(s2, q)).toMap
+      assert(History.size > 0, "autoload did not populate the store from the persisted file")
+      // counts installed on every q5 leaf without any Analyze in s2
+      val q5Leaves = SparkEntry.queries("tpch_q5")(s2, sfDir)
+        .queryExecution.optimizedPlan.collect { case r: LogicalRelation => r }
+      assert(q5Leaves.nonEmpty &&
+        q5Leaves.forall(_.catalogTable.exists(_.stats.exists(_.rowCount.isDefined))),
+        "autoload session left a q5 scan without a persisted row count")
+      probes.foreach { q =>
+        assert(replayed(q) == warm(q),
+          s"$q: autoload session planned a different join tree than the warm session")
+      }
+    } finally { History.clear(); graft.plans.TableStats.clear() }
+  }
+
   test("negative-slope history never shrinks an extrapolated row count past the largest point") {
     // ADVICE r8: noisy/non-monotone history must stay broadcast-safe in
     // the growth direction — beyond the largest recorded size the
