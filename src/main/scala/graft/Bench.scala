@@ -91,13 +91,9 @@ object Bench {
       repLog += ((name, nRep(name), dt, load, at))
     }
 
-    // Interleaved rounds: round r runs each query's r-th rep.
-    for (r <- 1 to repeat; (name, fn) <- qs)
-      if (r <= 2 || spent(name) + lastDt(name) <= heavyBudgetSec)
-        runOne(name, fn, "rep")
-
-    // Tripwire vs recorded per-query baseline (absent file → ungated;
-    // entries new since the baseline recording are likewise ungated).
+    // Per-query baseline (absent file → ungated; entries new since the
+    // baseline recording are likewise ungated). Read up front: the quiet
+    // gate orders its re-runs by baseline ratio, the tripwire gates on it.
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
       "/root/repo/bench/baseline_per_query.json")
     val baseline: Map[String, Double] = {
@@ -109,6 +105,35 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     }
+
+    // Interleaved rounds: round r runs each query's r-th rep.
+    for (r <- 1 to repeat; (name, fn) <- qs)
+      if (r <= 2 || spent(name) + lastDt(name) <= heavyBudgetSec)
+        runOne(name, fn, "rep")
+
+    // Quiet gate (round 11): the per-rep journal makes contention
+    // machine-visible; this turns it into action. Any entry whose BEST
+    // rep ran under 1-min loadavg > N gets extra reps — worst
+    // baseline-ratio first, within a bounded extra-time budget — so the
+    // artifact records a QUIET observation whenever the box allows one,
+    // and names the entries for which it never did. N <= 0 disables.
+    val quietN = sys.env.get("SPARK_GRAFT_QUIET_GATE").map(_.toDouble).getOrElse(4.0)
+    val quietBudgetSec = sys.env.get("SPARK_GRAFT_QUIET_BUDGET").map(_.toDouble).getOrElse(120.0)
+    def bestRepLoad(name: String): Double =
+      repLog.filter(_._1 == name).minBy(_._3)._4
+    if (quietN > 0) {
+      val t0 = System.nanoTime()
+      def quietSpent = (System.nanoTime() - t0) / 1e9
+      for (pass <- 1 to 2) {
+        val loud = qs.filter { case (n, _) => bestRepLoad(n) > quietN }
+          .sortBy { case (n, _) => -baseline.get(n).map(best(n) / _).getOrElse(1.0) }
+        for ((name, fn) <- loud)
+          if (quietSpent + lastDt(name) <= quietBudgetSec) runOne(name, fn, "quiet")
+      }
+    }
+    val neverQuiet =
+      if (quietN <= 0) Nil else qs.map(_._1).filter(n => bestRepLoad(n) > quietN)
+
     def overGate = qs.collect {
       case (n, _) if baseline.get(n).exists(b => best(n) > 2.0 * b) => n
     }
@@ -132,8 +157,10 @@ object Bench {
         s"""{"q":"$n","rep":$r,"sec":${fmt(s)},"load":${fmt(l)},"at":$t}"""
       }.mkString("[", ",", "]")
       val over = overGate.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val nq = neverQuiet.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$queries,""" +
-        s""""ratio_vs_baseline":$ratioJson,"over_gate":$over,"reps":$reps,"sf":"$sfDir"}"""
+        s""""ratio_vs_baseline":$ratioJson,"over_gate":$over,""" +
+        s""""quiet_gate":$quietN,"never_quiet":$nq,"reps":$reps,"sf":"$sfDir"}"""
     }
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
