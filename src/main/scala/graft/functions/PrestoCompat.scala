@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -156,8 +157,13 @@ object PrestoCompat {
     // Presto TRY(expr) special form (reference axiom/sql/presto/ast/
     // AstFunctions.h:190; Expr.h:292-299 — null on runtime failure of the
     // child). Lowered by the dialect parser onto Catalyst's codegen'd
-    // TryEval, the same kernel behind Spark's try_add/try_divide.
-    "graft_try" -> { es: Seq[Expression] => TryEval(es.head) },
+    // GraftTry: the TryEval kernel (null on runtime error), but as a
+    // graft-owned expression class. Spark's optimizer pushes ITS TryEval
+    // into CaseWhen branch VALUES, leaving branch CONDITIONS unguarded —
+    // under ANSI a throwing condition (e.g. the quantified-comparison
+    // lowering's `operand <op> extreme` test) then escapes the TRY. A
+    // class no rule recognizes keeps the whole child inside the guard.
+    "graft_try" -> { es: Seq[Expression] => GraftTry(es.head) },
     // Presto none_match(arr, λ) — no Spark name; forall with the negated
     // lambda body (the analyzer requires the lambda's direct parent to be
     // a higher-order function, so NOT(exists(...)) can't be the shape).
@@ -295,10 +301,15 @@ object PrestoCompat {
     // is implemented; other languages refuse loudly rather than stem with
     // the wrong rules.
     "word_stem" -> { es: Seq[Expression] =>
-      if (es.length >= 2) es(1) match {
-        case Literal(s: UTF8String, StringType) if s.toString == "en" => WordStem(es(0))
-        case other => throw new IllegalArgumentException(
-          s"word_stem: only language 'en' is supported, got $other")
+      if (es.length >= 2) {
+        // Fold any constant expression (not just a bare literal) before
+        // matching; a non-foldable language defers the check to eval
+        // time so expression-valued 'en' works (round-10 ADVICE).
+        if (es(1).foldable) es(1).eval(null) match {
+          case s: UTF8String if s.toString == "en" => WordStem(es(0))
+          case other => throw new IllegalArgumentException(
+            s"word_stem: only language 'en' is supported, got $other")
+        } else WordStemLang(es(0), es(1))
       } else WordStem(es.head) },
     "cardinality" -> { es: Seq[Expression] => PrestoCardinality(es.head) },
     // Presto set_agg(x): the group's distinct values as an array. Presto
@@ -325,9 +336,13 @@ object PrestoCompat {
         "approx_set: the max-standard-error argument is not supported; " +
           "the default (~1.6%, lgK=12) is always used")
       new aggregate.HllSketchAgg(es.head).toAggregateExpression() },
-    // Presto merge(hll) → union of the group's sketches.
+    // Presto merge(sketch) is overloaded over HLL, qdigest and tdigest;
+    // only HLL (the approx_set representation) is implemented here. The
+    // checked wrapper turns a foreign sketch binary into a clear error
+    // naming the supported type instead of an opaque datasketches
+    // deserialization failure (round-10 ADVICE).
     "merge" -> { es: Seq[Expression] =>
-      new aggregate.HllUnionAgg(es.head).toAggregateExpression() },
+      new aggregate.HllUnionAgg(HllSketchChecked(es.head)).toAggregateExpression() },
     // Presto reduce_agg(x, s0, merge_in, merge_states): fold the group
     // through the input lambda. Lowered onto one collected list folded by
     // the codegen'd aggregate HOF — the same one-collected-list shape as
@@ -335,6 +350,12 @@ object PrestoCompat {
     // with a single per-group list there is nothing to combine, which is
     // semantics-preserving exactly because Presto requires the combiner
     // to be consistent with the input function (associativity contract).
+    // SCALE CAVEAT (round-10 ADVICE): collect_list materializes each
+    // group before folding, so per-group memory is O(group size) — one
+    // hot group can exhaust an executor at 100 TB. Presto's own
+    // reduce_agg carries the same hazard (its state is built per group
+    // in memory); for unbounded groups prefer a dedicated partial
+    // aggregate (sum/min/max/approx sketches) over reduce_agg.
     "reduce_agg" -> { es: Seq[Expression] =>
       val fin = UnresolvedNamedLambdaVariable(Seq("__ra_s"))
       ArrayAggregate(
@@ -359,17 +380,26 @@ object PrestoCompat {
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    // NULL ELEMENTS nullify the result even when both containers are
+    // non-null, so nullability cannot be derived from the children.
+    override def nullable: Boolean = true
     override def prettyName: String = "cosine_similarity"
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-      def ok(t: DataType) = t match {
+      def arr(t: DataType) = t match {
         case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      def mp(t: DataType) = t match {
         case MapType(StringType, DoubleType, _) => true
         case _ => false
       }
-      if (ok(left.dataType) && ok(right.dataType))
+      // Both sides must be the SAME kind — a mixed array/map call is an
+      // analysis-time error, not a runtime one (round-10 ADVICE).
+      if ((arr(left.dataType) && arr(right.dataType)) ||
+          (mp(left.dataType) && mp(right.dataType)))
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_similarity expects array<double> or map<string,double> on both sides, " +
+        s"cosine_similarity expects both sides array<double> or both map<string,double>, " +
           s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -390,6 +420,8 @@ object PrestoCompat {
               s"(${x.numElements()} vs ${y.numElements()})")
         var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
         while (i < x.numElements()) {
+          // a NULL element nullifies the whole result, as in Presto
+          if (x.isNullAt(i) || y.isNullAt(i)) return null
           val xv = num(x.get(i, et)); val yv = num(y.get(i, ft))
           dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
         }
@@ -398,10 +430,13 @@ object PrestoCompat {
             y: org.apache.spark.sql.catalyst.util.MapData) =>
         def toMap(m: org.apache.spark.sql.catalyst.util.MapData): Map[String, Double] = {
           val ks = m.keyArray(); val vs = m.valueArray()
-          (0 until m.numElements()).map(i =>
-            ks.getUTF8String(i).toString -> num(vs.get(i, DoubleType))).toMap
+          (0 until m.numElements()).map { i =>
+            if (vs.isNullAt(i)) return null // NULL value nullifies, as in Presto
+            ks.getUTF8String(i).toString -> num(vs.get(i, DoubleType))
+          }.toMap
         }
         val mx = toMap(x); val my = toMap(y)
+        if (mx == null || my == null) return null
         val dot = mx.iterator.map { case (k, v) => v * my.getOrElse(k, 0.0) }.sum
         val nx = math.sqrt(mx.valuesIterator.map(v => v * v).sum)
         val ny = math.sqrt(my.valuesIterator.map(v => v * v).sum)
@@ -425,6 +460,74 @@ object PrestoCompat {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
     override def nullSafeEval(v: Any): Any =
       UTF8String.fromString(PorterStemmer.stem(v.asInstanceOf[UTF8String].toString))
+  }
+
+  /** Presto TRY(expr): NULL on runtime error. Semantically Spark's
+    * TryEval, re-implemented as a graft-owned class so no optimizer rule
+    * redistributes it over conditional branches (see the graft_try
+    * builder note); the codegen is the standard try/catch wrap around
+    * the child's generated code. */
+  case class GraftTry(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = child.dataType
+    override def nullable: Boolean = true
+    override def prettyName: String = "try"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+      try child.eval(input) catch { case scala.util.control.NonFatal(_) => null }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val childGen = child.genCode(ctx)
+      val javaType = CodeGenerator.javaType(dataType)
+      ev.copy(code = code"""
+        boolean ${ev.isNull} = true;
+        $javaType ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+        try {
+          ${childGen.code}
+          ${ev.isNull} = ${childGen.isNull};
+          ${ev.value} = ${childGen.value};
+        } catch (Exception e) {
+          ${ev.isNull} = true;
+        }""")
+    }
+  }
+
+  /** Validates that a binary column holds a datasketches HLL sketch
+    * before it reaches HllUnionAgg, converting an opaque deserialization
+    * error into one that names the supported sketch type. Identity on
+    * valid input; merge() groups hold few sketches, so the extra
+    * heapify is off the hot path. */
+  case class HllSketchChecked(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "hll_checked"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      try org.apache.datasketches.hll.HllSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(b))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          "merge: only HyperLogLog sketches (approx_set) are supported; " +
+            "qdigest/tdigest binaries are not implemented", e)
+      }
+      b
+    }
+  }
+
+  /** word_stem with a non-constant language argument: the 'en'-only
+    * check happens per row at eval time (constants are folded at plan
+    * time in the builder above). */
+  case class WordStemLang(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "word_stem"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def nullSafeEval(w: Any, lang: Any): Any = {
+      if (lang.asInstanceOf[UTF8String].toString != "en")
+        throw new IllegalArgumentException(
+          s"word_stem: only language 'en' is supported, got $lang")
+      UTF8String.fromString(PorterStemmer.stem(w.asInstanceOf[UTF8String].toString))
+    }
   }
 
   /** Presto cardinality — one name over container sizes AND HyperLogLog

@@ -576,6 +576,24 @@ object Presto {
        FROM orders
        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)"""
 
+  /** TRY around quantified comparisons (round-10 VERDICT #7): the CASE
+    * lowering's operand evaluates inside TryEval, so a runtime error
+    * (ANSI mod-by-zero here) yields NULL per row while clean rows get
+    * the exact quantified semantics. DuckDB runs ANY/ALL natively and
+    * its mod(x, 0) is NULL, which propagates to the same NULLs. */
+  val tryQuantifiedPresto: String =
+    """SELECT o_orderkey,
+         CAST(TRY(mod(100, o_orderkey % 7) > ALL (SELECT v FROM (VALUES (1), (2), (3)) t(v))) AS VARCHAR) AS all_gt,
+         CAST(TRY(mod(100, o_orderkey % 7) < ANY (SELECT v FROM (VALUES (5), (50)) t(v))) AS VARCHAR) AS any_lt
+       FROM orders WHERE o_orderkey < 300"""
+  // booleans travel as VARCHAR so a NULL (caught error) stays distinct
+  // from FALSE under the driver's canonicalized hash compare
+  val tryQuantifiedOracle: String =
+    """SELECT o_orderkey,
+         CAST(mod(100, o_orderkey % 7) > ALL (SELECT v FROM (VALUES (1), (2), (3)) t(v)) AS VARCHAR) AS all_gt,
+         CAST(mod(100, o_orderkey % 7) < ANY (SELECT v FROM (VALUES (5), (50)) t(v)) AS VARCHAR) AS any_lt
+       FROM orders WHERE o_orderkey < 300"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -603,5 +621,6 @@ object Presto {
     ("presto_hll_distinct", run(hllPresto) _, hllOracle),
     ("presto_set_ops", run(setOpsPresto) _, setOpsOracle),
     ("presto_grouping_sets", run(groupingSetsPresto) _, groupingSetsOracle),
-    ("presto_window", run(windowPresto) _, windowOracle))
+    ("presto_window", run(windowPresto) _, windowOracle),
+    ("presto_try_quantified", run(tryQuantifiedPresto) _, tryQuantifiedOracle))
 }

@@ -312,6 +312,40 @@ class FunctionParitySpec extends SparkSpec {
     assert(err.getMessage.contains("same length"), err.getMessage)
   }
 
+  test("round-10 ADVICE hardening: word_stem lang folding, cosine kind/NULL checks, merge error") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    // constant EXPRESSION (not a bare literal) language folds at plan time
+    val f = p("SELECT word_stem('generalizations', lower('EN')) AS a")
+    assert(f.getString(0) == "gener", f.toString)
+    // non-foldable language defers to eval time and still works for 'en'
+    val d = p("SELECT word_stem('oscillators', substr(lang, 1, 2)) AS a " +
+      "FROM (SELECT 'en-US' AS lang)")
+    assert(d.getString(0) == "oscil", d.toString)
+    val err = intercept[Exception] {
+      p("SELECT word_stem('haus', substr(lang, 1, 2)) AS a FROM (SELECT 'de-DE' AS lang)")
+    }
+    assert(err.getMessage.contains("only language 'en'"), err.getMessage)
+    // mixed array/map cosine is an ANALYSIS error now, not runtime
+    val mixed = intercept[Exception] {
+      p("SELECT cosine_similarity(ARRAY[1.0D], map(CAST('a' AS STRING), 1.0D)) AS x")
+    }
+    assert(mixed.getMessage.contains("both sides"), mixed.getMessage)
+    // NULL elements nullify the result (Presto NULL propagation)
+    val nul = p("""SELECT
+      cosine_similarity(ARRAY[1.0D, CAST(NULL AS DOUBLE)], ARRAY[1.0D, 2.0D]) AS a,
+      cosine_similarity(map(CAST('a' AS STRING), CAST(NULL AS DOUBLE)),
+                        map(CAST('a' AS STRING), 1.0D)) AS m""")
+    assert(nul.isNullAt(0) && nul.isNullAt(1), nul.toString)
+    // merge() of a non-HLL binary names the supported sketch type
+    val m = intercept[Exception] {
+      p("SELECT cardinality(merge(b)) AS n FROM (SELECT CAST('junk' AS BINARY) AS b)")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => String.valueOf(e.getMessage) +: messages(e.getCause))
+    assert(messages(m).exists(_.contains("only HyperLogLog")), messages(m).mkString(" | "))
+  }
+
   test("cardinality dispatches: container size (INT) vs HLL estimate (BIGINT)") {
     import graft.sql.PrestoRewriter
     // container path keeps Spark size semantics (INT — existing callers)

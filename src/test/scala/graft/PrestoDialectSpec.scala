@@ -487,6 +487,21 @@ class PrestoDialectSpec extends SparkSpec {
     assert(b("abs(-9) > ALL (SELECT * FROM (VALUES (3), (8)) t(v))") == true)
   }
 
+  test("TRY composes with quantified comparisons: operand errors become NULL") {
+    def b(expr: String): Any = presto(s"SELECT $expr AS r").head().get(0)
+    // ANSI mod-by-zero inside the operand is caught by TryEval → NULL
+    assert(b("TRY(mod(1, 0) > ALL (SELECT * FROM (VALUES (1)) t(v)))") == null)
+    assert(b("TRY(mod(1, 0) < ANY (SELECT * FROM (VALUES (1)) t(v)))") == null)
+    // clean rows keep the exact quantified semantics through TRY
+    assert(b("TRY(4 > ALL (SELECT * FROM (VALUES (1), (3)) t(v)))") == true)
+    assert(b("TRY(4 > ANY (SELECT * FROM (VALUES (9)) t(v)))") == false)
+    // empty set: the CASE lowering short-circuits on count()=0, so the
+    // operand is never evaluated and the quantifier identity wins —
+    // documented stance (lazy operand, like CASE itself).
+    assert(b("TRY(mod(1, 0) > ALL (SELECT 1 WHERE false))") == true)
+    assert(b("TRY(mod(1, 0) > ANY (SELECT 1 WHERE false))") == false)
+  }
+
   test("GROUPING SETS / ROLLUP / CUBE text survives the rewriter untouched") {
     // Reference grammar parses all three (PrestoSql.g4:284-290); Spark's
     // syntax is compatible, so the dialect must pass them through with
