@@ -343,30 +343,20 @@ object PrestoCompat {
     // deserialization failure (round-10 ADVICE).
     "merge" -> { es: Seq[Expression] =>
       new aggregate.HllUnionAgg(HllSketchChecked(es.head)).toAggregateExpression() },
-    // Presto reduce_agg(x, s0, merge_in, merge_states): fold the group
-    // through the input lambda. Lowered onto one collected list folded by
-    // the codegen'd aggregate HOF — the same one-collected-list shape as
-    // multimap_agg. The state-combiner lambda is accepted but unused:
-    // with a single per-group list there is nothing to combine, which is
-    // semantics-preserving exactly because Presto requires the combiner
-    // to be consistent with the input function (associativity contract).
-    // SCALE CAVEAT (round-10 ADVICE): collect_list materializes each
-    // group before folding, so per-group memory is O(group size) — one
-    // hot group can exhaust an executor at 100 TB. Presto's own
-    // reduce_agg carries the same hazard (its state is built per group
-    // in memory); for unbounded groups prefer a dedicated partial
-    // aggregate (sum/min/max/approx sketches) over reduce_agg.
+    // Presto reduce_agg(x, s0, merge_in, merge_states): a TRUE partial
+    // aggregate — per-group state is ONE value of the initial-state
+    // type, updated by the input lambda and merged across partials by
+    // the state-combiner lambda (see [[ReduceAgg]]). Replaces the
+    // round-9 collect_list fold, whose O(group) per-group memory was
+    // the last OOM-shaped operator at 100 TB (round-10 ADVICE).
+    // NOTE: returns the HOF PLACEHOLDER — the analyzer only admits
+    // lambda children when the built expression is itself a
+    // HigherOrderFunction; ReduceAggResolution lowers the bound
+    // placeholder to the aggregate (see ReduceAgg.scala).
     "reduce_agg" -> { es: Seq[Expression] =>
-      val fin = UnresolvedNamedLambdaVariable(Seq("__ra_s"))
-      ArrayAggregate(
-        new aggregate.CollectList(es(0)).toAggregateExpression(),
-        es(1),
-        es(2) match {
-          case l: LambdaFunction => l
-          case other => throw new IllegalArgumentException(
-            s"reduce_agg: third argument must be a lambda, got $other")
-        },
-        LambdaFunction(fin, Seq(fin)))
+      if (es.length != 4) throw new IllegalArgumentException(
+        s"reduce_agg(input, initialState, inputFn, combineFn) takes 4 arguments, got ${es.length}")
+      ReduceAggCall(es(0), es(1), es(2), es(3))
     })
 
   private def urlPart(url: Expression, part: String): Expression =

@@ -166,6 +166,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // a side whose installed stats already broadcast needs NO hint, and
     // leaving JoinHint.NONE is what lets CostBasedJoinReorder (the
     // reference's join-order DP analogue) run on the join.
+    // reduce_agg's two-step resolution: the HOF placeholder (lambda
+    // binding) lowers to the DeclarativeAggregate once resolved.
+    ext.injectResolutionRule(new graft.functions.ReduceAggResolution(_))
     ext.injectOptimizerRule(new CardinalityStatsRule(_))
     ext.injectOptimizerRule(new HistoryStatsRule(_))
     ext.injectOptimizerRule(new JsonConsolidationRule(_))

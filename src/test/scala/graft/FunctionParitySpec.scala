@@ -346,6 +346,40 @@ class FunctionParitySpec extends SparkSpec {
     assert(messages(m).exists(_.contains("only HyperLogLog")), messages(m).mkString(" | "))
   }
 
+  test("reduce_agg is a true partial aggregate: O(1) state, combiner exercised (round 11)") {
+    import graft.sql.PrestoRewriter
+    // correctness: fold == sum, through shuffle partials
+    val df = PrestoRewriter.sql(spark, sfDir,
+      """SELECT o_orderpriority,
+           round(reduce_agg(o_totalprice, CAST(0 AS DOUBLE), (s, x) -> s + x, (a, b) -> a + b), 2) AS total
+         FROM orders GROUP BY o_orderpriority""")
+    val got = df.collect().map(r => r.getString(0) -> math.round(r.getDouble(1))).toMap
+    val want = Tables(spark, sfDir).orders
+      .groupBy(org.apache.spark.sql.functions.col("o_orderpriority"))
+      .agg(org.apache.spark.sql.functions.sum("o_totalprice").as("t"))
+      .collect().map(r => r.getString(0) -> math.round(r.getDouble(1))).toMap
+    assert(got == want)
+    // plan shape: declarative HashAggregate partial+final, no per-group
+    // collect_list materialization (the round-9 O(group) lowering)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.toLowerCase.contains("collect_list"), plan)
+    // NULL inputs are ignored, as in Presto
+    val n = PrestoRewriter.sql(spark, sfDir,
+      """SELECT reduce_agg(v, CAST(0 AS INT), (s, x) -> s + x, (a, b) -> a + b) AS r
+         FROM (VALUES (1), (CAST(NULL AS INT)), (2)) t(v)""").head()
+    assert(n.getInt(0) == 3, n.toString)
+    // the state COMBINER is genuinely exercised: an input lambda that
+    // ignores its input keeps every partial at s0=1; the final buffer
+    // initializes to 1 and merges k>=1 partials with (a,b) -> a + b, so
+    // a result > 1 is only reachable through mergeExpressions (the old
+    // collect_list fold, which never ran the combiner, returns exactly 1)
+    val c = PrestoRewriter.sql(spark, sfDir,
+      """SELECT reduce_agg(o_orderkey, CAST(1 AS BIGINT), (s, x) -> s, (a, b) -> a + b) AS r
+         FROM orders""").head()
+    assert(c.getLong(0) > 1L, s"combiner never ran: ${c.getLong(0)}")
+  }
+
   test("cardinality dispatches: container size (INT) vs HLL estimate (BIGINT)") {
     import graft.sql.PrestoRewriter
     // container path keeps Spark size semantics (INT — existing callers)
