@@ -159,6 +159,10 @@ object Registry {
       "approx_set" -> FnMeta("approx_set", isAggregate = true, cost = 2.0),
       "merge" -> FnMeta("merge", isAggregate = true, cost = 2.0),
       "reduce_agg" -> FnMeta("reduce_agg", isAggregate = true, cost = 4.0),
+      // round-11: quantile sketch family (KLL-backed qdigest analogue)
+      "qdigest_agg" -> FnMeta("qdigest_agg", isAggregate = true, cost = 2.0),
+      "value_at_quantile" -> FnMeta("value_at_quantile", cost = 2.0),
+      "quantile_at_value" -> FnMeta("quantile_at_value", cost = 2.0),
       // Presto split_to_map(s, entryDelim, kvDelim) ≡ Spark str_to_map
       // (same argument order).
       "split_to_map" -> FnMeta("str_to_map"))

@@ -594,6 +594,46 @@ object Presto {
          CAST(mod(100, o_orderkey % 7) < ANY (SELECT v FROM (VALUES (5), (50)) t(v)) AS VARCHAR) AS any_lt
        FROM orders WHERE o_orderkey < 300"""
 
+  /** Quantile sketches (round 11): qdigest_agg / value_at_quantile /
+    * quantile_at_value, KLL-backed. Groups of ~155 rows at sf0.01 stay
+    * under the sketch's k=200, so the sketch is in EXACT mode and the
+    * inclusive-rank semantics equal `min(v) where cume_dist >= q` — the
+    * DuckDB oracle computes exactly that. */
+  val qdigestPresto: String =
+    """SELECT o_custkey % 97 AS g,
+         round(value_at_quantile(qdigest_agg(o_totalprice), 0.5), 2) AS p50,
+         round(value_at_quantile(qdigest_agg(o_totalprice), 0.95), 2) AS p95,
+         round(quantile_at_value(qdigest_agg(o_totalprice), 10000.0), 4) AS r10k,
+         CAST(count(*) AS BIGINT) AS n
+       FROM orders GROUP BY o_custkey % 97"""
+  val qdigestOracle: String =
+    """WITH r AS (SELECT o_custkey % 97 AS g, o_totalprice AS v,
+                  cume_dist() OVER (PARTITION BY o_custkey % 97 ORDER BY o_totalprice) AS cd
+           FROM orders)
+       SELECT g,
+         round(min(CASE WHEN cd >= 0.5 THEN v END), 2) AS p50,
+         round(min(CASE WHEN cd >= 0.95 THEN v END), 2) AS p95,
+         round(CAST(sum(CASE WHEN v <= 10000.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS r10k,
+         CAST(count(*) AS BIGINT) AS n
+       FROM r GROUP BY g"""
+
+  /** merge() over quantile sketches (the overload the reference's Presto
+    * registry carries): sub-aggregate per bucket, union the sketches,
+    * read the merged quantiles. 180 total rows <= k keeps the merged
+    * sketch exact. merge() over HLL stays covered by presto_hll_distinct
+    * — same function, runtime family dispatch. */
+  val qdigestMergePresto: String =
+    """SELECT round(value_at_quantile(merge(s), 0.5), 2) AS p50m,
+              round(value_at_quantile(merge(s), 0.9), 2) AS p90m
+       FROM (SELECT qdigest_agg(o_totalprice) AS s FROM orders
+             WHERE o_orderkey < 180 GROUP BY o_orderkey % 4) t"""
+  val qdigestMergeOracle: String =
+    """WITH r AS (SELECT o_totalprice AS v, cume_dist() OVER (ORDER BY o_totalprice) AS cd
+           FROM orders WHERE o_orderkey < 180)
+       SELECT round(min(CASE WHEN cd >= 0.5 THEN v END), 2) AS p50m,
+              round(min(CASE WHEN cd >= 0.9 THEN v END), 2) AS p90m
+       FROM r"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -622,5 +662,7 @@ object Presto {
     ("presto_set_ops", run(setOpsPresto) _, setOpsOracle),
     ("presto_grouping_sets", run(groupingSetsPresto) _, groupingSetsOracle),
     ("presto_window", run(windowPresto) _, windowOracle),
-    ("presto_try_quantified", run(tryQuantifiedPresto) _, tryQuantifiedOracle))
+    ("presto_try_quantified", run(tryQuantifiedPresto) _, tryQuantifiedOracle),
+    ("presto_qdigest", run(qdigestPresto) _, qdigestOracle),
+    ("presto_qdigest_merge", run(qdigestMergePresto) _, qdigestMergeOracle))
 }

@@ -337,13 +337,13 @@ class FunctionParitySpec extends SparkSpec {
       cosine_similarity(map(CAST('a' AS STRING), CAST(NULL AS DOUBLE)),
                         map(CAST('a' AS STRING), 1.0D)) AS m""")
     assert(nul.isNullAt(0) && nul.isNullAt(1), nul.toString)
-    // merge() of a non-HLL binary names the supported sketch type
+    // merge() of a non-sketch binary names the supported sketch families
     val m = intercept[Exception] {
       p("SELECT cardinality(merge(b)) AS n FROM (SELECT CAST('junk' AS BINARY) AS b)")
     }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e => String.valueOf(e.getMessage) +: messages(e.getCause))
-    assert(messages(m).exists(_.contains("only HyperLogLog")), messages(m).mkString(" | "))
+    assert(messages(m).exists(_.contains("HyperLogLog")), messages(m).mkString(" | "))
   }
 
   test("reduce_agg is a true partial aggregate: O(1) state, combiner exercised (round 11)") {
@@ -378,6 +378,44 @@ class FunctionParitySpec extends SparkSpec {
       """SELECT reduce_agg(o_orderkey, CAST(1 AS BIGINT), (s, x) -> s, (a, b) -> a + b) AS r
          FROM orders""").head()
     assert(c.getLong(0) > 1L, s"combiner never ran: ${c.getLong(0)}")
+  }
+
+  test("quantile sketches: exact-mode parity, inverse reader, merge family dispatch (round 11)") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    // exact mode (n <= k): sketch quantile == exact inclusive-rank quantile
+    val e = p("""SELECT
+        value_at_quantile(qdigest_agg(CAST(v AS DOUBLE)), 0.5) AS p50,
+        value_at_quantile(qdigest_agg(CAST(v AS DOUBLE)), 1.0) AS p100,
+        value_at_quantile(qdigest_agg(CAST(v AS DOUBLE)), 0.0) AS p0,
+        quantile_at_value(qdigest_agg(CAST(v AS DOUBLE)), 5.0) AS r5
+      FROM (SELECT explode(sequence(1, 10)) AS v)""")
+    assert(e.getDouble(0) == 5.0 && e.getDouble(1) == 10.0 && e.getDouble(2) == 1.0, e.toString)
+    assert(e.getDouble(3) == 0.5, e.toString)
+    // merge() dispatches BOTH families at runtime: HLL estimate and
+    // merged-KLL quantile from the same function name
+    val m = p("""SELECT
+        cardinality(merge(h)) AS nd,
+        value_at_quantile(merge(q), 0.5) AS med
+      FROM (SELECT approx_set(v % 7) AS h, qdigest_agg(CAST(v AS DOUBLE)) AS q
+            FROM (SELECT explode(sequence(1, 100)) AS v) GROUP BY v % 5)""")
+    assert(m.getLong(0) == 7L, m.toString)
+    assert(m.getDouble(1) == 50.0, m.toString) // 100 values <= k: exact merge
+    // mixed families in one merge group fail with a clear error
+    val err = intercept[Exception] {
+      p("""SELECT merge(s) FROM (
+             SELECT approx_set(1) AS s
+             UNION ALL SELECT qdigest_agg(CAST(1 AS DOUBLE)) AS s)""")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(err).exists(_.contains("mixed sketch families")), messages(err).mkString(" | "))
+    // non-sketch binary still names the supported families
+    val err2 = intercept[Exception] {
+      p("SELECT merge(b) AS n FROM (SELECT CAST('junk' AS BINARY) AS b)")
+    }
+    assert(messages(err2).exists(m => m.contains("HyperLogLog") || m.contains("KLL")),
+      messages(err2).mkString(" | "))
   }
 
   test("cardinality dispatches: container size (INT) vs HLL estimate (BIGINT)") {
