@@ -349,6 +349,13 @@ object PrestoCompat {
       if (es.length > 1) throw new IllegalArgumentException(
         "qdigest_agg: the weight/accuracy overloads are not supported")
       QuantileSketch.KllAgg(asDouble(es.head)).toAggregateExpression() },
+    // Presto tdigest_agg: same bounded-memory streaming-quantile
+    // contract; both sketch names share the KLL backing here, so
+    // value_at_quantile / quantile_at_value / merge read either.
+    "tdigest_agg" -> { es: Seq[Expression] =>
+      if (es.length > 1) throw new IllegalArgumentException(
+        "tdigest_agg: the weight overload is not supported")
+      QuantileSketch.KllAgg(asDouble(es.head)).toAggregateExpression() },
     "value_at_quantile" -> { es: Seq[Expression] =>
       QuantileSketch.ValueAtQuantile(es(0), asDouble(es(1))) },
     "quantile_at_value" -> { es: Seq[Expression] =>

@@ -161,6 +161,7 @@ object Registry {
       "reduce_agg" -> FnMeta("reduce_agg", isAggregate = true, cost = 4.0),
       // round-11: quantile sketch family (KLL-backed qdigest analogue)
       "qdigest_agg" -> FnMeta("qdigest_agg", isAggregate = true, cost = 2.0),
+      "tdigest_agg" -> FnMeta("tdigest_agg", isAggregate = true, cost = 2.0),
       "value_at_quantile" -> FnMeta("value_at_quantile", cost = 2.0),
       "quantile_at_value" -> FnMeta("quantile_at_value", cost = 2.0),
       // Presto split_to_map(s, entryDelim, kvDelim) ≡ Spark str_to_map
