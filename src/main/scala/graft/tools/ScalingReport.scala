@@ -39,7 +39,10 @@ object ScalingReport {
     ("text_dup_span_excise", "same anchors + per-doc window"),
     ("text_dup_span_cut", "excision islands + per-doc stitch join"),
     ("stream_tumbling", "bounded replay: micro-batch stream, complete-mode agg"),
-    ("layout_zorder_indexed_read", "write: range shuffle; read: manifest-pruned scan"))
+    ("layout_zorder_indexed_read", "write: range shuffle; read: manifest-pruned scan"),
+    ("mm_decode_features", "linear (per-row PNG codec, no shuffle)"),
+    ("mm_frame_sample", "linear in sampled frames (positions exploded first)"),
+    ("presto_qdigest", "linear scan + bounded KLL state per group"))
 
   def main(args: Array[String]): Unit = {
     val sfs = Seq("0.001", "0.01", "0.1")
