@@ -634,6 +634,22 @@ object Presto {
               round(min(CASE WHEN cd >= 0.9 THEN v END), 2) AS p90m
        FROM r"""
 
+  /** CORRELATED quantified comparisons (round 11): the same CASE-over-
+    * scalar-aggregates lowering, with the correlation left inside the
+    * spliced subqueries — Spark's subquery decorrelation turns each into
+    * an aggregated outer join (count-bug-correct: an outer row with no
+    * matches sees count 0 and hits the quantifier identity). The
+    * reference NYIs ALL quantified comparisons; DuckDB runs the
+    * correlated forms natively as the oracle. The l_quantity > 30 filter
+    * makes some inner sets EMPTY so the identity branch is exercised. */
+  val quantifiedCorrPresto: String =
+    """SELECT o_orderkey,
+         CAST(o_totalprice > ALL (SELECT l_extendedprice * 20 FROM lineitem l
+                                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 30) AS VARCHAR) AS gt_all,
+         CAST(o_totalprice < ANY (SELECT l_extendedprice FROM lineitem l
+                                  WHERE l.l_orderkey = o.o_orderkey) AS VARCHAR) AS lt_any
+       FROM orders o WHERE o_orderkey < 300"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -664,5 +680,6 @@ object Presto {
     ("presto_window", run(windowPresto) _, windowOracle),
     ("presto_try_quantified", run(tryQuantifiedPresto) _, tryQuantifiedOracle),
     ("presto_qdigest", run(qdigestPresto) _, qdigestOracle),
-    ("presto_qdigest_merge", run(qdigestMergePresto) _, qdigestMergeOracle))
+    ("presto_qdigest_merge", run(qdigestMergePresto) _, qdigestMergeOracle),
+    ("presto_quantified_corr", run(quantifiedCorrPresto) _, quantifiedCorrPresto))
 }

@@ -603,9 +603,10 @@ object PrestoDialect {
     *    and remaining NULL elements or a NULL operand yield NULL.
     * The operand splices more than once — SQL expressions are pure, and
     * Spark's ReuseSubquery dedupes the repeated scalar subqueries.
-    * Uncorrelated subqueries only: a correlated one fails loudly at
-    * analysis (outer reference from a scalar-aggregate subquery), never
-    * silently wrong. */
+    * CORRELATED subqueries work too (round 11): the correlation rides
+    * inside the spliced scalar aggregates, which Spark decorrelates
+    * into aggregated outer joins — count-bug-correct, so an outer row
+    * with no matches hits the empty-set quantifier identity. */
   private[sql] def rewriteQuantifiedCmp(toks: Vector[Tok]): Vector[Tok] = {
     val cmpOps = Set("=", "<>", "!=", "<", "<=", ">", ">=")
     val edits = mutable.ArrayBuffer.empty[(Int, Int, String)]

@@ -487,6 +487,33 @@ class PrestoDialectSpec extends SparkSpec {
     assert(b("abs(-9) > ALL (SELECT * FROM (VALUES (3), (8)) t(v))") == true)
   }
 
+  test("CORRELATED quantified comparisons decorrelate with exact semantics (round 11)") {
+    // The reference NYIs all quantified comparisons; Spark has no native
+    // syntax; the CASE lowering carries the correlation inside the
+    // spliced scalar aggregates. Pins: per-row witness/counterexample,
+    // EMPTY correlated set (count-bug correctness → quantifier
+    // identity), NULL inner elements.
+    val df = presto(
+      """SELECT k,
+           k > ALL (SELECT v FROM (VALUES (1, 1), (1, 2), (3, 9)) s(g, v) WHERE s.g = t.k) AS gt_all,
+           k = ANY (SELECT v FROM (VALUES (1, 1), (1, 2), (3, 9)) s(g, v) WHERE s.g = t.k) AS eq_any
+         FROM (VALUES (1), (2), (3)) t(k) ORDER BY k""")
+    val rows = df.collect().map(r => (r.getInt(0), r.get(1), r.get(2)))
+    // k=1: inner {1,2} → 1 > ALL false; 1 = ANY true
+    // k=2: inner EMPTY → > ALL TRUE (identity), = ANY FALSE (identity)
+    // k=3: inner {9} → 3 > ALL false; 3 = ANY false
+    assert(rows.toSeq == Seq((1, false, true), (2, true, false), (3, false, false)), rows.mkString(","))
+    // NULL inner element in a correlated set: definite counterexample
+    // still wins; otherwise NULL
+    val n = presto(
+      """SELECT k,
+           k > ALL (SELECT v FROM (VALUES (1, CAST(NULL AS INT)), (1, 9), (2, CAST(NULL AS INT)), (2, 1)) s(g, v)
+                    WHERE s.g = t.k) AS r
+         FROM (VALUES (1), (2)) t(k) ORDER BY k""")
+    val nr = n.collect().map(r => (r.getInt(0), r.get(1)))
+    assert(nr.toSeq == Seq((1, false), (2, null)), nr.mkString(","))
+  }
+
   test("TRY composes with quantified comparisons: operand errors become NULL") {
     def b(expr: String): Any = presto(s"SELECT $expr AS r").head().get(0)
     // ANSI mod-by-zero inside the operand is caught by TryEval → NULL
