@@ -36,7 +36,17 @@ class DifferentialSpec extends SparkSpec {
       t.spark, t.sfDir, graft.queries.Presto.recursivePresto)),
     // round-10: manifest-pruned temporal z-order read — the FileIndex
     // prune decision must never change the row set under any config
-    ("zorder-date-read", graft.sources.ZOrder.zorderDateIndexedRead _))
+    ("zorder-date-read", graft.sources.ZOrder.zorderDateIndexedRead _),
+    // round-11: real-codec multimodal decode (mapPartitions + ImageIO):
+    // codec output must be bit-identical under every engine config
+    ("mm-decode", graft.llm.Multimodal.mmDecodeFeatures _),
+    // round-11: KLL sketch aggregate — merge order varies with
+    // partitioning, but exact-mode quantiles must not
+    ("qdigest", (t: Tables) => graft.sql.PrestoRewriter.sql(
+      t.spark, t.sfDir, graft.queries.Presto.qdigestPresto)),
+    // round-11: correlated quantified comparison (decorrelation path)
+    ("quantified-corr", (t: Tables) => graft.sql.PrestoRewriter.sql(
+      t.spark, t.sfDir, graft.queries.Presto.quantifiedCorrPresto)))
 
   private def rows(s: SparkSession, fn: Tables => org.apache.spark.sql.DataFrame): Set[String] =
     fn(Tables(s, sfDir)).collect().map(_.mkString("|")).toSet
