@@ -830,6 +830,11 @@ object PrestoDialect {
   /** `SHOW STATS FOR t` / `SHOW STATS FOR (query)` (PrestoSql.g4:139-140);
     * `target` is the table name or the inner query text. */
   final case class ShowStatsStmt(target: String, isQuery: Boolean) extends StatementAction
+  /** SHOW FUNCTIONS [LIKE pattern [ESCAPE esc]] (PrestoSql.g4:145-146):
+    * lists the graft function REGISTRY (Presto name, Spark lowering,
+    * scalar/aggregate kind, determinism, relative cost). */
+  final case class ShowFunctionsStmt(like: Option[String], escape: Option[String])
+    extends StatementAction
   /** `EXPLAIN ANALYZE [VERBOSE] query` (PrestoSql.g4:126) — execute and
     * annotate the plan with measured per-operator metrics. */
   final case class ExplainAnalyzeStmt(body: String, verbose: Boolean) extends StatementAction
@@ -894,10 +899,29 @@ object PrestoDialect {
           if (body.nonEmpty) Some(ExplainAnalyzeStmt(body, verbose)) else None
         }
       case "show" =>
-        // only SHOW STATS FOR …; every other SHOW passes through to Spark
+        // SHOW STATS FOR … and SHOW FUNCTIONS [LIKE 'p' [ESCAPE 'e']]
+        // (PrestoSql.g4:139-140, 145-146); every other SHOW passes
+        // through to Spark.
         val iS = nextM(toks, i0)
         val iF = nextM(toks, iS)
-        if (!wordAt(toks, iS).equalsIgnoreCase("stats") ||
+        if (wordAt(toks, iS).equalsIgnoreCase("functions")) {
+          def strAt(i: Int): Option[String] = toks.lift(i) match {
+            case Some(Str(t)) => Some(t.substring(1, t.length - 1))
+            case _ => None
+          }
+          if (iF < 0) Some(ShowFunctionsStmt(None, None))
+          else if (wordAt(toks, iF).equalsIgnoreCase("like")) {
+            val iP = nextM(toks, iF)
+            strAt(iP).flatMap { pat =>
+              val iE = nextM(toks, iP)
+              if (iE < 0) Some(ShowFunctionsStmt(Some(pat), None))
+              else if (wordAt(toks, iE).equalsIgnoreCase("escape"))
+                strAt(nextM(toks, iE)).map(e => ShowFunctionsStmt(Some(pat), Some(e)))
+              else None
+            }
+          } else None
+        }
+        else if (!wordAt(toks, iS).equalsIgnoreCase("stats") ||
           !wordAt(toks, iF).equalsIgnoreCase("for")) None
         else {
           val iT = nextM(toks, iF)

@@ -60,6 +60,23 @@ class PrestoParser(session: SparkSession, delegate: ParserInterface)
           throw new IllegalArgumentException(s"prepared statement not found: $name")
         session.conf.unset(prepKey(name))
         delegate.parsePlan(s"SELECT '$name' AS deallocated")
+      case Some(PrestoDialect.ShowFunctionsStmt(like, escape)) =>
+        // Registry-backed listing (the reference surfaces its function
+        // metadata the same way — names, kinds, costs); the LIKE filter
+        // is evaluated by Spark so %/_ and ESCAPE keep SQL semantics.
+        def lit(s: String) = s"'${s.replace("'", "''")}'"
+        val rows = graft.functions.Registry.fns.toSeq.sortBy(_._1).map { case (name, m) =>
+          s"(${lit(name)}, ${lit(m.sparkName)}, " +
+            s"${lit(if (m.isAggregate) "aggregate" else "scalar")}, " +
+            s"${m.deterministic}, ${m.cost})"
+        }
+        val base = rows.mkString("SELECT * FROM VALUES ", ", ",
+          " AS functions(function_name, spark_name, function_type, deterministic, cost)")
+        val filter = like.map { p =>
+          s" WHERE function_name LIKE ${lit(p)}" +
+            escape.map(e => s" ESCAPE ${lit(e)}").getOrElse("")
+        }.getOrElse("")
+        delegate.parsePlan(base + filter)
       case Some(PrestoDialect.ShowStatsStmt(target, isQuery)) =>
         // session.sql re-enters this parser (dialect still active), so
         // the inner query gets the normal lowering exactly once.

@@ -487,6 +487,21 @@ class PrestoDialectSpec extends SparkSpec {
     assert(b("abs(-9) > ALL (SELECT * FROM (VALUES (3), (8)) t(v))") == true)
   }
 
+  test("SHOW FUNCTIONS lists the registry; LIKE/ESCAPE filter applies (round 11)") {
+    // Reference grammar PrestoSql.g4:145-146. Registry-backed: Presto
+    // name, Spark lowering, scalar/aggregate kind, determinism, cost.
+    val all = presto("SHOW FUNCTIONS").collect()
+    assert(all.length > 100, s"registry listing too small: ${all.length}")
+    val byName = all.map(r => r.getString(0) -> r).toMap
+    assert(byName("qdigest_agg").getString(2) == "aggregate")
+    assert(byName("word_stem").getString(2) == "scalar")
+    assert(byName("strpos").getString(1) == "instr")
+    val q = presto("SHOW FUNCTIONS LIKE 'qdigest%'").collect()
+    assert(q.map(_.getString(0)).toSet == Set("qdigest_agg"), q.mkString(","))
+    val esc = presto("SHOW FUNCTIONS LIKE '%reduce!_agg' ESCAPE '!'").collect()
+    assert(esc.map(_.getString(0)).toSet == Set("reduce_agg"), esc.mkString(","))
+  }
+
   test("CORRELATED quantified comparisons decorrelate with exact semantics (round 11)") {
     // The reference NYIs all quantified comparisons; Spark has no native
     // syntax; the CASE lowering carries the correlation inside the
