@@ -650,6 +650,23 @@ object Presto {
                                   WHERE l.l_orderkey = o.o_orderkey) AS VARCHAR) AS lt_any
        FROM orders o WHERE o_orderkey < 300"""
 
+  /** SQL routine through the dialect (round 11, PrestoSql.g4
+    * #createFunction): CREATE FUNCTION with Presto characteristics runs
+    * as a Spark SQL UDF (null-call clause dropped by the dialect); the
+    * oracle inlines the routine body. */
+  def sqlUdf(s: SparkSession, d: String): DataFrame = {
+    PrestoRewriter.sql(s, d,
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_margin(p DOUBLE, disc DOUBLE)
+         RETURNS DOUBLE LANGUAGE SQL DETERMINISTIC RETURNS NULL ON NULL INPUT
+         RETURN p * (1 - disc)""").collect()
+    PrestoRewriter.sql(s, d,
+      """SELECT l_orderkey, round(sum(graft_margin(l_extendedprice, l_discount)), 2) AS rev
+         FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey""")
+  }
+  val sqlUdfOracle: String =
+    """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+       FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -681,5 +698,6 @@ object Presto {
     ("presto_try_quantified", run(tryQuantifiedPresto) _, tryQuantifiedOracle),
     ("presto_qdigest", run(qdigestPresto) _, qdigestOracle),
     ("presto_qdigest_merge", run(qdigestMergePresto) _, qdigestMergeOracle),
-    ("presto_quantified_corr", run(quantifiedCorrPresto) _, quantifiedCorrPresto))
+    ("presto_quantified_corr", run(quantifiedCorrPresto) _, quantifiedCorrPresto),
+    ("presto_sql_udf", sqlUdf _, sqlUdfOracle))
 }

@@ -816,6 +816,52 @@ object PrestoDialect {
     toks
   }
 
+  // ------------------------------------------- pass: SQL routine DDL
+  /** CREATE [OR REPLACE] [TEMPORARY] FUNCTION (PrestoSql.g4
+    * #createFunction): Spark 4 runs SQL UDFs natively with
+    * near-identical syntax (RETURNS type ... RETURN body, LANGUAGE SQL,
+    * [NOT] DETERMINISTIC all shared) — only Presto's null-call
+    * characteristic (`RETURNS NULL ON NULL INPUT` / `CALLED ON NULL
+    * INPUT`) has no Spark spelling; it is dropped here. (Spark's
+    * behavior matches CALLED ON NULL INPUT: the body sees NULLs.)
+    * Matching stops at the body's standalone RETURN keyword, so the
+    * clause words are never touched inside the expression. */
+  private[sql] def rewriteRoutineNullCall(toks: Vector[Tok]): Vector[Tok] = {
+    val i0 = nextM(toks, -1)
+    if (!wordAt(toks, i0).equalsIgnoreCase("create")) return toks
+    var probe = i0
+    var isFn = false
+    var hops = 0
+    while (hops < 4 && probe >= 0 && !isFn) {
+      probe = nextM(toks, probe)
+      if (wordAt(toks, probe).equalsIgnoreCase("function")) isFn = true
+      hops += 1
+    }
+    if (!isFn) return toks
+    val mIdx = toks.indices.filter(k => !toks(k).isInstanceOf[Space]).toVector
+    def w(j: Int): String =
+      if (j < mIdx.length) toks(mIdx(j)) match {
+        case word: Word => word.lower
+        case t => t.text
+      } else ""
+    val drop = mutable.Set.empty[Int]
+    var j = 0
+    var stop = false
+    while (j < mIdx.length && !stop) {
+      if (w(j) == "return") stop = true
+      else {
+        def m(p: String*) = p.indices.forall(o => w(j + o) == p(o))
+        if (m("returns", "null", "on", "null", "input")) {
+          (0 until 5).foreach(o => drop += mIdx(j + o)); j += 5
+        } else if (m("called", "on", "null", "input")) {
+          (0 until 4).foreach(o => drop += mIdx(j + o)); j += 4
+        } else j += 1
+      }
+    }
+    if (drop.isEmpty) toks
+    else toks.zipWithIndex.collect { case (t, k) if !drop(k) => t }
+  }
+
   // --------------------------------- statement layer: PREPARE / EXECUTE
   /** Presto PREPARE / EXECUTE [USING …] / DEALLOCATE PREPARE
     * (AstStatements.h:340-374) parsed at the statement level — the
@@ -835,6 +881,11 @@ object PrestoDialect {
     * scalar/aggregate kind, determinism, relative cost). */
   final case class ShowFunctionsStmt(like: Option[String], escape: Option[String])
     extends StatementAction
+  /** SET SESSION k = v (PrestoSql.g4 #setSession) → Spark SET. */
+  final case class SetSessionStmt(rest: String) extends StatementAction
+  /** SHOW SESSION [LIKE pattern] (PrestoSql.g4 #showSession): the
+    * session's configuration properties. */
+  final case class ShowSessionStmt(like: Option[String]) extends StatementAction
   /** `EXPLAIN ANALYZE [VERBOSE] query` (PrestoSql.g4:126) — execute and
     * annotate the plan with measured per-operator metrics. */
   final case class ExplainAnalyzeStmt(body: String, verbose: Boolean) extends StatementAction
@@ -859,6 +910,15 @@ object PrestoDialect {
           body = render(toks.drop(iF + 1)).trim
           if body.nonEmpty
         } yield PrepareStmt(name, body)
+      case "set" =>
+        // SET SESSION k = v (PrestoSql.g4 #setSession) → Spark SET;
+        // plain SET (Spark's own) passes through untouched.
+        val iS = nextM(toks, i0)
+        if (!wordAt(toks, iS).equalsIgnoreCase("session")) None
+        else {
+          val rest = render(toks.drop(iS + 1)).trim
+          if (rest.nonEmpty) Some(SetSessionStmt(rest)) else None
+        }
       case "execute" =>
         val iN = nextM(toks, i0)
         nameAt(iN) match {
@@ -904,7 +964,16 @@ object PrestoDialect {
         // through to Spark.
         val iS = nextM(toks, i0)
         val iF = nextM(toks, iS)
-        if (wordAt(toks, iS).equalsIgnoreCase("functions")) {
+        if (wordAt(toks, iS).equalsIgnoreCase("session")) {
+          if (iF < 0) Some(ShowSessionStmt(None))
+          else if (wordAt(toks, iF).equalsIgnoreCase("like")) {
+            toks.lift(nextM(toks, iF)) match {
+              case Some(Str(t)) => Some(ShowSessionStmt(Some(t.substring(1, t.length - 1))))
+              case _ => None
+            }
+          } else None
+        }
+        else if (wordAt(toks, iS).equalsIgnoreCase("functions")) {
           def strAt(i: Int): Option[String] = toks.lift(i) match {
             case Some(Str(t)) => Some(t.substring(1, t.length - 1))
             case _ => None
@@ -1025,7 +1094,7 @@ object PrestoDialect {
 
   // -------------------------------------------------------------- entry
   private val passes: Seq[Vector[Tok] => Vector[Tok]] = Seq(
-    rejectUnsupported, rewriteCreateSchema,
+    rejectUnsupported, rewriteRoutineNullCall, rewriteCreateSchema,
     rewriteExplainOptions, rewriteAnalyze, rewriteViewSecurity, rewriteUnnestJoins, rewriteCastTypes,
     rewriteRowCtor, rewriteArrayBrackets, rewriteTry, rewriteTablesample, rewriteAtTimeZone,
     rewriteQuantifiedCmp, rewriteBareTypes, rewriteQuotedIdents)

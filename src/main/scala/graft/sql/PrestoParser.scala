@@ -60,6 +60,23 @@ class PrestoParser(session: SparkSession, delegate: ParserInterface)
           throw new IllegalArgumentException(s"prepared statement not found: $name")
         session.conf.unset(prepKey(name))
         delegate.parsePlan(s"SELECT '$name' AS deallocated")
+      case Some(PrestoDialect.SetSessionStmt(rest)) =>
+        // Presto quotes the value ('v'); Spark SET takes raw text after
+        // `=` — strip one level of quotes and undo the '' escape.
+        val unquoted = "^(.*?=\\s*)'((?:[^']|'')*)'\\s*$".r
+          .replaceAllIn(rest, m => java.util.regex.Matcher.quoteReplacement(
+            m.group(1) + m.group(2).replace("''", "'")))
+        delegate.parsePlan("SET " + unquoted)
+      case Some(PrestoDialect.ShowSessionStmt(like)) =>
+        // session configuration properties as rows; LIKE evaluated by
+        // Spark. Escape backslashes BEFORE quotes (conf values carry
+        // regex/path strings the literal parser would reinterpret).
+        def lit(s: String) = s"'${s.replace("\\", "\\\\").replace("'", "''")}'"
+        val rows = session.conf.getAll.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"(${lit(k)}, ${lit(v)})" }
+        val base = rows.mkString("SELECT * FROM VALUES ", ", ",
+          " AS session(name, value)")
+        delegate.parsePlan(base + like.map(p => s" WHERE name LIKE ${lit(p)}").getOrElse(""))
       case Some(PrestoDialect.ShowFunctionsStmt(like, escape)) =>
         // Registry-backed listing (the reference surfaces its function
         // metadata the same way — names, kinds, costs); the LIKE filter

@@ -502,6 +502,27 @@ class PrestoDialectSpec extends SparkSpec {
     assert(esc.map(_.getString(0)).toSet == Set("reduce_agg"), esc.mkString(","))
   }
 
+  test("SQL routines: CREATE FUNCTION with Presto characteristics; SET/SHOW SESSION (round 11)") {
+    // Presto routine DDL (#createFunction): Spark runs the SQL UDF; the
+    // null-call characteristic (no Spark spelling) is dropped, LANGUAGE
+    // SQL / DETERMINISTIC are shared syntax. Matching stops at the
+    // body's RETURN so the clause words inside expressions are safe.
+    presto("""CREATE OR REPLACE TEMPORARY FUNCTION graft_margin(p DOUBLE, d DOUBLE)
+              RETURNS DOUBLE LANGUAGE SQL DETERMINISTIC RETURNS NULL ON NULL INPUT
+              RETURN p * (1 - d)""").collect()
+    val r = presto("SELECT round(graft_margin(100.0, 0.25), 2) AS m").head()
+    assert(r.getDouble(0) == 75.0, r.toString)
+    presto("DROP TEMPORARY FUNCTION graft_margin").collect()
+    // the pass only fires on CREATE ... FUNCTION statements
+    val untouched = "SELECT 'returns null on null input' AS s FROM t"
+    assert(t(untouched) === untouched)
+    // SET SESSION → Spark SET; SHOW SESSION lists it back (LIKE filter)
+    presto("SET SESSION graft.test.prop = 'hello'").collect()
+    val s = presto("SHOW SESSION LIKE 'graft.test.%'").collect()
+    assert(s.length == 1 && s.head.getString(0) == "graft.test.prop" &&
+      s.head.getString(1) == "hello", s.mkString(","))
+  }
+
   test("CORRELATED quantified comparisons decorrelate with exact semantics (round 11)") {
     // The reference NYIs all quantified comparisons; Spark has no native
     // syntax; the CASE lowering carries the correlation inside the
