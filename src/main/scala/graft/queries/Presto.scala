@@ -667,6 +667,49 @@ object Presto {
     """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
        FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey"""
 
+  /** Time travel (round 11, PrestoSql.g4:561-568): every committed
+    * mutation on a graft-mem table is a numbered snapshot; Presto's
+    * FOR VERSION AS OF / FOR VERSION BEFORE read them back through
+    * Spark's DSv2 loadTable(ident, version). Version numbering is
+    * deterministic: v1 = CREATE (empty), v2 = CTAS rows, v3 = INSERT,
+    * v4 = DELETE's copy-on-write replacement. */
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS graft_mem.default.presto_tv")
+    PrestoRewriter.sql(s, d,
+      """CREATE TABLE graft_mem.default.presto_tv AS
+         SELECT o_orderkey AS k, o_totalprice AS v FROM orders WHERE o_orderkey < 50""")
+    PrestoRewriter.sql(s, d,
+      """INSERT INTO graft_mem.default.presto_tv
+         SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey >= 50 AND o_orderkey < 80""")
+    PrestoRewriter.sql(s, d,
+      "DELETE FROM graft_mem.default.presto_tv WHERE k < 10")
+    PrestoRewriter.sql(s, d,
+      """SELECT 'ctas' AS tag, CAST(count(*) AS BIGINT) AS n, round(sum(v), 2) AS total
+         FROM graft_mem.default.presto_tv FOR VERSION AS OF 2
+         UNION ALL
+         SELECT 'ins', CAST(count(*) AS BIGINT), round(sum(v), 2)
+         FROM graft_mem.default.presto_tv FOR SYSTEM_VERSION AS OF 3
+         UNION ALL
+         SELECT 'del', CAST(count(*) AS BIGINT), round(sum(v), 2)
+         FROM graft_mem.default.presto_tv
+         UNION ALL
+         SELECT 'before', CAST(count(*) AS BIGINT), round(sum(v), 2)
+         FROM graft_mem.default.presto_tv FOR VERSION BEFORE 3""")
+  }
+  val timeTravelOracle: String =
+    """SELECT 'ctas' AS tag, CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders WHERE o_orderkey < 50
+       UNION ALL
+       SELECT 'ins', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2)
+       FROM orders WHERE o_orderkey < 80
+       UNION ALL
+       SELECT 'del', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2)
+       FROM orders WHERE o_orderkey >= 10 AND o_orderkey < 80
+       UNION ALL
+       SELECT 'before', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2)
+       FROM orders WHERE o_orderkey < 50"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -699,5 +742,6 @@ object Presto {
     ("presto_qdigest", run(qdigestPresto) _, qdigestOracle),
     ("presto_qdigest_merge", run(qdigestMergePresto) _, qdigestMergeOracle),
     ("presto_quantified_corr", run(quantifiedCorrPresto) _, quantifiedCorrPresto),
-    ("presto_sql_udf", sqlUdf _, sqlUdfOracle))
+    ("presto_sql_udf", sqlUdf _, sqlUdfOracle),
+    ("presto_time_travel", timeTravel _, timeTravelOracle))
 }

@@ -47,6 +47,31 @@ class MemCatalog extends TableCatalog with SupportsNamespaces {
       case None => throw new NoSuchTableException(parts(ident))
     }
 
+  /** Time travel by VERSION AS OF (1-based commit number). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!MemTables.exists(key(ident))) throw new NoSuchTableException(parts(ident))
+    val v = try version.trim.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft_mem versions are integer commit numbers, got '$version'")
+    }
+    MemTables.snapshotAt(key(ident), v) match {
+      case Some((s, rows)) => new MemTableSnapshot(key(ident), s"v$v", s, rows)
+      case None => throw new IllegalArgumentException(
+        s"version $v not found for ${key(ident)} " +
+          s"(have 1..${MemTables.versionCount(key(ident))})")
+    }
+  }
+
+  /** Time travel by TIMESTAMP AS OF (microseconds since epoch). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!MemTables.exists(key(ident))) throw new NoSuchTableException(parts(ident))
+    MemTables.snapshotAsOfTime(key(ident), timestamp) match {
+      case Some((s, rows)) => new MemTableSnapshot(key(ident), s"t$timestamp", s, rows)
+      case None => throw new IllegalArgumentException(
+        s"no commit at or before timestamp $timestamp for ${key(ident)}")
+    }
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     MemTables.exists(key(ident))
 

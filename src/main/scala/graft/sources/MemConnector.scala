@@ -55,17 +55,44 @@ object MemTables {
   def schemaOf(name: String): Option[StructType] = tables.get(name).map(_._1)
   def rowsOf(name: String): Vector[InternalRow] = tables.get(name).map(_._2).getOrElse(Vector.empty)
   def names: Seq[String] = tables.keys.toSeq
+
+  /** Version history (round 11): a snapshot of the table state after
+    * every committed mutation, 1-based — the DSv2 time-travel surface
+    * behind Presto's `FOR VERSION|TIMESTAMP AS OF` (PrestoSql.g4:
+    * 561-568). Commit micros support TIMESTAMP AS OF. Snapshots share
+    * the immutable row vectors, so history costs one Vector reference
+    * per commit, not a copy. */
+  private val history = TrieMap.empty[String, Vector[(StructType, Vector[InternalRow], Long)]]
+  private def snap(name: String): Unit = tables.get(name).foreach { case (s, r) =>
+    val at = System.currentTimeMillis() * 1000L
+    history.updateWith(name) {
+      case Some(h) => Some(h :+ ((s, r, at)))
+      case None => Some(Vector((s, r, at)))
+    }
+  }
+  def versionCount(name: String): Int = history.get(name).map(_.length).getOrElse(0)
+  def snapshotAt(name: String, v: Int): Option[(StructType, Vector[InternalRow])] =
+    history.get(name).flatMap(_.lift(v - 1)).map { case (s, r, _) => (s, r) }
+  /** Latest snapshot committed at or before `micros`. */
+  def snapshotAsOfTime(name: String, micros: Long): Option[(StructType, Vector[InternalRow])] =
+    history.get(name).flatMap(_.reverse.find(_._3 <= micros)).map { case (s, r, _) => (s, r) }
+
   /** DDL create: install an empty table with this schema (createTable in
     * the reference's ConnectorMetadata.h:569 lifecycle). */
-  def create(name: String, schema: StructType): Unit =
+  def create(name: String, schema: StructType): Unit = {
     tables.put(name, (schema, Vector.empty))
+    snap(name)
+  }
   def exists(name: String): Boolean = tables.contains(name)
-  def install(name: String, schema: StructType, rows: Vector[InternalRow], truncate: Boolean): Unit =
+  def install(name: String, schema: StructType, rows: Vector[InternalRow], truncate: Boolean): Unit = {
     tables.updateWith(name) {
       case Some((s, old)) if !truncate => Some((s, old ++ rows))
       case _ => Some((schema, rows))
     }
-  def drop(name: String): Unit = { tables.remove(name); epochs.remove(name); () }
+    snap(name)
+  }
+  def drop(name: String): Unit =
+    { tables.remove(name); epochs.remove(name); history.remove(name); () }
 
   /** Committed epoch ids per table — the idempotence ledger for the
     * streaming sink. */
@@ -122,6 +149,27 @@ final class MemTable(name: String, schema0: StructType) extends Table
         val b = new MemWriteBuilder(name, wInfo.schema())
         b.truncate()
         b
+      }
+    }
+}
+
+/** Time-travel view: a read-only table pinned to one history snapshot
+  * (DSv2 loadTable(ident, version/timestamp) — Presto FOR VERSION|
+  * TIMESTAMP AS OF). */
+final class MemTableSnapshot(name: String, tag: String, schema0: StructType,
+    rows: Vector[InternalRow]) extends Table with SupportsRead {
+  override def name(): String = s"graft_mem($name@$tag)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = schema0
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(MemPartition(rows))
+        override def createReaderFactory(): PartitionReaderFactory = MemReaderFactory()
       }
     }
 }

@@ -816,6 +816,53 @@ object PrestoDialect {
     toks
   }
 
+  // --------------------------------------------- pass: table versions
+  /** Presto `FOR (SYSTEM_TIME|SYSTEM_VERSION|TIMESTAMP|VERSION)
+    * (AS OF | BEFORE) expr` (PrestoSql.g4:561-568) → Spark's
+    * `VERSION AS OF` / `TIMESTAMP AS OF` time travel (DSv2
+    * loadTable(ident, version/timestamp) — graft_mem implements it).
+    * `VERSION BEFORE n` with an integer literal lowers to
+    * `VERSION AS OF n-1` (commit numbers are dense); `TIMESTAMP BEFORE`
+    * has no exact Spark spelling and fails loudly. */
+  private[sql] def rewriteTableVersion(toks: Vector[Tok]): Vector[Tok] = {
+    val edits = mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length) {
+      if (wordAt(toks, i).equalsIgnoreCase("for")) {
+        val iK = nextM(toks, i)
+        val kind = wordAt(toks, iK).toLowerCase
+        val isVersion = kind == "version" || kind == "system_version"
+        val isTime = kind == "timestamp" || kind == "system_time"
+        if (isVersion || isTime) {
+          val iS = nextM(toks, iK)
+          val s1 = wordAt(toks, iS).toLowerCase
+          if (s1 == "as" && wordAt(toks, nextM(toks, iS)).equalsIgnoreCase("of")) {
+            val iOf = nextM(toks, iS)
+            val repl = (if (isVersion) "VERSION" else "TIMESTAMP") + " AS OF"
+            edits += ((i, iOf + 1, repl))
+            i = iOf
+          } else if (s1 == "before") {
+            if (isTime) throw new UnsupportedOperationException(
+              "Presto FOR TIMESTAMP BEFORE is not supported by the graft engine: " +
+                "Spark time travel has no exclusive-bound form; use TIMESTAMP AS OF " +
+                "with an earlier instant")
+            val iV = nextM(toks, iS)
+            toks.lift(iV) match {
+              case Some(Num(n)) if n.forall(_.isDigit) =>
+                edits += ((i, iV + 1, s"VERSION AS OF ${n.toLong - 1}"))
+                i = iV
+              case _ => throw new UnsupportedOperationException(
+                "Presto FOR VERSION BEFORE is only supported with an integer literal " +
+                  "(lowered to VERSION AS OF n-1)")
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    applyEdits(toks, edits.toVector)
+  }
+
   // ------------------------------------------- pass: SQL routine DDL
   /** CREATE [OR REPLACE] [TEMPORARY] FUNCTION (PrestoSql.g4
     * #createFunction): Spark 4 runs SQL UDFs natively with
@@ -1094,7 +1141,7 @@ object PrestoDialect {
 
   // -------------------------------------------------------------- entry
   private val passes: Seq[Vector[Tok] => Vector[Tok]] = Seq(
-    rejectUnsupported, rewriteRoutineNullCall, rewriteCreateSchema,
+    rejectUnsupported, rewriteRoutineNullCall, rewriteTableVersion, rewriteCreateSchema,
     rewriteExplainOptions, rewriteAnalyze, rewriteViewSecurity, rewriteUnnestJoins, rewriteCastTypes,
     rewriteRowCtor, rewriteArrayBrackets, rewriteTry, rewriteTablesample, rewriteAtTimeZone,
     rewriteQuantifiedCmp, rewriteBareTypes, rewriteQuotedIdents)

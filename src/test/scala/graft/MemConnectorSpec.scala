@@ -104,6 +104,33 @@ class MemConnectorSpec extends SparkSpec {
     assert(snap().isEmpty)
   }
 
+  test("time travel: every commit is a numbered snapshot; old versions are immutable (round 11)") {
+    spark.sql("DROP TABLE IF EXISTS graft_mem.default.t_tt")
+    spark.sql("CREATE TABLE graft_mem.default.t_tt (k BIGINT, v STRING)") // v1: empty
+    spark.sql("INSERT INTO graft_mem.default.t_tt VALUES (1,'a'),(2,'b')") // v2
+    spark.sql("INSERT INTO graft_mem.default.t_tt VALUES (3,'c')")         // v3
+    spark.sql("DELETE FROM graft_mem.default.t_tt WHERE k = 1")            // v4
+    def at(v: Int): Set[Long] =
+      spark.sql(s"SELECT k FROM graft_mem.default.t_tt VERSION AS OF $v")
+        .collect().map(_.getLong(0)).toSet
+    assert(at(1) == Set.empty[Long])
+    assert(at(2) == Set(1L, 2L))
+    assert(at(3) == Set(1L, 2L, 3L))
+    assert(at(4) == Set(2L, 3L))
+    // current == latest version
+    assert(spark.table("graft_mem.default.t_tt").collect().map(_.getLong(0)).toSet == at(4))
+    // snapshot isolation: reading v2 after later writes is unchanged
+    spark.sql("INSERT INTO graft_mem.default.t_tt VALUES (9,'z')")         // v5
+    assert(at(2) == Set(1L, 2L))
+    // TIMESTAMP AS OF far future = latest; unknown version errors clearly
+    val now = spark.sql(
+      s"SELECT k FROM graft_mem.default.t_tt TIMESTAMP AS OF '2999-01-01'")
+      .collect().map(_.getLong(0)).toSet
+    assert(now == Set(2L, 3L, 9L))
+    val err = intercept[Exception] { at(99) }
+    assert(err.getMessage.contains("version 99 not found"), err.getMessage)
+  }
+
   test("SQL MERGE INTO upserts through the row-level operation") {
     spark.sql("DROP TABLE IF EXISTS graft_mem.default.t_merge")
     spark.sql("CREATE TABLE graft_mem.default.t_merge (k BIGINT, v STRING)")

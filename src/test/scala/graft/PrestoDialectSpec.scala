@@ -502,6 +502,23 @@ class PrestoDialectSpec extends SparkSpec {
     assert(esc.map(_.getString(0)).toSet == Set("reduce_agg"), esc.mkString(","))
   }
 
+  test("table-version text lowers: FOR VERSION/TIMESTAMP AS OF, VERSION BEFORE (round 11)") {
+    assert(t("SELECT * FROM t FOR VERSION AS OF 3")
+      === "SELECT * FROM t VERSION AS OF 3")
+    assert(t("SELECT * FROM t FOR SYSTEM_VERSION AS OF 3")
+      === "SELECT * FROM t VERSION AS OF 3")
+    assert(t("SELECT * FROM t FOR TIMESTAMP AS OF '2024-01-01'")
+      === "SELECT * FROM t TIMESTAMP AS OF '2024-01-01'")
+    assert(t("SELECT * FROM t FOR SYSTEM_TIME AS OF '2024-01-01'")
+      === "SELECT * FROM t TIMESTAMP AS OF '2024-01-01'")
+    assert(t("SELECT * FROM t FOR VERSION BEFORE 3")
+      === "SELECT * FROM t VERSION AS OF 2")
+    val e = intercept[UnsupportedOperationException] {
+      t("SELECT * FROM t FOR TIMESTAMP BEFORE '2024-01-01'")
+    }
+    assert(e.getMessage.contains("TIMESTAMP BEFORE"), e.getMessage)
+  }
+
   test("SQL routines: CREATE FUNCTION with Presto characteristics; SET/SHOW SESSION (round 11)") {
     // Presto routine DDL (#createFunction): Spark runs the SQL UDF; the
     // null-call characteristic (no Spark spelling) is dropped, LANGUAGE
