@@ -358,6 +358,27 @@ object PrestoCompat {
       QuantileSketch.KllAgg(asDouble(es.head)).toAggregateExpression() },
     "value_at_quantile" -> { es: Seq[Expression] =>
       QuantileSketch.ValueAtQuantile(es(0), asDouble(es(1))) },
+    // Presto approx_most_frequent(buckets, value, capacity) — the
+    // Misra–Gries aggregator (operators/ApproxMostFrequent), SQL-callable
+    // (round 11). buckets/capacity are plan-time constants in Presto
+    // too; values aggregate as their string form (map<varchar,bigint>).
+    "approx_most_frequent" -> { es: Seq[Expression] =>
+      if (es.length != 3) throw new IllegalArgumentException(
+        "approx_most_frequent(buckets, value, capacity) takes 3 arguments")
+      def constInt(e: Expression, what: String): Int =
+        if (e.foldable) e.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"approx_most_frequent: $what must be an integer constant, got $other")
+        } else throw new IllegalArgumentException(
+          s"approx_most_frequent: $what must be an integer constant, got $e")
+      val agg = graft.operators.ApproxMostFrequent(
+        constInt(es(0), "buckets"),
+        org.apache.spark.sql.graft.Shim.column(es(1)).cast("string"),
+        constInt(es(2), "capacity"))
+      org.apache.spark.sql.graft.Shim.expression(agg)
+    },
     "quantile_at_value" -> { es: Seq[Expression] =>
       QuantileSketch.QuantileAtValue(es(0), asDouble(es(1))) },
     // Presto reduce_agg(x, s0, merge_in, merge_states): a TRUE partial

@@ -162,6 +162,7 @@ object Registry {
       // round-11: quantile sketch family (KLL-backed qdigest analogue)
       "qdigest_agg" -> FnMeta("qdigest_agg", isAggregate = true, cost = 2.0),
       "tdigest_agg" -> FnMeta("tdigest_agg", isAggregate = true, cost = 2.0),
+      "approx_most_frequent" -> FnMeta("approx_most_frequent", isAggregate = true, cost = 4.0),
       "value_at_quantile" -> FnMeta("value_at_quantile", cost = 2.0),
       "quantile_at_value" -> FnMeta("quantile_at_value", cost = 2.0),
       // Presto split_to_map(s, entryDelim, kvDelim) ≡ Spark str_to_map

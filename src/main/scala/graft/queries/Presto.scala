@@ -710,6 +710,24 @@ object Presto {
        SELECT 'before', CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2)
        FROM orders WHERE o_orderkey < 50"""
 
+  /** approx_most_frequent through the SQL surface (round 11): the
+    * Misra–Gries aggregator called by its Presto signature, the map
+    * result exploded Presto-style via CROSS JOIN UNNEST. Capacity 64 >
+    * distinct langs → exact regime → hash-checkable against the exact
+    * top-3 (count desc, value asc tie-break). */
+  val approxFrequentPresto: String =
+    """SELECT source, lang, cnt
+       FROM (SELECT source, approx_most_frequent(3, lang, 64) AS top
+             FROM documents GROUP BY source) t
+       CROSS JOIN UNNEST(top) AS u(lang, cnt)"""
+  val approxFrequentOracle: String =
+    """SELECT source, lang, cnt FROM (
+         SELECT source, lang, count(*) AS cnt,
+                row_number() OVER (PARTITION BY source
+                                   ORDER BY count(*) DESC, lang) AS rk
+         FROM documents GROUP BY source, lang) t
+       WHERE rk <= 3"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -743,5 +761,6 @@ object Presto {
     ("presto_qdigest_merge", run(qdigestMergePresto) _, qdigestMergeOracle),
     ("presto_quantified_corr", run(quantifiedCorrPresto) _, quantifiedCorrPresto),
     ("presto_sql_udf", sqlUdf _, sqlUdfOracle),
-    ("presto_time_travel", timeTravel _, timeTravelOracle))
+    ("presto_time_travel", timeTravel _, timeTravelOracle),
+    ("presto_approx_frequent", run(approxFrequentPresto) _, approxFrequentOracle))
 }
