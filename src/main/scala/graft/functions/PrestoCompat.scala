@@ -327,15 +327,33 @@ object PrestoCompat {
       new SortArray(ArrayDistinct(Flatten(
         new aggregate.CollectList(es.head).toAggregateExpression())),
         Literal(true)) },
-    // Presto approx_set(x) → HyperLogLog sketch. Backed by Spark's
-    // datasketches HllSketchAgg at the default lgConfigK=12 (~1.6%
-    // standard error — Presto's default 0.01625). The max-standard-error
-    // overload would need an error→lgK mapping; refuse it loudly.
+    // Presto approx_set(x[, e]) → HyperLogLog sketch. Backed by Spark's
+    // datasketches HllSketchAgg; the max-standard-error overload maps
+    // e → lgConfigK via HLL's error law e ≈ 1.04/sqrt(2^lgK)
+    // (Presto's default e=0.01625 lands on the default lgK=12, the
+    // consistency check for the formula). Presto's accepted range
+    // [0.0040625, 0.26] is enforced; lgK clamps to datasketches'
+    // [4, 21].
     "approx_set" -> { es: Seq[Expression] =>
-      if (es.length > 1) throw new IllegalArgumentException(
-        "approx_set: the max-standard-error argument is not supported; " +
-          "the default (~1.6%, lgK=12) is always used")
-      new aggregate.HllSketchAgg(es.head).toAggregateExpression() },
+      if (es.length == 1) new aggregate.HllSketchAgg(es.head).toAggregateExpression()
+      else {
+        val e = es(1) match {
+          case err if err.foldable => err.eval(null) match {
+            case d: Double => d
+            case d: java.math.BigDecimal => d.doubleValue()
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case other => throw new IllegalArgumentException(
+              s"approx_set: max standard error must be a numeric constant, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"approx_set: max standard error must be a numeric constant, got $other")
+        }
+        if (e < 0.0040625 || e > 0.26) throw new IllegalArgumentException(
+          s"approx_set: max standard error must be in [0.0040625, 0.26], got $e")
+        val lgK = math.ceil(math.log((1.04 / e) * (1.04 / e)) / math.log(2.0)).toInt
+          .max(4).min(21)
+        new aggregate.HllSketchAgg(es.head, Literal(lgK)).toAggregateExpression()
+      } },
     // Presto merge(sketch) — genuinely overloaded (round 11): runtime
     // family dispatch over HLL (approx_set) and KLL quantile
     // (qdigest_agg) sketch binaries; anything else fails with an error

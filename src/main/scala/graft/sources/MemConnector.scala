@@ -111,7 +111,15 @@ object MemTables {
 }
 
 final class MemTable(name: String, schema0: StructType) extends Table
-    with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+    with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+  /** SQL TRUNCATE TABLE (Presto #truncateTable shares the syntax):
+    * atomic replace-with-empty; commits a history snapshot like any
+    * other mutation, so time travel can read back across it. */
+  override def truncateTable(): Boolean = {
+    MemTables.install(name, schema(), Vector.empty, truncate = true)
+    true
+  }
   override def name(): String = s"graft_mem($name)"
   override def schema(): StructType = MemTables.schemaOf(name).getOrElse(schema0)
   override def capabilities(): util.Set[TableCapability] =

@@ -418,6 +418,24 @@ class FunctionParitySpec extends SparkSpec {
       messages(err2).mkString(" | "))
   }
 
+  test("approx_set max-standard-error overload maps to lgK (round 11)") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    // e=0.01625 (Presto's default) lands on the default sketch config,
+    // so both forms agree exactly on identical input
+    val r = p("""SELECT cardinality(approx_set(x)) AS a,
+                        cardinality(approx_set(x, 0.01625)) AS b,
+                        cardinality(approx_set(x, 0.26)) AS c
+                 FROM (SELECT explode(sequence(1, 500)) AS x)""")
+    assert(r.getLong(0) == r.getLong(1), r.toString)
+    // the coarse sketch (lgK=4) still estimates within its error law
+    assert(math.abs(r.getLong(2) - 500.0) / 500.0 < 3 * 0.26, r.toString)
+    val err = intercept[Exception] {
+      p("SELECT approx_set(x, 0.5) FROM (SELECT 1 AS x)")
+    }
+    assert(err.getMessage.contains("0.0040625"), err.getMessage)
+  }
+
   test("cardinality dispatches: container size (INT) vs HLL estimate (BIGINT)") {
     import graft.sql.PrestoRewriter
     // container path keeps Spark size semantics (INT — existing callers)

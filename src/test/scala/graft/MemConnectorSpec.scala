@@ -131,6 +131,18 @@ class MemConnectorSpec extends SparkSpec {
     assert(err.getMessage.contains("version 99 not found"), err.getMessage)
   }
 
+  test("TRUNCATE TABLE: atomic empty replacement, visible to time travel (round 11)") {
+    spark.sql("DROP TABLE IF EXISTS graft_mem.default.t_trunc")
+    spark.sql("CREATE TABLE graft_mem.default.t_trunc (k BIGINT)")       // v1
+    spark.sql("INSERT INTO graft_mem.default.t_trunc VALUES (1),(2)")    // v2
+    spark.sql("TRUNCATE TABLE graft_mem.default.t_trunc")                // v3
+    assert(spark.table("graft_mem.default.t_trunc").count() == 0)
+    // the pre-truncate snapshot is still readable
+    val v2 = spark.sql("SELECT k FROM graft_mem.default.t_trunc VERSION AS OF 2")
+      .collect().map(_.getLong(0)).toSet
+    assert(v2 == Set(1L, 2L))
+  }
+
   test("SQL MERGE INTO upserts through the row-level operation") {
     spark.sql("DROP TABLE IF EXISTS graft_mem.default.t_merge")
     spark.sql("CREATE TABLE graft_mem.default.t_merge (k BIGINT, v STRING)")
