@@ -1,0 +1,89 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Presto JSON function family (json_parse / json_format / json_size /
+  * json_array_contains; json_extract lowers to Spark's GetJsonObject in
+  * the builder, json_extract_scalar and json_array_length are registry
+  * renames/pass-throughs). Presto's JSON type is VARCHAR-backed here —
+  * the same rendering its json→varchar cast produces — so json_format
+  * is the identity and json_parse validates + canonicalizes.
+  * Jackson (already on Spark's classpath) does the parsing. */
+object JsonFns {
+
+  private lazy val mapper = new ObjectMapper
+
+  private def parse(s: String): JsonNode = mapper.readTree(s)
+
+  /** json_parse(varchar) → canonical JSON text; invalid input errors
+    * loudly, like Presto's INVALID_FUNCTION_ARGUMENT. */
+  case class JsonParse(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "json_parse"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val node = try parse(s) catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"json_parse: invalid JSON: ${s.take(80)}", e)
+      }
+      if (node == null) throw new IllegalArgumentException(
+        s"json_parse: invalid JSON: ${s.take(80)}")
+      UTF8String.fromString(mapper.writeValueAsString(node))
+    }
+  }
+
+  /** json_size(json, path): number of fields of the matched object /
+    * elements of the matched array; 0 for a scalar; NULL when the path
+    * misses. The subtree arrives pre-extracted by GetJsonObject (which
+    * unquotes string scalars — those parse-fail and count as scalars). */
+  case class JsonCountable(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "json_size"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val node = try parse(s) catch { case _: Exception => null }
+      if (node == null) 0
+      else if (node.isObject || node.isArray) node.size()
+      else 0
+    }
+  }
+
+  /** json_array_contains(json, value): true/false over a JSON array,
+    * NULL for non-array/invalid input, as in Presto. Values compare by
+    * kind (boolean / numeric / string). */
+  case class JsonArrayContains(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_array_contains"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def nullSafeEval(j: Any, v: Any): Any = {
+      val node = try parse(j.asInstanceOf[UTF8String].toString)
+      catch { case _: Exception => null }
+      if (node == null || !node.isArray) return null
+      val it = node.elements()
+      var found = false
+      while (it.hasNext && !found) {
+        val e = it.next()
+        found = v match {
+          case b: java.lang.Boolean => e.isBoolean && e.booleanValue() == b.booleanValue()
+          case s: UTF8String => e.isTextual && e.textValue() == s.toString
+          case n: java.lang.Number =>
+            e.isNumber && e.doubleValue() == n.doubleValue()
+          case _ => false
+        }
+      }
+      found
+    }
+  }
+}

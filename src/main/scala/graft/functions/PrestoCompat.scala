@@ -376,6 +376,18 @@ object PrestoCompat {
       QuantileSketch.KllAgg(asDouble(es.head)).toAggregateExpression() },
     "value_at_quantile" -> { es: Seq[Expression] =>
       QuantileSketch.ValueAtQuantile(es(0), asDouble(es(1))) },
+    // Presto JSON family (round 11): JSON is VARCHAR-backed here, so
+    // json_extract is Spark's GetJsonObject (object/array subtrees come
+    // back as JSON text, Presto's json->varchar rendering), json_format
+    // is the identity and json_parse validates + canonicalizes.
+    "json_extract" -> { es: Seq[Expression] =>
+      new GetJsonObject(asString(es(0)), asString(es(1))) },
+    "json_parse" -> { es: Seq[Expression] => JsonFns.JsonParse(asString(es.head)) },
+    "json_format" -> { es: Seq[Expression] => asString(es.head) },
+    "json_size" -> { es: Seq[Expression] =>
+      JsonFns.JsonCountable(new GetJsonObject(asString(es(0)), asString(es(1)))) },
+    "json_array_contains" -> { es: Seq[Expression] =>
+      JsonFns.JsonArrayContains(asString(es(0)), es(1)) },
     // Presto approx_most_frequent(buckets, value, capacity) — the
     // Misra–Gries aggregator (operators/ApproxMostFrequent), SQL-callable
     // (round 11). buckets/capacity are plan-time constants in Presto

@@ -43,6 +43,14 @@ object Registry {
       "day_of_week" -> FnMeta("dayofweek"),
       "day_of_year" -> FnMeta("dayofyear"),
       "json_extract_scalar" -> FnMeta("get_json_object", cost = 8.0),
+      // round-11 JSON family (PrestoCompat builders; json_array_length
+      // is Spark-native under the same name)
+      "json_extract" -> FnMeta("json_extract", cost = 8.0),
+      "json_parse" -> FnMeta("json_parse", cost = 8.0),
+      "json_format" -> FnMeta("json_format", cost = 1.0),
+      "json_size" -> FnMeta("json_size", cost = 8.0),
+      "json_array_contains" -> FnMeta("json_array_contains", cost = 8.0),
+      "json_array_length" -> FnMeta("json_array_length", cost = 4.0),
       "rand" -> FnMeta("rand", deterministic = false),
       "random" -> FnMeta("rand", deterministic = false),
       "uuid" -> FnMeta("uuid", deterministic = false),

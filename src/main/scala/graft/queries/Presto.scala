@@ -728,6 +728,28 @@ object Presto {
          FROM documents GROUP BY source, lang) t
        WHERE rk <= 3"""
 
+  /** Presto JSON family (round 11) over the events props column:
+    * json_extract (subtree text), json_extract_scalar, json_size
+    * (field/element counts), json_parse→json_format canonicalization,
+    * json_array_contains. DuckDB's bundled json extension is the
+    * oracle (json_keys length ≡ json_size('$')). */
+  val jsonFnsPresto: String =
+    """SELECT event_type,
+         count(json_extract(props, '$.k')) AS n_k,
+         max(CAST(json_extract_scalar(props, '$.k') AS INTEGER)) AS max_k,
+         CAST(sum(json_size(props, '$')) AS BIGINT) AS total_fields,
+         min(json_format(json_parse(props))) AS first_canon,
+         sum(CASE WHEN json_array_contains('[1, 2, 3]', 2) THEN 1 ELSE 0 END) AS arr_hits
+       FROM events GROUP BY event_type"""
+  val jsonFnsOracle: String =
+    """SELECT event_type,
+         count(json_extract(props, '$.k')) AS n_k,
+         max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+         CAST(sum(len(json_keys(props))) AS BIGINT) AS total_fields,
+         min(CAST(json_extract(props, '$') AS VARCHAR)) AS first_canon,
+         CAST(count(*) AS BIGINT) AS arr_hits
+       FROM events GROUP BY event_type"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
@@ -762,5 +784,6 @@ object Presto {
     ("presto_quantified_corr", run(quantifiedCorrPresto) _, quantifiedCorrPresto),
     ("presto_sql_udf", sqlUdf _, sqlUdfOracle),
     ("presto_time_travel", timeTravel _, timeTravelOracle),
-    ("presto_approx_frequent", run(approxFrequentPresto) _, approxFrequentOracle))
+    ("presto_approx_frequent", run(approxFrequentPresto) _, approxFrequentOracle),
+    ("presto_json_fns", run(jsonFnsPresto) _, jsonFnsOracle))
 }

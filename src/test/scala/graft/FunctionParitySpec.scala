@@ -418,6 +418,30 @@ class FunctionParitySpec extends SparkSpec {
       messages(err2).mkString(" | "))
   }
 
+  test("JSON family edge semantics: parse errors, size of scalars, array contains (round 11)") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    val r = p("""SELECT
+        json_format(json_parse('{ "a" : [1, 2] }')) AS canon,
+        json_size('{"a": {"b": 1, "c": 2}}', '$.a') AS obj_sz,
+        json_size('{"a": [1,2,3]}', '$.a') AS arr_sz,
+        json_size('{"a": "x"}', '$.a') AS scalar_sz,
+        json_size('{"a": 1}', '$.missing') AS miss_sz,
+        json_extract('{"a": {"b": 1}}', '$.a') AS subtree,
+        json_array_contains('[1, 2, 3]', 2) AS has2,
+        json_array_contains('["x", "y"]', 'z') AS hasz,
+        json_array_contains('{"not": "array"}', 1) AS notarr""")
+    assert(r.getString(0) == """{"a":[1,2]}""", r.toString)
+    assert(r.getInt(1) == 2 && r.getInt(2) == 3 && r.getInt(3) == 0, r.toString)
+    assert(r.isNullAt(4), r.toString)
+    assert(r.getString(5) == """{"b":1}""", r.toString)
+    assert(r.getBoolean(6) && !r.getBoolean(7) && r.isNullAt(8), r.toString)
+    val err = intercept[Exception] { p("SELECT json_parse('{not json') AS x") }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    assert(messages(err).exists(_.contains("invalid JSON")), messages(err).mkString(" | "))
+  }
+
   test("approx_set max-standard-error overload maps to lgK (round 11)") {
     import graft.sql.PrestoRewriter
     def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
