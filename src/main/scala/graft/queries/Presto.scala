@@ -750,7 +750,108 @@ object Presto {
          CAST(count(*) AS BIGINT) AS arr_hits
        FROM events GROUP BY event_type"""
 
+  /** Materialized views (round 11, PrestoSql.g4:88-92): CREATE
+    * materializes into a graft-mem backing table; the view then serves
+    * STORED data — the base-table INSERT after the build must NOT show
+    * up — until `REFRESH ... WHERE pred` recomputes exactly the
+    * predicate's slice (Presto's partition-scoped refresh). Final
+    * state: status 'O' groups reflect base < 2000, every other status
+    * still reflects base < 1000 — the oracle computes that split
+    * directly from parquet. */
+  def matView(s: SparkSession, d: String): DataFrame = {
+    PrestoRewriter.sql(s, d, "DROP MATERIALIZED VIEW IF EXISTS graft_mv_rev")
+    PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS graft_mem.default.mv_orders")
+    PrestoRewriter.sql(s, d,
+      """CREATE TABLE graft_mem.default.mv_orders AS
+         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderkey < 1000""")
+    PrestoRewriter.sql(s, d,
+      """CREATE MATERIALIZED VIEW graft_mv_rev
+         COMMENT 'revenue by status' AS
+         SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n,
+                round(sum(o_totalprice), 2) AS total
+         FROM graft_mem.default.mv_orders GROUP BY o_orderstatus""")
+    // mutate the base AFTER materialization: the view keeps serving the
+    // stored rows (staleness is the contract)
+    PrestoRewriter.sql(s, d,
+      """INSERT INTO graft_mem.default.mv_orders
+         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderkey >= 1000 AND o_orderkey < 2000""")
+    PrestoRewriter.sql(s, d, "REFRESH MATERIALIZED VIEW graft_mv_rev WHERE st = 'O'")
+    PrestoRewriter.sql(s, d, "SELECT st, n, total FROM graft_mv_rev ORDER BY st")
+  }
+  val matViewOracle: String =
+    """SELECT st, n, total FROM (
+         SELECT o_orderstatus AS st, CAST(count(*) AS BIGINT) AS n,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders WHERE o_orderkey < 2000 AND o_orderstatus = 'O' GROUP BY 1
+         UNION ALL
+         SELECT o_orderstatus, CAST(count(*) AS BIGINT), round(sum(o_totalprice), 2)
+         FROM orders WHERE o_orderkey < 1000 AND o_orderstatus <> 'O' GROUP BY 1
+       ) ORDER BY st"""
+
+  /** Transactions over the graft-mem connector (round 11,
+    * PrestoSql.g4:151-153): START TRANSACTION records every table's
+    * committed snapshot; the INSERT/UPDATE/CTAS inside the first
+    * transaction are wiped by ROLLBACK (snapshot restore + born-in-txn
+    * drop), the DELETE inside the second survives COMMIT. Final state =
+    * orders < 100 minus k >= 50 — the oracle computes it directly. */
+  def transaction(s: SparkSession, d: String): DataFrame = {
+    s.conf.unset(graft.sql.PrestoParser.TxnConf) // no txn leaks between runs
+    PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS graft_mem.default.txn_acct")
+    PrestoRewriter.sql(s, d,
+      """CREATE TABLE graft_mem.default.txn_acct AS
+         SELECT o_orderkey AS k, o_totalprice AS bal FROM orders
+         WHERE o_orderkey < 100""")
+    PrestoRewriter.sql(s, d,
+      "START TRANSACTION ISOLATION LEVEL READ COMMITTED, READ WRITE")
+    PrestoRewriter.sql(s, d,
+      """INSERT INTO graft_mem.default.txn_acct
+         SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey >= 100 AND o_orderkey < 200""")
+    PrestoRewriter.sql(s, d,
+      "UPDATE graft_mem.default.txn_acct SET bal = bal * 2 WHERE k < 50")
+    PrestoRewriter.sql(s, d,
+      "CREATE TABLE graft_mem.default.txn_scratch AS SELECT 1 AS x")
+    PrestoRewriter.sql(s, d, "ROLLBACK")
+    PrestoRewriter.sql(s, d, "START TRANSACTION")
+    PrestoRewriter.sql(s, d, "DELETE FROM graft_mem.default.txn_acct WHERE k >= 50")
+    PrestoRewriter.sql(s, d, "COMMIT WORK")
+    PrestoRewriter.sql(s, d,
+      """SELECT CAST(count(*) AS BIGINT) AS n, round(sum(bal), 2) AS total
+         FROM graft_mem.default.txn_acct""")
+  }
+  val transactionOracle: String =
+    """SELECT CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+       FROM orders WHERE o_orderkey < 50"""
+
+  /** Catalog browsing (round 11, PrestoSql.g4:131-137): SHOW TABLES
+    * with Presto's SQL-LIKE pattern (ESCAPE included — Spark's native
+    * SHOW TABLES is glob-based and cannot express an escaped `_`), and
+    * SHOW COLUMNS in Presto's four-column shape, stitched into one
+    * deterministic result. */
+  def showTables(s: SparkSession, d: String): DataFrame = {
+    PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS graft_mem.default.shl_alpha")
+    PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS graft_mem.default.shl_beta")
+    PrestoRewriter.sql(s, d,
+      "CREATE TABLE graft_mem.default.shl_alpha AS SELECT 1 AS a")
+    PrestoRewriter.sql(s, d,
+      "CREATE TABLE graft_mem.default.shl_beta AS SELECT 'x' AS s, CAST(2 AS BIGINT) AS v")
+    val tables = PrestoRewriter.sql(s, d,
+      "SHOW TABLES FROM graft_mem.default LIKE 'shl!_%' ESCAPE '!'")
+    val cols = PrestoRewriter.sql(s, d,
+      "SHOW COLUMNS FROM graft_mem.default.shl_beta")
+    tables.selectExpr("table_name AS item", "'table' AS kind")
+      .unionAll(cols.selectExpr("column_name AS item", "type AS kind"))
+  }
+  val showTablesOracle: String =
+    """SELECT * FROM (VALUES ('shl_alpha', 'table'), ('shl_beta', 'table'),
+                             ('s', 'string'), ('v', 'bigint')) AS t(item, kind)"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("presto_matview", matView _, matViewOracle),
+    ("presto_transaction", transaction _, transactionOracle),
+    ("presto_show_tables", showTables _, showTablesOracle),
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),
     ("presto_agg", run(aggPresto) _, aggOracle),
     ("presto_q6", run(q6Presto) _, q6Oracle),

@@ -94,6 +94,15 @@ object MemTables {
   def drop(name: String): Unit =
     { tables.remove(name); epochs.remove(name); history.remove(name); () }
 
+  /** Reinstall snapshot v as the CURRENT state (transaction rollback,
+    * round 11). The restore is itself a committed mutation — history
+    * keeps growing, so time travel can read across a rollback. */
+  def restore(name: String, v: Int): Boolean =
+    snapshotAt(name, v) match {
+      case Some((s, rows)) => install(name, s, rows, truncate = true); true
+      case None => false
+    }
+
   /** Committed epoch ids per table — the idempotence ledger for the
     * streaming sink. */
   private val epochs = TrieMap.empty[String, Set[Long]]

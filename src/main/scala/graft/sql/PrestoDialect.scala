@@ -790,14 +790,12 @@ object PrestoDialect {
   // ------------------------------------- pass: unsupported statement guard
   /** Statement kinds whose semantics Spark cannot honestly provide fail
     * FAST with a clear, actionable error instead of a confusing
-    * downstream parse error: materialized views (CREATE/DROP/REFRESH
-    * MATERIALIZED VIEW, AstStatements.h:191-236) — Spark has no
-    * refreshable materialized view, and silently degrading to a virtual
-    * view or a one-shot CTAS would change staleness semantics; role and
-    * privilege management (CREATE/DROP ROLE, GRANT, REVOKE, SET ROLE,
-    * AstStatements.h:300-374) — ACLs live in the external catalog
-    * layer, not the engine. Transactions and CALL are likewise out of
-    * scope (README matrix); they already fail in Spark's parser. */
+    * downstream parse error: role and privilege management (CREATE/DROP
+    * ROLE, GRANT, REVOKE, SET ROLE, AstStatements.h:300-374) — ACLs
+    * live in the external catalog layer, not the engine. Transactions
+    * and CALL are likewise out of scope (README matrix); they already
+    * fail in Spark's parser. Materialized views are IMPLEMENTED
+    * (round 11, [[MatViews]]) and handled at the statement layer. */
   private[sql] def rejectUnsupported(toks: Vector[Tok]): Vector[Tok] = {
     val i0 = nextM(toks, -1)
     val h = wordAt(toks, i0).toLowerCase
@@ -805,10 +803,6 @@ object PrestoDialect {
     def fail(what: String, hint: String): Nothing =
       throw new UnsupportedOperationException(
         s"Presto $what is not supported by the graft engine: $hint")
-    if ((h == "create" || h == "drop" || h == "refresh") && h2 == "materialized")
-      fail(s"${h.toUpperCase} MATERIALIZED VIEW",
-        "Spark has no refreshable materialized view; use CREATE VIEW (virtual, always " +
-        "fresh) or CREATE TABLE AS SELECT (one-shot materialization)")
     if (((h == "create" || h == "drop") && h2 == "role") || (h == "set" && h2 == "role"))
       fail(s"${h.toUpperCase} ROLE", "role management belongs to the external catalog/ACL layer")
     if (h == "grant" || h == "revoke")
@@ -939,6 +933,108 @@ object PrestoDialect {
   /** `DESCRIBE INPUT|OUTPUT name` (PrestoSql.g4:157-158) over a prepared
     * statement. */
   final case class DescribeStmt(name: String, output: Boolean) extends StatementAction
+  /** `CREATE MATERIALIZED VIEW (IF NOT EXISTS)? name (COMMENT s)?
+    * (WITH props)? AS query` (PrestoSql.g4:88-90): the WITH property
+    * list (connector placement hints) is dropped like CREATE SCHEMA's;
+    * `body` keeps the dialect query text for storage + refresh. */
+  final case class CreateMatViewStmt(name: String, ifNotExists: Boolean,
+      comment: Option[String], body: String) extends StatementAction
+  /** `REFRESH MATERIALIZED VIEW name WHERE pred` (PrestoSql.g4:92;
+    * predicate-scoped like Presto's partition refresh). The WHERE-less
+    * form is a graft extension meaning FULL rebuild. */
+  final case class RefreshMatViewStmt(name: String, where: Option[String])
+    extends StatementAction
+  /** `DROP MATERIALIZED VIEW (IF EXISTS)? name` (PrestoSql.g4:91). */
+  final case class DropMatViewStmt(name: String, ifExists: Boolean)
+    extends StatementAction
+  /** `SHOW CREATE MATERIALIZED VIEW name` (PrestoSql.g4:130). */
+  final case class ShowCreateMatViewStmt(name: String) extends StatementAction
+  /** `START TRANSACTION [modes]` / `COMMIT [WORK]` / `ROLLBACK [WORK]`
+    * (PrestoSql.g4:151-153, AstStatements.h:687-719). Transactional
+    * scope is the graft-mem connector (the reference likewise scopes
+    * transactions to connector support); isolation-level / read-mode
+    * qualifiers parse and drop — snapshot rollback is the semantics
+    * provided. */
+  final case class StartTransactionStmt(modes: String) extends StatementAction
+  final case class CommitStmt() extends StatementAction
+  final case class RollbackStmt() extends StatementAction
+  /** `SHOW TABLES [(FROM|IN) ns] [LIKE 'p' [ESCAPE 'e']]`
+    * (PrestoSql.g4:131-132). Presto's pattern is SQL LIKE — Spark's
+    * SHOW TABLES matches by glob — so the listing is materialized and
+    * the filter evaluated as a real LIKE. */
+  final case class ShowTablesStmt(from: Option[String],
+      like: Option[(String, Option[String])]) extends StatementAction
+  /** `SHOW SCHEMAS [(FROM|IN) catalog] [LIKE …]` (PrestoSql.g4:133-134). */
+  final case class ShowSchemasStmt(from: Option[String],
+      like: Option[(String, Option[String])]) extends StatementAction
+  /** `SHOW CATALOGS [LIKE …]` (PrestoSql.g4:135-136). */
+  final case class ShowCatalogsStmt(like: Option[(String, Option[String])])
+    extends StatementAction
+  /** `SHOW COLUMNS (FROM|IN) t` (PrestoSql.g4:137) in Presto's output
+    * shape (column_name, type, extra, comment). */
+  final case class ShowColumnsStmt(name: String) extends StatementAction
+  /** `RESET SESSION k` (PrestoSql.g4:150) → Spark `RESET k`. */
+  final case class ResetSessionStmt(rest: String) extends StatementAction
+
+  /** Qualified name starting at meaningful index i: (rendered, index of
+    * the next meaningful token after it), or ("", i) if none. Parts are
+    * words or quoted identifiers joined by dots. */
+  private def qualifiedNameAt(toks: Vector[Tok], i: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var j = i
+    var expectPart = true
+    while (j >= 0 && (
+        (expectPart && (toks(j).isInstanceOf[Word] || toks(j).isInstanceOf[Quoted])) ||
+        (!expectPart && toks(j) == Sym(".")))) {
+      sb.append(toks(j).text)
+      expectPart = !expectPart
+      j = nextM(toks, j)
+    }
+    if (expectPart) ("", i) else (sb.toString, j)
+  }
+
+  private def parseCreateMatView(toks: Vector[Tok], iView: Int): Option[StatementAction] = {
+    var j = nextM(toks, iView)
+    var ifNotExists = false
+    if (wordAt(toks, j).equalsIgnoreCase("if")) {
+      val iN = nextM(toks, j); val iE = nextM(toks, iN)
+      if (!wordAt(toks, iN).equalsIgnoreCase("not") ||
+          !wordAt(toks, iE).equalsIgnoreCase("exists")) return None
+      ifNotExists = true; j = nextM(toks, iE)
+    }
+    val (name, after) = qualifiedNameAt(toks, j)
+    if (name.isEmpty) return None
+    var k = after
+    var comment: Option[String] = None
+    if (wordAt(toks, k).equalsIgnoreCase("comment")) {
+      toks.lift(nextM(toks, k)) match {
+        case Some(Str(t)) =>
+          comment = Some(t.substring(1, t.length - 1).replace("''", "'"))
+          k = nextM(toks, nextM(toks, k))
+        case _ => return None
+      }
+    }
+    if (wordAt(toks, k).equalsIgnoreCase("with")) {
+      val iP = nextM(toks, k)
+      if (!toks.lift(iP).contains(Sym("("))) return None
+      val close = matchFwd(toks, iP)
+      if (close <= iP) return None
+      k = nextM(toks, close)
+    }
+    if (!wordAt(toks, k).equalsIgnoreCase("as")) return None
+    // AS (query) | AS query — strip one outer paren pair when it wraps
+    // the whole body (grammar line 90).
+    var bodyToks = toks.drop(k + 1)
+    val ib = nextM(bodyToks, -1)
+    if (ib >= 0 && bodyToks(ib) == Sym("(")) {
+      val close = matchFwd(bodyToks, ib)
+      if (close > ib && nextM(bodyToks, close) < 0)
+        bodyToks = bodyToks.slice(ib + 1, close)
+    }
+    val body = render(bodyToks).trim
+    if (body.isEmpty) None
+    else Some(CreateMatViewStmt(name, ifNotExists, comment, body))
+  }
 
   def statementAction(sql: String): Option[StatementAction] = {
     val toks = tokenize(sql)
@@ -948,6 +1044,59 @@ object PrestoDialect {
       case _ => None
     }
     wordAt(toks, i0).toLowerCase match {
+      case "create" =>
+        // only CREATE MATERIALIZED VIEW; other CREATEs pass through
+        val iM = nextM(toks, i0)
+        val iV = nextM(toks, iM)
+        if (!wordAt(toks, iM).equalsIgnoreCase("materialized") ||
+            !wordAt(toks, iV).equalsIgnoreCase("view")) None
+        else parseCreateMatView(toks, iV)
+      case "refresh" =>
+        val iM = nextM(toks, i0)
+        val iV = nextM(toks, iM)
+        if (!wordAt(toks, iM).equalsIgnoreCase("materialized") ||
+            !wordAt(toks, iV).equalsIgnoreCase("view")) None
+        else {
+          val (name, after) = qualifiedNameAt(toks, nextM(toks, iV))
+          if (name.isEmpty) None
+          else if (after < 0) Some(RefreshMatViewStmt(name, None))
+          else if (wordAt(toks, after).equalsIgnoreCase("where")) {
+            val pred = render(toks.drop(after + 1)).trim
+            if (pred.isEmpty) None else Some(RefreshMatViewStmt(name, Some(pred)))
+          } else None
+        }
+      case "drop" =>
+        // only DROP MATERIALIZED VIEW; other DROPs pass through
+        val iM = nextM(toks, i0)
+        val iV = nextM(toks, iM)
+        if (!wordAt(toks, iM).equalsIgnoreCase("materialized") ||
+            !wordAt(toks, iV).equalsIgnoreCase("view")) None
+        else {
+          var j = nextM(toks, iV)
+          var ifExists = false
+          if (wordAt(toks, j).equalsIgnoreCase("if")) {
+            val iE = nextM(toks, j)
+            if (!wordAt(toks, iE).equalsIgnoreCase("exists")) return None
+            ifExists = true; j = nextM(toks, iE)
+          }
+          val (name, after) = qualifiedNameAt(toks, j)
+          if (name.isEmpty || after >= 0) None
+          else Some(DropMatViewStmt(name, ifExists))
+        }
+      case "start" =>
+        val iT = nextM(toks, i0)
+        if (!wordAt(toks, iT).equalsIgnoreCase("transaction")) None
+        else Some(StartTransactionStmt(render(toks.drop(iT + 1)).trim))
+      case "commit" =>
+        val iW = nextM(toks, i0)
+        if (iW < 0 || (wordAt(toks, iW).equalsIgnoreCase("work") && nextM(toks, iW) < 0))
+          Some(CommitStmt())
+        else None
+      case "rollback" =>
+        val iW = nextM(toks, i0)
+        if (iW < 0 || (wordAt(toks, iW).equalsIgnoreCase("work") && nextM(toks, iW) < 0))
+          Some(RollbackStmt())
+        else None
       case "prepare" =>
         val iN = nextM(toks, i0)
         val iF = nextM(toks, iN)
@@ -1005,13 +1154,72 @@ object PrestoDialect {
           val body = render(toks.drop(if (verbose) iV + 1 else iA + 1)).trim
           if (body.nonEmpty) Some(ExplainAnalyzeStmt(body, verbose)) else None
         }
+      case "reset" =>
+        // RESET SESSION k (PrestoSql.g4:150) → Spark RESET k; plain
+        // RESET (Spark's own) passes through untouched.
+        val iS = nextM(toks, i0)
+        if (!wordAt(toks, iS).equalsIgnoreCase("session")) None
+        else {
+          val rest = render(toks.drop(iS + 1)).trim
+          if (rest.nonEmpty) Some(ResetSessionStmt(rest)) else None
+        }
       case "show" =>
-        // SHOW STATS FOR … and SHOW FUNCTIONS [LIKE 'p' [ESCAPE 'e']]
-        // (PrestoSql.g4:139-140, 145-146); every other SHOW passes
-        // through to Spark.
+        // SHOW STATS FOR …, SHOW FUNCTIONS/TABLES/SCHEMAS/CATALOGS
+        // [LIKE 'p' [ESCAPE 'e']], SHOW COLUMNS, SHOW CREATE
+        // MATERIALIZED VIEW (PrestoSql.g4:126-148); every other SHOW
+        // passes through to Spark.
         val iS = nextM(toks, i0)
         val iF = nextM(toks, iS)
-        if (wordAt(toks, iS).equalsIgnoreCase("session")) {
+        /** [LIKE 'p' [ESCAPE 'e']] ending the statement at meaningful
+          * index i: Some(filter) when well-formed, None → passthrough. */
+        def likeEscape(i: Int): Option[Option[(String, Option[String])]] = {
+          def unq(t: String) = t.substring(1, t.length - 1).replace("''", "'")
+          if (i < 0) Some(None)
+          else if (!wordAt(toks, i).equalsIgnoreCase("like")) None
+          else toks.lift(nextM(toks, i)) match {
+            case Some(Str(t)) =>
+              val iE = nextM(toks, nextM(toks, i))
+              if (iE < 0) Some(Some((unq(t), None)))
+              else if (wordAt(toks, iE).equalsIgnoreCase("escape"))
+                toks.lift(nextM(toks, iE)) match {
+                  case Some(Str(e)) if nextM(toks, nextM(toks, iE)) < 0 =>
+                    Some(Some((unq(t), Some(unq(e)))))
+                  case _ => None
+                }
+              else None
+            case _ => None
+          }
+        }
+        /** [(FROM|IN) qname] at i → (fromOpt, indexAfter). */
+        def fromClause(i: Int): Option[(Option[String], Int)] =
+          if (i >= 0 && (wordAt(toks, i).equalsIgnoreCase("from") ||
+              wordAt(toks, i).equalsIgnoreCase("in"))) {
+            val (name, after) = qualifiedNameAt(toks, nextM(toks, i))
+            if (name.isEmpty) None else Some((Some(name), after))
+          } else Some((None, i))
+        if (wordAt(toks, iS).equalsIgnoreCase("create") &&
+            wordAt(toks, iF).equalsIgnoreCase("materialized") &&
+            wordAt(toks, nextM(toks, iF)).equalsIgnoreCase("view")) {
+          val (name, after) = qualifiedNameAt(toks, nextM(toks, nextM(toks, iF)))
+          if (name.isEmpty || after >= 0) None else Some(ShowCreateMatViewStmt(name))
+        }
+        else if (wordAt(toks, iS).equalsIgnoreCase("tables"))
+          fromClause(iF).flatMap { case (from, after) =>
+            likeEscape(after).map(ShowTablesStmt(from, _)) }
+        else if (wordAt(toks, iS).equalsIgnoreCase("schemas"))
+          fromClause(iF).flatMap { case (from, after) =>
+            likeEscape(after).map(ShowSchemasStmt(from, _)) }
+        else if (wordAt(toks, iS).equalsIgnoreCase("catalogs"))
+          likeEscape(iF).map(ShowCatalogsStmt)
+        else if (wordAt(toks, iS).equalsIgnoreCase("columns")) {
+          if (!wordAt(toks, iF).equalsIgnoreCase("from") &&
+              !wordAt(toks, iF).equalsIgnoreCase("in")) None
+          else {
+            val (name, after) = qualifiedNameAt(toks, nextM(toks, iF))
+            if (name.isEmpty || after >= 0) None else Some(ShowColumnsStmt(name))
+          }
+        }
+        else if (wordAt(toks, iS).equalsIgnoreCase("session")) {
           if (iF < 0) Some(ShowSessionStmt(None))
           else if (wordAt(toks, iF).equalsIgnoreCase("like")) {
             toks.lift(nextM(toks, iF)) match {

@@ -39,6 +39,32 @@ class PrestoParser(session: SparkSession, delegate: ParserInterface)
     * namespace, keyed by the case-normalized statement name. */
   private def prepKey(name: String): String = "graft.sql.prepared." + name
 
+  private def litStr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+  /** Run plain Spark SQL with the dialect door OFF — for handlers whose
+    * inner statement would otherwise re-enter this parser and recurse
+    * (SHOW TABLES → ShowTablesStmt → SHOW TABLES → …). */
+  private def sparkSql(text: String): org.apache.spark.sql.DataFrame = {
+    session.conf.set(PrestoParser.DialectConf, "spark")
+    try session.sql(text)
+    finally session.conf.set(PrestoParser.DialectConf, "presto")
+  }
+
+  /** One-column VALUES listing with an optional SQL LIKE [ESCAPE]
+    * filter (SHOW TABLES/SCHEMAS/CATALOGS). */
+  private def listPlan(vals: Seq[String], alias: String, col: String,
+      like: Option[(String, Option[String])]): LogicalPlan = {
+    val filter = like.map { case (p, esc) =>
+      s" WHERE $col LIKE ${litStr(p)}" +
+        esc.map(e => s" ESCAPE ${litStr(e)}").getOrElse("")
+    }.getOrElse("")
+    if (vals.isEmpty)
+      delegate.parsePlan(s"SELECT CAST(NULL AS STRING) AS $col WHERE false")
+    else delegate.parsePlan(vals.map(v => s"(${litStr(v)})").mkString(
+      "SELECT * FROM VALUES ", ", ", s" AS $alias($col)") + filter)
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan = {
     if (!active) return delegate.parsePlan(sqlText)
     PrestoDialect.statementAction(sqlText) match {
@@ -124,6 +150,125 @@ class PrestoParser(session: SparkSession, delegate: ParserInterface)
           else delegate.parsePlan((0 until n).map(i => s"($i, 'unknown')").mkString(
             "SELECT * FROM VALUES ", ", ", " AS describe_input(position, type)"))
         }
+      case Some(PrestoDialect.CreateMatViewStmt(name, ifNotExists, comment, body)) =>
+        // Materialize into a graft-mem backing table (atomic DSv2
+        // commit), keep the definition, expose reads via a session temp
+        // view over the backing — Presto's store-and-serve-stale
+        // contract (AstStatements.h:191-236). See [[MatViews]].
+        if (MatViews.exists(name)) {
+          if (!ifNotExists) throw new IllegalArgumentException(
+            s"materialized view already exists: $name (use IF NOT EXISTS or DROP it first)")
+        } else {
+          val backing = MatViews.backingFor(name)
+          session.sql(s"DROP TABLE IF EXISTS $backing")
+          session.sql(s"CREATE TABLE $backing AS $body")
+          MatViews.register(name, backing, body, comment)
+        }
+        // (re)install the read path in THIS session — also heals a fresh
+        // session finding a registry entry created by an earlier one.
+        val v0 = MatViews.get(name).get
+        session.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${MatViews.readName(name)} " +
+          s"AS SELECT * FROM ${v0.backing}")
+        delegate.parsePlan(s"SELECT '${name.replace("'", "''")}' AS created")
+      case Some(PrestoDialect.RefreshMatViewStmt(name, where)) =>
+        val v = MatViews.get(name).getOrElse(throw new IllegalArgumentException(
+          s"materialized view not found: $name"))
+        where match {
+          case Some(pred) =>
+            // Predicate-scoped refresh (Presto's partition refresh,
+            // PrestoSql.g4:92): delete the materialized rows matching
+            // pred, recompute the definition filtered to pred. Each step
+            // is one atomic graft-mem commit.
+            session.sql(s"DELETE FROM ${v.backing} WHERE $pred")
+            session.sql(s"INSERT INTO ${v.backing} SELECT * FROM (${v.defn}) __mv WHERE $pred")
+          case None =>
+            session.sql(s"TRUNCATE TABLE ${v.backing}")
+            session.sql(s"INSERT INTO ${v.backing} SELECT * FROM (${v.defn}) __mv")
+        }
+        delegate.parsePlan(s"SELECT '${name.replace("'", "''")}' AS refreshed")
+      case Some(PrestoDialect.DropMatViewStmt(name, ifExists)) =>
+        MatViews.get(name) match {
+          case Some(v) =>
+            session.sql(s"DROP TABLE IF EXISTS ${v.backing}")
+            session.catalog.dropTempView(MatViews.readName(name))
+            MatViews.unregister(name)
+          case None if !ifExists => throw new IllegalArgumentException(
+            s"materialized view not found: $name")
+          case None => ()
+        }
+        delegate.parsePlan(s"SELECT '${name.replace("'", "''")}' AS dropped")
+      case Some(PrestoDialect.StartTransactionStmt(modes)) =>
+        // Session-scoped transaction over the graft-mem connector
+        // (AstStatements.h:687-719): record every table's committed
+        // snapshot number now; ROLLBACK restores those snapshots (and
+        // drops tables created inside the transaction), COMMIT discards
+        // the record. Isolation/read-mode qualifiers parse and drop.
+        if (modes.nonEmpty) {
+          val ok = "(?i)\\s*((isolation\\s+level\\s+(read\\s+(uncommitted|committed)|repeatable\\s+read|serializable))|read\\s+(only|write))(\\s*,\\s*((isolation\\s+level\\s+(read\\s+(uncommitted|committed)|repeatable\\s+read|serializable))|read\\s+(only|write)))*\\s*"
+          if (!modes.matches(ok)) throw new IllegalArgumentException(
+            s"invalid transaction mode: $modes")
+        }
+        if (session.conf.getOption(PrestoParser.TxnConf).isDefined)
+          throw new IllegalStateException("a transaction is already in progress " +
+            "(nested transactions are not supported)")
+        val record = graft.sources.MemTables.names.sorted
+          .map(t => s"$t=${graft.sources.MemTables.versionCount(t)}").mkString(";")
+        session.conf.set(PrestoParser.TxnConf, "txn:" + record)
+        delegate.parsePlan("SELECT 'started' AS transaction")
+      case Some(PrestoDialect.CommitStmt()) =>
+        if (session.conf.getOption(PrestoParser.TxnConf).isEmpty)
+          throw new IllegalStateException("no transaction in progress")
+        session.conf.unset(PrestoParser.TxnConf)
+        delegate.parsePlan("SELECT 'committed' AS transaction")
+      case Some(PrestoDialect.RollbackStmt()) =>
+        val rec = session.conf.getOption(PrestoParser.TxnConf).getOrElse(
+          throw new IllegalStateException("no transaction in progress"))
+        val recorded = rec.stripPrefix("txn:").split(";").iterator
+          .filter(_.nonEmpty).map { kv =>
+            val i = kv.lastIndexOf('='); (kv.substring(0, i), kv.substring(i + 1).toInt)
+          }.toMap
+        // restore mutated tables to their recorded snapshots; drop
+        // tables born inside the transaction
+        recorded.foreach { case (t, v) =>
+          if (graft.sources.MemTables.exists(t) &&
+              graft.sources.MemTables.versionCount(t) > v)
+            graft.sources.MemTables.restore(t, v)
+        }
+        graft.sources.MemTables.names
+          .filterNot(recorded.contains)
+          .foreach(graft.sources.MemTables.drop)
+        session.conf.unset(PrestoParser.TxnConf)
+        delegate.parsePlan("SELECT 'rolled back' AS transaction")
+      case Some(PrestoDialect.ShowTablesStmt(from, like)) =>
+        // Presto's pattern is SQL LIKE; Spark's SHOW TABLES matches by
+        // glob — materialize the listing, evaluate a real LIKE.
+        val names = sparkSql("SHOW TABLES" + from.map(" FROM " + _).getOrElse(""))
+          .select("tableName").collect().map(_.getString(0)).sorted.toSeq
+        listPlan(names, "tables", "table_name", like)
+      case Some(PrestoDialect.ShowSchemasStmt(from, like)) =>
+        val names = sparkSql("SHOW NAMESPACES" + from.map(" IN " + _).getOrElse(""))
+          .select("namespace").collect().map(_.getString(0)).sorted.toSeq
+        listPlan(names, "schemas", "schema_name", like)
+      case Some(PrestoDialect.ShowCatalogsStmt(like)) =>
+        val names = sparkSql("SHOW CATALOGS")
+          .select("catalog").collect().map(_.getString(0)).sorted.toSeq
+        listPlan(names, "catalogs", "catalog_name", like)
+      case Some(PrestoDialect.ShowColumnsStmt(name)) =>
+        // Presto's four-column shape (Column, Type, Extra, Comment);
+        // types rendered in lowercase SQL form.
+        val rows = session.table(name).schema.fields.map { f =>
+          val comment = f.getComment().getOrElse("")
+          s"(${litStr(f.name)}, ${litStr(f.dataType.sql.toLowerCase)}, '', ${litStr(comment)})"
+        }
+        delegate.parsePlan(rows.mkString("SELECT * FROM VALUES ", ", ",
+          " AS columns(column_name, type, extra, comment)"))
+      case Some(PrestoDialect.ResetSessionStmt(rest)) =>
+        delegate.parsePlan("RESET " + rest)
+      case Some(PrestoDialect.ShowCreateMatViewStmt(name)) =>
+        val v = MatViews.get(name).getOrElse(throw new IllegalArgumentException(
+          s"materialized view not found: $name"))
+        delegate.parsePlan(
+          s"SELECT '${MatViews.showCreate(v).replace("'", "''")}' AS create_matview")
       case None => delegate.parsePlan(lower(sqlText))
     }
   }
@@ -149,4 +294,7 @@ object PrestoParser {
   /** Session conf selecting the SQL dialect: "spark" (default) or
     * "presto". */
   val DialectConf = "graft.sql.dialect"
+  /** Session conf holding the active transaction's snapshot record
+    * (`txn:table=version;…`) — present iff a transaction is open. */
+  val TxnConf = "graft.txn.snapshot"
 }

@@ -262,18 +262,147 @@ class PrestoDialectSpec extends SparkSpec {
     presto("DROP SCHEMA spec_presto_schema")
   }
 
-  test("materialized view and role/grant statements fail fast with clear errors") {
-    // AstStatements.h:191-236 (materialized views), :300-374 (roles):
-    // explicit rejects, not confusing downstream parse errors.
-    val mv = intercept[UnsupportedOperationException] {
-      presto("CREATE MATERIALIZED VIEW mv AS SELECT 1 AS x")
+  test("materialized views: create/stale-serve/refresh-where/drop lifecycle") {
+    // AstStatements.h:191-236, PrestoSql.g4:88-92 — real semantics on
+    // graft-mem storage, not a virtual-view degrade (sql/MatViews.scala).
+    presto("DROP MATERIALIZED VIEW IF EXISTS spec_mv")
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_mv_base")
+    presto("""CREATE TABLE graft_mem.default.spec_mv_base AS
+              SELECT n_regionkey AS r, n_nationkey AS k FROM nation""")
+    presto("""CREATE MATERIALIZED VIEW spec_mv
+              COMMENT 'nations per region'
+              WITH (format = 'memory') AS
+              (SELECT r, CAST(count(*) AS BIGINT) AS n
+               FROM graft_mem.default.spec_mv_base GROUP BY r)""")
+    def rows() = presto("SELECT r, n FROM spec_mv ORDER BY r")
+      .collect().map(x => (x.getAs[Number](0).longValue, x.getLong(1))).toSeq
+    val fresh = rows()
+    assert(fresh.map(_._2).sum == 25, s"initial build must see all 25 nations: $fresh")
+    // base mutates; the MV serves the STORED (stale) result
+    presto("INSERT INTO graft_mem.default.spec_mv_base VALUES (0, 100), (1, 101)")
+    assert(rows() == fresh, "MV must serve stored rows until refreshed")
+    // predicate-scoped refresh recomputes ONLY the matching slice
+    presto("REFRESH MATERIALIZED VIEW spec_mv WHERE r = 0")
+    val partial = rows()
+    assert(partial.find(_._1 == 0).get._2 == fresh.find(_._1 == 0).get._2 + 1,
+      s"r=0 must be recomputed: $partial")
+    assert(partial.find(_._1 == 1).get._2 == fresh.find(_._1 == 1).get._2,
+      s"r=1 must stay stale after a WHERE r = 0 refresh: $partial")
+    // WHERE-less refresh (graft extension): full rebuild
+    presto("REFRESH MATERIALIZED VIEW spec_mv")
+    val full = rows()
+    assert(full.map(_._2).sum == 27, s"full refresh must see 27 rows: $full")
+    // SHOW CREATE round-trips the definition text
+    val create = presto("SHOW CREATE MATERIALIZED VIEW spec_mv").head().getString(0)
+    assert(create.contains("CREATE MATERIALIZED VIEW spec_mv") &&
+      create.contains("nations per region") && create.contains("GROUP BY r"), create)
+    // IF NOT EXISTS: no-op on an existing view; bare CREATE: loud error
+    presto("CREATE MATERIALIZED VIEW IF NOT EXISTS spec_mv AS SELECT 1 AS x")
+    assert(rows() == full, "IF NOT EXISTS on an existing MV must not rebuild")
+    val dup = intercept[IllegalArgumentException] {
+      presto("CREATE MATERIALIZED VIEW spec_mv AS SELECT 1 AS x")
     }
-    assert(mv.getMessage.contains("MATERIALIZED VIEW") &&
-      mv.getMessage.contains("CREATE TABLE AS"), mv.getMessage)
-    val rf = intercept[UnsupportedOperationException] {
-      presto("REFRESH MATERIALIZED VIEW mv")
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    // DROP removes view + backing; refresh/show/drop then fail loudly
+    presto("DROP MATERIALIZED VIEW spec_mv")
+    val gone = intercept[IllegalArgumentException] {
+      presto("REFRESH MATERIALIZED VIEW spec_mv WHERE r = 0")
     }
-    assert(rf.getMessage.contains("MATERIALIZED VIEW"), rf.getMessage)
+    assert(gone.getMessage.contains("not found"), gone.getMessage)
+    presto("DROP MATERIALIZED VIEW IF EXISTS spec_mv") // idempotent
+    val dropGone = intercept[IllegalArgumentException] {
+      presto("DROP MATERIALIZED VIEW spec_mv")
+    }
+    assert(dropGone.getMessage.contains("not found"), dropGone.getMessage)
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_mv_base")
+  }
+
+  test("transactions on graft-mem: rollback restores snapshots, commit keeps") {
+    // PrestoSql.g4:151-153 / AstStatements.h:687-719. Transactional
+    // scope is the graft-mem connector; rollback = snapshot restore +
+    // drop of tables born inside the transaction.
+    spark.conf.unset(graft.sql.PrestoParser.TxnConf)
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_txn")
+    presto("""CREATE TABLE graft_mem.default.spec_txn AS
+              SELECT n_nationkey AS k FROM nation""")
+    def n() = presto("SELECT CAST(count(*) AS BIGINT) AS n FROM graft_mem.default.spec_txn")
+      .head().getLong(0)
+    assert(n() == 25)
+    // errors: commit/rollback without a txn; nested txn; bad mode
+    val noTxn = intercept[IllegalStateException] { presto("COMMIT") }
+    assert(noTxn.getMessage.contains("no transaction"), noTxn.getMessage)
+    val badMode = intercept[IllegalArgumentException] {
+      presto("START TRANSACTION ISOLATION LEVEL SNAPSHOT")
+    }
+    assert(badMode.getMessage.contains("invalid transaction mode"), badMode.getMessage)
+    presto("START TRANSACTION ISOLATION LEVEL SERIALIZABLE, READ WRITE")
+    val nested = intercept[IllegalStateException] { presto("START TRANSACTION") }
+    assert(nested.getMessage.contains("already in progress"), nested.getMessage)
+    // mutations + a table born inside the transaction
+    presto("INSERT INTO graft_mem.default.spec_txn VALUES (100), (101)")
+    presto("DELETE FROM graft_mem.default.spec_txn WHERE k < 5")
+    presto("CREATE TABLE graft_mem.default.spec_txn_born AS SELECT 1 AS x")
+    assert(n() == 22, "statements inside the txn are visible (read-your-writes)")
+    presto("ROLLBACK WORK")
+    assert(n() == 25, "rollback must restore the pre-transaction snapshot")
+    assert(!graft.sources.MemTables.exists("default.spec_txn_born"),
+      "tables created inside a rolled-back transaction must be dropped")
+    // and time travel still reads ACROSS the rollback (restore is a commit)
+    val versions = graft.sources.MemTables.versionCount("default.spec_txn")
+    val atRolledBack = presto(
+      s"SELECT count(*) FROM graft_mem.default.spec_txn FOR VERSION AS OF ${versions - 1}")
+      .head().getLong(0)
+    assert(atRolledBack == 22, "history must retain the rolled-back state")
+    // commit path
+    presto("START TRANSACTION")
+    presto("DELETE FROM graft_mem.default.spec_txn WHERE k >= 20")
+    presto("COMMIT")
+    assert(n() == 20, "committed work survives")
+    val after = intercept[IllegalStateException] { presto("ROLLBACK") }
+    assert(after.getMessage.contains("no transaction"), after.getMessage)
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_txn")
+  }
+
+  test("SHOW TABLES/SCHEMAS/CATALOGS with SQL LIKE; SHOW COLUMNS; RESET SESSION") {
+    // PrestoSql.g4:131-137,150. Presto's pattern language is SQL LIKE
+    // (%, _, ESCAPE) — Spark's SHOW TABLES matches by glob, so the
+    // dialect materializes the listing and evaluates a real LIKE.
+    presto("DROP TABLE IF EXISTS graft_mem.default.shtb_one")
+    presto("DROP TABLE IF EXISTS graft_mem.default.shtb_two")
+    presto("CREATE TABLE graft_mem.default.shtb_one AS SELECT 1 AS x")
+    presto("CREATE TABLE graft_mem.default.shtb_two AS SELECT 'a' AS y, 2 AS z")
+    val tabs = presto("SHOW TABLES FROM graft_mem.default LIKE 'shtb!_%' ESCAPE '!'")
+      .collect().map(_.getString(0)).toSet
+    assert(tabs == Set("shtb_one", "shtb_two"), tabs.toString)
+    // the single-char wildcard _ — inexpressible as a Spark glob
+    val underscore = presto("SHOW TABLES FROM graft_mem.default LIKE 'shtb_on_'")
+      .collect().map(_.getString(0)).toSeq
+    assert(underscore == Seq("shtb_one"), underscore.toString)
+    val cats = presto("SHOW CATALOGS").collect().map(_.getString(0)).toSet
+    assert(cats.contains("graft_mem") && cats.contains("spark_catalog"), cats.toString)
+    assert(presto("SHOW CATALOGS LIKE 'graft%'").collect().map(_.getString(0)).toSet
+      == Set("graft_mem"))
+    val schemas = presto("SHOW SCHEMAS FROM graft_mem").collect().map(_.getString(0)).toSet
+    assert(schemas.contains("default"), schemas.toString)
+    // Presto's 4-column SHOW COLUMNS shape
+    val cols = presto("SHOW COLUMNS FROM graft_mem.default.shtb_two")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(cols == Seq(("y", "string"), ("z", "int")), cols.toString)
+    assert(presto("SHOW COLUMNS FROM graft_mem.default.shtb_two").columns.toSeq
+      == Seq("column_name", "type", "extra", "comment"))
+    // RESET SESSION k → Spark RESET k
+    presto("SET SESSION graft.spec.reset_probe = 'v1'")
+    assert(spark.conf.get("graft.spec.reset_probe") == "v1")
+    presto("RESET SESSION graft.spec.reset_probe")
+    assert(spark.conf.getOption("graft.spec.reset_probe").isEmpty,
+      "RESET SESSION must unset the session property")
+    presto("DROP TABLE IF EXISTS graft_mem.default.shtb_one")
+    presto("DROP TABLE IF EXISTS graft_mem.default.shtb_two")
+  }
+
+  test("role/grant statements fail fast with clear errors") {
+    // AstStatements.h:300-374 (roles): explicit rejects, not confusing
+    // downstream parse errors.
     val gr = intercept[UnsupportedOperationException] {
       presto("GRANT SELECT ON nation TO alice")
     }
