@@ -1,0 +1,421 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Round-11 Presto function tail: binary/digest functions, byte-order
+  * and IEEE-754 conversions, Unicode normalization, regexp family
+  * differences, statistical distribution CDFs, and the array/map
+  * utility families — the remaining scalar surface of the reference's
+  * Presto function library (registered verbatim from Velox,
+  * axiom/optimizer/tests/AxiomSql.cpp:58-59) that had no graft
+  * spelling yet.
+  *
+  * Naming discipline (same as [[PrestoCompat]]): functions whose Presto
+  * name collides with a DIFFERENT-semantics Spark built-in (md5, sha1,
+  * xxhash64, regexp_extract…) are injected under a `presto_`-prefixed
+  * name and renamed into dialect text by the Registry/PrestoRewriter
+  * translation table, so the Spark-dialect surface keeps Spark
+  * semantics; collision-free names inject directly.
+  */
+object PrestoFns2 {
+
+  private def asString(e: Expression) = Cast(e, StringType)
+  private def asDouble(e: Expression) = Cast(e, DoubleType)
+  private def lv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+  private def nullOf(t: DataType) = Literal.create(null, t)
+
+  // ------------------------------------------------- byte-order / IEEE754
+  /** Presto to/from_big_endian_64/32 and to/from_ieee754_64/32
+    * (varbinary ↔ fixed-width big-endian numeric). One parametric
+    * expression; codegen calls the static helpers in [[BinHelpers]]. */
+  case class BinConv(kind: String, child: Expression) extends UnaryExpression {
+    private val spec: (DataType, DataType, String) = kind match {
+      case "to_big_endian_64" => (LongType, BinaryType, "toBE64")
+      case "from_big_endian_64" => (BinaryType, LongType, "fromBE64")
+      case "to_big_endian_32" => (IntegerType, BinaryType, "toBE32")
+      case "from_big_endian_32" => (BinaryType, IntegerType, "fromBE32")
+      case "to_ieee754_64" => (DoubleType, BinaryType, "toIeee64")
+      case "from_ieee754_64" => (BinaryType, DoubleType, "fromIeee64")
+      case "to_ieee754_32" => (FloatType, BinaryType, "toIeee32")
+      case "from_ieee754_32" => (BinaryType, FloatType, "fromIeee32")
+      case other => throw new IllegalArgumentException(s"unknown conversion $other")
+    }
+    override def dataType: DataType = spec._2
+    override def prettyName: String = kind
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == spec._1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$kind expects ${spec._1.catalogString}, got ${child.dataType.catalogString}")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def nullSafeEval(v: Any): Any = kind match {
+      case "to_big_endian_64" => BinHelpers.toBE64(v.asInstanceOf[Long])
+      case "from_big_endian_64" => BinHelpers.fromBE64(v.asInstanceOf[Array[Byte]])
+      case "to_big_endian_32" => BinHelpers.toBE32(v.asInstanceOf[Int])
+      case "from_big_endian_32" => BinHelpers.fromBE32(v.asInstanceOf[Array[Byte]])
+      case "to_ieee754_64" => BinHelpers.toIeee64(v.asInstanceOf[Double])
+      case "from_ieee754_64" => BinHelpers.fromIeee64(v.asInstanceOf[Array[Byte]])
+      case "to_ieee754_32" => BinHelpers.toIeee32(v.asInstanceOf[Float])
+      case "from_ieee754_32" => BinHelpers.fromIeee32(v.asInstanceOf[Array[Byte]])
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.BinHelpers.${spec._3}($c)")
+  }
+
+  // -------------------------------------------------- Unicode normalize
+  /** Presto normalize(string[, form]) — java.text.Normalizer with the
+    * form fixed at plan time (a keyword/literal in Presto too). */
+  case class NormalizeString(child: Expression, form: String)
+      extends UnaryExpression {
+    java.text.Normalizer.Form.valueOf(form) // validate at build time
+    override def dataType: DataType = StringType
+    override def prettyName: String = "normalize"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"normalize expects a string, got ${child.dataType.catalogString}")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        v.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.valueOf(form)))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"java.text.Normalizer.normalize($c.toString(), " +
+          s"java.text.Normalizer.Form.$form))")
+  }
+
+  // ------------------------------------------------- Unicode code point
+  /** Presto chr(n): the UNICODE CODE POINT n as a string — Spark's
+    * same-named char/chr is byte-valued (n % 256), silently wrong
+    * beyond ASCII, so the dialect routes here. */
+  case class CodePointChar(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "chr"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"chr expects bigint, got ${child.dataType.catalogString}")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(BinHelpers.codePoint(v.asInstanceOf[Long]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.BinHelpers.codePoint($c))")
+  }
+
+  // --------------------------------------------- distribution functions
+  /** Presto's statistical CDF family (normal_cdf, binomial_cdf, …) over
+    * commons-math3 (on Spark's own runtime classpath). Interpreted
+    * eval (CodegenFallback): these are leaf scalar calls, not hot-path
+    * pipeline operators; invalid parameters throw
+    * IllegalArgumentException exactly as Presto's
+    * INVALID_FUNCTION_ARGUMENT. */
+  case class DistFn(fn: String, children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    import org.apache.commons.math3.distribution._
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def foldable: Boolean = children.forall(_.foldable)
+    override def prettyName: String = fn
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.forall(_.dataType == DoubleType)) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$fn expects double arguments")
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]) = copy(children = newChildren)
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.contains(null)) null
+      else {
+        val d = vs.map(_.asInstanceOf[Double])
+        try compute(d) catch {
+          case e: org.apache.commons.math3.exception.MathIllegalArgumentException =>
+            throw new IllegalArgumentException(s"$fn: ${e.getMessage}", e)
+        }
+      }
+    }
+    private def wilson(d: Seq[Double], upper: Boolean): Double = {
+      val (s, n, z) = (d(0), d(1), d(2))
+      if (n <= 0 || s < 0 || s > n || z < 0)
+        throw new IllegalArgumentException(
+          s"wilson_interval: need 0 <= successes <= trials, trials > 0, z >= 0")
+      val p = s / n
+      val z2 = z * z
+      val center = p + z2 / (2 * n)
+      val margin = z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+      (if (upper) center + margin else center - margin) / (1 + z2 / n)
+    }
+    private def compute(d: Seq[Double]): Double = fn match {
+      case "normal_cdf" => new NormalDistribution(null, d(0), d(1)).cumulativeProbability(d(2))
+      case "inverse_normal_cdf" =>
+        new NormalDistribution(null, d(0), d(1)).inverseCumulativeProbability(d(2))
+      case "binomial_cdf" =>
+        new BinomialDistribution(null, d(0).toInt, d(1)).cumulativeProbability(d(2).toInt)
+      case "poisson_cdf" =>
+        new PoissonDistribution(null, d(0),
+          PoissonDistribution.DEFAULT_EPSILON,
+          PoissonDistribution.DEFAULT_MAX_ITERATIONS).cumulativeProbability(d(1).toInt)
+      case "beta_cdf" => new BetaDistribution(null, d(0), d(1)).cumulativeProbability(d(2))
+      case "inverse_beta_cdf" =>
+        new BetaDistribution(null, d(0), d(1)).inverseCumulativeProbability(d(2))
+      case "chi_squared_cdf" =>
+        new ChiSquaredDistribution(null, d(0)).cumulativeProbability(d(1))
+      case "gamma_cdf" =>
+        new GammaDistribution(null, d(0), d(1)).cumulativeProbability(d(2))
+      case "cauchy_cdf" =>
+        new CauchyDistribution(null, d(0), d(1)).cumulativeProbability(d(2))
+      case "weibull_cdf" =>
+        new WeibullDistribution(null, d(0), d(1)).cumulativeProbability(d(2))
+      case "laplace_cdf" =>
+        new LaplaceDistribution(null, d(0), d(1)).cumulativeProbability(d(2))
+      case "f_cdf" =>
+        new FDistribution(null, d(0), d(1)).cumulativeProbability(d(2))
+      case "wilson_interval_lower" => wilson(d, upper = false)
+      case "wilson_interval_upper" => wilson(d, upper = true)
+      case other => throw new IllegalArgumentException(s"unknown distribution fn $other")
+    }
+  }
+
+  // ----------------------------------------------------- lambda helpers
+  /** Descending comparator with nulls last (Presto array_sort_desc /
+    * map_top_n ordering). */
+  private def cmpDesc(x: Expression, y: Expression): Expression =
+    CaseWhen(Seq(
+      (And(IsNull(x), IsNull(y)), Literal(0)),
+      (IsNull(x), Literal(1)),
+      (IsNull(y), Literal(-1)),
+      (LessThan(x, y), Literal(1)),
+      (GreaterThan(x, y), Literal(-1))), Literal(0))
+
+  private def filterNotNull(arr: Expression, n: String): Expression = {
+    val x = lv(n)
+    ArrayFilter(arr, LambdaFunction(IsNotNull(x), Seq(x)))
+  }
+
+  /** aggregate(filter(a, notnull), 0.0, (acc, x) -> acc + x) — the
+    * double-typed sum behind array_sum/array_average/array_normalize.
+    * Presto types array_sum by element type (bigint for integral
+    * arrays); graft returns DOUBLE uniformly — documented divergence,
+    * exact for the fractional case and for integral sums < 2^53. */
+  private def arraySumD(arr: Expression, tag: String): Expression = {
+    val acc = lv(s"__${tag}_acc"); val x = lv(s"__${tag}_x"); val f = lv(s"__${tag}_f")
+    ArrayAggregate(
+      filterNotNull(arr, s"__${tag}_nn"),
+      Literal(0.0),
+      LambdaFunction(Add(acc, asDouble(x)), Seq(acc, x)),
+      LambdaFunction(f, Seq(f)))
+  }
+
+  // ------------------------------------------------------------ builders
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // ---- digests. Presto digests take varbinary and RETURN varbinary;
+    // Spark's md5/sha1 return hex strings, so the colliding names are
+    // injected under presto_* and renamed by the dialect table. Spark's
+    // implicit cast covers string→binary input.
+    "presto_md5" -> { es: Seq[Expression] => Unhex(Md5(es.head)) },
+    "presto_sha1" -> { es: Seq[Expression] => Unhex(Sha1(es.head)) },
+    "sha256" -> { es: Seq[Expression] => Unhex(Sha2(es.head, Literal(256))) },
+    "sha512" -> { es: Seq[Expression] => Unhex(Sha2(es.head, Literal(512))) },
+    // Presto xxhash64(varbinary) → varbinary(8): standard XXH64 with
+    // seed 0 (Spark's hash-function family uses seed 42), rendered
+    // big-endian. Spark's XxHash64 kernel IS standard XXH64 over the
+    // raw bytes for binary input.
+    "presto_xxhash64" -> { es: Seq[Expression] =>
+      BinConv("to_big_endian_64", new XxHash64(Seq(Cast(es.head, BinaryType)), 0L)) },
+    // ---- byte-order / IEEE-754 conversions (collision-free names)
+    "to_big_endian_64" -> { es: Seq[Expression] => BinConv("to_big_endian_64", Cast(es.head, LongType)) },
+    "from_big_endian_64" -> { es: Seq[Expression] => BinConv("from_big_endian_64", es.head) },
+    "to_big_endian_32" -> { es: Seq[Expression] => BinConv("to_big_endian_32", Cast(es.head, IntegerType)) },
+    "from_big_endian_32" -> { es: Seq[Expression] => BinConv("from_big_endian_32", es.head) },
+    "to_ieee754_64" -> { es: Seq[Expression] => BinConv("to_ieee754_64", asDouble(es.head)) },
+    "from_ieee754_64" -> { es: Seq[Expression] => BinConv("from_ieee754_64", es.head) },
+    "to_ieee754_32" -> { es: Seq[Expression] => BinConv("to_ieee754_32", Cast(es.head, FloatType)) },
+    "from_ieee754_32" -> { es: Seq[Expression] => BinConv("from_ieee754_32", es.head) },
+    // ---- Presto chr is a CODE POINT (Spark's is a byte value)
+    "presto_chr" -> { es: Seq[Expression] => CodePointChar(Cast(es.head, LongType)) },
+    // ---- Presto MAP() constructor: zero args → empty map, two ARRAY
+    // args → map from keys/values (Spark's map(...) takes interleaved
+    // key/value pairs — a silent mis-parse if passed through).
+    "presto_map" -> { es: Seq[Expression] =>
+      es.length match {
+        case 0 => CreateMap(Nil)
+        case 2 => MapFromArrays(es(0), es(1))
+        case n => throw new IllegalArgumentException(
+          s"map() takes zero arguments or two arrays, got $n arguments")
+      } },
+    // ---- UTF-8 / normalization. from_utf8 replaces invalid sequences
+    // with U+FFFD (Java decoder default) — Presto's default behavior.
+    "to_utf8" -> { es: Seq[Expression] => Encode(asString(es.head), Literal(UTF8String.fromString("UTF-8"), StringType)) },
+    "from_utf8" -> { es: Seq[Expression] => StringDecode(Cast(es.head, BinaryType), Literal(UTF8String.fromString("UTF-8"), StringType)) },
+    "normalize" -> { es: Seq[Expression] =>
+      val form = if (es.length < 2) "NFC" else es(1) match {
+        case Literal(s: UTF8String, StringType) => s.toString.toUpperCase
+        case other => throw new IllegalArgumentException(
+          s"normalize: the form must be a literal NFC|NFD|NFKC|NFKD, got $other")
+      }
+      NormalizeString(asString(es.head), form)
+    },
+    // ---- regexp family. Presto regexp_extract's default group is 0
+    // (the whole match) and a non-match yields NULL — Spark defaults to
+    // group 1 and yields '' — so the colliding names go through
+    // presto_* renames. regexp_split has no Spark name.
+    "presto_regexp_extract" -> { es: Seq[Expression] =>
+      val idx = if (es.length >= 3) es(2) else Literal(0)
+      If(RLike(asString(es(0)), es(1)),
+        RegExpExtract(asString(es(0)), es(1), idx), nullOf(StringType))
+    },
+    "presto_regexp_extract_all" -> { es: Seq[Expression] =>
+      val idx = if (es.length >= 3) es(2) else Literal(0)
+      RegExpExtractAll(asString(es(0)), es(1), idx)
+    },
+    "regexp_split" -> { es: Seq[Expression] =>
+      StringSplit(asString(es(0)), es(1), Literal(-1)) },
+    // ---- distribution CDFs + Wilson intervals
+    "normal_cdf" -> { es: Seq[Expression] => DistFn("normal_cdf", es.map(asDouble)) },
+    "inverse_normal_cdf" -> { es: Seq[Expression] => DistFn("inverse_normal_cdf", es.map(asDouble)) },
+    "binomial_cdf" -> { es: Seq[Expression] => DistFn("binomial_cdf", es.map(asDouble)) },
+    "poisson_cdf" -> { es: Seq[Expression] => DistFn("poisson_cdf", es.map(asDouble)) },
+    "beta_cdf" -> { es: Seq[Expression] => DistFn("beta_cdf", es.map(asDouble)) },
+    "inverse_beta_cdf" -> { es: Seq[Expression] => DistFn("inverse_beta_cdf", es.map(asDouble)) },
+    "chi_squared_cdf" -> { es: Seq[Expression] => DistFn("chi_squared_cdf", es.map(asDouble)) },
+    "gamma_cdf" -> { es: Seq[Expression] => DistFn("gamma_cdf", es.map(asDouble)) },
+    "cauchy_cdf" -> { es: Seq[Expression] => DistFn("cauchy_cdf", es.map(asDouble)) },
+    "weibull_cdf" -> { es: Seq[Expression] => DistFn("weibull_cdf", es.map(asDouble)) },
+    "laplace_cdf" -> { es: Seq[Expression] => DistFn("laplace_cdf", es.map(asDouble)) },
+    "f_cdf" -> { es: Seq[Expression] => DistFn("f_cdf", es.map(asDouble)) },
+    "wilson_interval_lower" -> { es: Seq[Expression] => DistFn("wilson_interval_lower", es.map(asDouble)) },
+    "wilson_interval_upper" -> { es: Seq[Expression] => DistFn("wilson_interval_upper", es.map(asDouble)) },
+    // ---- array utilities (composed from codegen'd HOFs)
+    "array_sum" -> { es: Seq[Expression] => arraySumD(es.head, "as") },
+    "array_average" -> { es: Seq[Expression] =>
+      // average of the non-null elements; NULL when none
+      val cnt = asDouble(Size(filterNotNull(es.head, "__aa_cnt")))
+      Divide(arraySumD(es.head, "aa"),
+        If(EqualTo(cnt, Literal(0.0)), nullOf(DoubleType), cnt)) },
+    "array_cum_sum" -> { es: Seq[Expression] =>
+      // running sum; elements after a NULL are NULL (Presto semantics).
+      // O(n) lambda fold appending to the accumulator array.
+      val acc = lv("__acs_acc"); val x = lv("__acs_x"); val f = lv("__acs_f")
+      val step = If(EqualTo(Size(acc), Literal(0)), asDouble(x),
+        Add(ElementAt(acc, Size(acc)), asDouble(x)))
+      ArrayAggregate(es.head,
+        Literal.create(Array.empty[Double], ArrayType(DoubleType)),
+        LambdaFunction(Concat(Seq(acc, CreateArray(Seq(step)))), Seq(acc, x)),
+        LambdaFunction(f, Seq(f)))
+    },
+    "array_duplicates" -> { es: Seq[Expression] =>
+      // elements occurring more than once, one occurrence each. NULLs
+      // count as duplicates of each other (null-safe equality).
+      val x = lv("__ad_x"); val y = lv("__ad_y")
+      ArrayDistinct(ArrayFilter(es.head, LambdaFunction(
+        GreaterThan(Size(ArrayFilter(es.head,
+          LambdaFunction(EqualNullSafe(y, x), Seq(y)))), Literal(1)),
+        Seq(x))))
+    },
+    "array_has_duplicates" -> { es: Seq[Expression] =>
+      Not(EqualTo(Size(es.head), Size(ArrayDistinct(es.head)))) },
+    "array_normalize" -> { es: Seq[Expression] =>
+      // x / ||x||_p; p <= 0 or a zero norm returns the input unchanged
+      // (Velox array_normalize behavior).
+      val x = lv("__an_x"); val e = lv("__an_e")
+      val p = asDouble(es(1))
+      val norm = Pow(ArrayAggregate(
+        filterNotNull(es.head, "__an_nn"), Literal(0.0),
+        LambdaFunction(Add(lv("__an_acc"), Pow(Abs(asDouble(e)), p)),
+          Seq(lv("__an_acc"), e)),
+        LambdaFunction(lv("__an_f"), Seq(lv("__an_f")))),
+        Divide(Literal(1.0), p))
+      If(Or(LessThanOrEqual(p, Literal(0.0)), EqualTo(norm, Literal(0.0))),
+        Cast(es.head, ArrayType(DoubleType)),
+        ArrayTransform(es.head, LambdaFunction(Divide(asDouble(x), norm), Seq(x))))
+    },
+    "remove_nulls" -> { es: Seq[Expression] => filterNotNull(es.head, "__rn") },
+    "array_sort_desc" -> { es: Seq[Expression] =>
+      val x = lv("__asd_x"); val y = lv("__asd_y")
+      new ArraySort(es.head, LambdaFunction(cmpDesc(x, y), Seq(x, y)))
+    },
+    // ---- map utilities
+    "map_remove_null_values" -> { es: Seq[Expression] =>
+      val k = lv("__mrn_k"); val v = lv("__mrn_v")
+      MapFilter(es.head, LambdaFunction(IsNotNull(v), Seq(k, v))) },
+    "map_subset" -> { es: Seq[Expression] =>
+      val k = lv("__ms_k"); val v = lv("__ms_v")
+      MapFilter(es.head, LambdaFunction(ArrayContains(es(1), k), Seq(k, v))) },
+    "map_top_n" -> { es: Seq[Expression] =>
+      // top n entries by value descending, ties broken by key
+      // descending, null values last — Presto map_top_n.
+      val a = lv("__mtn_a"); val b = lv("__mtn_b")
+      def key(e: Expression) = GetStructField(e, 0, Some("key"))
+      def value(e: Expression) = GetStructField(e, 1, Some("value"))
+      val cmp = CaseWhen(Seq(
+        (And(IsNull(value(a)), IsNull(value(b))), cmpDesc(key(a), key(b))),
+        (IsNull(value(a)), Literal(1)),
+        (IsNull(value(b)), Literal(-1)),
+        (LessThan(value(a), value(b)), Literal(1)),
+        (GreaterThan(value(a), value(b)), Literal(-1))),
+        cmpDesc(key(a), key(b)))
+      MapFromEntries(Slice(
+        new ArraySort(MapEntries(es.head), LambdaFunction(cmp, Seq(a, b))),
+        Literal(1), es(1)))
+    },
+    "map_normalize" -> { es: Seq[Expression] =>
+      // values divided by the sum of the non-null values; null values
+      // stay null (Velox map_normalize).
+      val k = lv("__mn_k"); val v = lv("__mn_v")
+      val sum = arraySumD(MapValues(es.head), "mn")
+      TransformValues(es.head, LambdaFunction(Divide(asDouble(v), sum), Seq(k, v)))
+    },
+    "multimap_from_entries" -> { es: Seq[Expression] =>
+      // array(row(k, v)) → map(k, array(v)) in encounter order — the
+      // scalar twin of multimap_agg's composition.
+      val (x1, x2, x3, kk) = (lv("__mfe_1"), lv("__mfe_2"), lv("__mfe_3"), lv("__mfe_k"))
+      def f0(e: Expression) = GetStructField(e, 0, None)
+      def f1(e: Expression) = GetStructField(e, 1, None)
+      MapFromEntries(ArrayTransform(
+        ArrayDistinct(ArrayTransform(es.head,
+          LambdaFunction(f0(x1), Seq(x1)))),
+        LambdaFunction(
+          CreateStruct(Seq(kk,
+            ArrayTransform(
+              ArrayFilter(es.head, LambdaFunction(
+                EqualNullSafe(f0(x2), kk), Seq(x2))),
+              LambdaFunction(f1(x3), Seq(x3))))),
+          Seq(kk))))
+    })
+}
+
+/** Static helpers referenced from generated code (Scala object methods
+  * get static forwarders, so `graft.functions.BinHelpers.toBE64(x)`
+  * compiles in Janino-generated Java). */
+object BinHelpers {
+  private def be(n: Int)(put: java.nio.ByteBuffer => Unit): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(n)
+    put(b)
+    b.array()
+  }
+  private def check(b: Array[Byte], n: Int, what: String): java.nio.ByteBuffer = {
+    if (b.length != n) throw new IllegalArgumentException(
+      s"$what: expected $n bytes, got ${b.length}")
+    java.nio.ByteBuffer.wrap(b)
+  }
+  def toBE64(x: Long): Array[Byte] = be(8)(_.putLong(x))
+  def fromBE64(b: Array[Byte]): Long = check(b, 8, "from_big_endian_64").getLong
+  def toBE32(x: Int): Array[Byte] = be(4)(_.putInt(x))
+  def fromBE32(b: Array[Byte]): Int = check(b, 4, "from_big_endian_32").getInt
+  def toIeee64(x: Double): Array[Byte] = be(8)(_.putLong(java.lang.Double.doubleToLongBits(x)))
+  def fromIeee64(b: Array[Byte]): Double =
+    java.lang.Double.longBitsToDouble(check(b, 8, "from_ieee754_64").getLong)
+  def toIeee32(x: Float): Array[Byte] = be(4)(_.putInt(java.lang.Float.floatToIntBits(x)))
+  def fromIeee32(b: Array[Byte]): Float =
+    java.lang.Float.intBitsToFloat(check(b, 4, "from_ieee754_32").getInt)
+  def codePoint(n: Long): String = {
+    if (n < 0 || n > Character.MAX_CODE_POINT) throw new IllegalArgumentException(
+      s"chr: code point out of range: $n")
+    new String(Character.toChars(n.toInt))
+  }
+}

@@ -82,7 +82,12 @@ object Registry {
       "repeat" -> FnMeta("array_repeat"),
       "map_concat" -> FnMeta("map_concat"),
       "map_from_entries" -> FnMeta("map_from_entries"),
-      "chr" -> FnMeta("char"),
+      // Presto chr(n) is a Unicode CODE POINT; Spark's char/chr is the
+      // byte n % 256 — PrestoFns2.CodePointChar owns the semantics.
+      "chr" -> FnMeta("presto_chr"),
+      // Presto MAP() takes zero args or (keys_array, values_array) —
+      // Spark's map(...) takes interleaved pairs.
+      "map" -> FnMeta("presto_map"),
       "lpad" -> FnMeta("lpad"),
       "rpad" -> FnMeta("rpad"),
       "levenshtein_distance" -> FnMeta("levenshtein", cost = 8.0),
@@ -94,8 +99,62 @@ object Registry {
       "bit_count" -> FnMeta("bit_count"),
       // Presto's scalar bitwise_and/or/xor have no NAMED Spark function
       // (only the & | ^ operators) — callers use Column operators.
-      "regexp_extract" -> FnMeta("regexp_extract", cost = 4.0),
+      // Presto regexp_extract defaults to group 0 and yields NULL on
+      // no-match (Spark: group 1, '') — PrestoFns2 owns the semantics.
+      "regexp_extract" -> FnMeta("presto_regexp_extract", cost = 4.0),
+      "regexp_extract_all" -> FnMeta("presto_regexp_extract_all", cost = 8.0),
+      "regexp_split" -> FnMeta("regexp_split", cost = 4.0),
       "regexp_replace" -> FnMeta("regexp_replace", cost = 4.0),
+      // round-11 digest/byte-order tail (PrestoFns2): Presto digests
+      // return VARBINARY (Spark's md5/sha1 return hex strings) and
+      // Presto xxhash64 is seed-0 XXH64 as 8 bytes (Spark's is seed-42
+      // → BIGINT), so the colliding names go through presto_* builders.
+      "md5" -> FnMeta("presto_md5", cost = 4.0),
+      "sha1" -> FnMeta("presto_sha1", cost = 4.0),
+      "sha256" -> FnMeta("sha256", cost = 4.0),
+      "sha512" -> FnMeta("sha512", cost = 4.0),
+      "xxhash64" -> FnMeta("presto_xxhash64", cost = 2.0),
+      "crc32" -> FnMeta("crc32", cost = 2.0),
+      "to_big_endian_64" -> FnMeta("to_big_endian_64"),
+      "from_big_endian_64" -> FnMeta("from_big_endian_64"),
+      "to_big_endian_32" -> FnMeta("to_big_endian_32"),
+      "from_big_endian_32" -> FnMeta("from_big_endian_32"),
+      "to_ieee754_64" -> FnMeta("to_ieee754_64"),
+      "from_ieee754_64" -> FnMeta("from_ieee754_64"),
+      "to_ieee754_32" -> FnMeta("to_ieee754_32"),
+      "from_ieee754_32" -> FnMeta("from_ieee754_32"),
+      "to_utf8" -> FnMeta("to_utf8"),
+      "from_utf8" -> FnMeta("from_utf8"),
+      "normalize" -> FnMeta("normalize", cost = 2.0),
+      // distribution CDFs + Wilson intervals (PrestoFns2.DistFn)
+      "normal_cdf" -> FnMeta("normal_cdf", cost = 8.0),
+      "inverse_normal_cdf" -> FnMeta("inverse_normal_cdf", cost = 8.0),
+      "binomial_cdf" -> FnMeta("binomial_cdf", cost = 8.0),
+      "poisson_cdf" -> FnMeta("poisson_cdf", cost = 8.0),
+      "beta_cdf" -> FnMeta("beta_cdf", cost = 8.0),
+      "inverse_beta_cdf" -> FnMeta("inverse_beta_cdf", cost = 8.0),
+      "chi_squared_cdf" -> FnMeta("chi_squared_cdf", cost = 8.0),
+      "gamma_cdf" -> FnMeta("gamma_cdf", cost = 8.0),
+      "cauchy_cdf" -> FnMeta("cauchy_cdf", cost = 8.0),
+      "weibull_cdf" -> FnMeta("weibull_cdf", cost = 8.0),
+      "laplace_cdf" -> FnMeta("laplace_cdf", cost = 8.0),
+      "f_cdf" -> FnMeta("f_cdf", cost = 8.0),
+      "wilson_interval_lower" -> FnMeta("wilson_interval_lower", cost = 2.0),
+      "wilson_interval_upper" -> FnMeta("wilson_interval_upper", cost = 2.0),
+      // array/map utility tail (PrestoFns2 HOF compositions)
+      "array_sum" -> FnMeta("array_sum", cost = 2.0),
+      "array_average" -> FnMeta("array_average", cost = 2.0),
+      "array_cum_sum" -> FnMeta("array_cum_sum", cost = 4.0),
+      "array_duplicates" -> FnMeta("array_duplicates", cost = 8.0),
+      "array_has_duplicates" -> FnMeta("array_has_duplicates", cost = 4.0),
+      "array_normalize" -> FnMeta("array_normalize", cost = 4.0),
+      "array_sort_desc" -> FnMeta("array_sort_desc", cost = 4.0),
+      "remove_nulls" -> FnMeta("remove_nulls", cost = 2.0),
+      "map_remove_null_values" -> FnMeta("map_remove_null_values", cost = 2.0),
+      "map_subset" -> FnMeta("map_subset", cost = 2.0),
+      "map_top_n" -> FnMeta("map_top_n", cost = 4.0),
+      "map_normalize" -> FnMeta("map_normalize", cost = 4.0),
+      "multimap_from_entries" -> FnMeta("multimap_from_entries", cost = 8.0),
       "format_datetime" -> FnMeta("date_format"),
       // Presto date_format takes MYSQL %-patterns (unlike format_datetime)
       // → PrestoCompat's converting implementation, not Spark's date_format.
@@ -188,7 +247,7 @@ object Registry {
     val scalars = Seq("abs", "round", "floor", "ceil", "sqrt", "exp", "length",
       "lower", "upper", "trim", "ltrim", "rtrim", "substr", "concat", "replace",
       "reverse", "coalesce", "greatest", "least", "year", "month", "day", "hour",
-      "minute", "second", "md5", "sha2", "xxhash64", "crc32", "transform", "filter",
+      "minute", "second", "sha2", "transform", "filter",
       "zip_with", "aggregate", "array_distinct", "array_intersect", "array_union",
       "explode", "posexplode", "sort_array", "array_sort", "map_keys", "map_values",
       "url_encode", "url_decode")

@@ -848,8 +848,143 @@ object Presto {
     """SELECT * FROM (VALUES ('shl_alpha', 'table'), ('shl_beta', 'table'),
                              ('s', 'string'), ('v', 'bigint')) AS t(item, kind)"""
 
+  /** Digest + byte-order family (round 11, PrestoFns2): Presto digests
+    * return VARBINARY — rendered via to_hex against DuckDB's hex-text
+    * digests — and the big-endian/IEEE-754 conversions round-trip. */
+  val digestFnsPresto: String =
+    """SELECT o_orderkey,
+         lower(to_hex(md5(to_utf8(o_orderpriority)))) AS md5h,
+         lower(to_hex(sha256(to_utf8(o_orderpriority)))) AS sha256h,
+         from_big_endian_64(to_big_endian_64(o_orderkey)) AS be_rt,
+         round(from_ieee754_64(to_ieee754_64(o_totalprice)), 2) AS ie_rt
+       FROM orders WHERE o_orderkey < 200"""
+  val digestFnsOracle: String =
+    """SELECT o_orderkey, md5(o_orderpriority) AS md5h,
+         lower(sha256(o_orderpriority)) AS sha256h,
+         o_orderkey AS be_rt, round(o_totalprice, 2) AS ie_rt
+       FROM orders WHERE o_orderkey < 200"""
+
+  /** Regexp family (round 11): Presto regexp_extract defaults to group
+    * 0 with NULL on no-match; regexp_split keeps empty fields. DuckDB
+    * runs its native RE2 twins (nullif models the no-match NULL). */
+  val regexpFnsPresto: String =
+    """SELECT doc_id,
+         CAST(cardinality(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_words,
+         regexp_extract(text, '[A-Za-z]{7,}') AS first_long,
+         CAST(cardinality(regexp_split(text, '\\s+')) AS BIGINT) AS n_parts
+       FROM documents WHERE doc_id < 200"""
+  val regexpFnsOracle: String =
+    """SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+         nullif(regexp_extract(text, '[A-Za-z]{7,}'), '') AS first_long,
+         len(string_split_regex(text, '\s+')) AS n_parts
+       FROM documents WHERE doc_id < 200"""
+
+  /** Array utility tail (round 11): sum/average/cum_sum/duplicates/
+    * normalize over small constructed arrays — the oracle replays the
+    * closed-form arithmetic (and DuckDB list lambdas for duplicates). */
+  val arrayFnsPresto: String =
+    """SELECT l_orderkey, l_linenumber,
+         round(array_sum(ARRAY[l_quantity, l_discount]), 4) AS s,
+         round(array_average(ARRAY[l_quantity, l_discount]), 4) AS av,
+         round(element_at(array_cum_sum(ARRAY[l_quantity, l_discount, l_tax]), 2), 4) AS cs2,
+         round(element_at(array_cum_sum(ARRAY[l_quantity, l_discount, l_tax]), 3), 4) AS cs3,
+         array_join(array_sort(array_duplicates(ARRAY[l_returnflag, l_linestatus, 'N'])), ',') AS dup,
+         array_has_duplicates(ARRAY[l_returnflag, l_linestatus]) AS hd,
+         round(element_at(array_normalize(ARRAY[l_quantity, l_discount], 1), 2), 6) AS an2
+       FROM lineitem WHERE l_orderkey < 100"""
+  val arrayFnsOracle: String =
+    """SELECT l_orderkey, l_linenumber,
+         round(l_quantity + l_discount, 4) AS s,
+         round((l_quantity + l_discount) / 2, 4) AS av,
+         round(l_quantity + l_discount, 4) AS cs2,
+         round(l_quantity + l_discount + l_tax, 4) AS cs3,
+         coalesce(list_aggregate(list_sort(list_distinct(list_filter([l_returnflag, l_linestatus, 'N'],
+           x -> len(list_filter([l_returnflag, l_linestatus, 'N'], y -> y = x)) > 1))),
+           'string_agg', ','), '') AS dup,
+         l_returnflag = l_linestatus AS hd,
+         round(l_discount / (l_quantity + l_discount), 6) AS an2
+       FROM lineitem WHERE l_orderkey < 100"""
+
+  /** Distribution CDFs + Wilson intervals (round 11, commons-math3
+    * behind DistFn): DuckDB recomputes the Poisson/binomial CDFs as
+    * explicit lgamma sums and Wilson in closed form. */
+  val distFnsPresto: String =
+    """SELECT o_orderkey,
+         round(poisson_cdf(3.0, CAST(o_orderkey % 5 AS INTEGER)), 8) AS pc,
+         round(binomial_cdf(10, 0.5, CAST(o_orderkey % 11 AS INTEGER)), 7) AS bc,
+         round(wilson_interval_lower(o_orderkey % 50, 50, 1.96), 8) AS wl,
+         round(wilson_interval_upper(o_orderkey % 50, 50, 1.96), 8) AS wu
+       FROM orders WHERE o_orderkey < 300"""
+  val distFnsOracle: String =
+    """SELECT o_orderkey,
+         round(sum(CASE WHEN i <= o_orderkey % 5
+                        THEN exp(-3.0 + i * ln(3.0) - lgamma(i + 1.0)) ELSE 0 END), 8) AS pc,
+         round(sum(CASE WHEN i <= o_orderkey % 11
+                        THEN exp(lgamma(11.0) - lgamma(i + 1.0) - lgamma(11.0 - i)
+                                 + 10 * ln(0.5)) ELSE 0 END), 7) AS bc,
+         round(min(((o_orderkey % 50) / 50.0 + 1.96 * 1.96 / 100
+                - 1.96 * sqrt(((o_orderkey % 50) / 50.0) * (1 - (o_orderkey % 50) / 50.0) / 50
+                              + 1.96 * 1.96 / 10000)) / (1 + 1.96 * 1.96 / 50)), 8) AS wl,
+         round(min(((o_orderkey % 50) / 50.0 + 1.96 * 1.96 / 100
+                + 1.96 * sqrt(((o_orderkey % 50) / 50.0) * (1 - (o_orderkey % 50) / 50.0) / 50
+                              + 1.96 * 1.96 / 10000)) / (1 + 1.96 * 1.96 / 50)), 8) AS wu
+       FROM orders, generate_series(0, 10) t(i)
+       WHERE o_orderkey < 300 GROUP BY o_orderkey"""
+
+  /** Map utility tail (round 11): top-n selection, subsetting, null
+    * scrubbing, normalization, and the scalar multimap constructor —
+    * DuckDB replays each with explicit logic. Presto's MAP(keys,
+    * values) constructor itself is under test (Spark's map() takes
+    * interleaved pairs). */
+  val mapFnsPresto: String =
+    """SELECT l_orderkey, l_linenumber,
+         array_join(array_sort(map_keys(map_top_n(
+           MAP(ARRAY['q', 'd', 't'], ARRAY[l_quantity, l_discount, l_tax]), 2))), ',') AS top2,
+         CAST(cardinality(map_remove_null_values(
+           MAP(ARRAY['a', 'b'], ARRAY[l_quantity, NULL]))) AS BIGINT) AS n_nonnull,
+         array_join(array_sort(map_keys(map_subset(
+           MAP(ARRAY['q', 'd', 't'], ARRAY[1, 2, 3]), ARRAY['q', 't', 'zz']))), ',') AS sub,
+         round(element_at(map_normalize(
+           MAP(ARRAY['q', 'd'], ARRAY[l_quantity, l_discount])), 'd'), 6) AS nd,
+         array_join(transform(element_at(multimap_from_entries(
+           ARRAY[ROW('k', l_linenumber + 0), ROW('k', 7)]), 'k'),
+           x -> CAST(x AS VARCHAR)), ',') AS mm
+       FROM lineitem WHERE l_orderkey < 100"""
+  val mapFnsOracle: String =
+    """SELECT l_orderkey, l_linenumber,
+         list_aggregate(list_sort(['q', CASE WHEN l_discount > l_tax THEN 'd' ELSE 't' END]),
+           'string_agg', ',') AS top2,
+         CAST(1 AS BIGINT) AS n_nonnull,
+         'q,t' AS sub,
+         round(l_discount / (l_quantity + l_discount), 6) AS nd,
+         CAST(l_linenumber AS VARCHAR) || ',7' AS mm
+       FROM lineitem WHERE l_orderkey < 100"""
+
+  /** Unicode tail (round 11): normalize (NFC/NFD), code-point chr
+    * (Spark's char is byte-valued — PrestoFns2.CodePointChar), and the
+    * to_utf8/from_utf8 round-trip; DuckDB nfc_normalize is the oracle. */
+  val unicodeFnsPresto: String =
+    """SELECT o_orderkey,
+         normalize(o_orderpriority || 'e' || chr(769)) AS nfc_s,
+         CAST(length(normalize(o_orderpriority || 'e' || chr(769))) AS BIGINT) AS nfc_len,
+         from_utf8(to_utf8(o_orderpriority)) AS rt
+       FROM orders WHERE o_orderkey < 200"""
+  val unicodeFnsOracle: String =
+    """SELECT o_orderkey,
+         nfc_normalize(o_orderpriority || 'e' || chr(769)) AS nfc_s,
+         length(nfc_normalize(o_orderpriority || 'e' || chr(769))) AS nfc_len,
+         o_orderpriority AS rt
+       FROM orders WHERE o_orderkey < 200"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_matview", matView _, matViewOracle),
+    ("presto_digest_fns", run(digestFnsPresto) _, digestFnsOracle),
+    ("presto_regexp_fns", run(regexpFnsPresto) _, regexpFnsOracle),
+    ("presto_array_fns", run(arrayFnsPresto) _, arrayFnsOracle),
+    ("presto_dist_fns", run(distFnsPresto) _, distFnsOracle),
+    ("presto_map_fns", run(mapFnsPresto) _, mapFnsOracle),
+    ("presto_unicode_fns", run(unicodeFnsPresto) _, unicodeFnsOracle),
     ("presto_transaction", transaction _, transactionOracle),
     ("presto_show_tables", showTables _, showTablesOracle),
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),

@@ -42,7 +42,9 @@ class FunctionParitySpec extends SparkSpec {
     assert(eval(Registry.call("split_part", col("s"), lit(" "), lit(2))) == "World")
     assert(eval(Registry.call("codepoint", lit("A"))) == 65)
     assert(eval(Registry.call("regexp_like", col("s"), lit("^Hel"))) == true)
-    assert(eval(Registry.call("md5", lit("abc"))) == "900150983cd24fb0d6963f7d28e17f72")
+    // Presto md5 returns VARBINARY (the digest bytes), not the hex text
+    assert(eval(hex(Registry.call("md5", lit("abc")))).toString.toLowerCase
+      == "900150983cd24fb0d6963f7d28e17f72")
   }
 
   test("array functions") {
@@ -227,7 +229,7 @@ class FunctionParitySpec extends SparkSpec {
     assert(h == Map("a" -> 2L, "b" -> 1L), h.toString)
     // map_union merges the group's maps; duplicate key keeps one value
     val mu = p("""SELECT map_union(m) AS u
-                  FROM VALUES (map(1, 'a', 2, 'b')), (map(2, 'x', 3, 'c')) AS t(m)""")
+                  FROM VALUES (MAP(ARRAY[1, 2], ARRAY['a', 'b'])), (MAP(ARRAY[2, 3], ARRAY['x', 'c'])) AS t(m)""")
       .getMap[Int, String](0)
     assert(mu.keySet == Set(1, 2, 3) && mu(1) == "a" && mu(3) == "c" &&
       Set("b", "x").contains(mu(2)), mu.toString)
@@ -298,9 +300,9 @@ class FunctionParitySpec extends SparkSpec {
     def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
     val r = p("""SELECT
         cosine_similarity(ARRAY[1.0D, 2.0D, 3.0D], ARRAY[3.0D, 2.0D, 1.0D]) AS dense,
-        cosine_similarity(map(CAST('a' AS STRING), 1.0D, CAST('b' AS STRING), 2.0D, CAST('c' AS STRING), 3.0D),
-                          map(CAST('a' AS STRING), 3.0D, CAST('b' AS STRING), 2.0D, CAST('c' AS STRING), 1.0D)) AS sparse,
-        cosine_similarity(map(CAST('a' AS STRING), 1.0D), map(CAST('b' AS STRING), 1.0D)) AS disjoint,
+        cosine_similarity(MAP(ARRAY[CAST('a' AS STRING), 'b', 'c'], ARRAY[1.0D, 2.0D, 3.0D]),
+                          MAP(ARRAY[CAST('a' AS STRING), 'b', 'c'], ARRAY[3.0D, 2.0D, 1.0D])) AS sparse,
+        cosine_similarity(MAP(ARRAY[CAST('a' AS STRING)], ARRAY[1.0D]), MAP(ARRAY[CAST('b' AS STRING)], ARRAY[1.0D])) AS disjoint,
         cosine_similarity(ARRAY[0.0D, 0.0D], ARRAY[1.0D, 1.0D]) AS zero_norm""")
     assert(math.abs(r.getDouble(0) - 10.0 / 14.0) < 1e-12, r.toString)
     assert(r.getDouble(0) == r.getDouble(1), "dense and sparse must agree on the same vectors")
@@ -328,14 +330,14 @@ class FunctionParitySpec extends SparkSpec {
     assert(err.getMessage.contains("only language 'en'"), err.getMessage)
     // mixed array/map cosine is an ANALYSIS error now, not runtime
     val mixed = intercept[Exception] {
-      p("SELECT cosine_similarity(ARRAY[1.0D], map(CAST('a' AS STRING), 1.0D)) AS x")
+      p("SELECT cosine_similarity(ARRAY[1.0D], MAP(ARRAY[CAST('a' AS STRING)], ARRAY[1.0D])) AS x")
     }
     assert(mixed.getMessage.contains("both sides"), mixed.getMessage)
     // NULL elements nullify the result (Presto NULL propagation)
     val nul = p("""SELECT
       cosine_similarity(ARRAY[1.0D, CAST(NULL AS DOUBLE)], ARRAY[1.0D, 2.0D]) AS a,
-      cosine_similarity(map(CAST('a' AS STRING), CAST(NULL AS DOUBLE)),
-                        map(CAST('a' AS STRING), 1.0D)) AS m""")
+      cosine_similarity(MAP(ARRAY[CAST('a' AS STRING)], ARRAY[CAST(NULL AS DOUBLE)]),
+                        MAP(ARRAY[CAST('a' AS STRING)], ARRAY[1.0D])) AS m""")
     assert(nul.isNullAt(0) && nul.isNullAt(1), nul.toString)
     // merge() of a non-sketch binary names the supported sketch families
     val m = intercept[Exception] {
@@ -464,7 +466,7 @@ class FunctionParitySpec extends SparkSpec {
     import graft.sql.PrestoRewriter
     // container path keeps Spark size semantics (INT — existing callers)
     val c = PrestoRewriter.sql(spark, sfDir,
-      "SELECT cardinality(ARRAY[1, 2, 3]) AS a, cardinality(map(1, 'x')) AS m").head()
+      "SELECT cardinality(ARRAY[1, 2, 3]) AS a, cardinality(MAP(ARRAY[1], ARRAY['x'])) AS m").head()
     assert(c.getInt(0) == 3 && c.getInt(1) == 1, c.toString)
     // small-cardinality HLL is in exact (coupon) mode: estimate == truth
     val exact = PrestoRewriter.sql(spark, sfDir,
@@ -511,5 +513,148 @@ class FunctionParitySpec extends SparkSpec {
     assert(r.getLong(2) == 7L, r.toString)                  // fold == sum
     val m = p("SELECT split_to_map('a=1,b=2', ',', '=') AS m").getMap[String, String](0)
     assert(m == Map("a" -> "1", "b" -> "2"), m.toString)
+  }
+
+  test("digests, byte-order, and IEEE-754 conversions (known vectors)") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    // Presto digests are VARBINARY; rendered via to_hex for the pins.
+    // RFC/known-answer vectors.
+    val r = p("""SELECT lower(to_hex(md5(to_utf8('abc')))) AS m,
+                        lower(to_hex(sha1(to_utf8('abc')))) AS s1,
+                        lower(to_hex(sha256(to_utf8('abc')))) AS s2,
+                        lower(to_hex(sha512(to_utf8('abc')))) AS s5,
+                        crc32(to_utf8('123456789')) AS c,
+                        to_hex(xxhash64(to_utf8(''))) AS x0,
+                        to_hex(xxhash64(to_utf8('abc'))) AS xa""")
+    assert(r.getString(0) == "900150983cd24fb0d6963f7d28e17f72", r.toString)
+    assert(r.getString(1) == "a9993e364706816aba3e25717850c26c9cd0d89d", r.toString)
+    assert(r.getString(2) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad", r.toString)
+    assert(r.getString(3) ==
+      "ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a" +
+        "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f", r.toString)
+    assert(r.getLong(4) == 3421780262L, r.toString)
+    // standard XXH64 seed-0 vectors — Spark's own xxhash64 (seed 42,
+    // BIGINT) stays untouched on the Spark-name surface
+    assert(r.getString(5) == "EF46DB3751D8E999", r.toString)
+    assert(r.getString(6) == "44BC2CF5AD770999", r.toString)
+    val b = p("""SELECT to_hex(to_big_endian_64(1)) AS h64,
+                        from_big_endian_64(to_big_endian_64(-987654321)) AS rt64,
+                        from_big_endian_32(to_big_endian_32(123456)) AS rt32,
+                        to_hex(to_ieee754_64(1.0)) AS d1,
+                        from_ieee754_64(to_ieee754_64(2.5)) AS drt,
+                        from_ieee754_32(to_ieee754_32(CAST(0.5 AS REAL))) AS frt""")
+    assert(b.getString(0) == "0000000000000001", b.toString)
+    assert(b.getLong(1) == -987654321L, b.toString)
+    assert(b.getInt(2) == 123456, b.toString)
+    assert(b.getString(3) == "3FF0000000000000", b.toString)
+    assert(b.getDouble(4) == 2.5 && b.getFloat(5) == 0.5f, b.toString)
+    // malformed width errors loudly
+    val bad = intercept[Exception] {
+      p("SELECT from_big_endian_64(to_utf8('xyz')) AS e")
+    }
+    assert(bad.getMessage.contains("8 bytes") ||
+      Option(bad.getCause).exists(_.getMessage.contains("8 bytes")), bad.getMessage)
+  }
+
+  test("normalize / to_utf8 / from_utf8") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    // 'e' + COMBINING ACUTE (U+0301) composes to U+00E9 under NFC
+    val r = p("""SELECT normalize('e' || chr(769)) AS nfc,
+                        normalize(chr(233), 'NFD') AS nfd,
+                        length(normalize('e' || chr(769))) AS ln,
+                        from_utf8(to_utf8('héllo')) AS rt""")
+    assert(r.getString(0) == "é" && r.getAs[Number](2).intValue == 1, r.toString)
+    assert(r.getString(1) == "é", r.toString)
+    assert(r.getString(3) == "héllo", r.toString)
+    val bad = intercept[Exception] { p("SELECT normalize('x', 'NFX') AS e") }
+    assert(bad.getMessage.contains("NFX") || bad.getMessage.contains("No enum"),
+      bad.getMessage)
+  }
+
+  test("regexp family: Presto defaults (group 0, NULL on no-match) vs Spark's") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    val r = p("""SELECT regexp_extract('ab12cd34', '[0-9]+') AS whole,
+                        regexp_extract('ab12cd34', '([a-z]+)([0-9]+)', 2) AS grp,
+                        regexp_extract('abcdef', '[0-9]+') AS miss,
+                        regexp_extract_all('ab12cd34', '[0-9]+') AS all0,
+                        regexp_split('one.two..three', '\\.') AS sp""")
+    assert(r.getString(0) == "12", r.toString)
+    assert(r.getString(1) == "12", r.toString)
+    assert(r.isNullAt(2), "Presto regexp_extract must be NULL on no-match")
+    assert(r.getSeq[String](3) == Seq("12", "34"), r.toString)
+    assert(r.getSeq[String](4) == Seq("one", "two", "", "three"), r.toString)
+    // the Spark-name surface keeps Spark semantics (group 1 default, '')
+    val s = spark.sql(
+      "SELECT regexp_extract('ab12cd34', '([a-z]+)([0-9]+)') AS g1").head()
+    assert(s.getString(0) == "ab", s.toString)
+  }
+
+  test("distribution CDFs and Wilson intervals (closed-form pins)") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    def close(a: Double, b: Double, eps: Double = 1e-12) =
+      assert(math.abs(a - b) <= eps, s"$a vs $b")
+    val r = p("""SELECT normal_cdf(0, 1, 1.96) AS nc,
+                        inverse_normal_cdf(0, 1, 0.975) AS inc,
+                        binomial_cdf(10, 0.5, 5) AS bc,
+                        poisson_cdf(3, 2) AS pc,
+                        beta_cdf(2, 2, 0.5) AS bec,
+                        gamma_cdf(1, 1, 1) AS gc,
+                        wilson_interval_lower(10, 20, 1.96) AS wl,
+                        wilson_interval_upper(10, 20, 1.96) AS wu""")
+    close(r.getDouble(0), 0.9750021048517796)
+    close(r.getDouble(1), 1.959963984540054, 1e-8)
+    close(r.getDouble(2), 0.623046875)
+    close(r.getDouble(3), 0.42319008112684353, 1e-12)
+    close(r.getDouble(4), 0.5, 1e-12)
+    close(r.getDouble(5), 0.6321205588285577)
+    close(r.getDouble(6), 0.2992949144298199, 1e-12)
+    close(r.getDouble(7), 0.70070508557018, 1e-12)
+    val bad = intercept[Exception] { p("SELECT normal_cdf(0, -1, 1) AS e") }
+    assert(bad.getMessage.contains("normal_cdf"), bad.getMessage)
+  }
+
+  test("array utility tail: sum/average/cum_sum/duplicates/normalize/sort_desc") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    val r = p("""SELECT array_sum(ARRAY[1, 2, 3]) AS s,
+                        array_sum(CAST(ARRAY[] AS ARRAY(INTEGER))) AS s0,
+                        array_average(ARRAY[1.0, NULL, 3.0]) AS av,
+                        array_cum_sum(ARRAY[1, 2, NULL, 3]) AS cs,
+                        array_duplicates(ARRAY[1, 2, 1, 3, 2]) AS dup,
+                        array_has_duplicates(ARRAY[1, 2, 3]) AS hd0,
+                        array_has_duplicates(ARRAY[1, 1]) AS hd1,
+                        array_normalize(ARRAY[3.0, 4.0], 2) AS an,
+                        array_sort_desc(ARRAY[2, NULL, 9, 1]) AS sd,
+                        remove_nulls(ARRAY[1, NULL, 2]) AS rn""")
+    assert(r.getDouble(0) == 6.0 && r.getDouble(1) == 0.0, r.toString)
+    assert(r.getDouble(2) == 2.0, r.toString)
+    assert(r.getSeq[Any](3) == Seq(1.0, 3.0, null, null), r.toString)
+    assert(r.getSeq[Int](4).sorted == Seq(1, 2), r.toString)
+    assert(!r.getBoolean(5) && r.getBoolean(6), r.toString)
+    assert(r.getSeq[Double](7) == Seq(0.6, 0.8), r.toString)
+    assert(r.getSeq[Any](8) == Seq(9, 2, 1, null), r.toString)
+    assert(r.getSeq[Int](9) == Seq(1, 2), r.toString)
+  }
+
+  test("map utility tail: top_n/subset/remove_null_values/normalize/multimap_from_entries") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    val r = p("""SELECT map_top_n(MAP(ARRAY['a','b','c'], ARRAY[2, 9, 5]), 2) AS tn,
+                        map_subset(MAP(ARRAY['a','b','c'], ARRAY[1, 2, 3]), ARRAY['a','c','zz']) AS ms,
+                        map_remove_null_values(MAP(ARRAY['a','b'], ARRAY[1, NULL])) AS mr,
+                        map_normalize(MAP(ARRAY['x','y'], ARRAY[1.0, 3.0])) AS mn,
+                        multimap_from_entries(ARRAY[ROW('k1', 1), ROW('k2', 2), ROW('k1', 3)]) AS mm""")
+    assert(r.getMap[String, Int](0) == Map("b" -> 9, "c" -> 5), r.toString)
+    assert(r.getMap[String, Int](1) == Map("a" -> 1, "c" -> 3), r.toString)
+    assert(r.getMap[String, Int](2) == Map("a" -> 1), r.toString)
+    assert(r.getMap[String, Double](3) == Map("x" -> 0.25, "y" -> 0.75), r.toString)
+    assert(r.getMap[String, scala.collection.Seq[Int]](4)
+      .map { case (k, v) => (k, v.toSeq) }.toMap ==
+      Map("k1" -> Seq(1, 3), "k2" -> Seq(2)), r.toString)
   }
 }
