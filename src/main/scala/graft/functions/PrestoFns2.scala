@@ -181,6 +181,86 @@ object PrestoFns2 {
     }
   }
 
+  // ------------------------------------------------------ duration/time
+  /** Presto parse_duration('5.3 m') → INTERVAL DAY TO SECOND. Units
+    * ns/us/ms/s/m/h/d, fractional values allowed. */
+  case class ParseDuration(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DayTimeIntervalType()
+    override def prettyName: String = "parse_duration"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("parse_duration expects a string")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def nullSafeEval(v: Any): Any =
+      BinHelpers.parseDurationMicros(v.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.BinHelpers.parseDurationMicros($c.toString())")
+  }
+
+  /** Presto to_milliseconds(interval day to second) → bigint. */
+  case class IntervalMillis(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "to_milliseconds"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case _: DayTimeIntervalType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"to_milliseconds expects an interval day to second, got ${t.catalogString}")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def nullSafeEval(v: Any): Any = v.asInstanceOf[Long] / 1000L
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$c / 1000L")
+  }
+
+  /** Presto human_readable_seconds(96) = '1 minute, 36 seconds'. */
+  case class HumanReadableSeconds(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "human_readable_seconds"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("human_readable_seconds expects double")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(BinHelpers.humanSeconds(v.asInstanceOf[Double]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.BinHelpers.humanSeconds($c))")
+  }
+
+  /** Presto to_iso8601: date → 'yyyy-MM-dd', timestamp → offset form in
+    * the session zone. Interpreted eval — a leaf formatting call. */
+  case class ToIso8601(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "to_iso8601"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case DateType | TimestampType | TimestampNTZType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"to_iso8601 expects date or timestamp, got ${t.catalogString}")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def nullSafeEval(v: Any): Any = child.dataType match {
+      case DateType =>
+        UTF8String.fromString(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+      case TimestampNTZType =>
+        val micros = v.asInstanceOf[Long]
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L).toInt * 1000,
+          java.time.ZoneOffset.UTC)
+        UTF8String.fromString(ldt.format(
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")))
+      case _ =>
+        val zone = java.time.ZoneId.of(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+        val micros = v.asInstanceOf[Long]
+        val inst = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+        UTF8String.fromString(inst.atZone(zone).toOffsetDateTime.format(
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSxxx")))
+    }
+  }
+
   // ----------------------------------------------------- lambda helpers
   /** Descending comparator with nulls last (Presto array_sort_desc /
     * map_top_n ordering). */
@@ -195,6 +275,28 @@ object PrestoFns2 {
   private def filterNotNull(arr: Expression, n: String): Expression = {
     val x = lv(n)
     ArrayFilter(arr, LambdaFunction(IsNotNull(x), Seq(x)))
+  }
+
+  private def maxMinBy(es: Seq[Expression], desc: Boolean): Expression = es.length match {
+    case 2 =>
+      (if (desc) new aggregate.MaxBy(es(0), es(1))
+       else new aggregate.MinBy(es(0), es(1))).toAggregateExpression()
+    case 3 =>
+      val pairs = new aggregate.CollectList(CreateNamedStruct(Seq(
+        Literal(UTF8String.fromString("o"), StringType), es(1),
+        Literal(UTF8String.fromString("v"), StringType), es(0)))).toAggregateExpression()
+      val (a, b, s) = (lv("__mb_a"), lv("__mb_b"), lv("__mb_s"))
+      def o(e: Expression) = GetStructField(e, 0, Some("o"))
+      val cmp =
+        if (desc) cmpDesc(o(a), o(b))
+        else cmpDesc(o(b), o(a)) // ascending = flipped descending
+      Slice(
+        ArrayTransform(
+          new ArraySort(pairs, LambdaFunction(cmp, Seq(a, b))),
+          LambdaFunction(GetStructField(s, 1, Some("v")), Seq(s))),
+        Literal(1), es(2))
+    case n => throw new IllegalArgumentException(
+      s"${if (desc) "max_by" else "min_by"} takes 2 or 3 arguments, got $n")
   }
 
   /** aggregate(filter(a, notnull), 0.0, (acc, x) -> acc + x) — the
@@ -339,6 +441,68 @@ object PrestoFns2 {
       val x = lv("__asd_x"); val y = lv("__asd_y")
       new ArraySort(es.head, LambdaFunction(cmpDesc(x, y), Seq(x, y)))
     },
+    // ---- datetime tail. Spark has no names for these; week/quarter/
+    // last_day get Presto spellings via Registry renames onto the
+    // builders below or Spark twins.
+    "last_day_of_month" -> { es: Seq[Expression] => LastDay(Cast(es.head, DateType)) },
+    "week_of_year" -> { es: Seq[Expression] => WeekOfYear(Cast(es.head, DateType)) },
+    "year_of_week" -> { es: Seq[Expression] => YearOfWeek(Cast(es.head, DateType)) },
+    "millisecond" -> { es: Seq[Expression] =>
+      Pmod(UnixMillis(Cast(es.head, TimestampType)), Literal(1000L)) },
+    "from_iso8601_timestamp" -> { es: Seq[Expression] => Cast(asString(es.head), TimestampType) },
+    "from_iso8601_date" -> { es: Seq[Expression] => Cast(asString(es.head), DateType) },
+    "to_iso8601" -> { es: Seq[Expression] => ToIso8601(es.head) },
+    "parse_duration" -> { es: Seq[Expression] => ParseDuration(asString(es.head)) },
+    "to_milliseconds" -> { es: Seq[Expression] => IntervalMillis(es.head) },
+    "human_readable_seconds" -> { es: Seq[Expression] => HumanReadableSeconds(asDouble(es.head)) },
+    // Presto date(x) ≡ CAST(x AS DATE); current_timezone() folds the
+    // session zone at plan time (constant per query, as in Presto).
+    "presto_date" -> { es: Seq[Expression] => Cast(es.head, DateType) },
+    "current_timezone" -> { _: Seq[Expression] =>
+      Literal(UTF8String.fromString(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone), StringType) },
+    // ---- aggregate tail
+    // Presto entropy(c): Shannon entropy (log2) of the count column —
+    // log2(S) - sum(c·log2 c)/S over positive counts; 0 for empty/zero
+    // groups. The repeated sum(c) is deduped by aggregation planning.
+    "entropy" -> { es: Seq[Expression] =>
+      val c = asDouble(es.head)
+      def sumAgg(e: Expression) = new aggregate.Sum(e).toAggregateExpression()
+      val s = sumAgg(If(GreaterThan(c, Literal(0.0)), c, Literal(0.0)))
+      val clogc = sumAgg(If(GreaterThan(c, Literal(0.0)),
+        Multiply(c, Log2(c)), Literal(0.0)))
+      If(Or(IsNull(s), LessThanOrEqual(s, Literal(0.0))), Literal(0.0),
+        Subtract(Log2(s), Divide(clogc, s)))
+    },
+    // Presto map_union_sum(m): union of the group's maps, SUMMING
+    // values on duplicate keys (map_union keeps one arbitrarily) —
+    // same one-collected-list composition, values summed per key.
+    "map_union_sum" -> { es: Seq[Expression] =>
+      val entries = Flatten(new aggregate.CollectList(
+        MapEntries(es.head)).toAggregateExpression())
+      val (e1, e2, e3, kk) = (lv("__mus_1"), lv("__mus_2"), lv("__mus_3"), lv("__mus_k"))
+      val (acc, x) = (lv("__mus_acc"), lv("__mus_x"))
+      MapFromEntries(ArrayTransform(
+        ArrayDistinct(ArrayTransform(entries,
+          LambdaFunction(GetStructField(e1, 0, Some("key")), Seq(e1)))),
+        LambdaFunction(
+          CreateStruct(Seq(kk,
+            ArrayAggregate(
+              ArrayTransform(
+                ArrayFilter(entries, LambdaFunction(
+                  EqualNullSafe(GetStructField(e2, 0, Some("key")), kk), Seq(e2))),
+                LambdaFunction(GetStructField(e3, 1, Some("value")), Seq(e3))),
+              Literal(0.0),
+              LambdaFunction(Add(acc, asDouble(x)), Seq(acc, x)),
+              LambdaFunction(lv("__mus_f"), Seq(lv("__mus_f")))))),
+          Seq(kk))))
+    },
+    // Presto max_by/min_by(x, y, n): the x values for the n largest
+    // (smallest) y, ordered by y. 2-arg forms stay Spark's codegen'd
+    // aggregates; the 3-arg form composes sort + slice over one
+    // collected list (n is a plan-time constant in Presto too).
+    "max_by" -> { es: Seq[Expression] => maxMinBy(es, desc = true) },
+    "min_by" -> { es: Seq[Expression] => maxMinBy(es, desc = false) },
     // ---- map utilities
     "map_remove_null_values" -> { es: Seq[Expression] =>
       val k = lv("__mrn_k"); val v = lv("__mrn_v")
@@ -417,5 +581,36 @@ object BinHelpers {
     if (n < 0 || n > Character.MAX_CODE_POINT) throw new IllegalArgumentException(
       s"chr: code point out of range: $n")
     new String(Character.toChars(n.toInt))
+  }
+
+  private val durationRe = "^\\s*(\\d+(?:\\.\\d+)?)\\s*(ns|us|ms|s|m|h|d)\\s*$".r
+  def parseDurationMicros(s: String): Long = s match {
+    case durationRe(num, unit) =>
+      val perUnit = unit match {
+        case "ns" => 1e-3
+        case "us" => 1.0
+        case "ms" => 1e3
+        case "s" => 1e6
+        case "m" => 60e6
+        case "h" => 3600e6
+        case "d" => 86400e6
+      }
+      Math.round(num.toDouble * perUnit)
+    case _ => throw new IllegalArgumentException(
+      s"parse_duration: expected '<number> <ns|us|ms|s|m|h|d>', got '$s'")
+  }
+
+  def humanSeconds(secs: Double): String = {
+    if (secs.isNaN || secs.isInfinite || secs < 0) throw new IllegalArgumentException(
+      s"human_readable_seconds: invalid input $secs")
+    var rest = Math.round(secs)
+    val units = Seq(("week", 604800L), ("day", 86400L), ("hour", 3600L),
+      ("minute", 60L), ("second", 1L))
+    val parts = units.flatMap { case (name, span) =>
+      val n = rest / span
+      rest -= n * span
+      if (n > 0) Some(s"$n $name" + (if (n > 1) "s" else "")) else None
+    }
+    if (parts.isEmpty) "0 seconds" else parts.mkString(", ")
   }
 }

@@ -141,6 +141,31 @@ object Registry {
       "f_cdf" -> FnMeta("f_cdf", cost = 8.0),
       "wilson_interval_lower" -> FnMeta("wilson_interval_lower", cost = 2.0),
       "wilson_interval_upper" -> FnMeta("wilson_interval_upper", cost = 2.0),
+      // datetime tail (PrestoFns2 + Spark twins under Presto names)
+      "last_day_of_month" -> FnMeta("last_day_of_month"),
+      "week" -> FnMeta("week_of_year"),
+      "week_of_year" -> FnMeta("week_of_year"),
+      "year_of_week" -> FnMeta("year_of_week"),
+      "yow" -> FnMeta("year_of_week"),
+      "quarter" -> FnMeta("quarter"),
+      "millisecond" -> FnMeta("millisecond"),
+      "from_iso8601_timestamp" -> FnMeta("from_iso8601_timestamp"),
+      "from_iso8601_date" -> FnMeta("from_iso8601_date"),
+      "to_iso8601" -> FnMeta("to_iso8601", cost = 2.0),
+      "parse_duration" -> FnMeta("parse_duration", cost = 2.0),
+      "to_milliseconds" -> FnMeta("to_milliseconds"),
+      "human_readable_seconds" -> FnMeta("human_readable_seconds", cost = 2.0),
+      // Presto date(x) collides with nothing nameable in Spark SQL
+      // (DATE 'lit' is syntax) — renamed onto the builder.
+      "date" -> FnMeta("presto_date"),
+      "current_timezone" -> FnMeta("current_timezone"),
+      // aggregate tail
+      "every" -> FnMeta("bool_and", isAggregate = true),
+      "bitwise_and_agg" -> FnMeta("bit_and", isAggregate = true),
+      "bitwise_or_agg" -> FnMeta("bit_or", isAggregate = true),
+      "bitwise_xor_agg" -> FnMeta("bit_xor", isAggregate = true),
+      "entropy" -> FnMeta("entropy", isAggregate = true, cost = 2.0),
+      "map_union_sum" -> FnMeta("map_union_sum", isAggregate = true, cost = 8.0),
       // array/map utility tail (PrestoFns2 HOF compositions)
       "array_sum" -> FnMeta("array_sum", cost = 2.0),
       "array_average" -> FnMeta("array_average", cost = 2.0),

@@ -977,8 +977,77 @@ object Presto {
          o_orderpriority AS rt
        FROM orders WHERE o_orderkey < 200"""
 
+  /** ALTER TABLE family on graft-mem (round 11, PrestoSql.g4:50-57):
+    * ADD COLUMN (null-filled), RENAME COLUMN, DROP COLUMN, RENAME TO —
+    * schema evolution as committed mutations on the DSv2 store, with
+    * an UPDATE through the copy-on-write path between alters. */
+  def alterTable(s: SparkSession, d: String): DataFrame = {
+    PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS graft_mem.default.alt_t")
+    PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS graft_mem.default.alt_renamed")
+    PrestoRewriter.sql(s, d,
+      """CREATE TABLE graft_mem.default.alt_t AS
+         SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS st
+         FROM orders WHERE o_orderkey < 100""")
+    PrestoRewriter.sql(s, d,
+      "ALTER TABLE graft_mem.default.alt_t ADD COLUMN note VARCHAR")
+    PrestoRewriter.sql(s, d,
+      "UPDATE graft_mem.default.alt_t SET note = 'big' WHERE price > 100000")
+    PrestoRewriter.sql(s, d,
+      "ALTER TABLE graft_mem.default.alt_t RENAME COLUMN price TO total")
+    PrestoRewriter.sql(s, d,
+      "ALTER TABLE graft_mem.default.alt_t DROP COLUMN st")
+    PrestoRewriter.sql(s, d,
+      "ALTER TABLE graft_mem.default.alt_t RENAME TO graft_mem.default.alt_renamed")
+    PrestoRewriter.sql(s, d,
+      """SELECT k, round(total, 2) AS total, coalesce(note, '-') AS note
+         FROM graft_mem.default.alt_renamed""")
+  }
+  val alterTableOracle: String =
+    """SELECT o_orderkey AS k, round(o_totalprice, 2) AS total,
+         CASE WHEN o_totalprice > 100000 THEN 'big' ELSE '-' END AS note
+       FROM orders WHERE o_orderkey < 100"""
+
+  /** Datetime tail (round 11): ISO-week functions, last-day, quarter,
+    * and to_iso8601 over real dates; DuckDB's ISO week/isoyear are the
+    * oracle. */
+  val datetimeFnsPresto: String =
+    """SELECT o_orderkey,
+         CAST(last_day_of_month(o_orderdate) AS VARCHAR) AS ld,
+         CAST(week(o_orderdate) AS INTEGER) AS wk,
+         CAST(year_of_week(o_orderdate) AS INTEGER) AS yw,
+         CAST(quarter(o_orderdate) AS INTEGER) AS q,
+         to_iso8601(date(o_orderdate)) AS iso
+       FROM orders WHERE o_orderkey < 300"""
+  val datetimeFnsOracle: String =
+    """SELECT o_orderkey,
+         strftime(last_day(o_orderdate), '%Y-%m-%d') AS ld,
+         CAST(week(o_orderdate) AS INTEGER) AS wk,
+         CAST(isoyear(o_orderdate) AS INTEGER) AS yw,
+         CAST(quarter(o_orderdate) AS INTEGER) AS q,
+         strftime(o_orderdate, '%Y-%m-%d') AS iso
+       FROM orders WHERE o_orderkey < 300"""
+
+  /** entropy() aggregate (round 11): Shannon entropy of a count column
+    * per group — the oracle recomputes the closed form in DuckDB. */
+  val entropyPresto: String =
+    """SELECT o_orderstatus AS st,
+         round(entropy(CAST(o_custkey % 10 AS DOUBLE)), 8) AS ent,
+         CAST(count(*) AS BIGINT) AS n
+       FROM orders GROUP BY o_orderstatus"""
+  val entropyOracle: String =
+    """SELECT o_orderstatus AS st,
+         round(log2(sum(CASE WHEN c > 0 THEN c ELSE 0 END))
+               - sum(CASE WHEN c > 0 THEN c * log2(c) ELSE 0 END)
+                 / sum(CASE WHEN c > 0 THEN c ELSE 0 END), 8) AS ent,
+         CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT o_orderstatus, CAST(o_custkey % 10 AS DOUBLE) AS c FROM orders)
+       GROUP BY o_orderstatus"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_matview", matView _, matViewOracle),
+    ("presto_datetime_fns", run(datetimeFnsPresto) _, datetimeFnsOracle),
+    ("presto_entropy", run(entropyPresto) _, entropyOracle),
+    ("presto_alter_table", alterTable _, alterTableOracle),
     ("presto_digest_fns", run(digestFnsPresto) _, digestFnsOracle),
     ("presto_regexp_fns", run(regexpFnsPresto) _, regexpFnsOracle),
     ("presto_array_fns", run(arrayFnsPresto) _, arrayFnsOracle),

@@ -91,8 +91,60 @@ class MemCatalog extends TableCatalog with SupportsNamespaces {
       .withColumns(org.apache.spark.sql.graft.Shim.structTypeToV2Columns(schema))
       .withPartitions(partitions).withProperties(properties).build())
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft_mem: ALTER TABLE not supported")
+  /** ALTER TABLE ADD/DROP/RENAME COLUMN (round 11) — Presto's
+    * #addColumn/#dropColumn/#renameColumn statements (PrestoSql.g4:
+    * 50-56) arrive here as Spark TableChanges; the store rewrites
+    * schema + rows in one committed mutation (history keeps the
+    * pre-alter shape readable via time travel). Top-level columns
+    * only — nested paths fail loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val name = key(ident)
+    val schema0 = MemTables.schemaOf(name).getOrElse(
+      throw new NoSuchTableException(parts(ident)))
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    // fold changes into (newSchema, per-row value mapper)
+    var fields = schema0.fields.toVector
+    // each entry: row => value for that output field
+    var getters: Vector[(InternalRow, Array[org.apache.spark.sql.types.DataType]) => Any] =
+      schema0.fields.indices.map { i =>
+        (r: InternalRow, ts: Array[org.apache.spark.sql.types.DataType]) => r.get(i, ts(i))
+      }.toVector
+    val srcTypes = schema0.fields.map(_.dataType)
+    def single(path: Array[String], what: String): String = {
+      if (path.length != 1) throw new UnsupportedOperationException(
+        s"graft_mem: $what on nested field ${path.mkString(".")} not supported")
+      path.head
+    }
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        val col = single(add.fieldNames(), "ADD COLUMN")
+        if (fields.exists(_.name.equalsIgnoreCase(col)))
+          throw new IllegalArgumentException(s"column already exists: $col")
+        fields = fields :+ org.apache.spark.sql.types.StructField(
+          col, add.dataType(), nullable = true)
+        getters = getters :+ ((_: InternalRow, _: Array[org.apache.spark.sql.types.DataType]) => null)
+      case del: TableChange.DeleteColumn =>
+        val col = single(del.fieldNames(), "DROP COLUMN")
+        val i = fields.indexWhere(_.name.equalsIgnoreCase(col))
+        if (i < 0) throw new IllegalArgumentException(s"no such column: $col")
+        fields = fields.patch(i, Nil, 1)
+        getters = getters.patch(i, Nil, 1)
+      case ren: TableChange.RenameColumn =>
+        val col = single(ren.fieldNames(), "RENAME COLUMN")
+        val i = fields.indexWhere(_.name.equalsIgnoreCase(col))
+        if (i < 0) throw new IllegalArgumentException(s"no such column: $col")
+        fields = fields.updated(i, fields(i).copy(name = ren.newName()))
+      case other => throw new UnsupportedOperationException(
+        s"graft_mem: unsupported ALTER TABLE change: $other")
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(fields)
+    val gs = getters
+    MemTables.alter(name, newSchema, rows => rows.map { r =>
+      new GenericInternalRow(gs.map(_(r, srcTypes)).toArray): InternalRow
+    })
+    new MemTable(name, newSchema)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val existed = tableExists(ident)
@@ -100,8 +152,18 @@ class MemCatalog extends TableCatalog with SupportsNamespaces {
     existed
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft_mem: RENAME TABLE not supported")
+  /** ALTER TABLE ... RENAME TO (Presto #renameTable). Spark hands the
+    * target through with the catalog name still leading the namespace
+    * when the user wrote it fully qualified — strip it so the store
+    * key stays catalog-relative. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val newParts0 = parts(newIdent)
+    val newParts = if (newParts0.headOption.contains(catalogName)) newParts0.tail else newParts0
+    val target = Identifier.of(newParts.dropRight(1).toArray, newParts.last)
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(parts(oldIdent))
+    if (tableExists(target)) throw new TableAlreadyExistsException(newParts)
+    MemTables.rename(key(oldIdent), key(target))
+  }
 
   // ------------------------------------------------- namespaces (flat)
   override def listNamespaces(): Array[Array[String]] = Array(Array("default"))

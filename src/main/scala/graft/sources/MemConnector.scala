@@ -103,6 +103,27 @@ object MemTables {
       case None => false
     }
 
+  /** ALTER TABLE ... RENAME TO (round 11): moves current state, history
+    * and the epoch ledger under the new key atomically enough for the
+    * driver-side store (Presto #renameTable, AstStatements.h). */
+  def rename(oldName: String, newName: String): Unit = synchronized {
+    require(!tables.contains(newName), s"graft-mem table already exists: $newName")
+    tables.remove(oldName).foreach(tables.put(newName, _))
+    history.remove(oldName).foreach(history.put(newName, _))
+    epochs.remove(oldName).foreach(epochs.put(newName, _))
+  }
+
+  /** Schema evolution (round 11, ALTER TABLE ADD/DROP/RENAME COLUMN):
+    * replace schema AND rows in one committed mutation — time travel
+    * still reads the pre-alter shape from history. */
+  def alter(name: String, newSchema: StructType,
+      remap: Vector[InternalRow] => Vector[InternalRow]): Unit = synchronized {
+    tables.get(name).foreach { case (_, rows) =>
+      tables.put(name, (newSchema, remap(rows)))
+      snap(name)
+    }
+  }
+
   /** Committed epoch ids per table — the idempotence ledger for the
     * streaming sink. */
   private val epochs = TrieMap.empty[String, Set[Long]]

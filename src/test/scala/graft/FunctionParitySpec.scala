@@ -641,6 +641,65 @@ class FunctionParitySpec extends SparkSpec {
     assert(r.getSeq[Int](9) == Seq(1, 2), r.toString)
   }
 
+  test("datetime tail: week/yow/millisecond/iso8601/duration/human-readable") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    val r = p("""SELECT last_day_of_month(DATE '2024-02-10') AS ld,
+                        week(DATE '2024-01-04') AS wk,
+                        year_of_week(DATE '2022-01-01') AS yw,
+                        quarter(DATE '2024-08-14') AS q,
+                        millisecond(TIMESTAMP '2024-03-15 13:45:30.123') AS ms,
+                        from_iso8601_date('2024-03-15') AS fd,
+                        to_iso8601(DATE '2024-03-15') AS iso_d,
+                        date('2024-03-15 10:00:00') AS dcast""")
+    assert(r.getDate(0).toString == "2024-02-29", r.toString)
+    assert(r.getInt(1) == 1 && r.getInt(2) == 2021, r.toString) // ISO week rules
+    assert(r.getInt(3) == 3, r.toString)
+    assert(r.getLong(4) == 123L, r.toString)
+    assert(r.getDate(5).toString == "2024-03-15", r.toString)
+    assert(r.getString(6) == "2024-03-15", r.toString)
+    assert(r.getDate(7).toString == "2024-03-15", r.toString)
+    val d = p("""SELECT to_milliseconds(parse_duration('5.3 m')) AS pm,
+                        to_milliseconds(parse_duration('42ns')) AS pn,
+                        human_readable_seconds(96) AS h1,
+                        human_readable_seconds(0) AS h0,
+                        human_readable_seconds(694861) AS hw,
+                        current_timezone() AS tz""")
+    assert(d.getLong(0) == 318000L, d.toString)
+    assert(d.getLong(1) == 0L, d.toString)
+    assert(d.getString(2) == "1 minute, 36 seconds", d.toString)
+    assert(d.getString(3) == "0 seconds", d.toString)
+    assert(d.getString(4) == "1 week, 1 day, 1 hour, 1 minute, 1 second", d.toString)
+    assert(d.getString(5) == spark.conf.get("spark.sql.session.timeZone"), d.toString)
+    val bad = intercept[Exception] { p("SELECT parse_duration('5 parsecs') AS e") }
+    assert(bad.getMessage.contains("parse_duration"), bad.getMessage)
+  }
+
+  test("aggregate tail: entropy, map_union_sum, 3-arg max_by/min_by, bitwise aggs") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    // entropy of [1,1,2]: S=4, -(1/4·log2(1/4)·2 + 1/2·log2(1/2)) = 1.5
+    val e = p("SELECT entropy(c) AS e FROM VALUES (1), (1), (2) AS t(c)").getDouble(0)
+    assert(math.abs(e - 1.5) < 1e-12, e.toString)
+    val z = p("SELECT entropy(c) AS e FROM VALUES (0), (0) AS t(c)").getDouble(0)
+    assert(z == 0.0, z.toString)
+    val mus = p("""SELECT map_union_sum(m) AS u FROM VALUES
+                   (MAP(ARRAY['a','b'], ARRAY[1.0, 2.0])),
+                   (MAP(ARRAY['b','c'], ARRAY[10.0, 3.0])) AS t(m)""")
+      .getMap[String, Double](0)
+    assert(mus == Map("a" -> 1.0, "b" -> 12.0, "c" -> 3.0), mus.toString)
+    val mb = p("""SELECT max_by(x, y, 2) AS top2, min_by(x, y, 2) AS bot2,
+                         max_by(x, y) AS m1
+                  FROM VALUES ('a', 1), ('b', 3), ('c', 2) AS t(x, y)""")
+    assert(mb.getSeq[String](0) == Seq("b", "c"), mb.toString)
+    assert(mb.getSeq[String](1) == Seq("a", "c"), mb.toString)
+    assert(mb.getString(2) == "b", mb.toString)
+    val ba = p("""SELECT bitwise_and_agg(x) AS a, bitwise_or_agg(x) AS o,
+                         every(x > 0) AS ev
+                  FROM VALUES (12), (10) AS t(x)""")
+    assert(ba.getInt(0) == 8 && ba.getInt(1) == 14 && ba.getBoolean(2), ba.toString)
+  }
+
   test("map utility tail: top_n/subset/remove_null_values/normalize/multimap_from_entries") {
     import graft.sql.PrestoRewriter
     def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()

@@ -400,6 +400,41 @@ class PrestoDialectSpec extends SparkSpec {
     presto("DROP TABLE IF EXISTS graft_mem.default.shtb_two")
   }
 
+  test("ALTER TABLE on graft-mem: add/rename/drop column, rename table, time travel across") {
+    // PrestoSql.g4:50-57 — schema evolution as committed mutations;
+    // history keeps the pre-alter shape readable (MemCatalog.alterTable).
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_alt")
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_alt2")
+    presto("""CREATE TABLE graft_mem.default.spec_alt AS
+              SELECT n_nationkey AS k, n_name AS name FROM nation""")
+    presto("ALTER TABLE graft_mem.default.spec_alt ADD COLUMN score DOUBLE")
+    val afterAdd = presto("SELECT k, name, score FROM graft_mem.default.spec_alt WHERE k = 0").head()
+    assert(afterAdd.isNullAt(2), "added column must be null-filled")
+    presto("ALTER TABLE graft_mem.default.spec_alt RENAME COLUMN name TO nation_name")
+    presto("ALTER TABLE graft_mem.default.spec_alt DROP COLUMN score")
+    val cols = presto("SELECT * FROM graft_mem.default.spec_alt").columns.toSeq
+    assert(cols == Seq("k", "nation_name"), cols.toString)
+    // the pre-alter shape is still readable via time travel (v2 = CTAS)
+    val old = presto(
+      "SELECT * FROM graft_mem.default.spec_alt FOR VERSION AS OF 2").columns.toSeq
+    assert(old == Seq("k", "name"), old.toString)
+    presto("ALTER TABLE graft_mem.default.spec_alt RENAME TO graft_mem.default.spec_alt2")
+    assert(!graft.sources.MemTables.exists("default.spec_alt"))
+    assert(presto("SELECT count(*) FROM graft_mem.default.spec_alt2").head().getLong(0) == 25)
+    // errors: duplicate add, unknown drop
+    val dup = intercept[Exception] {
+      presto("ALTER TABLE graft_mem.default.spec_alt2 ADD COLUMN k INT")
+    }
+    assert(dup.getMessage.toLowerCase.contains("exists"), dup.getMessage)
+    val missing = intercept[Exception] {
+      presto("ALTER TABLE graft_mem.default.spec_alt2 DROP COLUMN nope")
+    }
+    assert(missing.getMessage.toLowerCase.contains("nope") ||
+      missing.getMessage.toLowerCase.contains("missing") ||
+      missing.getMessage.toLowerCase.contains("no such"), missing.getMessage)
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_alt2")
+  }
+
   test("role/grant statements fail fast with clear errors") {
     // AstStatements.h:300-374 (roles): explicit rejects, not confusing
     // downstream parse errors.
