@@ -1043,8 +1043,40 @@ object Presto {
        FROM (SELECT o_orderstatus, CAST(o_custkey % 10 AS DOUBLE) AS c FROM orders)
        GROUP BY o_orderstatus"""
 
+  /** CALL procedures (round 11, PrestoSql.g4:101) via Spark 4's DSv2
+    * ProcedureCatalog: snapshot maintenance over graft-mem history —
+    * rollback_to_version restores the post-CTAS state after a DELETE,
+    * and the snapshots listing records the whole trail (create=0 rows,
+    * CTAS=n, delete=d, rollback=n). */
+  def callProc(s: SparkSession, d: String): DataFrame = {
+    PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS graft_mem.default.call_t")
+    PrestoRewriter.sql(s, d,
+      """CREATE TABLE graft_mem.default.call_t AS
+         SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+         WHERE o_orderkey < 100""")
+    PrestoRewriter.sql(s, d, "DELETE FROM graft_mem.default.call_t WHERE k >= 50")
+    PrestoRewriter.sql(s, d,
+      "CALL graft_mem.system.rollback_to_version('default.call_t', 2)")
+    val trail = PrestoRewriter.sql(s, d,
+      "CALL graft_mem.system.snapshots('default.call_t')")
+      .collect().map(r => s"${r.getInt(0)}:${r.getLong(2)}").mkString(",")
+    PrestoRewriter.sql(s, d,
+      s"""SELECT CAST(count(*) AS BIGINT) AS n, round(sum(v), 2) AS total,
+            '$trail' AS snapshots
+          FROM graft_mem.default.call_t""")
+  }
+  val callProcOracle: String =
+    """WITH base AS (SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+                     FROM orders WHERE o_orderkey < 100),
+            del AS (SELECT count(*) AS dn FROM orders WHERE o_orderkey < 50)
+       SELECT CAST(n AS BIGINT) AS n, total,
+              '1:0,2:' || CAST(n AS VARCHAR) || ',3:' || CAST(dn AS VARCHAR)
+                || ',4:' || CAST(n AS VARCHAR) AS snapshots
+       FROM base, del"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
     ("presto_matview", matView _, matViewOracle),
+    ("presto_call", callProc _, callProcOracle),
     ("presto_datetime_fns", run(datetimeFnsPresto) _, datetimeFnsOracle),
     ("presto_entropy", run(entropyPresto) _, entropyOracle),
     ("presto_alter_table", alterTable _, alterTableOracle),

@@ -22,7 +22,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (any single-level namespace works, "default" by convention) — the
   * in-memory store has no hierarchy worth modeling.
   */
-class MemCatalog extends TableCatalog with SupportsNamespaces {
+class MemCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catalogName: String = "graft_mem"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -163,6 +164,100 @@ class MemCatalog extends TableCatalog with SupportsNamespaces {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(parts(oldIdent))
     if (tableExists(target)) throw new TableAlreadyExistsException(newParts)
     MemTables.rename(key(oldIdent), key(target))
+  }
+
+  // ---------------------------------------------- procedures (round 11)
+  // Presto CALL (PrestoSql.g4:101, AstStatements.h) through Spark 4's
+  // DSv2 ProcedureCatalog: CALL graft_mem.system.<proc>(...) — snapshot
+  // maintenance procedures over the connector's version history, the
+  // same surface Iceberg ships as its system procedures.
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private abstract class MemProc(procName: String, desc: String,
+      params: Array[ProcedureParameter], resultSchema: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    protected def run(input: InternalRow): Vector[InternalRow]
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      java.util.Collections.singletonList[Scan](
+        new ProcResultScan(resultSchema, run(input))).iterator()
+  }
+
+  // procedure output must be a LocalScan (driver-local result rows)
+  private final class ProcResultScan(schema0: StructType, resultRows: Vector[InternalRow])
+      extends org.apache.spark.sql.connector.read.LocalScan {
+    override def readSchema(): StructType = schema0
+    override def rows(): Array[InternalRow] = resultRows.toArray
+  }
+
+  private def requireTable(t: String): String = {
+    if (!MemTables.exists(t)) throw new IllegalArgumentException(
+      s"graft-mem table not found: $t")
+    t
+  }
+
+  private val procs: Map[String, UnboundProcedure] = Map(
+    "rollback_to_version" -> new MemProc("rollback_to_version",
+      "restore a table to a prior committed snapshot (the restore is itself a commit)",
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("version", IntegerType).build()),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("restored_version", IntegerType),
+        org.apache.spark.sql.types.StructField("current_version", IntegerType)))) {
+      override protected def run(input: InternalRow): Vector[InternalRow] = {
+        val t = requireTable(input.getUTF8String(0).toString)
+        val v = input.getInt(1)
+        if (!MemTables.restore(t, v)) throw new IllegalArgumentException(
+          s"version $v not found for $t (have up to ${MemTables.versionCount(t)})")
+        Vector(new GenericInternalRow(Array[Any](v, MemTables.versionCount(t))))
+      }
+    },
+    "snapshots" -> new MemProc("snapshots",
+      "list the retained snapshots of a table (version, committed_at micros, row_count)",
+      Array(ProcedureParameter.in("table", StringType).build()),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("version", IntegerType),
+        org.apache.spark.sql.types.StructField("committed_at", LongType),
+        org.apache.spark.sql.types.StructField("row_count", LongType)))) {
+      override protected def run(input: InternalRow): Vector[InternalRow] = {
+        val t = requireTable(input.getUTF8String(0).toString)
+        MemTables.snapshots(t).map { case (v, at, n) =>
+          new GenericInternalRow(Array[Any](v, at, n)): InternalRow
+        }.toVector
+      }
+    },
+    "expire_history" -> new MemProc("expire_history",
+      "drop all but the newest `keep` snapshots; version numbers stay stable",
+      Array(ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("keep", IntegerType).build()),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("expired", IntegerType)))) {
+      override protected def run(input: InternalRow): Vector[InternalRow] = {
+        val t = requireTable(input.getUTF8String(0).toString)
+        Vector(new GenericInternalRow(
+          Array[Any](MemTables.expireHistory(t, input.getInt(1)))))
+      }
+    })
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      procs.keys.toArray.sorted.map(Identifier.of(Array("system"), _))
+    else Array.empty
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!ident.namespace().sameElements(Array("system")))
+      throw new IllegalArgumentException(
+        s"graft_mem procedures live in the 'system' namespace, got ${parts(ident).mkString(".")}")
+    procs.getOrElse(ident.name().toLowerCase, throw new IllegalArgumentException(
+      s"unknown procedure: ${ident.name()} (have ${procs.keys.toSeq.sorted.mkString(", ")})"))
   }
 
   // ------------------------------------------------- namespaces (flat)

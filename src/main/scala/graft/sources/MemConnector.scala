@@ -62,20 +62,43 @@ object MemTables {
     * 561-568). Commit micros support TIMESTAMP AS OF. Snapshots share
     * the immutable row vectors, so history costs one Vector reference
     * per commit, not a copy. */
-  private val history = TrieMap.empty[String, Vector[(StructType, Vector[InternalRow], Long)]]
+  final case class Snap(schema: StructType, rows: Vector[InternalRow],
+      atMicros: Long, version: Int)
+  private val history = TrieMap.empty[String, Vector[Snap]]
   private def snap(name: String): Unit = tables.get(name).foreach { case (s, r) =>
     val at = System.currentTimeMillis() * 1000L
     history.updateWith(name) {
-      case Some(h) => Some(h :+ ((s, r, at)))
-      case None => Some(Vector((s, r, at)))
+      case Some(h) => Some(h :+ Snap(s, r, at, h.lastOption.map(_.version).getOrElse(0) + 1))
+      case None => Some(Vector(Snap(s, r, at, 1)))
     }
   }
-  def versionCount(name: String): Int = history.get(name).map(_.length).getOrElse(0)
+  /** Highest committed version number (stable across history expiry). */
+  def versionCount(name: String): Int =
+    history.get(name).flatMap(_.lastOption).map(_.version).getOrElse(0)
   def snapshotAt(name: String, v: Int): Option[(StructType, Vector[InternalRow])] =
-    history.get(name).flatMap(_.lift(v - 1)).map { case (s, r, _) => (s, r) }
+    history.get(name).flatMap(_.find(_.version == v)).map(s => (s.schema, s.rows))
   /** Latest snapshot committed at or before `micros`. */
   def snapshotAsOfTime(name: String, micros: Long): Option[(StructType, Vector[InternalRow])] =
-    history.get(name).flatMap(_.reverse.find(_._3 <= micros)).map { case (s, r, _) => (s, r) }
+    history.get(name).flatMap(_.reverse.find(_.atMicros <= micros)).map(s => (s.schema, s.rows))
+  /** All retained snapshots, oldest first: (version, atMicros, rowCount). */
+  def snapshots(name: String): Seq[(Int, Long, Long)] =
+    history.get(name).getOrElse(Vector.empty)
+      .map(s => (s.version, s.atMicros, s.rows.length.toLong))
+  /** Drop all but the newest `keep` snapshots (CALL expire_history):
+    * version numbers stay stable; expired versions become unreadable
+    * for time travel, exactly the Iceberg expire-snapshots contract.
+    * Returns how many were dropped. */
+  def expireHistory(name: String, keep: Int): Int = synchronized {
+    require(keep >= 1, "expire_history: keep must be >= 1")
+    var dropped = 0
+    history.updateWith(name) {
+      case Some(h) =>
+        dropped = math.max(0, h.length - keep)
+        Some(h.drop(dropped))
+      case None => None
+    }
+    dropped
+  }
 
   /** DDL create: install an empty table with this schema (createTable in
     * the reference's ConnectorMetadata.h:569 lifecycle). */

@@ -435,6 +435,39 @@ class PrestoDialectSpec extends SparkSpec {
     presto("DROP TABLE IF EXISTS graft_mem.default.spec_alt2")
   }
 
+  test("CALL procedures: rollback_to_version / snapshots / expire_history") {
+    // Presto CALL (PrestoSql.g4:101) through Spark 4's DSv2
+    // ProcedureCatalog — snapshot maintenance over graft-mem history.
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_call")
+    presto("CREATE TABLE graft_mem.default.spec_call AS SELECT n_nationkey AS k FROM nation")
+    presto("INSERT INTO graft_mem.default.spec_call VALUES (100)")
+    presto("DELETE FROM graft_mem.default.spec_call WHERE k < 10")
+    def n() = presto("SELECT count(*) FROM graft_mem.default.spec_call").head().getLong(0)
+    assert(n() == 16) // 25 + 1 - 10
+    val snaps = presto("CALL graft_mem.system.snapshots('default.spec_call')").collect()
+    assert(snaps.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4), snaps.mkString(";"))
+    assert(snaps.map(_.getLong(2)).toSeq == Seq(0L, 25L, 26L, 16L), snaps.mkString(";"))
+    // rollback to the post-CTAS state; the restore is itself a commit
+    val rb = presto("CALL graft_mem.system.rollback_to_version('default.spec_call', 2)").head()
+    assert(rb.getInt(0) == 2 && rb.getInt(1) == 5, rb.toString)
+    assert(n() == 25, "rollback_to_version must restore the v2 row set")
+    // expire all but the newest 2 snapshots; numbering stays stable
+    val ex = presto("CALL graft_mem.system.expire_history('default.spec_call', 2)").head()
+    assert(ex.getInt(0) == 3, ex.toString)
+    val left = presto("CALL graft_mem.system.snapshots('default.spec_call')")
+      .collect().map(_.getInt(0)).toSeq
+    assert(left == Seq(4, 5), left.toString)
+    val goneV = intercept[Exception] {
+      presto("SELECT count(*) FROM graft_mem.default.spec_call FOR VERSION AS OF 2").collect()
+    }
+    assert(goneV.getMessage.contains("version 2 not found") ||
+      goneV.getMessage.contains("not found"), goneV.getMessage)
+    val badProc = intercept[Exception] { presto("CALL graft_mem.system.nope('x')") }
+    assert(badProc.getMessage.contains("unknown procedure") ||
+      badProc.getMessage.toLowerCase.contains("nope"), badProc.getMessage)
+    presto("DROP TABLE IF EXISTS graft_mem.default.spec_call")
+  }
+
   test("role/grant statements fail fast with clear errors") {
     // AstStatements.h:300-374 (roles): explicit rejects, not confusing
     // downstream parse errors.
