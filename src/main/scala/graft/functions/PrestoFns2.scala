@@ -181,6 +181,111 @@ object PrestoFns2 {
     }
   }
 
+  // --------------------------------------------------- literal split/pos
+  /** Presto split(string, delimiter[, limit]): the delimiter is a
+    * LITERAL string — Spark's same-named function treats it as a regex,
+    * a silent divergence for '.', '|', etc. With limit, the last
+    * element holds the rest of the string. */
+  case class LiteralSplit(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType)
+    override def nullable: Boolean = true
+    override def prettyName: String = "split"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.take(2).forall(_.dataType == StringType) &&
+          children.drop(2).forall(_.dataType == IntegerType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "split expects (string, string[, integer])")
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]) = copy(children = newChildren)
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.contains(null)) return null
+      val s = vs(0).asInstanceOf[UTF8String].toString
+      val delim = vs(1).asInstanceOf[UTF8String].toString
+      val limit = if (vs.length > 2) vs(2).asInstanceOf[Int] else Int.MaxValue
+      if (delim.isEmpty) throw new IllegalArgumentException(
+        "split: the delimiter may not be empty")
+      if (limit <= 0) throw new IllegalArgumentException(
+        s"split: limit must be positive, got $limit")
+      val out = Vector.newBuilder[UTF8String]
+      var from = 0
+      var parts = 1
+      var done = false
+      while (!done && parts < limit) {
+        val i = s.indexOf(delim, from)
+        if (i < 0) done = true
+        else { out += UTF8String.fromString(s.substring(from, i)); from = i + delim.length; parts += 1 }
+      }
+      out += UTF8String.fromString(s.substring(from))
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.result().toArray)
+    }
+  }
+
+  /** Presto strpos/strrpos(string, substring[, instance]): 1-based
+    * CHARACTER position of the nth occurrence (from the end for
+    * strrpos); 0 when absent, errors on instance <= 0. */
+  case class StrPosN(children: Seq[Expression], fromEnd: Boolean)
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = if (fromEnd) "strrpos" else "strpos"
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.take(2).forall(_.dataType == StringType) &&
+          children.drop(2).forall(_.dataType == LongType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, string[, bigint])")
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]) = copy(children = newChildren)
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.contains(null)) return null
+      val s = vs(0).asInstanceOf[UTF8String].toString
+      val sub = vs(1).asInstanceOf[UTF8String].toString
+      val inst = if (vs.length > 2) vs(2).asInstanceOf[Long] else 1L
+      if (inst <= 0) throw new IllegalArgumentException(
+        s"$prettyName: instance must be positive, got $inst")
+      if (sub.isEmpty) return 0L
+      var remaining = inst
+      var idx = if (fromEnd) s.length else 0
+      var found = -1
+      while (remaining > 0) {
+        found = if (fromEnd) s.lastIndexOf(sub, idx - 1) else s.indexOf(sub, idx)
+        if (found < 0) return 0L
+        remaining -= 1
+        idx = if (fromEnd) found else found + 1
+      }
+      s.codePointCount(0, found) + 1L
+    }
+  }
+
+  /** Presto from_base/to_base: radix 2-36 string↔bigint conversion. */
+  case class FromBase(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "from_base"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def nullSafeEval(s: Any, r: Any): Any =
+      BinHelpers.fromBase(s.asInstanceOf[UTF8String].toString, r.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (s, r) =>
+        s"graft.functions.BinHelpers.fromBase($s.toString(), $r)")
+  }
+  case class ToBase(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "to_base"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def nullSafeEval(x: Any, r: Any): Any =
+      UTF8String.fromString(BinHelpers.toBase(x.asInstanceOf[Long], r.asInstanceOf[Int]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (x, r) =>
+        s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+          s"graft.functions.BinHelpers.toBase($x, $r))")
+  }
+
   // ------------------------------------------------------ duration/time
   /** Presto parse_duration('5.3 m') → INTERVAL DAY TO SECOND. Units
     * ns/us/ms/s/m/h/d, fractional values allowed. */
@@ -441,6 +546,26 @@ object PrestoFns2 {
       val x = lv("__asd_x"); val y = lv("__asd_y")
       new ArraySort(es.head, LambdaFunction(cmpDesc(x, y), Seq(x, y)))
     },
+    // ---- literal split / positional search / radix conversion
+    "presto_split" -> { es: Seq[Expression] =>
+      LiteralSplit(Seq(asString(es(0)), asString(es(1))) ++
+        es.drop(2).map(e => Cast(e, IntegerType))) },
+    "presto_strpos" -> { es: Seq[Expression] =>
+      if (es.length == 2) StringInstr(asString(es(0)), asString(es(1)))
+      else StrPosN(Seq(asString(es(0)), asString(es(1)),
+        Cast(es(2), LongType)), fromEnd = false) },
+    "strrpos" -> { es: Seq[Expression] =>
+      StrPosN(Seq(asString(es(0)), asString(es(1))) ++
+        es.drop(2).map(e => Cast(e, LongType)), fromEnd = true) },
+    "from_base" -> { es: Seq[Expression] =>
+      FromBase(asString(es(0)), Cast(es(1), IntegerType)) },
+    "to_base" -> { es: Seq[Expression] =>
+      ToBase(Cast(es(0), LongType), Cast(es(1), IntegerType)) },
+    "is_finite" -> { es: Seq[Expression] =>
+      val c = asDouble(es.head)
+      And(Not(IsNaN(c)), Not(EqualTo(Abs(c), Literal(Double.PositiveInfinity)))) },
+    "is_infinite" -> { es: Seq[Expression] =>
+      EqualTo(Abs(asDouble(es.head)), Literal(Double.PositiveInfinity)) },
     // ---- datetime tail. Spark has no names for these; week/quarter/
     // last_day get Presto spellings via Registry renames onto the
     // builders below or Spark twins.
@@ -582,6 +707,18 @@ object BinHelpers {
       s"chr: code point out of range: $n")
     new String(Character.toChars(n.toInt))
   }
+
+  private def checkRadix(r: Int): Unit =
+    if (r < 2 || r > 36) throw new IllegalArgumentException(
+      s"radix must be between 2 and 36, got $r")
+  def fromBase(s: String, radix: Int): Long = {
+    checkRadix(radix)
+    try java.lang.Long.parseLong(s.trim, radix) catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"from_base: not a valid base-$radix number: '$s'")
+    }
+  }
+  def toBase(x: Long, radix: Int): String = { checkRadix(radix); java.lang.Long.toString(x, radix) }
 
   private val durationRe = "^\\s*(\\d+(?:\\.\\d+)?)\\s*(ns|us|ms|s|m|h|d)\\s*$".r
   def parseDurationMicros(s: String): Long = s match {

@@ -27,7 +27,21 @@ object Registry {
     * shared ANSI surface; the interesting rows are the renames. */
   val fns: Map[String, FnMeta] = {
     val renamed = Map(
-      "strpos" -> FnMeta("instr"),
+      // Presto strpos takes an optional instance argument (2-arg form
+      // stays Spark's codegen'd instr inside the builder).
+      "strpos" -> FnMeta("presto_strpos"),
+      "strrpos" -> FnMeta("strrpos"),
+      // Presto split's delimiter is a LITERAL (Spark's is a regex).
+      "split" -> FnMeta("presto_split"),
+      "from_base" -> FnMeta("from_base"),
+      "to_base" -> FnMeta("to_base"),
+      "is_finite" -> FnMeta("is_finite"),
+      "is_infinite" -> FnMeta("is_infinite"),
+      "ends_with" -> FnMeta("endswith"),
+      "cosh" -> FnMeta("cosh"), "sinh" -> FnMeta("sinh"), "tanh" -> FnMeta("tanh"),
+      "acosh" -> FnMeta("acosh"), "asinh" -> FnMeta("asinh"), "atanh" -> FnMeta("atanh"),
+      "atan2" -> FnMeta("atan2"), "cot" -> FnMeta("cot"),
+      "e" -> FnMeta("e"), "pi" -> FnMeta("pi"),
       "approx_distinct" -> FnMeta("approx_count_distinct", isAggregate = true),
       "approx_percentile" -> FnMeta("percentile_approx", isAggregate = true, cost = 4.0),
       "arbitrary" -> FnMeta("any_value", isAggregate = true),

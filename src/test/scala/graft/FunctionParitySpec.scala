@@ -641,6 +641,35 @@ class FunctionParitySpec extends SparkSpec {
     assert(r.getSeq[Int](9) == Seq(1, 2), r.toString)
   }
 
+  test("literal split, positional strpos/strrpos, radix conversion, finiteness") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    // Presto split: LITERAL delimiter ('.' must not be a regex), limit
+    // keeps the remainder in the last element
+    val r = p("""SELECT split('a.b.c', '.') AS s,
+                        split('a.b.c', '.', 2) AS s2,
+                        strpos('ababab', 'ab', 3) AS p3,
+                        strpos('ababab', 'ab') AS p1,
+                        strpos('ababab', 'xy') AS p0,
+                        strrpos('ababab', 'ab') AS rp,
+                        strrpos('ababab', 'ab', 2) AS rp2""")
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"), r.toString)
+    assert(r.getSeq[String](1) == Seq("a", "b.c"), r.toString)
+    assert(r.getLong(2) == 5L && r.getAs[Number](3).longValue == 1L, r.toString)
+    assert(r.getAs[Number](4).longValue == 0L, r.toString)
+    assert(r.getLong(5) == 5L && r.getLong(6) == 3L, r.toString)
+    val b = p("""SELECT from_base('1101', 2) AS fb, from_base('-ff', 16) AS fn,
+                        to_base(255, 16) AS tb, to_base(-255, 16) AS tn,
+                        is_finite(1.0) AS f1, is_finite(exp(1000)) AS f0,
+                        is_infinite(exp(1000)) AS i1, is_infinite(2.5) AS i0""")
+    assert(b.getLong(0) == 13L && b.getLong(1) == -255L, b.toString)
+    assert(b.getString(2) == "ff" && b.getString(3) == "-ff", b.toString)
+    assert(b.getBoolean(4) && !b.getBoolean(5), b.toString)
+    assert(b.getBoolean(6) && !b.getBoolean(7), b.toString)
+    val bad = intercept[Exception] { p("SELECT from_base('12', 40) AS e") }
+    assert(bad.getMessage.contains("radix"), bad.getMessage)
+  }
+
   test("datetime tail: week/yow/millisecond/iso8601/duration/human-readable") {
     import graft.sql.PrestoRewriter
     def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()

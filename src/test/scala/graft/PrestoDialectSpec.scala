@@ -53,7 +53,7 @@ class PrestoDialectSpec extends SparkSpec {
 
   test("UNNEST join lowers to LATERAL VIEW at end of the same FROM scope") {
     val out = t("SELECT doc_id, w FROM documents CROSS JOIN UNNEST(split(text, ' ')) AS u(w) WHERE doc_id < 5")
-    assert(out.contains("LATERAL VIEW EXPLODE(split(text, ' ')) u AS w WHERE"))
+    assert(out.contains("LATERAL VIEW EXPLODE(presto_split(text, ' ')) u AS w WHERE"))
     // subquery scoping: the lateral view stays inside the derived table
     val sub = t("SELECT n FROM (SELECT doc_id, w FROM documents CROSS JOIN UNNEST(a) u(w) GROUP BY 1, 2) z")
     assert(sub.contains("LATERAL VIEW EXPLODE(a) u AS w GROUP BY 1, 2) z"))
@@ -692,7 +692,7 @@ class PrestoDialectSpec extends SparkSpec {
     val byName = all.map(r => r.getString(0) -> r).toMap
     assert(byName("qdigest_agg").getString(2) == "aggregate")
     assert(byName("word_stem").getString(2) == "scalar")
-    assert(byName("strpos").getString(1) == "instr")
+    assert(byName("strpos").getString(1) == "presto_strpos")
     val q = presto("SHOW FUNCTIONS LIKE 'qdigest%'").collect()
     assert(q.map(_.getString(0)).toSet == Set("qdigest_agg"), q.mkString(","))
     val esc = presto("SHOW FUNCTIONS LIKE '%reduce!_agg' ESCAPE '!'").collect()

@@ -9,9 +9,10 @@ class PrestoRewriterSpec extends SparkSpec {
   test("renames functions outside string literals only") {
     // cardinality is NOT renamed: it resolves to the native overloaded
     // PrestoCardinality (container size OR HLL estimate) at analysis time.
+    // strpos routes to the graft builder (instance-arg dispatch).
     val in = "SELECT strpos(text, 'strpos(x)'), cardinality(a) FROM t"
     val out = PrestoRewriter.rewrite(in)
-    assert(out == "SELECT instr(text, 'strpos(x)'), cardinality(a) FROM t")
+    assert(out == "SELECT presto_strpos(text, 'strpos(x)'), cardinality(a) FROM t")
   }
 
   test("double-quoted identifiers become backticks; '' escape preserved") {
