@@ -136,6 +136,23 @@ object MemTables {
     epochs.remove(oldName).foreach(epochs.put(newName, _))
   }
 
+  /** ALTER SCHEMA ... RENAME TO (round 11): namespaces are key
+    * prefixes, so a schema rename moves every `from.x` table (state,
+    * history, epoch ledger) under `to.x`. All-or-nothing: collisions
+    * are checked before any move. */
+  def renameNamespace(from: String, to: String): Unit = synchronized {
+    val pre = from + "."
+    val moving = tables.keys.filter(_.startsWith(pre)).toVector.sorted
+    if (moving.isEmpty) throw new IllegalArgumentException(
+      s"graft-mem schema not found: $from " +
+        "(schema rename is supported on the graft_mem catalog only)")
+    moving.foreach { k =>
+      val nk = to + "." + k.stripPrefix(pre)
+      require(!tables.contains(nk), s"graft-mem table already exists: $nk")
+    }
+    moving.foreach(k => rename(k, to + "." + k.stripPrefix(pre)))
+  }
+
   /** Schema evolution (round 11, ALTER TABLE ADD/DROP/RENAME COLUMN):
     * replace schema AND rows in one committed mutation — time travel
     * still reads the pre-alter shape from history. */

@@ -787,6 +787,43 @@ object PrestoDialect {
     toks.take(k) ++ toks.drop(close + 1)
   }
 
+  // ------------------------------------- pass: SHOW CREATE VIEW
+  /** Presto `SHOW CREATE VIEW v` (PrestoSql.g4:129) → Spark's
+    * `SHOW CREATE TABLE v`: Spark serves view definitions through the
+    * TABLE spelling only. */
+  private[sql] def rewriteShowCreateView(toks: Vector[Tok]): Vector[Tok] = {
+    val i0 = nextM(toks, -1)
+    val i1 = nextM(toks, i0)
+    val i2 = nextM(toks, i1)
+    if (wordAt(toks, i0) == "show" && wordAt(toks, i1) == "create" &&
+        wordAt(toks, i2) == "view") toks.updated(i2, Word("TABLE"))
+    else toks
+  }
+
+  // ------------------------------------- pass: DROP FUNCTION signature
+  /** Presto `DROP [TEMPORARY] FUNCTION [IF EXISTS] name [(types)]`
+    * (PrestoSql.g4:100): the optional parameter-type signature
+    * disambiguates overloads, which Spark does not have (functions are
+    * name-keyed) — strip it so the statement parses. */
+  private[sql] def rewriteDropFunction(toks: Vector[Tok]): Vector[Tok] = {
+    var i = nextM(toks, -1)
+    if (wordAt(toks, i) != "drop") return toks
+    i = nextM(toks, i)
+    if (wordAt(toks, i) == "temporary") i = nextM(toks, i)
+    if (wordAt(toks, i) != "function") return toks
+    i = nextM(toks, i)
+    if (wordAt(toks, i) == "if") {
+      val iE = nextM(toks, i)
+      if (wordAt(toks, iE) != "exists") return toks
+      i = nextM(toks, iE)
+    }
+    val (name, after) = qualifiedNameAt(toks, i)
+    if (name.isEmpty || after < 0 || !toks.lift(after).contains(Sym("("))) return toks
+    val close = matchFwd(toks, after)
+    if (close < 0 || nextM(toks, close) >= 0) return toks
+    toks.take(after) ++ toks.drop(close + 1)
+  }
+
   // ------------------------------------- pass: unsupported statement guard
   /** Statement kinds whose semantics Spark cannot honestly provide fail
     * FAST with a clear, actionable error instead of a confusing
@@ -975,6 +1012,24 @@ object PrestoDialect {
   final case class ShowColumnsStmt(name: String) extends StatementAction
   /** `RESET SESSION k` (PrestoSql.g4:150) → Spark `RESET k`. */
   final case class ResetSessionStmt(rest: String) extends StatementAction
+  /** `ALTER SCHEMA from RENAME TO to` (PrestoSql.g4:48,
+    * AstStatements.h RenameSchema). Spark has no database rename, so the
+    * graft-mem catalog provides the semantics (namespace = key prefix). */
+  final case class RenameSchemaStmt(from: String, to: String)
+    extends StatementAction
+  /** `ALTER VIEW [IF EXISTS] from RENAME TO to` (PrestoSql.g4:85-86) —
+    * served by Spark's ALTER TABLE RENAME, which handles views. */
+  final case class AlterViewRenameStmt(from: String, to: String,
+      ifExists: Boolean) extends StatementAction
+  /** `ALTER FUNCTION name [types] <null-call clause>` (PrestoSql.g4:
+    * 98-99): Presto only allows altering the null-call characteristic.
+    * Spark routines always evaluate CALLED ON NULL INPUT, so that form
+    * acknowledges and RETURNS NULL ON NULL INPUT fails loudly. */
+  final case class AlterFunctionStmt(name: String, returnsNullOnNull: Boolean)
+    extends StatementAction
+  /** `SHOW CREATE FUNCTION name [types]` (PrestoSql.g4:131) — serves the
+    * recorded CREATE FUNCTION text from [[Routines]]. */
+  final case class ShowCreateFunctionStmt(name: String) extends StatementAction
 
   /** Qualified name starting at meaningful index i: (rendered, index of
     * the next meaningful token after it), or ("", i) if none. Parts are
@@ -1051,6 +1106,59 @@ object PrestoDialect {
         if (!wordAt(toks, iM).equalsIgnoreCase("materialized") ||
             !wordAt(toks, iV).equalsIgnoreCase("view")) None
         else parseCreateMatView(toks, iV)
+      case "alter" =>
+        // ALTER SCHEMA ... RENAME TO (PrestoSql.g4:48), ALTER VIEW ...
+        // RENAME TO (85-86), ALTER FUNCTION null-call (98-99); every
+        // other ALTER (TABLE family) passes through to Spark/graft-mem.
+        val iK = nextM(toks, i0)
+        wordAt(toks, iK) match {
+          case "schema" =>
+            val (from, after) = qualifiedNameAt(toks, nextM(toks, iK))
+            if (from.isEmpty || wordAt(toks, after) != "rename" ||
+                wordAt(toks, nextM(toks, after)) != "to") None
+            else {
+              val (to, end) = qualifiedNameAt(toks, nextM(toks, nextM(toks, after)))
+              if (to.isEmpty || to.contains(".") || end >= 0) None
+              else Some(RenameSchemaStmt(from, to))
+            }
+          case "view" =>
+            var j = nextM(toks, iK)
+            var ifExists = false
+            if (wordAt(toks, j) == "if") {
+              val iE = nextM(toks, j)
+              if (wordAt(toks, iE) != "exists") return None
+              ifExists = true; j = nextM(toks, iE)
+            }
+            val (from, after) = qualifiedNameAt(toks, j)
+            if (from.isEmpty || wordAt(toks, after) != "rename" ||
+                wordAt(toks, nextM(toks, after)) != "to") None
+            else {
+              val (to, end) = qualifiedNameAt(toks, nextM(toks, nextM(toks, after)))
+              if (to.isEmpty || end >= 0) None
+              else Some(AlterViewRenameStmt(from, to, ifExists))
+            }
+          case "function" =>
+            val (name, after) = qualifiedNameAt(toks, nextM(toks, iK))
+            if (name.isEmpty) None
+            else {
+              var k = after
+              if (k >= 0 && toks.lift(k).contains(Sym("("))) {
+                val close = matchFwd(toks, k)
+                if (close < 0) return None
+                k = nextM(toks, close)
+              }
+              val tail = if (k < 0) ""
+                else render(toks.drop(k)).trim.toLowerCase.replaceAll("\\s+", " ")
+              tail match {
+                case "returns null on null input" =>
+                  Some(AlterFunctionStmt(name, returnsNullOnNull = true))
+                case "called on null input" =>
+                  Some(AlterFunctionStmt(name, returnsNullOnNull = false))
+                case _ => None
+              }
+            }
+          case _ => None
+        }
       case "refresh" =>
         val iM = nextM(toks, i0)
         val iV = nextM(toks, iM)
@@ -1203,6 +1311,19 @@ object PrestoDialect {
           val (name, after) = qualifiedNameAt(toks, nextM(toks, nextM(toks, iF)))
           if (name.isEmpty || after >= 0) None else Some(ShowCreateMatViewStmt(name))
         }
+        else if (wordAt(toks, iS).equalsIgnoreCase("create") &&
+            wordAt(toks, iF).equalsIgnoreCase("function")) {
+          // SHOW CREATE FUNCTION name [(types)] (PrestoSql.g4:131) —
+          // the signature disambiguator is accepted and ignored.
+          val (name, after) = qualifiedNameAt(toks, nextM(toks, iF))
+          if (name.isEmpty) None
+          else if (after < 0) Some(ShowCreateFunctionStmt(name))
+          else if (toks.lift(after).contains(Sym("(")) && {
+            val close = matchFwd(toks, after)
+            close > after && nextM(toks, close) < 0
+          }) Some(ShowCreateFunctionStmt(name))
+          else None
+        }
         else if (wordAt(toks, iS).equalsIgnoreCase("tables"))
           fromClause(iF).flatMap { case (from, after) =>
             likeEscape(after).map(ShowTablesStmt(from, _)) }
@@ -1347,9 +1468,49 @@ object PrestoDialect {
       case t => t
     }
 
+  /** `CREATE [OR REPLACE] [TEMPORARY] FUNCTION name …` — the created
+    * routine's name, so [[PrestoParser]] can record the definition text
+    * for SHOW CREATE FUNCTION / ALTER FUNCTION. None for any other
+    * statement. */
+  private[sql] def createFunctionName(sql: String): Option[String] = {
+    val toks = tokenize(sql)
+    var i = nextM(toks, -1)
+    if (wordAt(toks, i) != "create") return None
+    i = nextM(toks, i)
+    if (wordAt(toks, i) == "or") {
+      i = nextM(toks, i)
+      if (wordAt(toks, i) != "replace") return None
+      i = nextM(toks, i)
+    }
+    if (wordAt(toks, i) == "temporary") i = nextM(toks, i)
+    if (wordAt(toks, i) != "function") return None
+    val (name, _) = qualifiedNameAt(toks, nextM(toks, i))
+    if (name.isEmpty) None else Some(name)
+  }
+
+  /** `DROP [TEMPORARY] FUNCTION [IF EXISTS] name …` — the dropped
+    * routine's name (for the [[Routines]] registry). */
+  private[sql] def dropFunctionName(sql: String): Option[String] = {
+    val toks = tokenize(sql)
+    var i = nextM(toks, -1)
+    if (wordAt(toks, i) != "drop") return None
+    i = nextM(toks, i)
+    if (wordAt(toks, i) == "temporary") i = nextM(toks, i)
+    if (wordAt(toks, i) != "function") return None
+    i = nextM(toks, i)
+    if (wordAt(toks, i) == "if") {
+      val iE = nextM(toks, i)
+      if (wordAt(toks, iE) != "exists") return None
+      i = nextM(toks, iE)
+    }
+    val (name, _) = qualifiedNameAt(toks, i)
+    if (name.isEmpty) None else Some(name)
+  }
+
   // -------------------------------------------------------------- entry
   private val passes: Seq[Vector[Tok] => Vector[Tok]] = Seq(
     rejectUnsupported, rewriteRoutineNullCall, rewriteTableVersion, rewriteCreateSchema,
+    rewriteShowCreateView, rewriteDropFunction,
     rewriteExplainOptions, rewriteAnalyze, rewriteViewSecurity, rewriteUnnestJoins, rewriteCastTypes,
     rewriteRowCtor, rewriteArrayBrackets, rewriteTry, rewriteTablesample, rewriteAtTimeZone,
     rewriteQuantifiedCmp, rewriteBareTypes, rewriteQuotedIdents)

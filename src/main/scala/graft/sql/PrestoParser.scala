@@ -269,7 +269,45 @@ class PrestoParser(session: SparkSession, delegate: ParserInterface)
           s"materialized view not found: $name"))
         delegate.parsePlan(
           s"SELECT '${MatViews.showCreate(v).replace("'", "''")}' AS create_matview")
-      case None => delegate.parsePlan(lower(sqlText))
+      case Some(PrestoDialect.RenameSchemaStmt(from, to)) =>
+        // ALTER SCHEMA ... RENAME TO (PrestoSql.g4:48): namespaces are
+        // key prefixes on the graft-mem connector; Spark's session
+        // catalog has no database rename, so any other target errors
+        // (inside renameNamespace, with the catalog named).
+        val parts = from.split("\\.")
+        val ns =
+          if (parts.length == 2 && parts(0).equalsIgnoreCase("graft_mem")) parts(1)
+          else if (parts.length == 1) parts(0)
+          else throw new UnsupportedOperationException(
+            s"ALTER SCHEMA RENAME is supported on the graft_mem catalog only, got: $from")
+        graft.sources.MemTables.renameNamespace(ns, to)
+        delegate.parsePlan(s"SELECT ${litStr(to)} AS renamed")
+      case Some(PrestoDialect.AlterViewRenameStmt(from, to, ifExists)) =>
+        // Spark shares the ALTER VIEW ... RENAME TO spelling; only
+        // Presto's IF EXISTS (which Spark's form lacks) is resolved here.
+        if (!ifExists || session.catalog.tableExists(from))
+          sparkSql(s"ALTER VIEW $from RENAME TO $to")
+        delegate.parsePlan(s"SELECT ${litStr(to)} AS renamed")
+      case Some(PrestoDialect.AlterFunctionStmt(name, retNullOnNull)) =>
+        if (Routines.get(name).isEmpty)
+          throw new IllegalArgumentException(s"function not found: $name " +
+            "(only routines created via CREATE FUNCTION can be altered)")
+        if (retNullOnNull) throw new UnsupportedOperationException(
+          "ALTER FUNCTION ... RETURNS NULL ON NULL INPUT is not supported: " +
+            "Spark SQL routines evaluate with CALLED ON NULL INPUT semantics")
+        delegate.parsePlan(s"SELECT ${litStr(name)} AS altered")
+      case Some(PrestoDialect.ShowCreateFunctionStmt(name)) =>
+        val text = Routines.get(name).getOrElse(throw new IllegalArgumentException(
+          s"function not found: $name " +
+            "(SHOW CREATE FUNCTION serves routines created via CREATE FUNCTION)"))
+        delegate.parsePlan(s"SELECT ${litStr(text)} AS create_function")
+      case None =>
+        val plan = delegate.parsePlan(lower(sqlText))
+        // record routine DDL for SHOW CREATE FUNCTION / ALTER FUNCTION
+        PrestoDialect.createFunctionName(sqlText)
+          .foreach(n => Routines.record(n, sqlText))
+        PrestoDialect.dropFunctionName(sqlText).foreach(Routines.drop)
+        plan
     }
   }
   override def parseQuery(sqlText: String): LogicalPlan =

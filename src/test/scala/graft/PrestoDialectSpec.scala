@@ -801,6 +801,104 @@ class PrestoDialectSpec extends SparkSpec {
     assert(total == rows.filter(_.getInt(1) == 0).map(_.getLong(2)).sum)
   }
 
+  test("USE and DROP SCHEMA CASCADE/RESTRICT pass through the dialect (PrestoSql.g4:43-48)") {
+    // Presto USE schema / USE catalog.schema is spelled identically in
+    // Spark (SetCatalogAndNamespace); DROP SCHEMA's CASCADE/RESTRICT
+    // qualifiers are shared syntax too — the rewriter must not touch
+    // either.
+    assert(t("USE graft_mem.default") === "USE graft_mem.default")
+    assert(t("DROP SCHEMA IF EXISTS s CASCADE") === "DROP SCHEMA IF EXISTS s CASCADE")
+    // end-to-end: switch into graft_mem.default, resolve a bare name
+    presto("DROP TABLE IF EXISTS graft_mem.default.use_spec").collect()
+    presto("CREATE TABLE graft_mem.default.use_spec (k BIGINT)").collect()
+    presto("INSERT INTO graft_mem.default.use_spec VALUES (7)").collect()
+    try {
+      presto("USE graft_mem.default").collect()
+      assert(presto("SELECT k FROM use_spec").head().getLong(0) == 7L)
+    } finally {
+      spark.sql("USE spark_catalog.default")
+      presto("DROP TABLE IF EXISTS graft_mem.default.use_spec").collect()
+    }
+    // and CASCADE against the session catalog end-to-end
+    spark.sql("CREATE SCHEMA IF NOT EXISTS drop_spec_ns")
+    spark.sql("CREATE OR REPLACE VIEW drop_spec_ns.v AS SELECT 1 AS x")
+    presto("DROP SCHEMA drop_spec_ns CASCADE").collect()
+    assert(!spark.catalog.databaseExists("drop_spec_ns"))
+  }
+
+  test("ALTER SCHEMA RENAME moves a graft-mem namespace; error paths (PrestoSql.g4:48)") {
+    import graft.sources.MemTables
+    presto("DROP TABLE IF EXISTS graft_mem.ns_a.t1").collect()
+    presto("DROP TABLE IF EXISTS graft_mem.ns_b.t1").collect()
+    presto("CREATE TABLE graft_mem.ns_a.t1 (k BIGINT)").collect()
+    presto("INSERT INTO graft_mem.ns_a.t1 VALUES (11), (12)").collect()
+    presto("ALTER SCHEMA graft_mem.ns_a RENAME TO ns_b").collect()
+    assert(spark.table("graft_mem.ns_b.t1").count() == 2)
+    assert(!MemTables.exists("ns_a.t1"))
+    // unknown schema fails with the catalog named
+    val e1 = intercept[IllegalArgumentException] {
+      presto("ALTER SCHEMA graft_mem.no_such_ns RENAME TO x").collect()
+    }
+    assert(e1.getMessage.contains("schema not found"))
+    // collision is checked before any move (all-or-nothing)
+    presto("CREATE TABLE graft_mem.ns_c.t1 (k BIGINT)").collect()
+    val e2 = intercept[IllegalArgumentException] {
+      presto("ALTER SCHEMA graft_mem.ns_c RENAME TO ns_b").collect()
+    }
+    assert(e2.getMessage.contains("already exists"))
+    assert(MemTables.exists("ns_c.t1"), "failed rename must not move tables")
+    presto("DROP TABLE IF EXISTS graft_mem.ns_b.t1").collect()
+    presto("DROP TABLE IF EXISTS graft_mem.ns_c.t1").collect()
+  }
+
+  test("ALTER VIEW RENAME TO and SHOW CREATE VIEW (PrestoSql.g4:85-86,129)") {
+    assert(t("SHOW CREATE VIEW v") === "SHOW CREATE TABLE v")
+    spark.sql("DROP VIEW IF EXISTS avr_old")
+    spark.sql("DROP VIEW IF EXISTS avr_new")
+    spark.sql("CREATE VIEW avr_old AS SELECT 42 AS x")
+    try {
+      presto("ALTER VIEW avr_old RENAME TO avr_new").collect()
+      assert(spark.table("avr_new").head().getInt(0) == 42)
+      assert(!spark.catalog.tableExists("avr_old"))
+      val show = presto("SHOW CREATE VIEW avr_new").head().getString(0)
+      assert(show.toUpperCase.contains("CREATE VIEW"), show)
+      // IF EXISTS on a missing view is a no-op, not an error
+      presto("ALTER VIEW IF EXISTS avr_missing RENAME TO avr_other").collect()
+    } finally {
+      spark.sql("DROP VIEW IF EXISTS avr_new")
+      spark.sql("DROP VIEW IF EXISTS avr_old")
+    }
+  }
+
+  test("DROP FUNCTION signature strip, SHOW CREATE FUNCTION, ALTER FUNCTION null-call (PrestoSql.g4:98-100,131)") {
+    // Presto disambiguates overloads by parameter types; Spark functions
+    // are name-keyed — the signature is stripped by the rewriter.
+    assert(t("DROP FUNCTION IF EXISTS f(int, varchar)") === "DROP FUNCTION IF EXISTS f")
+    assert(t("DROP TEMPORARY FUNCTION g(bigint)") === "DROP TEMPORARY FUNCTION g")
+    // a call named drop... in query position is untouched
+    assert(t("SELECT drop_function(x) FROM t") === "SELECT drop_function(x) FROM t")
+    val ddl = """CREATE OR REPLACE TEMPORARY FUNCTION scf_double(x DOUBLE)
+              RETURNS DOUBLE RETURN x * 2"""
+    presto(ddl).collect()
+    assert(presto("SELECT scf_double(21.0) AS v").head().getDouble(0) == 42.0)
+    // SHOW CREATE FUNCTION serves the recorded text (signature ignored)
+    val shown = presto("SHOW CREATE FUNCTION scf_double(double)").head().getString(0)
+    assert(shown == ddl.trim, shown)
+    // ALTER FUNCTION: CALLED ON NULL INPUT matches Spark semantics →
+    // acknowledged; RETURNS NULL ON NULL INPUT cannot be honored → loud
+    presto("ALTER FUNCTION scf_double CALLED ON NULL INPUT").collect()
+    val e = intercept[UnsupportedOperationException] {
+      presto("ALTER FUNCTION scf_double(double) RETURNS NULL ON NULL INPUT").collect()
+    }
+    assert(e.getMessage.contains("CALLED ON NULL INPUT"))
+    // DROP unregisters: SHOW CREATE FUNCTION and ALTER now fail
+    presto("DROP TEMPORARY FUNCTION scf_double(double)").collect()
+    val e2 = intercept[IllegalArgumentException] {
+      presto("SHOW CREATE FUNCTION scf_double").collect()
+    }
+    assert(e2.getMessage.contains("function not found"))
+  }
+
   test("window functions as SQL text: OVER, named WINDOW, frames, IGNORE NULLS") {
     // Reference grammar PrestoSql.g4:504 (`OVER '('`). The rewriter must
     // leave the whole window surface untouched...
