@@ -1007,6 +1007,36 @@ object Presto {
          CASE WHEN o_totalprice > 100000 THEN 'big' ELSE '-' END AS note
        FROM orders WHERE o_orderkey < 100"""
 
+  /** CREATE TYPE (PrestoSql.g4:80-82, AstStatements.h:348 CreateType):
+    * a named row type substitutes into the CAST target; field access
+    * flattens it back for the oracle compare. */
+  def createType(s: SparkSession, d: String): DataFrame = {
+    PrestoRewriter.sql(s, d,
+      "CREATE TYPE order_amount AS (k BIGINT, total DOUBLE)")
+    PrestoRewriter.sql(s, d,
+      """SELECT oa.k AS k, round(oa.total, 2) AS total
+         FROM (SELECT CAST(ROW(o_orderkey, o_totalprice) AS order_amount) AS oa
+               FROM orders WHERE o_orderkey < 200) t""")
+  }
+  val createTypeOracle: String =
+    """SELECT o_orderkey AS k, round(o_totalprice, 2) AS total
+       FROM orders WHERE o_orderkey < 200"""
+
+  /** CREATE TABLE with a likeClause element (PrestoSql.g4:182-184): the
+    * LIKE expands to region's column definitions, mixed with an extra
+    * column, on the graft-mem DSv2 connector. */
+  def tableLike(s: SparkSession, d: String): DataFrame = {
+    PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS graft_mem.default.like_t")
+    PrestoRewriter.sql(s, d,
+      "CREATE TABLE graft_mem.default.like_t (LIKE region INCLUDING PROPERTIES, batch VARCHAR)")
+    PrestoRewriter.sql(s, d,
+      "INSERT INTO graft_mem.default.like_t SELECT r_regionkey, r_name, 'b0' FROM region")
+    PrestoRewriter.sql(s, d,
+      "SELECT r_regionkey, r_name, batch FROM graft_mem.default.like_t")
+  }
+  val tableLikeOracle: String =
+    "SELECT r_regionkey, r_name, 'b0' AS batch FROM region"
+
   /** Datetime tail (round 11): ISO-week functions, last-day, quarter,
     * and to_iso8601 over real dates; DuckDB's ISO week/isoyear are the
     * oracle. */
@@ -1080,6 +1110,8 @@ object Presto {
     ("presto_datetime_fns", run(datetimeFnsPresto) _, datetimeFnsOracle),
     ("presto_entropy", run(entropyPresto) _, entropyOracle),
     ("presto_alter_table", alterTable _, alterTableOracle),
+    ("presto_create_type", createType _, createTypeOracle),
+    ("presto_table_like", tableLike _, tableLikeOracle),
     ("presto_digest_fns", run(digestFnsPresto) _, digestFnsOracle),
     ("presto_regexp_fns", run(regexpFnsPresto) _, regexpFnsOracle),
     ("presto_array_fns", run(arrayFnsPresto) _, arrayFnsOracle),

@@ -1030,6 +1030,20 @@ object PrestoDialect {
   /** `SHOW CREATE FUNCTION name [types]` (PrestoSql.g4:131) — serves the
     * recorded CREATE FUNCTION text from [[Routines]]. */
   final case class ShowCreateFunctionStmt(name: String) extends StatementAction
+  /** `CREATE TYPE name AS ( fields ) | type` (PrestoSql.g4:80-82,
+    * AstStatements.h:348 CreateType): a named row type or type alias,
+    * registered in [[UserTypes]] and substituted structurally (Spark
+    * types are structural, Presto's named types nominal — documented
+    * divergence) wherever the name appears in a CAST target or a CREATE
+    * TABLE column definition. */
+  final case class CreateTypeStmt(name: String, typeText: String)
+    extends StatementAction
+  /** `CREATE TABLE t (…, LIKE s [INCLUDING|EXCLUDING PROPERTIES], …)`
+    * (PrestoSql.g4:182-184 likeClause): the LIKE element expands to the
+    * source table's column definitions. prefix = text through the table
+    * name, elements = raw element texts, suffix = text after ')'. */
+  final case class CreateTableLikeStmt(prefix: String, elements: Seq[String],
+      suffix: String) extends StatementAction
 
   /** Qualified name starting at meaningful index i: (rendered, index of
     * the next meaningful token after it), or ("", i) if none. Parts are
@@ -1100,12 +1114,56 @@ object PrestoDialect {
     }
     wordAt(toks, i0).toLowerCase match {
       case "create" =>
-        // only CREATE MATERIALIZED VIEW; other CREATEs pass through
+        // CREATE MATERIALIZED VIEW, CREATE TYPE, and CREATE TABLE with a
+        // LIKE element are statement-level; every other CREATE passes
+        // through to Spark (CTAS, plain tables, views, schemas).
         val iM = nextM(toks, i0)
         val iV = nextM(toks, iM)
-        if (!wordAt(toks, iM).equalsIgnoreCase("materialized") ||
-            !wordAt(toks, iV).equalsIgnoreCase("view")) None
-        else parseCreateMatView(toks, iV)
+        if (wordAt(toks, iM) == "materialized" && wordAt(toks, iV) == "view")
+          parseCreateMatView(toks, iV)
+        else if (wordAt(toks, iM) == "type") {
+          // CREATE TYPE qname AS ( field type, ... ) | type
+          val (name, after) = qualifiedNameAt(toks, iV)
+          if (name.isEmpty || wordAt(toks, after) != "as") None
+          else {
+            val iB = nextM(toks, after)
+            if (toks.lift(iB).contains(Sym("("))) {
+              val close = matchFwd(toks, iB)
+              if (close < 0 || nextM(toks, close) >= 0) None
+              else Some(CreateTypeStmt(name,
+                "ROW" + render(toks.slice(iB, close + 1)).trim))
+            } else {
+              val text = render(toks.drop(iB)).trim
+              if (text.isEmpty) None else Some(CreateTypeStmt(name, text))
+            }
+          }
+        }
+        else if (wordAt(toks, iM) == "table") {
+          // only when an element list contains a top-level LIKE clause;
+          // plain CREATE TABLE passes through
+          var j = nextM(toks, iM)
+          if (wordAt(toks, j) == "if") {
+            val iN = nextM(toks, j); val iE = nextM(toks, iN)
+            if (wordAt(toks, iN) != "not" || wordAt(toks, iE) != "exists") return None
+            j = nextM(toks, iE)
+          }
+          val (name, after) = qualifiedNameAt(toks, j)
+          if (name.isEmpty || after < 0 || !toks.lift(after).contains(Sym("(")))
+            None
+          else {
+            val close = matchFwd(toks, after)
+            if (close < 0) None
+            else {
+              val elements = splitTopLevel(toks.slice(after + 1, close))
+              if (!elements.exists(el => likeElement(el).isDefined))
+                None
+              else Some(CreateTableLikeStmt(
+                render(toks.take(after)).trim, elements.map(_.trim),
+                render(toks.drop(close + 1)).trim))
+            }
+          }
+        }
+        else None
       case "alter" =>
         // ALTER SCHEMA ... RENAME TO (PrestoSql.g4:48), ALTER VIEW ...
         // RENAME TO (85-86), ALTER FUNCTION null-call (98-99); every
@@ -1468,6 +1526,107 @@ object PrestoDialect {
       case t => t
     }
 
+  /** A CREATE TABLE element that is a likeClause (PrestoSql.g4:182-184):
+    * `LIKE qname [INCLUDING|EXCLUDING PROPERTIES]` → Some(qname), any
+    * other element (column definition, constraint) → None. The
+    * INCLUDING/EXCLUDING qualifier is accepted and dropped — graft
+    * tables carry no copyable connector properties. */
+  private[sql] def likeElement(element: String): Option[String] = {
+    val toks = tokenize(element)
+    val i0 = nextM(toks, -1)
+    if (wordAt(toks, i0) != "like") return None
+    val (name, after) = qualifiedNameAt(toks, nextM(toks, i0))
+    if (name.isEmpty) None
+    else if (after < 0) Some(name)
+    else {
+      val q = wordAt(toks, after)
+      if ((q == "including" || q == "excluding") &&
+          wordAt(toks, nextM(toks, after)) == "properties" &&
+          nextM(toks, nextM(toks, after)) < 0) Some(name)
+      else None
+    }
+  }
+
+  // ------------------------------------------- pass: named user types
+  /** Substitute [[UserTypes]] registrations (CREATE TYPE,
+    * PrestoSql.g4:80-82) where the name appears in a type position:
+    * the CAST/TRY_CAST target (`CAST(x AS name)`) or a CREATE TABLE
+    * column definition (`col name …`). Registry values are
+    * fully-expanded at record time, so one pass suffices; nested
+    * occurrences inside explicit ROW(...) type text are out of scope
+    * (use the named type itself). Spark types are structural, so the
+    * substitution is structural — Presto's nominal identity is not
+    * preserved (documented divergence). */
+  private[sql] def rewriteUserTypes(toks: Vector[Tok]): Vector[Tok] = {
+    if (UserTypes.isEmpty) return toks
+    val isCreateTable = wordAt(toks, nextM(toks, -1)) == "create"
+    /** Is the token at i directly inside a CAST/TRY_CAST call — the
+      * nearest unmatched '(' scanning backward belongs to one? */
+    def insideCast(i: Int): Boolean = {
+      var depth = 0
+      var j = i - 1
+      while (j >= 0) {
+        if (isClose(toks(j))) depth += 1
+        else if (isOpen(toks(j))) {
+          if (depth == 0) {
+            val w = wordAt(toks, prevM(toks, j))
+            return w == "cast" || w == "try_cast"
+          }
+          depth -= 1
+        }
+        j -= 1
+      }
+      false
+    }
+    val edits = Vector.newBuilder[(Int, Int, String)]
+    toks.indices.foreach { i =>
+      toks(i) match {
+        case w: Word =>
+          UserTypes.get(w.lower).foreach { expansion =>
+            val p = prevM(toks, i)
+            val castTarget = wordAt(toks, p) == "as" && insideCast(i)
+            val columnDef = isCreateTable &&
+              toks.lift(p).exists(t => t.isInstanceOf[Word] || t.isInstanceOf[Quoted]) && {
+                val pp = prevM(toks, p)
+                toks.lift(pp).exists(t => t == Sym("(") || t == Sym(","))
+              }
+            if (castTarget || columnDef) {
+              // emit SPARK type text (STRUCT<…>) so the substitution is
+              // valid in column definitions too, where the CAST-target
+              // type pass does not reach
+              val spark = typeToSpark(tokenize(expansion)).getOrElse(expansion)
+              edits += ((i, i + 1, spark))
+            }
+          }
+        case _ => ()
+      }
+    }
+    applyEdits(toks, edits.result())
+  }
+
+  /** Expand references to already-registered named types inside a new
+    * CREATE TYPE definition (record-time, so registry values are always
+    * fully expanded): a registered name as the whole text (alias form)
+    * or in field-type position (after the field identifier). */
+  private[sql] def expandUserTypes(typeText: String): String = {
+    val toks = tokenize(typeText)
+    val meaningful = toks.count(!_.isInstanceOf[Space])
+    val edits = Vector.newBuilder[(Int, Int, String)]
+    toks.indices.foreach { i =>
+      toks(i) match {
+        case w: Word =>
+          UserTypes.get(w.lower).foreach { expansion =>
+            val p = prevM(toks, i)
+            val fieldType =
+              toks.lift(p).exists(t => t.isInstanceOf[Word] || t.isInstanceOf[Quoted])
+            if (meaningful == 1 || fieldType) edits += ((i, i + 1, expansion))
+          }
+        case _ => ()
+      }
+    }
+    render(applyEdits(toks, edits.result()))
+  }
+
   /** `CREATE [OR REPLACE] [TEMPORARY] FUNCTION name …` — the created
     * routine's name, so [[PrestoParser]] can record the definition text
     * for SHOW CREATE FUNCTION / ALTER FUNCTION. None for any other
@@ -1511,7 +1670,8 @@ object PrestoDialect {
   private val passes: Seq[Vector[Tok] => Vector[Tok]] = Seq(
     rejectUnsupported, rewriteRoutineNullCall, rewriteTableVersion, rewriteCreateSchema,
     rewriteShowCreateView, rewriteDropFunction,
-    rewriteExplainOptions, rewriteAnalyze, rewriteViewSecurity, rewriteUnnestJoins, rewriteCastTypes,
+    rewriteExplainOptions, rewriteAnalyze, rewriteViewSecurity, rewriteUnnestJoins,
+    rewriteUserTypes, rewriteCastTypes,
     rewriteRowCtor, rewriteArrayBrackets, rewriteTry, rewriteTablesample, rewriteAtTimeZone,
     rewriteQuantifiedCmp, rewriteBareTypes, rewriteQuotedIdents)
 

@@ -301,6 +301,26 @@ class PrestoParser(session: SparkSession, delegate: ParserInterface)
           s"function not found: $name " +
             "(SHOW CREATE FUNCTION serves routines created via CREATE FUNCTION)"))
         delegate.parsePlan(s"SELECT ${litStr(text)} AS create_function")
+      case Some(PrestoDialect.CreateTypeStmt(name, typeText)) =>
+        // CREATE TYPE (PrestoSql.g4:80-82): expand references to
+        // already-registered named types NOW, so registry values are
+        // always fully expanded and the substitution pass is one-shot.
+        UserTypes.record(name, PrestoDialect.expandUserTypes(typeText))
+        delegate.parsePlan(s"SELECT ${litStr(name)} AS created_type")
+      case Some(PrestoDialect.CreateTableLikeStmt(prefix, elements, suffix)) =>
+        // CREATE TABLE (…, LIKE s, …): each LIKE element expands to the
+        // source table's column definitions (Spark DDL text), then the
+        // reassembled statement takes the normal lowering.
+        val expanded = elements.map { el =>
+          PrestoDialect.likeElement(el) match {
+            case Some(src) =>
+              session.table(src).schema.fields.map(_.toDDL).mkString(", ")
+            case None => el
+          }
+        }
+        delegate.parsePlan(lower(
+          s"$prefix (${expanded.mkString(", ")})" +
+            (if (suffix.nonEmpty) s" $suffix" else "")))
       case None =>
         val plan = delegate.parsePlan(lower(sqlText))
         // record routine DDL for SHOW CREATE FUNCTION / ALTER FUNCTION

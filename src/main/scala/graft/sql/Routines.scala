@@ -20,3 +20,23 @@ object Routines {
   def get(name: String): Option[String] = texts.get(key(name))
   def drop(name: String): Unit = { texts.remove(key(name)); () }
 }
+
+/** Named-type registry behind CREATE TYPE (PrestoSql.g4:80-82,
+  * AstStatements.h:348): name → fully-expanded Presto type text
+  * (ROW(...) for the row form, the aliased type otherwise), substituted
+  * into CAST targets and CREATE TABLE column definitions by
+  * [[PrestoDialect.rewriteUserTypes]]. Keyed by the definition's LAST
+  * name part, lowercased — Presto references named types bare. */
+object UserTypes {
+  private val types = TrieMap.empty[String, String]
+  private def key(name: String): String =
+    name.split("\\.").last.toLowerCase
+
+  def isEmpty: Boolean = types.isEmpty
+  /** Register; the text must already be expanded
+    * ([[PrestoDialect.expandUserTypes]]). */
+  def record(name: String, expandedText: String): Unit =
+    { types.put(key(name), expandedText.trim); () }
+  def get(name: String): Option[String] = types.get(key(name))
+  def drop(name: String): Unit = { types.remove(key(name)); () }
+}

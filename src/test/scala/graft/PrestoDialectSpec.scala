@@ -899,6 +899,44 @@ class PrestoDialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("function not found"))
   }
 
+  test("CREATE TYPE: row form, alias form, nesting, CAST and column-def substitution (PrestoSql.g4:80-82)") {
+    presto("CREATE TYPE spec_point AS (x DOUBLE, y DOUBLE)").collect()
+    presto("CREATE TYPE spec_name AS VARCHAR").collect()
+    // nested reference expands at record time (registry values are flat)
+    presto("CREATE TYPE spec_seg AS (a spec_point, b spec_point)").collect()
+    // CAST target substitution, row + alias
+    val r = presto(
+      """SELECT CAST(ROW(1.0, 2.0) AS spec_point).y AS y,
+                CAST('abc' AS spec_name) AS nm,
+                CAST(ROW(ROW(0.0, 0.0), ROW(3.0, 4.0)) AS spec_seg).b.x AS bx""").head()
+    assert(r.getDouble(0) == 2.0 && r.getString(1) == "abc" && r.getDouble(2) == 3.0)
+    // column-definition substitution in CREATE TABLE on graft-mem
+    presto("DROP TABLE IF EXISTS graft_mem.default.typed_t").collect()
+    presto("CREATE TABLE graft_mem.default.typed_t (id BIGINT, pos spec_point)").collect()
+    presto("INSERT INTO graft_mem.default.typed_t VALUES (1, ROW(5.0, 6.0))").collect()
+    val row = presto("SELECT pos.x AS px FROM graft_mem.default.typed_t").head()
+    assert(row.getDouble(0) == 5.0)
+    presto("DROP TABLE IF EXISTS graft_mem.default.typed_t").collect()
+    // a same-named column alias is NOT a type position — untouched
+    assert(t("SELECT a AS spec_point FROM t") === "SELECT a AS spec_point FROM t")
+  }
+
+  test("CREATE TABLE LIKE expands the source's columns (PrestoSql.g4:182-184)") {
+    presto("DROP TABLE IF EXISTS graft_mem.default.like_spec").collect()
+    presto("""CREATE TABLE graft_mem.default.like_spec
+              (LIKE region EXCLUDING PROPERTIES, note VARCHAR)""").collect()
+    val schema = spark.table("graft_mem.default.like_spec").schema
+    assert(schema.fieldNames.toSeq == Seq("r_regionkey", "r_name", "note"), schema.treeString)
+    presto("INSERT INTO graft_mem.default.like_spec SELECT r_regionkey, r_name, 'n' FROM region").collect()
+    assert(spark.table("graft_mem.default.like_spec").count() == 5)
+    presto("DROP TABLE IF EXISTS graft_mem.default.like_spec").collect()
+    // a column merely named like... is a plain definition → no statement
+    // action (only the ordinary type lowering applies)
+    val plain = "CREATE TABLE t (likely_col INT, liker VARCHAR)"
+    assert(t(plain) === "CREATE TABLE t (likely_col INT, liker STRING)")
+    assert(PrestoDialect.statementAction(plain).isEmpty)
+  }
+
   test("window functions as SQL text: OVER, named WINDOW, frames, IGNORE NULLS") {
     // Reference grammar PrestoSql.g4:504 (`OVER '('`). The rewriter must
     // leave the whole window surface untouched...
