@@ -104,6 +104,7 @@ object Sessions {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.queryExecutionListeners", "graft.plans.HistoryListener")
       .config("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
+      .config("spark.sql.catalog.graft_tpch", "graft.sources.TpchCatalog")
       .config("spark.sql.shuffle.partitions", "32")
       // Cost-based optimization incl. the join-order DP — the analogue
       // of the reference's makeJoins memo search (axiom/optimizer/

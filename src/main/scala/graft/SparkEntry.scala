@@ -36,6 +36,7 @@ object SparkEntry {
       graft.sources.Formats.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       graft.sources.ZOrder.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       graft.sources.CustomSource.all ++
+      graft.sources.TpchSource.all ++
       graft.streaming.Streams.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,125 @@
+package graft
+
+import graft.sources.{TpchGen, TpchPartition, TpchScan}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The graft-tpch generator connector (the reference's dbgen-backed
+  * TpchConnectorMetadata): schema-as-scale resolution, split-count
+  * independence, key-range split pruning, generator-side column
+  * pruning, cross-table consistency, and spec scaling. */
+class TpchSourceSpec extends SparkSpec {
+
+  private def batchScan(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }.get
+
+  private def digest(df: org.apache.spark.sql.DataFrame): Long =
+    df.selectExpr("xxhash64(to_json(struct(*))) AS h")
+      .agg(expr("bit_xor(h)")).head().getLong(0)
+
+  test("schema-as-scale: tiny and sfN resolve, spec cardinalities hold") {
+    assert(TpchGen.scaleOf("tiny").contains(0.01))
+    assert(TpchGen.scaleOf("sf100").contains(100.0))
+    assert(TpchGen.scaleOf("sf1x").isEmpty && TpchGen.scaleOf("big").isEmpty)
+    assert(spark.table("graft_tpch.tiny.region").count() == 5)
+    assert(spark.table("graft_tpch.tiny.nation").count() == 25)
+    assert(spark.table("graft_tpch.tiny.supplier").count() == 100)
+    assert(spark.table("graft_tpch.tiny.part").count() == 2000)
+    assert(spark.table("graft_tpch.tiny.partsupp").count() == 8000)
+    assert(spark.table("graft_tpch.tiny.customer").count() == 1500)
+    assert(spark.table("graft_tpch.tiny.orders").count() == 15000)
+    val e = intercept[Exception] { spark.table("graft_tpch.tiny.nope").collect() }
+    assert(e.getMessage.toLowerCase.contains("nope"))
+  }
+
+  test("split-count independence: any rowsPerSplit yields the identical table") {
+    def withPer(per: String)(body: => Long): Long = {
+      spark.conf.set("graft.tpch.rowsPerSplit", per)
+      try body finally spark.conf.unset("graft.tpch.rowsPerSplit")
+    }
+    val small = withPer("500") { digest(spark.table("graft_tpch.tiny.lineitem")) }
+    val large = withPer("50000") { digest(spark.table("graft_tpch.tiny.lineitem")) }
+    assert(small == large, "rows must be a function of the row index, not the split")
+    // and across repeated reads (determinism)
+    assert(digest(spark.table("graft_tpch.tiny.orders")) ==
+      digest(spark.table("graft_tpch.tiny.orders")))
+  }
+
+  test("key-range predicates prune whole splits; values still correct") {
+    spark.conf.set("graft.tpch.rowsPerSplit", "1000")
+    try {
+      val df = spark.table("graft_tpch.tiny.orders").filter(col("o_orderkey") <= 999)
+      val scan = batchScan(df).scan.asInstanceOf[TpchScan]
+      val parts = scan.planInputPartitions().map(_.asInstanceOf[TpchPartition])
+      assert(parts.length == 1, s"expected 1 of 15 splits, got ${parts.toSeq}")
+      assert(parts.head.lo == 1 && parts.head.hi == 999)
+      assert(df.count() == 999)
+      // lineitem prunes by ORDER ranges and keeps the filter residual
+      val l = spark.table("graft_tpch.tiny.lineitem")
+        .filter(col("l_orderkey").between(1001, 2000))
+      val lscan = batchScan(l).scan.asInstanceOf[TpchScan]
+      val lparts = lscan.planInputPartitions().map(_.asInstanceOf[TpchPartition])
+      assert(lparts.length == 1 && lparts.head.lo == 1001 && lparts.head.hi == 2000,
+        lparts.toSeq.toString)
+      assert(l.select(min("l_orderkey"), max("l_orderkey")).head().toSeq ==
+        Seq(1001L, 2000L))
+      // partsupp translates ps_partkey bounds to its 4-rows-per-part space
+      val ps = spark.table("graft_tpch.tiny.partsupp").filter(col("ps_partkey") <= 250)
+      val pscan = batchScan(ps).scan.asInstanceOf[TpchScan]
+      val pparts = pscan.planInputPartitions().map(_.asInstanceOf[TpchPartition])
+      assert(pparts.length == 1 && pparts.head.hi == 1000, pparts.toSeq.toString)
+      assert(ps.count() == 1000)
+    } finally spark.conf.unset("graft.tpch.rowsPerSplit")
+  }
+
+  test("projection narrows the generator to the required columns") {
+    val df = spark.table("graft_tpch.tiny.orders").select("o_orderpriority")
+    assert(batchScan(df).scan.readSchema().fieldNames.toSeq == Seq("o_orderpriority"))
+  }
+
+  test("cross-table consistency: totalprice, extendedprice, partsupp keys, line counts") {
+    val o = spark.table("graft_tpch.tiny.orders").filter(col("o_orderkey") <= 500)
+    val l = spark.table("graft_tpch.tiny.lineitem").filter(col("l_orderkey") <= 500)
+    // o_totalprice == sum over the order's lines (spec definition)
+    val perOrder = l.groupBy("l_orderkey").agg(
+      round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+        (lit(1) + col("l_tax"))), 2).as("line_total"),
+      count(lit(1)).as("n_lines"))
+    val joined = o.join(perOrder, col("o_orderkey") === col("l_orderkey")).cache()
+    assert(joined.count() == 500, "every order has 1..7 lines")
+    assert(joined.filter(abs(col("o_totalprice") - col("line_total")) > 0.011).count() == 0)
+    assert(joined.filter(col("n_lines") < 1 || col("n_lines") > 7).count() == 0)
+    joined.unpersist()
+    // l_extendedprice == quantity * the part's retail price (spec 4.2.3)
+    val p = spark.table("graft_tpch.tiny.part")
+    assert(l.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(abs(col("l_extendedprice") -
+        round(col("l_quantity") * col("p_retailprice"), 2)) > 0.001).count() == 0)
+    // referential integrity: every ps_suppkey is a real supplier
+    val ps = spark.table("graft_tpch.tiny.partsupp")
+    val s = spark.table("graft_tpch.tiny.supplier")
+    assert(ps.join(s, col("ps_suppkey") === col("s_suppkey"), "left_anti").count() == 0)
+    // each part has exactly 4 DISTINCT suppliers (spec assignment formula)
+    assert(ps.groupBy("ps_partkey").agg(countDistinct("ps_suppkey").as("n"))
+      .filter(col("n") =!= 4).count() == 0)
+  }
+
+  test("value domains follow the spec lists and windows") {
+    val o = spark.table("graft_tpch.tiny.orders")
+    assert(o.filter(col("o_orderdate") < lit("1992-01-01").cast("date") ||
+      col("o_orderdate") > lit("1998-08-02").cast("date")).count() == 0)
+    assert(o.select(countDistinct("o_orderpriority")).head().getLong(0) == 5)
+    val l = spark.table("graft_tpch.tiny.lineitem").filter(col("l_orderkey") <= 2000)
+    assert(l.filter(col("l_shipdate") <= lit("1992-01-01").cast("date")).count() == 0)
+    assert(l.filter(col("l_receiptdate") <= col("l_shipdate")).count() == 0)
+    assert(l.filter(col("l_discount") < 0 || col("l_discount") > 0.10).count() == 0)
+    assert(l.filter(col("l_tax") < 0 || col("l_tax") > 0.08).count() == 0)
+    assert(l.filter(col("l_quantity") < 1 || col("l_quantity") > 50).count() == 0)
+    // linestatus/returnflag law: shipped after the spec's current date
+    // is O/N; receipts on or before it are R or A
+    assert(l.filter(col("l_shipdate") > lit("1995-06-17").cast("date") &&
+      col("l_linestatus") =!= "O").count() == 0)
+    assert(l.filter(col("l_receiptdate") <= lit("1995-06-17").cast("date") &&
+      !col("l_returnflag").isin("R", "A")).count() == 0)
+  }
+}
