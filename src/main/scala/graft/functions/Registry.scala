@@ -265,6 +265,16 @@ object Registry {
       "approx_set" -> FnMeta("approx_set", isAggregate = true, cost = 2.0),
       "merge" -> FnMeta("merge", isAggregate = true, cost = 2.0),
       "reduce_agg" -> FnMeta("reduce_agg", isAggregate = true, cost = 4.0),
+      // round-11: IP-address family + array tail (NetFns builders)
+      "ip_prefix" -> FnMeta("ip_prefix", cost = 4.0),
+      "ip_subnet_min" -> FnMeta("ip_subnet_min", cost = 4.0),
+      "ip_subnet_max" -> FnMeta("ip_subnet_max", cost = 4.0),
+      "ip_subnet_range" -> FnMeta("ip_subnet_range", cost = 4.0),
+      "is_subnet_of" -> FnMeta("is_subnet_of", cost = 4.0),
+      "combinations" -> FnMeta("combinations", cost = 8.0),
+      "contains_sequence" -> FnMeta("contains_sequence", cost = 4.0),
+      // Spark 4 ships luhn_check under the Presto name
+      "luhn_check" -> FnMeta("luhn_check", cost = 2.0),
       // round-11: quantile sketch family (KLL-backed qdigest analogue)
       "qdigest_agg" -> FnMeta("qdigest_agg", isAggregate = true, cost = 2.0),
       "tdigest_agg" -> FnMeta("tdigest_agg", isAggregate = true, cost = 2.0),

@@ -1007,6 +1007,28 @@ object Presto {
          CASE WHEN o_totalprice > 100000 THEN 'big' ELSE '-' END AS note
        FROM orders WHERE o_orderkey < 100"""
 
+  /** IP-address family (round 11, NetFns): IPv4 strings built from order
+    * keys; the DuckDB oracle replays the /20 mask as integer arithmetic
+    * on the dotted quads. */
+  val ipFnsPresto: String =
+    """SELECT o_orderkey,
+         ip_prefix(ip, 20) AS pfx,
+         ip_subnet_min(ip_prefix(ip, 20)) AS mn,
+         ip_subnet_max(ip_prefix(ip, 20)) AS mx,
+         is_subnet_of('10.0.0.0/8', ip) AS inside
+       FROM (SELECT o_orderkey,
+               '10.' || CAST(o_orderkey % 200 AS VARCHAR) || '.' ||
+               CAST(o_orderkey % 251 AS VARCHAR) || '.' ||
+               CAST((o_orderkey % 17) * 3 AS VARCHAR) AS ip
+             FROM orders WHERE o_orderkey < 500) t"""
+  val ipFnsOracle: String =
+    """SELECT o_orderkey,
+         '10.' || (o_orderkey % 200) || '.' || ((o_orderkey % 251) // 16 * 16) || '.0/20' AS pfx,
+         '10.' || (o_orderkey % 200) || '.' || ((o_orderkey % 251) // 16 * 16) || '.0' AS mn,
+         '10.' || (o_orderkey % 200) || '.' || ((o_orderkey % 251) // 16 * 16 + 15) || '.255' AS mx,
+         true AS inside
+       FROM orders WHERE o_orderkey < 500"""
+
   /** CREATE TYPE (PrestoSql.g4:80-82, AstStatements.h:348 CreateType):
     * a named row type substitutes into the CAST target; field access
     * flattens it back for the oracle compare. */
@@ -1111,6 +1133,7 @@ object Presto {
     ("presto_entropy", run(entropyPresto) _, entropyOracle),
     ("presto_alter_table", alterTable _, alterTableOracle),
     ("presto_create_type", createType _, createTypeOracle),
+    ("presto_ip_fns", run(ipFnsPresto) _, ipFnsOracle),
     ("presto_table_like", tableLike _, tableLikeOracle),
     ("presto_digest_fns", run(digestFnsPresto) _, digestFnsOracle),
     ("presto_regexp_fns", run(regexpFnsPresto) _, regexpFnsOracle),

@@ -745,4 +745,60 @@ class FunctionParitySpec extends SparkSpec {
       .map { case (k, v) => (k, v.toSeq) }.toMap ==
       Map("k1" -> Seq(1, 3), "k2" -> Seq(2)), r.toString)
   }
+
+  test("IP-address family: ip_prefix/subnet_min/max/range, is_subnet_of, RFC 5952 output") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    val r = p("""SELECT ip_prefix('192.168.255.255', 9) AS p4,
+                        ip_subnet_min('192.128.0.0/9') AS mn4,
+                        ip_subnet_max('192.128.0.0/9') AS mx4,
+                        ip_subnet_range('10.1.2.3/24') AS rg,
+                        is_subnet_of('10.0.0.0/8', '10.255.1.2') AS in1,
+                        is_subnet_of('10.0.0.0/8', '11.0.0.1') AS in2,
+                        is_subnet_of('10.0.0.0/8', '10.1.0.0/16') AS pp1,
+                        is_subnet_of('10.1.0.0/16', '10.0.0.0/8') AS pp2""")
+    assert(r.getString(0) == "192.128.0.0/9", r.toString)
+    assert(r.getString(1) == "192.128.0.0" && r.getString(2) == "192.255.255.255")
+    // non-canonical prefixes mask their host bits on parse (IPPREFIX cast)
+    assert(p("SELECT ip_subnet_min('192.64.0.0/9') AS m").getString(0) == "192.0.0.0")
+    assert(r.getSeq[String](3) == Seq("10.1.2.0", "10.1.2.255"), r.toString)
+    assert(r.getBoolean(4) && !r.getBoolean(5) && r.getBoolean(6) && !r.getBoolean(7))
+    // IPv6: canonical RFC 5952 (lowercase, longest zero run compressed,
+    // leftmost on ties), '::' parse, prefix masking
+    val v6 = p("""SELECT ip_prefix('2001:0db8:85a3:0001:0001:8a2e:0370:7334', 48) AS a,
+                         ip_prefix('0:0:0:0:0:0:0:1', 128) AS b,
+                         ip_prefix('2001:0:0:1:0:0:0:1', 128) AS c,
+                         ip_subnet_max('2001:db8::/48') AS d,
+                         is_subnet_of('2001:db8::/32', '2001:db8:1::f') AS e""")
+    assert(v6.getString(0) == "2001:db8:85a3::/48", v6.toString)
+    assert(v6.getString(1) == "::1/128", v6.toString)
+    assert(v6.getString(2) == "2001:0:0:1::1/128", v6.toString)
+    assert(v6.getString(3) == "2001:db8:0:ffff:ffff:ffff:ffff:ffff", v6.toString)
+    assert(v6.getBoolean(4))
+    // family mismatch and malformed input fail loudly; TRY gives Presto's
+    // NULL-on-error form
+    val e1 = intercept[Exception] {
+      p("SELECT is_subnet_of('10.0.0.0/8', '::1')") }
+    assert(e1.getMessage.contains("family"), e1.getMessage)
+    assert(p("SELECT TRY(ip_subnet_min('not-an-ip/8')) AS x").isNullAt(0))
+  }
+
+  test("array tail: combinations, contains_sequence, luhn_check") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    val r = p("""SELECT combinations(ARRAY[1, 2, 3], 2) AS c2,
+                        combinations(ARRAY['a','b'], 3) AS over,
+                        combinations(ARRAY[1, 2], 0) AS zero,
+                        contains_sequence(ARRAY[1, 2, 3, 4], ARRAY[2, 3]) AS s1,
+                        contains_sequence(ARRAY[1, 2, 3], ARRAY[3, 2]) AS s2,
+                        contains_sequence(ARRAY[1, 2], ARRAY[]) AS s3,
+                        luhn_check('79927398713') AS lu""")
+    assert(r.getSeq[scala.collection.Seq[Int]](0).map(_.toSeq) ==
+      Seq(Seq(1, 2), Seq(1, 3), Seq(2, 3)), r.toString)
+    assert(r.getSeq[Any](1).isEmpty, r.toString)
+    assert(r.getSeq[scala.collection.Seq[Int]](2).map(_.toSeq) == Seq(Seq()), r.toString)
+    assert(r.getBoolean(3) && !r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6))
+    val e = intercept[Exception] { p("SELECT combinations(ARRAY[1], 9)") }
+    assert(e.getMessage.contains("[0, 5]"), e.getMessage)
+  }
 }
