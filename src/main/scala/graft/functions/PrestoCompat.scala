@@ -409,6 +409,27 @@ object PrestoCompat {
         constInt(es(2), "capacity"))
       org.apache.spark.sql.graft.Shim.expression(agg)
     },
+    // Presto numeric_histogram(buckets, value[, weight]) — the Ben-Haim
+    // & Tom-Tov streaming histogram (operators/NumericHistogram); exact
+    // (and oracle-checkable) when NDV <= buckets.
+    "numeric_histogram" -> { es: Seq[Expression] =>
+      if (es.length < 2 || es.length > 3) throw new IllegalArgumentException(
+        "numeric_histogram(buckets, value[, weight]) takes 2 or 3 arguments")
+      val buckets =
+        if (es.head.foldable) es.head.eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"numeric_histogram: buckets must be an integer constant, got $other")
+        } else throw new IllegalArgumentException(
+          s"numeric_histogram: buckets must be an integer constant, got ${es.head}")
+      val value = org.apache.spark.sql.graft.Shim.column(es(1))
+      val weight =
+        if (es.length == 3) org.apache.spark.sql.graft.Shim.column(es(2))
+        else org.apache.spark.sql.functions.lit(1.0)
+      org.apache.spark.sql.graft.Shim.expression(
+        graft.operators.NumericHistogram(buckets, value, weight))
+    },
     "quantile_at_value" -> { es: Seq[Expression] =>
       QuantileSketch.QuantileAtValue(es(0), asDouble(es(1))) },
     // Presto reduce_agg(x, s0, merge_in, merge_states): a TRUE partial

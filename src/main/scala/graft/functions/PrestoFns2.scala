@@ -418,8 +418,86 @@ object PrestoFns2 {
       LambdaFunction(f, Seq(f)))
   }
 
+  // ------------------------------------------- timezone offset fields
+  /** Presto timezone_hour/timezone_minute: the session zone's UTC
+    * offset fields at the timestamp's instant (Spark timestamps carry
+    * no zone of their own — documented divergence from Presto's
+    * per-value zones; both fields share the offset's sign, as in
+    * Presto). */
+  case class TimezoneOffset(child: Expression, minutePart: Boolean,
+      timeZoneId: Option[String] = None)
+      extends UnaryExpression with TimeZoneAwareExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String =
+      if (minutePart) "timezone_minute" else "timezone_hour"
+    override def withTimeZone(tz: String): TimeZoneAwareExpression =
+      copy(timeZoneId = Some(tz))
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case TimestampType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a timestamp, got ${t.catalogString}")
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val micros = v.asInstanceOf[Long]
+      val off = zoneId.getRules.getOffset(
+        java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L)))
+        .getTotalSeconds
+      if (minutePart) ((math.abs(off) / 60) % 60).toLong * (if (off < 0) -1 else 1)
+      else (off / 3600).toLong
+    }
+  }
+
   // ------------------------------------------------------------ builders
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // ---- round-11 datetime/zone tail. at_timezone is the function form
+    // of AT TIME ZONE (same ConvertTimezone lowering as the dialect
+    // pass); with_timezone interprets the wall clock IN the zone.
+    "at_timezone" -> { es: Seq[Expression] =>
+      new ConvertTimezone(CurrentTimeZone(), asString(es(1)),
+        Cast(es(0), TimestampNTZType)) },
+    "with_timezone" -> { es: Seq[Expression] =>
+      Cast(new ConvertTimezone(asString(es(1)), CurrentTimeZone(),
+        Cast(es(0), TimestampNTZType)), TimestampType) },
+    "timezone_hour" -> { es: Seq[Expression] =>
+      TimezoneOffset(Cast(es.head, TimestampType), minutePart = false) },
+    "timezone_minute" -> { es: Seq[Expression] =>
+      TimezoneOffset(Cast(es.head, TimestampType), minutePart = true) },
+    // Presto parse_datetime takes a JODA pattern; java.time patterns
+    // share the common specifiers (yyyy MM dd HH mm ss SSS) — exotic
+    // Joda-only specifiers are a documented divergence.
+    "parse_datetime" -> { es: Seq[Expression] =>
+      new ParseToTimestamp(asString(es(0)), asString(es(1))) },
+    "from_unixtime_nanos" -> { es: Seq[Expression] =>
+      MicrosToTimestamp(new IntegralDivide(es.head, Literal(1000L))) },
+    // ---- sketch array wrappers (QuantileSketch kernels mapped over
+    // the probe array)
+    "values_at_quantiles" -> { es: Seq[Expression] =>
+      val q = lv("__vq_q")
+      ArrayTransform(es(1),
+        LambdaFunction(QuantileSketch.ValueAtQuantile(es(0), asDouble(q)), Seq(q))) },
+    "quantiles_at_values" -> { es: Seq[Expression] =>
+      val v = lv("__qv_v")
+      ArrayTransform(es(1),
+        LambdaFunction(QuantileSketch.QuantileAtValue(es(0), asDouble(v)), Seq(v))) },
+    // keys of the top-n entries by value desc (key-desc ties, null
+    // values last) — Presto map_keys_by_top_n_values
+    "map_keys_by_top_n_values" -> { es: Seq[Expression] =>
+      val a = lv("__mkt_a"); val b = lv("__mkt_b"); val s = lv("__mkt_s")
+      def value(e: Expression) = GetStructField(e, 1, Some("value"))
+      def key(e: Expression) = GetStructField(e, 0, Some("key"))
+      val cmp = CaseWhen(Seq(
+        (And(IsNull(value(a)), IsNull(value(b))), cmpDesc(key(a), key(b))),
+        (IsNull(value(a)), Literal(1)),
+        (IsNull(value(b)), Literal(-1)),
+        (LessThan(value(a), value(b)), Literal(1)),
+        (GreaterThan(value(a), value(b)), Literal(-1))),
+        cmpDesc(key(a), key(b)))
+      ArrayTransform(
+        Slice(new ArraySort(MapEntries(es.head), LambdaFunction(cmp, Seq(a, b))),
+          Literal(1), es(1)),
+        LambdaFunction(key(s), Seq(s))) },
     // ---- digests. Presto digests take varbinary and RETURN varbinary;
     // Spark's md5/sha1 return hex strings, so the colliding names are
     // injected under presto_* and renamed by the dialect table. Spark's

@@ -265,6 +265,18 @@ object Registry {
       "approx_set" -> FnMeta("approx_set", isAggregate = true, cost = 2.0),
       "merge" -> FnMeta("merge", isAggregate = true, cost = 2.0),
       "reduce_agg" -> FnMeta("reduce_agg", isAggregate = true, cost = 4.0),
+      // round-11: datetime/zone + sketch-array + keyed-top-n tail
+      "at_timezone" -> FnMeta("at_timezone", cost = 2.0),
+      "with_timezone" -> FnMeta("with_timezone", cost = 2.0),
+      "timezone_hour" -> FnMeta("timezone_hour", cost = 2.0),
+      "timezone_minute" -> FnMeta("timezone_minute", cost = 2.0),
+      "parse_datetime" -> FnMeta("parse_datetime", cost = 4.0),
+      "from_unixtime_nanos" -> FnMeta("from_unixtime_nanos"),
+      "values_at_quantiles" -> FnMeta("values_at_quantiles", cost = 4.0),
+      "quantiles_at_values" -> FnMeta("quantiles_at_values", cost = 4.0),
+      "map_keys_by_top_n_values" -> FnMeta("map_keys_by_top_n_values", cost = 4.0),
+      "numeric_histogram" -> FnMeta("numeric_histogram", isAggregate = true, cost = 4.0),
+      "bitwise_right_shift_arithmetic" -> FnMeta("shiftright"),
       // round-11: IP-address family + array tail (NetFns builders)
       "ip_prefix" -> FnMeta("ip_prefix", cost = 4.0),
       "ip_subnet_min" -> FnMeta("ip_subnet_min", cost = 4.0),

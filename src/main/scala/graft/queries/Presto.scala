@@ -1029,6 +1029,25 @@ object Presto {
          true AS inside
        FROM orders WHERE o_orderkey < 500"""
 
+  /** numeric_histogram in its EXACT regime (NDV 7 <= 16 buckets — no
+    * bin ever merges, deterministic under any partitioning; the same
+    * exact-regime trick as agg_approx_frequent). DuckDB replays as a
+    * grouped count. */
+  val numericHistogramPresto: String =
+    """SELECT o_orderpriority,
+         array_join(transform(array_sort(map_keys(h)),
+           k -> CAST(k AS VARCHAR) || ':' ||
+                CAST(CAST(element_at(h, k) AS BIGINT) AS VARCHAR)), ',') AS hist
+       FROM (SELECT o_orderpriority,
+               numeric_histogram(16, CAST(o_orderkey % 7 AS DOUBLE) * 0.5) AS h
+             FROM orders WHERE o_orderkey < 5000 GROUP BY o_orderpriority) t"""
+  val numericHistogramOracle: String =
+    """SELECT o_orderpriority,
+         string_agg(CAST(v AS VARCHAR) || ':' || CAST(c AS VARCHAR), ',' ORDER BY v) AS hist
+       FROM (SELECT o_orderpriority, (o_orderkey % 7) * 0.5 AS v, count(*) AS c
+             FROM orders WHERE o_orderkey < 5000 GROUP BY 1, 2) t
+       GROUP BY o_orderpriority"""
+
   /** CREATE TYPE (PrestoSql.g4:80-82, AstStatements.h:348 CreateType):
     * a named row type substitutes into the CAST target; field access
     * flattens it back for the oracle compare. */
@@ -1134,6 +1153,7 @@ object Presto {
     ("presto_alter_table", alterTable _, alterTableOracle),
     ("presto_create_type", createType _, createTypeOracle),
     ("presto_ip_fns", run(ipFnsPresto) _, ipFnsOracle),
+    ("presto_numeric_histogram", run(numericHistogramPresto) _, numericHistogramOracle),
     ("presto_table_like", tableLike _, tableLikeOracle),
     ("presto_digest_fns", run(digestFnsPresto) _, digestFnsOracle),
     ("presto_regexp_fns", run(regexpFnsPresto) _, regexpFnsOracle),

@@ -801,4 +801,65 @@ class FunctionParitySpec extends SparkSpec {
     val e = intercept[Exception] { p("SELECT combinations(ARRAY[1], 9)") }
     assert(e.getMessage.contains("[0, 5]"), e.getMessage)
   }
+
+  test("datetime/zone tail: at_timezone, with_timezone, timezone_hour/minute, parse_datetime, from_unixtime_nanos") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    // session zone is UTC in tests: at_timezone shifts the wall clock,
+    // with_timezone reinterprets it (inverse directions)
+    val r = p("""SELECT CAST(at_timezone(TIMESTAMP '2001-08-22 03:04:05', 'Asia/Tokyo') AS VARCHAR) AS a,
+                        CAST(with_timezone(TIMESTAMP '2001-08-22 03:04:05', 'Asia/Tokyo') AS VARCHAR) AS w,
+                        timezone_hour(TIMESTAMP '2001-08-22 03:04:05') AS th,
+                        timezone_minute(TIMESTAMP '2001-08-22 03:04:05') AS tm,
+                        CAST(parse_datetime('2001-08-22 03:04:05', 'yyyy-MM-dd HH:mm:ss') AS VARCHAR) AS pd,
+                        CAST(from_unixtime_nanos(1000000000) AS VARCHAR) AS fn""")
+    assert(r.getString(0) == "2001-08-22 12:04:05", r.toString)
+    assert(r.getString(1) == "2001-08-21 18:04:05", r.toString)
+    assert(r.getLong(2) == 0L && r.getLong(3) == 0L, r.toString)
+    assert(r.getString(4) == "2001-08-22 03:04:05", r.toString)
+    assert(r.getString(5) == "1970-01-01 00:00:01", r.toString)
+  }
+
+  test("sketch array wrappers and keyed top-n: values_at_quantiles, quantiles_at_values, map_keys_by_top_n_values") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    val r = p("""SELECT values_at_quantiles(qdigest_agg(x), ARRAY[0.0, 0.5, 1.0]) AS vs,
+                        quantiles_at_values(qdigest_agg(x), ARRAY[1.0, 10.0]) AS qs
+                 FROM (SELECT CAST(v AS DOUBLE) AS x
+                       FROM VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9), (10) t(v)) s""")
+    assert(r.getSeq[Double](0) == Seq(1.0, 5.0, 10.0), r.toString)
+    assert(r.getSeq[Double](1) == Seq(0.1, 1.0), r.toString)
+    val m = p("""SELECT map_keys_by_top_n_values(
+                   MAP(ARRAY['a','b','c','d'], ARRAY[1, 9, 5, NULL]), 3) AS ks""")
+    assert(m.getSeq[String](0) == Seq("b", "c", "a"), m.toString)
+    // arithmetic vs logical right shift
+    val sh = p("""SELECT bitwise_right_shift_arithmetic(-8, 1) AS a,
+                         bitwise_right_shift(CAST(-8 AS BIGINT), 1) AS l""")
+    assert(sh.getInt(0) == -4 && sh.getLong(1) == 9223372036854775804L, sh.toString)
+  }
+
+  test("numeric_histogram: exact regime equals the value-count map; compaction bounds bins") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    // exact regime: 4 distinct values <= 10 buckets
+    val r = p("""SELECT numeric_histogram(10, x) AS h
+                 FROM (SELECT CAST(v % 4 AS DOUBLE) AS x
+                       FROM VALUES (0), (1), (2), (3), (4), (5), (6), (7) t(v)) s""")
+    assert(r.getMap[Double, Double](0) == Map(0.0 -> 2.0, 1.0 -> 2.0, 2.0 -> 2.0, 3.0 -> 2.0), r.toString)
+    // weighted form
+    val w = p("""SELECT numeric_histogram(10, x, wt) AS h
+                 FROM (VALUES (1.0, 2.0), (1.0, 3.0), (5.0, 1.0)) t(x, wt)""")
+    assert(w.getMap[Double, Double](0) == Map(1.0 -> 5.0, 5.0 -> 1.0), w.toString)
+    // over capacity: bins bounded, total weight preserved, weighted
+    // means inside the data range
+    val cnt = PrestoRewriter.sql(spark, sfDir,
+      "SELECT count(*) FROM orders WHERE o_orderkey < 2000").head().getLong(0)
+    val c = PrestoRewriter.sql(spark, sfDir,
+      """SELECT numeric_histogram(4, CAST(o_orderkey % 97 AS DOUBLE)) AS h
+         FROM orders WHERE o_orderkey < 2000""")
+      .head().getMap[Double, Double](0)
+    assert(c.size == 4, c.toString)
+    assert(math.abs(c.values.sum - cnt) < 1e-6, c.toString)
+    assert(c.keys.forall(k => k >= 0 && k <= 96), c.toString)
+  }
 }
