@@ -105,6 +105,10 @@ object Sessions {
       .config("spark.sql.queryExecutionListeners", "graft.plans.HistoryListener")
       .config("spark.sql.catalog.graft_mem", "graft.sources.MemCatalog")
       .config("spark.sql.catalog.graft_tpch", "graft.sources.TpchCatalog")
+      // storage-partitioned joins: DSv2 scans reporting
+      // KeyGroupedPartitioning (graft-tpch range buckets) join
+      // exchange-free when both sides cluster by the same transform
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.sql.shuffle.partitions", "32")
       // Cost-based optimization incl. the join-order DP — the analogue
       // of the reference's makeJoins memo search (axiom/optimizer/

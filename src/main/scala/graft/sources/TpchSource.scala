@@ -5,8 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -48,11 +50,31 @@ import scala.jdk.CollectionConverters._
   * spec's value lists — documented divergences; the reference links the
   * actual dbgen library, which is not portable here.
   */
-class TpchCatalog extends TableCatalog with SupportsNamespaces {
+class TpchCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
   private var catalogName: String = "graft_tpch"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
   override def name(): String = catalogName
+
+  // ---- FunctionCatalog: the range_bucket partition transform behind
+  // storage-partitioned joins (both sides of orders ⋈ lineitem report
+  // KeyGroupedPartitioning over range_bucket(per, key) — Spark's SPJ
+  // then plans the fact×fact join with NO exchange).
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "range_bucket_200000"))
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    ident.name().toLowerCase match {
+      // the range size is part of the NAME: Spark's key-grouped
+      // partitioning only supports single-argument transforms over a
+      // column reference, and differently-sized ranges must compare
+      // incompatible (canonicalName inequality)
+      case s if s.startsWith("range_bucket_") && s.drop(13).nonEmpty &&
+          s.drop(13).forall(_.isDigit) =>
+        TpchGen.RangeBucketUnbound(s.drop(13).toLong)
+      case _ => throw new IllegalArgumentException(
+        "graft_tpch function not found: " +
+          (ident.namespace() :+ ident.name()).mkString("."))
+    }
 
   private def scaleOf(ns: Array[String]): Option[Double] = ns match {
     case Array(s) => TpchGen.scaleOf(s)
@@ -152,11 +174,16 @@ final class TpchScanBuilder(table: String, sf: Double) extends ScanBuilder
 }
 
 final class TpchScan(table: String, sf: Double, keyLo: Long, keyHi: Long,
-    required: StructType) extends Scan with Batch {
+    required: StructType) extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-tpch $table sf=$sf keys=[$keyLo,$keyHi]"
+
+  // resolved ONCE at scan build so partition keys, the reported
+  // transform, and the split layout all agree
+  private val per = math.max(1L, SQLConf.get.getConfString(
+    "graft.tpch.rowsPerSplit", "200000").toLong)
 
   /** Contiguous key ranges of `rowsPerSplit` keys (reference:
     * `rowsPerSplit = fileBytesPerSplit / rowSize`,
@@ -164,25 +191,45 @@ final class TpchScan(table: String, sf: Double, keyLo: Long, keyHi: Long,
     * key bounds are never planned. */
   override def planInputPartitions(): Array[InputPartition] = {
     if (keyHi < keyLo) return Array.empty
-    val per = math.max(1L, SQLConf.get.getConfString(
-      "graft.tpch.rowsPerSplit", "200000").toLong)
     val span = TpchGen.keySpan(table, sf)
     val n = ((span + per - 1) / per).toInt
     (0 until n).iterator
       .map(i => (i * per + 1, math.min((i + 1) * per, span)))
       .filter { case (lo, hi) => hi >= keyLo && lo <= keyHi }
       .map { case (lo, hi) =>
-        TpchPartition(table, sf, math.max(lo, keyLo), math.min(hi, keyHi)) }
+        TpchPartition(table, sf, math.max(lo, keyLo), math.min(hi, keyHi), per) }
       .toArray
   }
+
+  /** Storage-partitioned joins: every table whose primary key IS the
+    * row/order index (all but partsupp, whose rows are
+    * 4-per-ps_partkey) reports KeyGroupedPartitioning over
+    * `range_bucket(per, key)`. orders and lineitem split by the SAME
+    * order-key ranges, so their buckets line up and Spark plans
+    * orders ⋈ lineitem with no exchange — the connector-level
+    * co-located join (the parquet-side analogue is
+    * [[Bucketing]]). */
+  override def outputPartitioning(): Partitioning =
+    if (table == "partsupp") new UnknownPartitioning(0)
+    else new KeyGroupedPartitioning(
+      Array(Expressions.apply(s"range_bucket_$per",
+        Expressions.column(TpchGen.keyColumnOf(table)))),
+      planInputPartitions().length)
+
   override def createReaderFactory(): PartitionReaderFactory =
     TpchReaderFactory(required)
 }
 
 /** Keys in [lo, hi] — for lineitem these are ORDER keys; the reader
-  * expands each order's generated lines. */
-final case class TpchPartition(table: String, sf: Double, lo: Long, hi: Long)
-    extends InputPartition
+  * expands each order's generated lines. partitionKey is the
+  * range-bucket index (lo and hi always share a split, so the bucket is
+  * well-defined even after bound pruning). */
+final case class TpchPartition(table: String, sf: Double, lo: Long, hi: Long,
+    per: Long = Long.MaxValue)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(Math.floorDiv(lo - 1, per))
+}
 
 final case class TpchReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -218,6 +265,30 @@ final case class TpchReaderFactory(schema: StructType) extends PartitionReaderFa
 object TpchGen {
   val TableNames: Seq[String] = Seq("region", "nation", "supplier", "part",
     "partsupp", "customer", "orders", "lineitem")
+
+  /** The partition transform behind the connector's storage-partitioned
+    * joins: range_bucket(per, key) = floor((key-1) / per) — the split
+    * index of a dense 1-based key under `per`-sized ranges. Registered
+    * through the catalog's FunctionCatalog so Spark can verify both join
+    * sides cluster by the SAME function (canonicalName equality). */
+  case class RangeBucketUnbound(per: Long) extends UnboundFunction {
+    override def name(): String = s"range_bucket_$per"
+    override def description(): String =
+      s"range_bucket_$per(key): split index of a dense 1-based key"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 1, s"${name()} takes (key)")
+      RangeBucketFn(per)
+    }
+  }
+  case class RangeBucketFn(per: Long) extends ScalarFunction[java.lang.Long] {
+    override def name(): String = s"range_bucket_$per"
+    override def canonicalName(): String = s"graft_tpch.range_bucket_$per"
+    override def inputTypes(): Array[DataType] = Array(LongType)
+    override def resultType(): DataType = LongType
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): java.lang.Long =
+      Math.floorDiv(input.getLong(0) - 1, per)
+  }
 
   /** Reference getScaleFactor (TpchConnectorMetadata.cpp:61-67):
     * `tiny` = 0.01, `sfN` = N (digits only). */

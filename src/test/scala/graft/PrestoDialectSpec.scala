@@ -381,7 +381,7 @@ class PrestoDialectSpec extends SparkSpec {
     val cats = presto("SHOW CATALOGS").collect().map(_.getString(0)).toSet
     assert(cats.contains("graft_mem") && cats.contains("spark_catalog"), cats.toString)
     assert(presto("SHOW CATALOGS LIKE 'graft%'").collect().map(_.getString(0)).toSet
-      == Set("graft_mem"))
+      == Set("graft_mem", "graft_tpch"))
     val schemas = presto("SHOW SCHEMAS FROM graft_mem").collect().map(_.getString(0)).toSet
     assert(schemas.contains("default"), schemas.toString)
     // Presto's 4-column SHOW COLUMNS shape

@@ -104,6 +104,47 @@ class TpchSourceSpec extends SparkSpec {
       .filter(col("n") =!= 4).count() == 0)
   }
 
+  test("storage-partitioned join: orders and lineitem co-cluster, no exchange") {
+    // Both scans report KeyGroupedPartitioning over range_bucket(per,
+    // key) through the catalog's FunctionCatalog; with identical bucket
+    // layouts Spark plans the fact x fact join WITHOUT a shuffle — the
+    // connector-level co-located join (SPJ), the 100 TB shape where the
+    // shuffle would otherwise dominate.
+    spark.conf.set("graft.tpch.rowsPerSplit", "2000")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = spark.table("graft_tpch.tiny.orders")
+      val l = spark.table("graft_tpch.tiny.lineitem")
+      val joined = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      val plan = joined.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }
+      assert(joins.nonEmpty, plan.toString)
+      // the JOIN runs exchange-free: the only shuffle allowed is the
+      // one feeding the groupBy above it
+      val joinSubtree = joins.head
+      val joinExchanges = joinSubtree.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(joinExchanges.isEmpty,
+        s"join must be storage-partitioned (no shuffle), got:\n$joinSubtree")
+      assert(exchanges.length <= 1, s"only the agg shuffle expected:\n$plan")
+      // and the result is right: every order joins all its lines
+      val total = joined.agg(sum("n")).head().getLong(0)
+      val lineCount = l.count()
+      assert(total == lineCount, s"joined rows $total != lineitem rows $lineCount")
+    } finally {
+      spark.conf.unset("graft.tpch.rowsPerSplit")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("value domains follow the spec lists and windows") {
     val o = spark.table("graft_tpch.tiny.orders")
     assert(o.filter(col("o_orderdate") < lit("1992-01-01").cast("date") ||
