@@ -173,12 +173,63 @@ final class TpchScanBuilder(table: String, sf: Double) extends ScanBuilder
   }
 }
 
-final class TpchScan(table: String, sf: Double, keyLo: Long, keyHi: Long,
-    required: StructType) extends Scan with Batch with SupportsReportPartitioning {
+final class TpchScan(table: String, sf: Double, keyLo0: Long, keyHi0: Long,
+    required: StructType) extends Scan with Batch
+    with SupportsReportPartitioning with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+  private var keyLo = keyLo0
+  private var keyHi = keyHi0
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-tpch $table sf=$sf keys=[$keyLo,$keyHi]"
+
+  /** Statistics by generation math — the reference's
+    * `TpchTableLayout::sample` answers row counts the same way
+    * (TpchConnectorMetadata.cpp:187-198): the CBO sees generated-table
+    * sizes with no ANALYZE, so nation/region broadcast automatically. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows: Long = {
+      val span = TpchGen.keySpan(table, sf)
+      val inRange = math.max(0L, math.min(keyHi, span) - math.max(keyLo, 1L) + 1L)
+      if (table == "lineitem") inRange * 4 else inRange
+    }
+    // ~64 bytes per projected column is plenty for relative sizing
+    override def sizeInBytes: java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * math.max(1, required.length) * 64L)
+    override def numRows: java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
+
+  /** Runtime (dynamic) filtering: a build-side key set observed by a
+    * join narrows the planned key range BEFORE partitions are created —
+    * the generator-side index-lookup analogue (same contract as
+    * graft-range, CustomSource.scala). */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // partsupp's scan bounds are in ROW units (4 per ps_partkey) — its
+    // key values don't compare against them, so it opts out
+    if (table == "partsupp") Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      TpchGen.keyColumnOf(table)))
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val keyCol = TpchGen.keyColumnOf(table)
+    filters.foreach {
+      case org.apache.spark.sql.sources.In(c, vs) if c == keyCol =>
+        val ids = vs.collect { case n: java.lang.Number => n.longValue() }
+        if (ids.nonEmpty) {
+          keyLo = math.max(keyLo, ids.min)
+          keyHi = math.min(keyHi, ids.max)
+        }
+      case org.apache.spark.sql.sources.GreaterThan(c, v: java.lang.Number) if c == keyCol =>
+        keyLo = math.max(keyLo, v.longValue + 1)
+      case org.apache.spark.sql.sources.GreaterThanOrEqual(c, v: java.lang.Number) if c == keyCol =>
+        keyLo = math.max(keyLo, v.longValue)
+      case org.apache.spark.sql.sources.LessThan(c, v: java.lang.Number) if c == keyCol =>
+        keyHi = math.min(keyHi, v.longValue - 1)
+      case org.apache.spark.sql.sources.LessThanOrEqual(c, v: java.lang.Number) if c == keyCol =>
+        keyHi = math.min(keyHi, v.longValue)
+      case _ => ()
+    }
+  }
 
   // resolved ONCE at scan build so partition keys, the reported
   // transform, and the split layout all agree

@@ -145,6 +145,37 @@ class TpchSourceSpec extends SparkSpec {
     }
   }
 
+  test("statistics by generation math: dimension joins broadcast with no ANALYZE") {
+    // the scan reports spec-scaling row counts (TpchTableLayout::sample
+    // analogue), so Catalyst sizes the 25-row nation side under the
+    // broadcast threshold automatically
+    val o = spark.table("graft_tpch.tiny.orders")
+    val n = spark.table("graft_tpch.tiny.nation")
+    val joined = o.join(n, col("o_custkey") % 25 === col("n_nationkey"))
+    val planText = joined.queryExecution.executedPlan.toString
+    assert(planText.contains("BroadcastHashJoin"), planText)
+    val stats = spark.table("graft_tpch.tiny.orders").queryExecution
+      .optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(15000)), stats.toString)
+  }
+
+  test("runtime filtering narrows the generated key range under a selective join") {
+    spark.conf.set("graft.tpch.rowsPerSplit", "1000")
+    try {
+      val l = spark.table("graft_tpch.tiny.lineitem")
+      val probe = spark.range(100, 110).selectExpr("id AS k")
+      val joined = l.join(probe, col("l_orderkey") === col("k"))
+      val got = joined.groupBy().count().head().getLong(0)
+      // rows = sum of lines for orders 100..109
+      val want = (100L to 109L).map(graft.sources.TpchGen.linesOf(_).toLong).sum
+      assert(got == want, s"got $got want $want")
+      // the scan advertises the key as a runtime-filter attribute
+      val scan = batchScan(spark.table("graft_tpch.tiny.lineitem")
+        .filter(col("l_orderkey") > 0)).scan.asInstanceOf[TpchScan]
+      assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("l_orderkey"))
+    } finally spark.conf.unset("graft.tpch.rowsPerSplit")
+  }
+
   test("value domains follow the spec lists and windows") {
     val o = spark.table("graft_tpch.tiny.orders")
     assert(o.filter(col("o_orderdate") < lit("1992-01-01").cast("date") ||
