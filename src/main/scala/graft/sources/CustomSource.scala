@@ -110,7 +110,10 @@ final class RangeDocScan(rows: Long, splits: Int, idLo0: Long, idHi0: Long,
     * partitions, and splits outside the set's range are never started —
     * point-lookup behavior from a plain scan + join plan. */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+    // a projection that pruned id out must opt out — Spark resolves
+    // these refs against the scan's output (same guard as TpchScan)
+    if (!required.fieldNames.contains("id")) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In("id", vs) =>
       val ids = vs.collect { case n: Number => n.longValue() }

@@ -206,8 +206,11 @@ final class TpchScan(table: String, sf: Double, keyLo0: Long, keyHi0: Long,
     * graft-range, CustomSource.scala). */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     // partsupp's scan bounds are in ROW units (4 per ps_partkey) — its
-    // key values don't compare against them, so it opts out
-    if (table == "partsupp") Array.empty
+    // key values don't compare against them, so it opts out; a scan
+    // whose projection PRUNED the key out must opt out too (Spark
+    // resolves these refs against the scan's output)
+    if (table == "partsupp" || !required.fieldNames.contains(TpchGen.keyColumnOf(table)))
+      Array.empty
     else Array(org.apache.spark.sql.connector.expressions.Expressions.column(
       TpchGen.keyColumnOf(table)))
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {

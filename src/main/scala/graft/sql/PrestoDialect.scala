@@ -844,6 +844,16 @@ object PrestoDialect {
       fail(s"${h.toUpperCase} ROLE", "role management belongs to the external catalog/ACL layer")
     if (h == "grant" || h == "revoke")
       fail(h.toUpperCase, "privilege management belongs to the external catalog/ACL layer")
+    // SHOW GRANTS / SHOW [CURRENT] ROLES / SHOW ROLE GRANTS
+    // (PrestoSql.g4:124-142) are the read side of the same ACL layer
+    if (h == "show") {
+      val h3 = wordAt(toks, nextM(toks, nextM(toks, i0))).toLowerCase
+      if (h2 == "grants" || h2 == "roles" || (h2 == "role" && h3 == "grants") ||
+          (h2 == "current" && h3 == "roles"))
+        fail(s"SHOW ${h2.toUpperCase}" +
+          (if (h2 == "role" || h2 == "current") s" ${h3.toUpperCase}" else ""),
+          "role and privilege listings belong to the external catalog/ACL layer")
+    }
     toks
   }
 

@@ -378,6 +378,9 @@ class PrestoDialectSpec extends SparkSpec {
     val underscore = presto("SHOW TABLES FROM graft_mem.default LIKE 'shtb_on_'")
       .collect().map(_.getString(0)).toSeq
     assert(underscore == Seq("shtb_one"), underscore.toString)
+    // Spark lists only INSTANTIATED catalogs — touch graft_tpch first
+    // so the assertion is order-independent across suite runs
+    spark.table("graft_tpch.tiny.region").count()
     val cats = presto("SHOW CATALOGS").collect().map(_.getString(0)).toSet
     assert(cats.contains("graft_mem") && cats.contains("spark_catalog"), cats.toString)
     assert(presto("SHOW CATALOGS LIKE 'graft%'").collect().map(_.getString(0)).toSet
@@ -477,6 +480,13 @@ class PrestoDialectSpec extends SparkSpec {
     assert(gr.getMessage.contains("GRANT"), gr.getMessage)
     val sr = intercept[UnsupportedOperationException] { presto("SET ROLE admin") }
     assert(sr.getMessage.contains("ROLE"), sr.getMessage)
+    // the read side of the ACL layer rejects identically
+    val sg = intercept[UnsupportedOperationException] { presto("SHOW GRANTS ON nation") }
+    assert(sg.getMessage.contains("SHOW GRANTS"), sg.getMessage)
+    val sro = intercept[UnsupportedOperationException] { presto("SHOW CURRENT ROLES") }
+    assert(sro.getMessage.contains("ROLES"), sro.getMessage)
+    val srg = intercept[UnsupportedOperationException] { presto("SHOW ROLE GRANTS") }
+    assert(srg.getMessage.contains("SHOW ROLE"), srg.getMessage)
     // plain SET must NOT be caught by the SET ROLE reject — and must
     // not leak: restore the session's original value afterwards (the
     // shared-session ANSI flag is load-bearing for NullSemanticsSpec).
@@ -935,6 +945,22 @@ class PrestoDialectSpec extends SparkSpec {
     val plain = "CREATE TABLE t (likely_col INT, liker VARCHAR)"
     assert(t(plain) === "CREATE TABLE t (likely_col INT, liker STRING)")
     assert(PrestoDialect.statementAction(plain).isEmpty)
+  }
+
+  test("the Presto dialect queries the generator catalog (TpchConnectorMetadata analogue)") {
+    // the reference resolves tpch.<schema>.<table> through its connector
+    // metadata; the same three-part names work as Presto SQL text here
+    val r = presto(
+      """SELECT r.r_name AS region, count(*) AS n
+         FROM graft_tpch.tiny.nation n
+         JOIN graft_tpch.tiny.region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY r.r_name ORDER BY r.r_name""").collect()
+    assert(r.length == 5 && r.map(_.getLong(1)).sum == 25, r.mkString(","))
+    // and dialect-only syntax lowers over generated tables too
+    val q = presto(
+      """SELECT count(*) AS n FROM graft_tpch.tiny.orders
+         WHERE o_orderpriority = ANY (SELECT v FROM (VALUES ('1-URGENT')) t(v))""").head()
+    assert(q.getLong(0) > 0, q.toString)
   }
 
   test("window functions as SQL text: OVER, named WINDOW, frames, IGNORE NULLS") {
