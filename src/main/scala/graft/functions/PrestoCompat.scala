@@ -610,7 +610,10 @@ object PrestoCompat {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
     override def nullSafeEval(v: Any): Any = v match {
       case b: Array[Byte] =>
-        Math.round(org.apache.datasketches.hll.HllSketch.heapify(
+        // sketch-family dispatch on the serialized preamble: Theta
+        // (make_set_digest) vs HLL (approx_set)
+        if (SetDigest.isThetaFamily(b)) SetDigest.estimate(b)
+        else Math.round(org.apache.datasketches.hll.HllSketch.heapify(
           org.apache.datasketches.memory.Memory.wrap(b)).getEstimate)
       case a: org.apache.spark.sql.catalyst.util.ArrayData => a.numElements()
       case m: org.apache.spark.sql.catalyst.util.MapData => m.numElements()

@@ -277,6 +277,11 @@ object Registry {
       "map_keys_by_top_n_values" -> FnMeta("map_keys_by_top_n_values", cost = 4.0),
       "numeric_histogram" -> FnMeta("numeric_histogram", isAggregate = true, cost = 4.0),
       "bitwise_right_shift_arithmetic" -> FnMeta("shiftright"),
+      // round-11: SetDigest family (Theta-backed, SetDigest builders)
+      "make_set_digest" -> FnMeta("make_set_digest", isAggregate = true, cost = 2.0),
+      "merge_set_digest" -> FnMeta("merge_set_digest", isAggregate = true, cost = 2.0),
+      "intersection_cardinality" -> FnMeta("intersection_cardinality", cost = 4.0),
+      "jaccard_index" -> FnMeta("jaccard_index", cost = 4.0),
       // round-11: IP-address family + array tail (NetFns builders)
       "ip_prefix" -> FnMeta("ip_prefix", cost = 4.0),
       "ip_subnet_min" -> FnMeta("ip_subnet_min", cost = 4.0),

@@ -1048,6 +1048,32 @@ object Presto {
              FROM orders WHERE o_orderkey < 5000 GROUP BY 1, 2) t
        GROUP BY o_orderpriority"""
 
+  /** SetDigest family in the exact regime: per-priority digests of
+    * customer-key sets, pairwise overlap vs the urgent set — DuckDB
+    * replays with exact distinct-set arithmetic. */
+  val setDigestPresto: String =
+    """SELECT t.o_orderpriority,
+         cardinality(t.d) AS card,
+         intersection_cardinality(t.d, u.d) AS inter,
+         round(jaccard_index(t.d, u.d), 9) AS jac
+       FROM (SELECT o_orderpriority, make_set_digest(o_custkey) AS d
+             FROM orders WHERE o_orderkey < 2000 GROUP BY o_orderpriority) t
+       CROSS JOIN (SELECT make_set_digest(o_custkey) AS d
+                   FROM orders WHERE o_orderkey < 2000
+                     AND o_orderpriority = '1-URGENT') u"""
+  val setDigestOracle: String =
+    """WITH sets AS (SELECT DISTINCT o_orderpriority, o_custkey
+                     FROM orders WHERE o_orderkey < 2000),
+         urgent AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderkey < 2000 AND o_orderpriority = '1-URGENT'),
+         stats AS (SELECT s.o_orderpriority, count(*) AS card,
+                          count(u.o_custkey) AS inter
+                   FROM sets s LEFT JOIN urgent u ON s.o_custkey = u.o_custkey
+                   GROUP BY s.o_orderpriority)
+       SELECT o_orderpriority, card, inter,
+         round(inter / CAST(card + (SELECT count(*) FROM urgent) - inter AS DOUBLE), 9) AS jac
+       FROM stats"""
+
   /** CREATE TYPE (PrestoSql.g4:80-82, AstStatements.h:348 CreateType):
     * a named row type substitutes into the CAST target; field access
     * flattens it back for the oracle compare. */
@@ -1154,6 +1180,7 @@ object Presto {
     ("presto_create_type", createType _, createTypeOracle),
     ("presto_ip_fns", run(ipFnsPresto) _, ipFnsOracle),
     ("presto_numeric_histogram", run(numericHistogramPresto) _, numericHistogramOracle),
+    ("presto_set_digest", run(setDigestPresto) _, setDigestOracle),
     ("presto_table_like", tableLike _, tableLikeOracle),
     ("presto_digest_fns", run(digestFnsPresto) _, digestFnsOracle),
     ("presto_regexp_fns", run(regexpFnsPresto) _, regexpFnsOracle),

@@ -802,6 +802,34 @@ class FunctionParitySpec extends SparkSpec {
     assert(e.getMessage.contains("[0, 5]"), e.getMessage)
   }
 
+  test("SetDigest family: make/merge digests, intersection, jaccard, cardinality dispatch") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    // exact regime: small sets → estimates are exact
+    val r = p("""SELECT cardinality(make_set_digest(x)) AS card,
+                        intersection_cardinality(
+                          (SELECT make_set_digest(v) FROM (VALUES (1), (2), (3), (4)) a(v)),
+                          (SELECT make_set_digest(v) FROM (VALUES (3), (4), (5)) b(v))) AS inter,
+                        jaccard_index(
+                          (SELECT make_set_digest(v) FROM (VALUES (1), (2), (3), (4)) a(v)),
+                          (SELECT make_set_digest(v) FROM (VALUES (3), (4), (5)) b(v))) AS jac
+                 FROM (VALUES (10), (20), (20), (30)) t(x)""")
+    assert(r.getLong(0) == 3L, r.toString)
+    assert(r.getLong(1) == 2L, r.toString)
+    assert(math.abs(r.getDouble(2) - 0.4) < 1e-9, r.toString)
+    // merge_set_digest unions partial digests; string inputs digest too
+    val m = p("""SELECT cardinality(merge_set_digest(d)) AS c
+                 FROM (SELECT make_set_digest(s) AS d
+                       FROM (VALUES ('a'), ('b')) t(s)
+                       UNION ALL
+                       SELECT make_set_digest(s) FROM (VALUES ('b'), ('c')) u(s)) x""")
+    assert(m.getLong(0) == 3L, m.toString)
+    // a non-sketch binary fails loudly through the digest readers
+    val e = intercept[Exception] {
+      p("SELECT intersection_cardinality(CAST('xx' AS BINARY), CAST('yy' AS BINARY))") }
+    assert(e.getMessage.contains("Theta") || e.getCause != null, e.getMessage)
+  }
+
   test("datetime/zone tail: at_timezone, with_timezone, timezone_hour/minute, parse_datetime, from_unixtime_nanos") {
     import graft.sql.PrestoRewriter
     def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
