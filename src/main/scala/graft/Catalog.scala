@@ -79,7 +79,16 @@ object Catalog {
 
 /** Convenience accessors for one scale-factor directory. */
 final case class Tables(spark: SparkSession, sfDir: String) {
-  def apply(name: String): DataFrame = Catalog.load(spark, sfDir, name)
+  /** `sfDir` is normally a parquet directory; the magic form
+    * `graft_tpch:<schema>` resolves tables from the TPC-H generator
+    * catalog instead (its schemas are a strict superset of the driver
+    * parquet's), so every registered query runs storage-free against
+    * generated data — the reference runs its TPC-H plan tests on the
+    * generator connector the same way (TpchPlanTest). */
+  def apply(name: String): DataFrame =
+    if (sfDir.startsWith("graft_tpch:"))
+      spark.table(s"graft_tpch.${sfDir.stripPrefix("graft_tpch:")}.$name")
+    else Catalog.load(spark, sfDir, name)
   def region: DataFrame = apply("region")
   def nation: DataFrame = apply("nation")
   def customer: DataFrame = apply("customer")

@@ -176,6 +176,27 @@ class TpchSourceSpec extends SparkSpec {
     } finally spark.conf.unset("graft.tpch.rowsPerSplit")
   }
 
+  test("all 22 TPC-H DataFrame queries run storage-free on the generator") {
+    // Tables("graft_tpch:tiny") resolves every table from the catalog —
+    // the whole registered workload executes against generated data
+    // (the reference's TpchPlanTest shape). Sanity-gate each result.
+    val t = Tables(spark, "graft_tpch:tiny")
+    val all = queries.Tpch.all ++ queries.Tpch2.all
+    assert(all.size == 22)
+    all.foreach { case (name, q, _) =>
+      val rows = q(t).collect()
+      assert(rows != null, name)
+      name match {
+        case "tpch_q1" =>
+          // at most 4 flag/status combos, quantities positive
+          assert(rows.length <= 4 && rows.nonEmpty, s"$name: ${rows.length}")
+        case "tpch_q6" =>
+          assert(rows.length == 1, name)
+        case _ => ()
+      }
+    }
+  }
+
   test("value domains follow the spec lists and windows") {
     val o = spark.table("graft_tpch.tiny.orders")
     assert(o.filter(col("o_orderdate") < lit("1992-01-01").cast("date") ||
