@@ -138,6 +138,11 @@ object PrestoCompat {
         new TimestampDiff(literalString(es(0), "date_diff").toUpperCase, es(1), es(2))
       else DateDiff(es(0), es(1))
     },
+    // (Presto date_add('unit', value, ts) is handled as TEXT — Spark's
+    // parser intercepts date_add at grammar level with UNQUOTED units,
+    // so the dialect pass rewriteDateAddUnit unquotes the literal;
+    // the 2-arg form is likewise parser-level and keeps Spark
+    // semantics.)
     // Presto date_format ALSO takes MySQL %-patterns (format_datetime is
     // the Joda/Java-pattern one) — same conversion as date_parse, in the
     // formatting direction. Registered under a graft-prefixed name because

@@ -787,6 +787,40 @@ object PrestoDialect {
     toks.take(k) ++ toks.drop(close + 1)
   }
 
+  // ------------------------------------- pass: date_add unit unquoting
+  /** Presto `date_add('unit', n, ts)` → Spark `date_add(UNIT, n, ts)`:
+    * Spark's parser intercepts date_add at GRAMMAR level and requires
+    * the unit unquoted, so the injected-function route never sees it —
+    * this is a text fix. Only the 3-argument form rewrites (the 2-arg
+    * form is Spark's day-add and shares semantics); non-literal units
+    * pass through for Spark's own error. */
+  private[sql] def rewriteDateAddUnit(toks: Vector[Tok]): Vector[Tok] = {
+    val edits = Vector.newBuilder[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case w: Word if w.lower == "date_add" =>
+          val iP = nextM(toks, i)
+          if (toks.lift(iP).contains(Sym("("))) {
+            val close = matchFwd(toks, iP)
+            if (close > iP && splitTopLevel(toks.slice(iP + 1, close)).length == 3) {
+              val iU = nextM(toks, iP)
+              toks.lift(iU) match {
+                case Some(Str(t)) =>
+                  val unit = t.substring(1, t.length - 1)
+                  if (unit.nonEmpty && unit.forall(c => c.isLetter))
+                    edits += ((iU, iU + 1, unit.toUpperCase))
+                case _ => ()
+              }
+            }
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+    applyEdits(toks, edits.result())
+  }
+
   // ------------------------------------- pass: SHOW CREATE VIEW
   /** Presto `SHOW CREATE VIEW v` (PrestoSql.g4:129) → Spark's
     * `SHOW CREATE TABLE v`: Spark serves view definitions through the
@@ -1679,7 +1713,7 @@ object PrestoDialect {
   // -------------------------------------------------------------- entry
   private val passes: Seq[Vector[Tok] => Vector[Tok]] = Seq(
     rejectUnsupported, rewriteRoutineNullCall, rewriteTableVersion, rewriteCreateSchema,
-    rewriteShowCreateView, rewriteDropFunction,
+    rewriteShowCreateView, rewriteDropFunction, rewriteDateAddUnit,
     rewriteExplainOptions, rewriteAnalyze, rewriteViewSecurity, rewriteUnnestJoins,
     rewriteUserTypes, rewriteCastTypes,
     rewriteRowCtor, rewriteArrayBrackets, rewriteTry, rewriteTablesample, rewriteAtTimeZone,

@@ -802,6 +802,19 @@ class FunctionParitySpec extends SparkSpec {
     assert(e.getMessage.contains("[0, 5]"), e.getMessage)
   }
 
+  test("date_add arity dispatch: Presto 3-arg units, Spark 2-arg days") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    val r = p("""SELECT CAST(date_add('month', 3, DATE '2001-11-15') AS VARCHAR) AS m,
+                        CAST(date_add('hour', -2, TIMESTAMP '2001-08-22 03:04:05') AS VARCHAR) AS h,
+                        CAST(date_add(DATE '2001-11-15', 3) AS VARCHAR) AS d""")
+    // Spark's 3-arg form returns TIMESTAMP even for DATE input (Presto
+    // preserves DATE) — documented divergence, value is right
+    assert(r.getString(0) == "2002-02-15 00:00:00", r.toString)
+    assert(r.getString(1) == "2001-08-22 01:04:05", r.toString)
+    assert(r.getString(2) == "2001-11-18", r.toString)
+  }
+
   test("SetDigest family: make/merge digests, intersection, jaccard, cardinality dispatch") {
     import graft.sql.PrestoRewriter
     def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
