@@ -177,6 +177,19 @@ object PrestoFns2 {
         new FDistribution(null, d(0), d(1)).cumulativeProbability(d(2))
       case "wilson_interval_lower" => wilson(d, upper = false)
       case "wilson_interval_upper" => wilson(d, upper = true)
+      // round-11 tail: the inverse readers of the remaining CDFs
+      case "inverse_chi_squared_cdf" =>
+        new ChiSquaredDistribution(null, d(0)).inverseCumulativeProbability(d(1))
+      case "inverse_gamma_cdf" =>
+        new GammaDistribution(null, d(0), d(1)).inverseCumulativeProbability(d(2))
+      case "inverse_cauchy_cdf" =>
+        new CauchyDistribution(null, d(0), d(1)).inverseCumulativeProbability(d(2))
+      case "inverse_weibull_cdf" =>
+        new WeibullDistribution(null, d(0), d(1)).inverseCumulativeProbability(d(2))
+      case "inverse_laplace_cdf" =>
+        new LaplaceDistribution(null, d(0), d(1)).inverseCumulativeProbability(d(2))
+      case "inverse_f_cdf" =>
+        new FDistribution(null, d(0), d(1)).inverseCumulativeProbability(d(2))
       case other => throw new IllegalArgumentException(s"unknown distribution fn $other")
     }
   }
@@ -418,6 +431,163 @@ object PrestoFns2 {
       LambdaFunction(f, Seq(f)))
   }
 
+  // ----------------------------------------------- HMAC digest family
+  /** Presto hmac_md5/sha1/sha256/sha512(binary, key) → VARBINARY, over
+    * the JDK's javax.crypto.Mac. */
+  case class HmacFn(algo: String, left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "hmac_" + algo.toLowerCase.replace("hmac", "")
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == BinaryType && right.dataType == BinaryType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName expects (varbinary, varbinary)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def nullSafeEval(data: Any, key: Any): Any = {
+      val mac = javax.crypto.Mac.getInstance(algo)
+      mac.init(new javax.crypto.spec.SecretKeySpec(key.asInstanceOf[Array[Byte]], algo))
+      mac.doFinal(data.asInstanceOf[Array[Byte]])
+    }
+  }
+
+  // -------------------------------------------------- base32/base64url
+  /** RFC 4648 base32 (uppercase, '='-padded) and URL-safe base64. */
+  case class BaseCodec(kind: String, child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    private val decode = kind.startsWith("from")
+    override def dataType: DataType = if (decode) BinaryType else StringType
+    override def prettyName: String = kind
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case BinaryType | StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$kind expects varbinary or varchar, got ${t.catalogString}")
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    private val B32 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    private def b32enc(in: Array[Byte]): String = {
+      val sb = new StringBuilder
+      var buf = 0L; var bits = 0
+      in.foreach { b =>
+        buf = (buf << 8) | (b & 0xff); bits += 8
+        while (bits >= 5) { bits -= 5; sb.append(B32(((buf >> bits) & 31).toInt)) }
+      }
+      if (bits > 0) sb.append(B32(((buf << (5 - bits)) & 31).toInt))
+      while (sb.length % 8 != 0) sb.append('=')
+      sb.toString
+    }
+    private def b32dec(s: String): Array[Byte] = {
+      val clean = s.toUpperCase.takeWhile(_ != '=')
+      val bytes = new scala.collection.mutable.ArrayBuffer[Byte]
+      var buf = 0L; var bits = 0
+      clean.foreach { c =>
+        val v = B32.indexOf(c)
+        if (v < 0) throw new IllegalArgumentException(s"from_base32: invalid character '$c'")
+        buf = (buf << 5) | v; bits += 5
+        if (bits >= 8) { bits -= 8; bytes += ((buf >> bits) & 0xff).toByte }
+      }
+      bytes.toArray
+    }
+    private def asBytes(v: Any): Array[Byte] = v match {
+      case b: Array[Byte] => b
+      case s: UTF8String => s.getBytes
+    }
+    override def nullSafeEval(v: Any): Any = kind match {
+      case "to_base32" => UTF8String.fromString(b32enc(asBytes(v)))
+      case "from_base32" => b32dec(v match {
+        case s: UTF8String => s.toString
+        case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.US_ASCII)
+      })
+      case "to_base64url" =>
+        UTF8String.fromString(java.util.Base64.getUrlEncoder.encodeToString(asBytes(v)))
+      case "from_base64url" => java.util.Base64.getUrlDecoder.decode(v match {
+        case s: UTF8String => s.toString
+        case b: Array[Byte] => new String(b, java.nio.charset.StandardCharsets.US_ASCII)
+      })
+    }
+  }
+
+  // --------------------------------------- array frequency/chunk tail
+  /** array_least_frequent(a[, n]): the n least-frequent non-null
+    * elements, frequency asc then element asc (Presto ordering). */
+  case class ArrayLeastFrequent(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = left.dataType
+    override def prettyName: String = "array_least_frequent"
+    override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+      case ArrayType(e, _) if isIntegralDt(right.dataType) =>
+        org.apache.spark.sql.catalyst.util.TypeUtils.checkForOrderingExpr(e, prettyName)
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "array_least_frequent expects (array, integer)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    @transient private lazy val ordering: Ordering[Any] =
+      org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(
+        left.dataType.asInstanceOf[ArrayType].elementType)
+    override def nullSafeEval(arrV: Any, nV: Any): Any = {
+      val elemType = left.dataType.asInstanceOf[ArrayType].elementType
+      val n = nV.asInstanceOf[java.lang.Number].intValue()
+      if (n < 0) throw new IllegalArgumentException(
+        s"array_least_frequent: n must be >= 0, got $n")
+      val elems = arrV.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toObjectArray(elemType).filter(_ != null)
+      val counts = elems.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      val sorted = counts.sortWith { case ((e1, c1), (e2, c2)) =>
+        if (c1 != c2) c1 < c2 else ordering.lt(e1, e2)
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        sorted.take(n).map(_._1).toArray)
+    }
+  }
+
+  private def isIntegralDt(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** split_to_multimap(s, entryDelim, kvDelim): map<varchar,
+    * array<varchar>> keeping duplicate keys in encounter order. */
+  case class SplitToMultimap(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def nullable: Boolean = true
+    override def prettyName: String = "split_to_multimap"
+    override def dataType: DataType =
+      MapType(StringType, ArrayType(StringType, containsNull = false), false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (children.length == 3 && children.forall(_.dataType == StringType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        "split_to_multimap expects (varchar, varchar, varchar)")
+    override protected def withNewChildrenInternal(nc: IndexedSeq[Expression]) =
+      copy(children = nc)
+    override def eval(input: InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.contains(null)) return null
+      val Seq(s, ed, kd) = vs.map(_.asInstanceOf[UTF8String].toString)
+      if (ed.isEmpty || kd.isEmpty) throw new IllegalArgumentException(
+        "split_to_multimap: delimiters must be non-empty")
+      val order = new java.util.LinkedHashMap[String, java.util.ArrayList[String]]()
+      s.split(java.util.regex.Pattern.quote(ed), -1).filter(_.nonEmpty).foreach { ent =>
+        val i = ent.indexOf(kd)
+        if (i < 0) throw new IllegalArgumentException(
+          s"split_to_multimap: entry '$ent' has no key-value delimiter '$kd'")
+        val k = ent.substring(0, i)
+        val v = ent.substring(i + kd.length)
+        order.computeIfAbsent(k, _ => new java.util.ArrayList[String]()).add(v)
+      }
+      val ks = new scala.collection.mutable.ArrayBuffer[Any]
+      val varr = new scala.collection.mutable.ArrayBuffer[Any]
+      order.forEach { (k, v) =>
+        ks += UTF8String.fromString(k)
+        varr += new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          v.toArray.map(x => UTF8String.fromString(x.asInstanceOf[String]): Any))
+      }
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        ks.toArray, varr.toArray)
+    }
+  }
+
   // ------------------------------------------- timezone offset fields
   /** Presto timezone_hour/timezone_minute: the session zone's UTC
     * offset fields at the timestamp's instant (Spark timestamps carry
@@ -451,6 +621,53 @@ object PrestoFns2 {
 
   // ------------------------------------------------------------ builders
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // ---- HMAC family (VARBINARY returns; implicit string→binary casts)
+    "hmac_md5" -> { es: Seq[Expression] =>
+      HmacFn("HmacMD5", Cast(es(0), BinaryType), Cast(es(1), BinaryType)) },
+    "hmac_sha1" -> { es: Seq[Expression] =>
+      HmacFn("HmacSHA1", Cast(es(0), BinaryType), Cast(es(1), BinaryType)) },
+    "hmac_sha256" -> { es: Seq[Expression] =>
+      HmacFn("HmacSHA256", Cast(es(0), BinaryType), Cast(es(1), BinaryType)) },
+    "hmac_sha512" -> { es: Seq[Expression] =>
+      HmacFn("HmacSHA512", Cast(es(0), BinaryType), Cast(es(1), BinaryType)) },
+    // ---- base32 / URL-safe base64
+    "to_base32" -> { es: Seq[Expression] => BaseCodec("to_base32", es.head) },
+    "from_base32" -> { es: Seq[Expression] => BaseCodec("from_base32", es.head) },
+    "to_base64url" -> { es: Seq[Expression] => BaseCodec("to_base64url", es.head) },
+    "from_base64url" -> { es: Seq[Expression] => BaseCodec("from_base64url", es.head) },
+    // ---- array frequency/chunk tail
+    // array_top_n(a, n): largest n elements descending, nulls dropped
+    "array_top_n" -> { es: Seq[Expression] =>
+      val a = lv("__atn_a"); val b = lv("__atn_b")
+      Slice(new ArraySort(filterNotNull(es.head, "__atn_nn"),
+        LambdaFunction(cmpDesc(a, b), Seq(a, b))), Literal(1), es(1)) },
+    "array_least_frequent" -> { es: Seq[Expression] =>
+      ArrayLeastFrequent(es.head,
+        if (es.length >= 2) es(1) else Literal(1)) },
+    // array_split_into_chunks(a, n): length-n chunks, remainder last
+    "array_split_into_chunks" -> { es: Seq[Expression] =>
+      val i = lv("__asc_i")
+      val n = Cast(es(1), IntegerType)
+      val nChunks = Cast(Ceil(Divide(
+        Cast(Size(es.head), DoubleType), Cast(n, DoubleType))), IntegerType)
+      ArrayTransform(
+        new Sequence(Literal(0), Subtract(nChunks, Literal(1)), Literal(1)),
+        LambdaFunction(Slice(es.head, Add(Multiply(i, n), Literal(1)), n), Seq(i))) },
+    "split_to_multimap" -> { es: Seq[Expression] => SplitToMultimap(es.map(asString)) },
+    // key_sampling_percent(varchar): deterministic [0, 1) from the
+    // standard XXH64 of the key's bytes (53-bit mantissa-exact)
+    "key_sampling_percent" -> { es: Seq[Expression] =>
+      Divide(
+        Cast(ShiftRightUnsigned(new XxHash64(Seq(Cast(es.head, BinaryType)), 0L),
+          Literal(11)), DoubleType),
+        Literal((1L << 53).toDouble)) },
+    // inverse CDF tail
+    "inverse_chi_squared_cdf" -> { es: Seq[Expression] => DistFn("inverse_chi_squared_cdf", es.map(asDouble)) },
+    "inverse_gamma_cdf" -> { es: Seq[Expression] => DistFn("inverse_gamma_cdf", es.map(asDouble)) },
+    "inverse_cauchy_cdf" -> { es: Seq[Expression] => DistFn("inverse_cauchy_cdf", es.map(asDouble)) },
+    "inverse_weibull_cdf" -> { es: Seq[Expression] => DistFn("inverse_weibull_cdf", es.map(asDouble)) },
+    "inverse_laplace_cdf" -> { es: Seq[Expression] => DistFn("inverse_laplace_cdf", es.map(asDouble)) },
+    "inverse_f_cdf" -> { es: Seq[Expression] => DistFn("inverse_f_cdf", es.map(asDouble)) },
     // ---- round-11 datetime/zone tail. at_timezone is the function form
     // of AT TIME ZONE (same ConvertTimezone lowering as the dialect
     // pass); with_timezone interprets the wall clock IN the zone.

@@ -277,6 +277,26 @@ object Registry {
       "map_keys_by_top_n_values" -> FnMeta("map_keys_by_top_n_values", cost = 4.0),
       "numeric_histogram" -> FnMeta("numeric_histogram", isAggregate = true, cost = 4.0),
       "bitwise_right_shift_arithmetic" -> FnMeta("shiftright"),
+      // round-11: HMAC / base-codec / array-frequency / sampling tail
+      "hmac_md5" -> FnMeta("hmac_md5", cost = 8.0),
+      "hmac_sha1" -> FnMeta("hmac_sha1", cost = 8.0),
+      "hmac_sha256" -> FnMeta("hmac_sha256", cost = 8.0),
+      "hmac_sha512" -> FnMeta("hmac_sha512", cost = 8.0),
+      "to_base32" -> FnMeta("to_base32", cost = 2.0),
+      "from_base32" -> FnMeta("from_base32", cost = 2.0),
+      "to_base64url" -> FnMeta("to_base64url", cost = 2.0),
+      "from_base64url" -> FnMeta("from_base64url", cost = 2.0),
+      "array_top_n" -> FnMeta("array_top_n", cost = 4.0),
+      "array_least_frequent" -> FnMeta("array_least_frequent", cost = 4.0),
+      "array_split_into_chunks" -> FnMeta("array_split_into_chunks", cost = 4.0),
+      "split_to_multimap" -> FnMeta("split_to_multimap", cost = 4.0),
+      "key_sampling_percent" -> FnMeta("key_sampling_percent", cost = 2.0),
+      "inverse_chi_squared_cdf" -> FnMeta("inverse_chi_squared_cdf", cost = 8.0),
+      "inverse_gamma_cdf" -> FnMeta("inverse_gamma_cdf", cost = 8.0),
+      "inverse_cauchy_cdf" -> FnMeta("inverse_cauchy_cdf", cost = 8.0),
+      "inverse_weibull_cdf" -> FnMeta("inverse_weibull_cdf", cost = 8.0),
+      "inverse_laplace_cdf" -> FnMeta("inverse_laplace_cdf", cost = 8.0),
+      "inverse_f_cdf" -> FnMeta("inverse_f_cdf", cost = 8.0),
       // round-11: SetDigest family (Theta-backed, SetDigest builders)
       "make_set_digest" -> FnMeta("make_set_digest", isAggregate = true, cost = 2.0),
       "merge_set_digest" -> FnMeta("merge_set_digest", isAggregate = true, cost = 2.0),

@@ -802,6 +802,58 @@ class FunctionParitySpec extends SparkSpec {
     assert(e.getMessage.contains("[0, 5]"), e.getMessage)
   }
 
+  test("HMAC family and base32/base64url codecs match the RFC test vectors") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    val r = p("""SELECT lower(hex(hmac_md5('The quick brown fox jumps over the lazy dog', 'key'))) AS m,
+                        lower(hex(hmac_sha1('The quick brown fox jumps over the lazy dog', 'key'))) AS s1,
+                        lower(hex(hmac_sha256('The quick brown fox jumps over the lazy dog', 'key'))) AS s2,
+                        to_base32('foobar') AS b32,
+                        CAST(from_base32('MZXW6YTBOI======') AS VARCHAR) AS b32d,
+                        to_base64url(X'FBEF') AS b64u,
+                        lower(hex(from_base64url('--8='))) AS b64d""")
+    assert(r.getString(0) == "80070713463e7749b90c2dc24911e275", r.toString)
+    assert(r.getString(1) == "de7c9b85b8b78aa6bc8a7a36f70a90701c9db4d9", r.toString)
+    assert(r.getString(2) ==
+      "f7bc83f430538424b13298e6aa6fb143ef4d59a14946175997479dbc2d1a3cd8", r.toString)
+    assert(r.getString(3) == "MZXW6YTBOI======", r.toString)
+    assert(r.getString(4) == "foobar", r.toString)
+    assert(r.getString(5) == "--8=", r.toString)
+    assert(r.getString(6) == "fbef", r.toString)
+  }
+
+  test("array frequency/chunk tail, split_to_multimap, key_sampling_percent, inverse CDFs") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    val r = p("""SELECT array_top_n(ARRAY[3, 1, 4, 1, 5, NULL], 3) AS tn,
+                        array_least_frequent(ARRAY['b', 'a', 'b', 'c', 'b', 'c'], 2) AS lf,
+                        array_least_frequent(ARRAY['b', 'a', 'b']) AS lf1,
+                        array_split_into_chunks(ARRAY[1, 2, 3, 4, 5], 2) AS ch,
+                        split_to_multimap('k1=v1;k2=v2;k1=v3', ';', '=') AS mm""")
+    assert(r.getSeq[Int](0) == Seq(5, 4, 3), r.toString)
+    assert(r.getSeq[String](1) == Seq("a", "c"), r.toString)
+    assert(r.getSeq[String](2) == Seq("a"), r.toString)
+    assert(r.getSeq[scala.collection.Seq[Int]](3).map(_.toSeq) ==
+      Seq(Seq(1, 2), Seq(3, 4), Seq(5)), r.toString)
+    assert(r.getMap[String, scala.collection.Seq[String]](4)
+      .map { case (k, v) => (k, v.toSeq) }.toMap ==
+      Map("k1" -> Seq("v1", "v3"), "k2" -> Seq("v2")), r.toString)
+    // key_sampling_percent: deterministic, in [0, 1), spread
+    val ks = p("""SELECT key_sampling_percent('alice') AS a,
+                         key_sampling_percent('alice') AS a2,
+                         key_sampling_percent('bob') AS b""")
+    assert(ks.getDouble(0) == ks.getDouble(1))
+    assert(ks.getDouble(0) >= 0 && ks.getDouble(0) < 1)
+    assert(ks.getDouble(0) != ks.getDouble(2))
+    // inverse CDFs are true inverses of the forward family
+    val inv = p("""SELECT inverse_gamma_cdf(2.0, 3.0, gamma_cdf(2.0, 3.0, 4.5)) AS g,
+                          inverse_chi_squared_cdf(5.0, chi_squared_cdf(5.0, 2.5)) AS c,
+                          inverse_laplace_cdf(1.0, 2.0, laplace_cdf(1.0, 2.0, 0.25)) AS l""")
+    assert(math.abs(inv.getDouble(0) - 4.5) < 1e-9, inv.toString)
+    assert(math.abs(inv.getDouble(1) - 2.5) < 1e-9, inv.toString)
+    assert(math.abs(inv.getDouble(2) - 0.25) < 1e-9, inv.toString)
+  }
+
   test("date_add arity dispatch: Presto 3-arg units, Spark 2-arg days") {
     import graft.sql.PrestoRewriter
     def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
