@@ -1074,6 +1074,22 @@ object Presto {
          round(inter / CAST(card + (SELECT count(*) FROM urgent) - inter AS DOUBLE), 9) AS jac
        FROM stats"""
 
+  /** URL-safe base64 round-trip and the 3-arg date_add (round 11):
+    * DuckDB replays base64url by character-mapping its padded to_base64
+    * and day addition as date arithmetic. */
+  val codecFnsPresto: String =
+    """SELECT o_orderkey,
+         to_base64url(to_utf8(o_orderpriority)) AS b64u,
+         CAST(from_utf8(from_base64url(to_base64url(to_utf8(o_orderpriority)))) AS VARCHAR) AS rt,
+         CAST(CAST(date_add('day', 5, o_orderdate) AS DATE) AS VARCHAR) AS d5
+       FROM orders WHERE o_orderkey < 300"""
+  val codecFnsOracle: String =
+    """SELECT o_orderkey,
+         replace(replace(to_base64(encode(o_orderpriority)), '+', '-'), '/', '_') AS b64u,
+         o_orderpriority AS rt,
+         CAST(CAST(o_orderdate AS DATE) + 5 AS VARCHAR) AS d5
+       FROM orders WHERE o_orderkey < 300"""
+
   /** CREATE TYPE (PrestoSql.g4:80-82, AstStatements.h:348 CreateType):
     * a named row type substitutes into the CAST target; field access
     * flattens it back for the oracle compare. */
@@ -1181,6 +1197,7 @@ object Presto {
     ("presto_ip_fns", run(ipFnsPresto) _, ipFnsOracle),
     ("presto_numeric_histogram", run(numericHistogramPresto) _, numericHistogramOracle),
     ("presto_set_digest", run(setDigestPresto) _, setDigestOracle),
+    ("presto_codec_fns", run(codecFnsPresto) _, codecFnsOracle),
     ("presto_table_like", tableLike _, tableLikeOracle),
     ("presto_digest_fns", run(digestFnsPresto) _, digestFnsOracle),
     ("presto_regexp_fns", run(regexpFnsPresto) _, regexpFnsOracle),
