@@ -477,7 +477,10 @@ object PrestoFns2 {
       sb.toString
     }
     private def b32dec(s: String): Array[Byte] = {
-      val clean = s.toUpperCase.takeWhile(_ != '=')
+      // only TRAILING '=' is padding; one embedded mid-string must be an
+      // error, not a silent truncation of everything after it
+      var clean = s.toUpperCase
+      while (clean.nonEmpty && clean.last == '=') clean = clean.dropRight(1)
       val bytes = new scala.collection.mutable.ArrayBuffer[Byte]
       var buf = 0L; var bits = 0
       clean.foreach { c =>
@@ -486,6 +489,9 @@ object PrestoFns2 {
         buf = (buf << 5) | v; bits += 5
         if (bits >= 8) { bits -= 8; bytes += ((buf >> bits) & 0xff).toByte }
       }
+      // dangling bits past the last whole byte must be zero padding
+      if (bits > 0 && (buf & ((1L << bits) - 1)) != 0)
+        throw new IllegalArgumentException("from_base32: invalid number of trailing bits")
       bytes.toArray
     }
     private def asBytes(v: Any): Array[Byte] = v match {
@@ -686,8 +692,12 @@ object PrestoFns2 {
     // Joda-only specifiers are a documented divergence.
     "parse_datetime" -> { es: Seq[Expression] =>
       new ParseToTimestamp(asString(es(0)), asString(es(1))) },
+    // FLOOR division, not truncation: -1 ns is one microsecond BEFORE
+    // epoch (Presto floors; IntegralDivide truncates toward zero)
     "from_unixtime_nanos" -> { es: Seq[Expression] =>
-      MicrosToTimestamp(new IntegralDivide(es.head, Literal(1000L))) },
+      val n = Cast(es.head, LongType)
+      MicrosToTimestamp(new IntegralDivide(
+        Subtract(n, Pmod(n, Literal(1000L))), Literal(1000L))) },
     // ---- sketch array wrappers (QuantileSketch kernels mapped over
     // the probe array)
     "values_at_quantiles" -> { es: Seq[Expression] =>

@@ -94,8 +94,12 @@ object SetDigest {
       buf
     }
 
-    override def eval(buf: ThetaUnion): Any =
-      buf.getResult(true, null).toByteArray
+    override def eval(buf: ThetaUnion): Any = {
+      // no non-null input seen → NULL, the Presto aggregate stance
+      // (and MergeSetDigest's — the two must agree)
+      val c = buf.getResult(true, null)
+      if (c.isEmpty) null else c.toByteArray
+    }
 
     override def serialize(buf: ThetaUnion): Array[Byte] =
       buf.getResult(true, null).toByteArray

@@ -65,7 +65,14 @@ object NumericHistogram {
 
     override def reduce(b: Vector[(Double, Double)], in: (Double, Double)): Vector[(Double, Double)] = {
       val (v, w) = in
-      if (v.isNaN || w <= 0 || w.isNaN) b else insert(b, v, w)
+      // NaN is the null-lowering sentinel (skipped); a real non-positive
+      // weight is a caller bug and must error, not silently skew the
+      // histogram (Presto raises)
+      if (v.isNaN || w.isNaN) b
+      else if (w <= 0)
+        throw new IllegalArgumentException(
+          s"numeric_histogram: weight must be positive, got $w")
+      else insert(b, v, w)
     }
 
     override def merge(b1: Vector[(Double, Double)], b2: Vector[(Double, Double)]): Vector[(Double, Double)] = {

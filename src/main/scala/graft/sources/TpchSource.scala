@@ -142,17 +142,23 @@ final class TpchScanBuilder(table: String, sf: Double) extends ScanBuilder
     if (table == "partsupp") TpchGen.parts(sf) else TpchGen.keySpan(table, sf)
   private var pushed = Array.empty[Filter]
 
+  // region/nation EMIT 0-based keys (r_regionkey = k-1) while the
+  // generator's internal key index is 1-based: a filter value v on the
+  // emitted column names internal key v+1
+  private val off = TpchGen.keyOffsetOf(table)
+
   private def bound(f: Filter): Boolean = f match {
     case GreaterThan(c, v: Number) if c == keyCol =>
-      keyLo = math.max(keyLo, v.longValue + 1); true
+      keyLo = math.max(keyLo, v.longValue + off + 1); true
     case GreaterThanOrEqual(c, v: Number) if c == keyCol =>
-      keyLo = math.max(keyLo, v.longValue); true
+      keyLo = math.max(keyLo, v.longValue + off); true
     case LessThan(c, v: Number) if c == keyCol =>
-      keyHi = math.min(keyHi, v.longValue - 1); true
+      keyHi = math.min(keyHi, v.longValue + off - 1); true
     case LessThanOrEqual(c, v: Number) if c == keyCol =>
-      keyHi = math.min(keyHi, v.longValue); true
+      keyHi = math.min(keyHi, v.longValue + off); true
     case EqualTo(c, v: Number) if c == keyCol =>
-      keyLo = math.max(keyLo, v.longValue); keyHi = math.min(keyHi, v.longValue); true
+      keyLo = math.max(keyLo, v.longValue + off)
+      keyHi = math.min(keyHi, v.longValue + off); true
     case _ => false
   }
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -215,21 +221,23 @@ final class TpchScan(table: String, sf: Double, keyLo0: Long, keyHi0: Long,
       TpchGen.keyColumnOf(table)))
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val keyCol = TpchGen.keyColumnOf(table)
+    // emitted-key → internal-key offset (region/nation emit 0-based)
+    val off = TpchGen.keyOffsetOf(table)
     filters.foreach {
       case org.apache.spark.sql.sources.In(c, vs) if c == keyCol =>
-        val ids = vs.collect { case n: java.lang.Number => n.longValue() }
+        val ids = vs.collect { case n: java.lang.Number => n.longValue() + off }
         if (ids.nonEmpty) {
           keyLo = math.max(keyLo, ids.min)
           keyHi = math.min(keyHi, ids.max)
         }
       case org.apache.spark.sql.sources.GreaterThan(c, v: java.lang.Number) if c == keyCol =>
-        keyLo = math.max(keyLo, v.longValue + 1)
+        keyLo = math.max(keyLo, v.longValue + off + 1)
       case org.apache.spark.sql.sources.GreaterThanOrEqual(c, v: java.lang.Number) if c == keyCol =>
-        keyLo = math.max(keyLo, v.longValue)
+        keyLo = math.max(keyLo, v.longValue + off)
       case org.apache.spark.sql.sources.LessThan(c, v: java.lang.Number) if c == keyCol =>
-        keyHi = math.min(keyHi, v.longValue - 1)
+        keyHi = math.min(keyHi, v.longValue + off - 1)
       case org.apache.spark.sql.sources.LessThanOrEqual(c, v: java.lang.Number) if c == keyCol =>
-        keyHi = math.min(keyHi, v.longValue)
+        keyHi = math.min(keyHi, v.longValue + off)
       case _ => ()
     }
   }
@@ -264,7 +272,12 @@ final class TpchScan(table: String, sf: Double, keyLo0: Long, keyHi0: Long,
     * co-located join (the parquet-side analogue is
     * [[Bucketing]]). */
   override def outputPartitioning(): Partitioning =
-    if (table == "partsupp") new UnknownPartitioning(0)
+    // partsupp's rows aren't keyed by the row index; region/nation emit
+    // 0-based keys, for which range_bucket(emitted) ≠ the split index
+    // (emitted key 0 → bucket -1) — and at 5/25 rows they broadcast
+    // anyway, so they opt out of SPJ rather than mis-report
+    if (table == "partsupp" || TpchGen.keyOffsetOf(table) != 0L)
+      new UnknownPartitioning(0)
     else new KeyGroupedPartitioning(
       Array(Expressions.apply(s"range_bucket_$per",
         Expressions.column(TpchGen.keyColumnOf(table)))),
@@ -372,6 +385,12 @@ object TpchGen {
     case "orders" | "lineitem" => orders(sf)
     case t => throw new IllegalArgumentException(s"unknown TPC-H table: $t")
   }
+  /** Emitted-key minus internal-key: region/nation emit 0-based keys
+    * (r_regionkey/n_nationkey = k-1) while the generator index is
+    * 1-based; all other key columns emit the index itself. Pushdown and
+    * runtime filters add this before comparing against key bounds. */
+  def keyOffsetOf(table: String): Long =
+    if (table == "region" || table == "nation") 1L else 0L
   def keyColumnOf(table: String): String = table match {
     case "region" => "r_regionkey"
     case "nation" => "n_nationkey"

@@ -931,6 +931,32 @@ class FunctionParitySpec extends SparkSpec {
     assert(sh.getInt(0) == -4 && sh.getLong(1) == 9223372036854775804L, sh.toString)
   }
 
+  test("round-12 edge pins: base32 embedded padding, negative nanos floor, bad weight, all-null digest") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    // '=' mid-string is an error, not a truncation; trailing pad still fine
+    val e32 = intercept[Exception] { p("SELECT from_base32('MZ=XW6')") }
+    assert(e32.getMessage.contains("invalid character") ||
+      Option(e32.getCause).exists(_.getMessage.contains("invalid character")), e32.getMessage)
+    assert(p("SELECT CAST(from_base32('MZXW6===') AS VARCHAR) AS v").getString(0) == "foo")
+    // negative nanos FLOOR to the earlier microsecond (Presto semantics)
+    val fn = p("""SELECT CAST(from_unixtime_nanos(-1) AS VARCHAR) AS a,
+                         CAST(from_unixtime_nanos(-1000) AS VARCHAR) AS b,
+                         CAST(from_unixtime_nanos(-999) AS VARCHAR) AS c""")
+    assert(fn.getString(0) == "1969-12-31 23:59:59.999999", fn.toString)
+    assert(fn.getString(1) == "1969-12-31 23:59:59.999999", fn.toString)
+    assert(fn.getString(2) == "1969-12-31 23:59:59.999999", fn.toString)
+    // a non-positive weight is an error, not a silent skip
+    val ew = intercept[Exception] {
+      p("SELECT numeric_histogram(4, x, wt) FROM (VALUES (1.0, -2.0)) t(x, wt)") }
+    assert(ew.getMessage.contains("positive") ||
+      Option(ew.getCause).exists(_.getMessage.contains("positive")), ew.getMessage)
+    // make_set_digest over only NULLs returns NULL (agrees with merge_set_digest)
+    val nd = p("""SELECT make_set_digest(x) AS d, merge_set_digest(CAST(NULL AS BINARY)) AS m
+                  FROM (VALUES (CAST(NULL AS INTEGER))) t(x)""")
+    assert(nd.isNullAt(0) && nd.isNullAt(1), nd.toString)
+  }
+
   test("numeric_histogram: exact regime equals the value-count map; compaction bounds bins") {
     import graft.sql.PrestoRewriter
     def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()

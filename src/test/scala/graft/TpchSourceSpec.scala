@@ -72,6 +72,30 @@ class TpchSourceSpec extends SparkSpec {
     } finally spark.conf.unset("graft.tpch.rowsPerSplit")
   }
 
+  test("0-based key pushdown: region/nation filter values offset to generator keys") {
+    // region/nation EMIT 0-based keys; absorbed bounds must shift +1
+    // into the generator's 1-based index (round-11 ADVICE: `= 0`
+    // silently returned no rows, `>= 3` returned a shifted set)
+    val r0 = spark.table("graft_tpch.tiny.region").filter(col("r_regionkey") === 0)
+    assert(r0.select("r_name").collect().map(_.getString(0)).toSeq == Seq("AFRICA"))
+    val n = spark.table("graft_tpch.tiny.nation").filter(col("n_nationkey") >= 3)
+    val keys = n.select("n_nationkey").collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq == (3L to 24L), s"got ${keys.toSeq}")
+    assert(spark.table("graft_tpch.tiny.nation").filter(col("n_nationkey") === 24)
+      .select("n_name").head().getString(0) == "UNITED STATES")
+    assert(spark.table("graft_tpch.tiny.nation").filter(col("n_nationkey") < 2)
+      .count() == 2)
+    // every row survives a full-domain range (no clamp loss at either end)
+    assert(spark.table("graft_tpch.tiny.region")
+      .filter(col("r_regionkey").between(0, 4)).count() == 5)
+    // runtime In-filter path: a broadcast join's key set must not drop
+    // nation 24 (internal key 25) through filterAttributes
+    val probe = spark.range(20, 25).selectExpr("id AS k")
+    val joined = spark.table("graft_tpch.tiny.nation")
+      .join(probe, col("n_nationkey") === col("k"))
+    assert(joined.count() == 5, joined.select("n_nationkey").collect().toSeq.toString)
+  }
+
   test("projection narrows the generator to the required columns") {
     val df = spark.table("graft_tpch.tiny.orders").select("o_orderpriority")
     assert(batchScan(df).scan.readSchema().fieldNames.toSeq == Seq("o_orderpriority"))
