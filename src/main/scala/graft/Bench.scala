@@ -143,6 +143,72 @@ object Bench {
     for (pass <- 1 to 2; n <- overGate)
       runOne(n, qs.toMap.apply(n), "heal")
 
+    // ---- TPC-H generator scale lane (round 12): MEASURE the 100×
+    // story instead of arguing it from plan shapes at sf0.1. The
+    // graft_tpch connector computes rows inside tasks from the row
+    // index (zero storage), so bigger data is free: run the 22
+    // DataFrame queries at sf0_1 and sf1 (an exact 10× pair inside one
+    // connector — same generator, same plans), flag any query whose
+    // growth is super-linear beyond shuffle growth, and spot-run the
+    // two scan-bound queries (q1/q6) at sf10. Default ON so the
+    // driver's artifact carries the lane; SPARK_GRAFT_TPCH_LANE=off
+    // disables for local iteration.
+    val tpchLane = !sys.env.get("SPARK_GRAFT_TPCH_LANE").contains("off")
+    var laneFull = ""
+    var laneCompact = ""
+    if (tpchLane) {
+      val laneBudget =
+        sys.env.get("SPARK_GRAFT_TPCH_BUDGET").map(_.toDouble).getOrElse(420.0)
+      val lane0 = System.nanoTime()
+      def laneSpent = (System.nanoTime() - lane0) / 1e9
+      val all22 = (queries.Tpch.all ++ queries.Tpch2.all).map { case (n, q, _) => (n, q) }
+      def runScale(schema: String, sel: Seq[(String, Tables => org.apache.spark.sql.DataFrame)],
+          reps: Int): Map[String, Double] = {
+        val sf = graft.sources.TpchGen.scaleOf(schema).get
+        // ~2 splits per core on the fact tables (the 200k default gives
+        // sf1 only 8 splits — a 32-core box would idle 3/4 of its lanes)
+        val per = math.max(25000L, graft.sources.TpchGen.orders(sf) / 64)
+        spark.conf.set("graft.tpch.rowsPerSplit", per.toString)
+        val t = Tables(spark, s"graft_tpch:$schema")
+        val bestOf = mutable.Map.empty[String, Double].withDefaultValue(Double.MaxValue)
+        try {
+          for (r <- 1 to reps; (n, q) <- sel) if (laneSpent < laneBudget) {
+            val s0 = System.nanoTime()
+            try q(t).write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] lane $schema $n failed: ${e.getMessage}") }
+            val dt = (System.nanoTime() - s0) / 1e9
+            bestOf(n) = math.min(bestOf(n), dt)
+            System.err.println(f"[bench] lane $schema%-6s $n%-10s $dt%8.2f s (rep $r)")
+          }
+        } finally spark.conf.unset("graft.tpch.rowsPerSplit")
+        bestOf.toMap
+      }
+      val sf01 = runScale("sf0_1", all22, 2)
+      val sf1 = runScale("sf1", all22, 2)
+      val scaleRatio = all22.flatMap { case (n, _) =>
+        for (a <- sf01.get(n); b <- sf1.get(n)) yield n -> b / a }.toMap
+      // 10× rows through 32 fixed cores bounds healthy growth well
+      // under 15×; entries under 0.25 s at sf0_1 are noise-floored
+      val superlinear = scaleRatio.collect {
+        case (n, r) if r > 15.0 && sf01.getOrElse(n, 0.0) >= 0.25 => n }.toSeq.sorted
+      val sf10 =
+        if (sys.env.get("SPARK_GRAFT_TPCH_SF10").contains("off")) Map.empty[String, Double]
+        else runScale("sf10",
+          all22.filter(p => p._1 == "tpch_q1" || p._1 == "tpch_q6"), 1)
+      def m2j(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      val slJson = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
+      laneFull = s""","tpch_sf01":${m2j(sf01)},"tpch_sf1":${m2j(sf1)},""" +
+        s""""tpch_scale_ratio":${m2j(scaleRatio)},"tpch_superlinear":$slJson,""" +
+        s""""tpch_sf10_spot":${m2j(sf10)}"""
+      laneCompact = s""","tpch_sf01_total":${fmt(sf01.values.sum)},""" +
+        s""""tpch_sf1_total":${fmt(sf1.values.sum)},""" +
+        s""""tpch_superlinear":$slJson,"tpch_sf10_spot":${m2j(sf10)}"""
+      System.err.println(s"[bench] lane totals: sf0_1=${fmt(sf01.values.sum)}s " +
+        s"sf1=${fmt(sf1.values.sum)}s superlinear=${superlinear.mkString(",")}")
+    }
+
     val results = qs.map { case (n, _) => n -> best(n) }
     val total = results.map(_._2).sum
     val ratios = results.flatMap { case (n, v) =>
@@ -160,7 +226,7 @@ object Bench {
       val nq = neverQuiet.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$queries,""" +
         s""""ratio_vs_baseline":$ratioJson,"over_gate":$over,""" +
-        s""""quiet_gate":$quietN,"never_quiet":$nq,"reps":$reps,"sf":"$sfDir"}"""
+        s""""quiet_gate":$quietN,"never_quiet":$nq$laneFull,"reps":$reps,"sf":"$sfDir"}"""
     }
     val fullPath = java.nio.file.Paths.get("target/bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
@@ -181,7 +247,7 @@ object Bench {
     val compact = (headline ++ groups).sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compact,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compact$laneCompact,"sf":"$sfDir"}""")
     val breaches = overGate
     spark.stop()
     if (breaches.nonEmpty) {

@@ -136,6 +136,22 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
         val i = fields.indexWhere(_.name.equalsIgnoreCase(col))
         if (i < 0) throw new IllegalArgumentException(s"no such column: $col")
         fields = fields.updated(i, fields(i).copy(name = ren.newName()))
+      case un: TableChange.UpdateColumnNullability =>
+        // ALTER COLUMN c SET/DROP NOT NULL (PrestoSql.g4:73-76; Spark
+        // shares the spelling, so the statement arrives as a DSv2
+        // change). SET NOT NULL validates EXISTING rows before the
+        // schema commits; the write path enforces it afterwards
+        // (MemTables.checkNotNull).
+        val col = single(un.fieldNames(), "ALTER COLUMN NULLABILITY")
+        val i = fields.indexWhere(_.name.equalsIgnoreCase(col))
+        if (i < 0) throw new IllegalArgumentException(s"no such column: $col")
+        if (!un.nullable()) {
+          val i0 = schema0.fields.indexWhere(_.name.equalsIgnoreCase(col))
+          if (i0 >= 0 && MemTables.rowsOf(name).exists(_.isNullAt(i0)))
+            throw new IllegalStateException(
+              s"ALTER COLUMN $col SET NOT NULL: existing rows contain NULL")
+        }
+        fields = fields.updated(i, fields(i).copy(nullable = un.nullable()))
       case other => throw new UnsupportedOperationException(
         s"graft_mem: unsupported ALTER TABLE change: $other")
     }

@@ -107,10 +107,33 @@ object MemTables {
     snap(name)
   }
   def exists(name: String): Boolean = tables.contains(name)
+  /** NOT NULL enforcement (ALTER COLUMN SET NOT NULL, round 12): every
+    * committed mutation flows through install/installEpoch, so this one
+    * check covers INSERT, CoW rewrites, and the streaming sink. Rows
+    * arrive projected to the table's column order, so stored-schema
+    * ordinals line up. Throwing here aborts the commit — nothing is
+    * installed. */
+  private def checkNotNull(name: String, rows: Vector[InternalRow]): Unit =
+    tables.get(name).foreach { case (s, _) =>
+      val nn = s.fields.zipWithIndex.filter(p => !p._1.nullable)
+      if (nn.nonEmpty) rows.foreach { r =>
+        nn.foreach { case (f, i) =>
+          if (i < r.numFields && r.isNullAt(i))
+            throw new IllegalArgumentException(
+              s"NULL value in NOT NULL column ${f.name} of graft-mem table $name")
+        }
+      }
+    }
+
   def install(name: String, schema: StructType, rows: Vector[InternalRow], truncate: Boolean): Unit = {
+    checkNotNull(name, rows)
     tables.updateWith(name) {
       case Some((s, old)) if !truncate => Some((s, old ++ rows))
-      case _ => Some((schema, rows))
+      // truncate rewrite of an EXISTING table keeps the stored schema —
+      // the write schema carries the query's nullability, and adopting
+      // it would silently drop a SET NOT NULL on every CoW rewrite
+      case Some((s, _)) => Some((s, rows))
+      case None => Some((schema, rows))
     }
     snap(name)
   }

@@ -102,7 +102,7 @@ class TpchCatalog extends TableCatalog with SupportsNamespaces with FunctionCata
     throw new UnsupportedOperationException("graft_tpch tables are generated, not renameable")
 
   override def listNamespaces(): Array[Array[String]] =
-    Array(Array("tiny"), Array("sf1"))
+    Array(Array("tiny"), Array("sf0_1"), Array("sf1"))
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     if (namespace.isEmpty) listNamespaces()
     else throw new NoSuchNamespaceException(namespace.toSeq)
@@ -358,11 +358,19 @@ object TpchGen {
   }
 
   /** Reference getScaleFactor (TpchConnectorMetadata.cpp:61-67):
-    * `tiny` = 0.01, `sfN` = N (digits only). */
+    * `tiny` = 0.01, `sfN` = N (digits only). Fractional scales spell
+    * the decimal point as an underscore (`sf0_1` = 0.1) so the schema
+    * stays a plain SQL identifier — the bench's scale lane uses the
+    * exact-10× pair sf0_1 → sf1 to measure scaling inside one
+    * connector. */
   def scaleOf(schema: String): Option[Double] = schema.toLowerCase match {
     case "tiny" => Some(0.01)
     case s if s.length > 2 && s.startsWith("sf") && s.drop(2).forall(_.isDigit) =>
       Some(s.drop(2).toDouble)
+    case s if s.length > 2 && s.startsWith("sf") &&
+        s.drop(2).count(_ == '_') == 1 &&
+        s.drop(2).split('_').forall(p => p.nonEmpty && p.forall(_.isDigit)) =>
+      Some(s.drop(2).replace('_', '.').toDouble)
     case _ => None
   }
 
@@ -459,9 +467,23 @@ object TpchGen {
   private val TypeA = Array("STANDARD", "SMALL", "MEDIUM", "LARGE", "ECONOMY", "PROMO")
   private val TypeB = Array("ANODIZED", "BURNISHED", "PLATED", "POLISHED", "BRUSHED")
   private val TypeC = Array("TIN", "NICKEL", "BRASS", "STEEL", "COPPER")
+  /** The spec's full 92-word P_NAME vocabulary (clause 4.2.3 "colors"
+    * distribution) — p_name must draw from ALL of it or the LIKE-driven
+    * queries (q9 '%green%', q17/q20 'forest%') select nothing and
+    * measure nothing. */
   private val Colors = Array("almond", "antique", "aquamarine", "azure", "beige",
     "bisque", "black", "blanched", "blue", "blush", "brown", "burlywood",
-    "burnished", "chartreuse", "chiffon", "chocolate", "coral", "cornflower")
+    "burnished", "chartreuse", "chiffon", "chocolate", "coral", "cornflower",
+    "cornsilk", "cream", "cyan", "dark", "deep", "dim", "dodger", "drab",
+    "firebrick", "floral", "forest", "frosted", "gainsboro", "ghost",
+    "goldenrod", "green", "grey", "honeydew", "hot", "indian", "ivory",
+    "khaki", "lace", "lavender", "lawn", "lemon", "light", "lime", "linen",
+    "magenta", "maroon", "medium", "metallic", "midnight", "mint", "misty",
+    "moccasin", "navajo", "navy", "olive", "orange", "orchid", "pale",
+    "papaya", "peach", "peru", "pink", "plum", "powder", "puff", "purple",
+    "red", "rose", "rosy", "royal", "saddle", "salmon", "sandy", "seashell",
+    "sienna", "sky", "slate", "smoke", "snow", "spring", "steel", "tan",
+    "thistle", "tomato", "turquoise", "violet", "wheat", "white", "yellow")
 
   private val StartDate = java.time.LocalDate.of(1992, 1, 1).toEpochDay.toInt
   private val EndOrderDate = java.time.LocalDate.of(1998, 8, 2).toEpochDay.toInt
@@ -567,8 +589,9 @@ object TpchGen {
         case ("supplier", "s_comment") => (k, _) => s(comment(t, k, 6))
         case ("part", "p_partkey") => (k, _) => k
         case ("part", "p_name") => (k, _) =>
-          s(Colors((h(t, k, 1) % Colors.length).toInt) + " " +
-            Colors((h(t, k, 11) % Colors.length).toInt))
+          // spec: 5 distinct-position draws from the 92-word list
+          s((1 to 5).map(i => Colors((h(t, k, 20 + i) % Colors.length).toInt))
+            .mkString(" "))
         case ("part", "p_mfgr") => (k, _) => s("Manufacturer#" + (h(t, k, 2) % 5 + 1))
         case ("part", "p_brand") => (k, _) =>
           s("Brand#" + (h(t, k, 2) % 5 + 1) + (h(t, k, 3) % 5 + 1))
