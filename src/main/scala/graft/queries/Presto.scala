@@ -825,6 +825,44 @@ object Presto {
     """SELECT CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
        FROM orders WHERE o_orderkey < 50"""
 
+  /** ALTER TABLE constraint family (round 12, PrestoSql.g4:69-78):
+    * ALTER COLUMN SET NOT NULL enforced on the write path (a NULL
+    * insert is rejected and nothing commits), DROP NOT NULL re-admits
+    * NULLs, and ADD CONSTRAINT surfaces through SHOW CREATE TABLE. */
+  def notNull(s: SparkSession, d: String): DataFrame = {
+    PrestoRewriter.sql(s, d, "DROP TABLE IF EXISTS graft_mem.default.nn_t")
+    PrestoRewriter.sql(s, d,
+      """CREATE TABLE graft_mem.default.nn_t AS
+         SELECT o_orderkey AS k, o_orderpriority AS p FROM orders
+         WHERE o_orderkey < 20""")
+    PrestoRewriter.sql(s, d,
+      "ALTER TABLE graft_mem.default.nn_t ALTER COLUMN p SET NOT NULL")
+    val rejected =
+      try {
+        PrestoRewriter.sql(s, d,
+          "INSERT INTO graft_mem.default.nn_t VALUES (100, CAST(NULL AS VARCHAR))")
+        false
+      } catch { case _: Throwable => true }
+    PrestoRewriter.sql(s, d,
+      "ALTER TABLE graft_mem.default.nn_t ALTER COLUMN p DROP NOT NULL")
+    PrestoRewriter.sql(s, d,
+      "INSERT INTO graft_mem.default.nn_t VALUES (100, CAST(NULL AS VARCHAR))")
+    PrestoRewriter.sql(s, d,
+      "ALTER TABLE graft_mem.default.nn_t ADD CONSTRAINT nn_pk PRIMARY KEY (k)")
+    val ddl = PrestoRewriter.sql(s, d,
+      "SHOW CREATE TABLE graft_mem.default.nn_t").head().getString(0)
+    PrestoRewriter.sql(s, d,
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(count_if(p IS NULL) AS BIGINT) AS nulls,
+                 $rejected AS rejected,
+                 ${ddl.contains("nn_pk")} AS ddl_has_constraint
+          FROM graft_mem.default.nn_t""")
+  }
+  val notNullOracle: String =
+    """SELECT CAST(count(*) + 1 AS BIGINT) AS n, CAST(1 AS BIGINT) AS nulls,
+              true AS rejected, true AS ddl_has_constraint
+       FROM orders WHERE o_orderkey < 20"""
+
   /** Catalog browsing (round 11, PrestoSql.g4:131-137): SHOW TABLES
     * with Presto's SQL-LIKE pattern (ESCAPE included — Spark's native
     * SHOW TABLES is glob-based and cannot express an escaped `_`), and
@@ -1240,6 +1278,7 @@ object Presto {
     ("presto_quantified_corr", run(quantifiedCorrPresto) _, quantifiedCorrPresto),
     ("presto_sql_udf", sqlUdf _, sqlUdfOracle),
     ("presto_time_travel", timeTravel _, timeTravelOracle),
+    ("presto_not_null", notNull _, notNullOracle),
     ("presto_approx_frequent", run(approxFrequentPresto) _, approxFrequentOracle),
     ("presto_json_fns", run(jsonFnsPresto) _, jsonFnsOracle))
 }

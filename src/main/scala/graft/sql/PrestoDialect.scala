@@ -1088,6 +1088,30 @@ object PrestoDialect {
     * name, elements = raw element texts, suffix = text after ')'. */
   final case class CreateTableLikeStmt(prefix: String, elements: Seq[String],
       suffix: String) extends StatementAction
+  /** `ALTER TABLE t ADD [CONSTRAINT name] UNIQUE|PRIMARY KEY (cols)
+    * [quals]` (PrestoSql.g4:69-70, 600-615): recorded table metadata —
+    * Presto constraints are informational for the optimizer unless
+    * ENFORCED, and Spark has no engine-checked uniqueness either —
+    * surfaced through SHOW CREATE TABLE. `name` is None for the
+    * unnamed form (a system name is assigned). */
+  final case class AddConstraintStmt(table: String, name: Option[String],
+      spec: String) extends StatementAction
+  /** `ALTER TABLE t DROP CONSTRAINT [IF EXISTS] name`
+    * (PrestoSql.g4:71-72). */
+  final case class DropConstraintStmt(table: String, name: String,
+      ifExists: Boolean) extends StatementAction
+  /** `SHOW CREATE TABLE t` — Spark serves the DDL; recorded constraints
+    * are appended as ALTER TABLE statements so the output is the full
+    * recreate script. */
+  final case class ShowCreateTableStmt(name: String) extends StatementAction
+  /** `ALTER TABLE t ALTER [COLUMN] c SET NOT NULL` (PrestoSql.g4:73-74).
+    * Spark's analyzer rejects every nullable→non-nullable ALTER COLUMN
+    * (CheckAnalysis.checkAlterTableCommand) — Presto instead validates
+    * the data; this routes the change directly to the DSv2 catalog,
+    * whose alterTable checks existing rows. DROP NOT NULL needs no
+    * statement: Spark allows that direction and shares the spelling. */
+  final case class SetNotNullStmt(table: String, column: String)
+    extends StatementAction
 
   /** Qualified name starting at meaningful index i: (rendered, index of
     * the next meaningful token after it), or ("", i) if none. Parts are
@@ -1259,6 +1283,72 @@ object PrestoDialect {
                 case _ => None
               }
             }
+          case "table" =>
+            // ADD/DROP CONSTRAINT (PrestoSql.g4:69-72) and SET
+            // PROPERTIES (:77-78) are handled here; every other ALTER
+            // TABLE form (RENAME, ADD/DROP/RENAME COLUMN, ALTER COLUMN
+            // SET/DROP NOT NULL) shares Spark's spelling and passes
+            // through to the DSv2 catalog.
+            var j = nextM(toks, iK)
+            if (wordAt(toks, j) == "if") {
+              val iE = nextM(toks, j)
+              if (wordAt(toks, iE) != "exists") return None
+              j = nextM(toks, iE)
+            }
+            val (tbl, after) = qualifiedNameAt(toks, j)
+            if (tbl.isEmpty || after < 0) None
+            else wordAt(toks, after) match {
+              case "add" =>
+                val iC = nextM(toks, after)
+                wordAt(toks, iC) match {
+                  case "constraint" =>
+                    val (cname, rest) = qualifiedNameAt(toks, nextM(toks, iC))
+                    val spec = if (rest < 0) "" else render(toks.drop(rest)).trim
+                    if (cname.isEmpty || cname.contains(".") || spec.isEmpty) None
+                    else Some(AddConstraintStmt(tbl, Some(cname), spec))
+                  case "unique" | "primary" =>
+                    Some(AddConstraintStmt(tbl, None, render(toks.drop(iC)).trim))
+                  case _ => None // ADD COLUMN → Spark
+                }
+              case "drop" =>
+                val iC = nextM(toks, after)
+                if (wordAt(toks, iC) != "constraint") None // DROP COLUMN → Spark
+                else {
+                  var k = nextM(toks, iC)
+                  var ifExists = false
+                  if (wordAt(toks, k) == "if") {
+                    val iE = nextM(toks, k)
+                    if (wordAt(toks, iE) != "exists") return None
+                    ifExists = true; k = nextM(toks, iE)
+                  }
+                  val (cname, end) = qualifiedNameAt(toks, k)
+                  if (cname.isEmpty || cname.contains(".") || end >= 0) None
+                  else Some(DropConstraintStmt(tbl, cname, ifExists))
+                }
+              case "alter" =>
+                // ALTER [COLUMN] c SET NOT NULL → dialect statement;
+                // DROP NOT NULL and type/comment changes → Spark
+                var k = nextM(toks, after)
+                if (wordAt(toks, k) == "column") k = nextM(toks, k)
+                val (colName, rest) = qualifiedNameAt(toks, k)
+                if (colName.isEmpty || colName.contains(".") || rest < 0) None
+                else {
+                  val tail = render(toks.drop(rest)).trim
+                    .toLowerCase.replaceAll("\\s+", " ")
+                  if (tail == "set not null") Some(SetNotNullStmt(tbl, colName))
+                  else None
+                }
+              case "set" if wordAt(toks, nextM(toks, after)) == "properties" =>
+                // fail FAST with the actionable alternative, like the
+                // ACL family — Presto SET PROPERTIES mutates storage
+                // properties graft-mem tables don't carry
+                throw new UnsupportedOperationException(
+                  "ALTER TABLE ... SET PROPERTIES is not supported by the " +
+                    "graft engine: graft-mem tables carry no storage " +
+                    "properties; use ALTER TABLE ... SET TBLPROPERTIES on a " +
+                    "catalog that persists table properties")
+              case _ => None
+            }
           case _ => None
         }
       case "refresh" =>
@@ -1425,6 +1515,11 @@ object PrestoDialect {
             close > after && nextM(toks, close) < 0
           }) Some(ShowCreateFunctionStmt(name))
           else None
+        }
+        else if (wordAt(toks, iS).equalsIgnoreCase("create") &&
+            wordAt(toks, iF).equalsIgnoreCase("table")) {
+          val (name, after) = qualifiedNameAt(toks, nextM(toks, iF))
+          if (name.isEmpty || after >= 0) None else Some(ShowCreateTableStmt(name))
         }
         else if (wordAt(toks, iS).equalsIgnoreCase("tables"))
           fromClause(iF).flatMap { case (from, after) =>

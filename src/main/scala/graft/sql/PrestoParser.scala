@@ -301,6 +301,46 @@ class PrestoParser(session: SparkSession, delegate: ParserInterface)
           s"function not found: $name " +
             "(SHOW CREATE FUNCTION serves routines created via CREATE FUNCTION)"))
         delegate.parsePlan(s"SELECT ${litStr(text)} AS create_function")
+      case Some(PrestoDialect.SetNotNullStmt(table, column)) =>
+        // direct DSv2 route: the catalog validates existing rows and
+        // commits the nullability change (Spark's own ALTER COLUMN
+        // refuses the nullable→non-nullable direction wholesale)
+        import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+        val parts = delegate.parseMultipartIdentifier(table)
+        val (catName, ns, tbl) = parts match {
+          case Seq(c, n, t) => (c, n, t)
+          case _ => throw new UnsupportedOperationException(
+            s"ALTER COLUMN SET NOT NULL needs a catalog-qualified table " +
+              s"(catalog.schema.table), got: $table")
+        }
+        val cat = session.sessionState.catalogManager.catalog(catName) match {
+          case t: TableCatalog => t
+          case _ => throw new UnsupportedOperationException(
+            s"catalog $catName does not support ALTER TABLE")
+        }
+        cat.alterTable(Identifier.of(Array(ns), tbl),
+          TableChange.updateColumnNullability(Array(column), false))
+        delegate.parsePlan(s"SELECT ${litStr(column)} AS altered")
+      case Some(PrestoDialect.AddConstraintStmt(table, cname, spec)) =>
+        // table must resolve (errors with Spark's own message if not);
+        // the constraint is recorded metadata — see [[Constraints]]
+        session.table(table)
+        val n = Constraints.add(table, cname, spec)
+        delegate.parsePlan(s"SELECT ${litStr(n)} AS added_constraint")
+      case Some(PrestoDialect.DropConstraintStmt(table, cname, ifExists)) =>
+        session.table(table)
+        if (!Constraints.drop(table, cname) && !ifExists)
+          throw new IllegalArgumentException(
+            s"constraint not found: $cname on $table")
+        delegate.parsePlan(s"SELECT ${litStr(cname)} AS dropped_constraint")
+      case Some(PrestoDialect.ShowCreateTableStmt(name)) =>
+        val base = sparkSql(s"SHOW CREATE TABLE $name").head().getString(0)
+        val cons = Constraints.list(name)
+        val text =
+          if (cons.isEmpty) base
+          else base + "\n" + cons.map { case (n, s) =>
+            s"ALTER TABLE $name ADD CONSTRAINT $n $s;" }.mkString("\n")
+        delegate.parsePlan(s"SELECT ${litStr(text)} AS createtab_stmt")
       case Some(PrestoDialect.CreateTypeStmt(name, typeText)) =>
         // CREATE TYPE (PrestoSql.g4:80-82): expand references to
         // already-registered named types NOW, so registry values are

@@ -963,6 +963,50 @@ class PrestoDialectSpec extends SparkSpec {
     assert(q.getLong(0) > 0, q.toString)
   }
 
+  test("ALTER TABLE constraint family: SET/DROP NOT NULL, ADD/DROP CONSTRAINT, SET PROPERTIES (PrestoSql.g4:69-78)") {
+    graft.sql.Constraints.clear()
+    presto("DROP TABLE IF EXISTS graft_mem.default.con_t")
+    presto("CREATE TABLE graft_mem.default.con_t AS SELECT 1 AS a, 'x' AS b")
+    // SET NOT NULL commits; a NULL insert is rejected and nothing lands
+    presto("ALTER TABLE graft_mem.default.con_t ALTER COLUMN b SET NOT NULL")
+    val e1 = intercept[Exception] {
+      presto("INSERT INTO graft_mem.default.con_t VALUES (2, CAST(NULL AS VARCHAR))") }
+    assert(e1.getMessage.toLowerCase.contains("null"), e1.getMessage)
+    assert(presto("SELECT count(*) AS n FROM graft_mem.default.con_t").head().getLong(0) == 1)
+    // SET NOT NULL on a column with existing NULLs must refuse
+    presto("INSERT INTO graft_mem.default.con_t VALUES (3, 'y')")
+    presto("ALTER TABLE graft_mem.default.con_t ADD COLUMN c INT")
+    val e2 = intercept[Exception] {
+      presto("ALTER TABLE graft_mem.default.con_t ALTER COLUMN c SET NOT NULL") }
+    assert(e2.getMessage.contains("existing rows contain NULL"), e2.getMessage)
+    // DROP NOT NULL re-admits NULLs
+    presto("ALTER TABLE graft_mem.default.con_t ALTER COLUMN b DROP NOT NULL")
+    presto("INSERT INTO graft_mem.default.con_t VALUES (4, CAST(NULL AS VARCHAR), 7)")
+    assert(presto("SELECT count(*) AS n FROM graft_mem.default.con_t").head().getLong(0) == 3)
+    // constraints: named, unnamed (system name), SHOW CREATE surface
+    presto("ALTER TABLE graft_mem.default.con_t ADD CONSTRAINT con_pk PRIMARY KEY (a)")
+    presto("ALTER TABLE graft_mem.default.con_t ADD UNIQUE (b) NOT ENFORCED")
+    val ddl = presto("SHOW CREATE TABLE graft_mem.default.con_t").head().getString(0)
+    assert(ddl.contains("CREATE TABLE") && ddl.contains("con_pk") &&
+      ddl.contains("PRIMARY KEY (a)") && ddl.contains("UNIQUE (b)"), ddl)
+    val e3 = intercept[Exception] {
+      presto("ALTER TABLE graft_mem.default.con_t ADD CONSTRAINT con_pk UNIQUE (a)") }
+    assert(e3.getMessage.contains("already exists"), e3.getMessage)
+    // drop: named works, missing errors, IF EXISTS is quiet
+    presto("ALTER TABLE graft_mem.default.con_t DROP CONSTRAINT con_pk")
+    assert(!presto("SHOW CREATE TABLE graft_mem.default.con_t").head().getString(0)
+      .contains("con_pk"))
+    val e4 = intercept[Exception] {
+      presto("ALTER TABLE graft_mem.default.con_t DROP CONSTRAINT nope") }
+    assert(e4.getMessage.contains("constraint not found"), e4.getMessage)
+    presto("ALTER TABLE graft_mem.default.con_t DROP CONSTRAINT IF EXISTS nope")
+    // SET PROPERTIES fails fast with the actionable alternative
+    val e5 = intercept[UnsupportedOperationException] {
+      presto("ALTER TABLE graft_mem.default.con_t SET PROPERTIES (a = 'b')") }
+    assert(e5.getMessage.contains("SET TBLPROPERTIES"), e5.getMessage)
+    presto("DROP TABLE graft_mem.default.con_t")
+  }
+
   test("window functions as SQL text: OVER, named WINDOW, frames, IGNORE NULLS") {
     // Reference grammar PrestoSql.g4:504 (`OVER '('`). The rewriter must
     // leave the whole window surface untouched...
