@@ -576,6 +576,35 @@ object Presto {
        FROM orders
        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)"""
 
+  /** GROUPS window frame as dialect TEXT (round 12, PrestoSql.g4:
+    * 514-517): the rewriter routes `OVER (… GROUPS BETWEEN …)` to the
+    * dense_rank→RANGE lowering inside a wrapped subquery
+    * ([[graft.sql.PrestoDialect.rewriteGroupsFrame]]). Neither Spark
+    * nor DuckDB parses GROUPS, so the oracle spells the identity out
+    * explicitly — still an independent engine check of the values. */
+  val windowGroupsPresto: String =
+    """SELECT o_orderkey, o_orderpriority,
+         round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority
+           ORDER BY date_trunc('day', o_orderdate)
+           GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW), 2) AS gsum,
+         CAST(count(*) OVER (PARTITION BY o_orderpriority
+           ORDER BY date_trunc('day', o_orderdate)
+           GROUPS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS BIGINT) AS gcnt
+       FROM orders
+       WHERE o_orderkey < 2000"""
+  val windowGroupsOracle: String =
+    """WITH r AS (
+         SELECT o_orderkey, o_orderpriority, o_totalprice,
+                dense_rank() OVER (PARTITION BY o_orderpriority
+                  ORDER BY date_trunc('day', o_orderdate)) AS dr
+         FROM orders WHERE o_orderkey < 2000)
+       SELECT o_orderkey, o_orderpriority,
+         round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY dr
+           RANGE BETWEEN 1 PRECEDING AND CURRENT ROW), 2) AS gsum,
+         CAST(count(*) OVER (PARTITION BY o_orderpriority ORDER BY dr
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS BIGINT) AS gcnt
+       FROM r"""
+
   /** TRY around quantified comparisons (round-10 VERDICT #7): the CASE
     * lowering's operand evaluates inside TryEval, so a runtime error
     * (ANSI mod-by-zero here) yields NULL per row while clean rows get
@@ -1272,6 +1301,7 @@ object Presto {
     ("presto_set_ops", run(setOpsPresto) _, setOpsOracle),
     ("presto_grouping_sets", run(groupingSetsPresto) _, groupingSetsOracle),
     ("presto_window", run(windowPresto) _, windowOracle),
+    ("presto_window_groups", run(windowGroupsPresto) _, windowGroupsOracle),
     ("presto_try_quantified", run(tryQuantifiedPresto) _, tryQuantifiedOracle),
     ("presto_qdigest", run(qdigestPresto) _, qdigestOracle),
     ("presto_qdigest_merge", run(qdigestMergePresto) _, qdigestMergeOracle),

@@ -984,6 +984,123 @@ object PrestoDialect {
     else toks.zipWithIndex.collect { case (t, k) if !drop(k) => t }
   }
 
+  // ---------------------------------------- pass: GROUPS window frames
+  /** Presto `OVER (… GROUPS BETWEEN …)` as SQL text (PrestoSql.g4:
+    * 514-517). Neither Spark's nor DuckDB's grammar has GROUPS frames;
+    * the engine's DataFrame lowering ([[graft.operators.WindowOps
+    * .groupsFrame]]) rewrites GROUPS as a RANGE frame over the DENSE
+    * RANK of the ordering — peer rows share a dense-rank value, so
+    * "k groups back" is exactly "rank distance k". This pass performs
+    * the identical rewrite on text:
+    * {{{
+    *   SELECT …, agg(x) OVER (PARTITION BY p ORDER BY o GROUPS f) …
+    *   FROM rest [WHERE w] [tail]
+    * }}}
+    * becomes
+    * {{{
+    *   SELECT …, agg(x) OVER (PARTITION BY p ORDER BY __gdr RANGE f) …
+    *   FROM (SELECT *, dense_rank() OVER (PARTITION BY p ORDER BY o)
+    *         AS __gdr FROM rest [WHERE w]) __groups_frame [tail]
+    * }}}
+    * Two window passes over ONE shuffle (same partitioning) — still
+    * fully distributed. Supported shape (fails FAST otherwise, naming
+    * the DataFrame alternative): plain top-level SELECT, GROUPS
+    * windows only in its select list, no GROUP BY/HAVING/DISTINCT/set
+    * ops, and one shared (PARTITION BY, ORDER BY) across the GROUPS
+    * windows of the statement. */
+  private[sql] def rewriteGroupsFrame(toks: Vector[Tok]): Vector[Tok] = {
+    final case class G(open: Int, close: Int, part: String, order: String,
+        frame: String)
+    val found = mutable.ArrayBuffer.empty[(Int, G)]
+    var i = 0
+    while (i < toks.length) {
+      if (wordAt(toks, i).equalsIgnoreCase("over")) {
+        val open = nextM(toks, i)
+        if (open >= 0 && toks(open) == Sym("(")) {
+          val close = matchFwd(toks, open)
+          if (close > open) {
+            var depth = 0
+            var pPart = -1; var pOrder = -1; var pGroups = -1
+            var j = open + 1
+            while (j < close) {
+              toks(j) match {
+                case Sym("(") => depth += 1
+                case Sym(")") => depth -= 1
+                case w: Word if depth == 0 =>
+                  if (w.lower == "partition" && pPart < 0) pPart = j
+                  else if (w.lower == "order" && pOrder < 0) pOrder = j
+                  else if (w.lower == "groups" && pGroups < 0) pGroups = j
+                case _ => ()
+              }
+              j += 1
+            }
+            if (pGroups >= 0) {
+              if (pOrder < 0 || pOrder > pGroups)
+                throw new UnsupportedOperationException(
+                  "GROUPS window frame requires ORDER BY in the window")
+              val part =
+                if (pPart < 0) "" else render(toks.slice(pPart, pOrder)).trim
+              found += ((i, G(open, close, part,
+                render(toks.slice(pOrder, pGroups)).trim,
+                render(toks.slice(pGroups + 1, close)).trim)))
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    if (found.isEmpty) return toks
+    def unsupported(why: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"GROUPS window frame as SQL text: $why; the DataFrame lowering " +
+          "(graft.operators.WindowOps.groupsFrame) has no such restriction")
+    def norm(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
+    if (found.map { case (_, g) => (norm(g.part), norm(g.order)) }.distinct.length > 1)
+      unsupported("all GROUPS windows in one statement must share " +
+        "PARTITION BY and ORDER BY")
+    val i0 = nextM(toks, -1)
+    if (!wordAt(toks, i0).equalsIgnoreCase("select"))
+      unsupported("only a plain top-level SELECT is supported")
+    if (wordAt(toks, nextM(toks, i0)).equalsIgnoreCase("distinct"))
+      unsupported("SELECT DISTINCT is not supported")
+    var depth = 0
+    var fromIdx = -1; var innerEnd = -1
+    val stop = Set("order", "limit", "offset", "fetch")
+    val banned = Set("group", "having", "qualify", "union", "intersect", "except")
+    var j = i0 + 1
+    while (j < toks.length) {
+      toks(j) match {
+        case Sym("(") => depth += 1
+        case Sym(")") => depth -= 1
+        case w: Word if depth == 0 =>
+          if (w.lower == "from" && fromIdx < 0) fromIdx = j
+          else if (fromIdx >= 0 && innerEnd < 0 && stop(w.lower)) innerEnd = j
+          else if (innerEnd < 0 && banned(w.lower))
+            unsupported(s"${w.text.toUpperCase} is not supported around a GROUPS window")
+        case _ => ()
+      }
+      j += 1
+    }
+    if (fromIdx < 0) unsupported("a FROM clause is required")
+    if (innerEnd < 0) innerEnd = toks.length
+    if (found.exists(_._1 > fromIdx))
+      unsupported("GROUPS windows are supported in the top-level select list only")
+    val g0 = found.head._2
+    def partPrefix(g: G) = if (g.part.isEmpty) "" else g.part + " "
+    val sb = new StringBuilder
+    var pos = i0 + 1
+    for ((oi, g) <- found.sortBy(_._1)) {
+      sb.append(render(toks.slice(pos, oi)))
+      sb.append(s"OVER (${partPrefix(g)}ORDER BY __gdr RANGE ${g.frame})")
+      pos = g.close + 1
+    }
+    sb.append(render(toks.slice(pos, fromIdx)))
+    val inner = s"SELECT *, dense_rank() OVER (${partPrefix(g0)}${g0.order}) " +
+      s"AS __gdr ${render(toks.slice(fromIdx, innerEnd))}"
+    tokenize(s"SELECT ${sb.toString} FROM ($inner) __groups_frame " +
+      render(toks.slice(innerEnd, toks.length)))
+  }
+
   // --------------------------------- statement layer: PREPARE / EXECUTE
   /** Presto PREPARE / EXECUTE [USING …] / DEALLOCATE PREPARE
     * (AstStatements.h:340-374) parsed at the statement level — the
@@ -1809,7 +1926,8 @@ object PrestoDialect {
   private val passes: Seq[Vector[Tok] => Vector[Tok]] = Seq(
     rejectUnsupported, rewriteRoutineNullCall, rewriteTableVersion, rewriteCreateSchema,
     rewriteShowCreateView, rewriteDropFunction, rewriteDateAddUnit,
-    rewriteExplainOptions, rewriteAnalyze, rewriteViewSecurity, rewriteUnnestJoins,
+    rewriteExplainOptions, rewriteAnalyze, rewriteViewSecurity, rewriteGroupsFrame,
+    rewriteUnnestJoins,
     rewriteUserTypes, rewriteCastTypes,
     rewriteRowCtor, rewriteArrayBrackets, rewriteTry, rewriteTablesample, rewriteAtTimeZone,
     rewriteQuantifiedCmp, rewriteBareTypes, rewriteQuotedIdents)

@@ -1007,6 +1007,42 @@ class PrestoDialectSpec extends SparkSpec {
     presto("DROP TABLE graft_mem.default.con_t")
   }
 
+  test("GROUPS frames as SQL text lower to dense_rank→RANGE; unsupported shapes fail fast (PrestoSql.g4:514-517)") {
+    // identity vs the explicit two-pass spelling
+    val got = presto(
+      """SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority
+             ORDER BY date_trunc('day', o_orderdate)
+             GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW), 2) AS gsum
+         FROM orders WHERE o_orderkey < 500""")
+    val want = presto(
+      """WITH r AS (
+           SELECT o_orderkey, o_orderpriority, o_totalprice,
+                  dense_rank() OVER (PARTITION BY o_orderpriority
+                    ORDER BY date_trunc('day', o_orderdate)) AS dr
+           FROM orders WHERE o_orderkey < 500)
+         SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY dr
+             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW), 2) AS gsum
+         FROM r""")
+    assert(got.orderBy("o_orderkey").collect().toSeq ==
+      want.orderBy("o_orderkey").collect().toSeq)
+    // single-bound form, no partition, trailing ORDER BY/LIMIT survive
+    val single = presto(
+      """SELECT o_orderkey,
+           CAST(count(*) OVER (ORDER BY o_orderpriority GROUPS 1 PRECEDING) AS BIGINT) AS c
+         FROM orders WHERE o_orderkey < 50 ORDER BY o_orderkey LIMIT 5""")
+    assert(single.count() == 5)
+    // unsupported shapes name the DataFrame alternative
+    val e1 = intercept[UnsupportedOperationException] { presto(
+      """SELECT max(o_orderkey) OVER (ORDER BY o_orderpriority GROUPS 1 PRECEDING)
+         FROM orders GROUP BY o_orderpriority""") }
+    assert(e1.getMessage.contains("WindowOps.groupsFrame"), e1.getMessage)
+    val e2 = intercept[UnsupportedOperationException] { presto(
+      "SELECT count(*) OVER (GROUPS 1 PRECEDING) FROM orders") }
+    assert(e2.getMessage.contains("ORDER BY"), e2.getMessage)
+  }
+
   test("window functions as SQL text: OVER, named WINDOW, frames, IGNORE NULLS") {
     // Reference grammar PrestoSql.g4:504 (`OVER '('`). The rewriter must
     // leave the whole window surface untouched...
