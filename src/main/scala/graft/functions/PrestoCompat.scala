@@ -372,13 +372,14 @@ object PrestoCompat {
       if (es.length > 1) throw new IllegalArgumentException(
         "qdigest_agg: the weight/accuracy overloads are not supported")
       QuantileSketch.KllAgg(asDouble(es.head)).toAggregateExpression() },
-    // Presto tdigest_agg: same bounded-memory streaming-quantile
-    // contract; both sketch names share the KLL backing here, so
-    // value_at_quantile / quantile_at_value / merge read either.
+    // Presto tdigest_agg (round 12 — REAL t-digest, Dunning & Ertl via
+    // datasketches TDigestDouble, no longer a KLL alias): accuracy
+    // concentrates at the tails; value_at_quantile / quantile_at_value
+    // / merge dispatch on the serialized family id and read either.
     "tdigest_agg" -> { es: Seq[Expression] =>
       if (es.length > 1) throw new IllegalArgumentException(
         "tdigest_agg: the weight overload is not supported")
-      QuantileSketch.KllAgg(asDouble(es.head)).toAggregateExpression() },
+      QuantileSketch.TDigestAgg(asDouble(es.head)).toAggregateExpression() },
     "value_at_quantile" -> { es: Seq[Expression] =>
       QuantileSketch.ValueAtQuantile(es(0), asDouble(es(1))) },
     // Presto JSON family (round 11): JSON is VARCHAR-backed here, so

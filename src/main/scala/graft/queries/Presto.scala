@@ -663,6 +663,28 @@ object Presto {
               round(min(CASE WHEN cd >= 0.9 THEN v END), 2) AS p90m
        FROM r"""
 
+  /** Real t-digest (round 12, Dunning & Ertl): min/max are EXACT
+    * (getQuantile(0)/(1) return the tracked extremes), interior
+    * quantiles are interpolated — oracled as closed-form exactness plus
+    * tolerance booleans over a deterministic 1..1000 sequence; the
+    * merge() path unions per-group partials back to the exact max. */
+  val tdigestPresto: String =
+    """WITH src AS (SELECT CAST(o_orderkey AS DOUBLE) AS x FROM orders
+                    WHERE o_orderkey BETWEEN 1 AND 1000),
+         parts AS (SELECT CAST(x AS BIGINT) % 4 AS g, tdigest_agg(x) AS td
+                   FROM src GROUP BY CAST(x AS BIGINT) % 4)
+       SELECT round(value_at_quantile(td, 0.0), 2) AS q_min,
+              round(value_at_quantile(td, 1.0), 2) AS q_max,
+              abs(value_at_quantile(td, 0.5) - 500.5) < 25.0 AS median_ok,
+              abs(value_at_quantile(td, 0.999) - 999.0) < 2.0 AS tail_ok,
+              abs(quantile_at_value(td, 100.0) - 0.1) < 0.005 AS rank_ok,
+              (SELECT round(value_at_quantile(merge(td), 1.0), 2)
+               FROM parts) AS merged_max
+       FROM (SELECT tdigest_agg(x) AS td FROM src) s"""
+  val tdigestOracle: String =
+    """SELECT 1.0 AS q_min, 1000.0 AS q_max, true AS median_ok,
+              true AS tail_ok, true AS rank_ok, 1000.0 AS merged_max"""
+
   /** CORRELATED quantified comparisons (round 11): the same CASE-over-
     * scalar-aggregates lowering, with the correlation left inside the
     * spliced subqueries — Spark's subquery decorrelation turns each into
@@ -1305,6 +1327,7 @@ object Presto {
     ("presto_try_quantified", run(tryQuantifiedPresto) _, tryQuantifiedOracle),
     ("presto_qdigest", run(qdigestPresto) _, qdigestOracle),
     ("presto_qdigest_merge", run(qdigestMergePresto) _, qdigestMergeOracle),
+    ("presto_tdigest", run(tdigestPresto) _, tdigestOracle),
     ("presto_quantified_corr", run(quantifiedCorrPresto) _, quantifiedCorrPresto),
     ("presto_sql_udf", sqlUdf _, sqlUdfOracle),
     ("presto_time_travel", timeTravel _, timeTravelOracle),

@@ -931,6 +931,47 @@ class FunctionParitySpec extends SparkSpec {
     assert(sh.getInt(0) == -4 && sh.getLong(1) == 9223372036854775804L, sh.toString)
   }
 
+  test("tdigest_agg is a real t-digest: tail accuracy beats the KLL backing; merge dispatches") {
+    import graft.sql.PrestoRewriter
+    // deterministic heavy-tailed data: u^8 stretches the upper tail so
+    // tail accuracy is actually exercised (200k values >> both sketches'
+    // capacities — the approximate regime)
+    val df = spark.range(1, 200001).selectExpr(
+      "pow(abs(hash(id)) / 2147483647.0, 8) * 1e6 AS x")
+    df.createOrReplaceTempView("td_src")
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    val r = p("""SELECT value_at_quantile(tdigest_agg(x), 0.999) AS td999,
+                        value_at_quantile(qdigest_agg(x), 0.999) AS kll999,
+                        value_at_quantile(tdigest_agg(x), 0.001) AS td001
+                 FROM td_src""")
+    // exact rank of each estimate, from the data itself
+    val n = 200000L
+    def rankOf(v: Double): Double =
+      df.filter(s"x <= $v").count().toDouble / n
+    val tdErr = math.abs(rankOf(r.getDouble(0)) - 0.999)
+    val kllErr = math.abs(rankOf(r.getDouble(1)) - 0.999)
+    // t-digest concentrates centroids at the tails: rank error at
+    // q0.999 stays inside 2e-4 and beats (or matches) KLL's
+    assert(tdErr < 2e-4, s"tdigest q0.999 rank error $tdErr")
+    assert(tdErr <= kllErr + 1e-6, s"tdigest $tdErr vs KLL $kllErr at q0.999")
+    assert(math.abs(rankOf(r.getDouble(2)) - 0.001) < 2e-4,
+      s"tdigest q0.001 rank ${rankOf(r.getDouble(2))}")
+    // merge() family dispatch: t-digest partials union; mixing families errors
+    val m = p("""SELECT value_at_quantile(merge(s), 1.0) AS mx
+                 FROM (SELECT tdigest_agg(x) AS s FROM td_src
+                       GROUP BY CAST(x * 1e4 AS BIGINT) % 7) t""")
+    val exactMax = df.agg(org.apache.spark.sql.functions.max("x")).head().getDouble(0)
+    assert(math.abs(m.getDouble(0) - exactMax) < 1e-9, m.toString)
+    val e = intercept[Exception] {
+      p("""SELECT merge(s) FROM (
+             SELECT tdigest_agg(x) AS s FROM td_src
+             UNION ALL
+             SELECT qdigest_agg(x) FROM td_src) t""") }
+    assert(e.getMessage.contains("mixed sketch families") ||
+      Option(e.getCause).exists(_.getMessage.contains("mixed sketch families")),
+      e.getMessage)
+  }
+
   test("round-12 edge pins: base32 embedded padding, negative nanos floor, bad weight, all-null digest") {
     import graft.sql.PrestoRewriter
     def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
