@@ -618,7 +618,7 @@ object PrestoCompat {
       case b: Array[Byte] =>
         // sketch-family dispatch on the serialized preamble: Theta
         // (make_set_digest) vs HLL (approx_set)
-        if (SetDigest.isThetaFamily(b)) SetDigest.estimate(b)
+        if (SetDigest.isSetDigest(b) || SetDigest.isThetaFamily(b)) SetDigest.estimate(b)
         else Math.round(org.apache.datasketches.hll.HllSketch.heapify(
           org.apache.datasketches.memory.Memory.wrap(b)).getEstimate)
       case a: org.apache.spark.sql.catalyst.util.ArrayData => a.numElements()

@@ -302,6 +302,7 @@ object Registry {
       "merge_set_digest" -> FnMeta("merge_set_digest", isAggregate = true, cost = 2.0),
       "intersection_cardinality" -> FnMeta("intersection_cardinality", cost = 4.0),
       "jaccard_index" -> FnMeta("jaccard_index", cost = 4.0),
+      "hash_counts" -> FnMeta("hash_counts", cost = 2.0),
       // round-11: IP-address family + array tail (NetFns builders)
       "ip_prefix" -> FnMeta("ip_prefix", cost = 4.0),
       "ip_subnet_min" -> FnMeta("ip_subnet_min", cost = 4.0),

@@ -1163,6 +1163,34 @@ object Presto {
          round(inter / CAST(card + (SELECT count(*) FROM urgent) - inter AS DOUBLE), 9) AS jac
        FROM stats"""
 
+  /** hash_counts (round 12): the MinHash register dump is
+    * hash-valued (implementation-specific keys), so the oracle pins the
+    * value-side invariants — register count = distinct values, total
+    * count = row count, max count = the hottest value's multiplicity —
+    * and that merge_set_digest SUMS counts across partials. */
+  val hashCountsPresto: String =
+    """WITH d AS (SELECT make_set_digest(o_custkey) AS sd
+                  FROM orders WHERE o_orderkey < 500),
+         m AS (SELECT merge_set_digest(sd) AS sd FROM (
+                 SELECT make_set_digest(o_custkey) AS sd FROM orders
+                 WHERE o_orderkey < 500 GROUP BY o_orderkey % 3) p)
+       SELECT CAST(cardinality(hash_counts(d.sd)) AS BIGINT) AS nh,
+              CAST(reduce(map_values(hash_counts(d.sd)), 0,
+                          (s, x) -> s + x, s -> s) AS BIGINT) AS total,
+              CAST(array_max(map_values(hash_counts(d.sd))) AS BIGINT) AS maxc,
+              CAST(reduce(map_values(hash_counts(m.sd)), 0,
+                          (s, x) -> s + x, s -> s) AS BIGINT) AS total_merged
+       FROM d CROSS JOIN m"""
+  val hashCountsOracle: String =
+    """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS nh,
+              CAST(count(*) AS BIGINT) AS total,
+              CAST(max(c) AS BIGINT) AS maxc,
+              CAST(count(*) AS BIGINT) AS total_merged
+       FROM orders, (SELECT max(cnt) AS c FROM (
+              SELECT count(*) AS cnt FROM orders WHERE o_orderkey < 500
+              GROUP BY o_custkey) g) mx
+       WHERE o_orderkey < 500"""
+
   /** URL-safe base64 round-trip and the 3-arg date_add (round 11):
     * DuckDB replays base64url by character-mapping its padded to_base64
     * and day addition as date arithmetic. */
@@ -1286,6 +1314,7 @@ object Presto {
     ("presto_ip_fns", run(ipFnsPresto) _, ipFnsOracle),
     ("presto_numeric_histogram", run(numericHistogramPresto) _, numericHistogramOracle),
     ("presto_set_digest", run(setDigestPresto) _, setDigestOracle),
+    ("presto_hash_counts", run(hashCountsPresto) _, hashCountsOracle),
     ("presto_codec_fns", run(codecFnsPresto) _, codecFnsOracle),
     ("presto_table_like", tableLike _, tableLikeOracle),
     ("presto_digest_fns", run(digestFnsPresto) _, digestFnsOracle),
