@@ -182,22 +182,51 @@ object Streams {
     * the append-mode [[tumbling]] whose watermark bounds state. */
   /** Session clone for the drained-replay entries. Streaming state-store
     * count follows spark.sql.shuffle.partitions, and every store pays
-    * checkpoint+commit machinery per micro-batch — for these
-    * small-state replays 8 partitions cuts wall time ~3x (measured
-    * 10.8 s -> 3.5 s for the interval join at sf0.1) with identical
-    * output (DifferentialSpec pins partition-independence). An
-    * unbounded deployment sizes partitions to STATE VOLUME instead —
-    * this is the knob, not a different design. */
-  private def streamingSession(spark: SparkSession): SparkSession = {
+    * checkpoint+commit machinery per micro-batch — so partitions must
+    * track STATE VOLUME, not core count (the round-10→11 3× wall cut
+    * came from exactly this). Round 12: the count is DERIVED at query
+    * build from the entry's estimated distinct state keys — one
+    * partition per ~2048 keys (~256 KB of store at a ~128 B/key state
+    * row), clamped to [4, session shuffle partitions] so tiny states
+    * don't collapse below task parallelism and huge states still
+    * spread across the cluster's configured width.
+    * SPARK_GRAFT_STREAM_PARTITIONS overrides (DifferentialSpec pins
+    * partition-independence of the OUTPUT). */
+  private val KeysPerStatePartition = 8192L // ~1 MB of store at ~128 B/key
+  private val MinStatePartitions = 8 // task-parallelism floor (r11's tuned value)
+  private def streamingSession(spark: SparkSession,
+      estimatedStateKeys: => Long): SparkSession = {
     val s = spark.newSession()
-    s.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    val n = sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse {
+      val cap = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val keys = math.max(1L, estimatedStateKeys)
+      val derived = ((keys + KeysPerStatePartition - 1) / KeysPerStatePartition).toInt
+      math.max(math.min(MinStatePartitions, cap), math.min(cap, derived))
+    }
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
     s
   }
 
+  /** State-key estimate with a cheap short-circuit: the parquet
+    * metadata ROW count upper-bounds distinct keys, so when it already
+    * sits under the floor×target product the distinct scan is skipped
+    * entirely — the estimate only pays a real scan when it can change
+    * the answer. */
+  private val keysCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def eventsStateKeys(outer: SparkSession, sfDir: String, kind: String)(
+      distinctEst: DataFrame => Long): Long =
+    keysCache.getOrElseUpdate(s"$sfDir#$kind", {
+      val rows = outer.read.parquet(s"$sfDir/events.parquet").count()
+      if (rows <= MinStatePartitions * KeysPerStatePartition) rows
+      else distinctEst(graft.Catalog.load(outer, sfDir, "events"))
+    })
+
   def tumblingStreamedEntry(outer: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val spark = streamingSession(outer)
+    // state keys = live (window × event_type) groups
+    val spark = streamingSession(outer, eventsStateKeys(outer, sfDir, "tumbling")(ev =>
+      ev.select(approx_count_distinct(
+        struct(date_trunc("hour", col("ts")), col("event_type")))).head().getLong(0)))
     // The file source streams a DIRECTORY; events.parquet is a single
     // file, so stream the sf dir with a glob pinned to it. Same
     // ts normalization Catalog.load applies (schema-only dispatch, so it
@@ -239,7 +268,9 @@ object Streams {
     */
   def sessionsStreamedEntry(outer: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val spark = streamingSession(outer)
+    // state keys = open sessions, bounded by distinct users
+    val spark = streamingSession(outer, eventsStateKeys(outer, sfDir, "sessions")(ev =>
+      ev.select(approx_count_distinct(col("user_id"))).head().getLong(0)))
     import spark.implicits._
     val ev = graft.Catalog.load(spark, sfDir, "events")
       .select(col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -286,7 +317,10 @@ object Streams {
     * the batch interval join, which DuckDB replays as SQL. */
   def joinStreamedEntry(outer: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val spark = streamingSession(outer)
+    // interval joins buffer ROWS inside the watermark bound, not keyed
+    // aggregates — the build side's row count is the state estimate
+    val spark = streamingSession(outer, eventsStateKeys(outer, sfDir, "join")(ev =>
+      ev.filter(col("event_type") === "click").count()))
     val ev = graft.Catalog.load(spark, sfDir, "events")
       .select(col("ts"), col("user_id"), col("event_type"), col("value"))
     val stage = new java.io.File(
