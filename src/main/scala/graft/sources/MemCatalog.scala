@@ -166,6 +166,9 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val existed = tableExists(ident)
     MemTables.drop(key(ident))
+    // recorded constraints die with the table — a recreate must not
+    // inherit the old table's SHOW CREATE surface
+    graft.sql.Constraints.clearTable(s"$catalogName.${key(ident)}")
     existed
   }
 

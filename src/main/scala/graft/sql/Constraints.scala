@@ -44,6 +44,9 @@ object Constraints {
   def list(table: String): Vector[(String, String)] =
     byTable.getOrElse(key(table), Vector.empty)
 
+  /** Drop every constraint of one table (DROP TABLE hygiene). */
+  def clearTable(table: String): Unit = { byTable.remove(key(table)); () }
+
   /** Test isolation. */
   def clear(): Unit = byTable.clear()
 }

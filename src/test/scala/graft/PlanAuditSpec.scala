@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     // the quantifier's subquery — bounded here (≤50-row broadcast
     // side); the filter-position NOT IN (subq_not_in) stays a
     // null-aware broadcast HASH join and is deliberately unlisted.
-    "presto_quantified")
+    "presto_quantified",
+    "presto_hash_counts")     // 1×1 cross of two single-row digest aggregates
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans no unintended cartesian") {

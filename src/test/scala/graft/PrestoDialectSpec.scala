@@ -1004,6 +1004,11 @@ class PrestoDialectSpec extends SparkSpec {
     val e5 = intercept[UnsupportedOperationException] {
       presto("ALTER TABLE graft_mem.default.con_t SET PROPERTIES (a = 'b')") }
     assert(e5.getMessage.contains("SET TBLPROPERTIES"), e5.getMessage)
+    // constraints die with the table: a recreate starts clean
+    presto("DROP TABLE graft_mem.default.con_t")
+    presto("CREATE TABLE graft_mem.default.con_t AS SELECT 1 AS a")
+    assert(!presto("SHOW CREATE TABLE graft_mem.default.con_t")
+      .head().getString(0).contains("UNIQUE"))
     presto("DROP TABLE graft_mem.default.con_t")
   }
 
