@@ -202,8 +202,37 @@ object TextStats {
     .filter(col("nd") >= 2)
     .select(col("h"))
 
-  def dupSpansOver(docs: DataFrame): DataFrame = {
-    val anchors = anchorsOver(docs)
+  /** Materialize the anchor stream ONCE (eager localCheckpoint — the
+    * repo's compute-once idiom, as in [[Ann]]/[[Corpus]]) for a body that
+    * consumes it on BOTH sides of the census join: without it Catalyst
+    * re-runs the whole extraction (one ascii() per position plus an md5
+    * per anchoring position, over every document) for the [[dupHashes]]
+    * aggregate AND the join-back — at these entries the extraction, not
+    * the shuffles, dominates. The body's result (per-document rows or
+    * per-document span arrays — always #docs-bounded, never pos-level) is
+    * checkpointed too so the anchor blocks can be released before
+    * returning. Blocks are partition-local MEMORY_AND_DISK: the same
+    * trade a 100 TB run makes, since the join already shuffles the full
+    * anchor stream and recomputing the extraction costs two CPU passes
+    * over the entire corpus text. The skew-safe groupBy census (partial
+    * countDistinct) is kept — a window-over-h would put a boilerplate
+    * hash shared by millions of documents on one task. */
+  private def withAnchors(docs: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val anchors = anchorsOver(docs).localCheckpoint(true)
+    val result = body(anchors).localCheckpoint(true)
+    val now = sc.getPersistentRDDs
+    val created = now.keySet -- before
+    if (created.nonEmpty) {
+      val keep = created.max // the result checkpoint: created last
+      created.filter(_ != keep).foreach(id =>
+        now.get(id).foreach(_.unpersist(blocking = false)))
+    }
+    result
+  }
+
+  def dupSpansOver(docs: DataFrame): DataFrame = withAnchors(docs) { anchors =>
     anchors.join(dupHashes(anchors).withColumn("is_dup", lit(1)), Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_anchors"),
@@ -224,8 +253,7 @@ object TextStats {
     * Only documents that contain duplicated spans appear. */
   def dupSpanExcise(t: Tables): DataFrame = dupSpanExciseOver(t.documents)
 
-  def dupSpanExciseOver(docs: DataFrame): DataFrame = {
-    val anchors = anchorsOver(docs)
+  def dupSpanExciseOver(docs: DataFrame): DataFrame = withAnchors(docs) { anchors =>
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     anchors.join(dupHashes(anchors), "h")
       .withColumn("prev", lag(col("pos"), 1).over(wOrd))
@@ -253,9 +281,10 @@ object TextStats {
   def dupSpanCut(t: Tables): DataFrame = dupSpanCutOver(t.documents)
 
   def dupSpanCutOver(docs: DataFrame): DataFrame = {
-    val anchors = anchorsOver(docs)
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val spans = anchors.join(dupHashes(anchors), "h")
+    // Only the #docs-bounded span arrays pass through the checkpoint —
+    // the corpus-sized stitched output stays lazy.
+    val spans = withAnchors(docs) { anchors => anchors.join(dupHashes(anchors), "h")
       .withColumn("prev", lag(col("pos"), 1).over(wOrd))
       .withColumn("new_isl",
         when(col("prev").isNull || col("pos") - col("prev") > GramK - 1, 1).otherwise(0))
@@ -265,6 +294,7 @@ object TextStats {
       .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(GramK - 1)).as("e"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("spans"))
+    }
     docs.join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("spans").isNull, col("text")).otherwise(expr(
