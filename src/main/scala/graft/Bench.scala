@@ -223,6 +223,15 @@ object Bench {
           runScale("sf10", all22, 1) // full 100× sweep (opt-in, ~3-4 min)
         else runScale("sf10",
           all22.filter(p => p._1 == "tpch_q1" || p._1 == "tpch_q6"), 1)
+      // 1000× the correctness-test data (lineitem ~600M generated rows,
+      // zero storage): the two scan-bound queries again. Partial-final
+      // aggregation keeps state tiny, so this measures pure generate+
+      // scan+filter throughput at a scale no parquet fixture reaches.
+      // Guarded by the same lane budget; SPARK_GRAFT_TPCH_SF100=off.
+      val sf100 =
+        if (sys.env.get("SPARK_GRAFT_TPCH_SF100").contains("off")) Map.empty[String, Double]
+        else runScale("sf100",
+          all22.filter(p => p._1 == "tpch_q1" || p._1 == "tpch_q6"), 1)
       // Plan fingerprints at sf1 (the verdict's "times + plans in the
       // artifact"): operator counts from the resolved physical plan —
       // scan/exchange/broadcast-join/sort-merge-join — enough to audit
@@ -258,10 +267,12 @@ object Bench {
       val slJson = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
       laneFull = s""","tpch_sf01":${m2j(sf01)},"tpch_sf1":${m2j(sf1)},""" +
         s""""tpch_scale_ratio":${m2j(scaleRatio)},"tpch_superlinear":$slJson,""" +
-        s""""tpch_sf10_spot":${m2j(sf10)},"tpch_sf1_plans":$plansJson"""
+        s""""tpch_sf10_spot":${m2j(sf10)},"tpch_sf100_spot":${m2j(sf100)},""" +
+        s""""tpch_sf1_plans":$plansJson"""
       laneCompact = s""","tpch_sf01_total":${fmt(sf01.values.sum)},""" +
         s""""tpch_sf1_total":${fmt(sf1.values.sum)},""" +
-        s""""tpch_superlinear":$slJson,"tpch_sf10_spot":${m2j(sf10)}"""
+        s""""tpch_superlinear":$slJson,"tpch_sf10_spot":${m2j(sf10)},""" +
+        s""""tpch_sf100_spot":${m2j(sf100)}"""
       System.err.println(s"[bench] lane totals: sf0_1=${fmt(sf01.values.sum)}s " +
         s"sf1=${fmt(sf1.values.sum)}s superlinear=${superlinear.mkString(",")}")
     }
