@@ -400,8 +400,101 @@ object Dedup {
        WHERE a.vec_id < b.vec_id
          AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"""
 
+  // -------------------------------------- incremental (delta-vs-base)
+  /** Incremental corpus admission — the production dedup shape at 100 TB:
+    * each new crawl (DELTA) is admitted against the existing training
+    * corpus (BASE) without ever re-comparing base×base (re-deduping a
+    * 100 TB corpus per crawl is the cost this op exists to avoid). Here
+    * base = even doc_id, delta = odd — a deterministic split of
+    * `documents` so the DuckDB oracle reproduces it exactly.
+    *
+    * A delta doc is REJECTED with reason `exact` when its 256-bit content
+    * digest already exists in base (the semi-join shuffles 32-byte
+    * digests, never text; on a shuffle join Spark's runtime bloom-filter
+    * injection prunes the delta side before the exchange — the
+    * ship-a-bloom-not-the-corpus pattern), else `near` when 3-gram
+    * shingle Jaccard ≥ 0.8 with any base doc. Near candidates come from
+    * the SAME 64-permutation / 16-band MinHash signature as
+    * [[neardupMinhash]] — delta band buckets joined to base band buckets
+    * ONLY (an operational pipeline keeps the base bucket stream
+    * materialized between crawls, making a crawl's cost O(delta), not
+    * O(corpus)) — and are confirmed with exact Jaccard, so precision
+    * is 1. Evidence column `base_id` = the smallest matching base doc;
+    * reason precedence exact > near. Admitted delta docs simply don't
+    * appear (the verdict list is rejection-sized, not corpus-sized). */
+  def dedupIncremental(t: Tables): DataFrame = {
+    NativeExprs.ensureRegistered(t.spark)
+    val docs = docsSpread(t)
+    val exact = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), sha2(col("text"), 256).as("dg"))
+      .join(docs.filter(col("doc_id") % 2 === 0)
+        .select(sha2(col("text"), 256).as("dg"), col("doc_id").as("b_id")), "dg")
+      .groupBy(col("doc_id")).agg(min(col("b_id")).as("base_id"))
+      .withColumn("reason", lit("exact"))
+    val sh = shingled(t)
+    val sig = sh.select(col("doc_id"),
+      call_function("graft_minhash", col("shingles")).as("sig"))
+      .repartition(t.spark.sparkContext.defaultParallelism)
+    val bands = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)), j =>
+        hash(slice(col("sig"), j * Rows + 1, lit(Rows)), j))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val cands = bands.filter(col("doc_id") % 2 === 1).as("x")
+      .join(bands.filter(col("doc_id") % 2 === 0).as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("b_id"))
+      .dropDuplicates("doc_id", "b_id")
+    val near = cands
+      .join(sh.select(col("doc_id"), col("shingles").as("sh_d")), "doc_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), "b_id")
+      .filter(jaccard(col("sh_d"), col("sh_b")) >= 0.8)
+      .groupBy(col("doc_id")).agg(min(col("b_id")).as("base_id"))
+      .withColumn("reason", lit("near"))
+    // Precedence exact > near ('exact' sorts first); the window runs over
+    // per-doc groups of at most two verdict rows.
+    exact.unionByName(near)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("reason"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("reason"), col("base_id"))
+  }
+  val dedupIncrementalSql: String =
+    """WITH ex AS (
+         SELECT d.doc_id, min(b.doc_id) AS base_id, 'exact' AS reason
+         FROM documents d JOIN documents b
+           ON d.text = b.text AND d.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         GROUP BY d.doc_id),
+       toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+       ), sh AS (
+         SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w)-1)]) AS shingles
+         FROM toks WHERE len(w) >= 3
+       ), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       exd AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       inter AS (
+         SELECT a.doc_id AS doc_id, b.doc_id AS b_id, count(*) AS i
+         FROM exd a JOIN exd b ON a.s = b.s
+         WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         GROUP BY 1, 2),
+       nr AS (
+         SELECT i.doc_id, min(i.b_id) AS base_id, 'near' AS reason
+         FROM inter i
+         JOIN sizes sa ON sa.doc_id = i.doc_id
+         JOIN sizes sb ON sb.doc_id = i.b_id
+         WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.8
+         GROUP BY i.doc_id),
+       allr AS (SELECT * FROM ex UNION ALL SELECT * FROM nr)
+       SELECT doc_id, reason, base_id
+       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY reason) AS rk
+             FROM allr) z
+       WHERE rk = 1"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("dedup_exact", dedupExact _, dedupExactSql),
+    ("dedup_incremental", dedupIncremental _, dedupIncrementalSql),
     ("dedup_keep_best", dedupKeepBest _, dedupKeepBestSql),
     ("neardup_jaccard", neardupJaccard _, neardupOracleSql),
     ("neardup_jaccard_prefix", neardupJaccardPrefix _, neardupOracleSql),

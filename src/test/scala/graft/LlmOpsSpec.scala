@@ -30,6 +30,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(sh == truth, s"missing=${truth -- sh} extra=${sh -- truth}")
   }
 
+  test("incremental admission agrees with exact layer + ground-truth near pairs") {
+    val got = Dedup.dedupIncremental(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byText = docs.groupBy(_._2)
+    val exact = (for {
+      (id, tx) <- docs if id % 2 == 1
+      bases = byText(tx).map(_._1).filter(_ % 2 == 0)
+      if bases.nonEmpty
+    } yield (id, "exact", bases.min)).toSet
+    val truthPairs = Dedup.neardupJaccard(tables).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exactIds = exact.map(_._1)
+    val near = (truthPairs ++ truthPairs.map(_.swap)).toSeq
+      .filter { case (d, b) => d % 2 == 1 && b % 2 == 0 && !exactIds.contains(d) }
+      .groupBy(_._1).map { case (d, xs) => (d, "near", xs.map(_._2).min) }.toSet
+    assert(got == exact ++ near,
+      s"missing=${(exact ++ near) -- got} extra=${got -- (exact ++ near)}")
+  }
+
   test("IVF ANN recall@5 >= 0.9 vs brute force") {
     def topk(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("q_id", "neighbor_id").collect()
