@@ -19,6 +19,7 @@ object ScalingReport {
   private val ops: Seq[(String, String)] = Seq(
     ("tpch_q10", "~linear (scan + broadcast dims + agg)"),
     ("dedup_exact", "linear (digest shuffle)"),
+    ("dedup_incremental", "linear: digest semi-join + delta-vs-base LSH buckets"),
     ("neardup_minhash", "~linear (banded buckets + verify)"),
     ("neardup_jaccard", "documented naive exact tier (ground truth)"),
     ("neardup_jaccard_prefix", "~linear (prefix-filtered index)"),
@@ -39,6 +40,8 @@ object ScalingReport {
     ("text_dup_span_excise", "same anchors + per-doc window"),
     ("text_dup_span_cut", "excision islands + per-doc stitch join"),
     ("stream_tumbling", "bounded replay: micro-batch stream, complete-mode agg"),
+    ("stream_sessions", "replay + sentinel flush; state = open sessions only"),
+    ("stream_join", "stream-stream join; state bounded by watermark ranges"),
     ("layout_zorder_indexed_read", "write: range shuffle; read: manifest-pruned scan"),
     ("mm_decode_features", "linear (per-row PNG codec, no shuffle)"),
     ("mm_frame_sample", "linear in sampled frames (positions exploded first)"),

@@ -1,0 +1,86 @@
+package graft.tools
+
+import graft.Sessions
+import graft.streaming.Streams
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming scale-evidence harness — the streaming tier's analogue of
+  * the TPC-H generator lane (bench/SCALING_TPCH.md): MEASURE the
+  * watermark-bounded-state claim instead of arguing it from operator
+  * shape. Generates deterministic synthetic event corpora at 1×/10×/100×
+  * the sf0.1 events volume (rows AND distinct users scale together, so
+  * per-entry state — live windows, open sessions, buffered join rows —
+  * scales with the corpus, exercising the round-12 state-partition
+  * derivation at sizes the fixed parquet fixtures never reach), then
+  * runs the three drained-replay streaming entries end-to-end and prints
+  * the decade-ratio table recorded in SCALING_STREAM.md.
+  *
+  * The synthetic corpus mirrors the real `events` table: same 6-column
+  * schema, same 5-type domain, uniform 30-day window, value in [0, 560).
+  * All columns derive from hash(event_id) — no RNG state, so re-runs and
+  * re-generations are bit-identical. Each corpus is written as a single
+  * `events.parquet` FILE (the tumbling entry's file-source glob matches
+  * the file name), built once and cached under target/stream_scale/.
+  *
+  * Wall times include each entry's own replay staging (the sessions
+  * entry re-stages events + sentinels per run by design) — these are
+  * end-to-end drained-replay numbers, not kernel times.
+  */
+object StreamScale {
+
+  private val BaseRows = 100000L // sf0.1 events volume
+  private val BaseUsers = 1500L
+
+  private def genEvents(spark: SparkSession, n: Long, dir: java.io.File): Unit = {
+    val f = new java.io.File(dir, "events.parquet")
+    if (f.exists()) return
+    dir.mkdirs()
+    val types = array(lit("signup"), lit("purchase"), lit("view"), lit("click"), lit("error"))
+    val df = spark.range(BaseRows * n).select(
+      col("id").as("event_id"),
+      expr("timestampadd(SECOND, pmod(hash(id, 7), 2592000), timestamp'2024-01-01 00:00:00')")
+        .as("ts"),
+      pmod(hash(col("id"), lit(13)), lit(BaseUsers * n)).cast("long").as("user_id"),
+      element_at(types, (pmod(hash(col("id"), lit(29)), lit(5)) + 1).cast("int"))
+        .as("event_type"),
+      (pmod(hash(col("id"), lit(31)), lit(56021)) / lit(100.0)).as("value"),
+      concat(lit("{\"k\":"), (col("id") % 100).cast("string"), lit("}")).as("props"))
+    val w = new java.io.File(dir, "w_events")
+    df.repartition(1).write.mode("overwrite").parquet(w.getPath)
+    val part = w.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, f.toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(w)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.builder(master = "local[32]", appName = "graft-stream-scale")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val scales = Seq(1L, 10L, 100L)
+    val dirs = scales.map { n =>
+      val d = new java.io.File(s"/root/repo/target/stream_scale/x$n")
+      genEvents(spark, n, d)
+      n -> d.getPath
+    }
+    val reps = Map(1L -> 2, 10L -> 2, 100L -> 1)
+    val rows = Streams.entries.map { case (name, fn, _) =>
+      val times = dirs.map { case (n, dir) =>
+        (1 to reps(n)).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[stream-scale] x$n%-4d $name%-16s $dt%7.2f s")
+          dt
+        }.min
+      }
+      (name, times)
+    }
+    println("| entry | 1x (100k ev / 1.5k users) | 10x | 100x (10M ev / 150k users) | 1->10 ratio | 10->100 ratio |")
+    println("|---|---|---|---|---|---|")
+    rows.foreach { case (n, ts) =>
+      println(f"| $n | ${ts(0)}%.2f | ${ts(1)}%.2f | ${ts(2)}%.2f | ${ts(1) / ts(0)}%.1fx | ${ts(2) / ts(1)}%.1fx |")
+    }
+    spark.stop()
+  }
+}
