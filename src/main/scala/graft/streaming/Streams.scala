@@ -279,24 +279,53 @@ object Streams {
       s"/root/repo/target/stream_sessions/${java.util.UUID.randomUUID().toString.take(8)}")
     val inDir = new java.io.File(stage, "in")
     inDir.mkdirs()
-    def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
+    val base = System.currentTimeMillis()
+    // Stage the source file ITSELF: events.parquet is a single file by
+    // the fixture contract (the tumbling entry's file-source glob relies
+    // on the same), so staging the corpus is one file COPY. The previous
+    // coalesce(1) rewrite was a single-task pass over the whole corpus —
+    // at 100x replay volume (tools/StreamScale) it dominated the replay
+    // wall clock. The stream applies the same schema-dispatched ts
+    // normalization the batch reader uses; sentinels are built against
+    // the RAW schema (ts may be a nanos long under the fixture's
+    // TIMESTAMP(NANOS) encoding).
+    val src = new java.io.File(sfDir, "events.parquet")
+    val evDst = new java.io.File(inDir, "000_events.parquet")
+    java.nio.file.Files.copy(src.toPath, evDst.toPath)
+    evDst.setLastModified(base)
+    val rawSchema = spark.read.parquet(src.getPath).schema
+    def stageSentinel(daysAhead: Int, name: String, mtime: Long): Unit = {
+      val sentinelMs = maxTs.getTime + daysAhead * 86400000L
+      val tsRaw: Any = rawSchema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => sentinelMs * 1000000L // ms -> ns
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          java.time.LocalDateTime.ofInstant(
+            java.time.Instant.ofEpochMilli(sentinelMs), java.time.ZoneOffset.UTC)
+        case _ => new Timestamp(sentinelMs)
+      }
+      val row = org.apache.spark.sql.Row.fromSeq(rawSchema.fields.toSeq.map(_.name match {
+        case "ts" => tsRaw
+        case "user_id" => -1L
+        case "event_type" => "sentinel"
+        case "value" => 0.0
+        case "event_id" => -1L
+        case _ => null
+      }))
       val w = new java.io.File(stage, s"w_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(w.getPath)
+      spark.createDataFrame(java.util.Collections.singletonList(row), rawSchema)
+        .coalesce(1).write.mode("overwrite").parquet(w.getPath)
       val part = w.listFiles().filter(_.getName.endsWith(".parquet")).head
       val dst = new java.io.File(inDir, s"$name.parquet")
       java.nio.file.Files.copy(part.toPath, dst.toPath)
       dst.setLastModified(mtime)
     }
-    val base = System.currentTimeMillis()
-    def sentinel(daysAhead: Int): DataFrame =
-      Seq((new Timestamp(maxTs.getTime + daysAhead * 86400000L), -1L, "sentinel", 0.0))
-        .toDF("ts", "user_id", "event_type", "value")
-    stageFile(ev, "000_events", base)
-    stageFile(sentinel(3), "001_flush", base + 10000)
-    stageFile(sentinel(4), "002_flush", base + 20000)
-    val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(inDir.getPath)
+    stageSentinel(3, "001_flush", base + 10000)
+    stageSentinel(4, "002_flush", base + 20000)
+    val stream = graft.Catalog.normalizeEventsTs(
+      spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir.getPath))
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[Event]
     val out = sessions(stream)
     val name = "graft_stream_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
