@@ -200,31 +200,37 @@ object Dedup {
   private val Bands = 16
   private val Rows = NumPerm / Bands // 4
 
-  def neardupMinhash(t: Tables): DataFrame = {
-    NativeExprs.ensureRegistered(t.spark)
-    val sh = shingled(t) // already token-filtered: no doc has empty shingles
-    // 64-wide MinHash signature via the native kernel (one compiled
-    // k-by-n loop per row; the same logic as nested transform/array_min
-    // HOFs evaluates interpreted and was 40x slower at sf0.1).
-    // The repartition is an OPTIMIZATION BARRIER as much as a spread:
-    // without it CollapseProject inlines graft_minhash into the band
-    // generator's lambda, re-evaluating the 64-permutation signature per
-    // BAND (16x per doc — measured 8.2 s vs 2.3 s warm at sf0.1). An
-    // exchange of 5k (id, 512B sig) rows is noise; recomputing
-    // signatures 16x at 100 TB is not.
+  /** 64-wide MinHash signature + 16-band bucket stream (doc_id, band,
+    * bh), shared by the symmetric near-dup join and the incremental
+    * delta-vs-base join. Signature via the native kernel (one compiled
+    * k-by-n loop per row; the same logic as nested transform/array_min
+    * HOFs evaluates interpreted and was 40x slower at sf0.1).
+    * The repartition is an OPTIMIZATION BARRIER as much as a spread:
+    * without it CollapseProject inlines graft_minhash into the band
+    * generator's lambda, re-evaluating the 64-permutation signature per
+    * BAND (16x per doc — measured 8.2 s vs 2.3 s warm at sf0.1). An
+    * exchange of 5k (id, 512B sig) rows is noise; recomputing
+    * signatures 16x at 100 TB is not.
+    * Bucket key = (band index, hash of the band's 4-row slice) — only
+    * same-bucket docs ever meet in a join. The banded stream carries
+    * ONLY (doc_id, band, bh): exploding with the shingle array attached
+    * would push 16 copies of every doc's array through the bucket
+    * shuffle — at 100 TB that 16x's the exchange for data the join
+    * never reads. */
+  private def bandedSignatures(t: Tables, sh: DataFrame): DataFrame = {
     val sig = sh.select(col("doc_id"),
       call_function("graft_minhash", col("shingles")).as("sig"))
       .repartition(t.spark.sparkContext.defaultParallelism)
-    // Band the signature: bucket key = (band index, hash of the band's
-    // 4-row slice). Only same-bucket docs ever meet in the join. The
-    // banded stream carries ONLY (doc_id, band, bh): exploding with the
-    // shingle array attached would push 16 copies of every doc's array
-    // through the bucket shuffle — at 100 TB that 16x's the exchange for
-    // data the join never reads.
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(Bands - 1)), j =>
         hash(slice(col("sig"), j * Rows + 1, lit(Rows)), j))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+  }
+
+  def neardupMinhash(t: Tables): DataFrame = {
+    NativeExprs.ensureRegistered(t.spark)
+    val sh = shingled(t) // already token-filtered: no doc has empty shingles
+    val bands = bandedSignatures(t, sh)
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -432,13 +438,7 @@ object Dedup {
       .groupBy(col("doc_id")).agg(min(col("b_id")).as("base_id"))
       .withColumn("reason", lit("exact"))
     val sh = shingled(t)
-    val sig = sh.select(col("doc_id"),
-      call_function("graft_minhash", col("shingles")).as("sig"))
-      .repartition(t.spark.sparkContext.defaultParallelism)
-    val bands = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)), j =>
-        hash(slice(col("sig"), j * Rows + 1, lit(Rows)), j))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val bands = bandedSignatures(t, sh)
     val cands = bands.filter(col("doc_id") % 2 === 1).as("x")
       .join(bands.filter(col("doc_id") % 2 === 0).as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))

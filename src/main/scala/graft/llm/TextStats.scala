@@ -219,17 +219,21 @@ object TextStats {
     * hash shared by millions of documents on one task. */
   private def withAnchors(docs: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val sc = docs.sparkSession.sparkContext
+    // Ownership is PRECISE: the ids snapshotted around the one persist
+    // call this method makes are the only ids it ever releases — never a
+    // free-everything-but-the-max keyset diff, which under a concurrent
+    // persist could release a foreign caller's blocks or this call's own
+    // lineage-truncated result. The try/finally releases the pos-level
+    // anchor blocks even when the body fails; the small result
+    // checkpoint is left to Spark's ContextCleaner, which unpersists it
+    // once the returned frame becomes unreachable (bench reps and specs
+    // drop it right after their action).
     val before = sc.getPersistentRDDs.keySet
     val anchors = anchorsOver(docs).localCheckpoint(true)
-    val result = body(anchors).localCheckpoint(true)
-    val now = sc.getPersistentRDDs
-    val created = now.keySet -- before
-    if (created.nonEmpty) {
-      val keep = created.max // the result checkpoint: created last
-      created.filter(_ != keep).foreach(id =>
-        now.get(id).foreach(_.unpersist(blocking = false)))
-    }
-    result
+    val anchorIds = sc.getPersistentRDDs.keySet -- before
+    try body(anchors).localCheckpoint(true)
+    finally anchorIds.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
   }
 
   def dupSpansOver(docs: DataFrame): DataFrame = withAnchors(docs) { anchors =>

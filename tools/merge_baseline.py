@@ -32,8 +32,13 @@ for p in paths:
             continue
         if k not in base:
             base[k] = round(v, 3); added.add(k)
-        elif k in lower and v < base[k]:
-            base[k] = round(v, 3); lowered.add(k)
+        elif (k in lower or k in added) and v < base[k]:
+            # entries added by an earlier run in THIS invocation keep
+            # taking the min across all given runs (first-observation
+            # floor = min, as documented); pre-existing floors only move
+            # for the explicitly named code-change entries
+            base[k] = round(v, 3)
+            (lowered if k in lower else added).add(k)
 json.dump(dict(sorted(base.items())), open(BASE, "w"), indent=1)
 print(f"{len(base)} entries; {len(added)} added, {len(lowered)} lowered")
 for k in sorted(added | lowered):
