@@ -37,11 +37,23 @@ object StreamScale {
     if (f.exists()) return
     dir.mkdirs()
     val types = array(lit("signup"), lit("purchase"), lit("view"), lit("click"), lit("error"))
+    // Burst-structured timestamps: each event lands in one of its user's
+    // 8 activity bursts (burst start = a hash-chosen hour of the 30-day
+    // window; offset within burst <= 20 min). ~8 events per (user,
+    // burst) at every scale -> mean in-burst gap ~145 s, far under the
+    // 1800 s session gap, so sessions are MULTI-EVENT (~8 sessions/user)
+    // and the sessionization fold does real work. Uniform timestamps
+    // would make nearly every event its own session: the drained replay
+    // would then buffer O(events) rows in the memory sink and measure
+    // driver materialization instead of the state machine.
+    val users = BaseUsers * n
     val df = spark.range(BaseRows * n).select(
       col("id").as("event_id"),
-      expr("timestampadd(SECOND, pmod(hash(id, 7), 2592000), timestamp'2024-01-01 00:00:00')")
-        .as("ts"),
-      pmod(hash(col("id"), lit(13)), lit(BaseUsers * n)).cast("long").as("user_id"),
+      expr(s"""timestampadd(SECOND,
+               pmod(hash(pmod(hash(id, 13), ${users}L), pmod(hash(id, 43), 8)), 720) * 3600
+                 + pmod(hash(id, 41), 1200),
+               timestamp'2024-01-01 00:00:00')""").as("ts"),
+      pmod(hash(col("id"), lit(13)), lit(users)).cast("long").as("user_id"),
       element_at(types, (pmod(hash(col("id"), lit(29)), lit(5)) + 1).cast("int"))
         .as("event_type"),
       (pmod(hash(col("id"), lit(31)), lit(56021)) / lit(100.0)).as("value"),
