@@ -48,9 +48,13 @@ object Ann {
   }
 
   // ------------------------------------------------- brute-force top-k
-  def annBruteforce(t: Tables): DataFrame = {
+  def annBruteforce(t: Tables): DataFrame = annBruteforce(t, NQueries)
+
+  /** `nQueries` generalization for the scale harness (tools/AnnScale):
+    * the registered entry keeps the fixed probe set. */
+  private[graft] def annBruteforce(t: Tables, nQueries: Long): DataFrame = {
     val v = prepped(t)
-    val q = v.filter(col("vec_id") < NQueries)
+    val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"))
     val scored = broadcast(q).crossJoin(v)
       .filter(col("q_id") =!= col("vec_id"))
@@ -210,9 +214,15 @@ object Ann {
     * registered with the brute-force oracle as a hash-checked proof of
     * the IVF partition/probe plumbing, while the approximate default
     * stays recall-gated in LlmOpsSpec. */
-  def annIvf(t: Tables, nProbe: Int): DataFrame = {
+  def annIvf(t: Tables, nProbe: Int): DataFrame = annIvf(t, nProbe, NQueries, CbK)
+
+  /** `nQueries`/`nLists` generalization for the scale harness
+    * (tools/AnnScale): production IVF sizes the codebook with the corpus
+    * (~sqrt N lists); the registered entries keep the fixture-sized
+    * 16-list codebook and fixed probe set. */
+  private[graft] def annIvf(t: Tables, nProbe: Int, nQueries: Long, nLists: Int): DataFrame = {
     val v = prepped(t)
-    val cents = trainCodebook(v)
+    val cents = trainCodebook(v, nLists)
     // Assign every vector to its NAssign nearest centroids → replicated
     // inverted lists (multi-assign; see [[NAssign]]).
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
@@ -222,7 +232,7 @@ object Ann {
       .filter(col("arank") <= NAssign)
       .select(col("c_id").as("list_id"), col("vec_id"), col("e"), col("norm"))
     // Each query probes its nProbe nearest lists only.
-    val q = v.filter(col("vec_id") < NQueries)
+    val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"))
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_id"))
     val probes = q.crossJoin(broadcast(cents))
