@@ -1066,6 +1066,26 @@ object Presto {
          o_orderpriority AS rt
        FROM orders WHERE o_orderkey < 200"""
 
+  /** `U&'…'` unicode string literals (round 13, PrestoSql.g4:434,906-907):
+    * default `\` escape in 4-digit (BMP) and 6-digit (`\+`, astral) forms,
+    * the doubled-escape and doubled-quote edges, and a custom `UESCAPE`
+    * escape char — all decoded by the dialect into plain Spark literals.
+    * The oracle spells the decoded strings directly. */
+  val unicodeLiteralPresto: String =
+    """SELECT o_orderkey,
+         U&'Hej \0041\0042!' AS s1,
+         U&'snow \2603 smile \+01F600' AS s2,
+         U&'it''s a \\ backslash' AS s3,
+         U&'bang !0043 pair !+01F601 self !!' UESCAPE '!' AS s4
+       FROM orders WHERE o_orderkey < 50"""
+  val unicodeLiteralOracle: String =
+    """SELECT o_orderkey,
+         'Hej AB!' AS s1,
+         'snow ' || chr(9731) || ' smile ' || chr(128512) AS s2,
+         'it''s a \ backslash' AS s3,
+         'bang C pair ' || chr(128513) || ' self !' AS s4
+       FROM orders WHERE o_orderkey < 50"""
+
   /** ALTER TABLE family on graft-mem (round 11, PrestoSql.g4:50-57):
     * ADD COLUMN (null-filled), RENAME COLUMN, DROP COLUMN, RENAME TO —
     * schema evolution as committed mutations on the DSv2 store, with
@@ -1323,6 +1343,7 @@ object Presto {
     ("presto_dist_fns", run(distFnsPresto) _, distFnsOracle),
     ("presto_map_fns", run(mapFnsPresto) _, mapFnsOracle),
     ("presto_unicode_fns", run(unicodeFnsPresto) _, unicodeFnsOracle),
+    ("presto_unicode_literal", run(unicodeLiteralPresto) _, unicodeLiteralOracle),
     ("presto_transaction", transaction _, transactionOracle),
     ("presto_show_tables", showTables _, showTablesOracle),
     ("presto_token_stats", run(tokenStatsPresto) _, tokenStatsOracle),

@@ -867,6 +867,84 @@ object PrestoDialect {
     * and CALL are likewise out of scope (README matrix); they already
     * fail in Spark's parser. Materialized views are IMPLEMENTED
     * (round 11, [[MatViews]]) and handled at the statement layer. */
+  /** `U&'…'` unicode string literals with optional `UESCAPE 'x'`
+    * (PrestoSql.g4:434,906-907 #unicodeStringLiteral): decode the
+    * 4-digit `\XXXX` and 6-digit `\+XXXXXX` escape forms (a doubled
+    * escape char denotes the char itself; `''` is still a quote) into a
+    * plain Spark string literal. Runs first so every later pass sees an
+    * ordinary [[Str]] token. Malformed escapes fail fast with the
+    * offending literal named rather than leaking `U&` to Spark's parser. */
+  private[sql] def rewriteUnicodeLiterals(toks: Vector[Tok]): Vector[Tok] = {
+    def fail(lit: String, why: String): Nothing =
+      throw new IllegalArgumentException(
+        s"invalid U&'…' unicode string literal $lit: $why")
+    def decode(raw: String, esc: Char): String = {
+      // raw includes the surrounding quotes; undo the '' doubling first.
+      val body = raw.substring(1, raw.length - 1).replace("''", "'")
+      val sb = new StringBuilder
+      var i = 0
+      while (i < body.length) {
+        val c = body.charAt(i)
+        if (c != esc) { sb.append(c); i += 1 }
+        else if (i + 1 < body.length && body.charAt(i + 1) == esc) {
+          sb.append(esc); i += 2
+        } else {
+          val (digits, skip) =
+            if (i + 1 < body.length && body.charAt(i + 1) == '+') (6, 2) else (4, 1)
+          val hex = body.substring(math.min(i + skip, body.length),
+            math.min(i + skip + digits, body.length))
+          if (hex.length < digits || !hex.forall(h => Character.digit(h, 16) >= 0))
+            fail(raw, s"expected $digits hex digits after '$esc'" +
+              (if (skip == 2) "+" else "") + s" at offset $i")
+          val cp = Integer.parseInt(hex, 16)
+          if (!Character.isValidCodePoint(cp))
+            fail(raw, s"\\+$hex is not a valid code point")
+          sb.appendAll(Character.toChars(cp))
+          i += skip + digits
+        }
+      }
+      sb.toString
+    }
+    // Re-escape for Spark's parser (and this tokenizer): '' for quotes,
+    // \\ for backslashes; everything else rides through as raw UTF-8.
+    def sparkLit(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < toks.length) {
+      val isU = toks(i) match {
+        case w: Word => w.lower == "u" && i + 2 < toks.length &&
+          toks(i + 1) == Sym("&") && toks(i + 2).isInstanceOf[Str]
+        case _ => false
+      }
+      if (!isU) { out += toks(i); i += 1 }
+      else {
+        val lit = toks(i + 2).text
+        var next = i + 3
+        var esc = '\\'
+        val jU = nextM(toks, i + 2)
+        if (jU >= 0 && wordAt(toks, jU) == "uescape") {
+          val jS = nextM(toks, jU)
+          toks.lift(jS) match {
+            case Some(Str(et)) =>
+              val e = et.substring(1, et.length - 1).replace("''", "'")
+              if (e.length != 1) fail(lit, s"UESCAPE '$e' must be a single character")
+              val ec = e.charAt(0)
+              if (Character.digit(ec, 16) >= 0 || ec == '\'' || ec == '+' || ec == '"' ||
+                  Character.isWhitespace(ec))
+                fail(lit, s"UESCAPE '$e' may not be a hex digit, quote, '+', or whitespace")
+              esc = ec
+              next = jS + 1
+            case _ => fail(lit, "UESCAPE must be followed by a quoted escape character")
+          }
+        }
+        out += Str(sparkLit(decode(lit, esc)))
+        i = next
+      }
+    }
+    out.result()
+  }
+
   private[sql] def rejectUnsupported(toks: Vector[Tok]): Vector[Tok] = {
     val i0 = nextM(toks, -1)
     val h = wordAt(toks, i0).toLowerCase
@@ -1924,7 +2002,7 @@ object PrestoDialect {
 
   // -------------------------------------------------------------- entry
   private val passes: Seq[Vector[Tok] => Vector[Tok]] = Seq(
-    rejectUnsupported, rewriteRoutineNullCall, rewriteTableVersion, rewriteCreateSchema,
+    rewriteUnicodeLiterals, rejectUnsupported, rewriteRoutineNullCall, rewriteTableVersion, rewriteCreateSchema,
     rewriteShowCreateView, rewriteDropFunction, rewriteDateAddUnit,
     rewriteExplainOptions, rewriteAnalyze, rewriteViewSecurity, rewriteGroupsFrame,
     rewriteUnnestJoins,

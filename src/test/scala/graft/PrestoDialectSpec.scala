@@ -1048,6 +1048,31 @@ class PrestoDialectSpec extends SparkSpec {
     assert(e2.getMessage.contains("ORDER BY"), e2.getMessage)
   }
 
+  test("U&'…' unicode literals: 4/6-digit escapes, UESCAPE, edges (PrestoSql.g4:434,906)") {
+    // default \ escape: BMP (4 hex) and astral (\+ 6 hex) forms
+    assert(presto("SELECT U&'A\\0042\\+01F600' AS s").head.getString(0) == "AB😀")
+    // doubled escape char = the char itself; doubled quote = quote
+    assert(presto("SELECT U&'back\\\\slash it''s' AS s").head.getString(0) == "back\\slash it's")
+    // UESCAPE picks a custom escape char; \ becomes an ordinary char then
+    assert(presto("SELECT U&'x!0041 y!! z\\' UESCAPE '!' AS s").head.getString(0) == "xA y! z\\")
+    // the literal composes with string functions downstream
+    assert(presto("SELECT length(U&'\\2603\\2603') AS n").head.getInt(0) == 2)
+    // malformed escapes fail fast with the literal named, not a Spark ParseException
+    val e1 = intercept[IllegalArgumentException] { PrestoDialect.transform("SELECT U&'\\00ZZ'") }
+    assert(e1.getMessage.contains("hex digits"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      PrestoDialect.transform("SELECT U&'a' UESCAPE 'ab'") }
+    assert(e2.getMessage.contains("single character"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      PrestoDialect.transform("SELECT U&'a' UESCAPE 'f'") }
+    assert(e3.getMessage.contains("hex digit"), e3.getMessage)
+    // out-of-range code point rejected
+    val e4 = intercept[IllegalArgumentException] { PrestoDialect.transform("SELECT U&'\\+FFFFFF'") }
+    assert(e4.getMessage.contains("code point"), e4.getMessage)
+    // a plain identifier starting with u is untouched
+    assert(t("SELECT u.a FROM users u") == "SELECT u.a FROM users u")
+  }
+
   test("window functions as SQL text: OVER, named WINDOW, frames, IGNORE NULLS") {
     // Reference grammar PrestoSql.g4:504 (`OVER '('`). The rewriter must
     // leave the whole window surface untouched...
