@@ -617,10 +617,20 @@ object PrestoCompat {
     override def nullSafeEval(v: Any): Any = v match {
       case b: Array[Byte] =>
         // sketch-family dispatch on the serialized preamble: Theta
-        // (make_set_digest) vs HLL (approx_set)
+        // (make_set_digest) vs HLL (approx_set). Anything else — e.g. a
+        // Presto/airlift-serialized SetDigest or HLL — is a different,
+        // non-interchangeable wire format and is rejected by name.
         if (SetDigest.isSetDigest(b) || SetDigest.isThetaFamily(b)) SetDigest.estimate(b)
-        else Math.round(org.apache.datasketches.hll.HllSketch.heapify(
-          org.apache.datasketches.memory.Memory.wrap(b)).getEstimate)
+        else if (b.length > 2 && (b(2) & 0xff) == org.apache.datasketches.common.Family.HLL.getID)
+          Math.round(org.apache.datasketches.hll.HllSketch.heapify(
+            org.apache.datasketches.memory.Memory.wrap(b)).getEstimate)
+        else throw new IllegalArgumentException(
+          "cardinality: not a graft sketch binary — expected a 'GS'-framed " +
+            "set digest, a DataSketches Theta COMPACT, or a DataSketches HLL " +
+            s"(family id at preamble byte 2; got ${
+              if (b.length > 2) "byte " + (b(2) & 0xff) else s"a ${b.length}-byte input"
+            }). Presto's SetDigest/HLL wire formats are different and " +
+            "non-interchangeable — re-aggregate with make_set_digest/approx_set.")
       case a: org.apache.spark.sql.catalyst.util.ArrayData => a.numElements()
       case m: org.apache.spark.sql.catalyst.util.MapData => m.numElements()
     }

@@ -39,19 +39,33 @@ import org.apache.spark.sql.types._
   */
 object QuantileSketch {
 
-  private def heapifyKll(bytes: Array[Byte]): KllDoublesSketch =
-    try KllDoublesSketch.heapify(Memory.wrap(bytes))
-    catch {
-      case e: Exception => throw new IllegalArgumentException(
-        "expected a qdigest_agg (KLL) sketch binary", e)
-    }
+  /** Wire-format honesty (round 13): graft sketches serialize in the
+    * Apache DataSketches layout (family id at preamble byte 2). Presto's
+    * qdigest/tdigest are airlift-serialized — a DIFFERENT, non-
+    * interchangeable byte format — so foreign bytes are rejected with
+    * the divergence named instead of being misparsed. */
+  private def wireError(fn: String, family: String, bytes: Array[Byte],
+                        cause: Exception = null): Nothing =
+    throw new IllegalArgumentException(
+      s"not a graft $fn binary: expected the Apache DataSketches $family wire format" +
+      s" (family id at preamble byte 2; got byte ${
+        if (bytes.length > 2) (bytes(2) & 0xff).toString else s"<${bytes.length}-byte input>"
+      }). Presto/airlift $fn serialization is a different, non-interchangeable format —" +
+      s" re-aggregate with $fn over the raw values, or merge only graft-produced sketches.",
+      cause)
 
-  private def heapifyTd(bytes: Array[Byte]): TDigestDouble =
+  private def heapifyKll(bytes: Array[Byte]): KllDoublesSketch = {
+    if (bytes.length <= 2 || (bytes(2) & 0xff) != Family.KLL.getID)
+      wireError("qdigest_agg", "KLL", bytes)
+    try KllDoublesSketch.heapify(Memory.wrap(bytes))
+    catch { case e: Exception => wireError("qdigest_agg", "KLL", bytes, e) }
+  }
+
+  private def heapifyTd(bytes: Array[Byte]): TDigestDouble = {
+    if (!isTDigest(bytes)) wireError("tdigest_agg", "TDIGEST", bytes)
     try TDigestDouble.heapify(Memory.wrap(bytes))
-    catch {
-      case e: Exception => throw new IllegalArgumentException(
-        "expected a tdigest_agg sketch binary", e)
-    }
+    catch { case e: Exception => wireError("tdigest_agg", "TDIGEST", bytes, e) }
+  }
 
   /** Datasketches preamble byte 2 is the family id across HLL/KLL/
     * t-digest — the dispatch key for readers and merge() over untyped
@@ -176,7 +190,9 @@ object QuantileSketch {
       catch {
         case e: Exception => throw new IllegalArgumentException(
           "merge: unrecognized sketch binary; supported: HyperLogLog " +
-            "(approx_set) and KLL quantile (qdigest_agg) sketches", e)
+            "(approx_set) and KLL quantile (qdigest_agg) sketches in the " +
+            "Apache DataSketches wire format. Presto/airlift sketch " +
+            "serialization is not interchangeable — re-aggregate here.", e)
       }
 
     private def addHll(s: SketchUnionState, bytes: Array[Byte]): Unit = {

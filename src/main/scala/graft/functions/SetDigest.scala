@@ -65,12 +65,23 @@ object SetDigest {
   def isThetaFamily(bytes: Array[Byte]): Boolean =
     bytes.length > 2 && (bytes(2) & 0xff) == 3
 
-  private def heapifyTheta(bytes: Array[Byte]): CompactSketch =
+  /** Wire-format honesty (round 13): graft set digests are the 'GS'-framed
+    * Theta + MinHash-counts composite (or a raw DataSketches Theta
+    * COMPACT binary). Presto's SetDigest serializes MinHash + HLL bytes —
+    * a different, non-interchangeable format — so foreign preambles are
+    * rejected with the divergence named instead of being misparsed. */
+  private def heapifyTheta(bytes: Array[Byte]): CompactSketch = {
+    def fail(cause: Exception): Nothing = throw new IllegalArgumentException(
+      "not a graft set digest binary: expected the 'GS'-framed Theta+counts " +
+        "composite or a raw Apache DataSketches Theta COMPACT sketch " +
+        s"(family id 3 at preamble byte 2; got ${
+          if (bytes.length > 2) "byte " + (bytes(2) & 0xff) else s"a ${bytes.length}-byte input"
+        }). Presto's SetDigest (MinHash+HLL) serialization is a different, " +
+        "non-interchangeable format — re-aggregate with make_set_digest.", cause)
+    if (!isThetaFamily(bytes)) fail(null)
     try CompactSketch.heapify(Memory.wrap(bytes))
-    catch {
-      case e: Exception => throw new IllegalArgumentException(
-        "expected a make_set_digest (Theta) sketch binary", e)
-    }
+    catch { case e: Exception => fail(e) }
+  }
 
   private def frame(theta: Array[Byte], counts: Seq[(Long, Long)]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(3 + 4 + theta.length + 4 + counts.length * 16)

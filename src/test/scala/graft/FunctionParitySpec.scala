@@ -1022,4 +1022,37 @@ class FunctionParitySpec extends SparkSpec {
     assert(math.abs(c.values.sum - cnt) < 1e-6, c.toString)
     assert(c.keys.forall(k => k >= 0 && k <= 96), c.toString)
   }
+
+  test("sketch wire-format pins: Presto/airlift-style bytes rejected with the divergence named") {
+    import graft.sql.PrestoRewriter
+    // graft sketches are DataSketches-serialized (family id at preamble
+    // byte 2); Presto's qdigest/tdigest/SetDigest are airlift Slices with
+    // a leading format byte. Feeding such foreign preambles must raise a
+    // message naming the supported format, never misparse.
+    def msgOf(sql: String): String = {
+      val e = intercept[Exception] { PrestoRewriter.sql(spark, sfDir, sql).collect() }
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    }
+    // airlift-qdigest-shaped blob: format byte 0x00 + payload (byte 2 = 0)
+    val qd = msgOf("SELECT value_at_quantile(X'00000000000000000000000000000000', 0.5)")
+    assert(qd.contains("DataSketches KLL") && qd.contains("non-interchangeable"), qd)
+    // tdigest family id (20 = 0x14) at byte 2 but garbage content
+    val td = msgOf("SELECT value_at_quantile(X'000014000000000000000000', 0.5)")
+    assert(td.contains("tdigest_agg") && td.contains("non-interchangeable"), td)
+    // set digest: neither 'GS'-framed nor Theta COMPACT (family 3)
+    val sd = msgOf("SELECT cardinality(X'0000000000000000')")
+    assert(sd.contains("Presto's SetDigest") && sd.contains("non-interchangeable"), sd)
+    val ji = msgOf("SELECT jaccard_index(X'0000000000000000', X'0000000000000000')")
+    assert(ji.contains("non-interchangeable"), ji)
+    // merge() over an unrecognized binary names the supported families
+    val mg = msgOf("SELECT merge(s) FROM (SELECT X'00000000000000000000' AS s) t")
+    assert(mg.contains("not interchangeable") || mg.contains("non-interchangeable"), mg)
+    // and real graft binaries still round-trip through the same paths
+    val ok = PrestoRewriter.sql(spark, sfDir,
+      """SELECT value_at_quantile(merge(s), 0.5) AS v
+         FROM (SELECT qdigest_agg(CAST(o_orderkey AS DOUBLE)) AS s
+               FROM orders WHERE o_orderkey < 100) t""").head()
+    assert(!ok.isNullAt(0))
+  }
 }
