@@ -71,23 +71,35 @@ object Tpch {
     * is exactly how the reference lowers single-row subqueries
     * (axiom/optimizer/DerivedTable.cpp:182 findSingleRowDts). */
   def q2(t: Tables): DataFrame = {
-    // Single-pass: the per-part min acctbal (the scalar subquery, which
-    // ranges over ALL suppliers of the part, not just EUROPE/size-15 ones)
-    // is a window min over the same (part, supplier) relation instead of a
-    // second aggregate subtree — one lineitem scan and one distinct
-    // shuffle instead of two of each at 100 TB.
-    val partSupp = t.lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+    // One-shuffle form (round 13; was window-min over the distinct
+    // (part, supplier) relation — two full-width exchanges plus a sort).
+    // The p_size predicate touches only the PART side of the correlation,
+    // so it pushes below the aggregation: a broadcast semi-shrink of
+    // lineitem to ~1/50 of its rows before anything shuffles. The scalar
+    // subquery (min acctbal over ALL suppliers of the part — not just
+    // EUROPE ones, so the region filter must stay above) and the tie set
+    // then come out of a single partial-aggregated collect_set per part:
+    // map-side combine dedups (supplier, bal) pairs inside each scan
+    // task, and the only exchange carries per-part sets bounded by the
+    // suppliers-per-part fan-in — at 100 TB that is one shrunken shuffle
+    // where the window form re-exchanged and fully sorted the relation.
+    val sized = t.part.filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_name"))
+    t.lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(sized), col("l_partkey") === col("p_partkey"))
       .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
-      .withColumn("min_bal", min(col("s_acctbal")).over(Window.partitionBy(col("l_partkey"))))
-    partSupp
-      .filter(col("s_acctbal") === col("min_bal"))
-      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("p_partkey"), col("p_name"))
+      .agg(min(col("s_acctbal")).as("min_bal"),
+        collect_set(struct(col("s_acctbal"), col("s_suppkey"), col("s_name"),
+          col("s_nationkey"))).as("sups"))
+      .select(col("p_partkey"), col("p_name"), col("min_bal"),
+        explode(col("sups")).as("s"))
+      .filter(col("s.s_acctbal") === col("min_bal"))
+      .join(broadcast(t.nation), col("s.s_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "EUROPE")
-      .join(t.part, col("l_partkey") === col("p_partkey"))
-      .filter(col("p_size") === 15)
-      .select(col("p_partkey"), col("p_name"), col("s_name"),
-        round(col("s_acctbal"), 2).as("acctbal"), col("n_name"))
+      .select(col("p_partkey"), col("p_name"), col("s.s_name").as("s_name"),
+        round(col("s.s_acctbal"), 2).as("acctbal"), col("n_name"))
       .orderBy(col("p_partkey"), col("s_name"))
   }
 
