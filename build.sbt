@@ -33,5 +33,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[32] runs 32 concurrent tasks in one JVM; at 8g
+  // that is 250 MB of unified memory per task — far tighter than any
+  // plausible executor sizing (the 128 GiB box would provision 2-4 GB
+  // per core). The dedup scale lane's 500k-doc anchor aggregation was
+  // the first workload to hit the cliff.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -211,6 +211,36 @@ object Bench {
       }
       val sf01 = runScale("sf0_1", all22, 2)
       val sf1 = runScale("sf1", all22, 2)
+      // Result validation AT scale (round 13): a wrong answer at sf1
+      // would time beautifully, so the lane re-derives q1's aggregate
+      // surface through an INDEPENDENT plan — a single ungrouped
+      // scan+filter recount with no groupBy, no sort — and fails the
+      // artifact key on any mismatch. Catches the silent-wrong-answer
+      // class (the round-12 region/nation key-offset bug) at generator
+      // scale, the reference's differential discipline applied to the
+      // lane (HiveQueriesTestBase.cpp:83-106).
+      val tpchValidation: Seq[String] = try {
+        import org.apache.spark.sql.functions._
+        val t1 = Tables(spark, "graft_tpch:sf1")
+        val q1rows = queries.Tpch.q1(t1).collect()
+        val indep = t1.lineitem
+          .filter(col("l_shipdate") < lit("1998-09-03").cast("timestamp"))
+          .agg(count(lit(1)), sum(col("l_quantity")),
+            countDistinct(col("l_returnflag"), col("l_linestatus"))).head()
+        val bad = Seq.newBuilder[String]
+        if (q1rows.length.toLong != indep.getLong(2))
+          bad += s"q1 groups: got ${q1rows.length} want ${indep.getLong(2)}"
+        val sumCount = q1rows.map(_.getAs[Long]("count_order")).sum
+        if (sumCount != indep.getLong(0))
+          bad += s"q1 sum(count_order): got $sumCount want ${indep.getLong(0)}"
+        val sumQty = q1rows.map(_.getAs[Double]("sum_qty")).sum
+        val indepQty = indep.getDouble(1)
+        if (math.abs(sumQty - indepQty) > 1e-4 * math.max(1.0, math.abs(indepQty)))
+          bad += f"q1 sum_qty: got $sumQty%.2f want $indepQty%.2f"
+        bad.result()
+      } catch { case e: Throwable => Seq(s"q1 validation errored: ${e.getMessage}") }
+      if (tpchValidation.nonEmpty)
+        System.err.println(s"[bench] TPCH LANE VALIDATION FAILED: ${tpchValidation.mkString("; ")}")
       val scaleRatio = all22.flatMap { case (n, _) =>
         for (a <- sf01.get(n); b <- sf1.get(n)) yield n -> b / a }.toMap
       // 10× rows through 32 fixed cores bounds healthy growth well
@@ -265,16 +295,44 @@ object Bench {
       val plansJson = plans.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
       val slJson = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val tvJson = tpchValidation.map(s => "\"" + s.replace("\"", "'") + "\"")
+        .mkString("[", ",", "]")
       laneFull = s""","tpch_sf01":${m2j(sf01)},"tpch_sf1":${m2j(sf1)},""" +
         s""""tpch_scale_ratio":${m2j(scaleRatio)},"tpch_superlinear":$slJson,""" +
         s""""tpch_sf10_spot":${m2j(sf10)},"tpch_sf100_spot":${m2j(sf100)},""" +
-        s""""tpch_sf1_plans":$plansJson"""
+        s""""tpch_sf1_plans":$plansJson,"tpch_validation":$tvJson"""
       laneCompact = s""","tpch_sf01_total":${fmt(sf01.values.sum)},""" +
         s""""tpch_sf1_total":${fmt(sf1.values.sum)},""" +
         s""""tpch_superlinear":$slJson,"tpch_sf10_spot":${m2j(sf10)},""" +
-        s""""tpch_sf100_spot":${m2j(sf100)}"""
+        s""""tpch_sf100_spot":${m2j(sf100)},"tpch_validation":$tvJson"""
       System.err.println(s"[bench] lane totals: sf0_1=${fmt(sf01.values.sum)}s " +
         s"sf1=${fmt(sf1.values.sum)}s superlinear=${superlinear.mkString(",")}")
+    }
+
+    // Dedup/text scale lane (round 13 — the last tier measured only to
+    // sf0.1): synthetic planted-structure corpora at 1×/10×/100× the
+    // sf0.1 documents volume; the timed action of every entry IS its
+    // closed-form validation aggregate, so the artifact's times are also
+    // correctness evidence (tools/DedupScale). Default ON; budget-guarded
+    // like the TPC-H lane (legs past 1× skip once the budget is spent).
+    val dedupLane = !sys.env.get("SPARK_GRAFT_DEDUP_LANE").contains("off")
+    if (dedupLane) {
+      val budget = sys.env.get("SPARK_GRAFT_DEDUP_BUDGET").map(_.toDouble).getOrElse(480.0)
+      val r = tools.DedupScale.run(spark, budget)
+      def row(e: tools.DedupScale.LaneEntry) = "\"" + e.name + "\":[" +
+        e.times.map(t => if (t.isNaN) "null" else fmt(t)).mkString(",") + "]"
+      val entriesJson = r.entries.map(row).mkString("{", ",", "}")
+      val slJson = r.superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val valJson = r.validationFailures.map(s => "\"" + s.replace("\"", "'") + "\"")
+        .mkString("[", ",", "]")
+      val scalesJson = r.scales.mkString("[", ",", "]")
+      val block = s""","dedup_scale":$entriesJson,"dedup_scales":$scalesJson,""" +
+        s""""dedup_superlinear":$slJson,"dedup_validation":$valJson"""
+      laneFull += block
+      laneCompact += s""","dedup_superlinear":$slJson,"dedup_validation":$valJson"""
+      if (r.validationFailures.nonEmpty)
+        System.err.println(s"[bench] DEDUP LANE VALIDATION FAILED: ${r.validationFailures.mkString("; ")}")
+      else System.err.println(s"[bench] dedup lane ok; superlinear=${r.superlinear.mkString(",")}")
     }
 
     val results = qs.map { case (n, _) => n -> best(n) }

@@ -54,6 +54,27 @@ object Dedup {
   private def docsSpread(t: Tables): DataFrame =
     t.documents.repartition(t.spark.sparkContext.defaultParallelism)
 
+  /** SIZE-AWARE broadcast suppression (round 13, found by the DedupScale
+    * lane): corpus-derived sides — digest sets, band streams, shingle
+    * arrays — compress ~10× on the shuffle wire (repetitive text, small
+    * ints), so AQE's compressed-bytes heuristic reads a sub-threshold
+    * "small side" and converts the designed shuffle join into a runtime
+    * broadcast; at the lane's 100× corpus that hash-built most of a GB
+    * on the driver and died. Below [[BroadcastSafeCorpusBytes]] those
+    * conversions are genuinely profitable (a 5 MB corpus's digests ARE a
+    * cheap build side), so the merge pin engages only once the corpus
+    * outgrows the regime where ANY corpus-derived side may broadcast —
+    * the same storage-size-driven physical choice a per-table optimizer
+    * makes, keyed off the parquet footer stats already in the plan. */
+  private val BroadcastSafeCorpusBytes = BigInt(256L << 20)
+
+  private def corpusIsBig(t: Tables): Boolean =
+    t.documents.queryExecution.optimizedPlan.stats.sizeInBytes > BroadcastSafeCorpusBytes
+
+  /** merge-pin `df` when the corpus is past the broadcast-safe regime. */
+  private def noBcastAtScale(df: DataFrame, big: Boolean): DataFrame =
+    if (big) df.hint("merge") else df
+
   /** NOTE the filter is on size(w), BEFORE shingling — the equivalent
     * post-hoc `filter(size(shingles) > 0)` gets predicate-pushed below
     * the projection, substituting the whole shingle expression (and then
@@ -187,9 +208,14 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val shTbl = shingled(t)
+    // size-aware pin like the minhash confirm: shingle arrays never
+    // broadcast once the corpus is past the broadcast-safe regime.
+    val big = corpusIsBig(t)
     cands
-      .join(shTbl.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(shTbl.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(noBcastAtScale(
+        shTbl.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), big), "doc_a")
+      .join(noBcastAtScale(
+        shTbl.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), big), "doc_b")
       .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("j") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jacc"))
@@ -238,10 +264,15 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // Verify candidates with exact Jaccard -> precision 1; shingle sets
-    // join in AFTER pair dedup, once per side.
+    // join in AFTER pair dedup, once per side; [[noBcastAtScale]] keeps
+    // the corpus-sized shingle frames out of AQE's runtime broadcast
+    // once the corpus outgrows the broadcast-safe regime.
+    val big = corpusIsBig(t)
     cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(noBcastAtScale(
+        sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), big), "doc_a")
+      .join(noBcastAtScale(
+        sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), big), "doc_b")
       .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("j") >= 0.8)
       .select(col("doc_a"), col("doc_b"), round(col("j"), 4).as("jacc"))
@@ -428,25 +459,57 @@ object Dedup {
     * is 1. Evidence column `base_id` = the smallest matching base doc;
     * reason precedence exact > near. Admitted delta docs simply don't
     * appear (the verdict list is rejection-sized, not corpus-sized). */
-  def dedupIncremental(t: Tables): DataFrame = {
+  def dedupIncremental(t: Tables): DataFrame =
+    dedupIncrementalSplit(t, col("doc_id") % 2 === 1, col("doc_id") % 2 === 0)
+
+  /** The same delta-vs-base admission with the crawl split injected —
+    * the scale lane (tools/DedupScale) uses a FIXED-size delta against a
+    * base that grows with the corpus (the production asymmetry: crawls
+    * stay crawl-sized while the corpus accretes), while the oracle entry
+    * keeps the parity split DuckDB can reproduce. */
+  private[graft] def dedupIncrementalSplit(t: Tables, isDelta: Column,
+                                           isBase: Column): DataFrame = {
     NativeExprs.ensureRegistered(t.spark)
     val docs = docsSpread(t)
-    val exact = docs.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), sha2(col("text"), 256).as("dg"))
-      .join(docs.filter(col("doc_id") % 2 === 0)
+    // Past the broadcast-safe corpus size the digest join is PINNED to
+    // sort-merge: the whole point of the exact layer is shuffling
+    // 32-byte digests with a runtime bloom — never materializing either
+    // crawl's digest set in one place. AQE would happily flip it to
+    // broadcast when the compressed delta shuffle dips under the
+    // threshold (hex digests compress ~2×), and at 100× the lane corpus
+    // that runtime conversion built a corpus-sized hashed relation on
+    // the driver and died — exactly the cliff a 100 TB base hits, found
+    // by measuring (bench/SCALING_DEDUP.md).
+    val big = corpusIsBig(t)
+    val exact = noBcastAtScale(docs.filter(isDelta)
+        .select(col("doc_id"), sha2(col("text"), 256).as("dg")), big)
+      .join(docs.filter(isBase)
         .select(sha2(col("text"), 256).as("dg"), col("doc_id").as("b_id")), "dg")
       .groupBy(col("doc_id")).agg(min(col("b_id")).as("base_id"))
       .withColumn("reason", lit("exact"))
     val sh = shingled(t)
     val bands = bandedSignatures(t, sh)
-    val cands = bands.filter(col("doc_id") % 2 === 1).as("x")
-      .join(bands.filter(col("doc_id") % 2 === 0).as("y"),
+    // Same pin for the delta×base band-bucket join: 16 band rows per
+    // delta doc compress to almost nothing on the wire, so AQE's
+    // runtime conversion sees a "small" side and hash-builds millions
+    // of rows on the driver; the designed shape at scale is a
+    // bucket-partitioned shuffle on (band, bh).
+    val cands = noBcastAtScale(bands.filter(isDelta), big).as("x")
+      .join(bands.filter(isBase).as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
       .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("b_id"))
       .dropDuplicates("doc_id", "b_id")
+    // And for the exact-Jaccard confirm join-backs: the shingle-array
+    // frames are CORPUS-sized (kB-scale arrays per doc) yet their
+    // repetitive word text compresses an order of magnitude on the
+    // shuffle wire, so AQE's size-based conversion reads "10 MB" and
+    // hash-builds the better part of a GB. Shingles never broadcast at
+    // scale.
     val near = cands
-      .join(sh.select(col("doc_id"), col("shingles").as("sh_d")), "doc_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), "b_id")
+      .join(noBcastAtScale(
+        sh.select(col("doc_id"), col("shingles").as("sh_d")), big), "doc_id")
+      .join(noBcastAtScale(
+        sh.select(col("doc_id").as("b_id"), col("shingles").as("sh_b")), big), "b_id")
       .filter(jaccard(col("sh_d"), col("sh_b")) >= 0.8)
       .groupBy(col("doc_id")).agg(min(col("b_id")).as("base_id"))
       .withColumn("reason", lit("near"))

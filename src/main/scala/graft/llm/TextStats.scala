@@ -161,7 +161,7 @@ object TextStats {
     * copied" signal that drives span excision or doc downweighting).
     *
     * Scale: positions pre-filter cost one ascii() each; the stream
-    * carries (doc_id, 32-char hash) for only the ~1/8 that anchor;
+    * carries (doc_id, 8-byte hash) for only the ~1/8 that anchor;
     * two hash-keyed shuffles (distinct-doc census, anchor join-back) and
     * one doc_id agg. Linear end to end; no pairs, no spans materialized. */
   private val GramK = 64
@@ -172,12 +172,12 @@ object TextStats {
     *
     * Anchor selection is a CDC-style byte condition — the gram's FIRST
     * character's code point ≡ 0 (mod 8) — evaluated on the raw text, so
-    * the expensive md5 runs ONLY on the ≈1/8 of positions that anchor
+    * the gram hash runs ONLY on the ≈1/8 of positions that anchor
     * (one ascii() per position replaces a 64-char hash per position;
     * 8× less hashing than hash-then-subsample at 2× the anchor
     * density). Selection depends only on content, so two copies of a
     * span anchor at the same in-span offsets at any document offset;
-    * md5 of the full 64-char gram then identifies the content. The keep
+    * xxhash64 of the full 64-char gram then identifies the content. The keep
     * rate is data-dependent (chars with code ≡ 0 mod 8 — 'h','p','x' on
     * lowercase text). */
   private def anchorsOver(docs: DataFrame): DataFrame = docs
@@ -187,11 +187,23 @@ object TextStats {
       // so the heavy text column is materialized once per DOCUMENT and
       // the exploded stream carries only (pos, hash) structs — never
       // a copy of the text per position row.
+      //
+      // The anchor identity is xxhash64 of the gram (round 13; was a
+      // 32-char md5 hex string). The hash only has to make gram-content
+      // equality cheap — the SQL twins recompute their own duplicate
+      // structure, so ANY collision-free hash yields identical results —
+      // and the 56-byte string was the dominant cost at scale: the
+      // DedupScale lane's 500k-doc corpus carried ~135M anchors, and at
+      // ~100 B/row the anchor stream (13 GB) dwarfed the 0.5 GB corpus
+      // text and OOM'd the aggregation. 8-byte hashes cut the stream
+      // ~2.5× and replace per-anchor md5 with codegen'd XXH64; chance
+      // collision at 1e8 anchors ~ 3e-4 corpus-wide (birthday over
+      // 2^64), deterministic per corpus.
       explode(expr(
         s"""transform(
               filter(sequence(1, length(text) - ${GramK - 1}),
                      p -> ascii(substring(text, p, 1)) % 8 = 0),
-              p -> struct(p AS pos, md5(substring(text, p, $GramK)) AS h))"""))
+              p -> struct(p AS pos, xxhash64(substring(text, p, $GramK)) AS h))"""))
         .as("a"))
     .select(col("doc_id"), col("doc_len"), col("a.pos").as("pos"), col("a.h").as("h"))
 
@@ -218,6 +230,18 @@ object TextStats {
     * countDistinct) is kept — a window-over-h would put a boilerplate
     * hash shared by millions of documents on one task. */
   private def withAnchors(docs: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
+    // SIZE-AWARE (round 13, DedupScale lane finding): below ~256 MB of
+    // corpus the checkpoint wins outright (the extraction dominates and
+    // the blocks fit — the round-12 measurement at sf0.1). Past it the
+    // anchor stream (~1.5× the corpus text even at 8-byte hashes) evicts
+    // everything else from executor storage and the entry spends more
+    // wall re-faulting blocks than the second extraction pass costs —
+    // measured 412 s vs 133 s at the lane's 500k-doc corpus. Big corpora
+    // therefore recompute the extraction once per consumer (two codegen
+    // passes over text, zero storage pinned), the same trade the
+    // size-aware broadcast pins make in [[Dedup]].
+    val big = docs.queryExecution.optimizedPlan.stats.sizeInBytes > (256L << 20)
+    if (big) return body(anchorsOver(docs))
     val sc = docs.sparkSession.sparkContext
     // Ownership is PRECISE: the ids snapshotted around the one persist
     // call this method makes are the only ids it ever releases — never a

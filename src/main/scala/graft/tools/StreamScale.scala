@@ -76,15 +76,52 @@ object StreamScale {
       n -> d.getPath
     }
     val reps = Map(1L -> 2, 10L -> 2, 100L -> 1)
+    val fails = Seq.newBuilder[String]
+    // Result validation at every scale (round 13): the drained-replay
+    // answer is checked against a closed form where one exists (event
+    // conservation — every event lands in exactly one window/session)
+    // and against an INDEPENDENT batch plan otherwise (the reference's
+    // differential discipline applied to scale). Checks run on the
+    // memory-sink table the timed rep already materialized, so they add
+    // no replay cost; batch twins run outside the timed window.
+    def check(n: Long, what: String, got: Long, want: Long): Unit =
+      if (got != want) fails += s"x$n $what: got $got want $want"
+    def validate(name: String, n: Long, dir: String,
+                 df: org.apache.spark.sql.DataFrame): Unit = {
+      val ev = graft.Catalog.load(spark, dir, "events")
+      name match {
+        case "stream_tumbling" =>
+          check(n, "tumbling event conservation",
+            df.agg(sum(col("n"))).head().getLong(0), BaseRows * n)
+        case "stream_sessions" =>
+          check(n, "sessions event conservation",
+            df.agg(sum(col("n_events"))).head().getLong(0), BaseRows * n)
+          check(n, "sessions vs batch gaps-and-islands",
+            df.count(), Streams.sessionsBatch(spark, ev).count())
+        case "stream_join" =>
+          val p = ev.filter(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts").as("p_ts"))
+          val c = ev.filter(col("event_type") === "click")
+            .select(col("user_id").as("c_uid"), col("ts").as("c_ts"))
+          val batch = p.join(c, col("user_id") === col("c_uid") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("c_ts") <= col("p_ts")).count()
+          check(n, "interval join vs batch twin", df.count(), batch)
+        case _ =>
+      }
+    }
     val rows = Streams.entries.map { case (name, fn, _) =>
       val times = dirs.map { case (n, dir) =>
-        (1 to reps(n)).map { _ =>
+        val dt = (1 to reps(n)).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, dir).write.format("noop").mode("overwrite").save()
-          val dt = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[stream-scale] x$n%-4d $name%-16s $dt%7.2f s")
-          dt
+          val df = fn(spark, dir)
+          df.write.format("noop").mode("overwrite").save()
+          val d = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[stream-scale] x$n%-4d $name%-16s $d%7.2f s")
+          validate(name, n, dir, df)
+          d
         }.min
+        dt
       }
       (name, times)
     }
@@ -93,6 +130,9 @@ object StreamScale {
     rows.foreach { case (n, ts) =>
       println(f"| $n | ${ts(0)}%.2f | ${ts(1)}%.2f | ${ts(2)}%.2f | ${ts(1) / ts(0)}%.1fx | ${ts(2) / ts(1)}%.1fx |")
     }
+    val bad = fails.result()
+    println(s"validation: ${if (bad.isEmpty) "ALL PASS" else bad.mkString("; ")}")
     spark.stop()
+    require(bad.isEmpty, s"stream scale lane validation failed: ${bad.mkString("; ")}")
   }
 }
