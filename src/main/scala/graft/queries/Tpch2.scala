@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The six TPC-H queries the reference's own test set omits
@@ -122,21 +123,31 @@ object Tpch2 {
   /** Suppliers who kept orders waiting (adapted: late = shipped > 60 days
     * after order date) — EXISTS + NOT EXISTS double correlation. */
   def q21(t: Tables): DataFrame = {
+    // One pass over lineitem⋈orders (round 13): both correlations are
+    // per-order supplier-set questions. For a late line by supplier s on
+    // order o — EXISTS another supplier on o ⇔ o has ≥2 distinct
+    // suppliers; NOT EXISTS another LATE supplier ⇔ o's late-supplier
+    // set is exactly {s} (s itself is late, so size == 1 suffices).
+    // Whole-partition collect_set windows over l_orderkey answer both
+    // without re-touching lineitem: the window's hash(l_orderkey)
+    // distribution is satisfied by the join's own output partitioning,
+    // so the plan has exactly two big exchanges (lineitem, orders) where
+    // the old EXISTS/NOT-EXISTS shape reshuffled the full lineitem twice
+    // more for the semi and anti probes. Orders are ≤7 lines per the
+    // generator, so the per-key window buffer is bounded.
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
-    val l1 = t.supplier
-      .join(t.lineitem, col("s_suppkey") === col("l_suppkey"))
-      .join(t.orders.filter(col("o_orderstatus") === "F"),
+    val w = Window.partitionBy(col("l_orderkey"))
+    t.lineitem
+      .join(t.orders.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
         col("o_orderkey") === col("l_orderkey"))
-      .filter(late)
-    val l2 = t.lineitem.select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
-    val l3 = t.lineitem.select(col("l_orderkey").as("l3_orderkey"),
-      col("l_suppkey").as("l3_suppkey"), col("l_shipdate").as("l3_shipdate"))
-    l1
-      .join(l2, col("l2_orderkey") === col("l_orderkey") &&
-        col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
-      .join(l3, col("l3_orderkey") === col("l_orderkey") &&
-        col("l3_suppkey") =!= col("l_suppkey") &&
-        col("l3_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_anti")
+      .select(col("l_orderkey"), col("l_suppkey"), late.as("is_late"))
+      .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("n_late_supp",
+        size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w)))
+      .filter(col("is_late") && col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
+        col("s_suppkey") === col("l_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))

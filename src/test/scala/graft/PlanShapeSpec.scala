@@ -72,6 +72,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan.take(500))
   }
 
+  test("q21: window reuses the join's hash(l_orderkey) partitioning (no extra exchange)") {
+    // The round-13 q21 shape answers both EXISTS correlations with
+    // whole-partition collect_set windows over l_orderkey. The join that
+    // feeds them is itself keyed on l_orderkey, so the window must NOT
+    // introduce another shuffle: exactly the two base-table exchanges
+    // (lineitem, orders) may appear below the window operator.
+    val df = graft.queries.Tpch2.q21(tables)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE stages
+    val planned = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val windows = planned.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "expected a WindowExec in q21's plan")
+    // After AQE finalization shuffles appear as materialized stage
+    // leaves (ShuffleQueryStageExec), not raw ShuffleExchangeExec —
+    // count both.
+    val exchangesBelowWindow = windows.head.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e: Any
+      case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => s: Any }
+    assert(exchangesBelowWindow.size <= 2,
+      s"q21's window added a shuffle: ${exchangesBelowWindow.size} exchanges below it")
+  }
+
   test("q3: distributed top-k (TakeOrderedAndProject), not a global sort") {
     val plan = physical(Tpch.q3(tables))
     assert(plan.contains("TakeOrderedAndProject"))
