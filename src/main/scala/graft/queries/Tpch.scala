@@ -442,10 +442,19 @@ object Tpch {
   def q16(t: Tables): DataFrame = {
     val excluded = t.supplier.filter(col("s_name").like("%000000009%"))
       .select(col("s_suppkey").as("ex_suppkey"))
-    t.lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
-      .join(t.part, col("p_partkey") === col("l_partkey"))
+    // Part filter BEFORE the distinct (round 13): the brand/type/size
+    // predicate keeps ~13% of parts, so joining lineitem to the filtered
+    // part (broadcast at any sane sf) first shrinks the distinct's
+    // shuffle ~8×. distinct over (pair, brand, type, size) is the same
+    // pair-distinct — the extra columns are functionally dependent on
+    // l_partkey.
+    val goodParts = t.part
       .filter(col("p_brand") =!= "Brand#1" && !col("p_type").like("MEDIUM%")
         && col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    t.lineitem.select(col("l_partkey"), col("l_suppkey"))
+      .join(goodParts, col("p_partkey") === col("l_partkey"))
+      .distinct()
       .join(excluded, col("l_suppkey") === col("ex_suppkey"), "left_anti")
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
