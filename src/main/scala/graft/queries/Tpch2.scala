@@ -77,9 +77,15 @@ object Tpch2 {
     val bigOrders = t.lineitem.groupBy(col("l_orderkey"))
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
       .filter(col("sum_qty") > 300)
-    t.customer
-      .join(t.orders, col("c_custkey") === col("o_custkey"))
+    // Round 13: the >300 filter keeps a vanishing fraction of orders, so
+    // join it to orders FIRST — AQE sees the runtime size and broadcasts
+    // bigOrders, and then the surviving orders, so neither the orders nor
+    // the customer side ever crosses an exchange. The old order
+    // (customer⋈orders first) sort-merge-joined the two biggest unfiltered
+    // tables and threw ~all of the result away.
+    t.orders
       .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(t.customer, col("c_custkey") === col("o_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
         round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
