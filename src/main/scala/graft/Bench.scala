@@ -237,6 +237,22 @@ object Bench {
         val indepQty = indep.getDouble(1)
         if (math.abs(sumQty - indepQty) > 1e-4 * math.max(1.0, math.abs(indepQty)))
           bad += f"q1 sum_qty: got $sumQty%.2f want $indepQty%.2f"
+        // Differential join validation (round 13): q12's orders⋈lineitem
+        // is the lane's storage-partitioned join — the exact machinery a
+        // wrong KeyGroupedPartitioning would silently corrupt (buckets
+        // that don't actually line up produce dropped or duplicated
+        // matches, not errors). Re-run it with SPJ disabled so Spark
+        // plans the classic exchange join over the SAME generated rows;
+        // the two physical strategies must agree row-for-row. This is
+        // the reference's multi-config differential discipline
+        // (HiveQueriesTestBase.cpp:83-106) applied at generator scale.
+        val spjRows = queries.Tpch.q12(t1).collect()
+        val shuffled = try {
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+          queries.Tpch.q12(t1).collect()
+        } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+        if (spjRows.map(_.toString).sorted.toSeq != shuffled.map(_.toString).sorted.toSeq)
+          bad += s"q12 SPJ vs shuffle-join divergence: ${spjRows.length} vs ${shuffled.length} rows"
         bad.result()
       } catch { case e: Throwable => Seq(s"q1 validation errored: ${e.getMessage}") }
       if (tpchValidation.nonEmpty)
@@ -252,16 +268,20 @@ object Bench {
         else if (sys.env.get("SPARK_GRAFT_TPCH_SF10_ALL").contains("1"))
           runScale("sf10", all22, 1) // full 100× sweep (opt-in, ~3-4 min)
         else runScale("sf10",
-          all22.filter(p => p._1 == "tpch_q1" || p._1 == "tpch_q6"), 1)
+          all22.filter(p => Set("tpch_q1", "tpch_q6", "tpch_q12")(p._1)), 1)
       // 1000× the correctness-test data (lineitem ~600M generated rows,
-      // zero storage): the two scan-bound queries again. Partial-final
-      // aggregation keeps state tiny, so this measures pure generate+
-      // scan+filter throughput at a scale no parquet fixture reaches.
-      // Guarded by the same lane budget; SPARK_GRAFT_TPCH_SF100=off.
+      // zero storage): the two scan-bound queries measure pure generate+
+      // scan+filter throughput (partial-final aggregation keeps state
+      // tiny), and — round 13, closing the "scan-bound only" caveat —
+      // q12 measures the 600M×150M orders⋈lineitem JOIN, which the
+      // connector's KeyGroupedPartitioning runs storage-partitioned:
+      // co-located buckets, no exchange, the shape a 100 TB deployment
+      // relies on. Guarded by the same lane budget;
+      // SPARK_GRAFT_TPCH_SF100=off.
       val sf100 =
         if (sys.env.get("SPARK_GRAFT_TPCH_SF100").contains("off")) Map.empty[String, Double]
         else runScale("sf100",
-          all22.filter(p => p._1 == "tpch_q1" || p._1 == "tpch_q6"), 1)
+          all22.filter(p => Set("tpch_q1", "tpch_q6", "tpch_q12")(p._1)), 1)
       // Plan fingerprints at sf1 (the verdict's "times + plans in the
       // artifact"): operator counts from the resolved physical plan —
       // scan/exchange/broadcast-join/sort-merge-join — enough to audit

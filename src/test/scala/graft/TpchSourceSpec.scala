@@ -169,6 +169,43 @@ class TpchSourceSpec extends SparkSpec {
     }
   }
 
+  test("SPJ differential is non-vacuous: disabling v2 bucketing plans the exchange join, same rows") {
+    // The bench lane validates q12 by re-running it with
+    // spark.sql.sources.v2.bucketing.enabled=false and comparing rows.
+    // That check only means something if the conf actually flips the
+    // physical strategy — pin both halves: the disabled plan shuffles
+    // under the join, and the two strategies agree row-for-row.
+    spark.conf.set("graft.tpch.rowsPerSplit", "2000")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def q = {
+        val o = spark.table("graft_tpch.tiny.orders")
+        val l = spark.table("graft_tpch.tiny.lineitem")
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+      }
+      val spjRows = q.collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val shuffledPlan = q.queryExecution.executedPlan
+      val joinExchanges = shuffledPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      assert(joinExchanges.nonEmpty,
+        s"with v2 bucketing off the join must shuffle:\n$shuffledPlan")
+      val shuffledRows = q.collect().map(_.toString).sorted.toSeq
+      assert(spjRows == shuffledRows, "SPJ and exchange-join rows diverged")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("graft.tpch.rowsPerSplit")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("statistics by generation math: dimension joins broadcast with no ANALYZE") {
     // the scan reports spec-scaling row counts (TpchTableLayout::sample
     // analogue), so Catalyst sizes the 25-row nation side under the
