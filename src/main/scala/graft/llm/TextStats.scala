@@ -241,7 +241,12 @@ object TextStats {
     // passes over text, zero storage pinned), the same trade the
     // size-aware broadcast pins make in [[Dedup]].
     val big = docs.queryExecution.optimizedPlan.stats.sizeInBytes > (256L << 20)
-    if (big) return body(anchorsOver(docs))
+    if (big) {
+      val anchors = anchorsOver(docs)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try return body(anchors).localCheckpoint(true)
+      finally anchors.unpersist(blocking = false)
+    }
     val sc = docs.sparkSession.sparkContext
     // Ownership is PRECISE: the ids snapshotted around the one persist
     // call this method makes are the only ids it ever releases — never a

@@ -169,6 +169,11 @@ object DedupScale {
       genDocs(spark, n, d)
       n -> d.getPath
     }
+    // Probe filter for local iteration (the TPCH lane's _ONLY analogue):
+    // SPARK_GRAFT_DEDUP_ONLY='span' runs just the matching probes.
+    val onlyRe = sys.env.get("SPARK_GRAFT_DEDUP_ONLY").map(_.r)
+    val probes = DedupScale.probes.filter(p =>
+      onlyRe.forall(_.findFirstIn(p.name).isDefined))
     val allFails = Seq.newBuilder[String]
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     def runLeg(p: Probe, n: Long, dir: String, tag: String): Double = {
