@@ -169,6 +169,11 @@ object Bench {
     val tpchLane = !sys.env.get("SPARK_GRAFT_TPCH_LANE").contains("off")
     var laneFull = ""
     var laneCompact = ""
+    // Lane validation failures are FATAL (round 14): a wrong answer at
+    // scale must fail the artifact's producer, not just annotate its
+    // JSON — the standalone StreamScale/DedupScale mains already
+    // require(); the bench now exits non-zero too.
+    val laneFailures = mutable.ArrayBuffer.empty[String]
     if (tpchLane) {
       val laneBudget =
         sys.env.get("SPARK_GRAFT_TPCH_BUDGET").map(_.toDouble).getOrElse(420.0)
@@ -178,8 +183,12 @@ object Bench {
       val all22 = (queries.Tpch.all ++ queries.Tpch2.all)
         .map { case (n, q, _) => (n, q) }
         .filter { case (n, _) => laneOnly.forall(_.findFirstIn(n).isDefined) }
+      // per-leg 1-min loadavg at each query's BEST rep, keyed
+      // "<schema>:<query>" — journaled into the artifact so a contended
+      // spot leg is machine-auditable (the BENCH_r13 q6@sf10=8.4s class)
+      val laneLoad = mutable.Map.empty[String, Double]
       def runScale(schema: String, sel: Seq[(String, Tables => org.apache.spark.sql.DataFrame)],
-          reps: Int): Map[String, Double] = {
+          reps: Int, extraBudget: Double = 0.0): Map[String, Double] = {
         val sf = graft.sources.TpchGen.scaleOf(schema).get
         // ~2 splits per core on the fact tables (the 200k default gives
         // sf1 only 8 splits — a 32-core box would idle 3/4 of its lanes)
@@ -194,12 +203,13 @@ object Bench {
         val t = Tables(spark, s"graft_tpch:$schema")
         val bestOf = mutable.Map.empty[String, Double].withDefaultValue(Double.MaxValue)
         try {
-          for (r <- 1 to reps; (n, q) <- sel) if (laneSpent < laneBudget) {
+          for (r <- 1 to reps; (n, q) <- sel) if (laneSpent < laneBudget + extraBudget) {
             val s0 = System.nanoTime()
             try q(t).write.format("noop").mode("overwrite").save()
             catch { case e: Throwable =>
               System.err.println(s"[bench] lane $schema $n failed: ${e.getMessage}") }
             val dt = (System.nanoTime() - s0) / 1e9
+            if (dt < bestOf(n)) laneLoad(s"$schema:$n") = osBean.getSystemLoadAverage
             bestOf(n) = math.min(bestOf(n), dt)
             System.err.println(f"[bench] lane $schema%-6s $n%-10s $dt%8.2f s (rep $r)")
           }
@@ -255,15 +265,17 @@ object Bench {
           bad += s"q12 SPJ vs shuffle-join divergence: ${spjRows.length} vs ${shuffled.length} rows"
         bad.result()
       } catch { case e: Throwable => Seq(s"q1 validation errored: ${e.getMessage}") }
-      if (tpchValidation.nonEmpty)
+      if (tpchValidation.nonEmpty) {
         System.err.println(s"[bench] TPCH LANE VALIDATION FAILED: ${tpchValidation.mkString("; ")}")
+        laneFailures ++= tpchValidation.map("tpch: " + _)
+      }
       val scaleRatio = all22.flatMap { case (n, _) =>
         for (a <- sf01.get(n); b <- sf1.get(n)) yield n -> b / a }.toMap
       // 10× rows through 32 fixed cores bounds healthy growth well
       // under 15×; entries under 0.25 s at sf0_1 are noise-floored
       val superlinear = scaleRatio.collect {
         case (n, r) if r > 15.0 && sf01.getOrElse(n, 0.0) >= 0.25 => n }.toSeq.sorted
-      val sf10 =
+      val sf10Raw =
         if (sys.env.get("SPARK_GRAFT_TPCH_SF10").contains("off")) Map.empty[String, Double]
         else if (sys.env.get("SPARK_GRAFT_TPCH_SF10_ALL").contains("1"))
           runScale("sf10", all22, 1) // full 100× sweep (opt-in, ~3-4 min)
@@ -278,10 +290,55 @@ object Bench {
       // co-located buckets, no exchange, the shape a 100 TB deployment
       // relies on. Guarded by the same lane budget;
       // SPARK_GRAFT_TPCH_SF100=off.
-      val sf100 =
+      val sf100Raw =
         if (sys.env.get("SPARK_GRAFT_TPCH_SF100").contains("off")) Map.empty[String, Double]
         else runScale("sf100",
           all22.filter(p => Set("tpch_q1", "tpch_q6", "tpch_q12")(p._1)), 1)
+      // Spot self-heal (round 14): the sf10/sf100 legs are single-rep
+      // for budget, so one contended rep can ship as "a measurement"
+      // (BENCH_r13 posted q6@sf10 = 8.43 s against its own q6@sf100 =
+      // 5.35 s). A leg is SUSPECT when it exceeds 3× its committed-sweep
+      // value (bench/tpch_sweep.json — the machine-readable twin of
+      // SCALING_TPCH.md's tables) or its own next-scale-up time (a sf10
+      // time above the same query's sf100 time is self-contradicted).
+      // Suspect legs get ONE extra rep (min-of-2, small extra budget so
+      // a spent lane can still heal) — the dedup lane's self-heal
+      // policy applied here.
+      val sweep: Map[String, Map[String, Double]] = {
+        val p = java.nio.file.Paths.get("bench/tpch_sweep.json")
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          def block(key: String): Map[String, Double] =
+            ("\"" + key + "\"\\s*:\\s*\\{([^}]*)\\}").r.findFirstMatchIn(txt)
+              .map(m => """"(tpch_q\d+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(m.group(1))
+                .map(q => q.group(1) -> q.group(2).toDouble).toMap)
+              .getOrElse(Map.empty)
+          Map("sf10" -> block("sf10"), "sf100" -> block("sf100"))
+        }
+      }
+      def healSpot(schema: String, spot: Map[String, Double],
+          nextUp: Map[String, Double]): Map[String, Double] = {
+        val committed = sweep.getOrElse(schema, Map.empty)
+        val suspect = spot.collect { case (q, dt)
+          if committed.get(q).exists(c => dt > 3 * c) ||
+             nextUp.get(q).exists(u => dt > u) => q }.toSet
+        if (suspect.isEmpty) spot
+        else {
+          System.err.println(s"[bench] lane $schema suspect legs (contended single rep?): " +
+            suspect.toSeq.sorted.mkString(","))
+          val loadBefore = laneLoad.toMap // keep load journal consistent with the KEPT rep
+          val reRun = runScale(schema, all22.filter(p => suspect(p._1)), 1, extraBudget = 90.0)
+          spot.map { case (q, dt) =>
+            val r = reRun.getOrElse(q, Double.MaxValue)
+            if (r >= dt) loadBefore.get(s"$schema:$q")
+              .foreach(laneLoad(s"$schema:$q") = _)
+            q -> math.min(dt, r)
+          }
+        }
+      }
+      val sf100 = healSpot("sf100", sf100Raw, Map.empty)
+      val sf10 = healSpot("sf10", sf10Raw, sf100)
       // Plan fingerprints at sf1 (the verdict's "times + plans in the
       // artifact"): operator counts from the resolved physical plan —
       // scan/exchange/broadcast-join/sort-merge-join — enough to audit
@@ -317,9 +374,12 @@ object Bench {
       val slJson = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
       val tvJson = tpchValidation.map(s => "\"" + s.replace("\"", "'") + "\"")
         .mkString("[", ",", "]")
+      def loadOf(schema: String, m: Map[String, Double]) = m2j(
+        m.keys.flatMap(q => laneLoad.get(s"$schema:$q").map(q -> _)).toMap)
       laneFull = s""","tpch_sf01":${m2j(sf01)},"tpch_sf1":${m2j(sf1)},""" +
         s""""tpch_scale_ratio":${m2j(scaleRatio)},"tpch_superlinear":$slJson,""" +
         s""""tpch_sf10_spot":${m2j(sf10)},"tpch_sf100_spot":${m2j(sf100)},""" +
+        s""""tpch_sf10_load":${loadOf("sf10", sf10)},"tpch_sf100_load":${loadOf("sf100", sf100)},""" +
         s""""tpch_sf1_plans":$plansJson,"tpch_validation":$tvJson"""
       laneCompact = s""","tpch_sf01_total":${fmt(sf01.values.sum)},""" +
         s""""tpch_sf1_total":${fmt(sf1.values.sum)},""" +
@@ -350,9 +410,10 @@ object Bench {
         s""""dedup_superlinear":$slJson,"dedup_validation":$valJson"""
       laneFull += block
       laneCompact += s""","dedup_superlinear":$slJson,"dedup_validation":$valJson"""
-      if (r.validationFailures.nonEmpty)
+      if (r.validationFailures.nonEmpty) {
         System.err.println(s"[bench] DEDUP LANE VALIDATION FAILED: ${r.validationFailures.mkString("; ")}")
-      else System.err.println(s"[bench] dedup lane ok; superlinear=${r.superlinear.mkString(",")}")
+        laneFailures ++= r.validationFailures.map("dedup: " + _)
+      } else System.err.println(s"[bench] dedup lane ok; superlinear=${r.superlinear.mkString(",")}")
     }
 
     val results = qs.map { case (n, _) => n -> best(n) }
@@ -401,6 +462,13 @@ object Bench {
     if (breaches.nonEmpty) {
       System.err.println(s"[bench] TRIPWIRE: entries over the 2x gate after self-heal: " +
         breaches.mkString(", "))
+      sys.exit(1)
+    }
+    // A lane validation failure is a WRONG ANSWER at scale — fail the
+    // artifact's producer like the standalone lane mains do, so a bad
+    // artifact cannot ship with exit 0 (round-14 advice).
+    if (laneFailures.nonEmpty) {
+      System.err.println(s"[bench] LANE VALIDATION FAILURES: ${laneFailures.mkString("; ")}")
       sys.exit(1)
     }
   }

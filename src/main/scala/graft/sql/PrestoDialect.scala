@@ -897,7 +897,10 @@ object PrestoDialect {
             fail(raw, s"expected $digits hex digits after '$esc'" +
               (if (skip == 2) "+" else "") + s" at offset $i")
           val cp = Integer.parseInt(hex, 16)
-          if (!Character.isValidCodePoint(cp))
+          // Presto rejects lone surrogates (U+D800-DFFF) — they are UTF-16
+          // artifacts, not code points a well-formed string may contain —
+          // while Character.isValidCodePoint accepts them; check both.
+          if (!Character.isValidCodePoint(cp) || (cp >= 0xD800 && cp <= 0xDFFF))
             fail(raw, s"\\+$hex is not a valid code point")
           sb.appendAll(Character.toChars(cp))
           i += skip + digits

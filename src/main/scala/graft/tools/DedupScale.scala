@@ -57,11 +57,35 @@ object DedupScale {
 
   private[graft] def genDocs(spark: SparkSession, n: Long, dir: java.io.File): Unit = {
     val f = new java.io.File(dir, "documents.parquet")
-    if (f.exists()) return
+    // Cache key = a fingerprint of the generator itself (the planted-
+    // structure SQL + the row count), not mere existence: a reused stale
+    // corpus would make the lane's closed-form checks judge the WRONG
+    // data. On any generator change the marker mismatches and the corpus
+    // regenerates; hand-rolled marker beats a version constant someone
+    // forgets to bump.
+    val marker = new java.io.File(dir, "_gen_fingerprint")
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$GenSql|${BaseDocs * n}|v1".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val have =
+      if (marker.exists()) new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8").trim
+      else ""
+    if (f.exists() && have == want) return
     dir.mkdirs()
     val df = spark.range(BaseDocs * n).select(
       col("id").as("doc_id"),
-      expr(
+      expr(GenSql).as("text"))
+      .withColumn("lang", lit("en"))
+      .withColumn("source", concat(lit("crawl"), col("doc_id") % 7))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    df.repartition(32).write.mode("overwrite").parquet(f.getPath)
+    java.nio.file.Files.write(marker.toPath, want.getBytes("UTF-8"))
+  }
+
+  /** The planted-structure generator expression; hashed into the corpus
+    * cache marker so any edit regenerates. */
+  private val GenSql =
         """CASE WHEN id % 100 >= 90 THEN
              concat(
                concat_ws(' ', transform(sequence(0, 149), i ->
@@ -81,12 +105,7 @@ object DedupScale {
                                      THEN id - id % 100 + 85
                                      ELSE id END, i, 11), 1000000) / 1000000.0,
                       2)) AS INT)) END))
-           END""").as("text"))
-      .withColumn("lang", lit("en"))
-      .withColumn("source", concat(lit("crawl"), col("doc_id") % 7))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-    df.repartition(32).write.mode("overwrite").parquet(f.getPath)
-  }
+           END"""
 
   /** One lane entry: `probe` runs the operator AND returns invariant
     * failures — the probe's single action is what gets timed. */

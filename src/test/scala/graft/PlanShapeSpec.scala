@@ -79,20 +79,34 @@ class PlanShapeSpec extends SparkSpec {
     // introduce another shuffle: exactly the two base-table exchanges
     // (lineitem, orders) may appear below the window operator.
     val df = graft.queries.Tpch2.q21(tables)
-    df.write.format("noop").mode("overwrite").save() // finalize AQE stages
+    // Finalize AQE stages on THIS QueryExecution: a noop save would build
+    // and execute a separate one, leaving df's AdaptiveSparkPlanExec at
+    // its initial (never-executed) plan.
+    df.collect()
     val planned = df.queryExecution.executedPlan match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val windows = planned.collect {
+    // The FINALIZED plan wraps completed subtrees in QueryStageExecs,
+    // which plain collect does not descend into — flatten through them.
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case x => x.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val windows = flatten(planned).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w }
-    assert(windows.nonEmpty, "expected a WindowExec in q21's plan")
-    // After AQE finalization shuffles appear as materialized stage
-    // leaves (ShuffleQueryStageExec), not raw ShuffleExchangeExec —
-    // count both.
-    val exchangesBelowWindow = windows.head.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e: Any
-      case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec => s: Any }
+    assert(windows.nonEmpty, "expected a WindowExec in q21's finalized plan")
+    // Count the exchange NODES below the window (each materialized stage
+    // contains its ShuffleExchangeLike; reuse shows as ReusedExchange).
+    val exchangesBelowWindow = flatten(windows.head).filter {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
+      case _ => false
+    }
     assert(exchangesBelowWindow.size <= 2,
       s"q21's window added a shuffle: ${exchangesBelowWindow.size} exchanges below it")
   }

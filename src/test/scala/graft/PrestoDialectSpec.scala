@@ -1071,6 +1071,17 @@ class PrestoDialectSpec extends SparkSpec {
     assert(e4.getMessage.contains("code point"), e4.getMessage)
     // a plain identifier starting with u is untouched
     assert(t("SELECT u.a FROM users u") == "SELECT u.a FROM users u")
+    // ADJACENCY: the pass runs on the raw token stream (Space tokens
+    // included), so only a true U&'…' lexer token matches. A bitwise-and
+    // on a column named u — any whitespace split — must ride through.
+    assert(t("SELECT u & 'x' FROM t1") == "SELECT u & 'x' FROM t1")
+    assert(t("SELECT u &'x' FROM t1") == "SELECT u &'x' FROM t1")
+    assert(t("SELECT u& 'x' FROM t1") == "SELECT u& 'x' FROM t1")
+    // lone surrogate code points rejected (Presto does; isValidCodePoint alone would not)
+    val e5 = intercept[IllegalArgumentException] { PrestoDialect.transform("SELECT U&'\\+00D800'") }
+    assert(e5.getMessage.contains("code point"), e5.getMessage)
+    val e6 = intercept[IllegalArgumentException] { PrestoDialect.transform("SELECT U&'\\DFFF'") }
+    assert(e6.getMessage.contains("code point"), e6.getMessage)
   }
 
   test("window functions as SQL text: OVER, named WINDOW, frames, IGNORE NULLS") {
