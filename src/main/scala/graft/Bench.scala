@@ -200,6 +200,18 @@ object Bench {
         // lane raises the threshold — the same call a deployment makes.
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
           sys.env.getOrElse("SPARK_GRAFT_TPCH_BCAST", (64L << 20).toString))
+        // A/B knob for the storage-partitioning axis (round 14):
+        // SPARK_GRAFT_TPCH_AXIS=custkey lays orders/customer out in
+        // customer-key buckets (customer ⋈ orders co-located) instead of
+        // the default orderkey buckets (orders ⋈ lineitem co-located).
+        sys.env.get("SPARK_GRAFT_TPCH_AXIS")
+          .foreach(a => spark.conf.set("graft.tpch.ordersAxis", a))
+        // generic conf passthrough for lane experiments:
+        // SPARK_GRAFT_TPCH_CONF='k=v;k=v' (unset in the finally below)
+        val extraConf = sys.env.get("SPARK_GRAFT_TPCH_CONF").toSeq
+          .flatMap(_.split(';')).map(_.split("=", 2)).collect {
+            case Array(k, v) if k.nonEmpty => (k.trim, v.trim) }
+        extraConf.foreach { case (k, v) => spark.conf.set(k, v) }
         val t = Tables(spark, s"graft_tpch:$schema")
         val bestOf = mutable.Map.empty[String, Double].withDefaultValue(Double.MaxValue)
         try {
@@ -216,6 +228,8 @@ object Bench {
         } finally {
           spark.conf.unset("graft.tpch.rowsPerSplit")
           spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          spark.conf.unset("graft.tpch.ordersAxis")
+          extraConf.foreach { case (k, _) => spark.conf.unset(k) }
         }
         bestOf.toMap
       }

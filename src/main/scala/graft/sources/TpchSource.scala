@@ -244,8 +244,35 @@ final class TpchScan(table: String, sf: Double, keyLo0: Long, keyHi0: Long,
 
   // resolved ONCE at scan build so partition keys, the reported
   // transform, and the split layout all agree
-  private val per = math.max(1L, SQLConf.get.getConfString(
+  private val perConf = math.max(1L, SQLConf.get.getConfString(
     "graft.tpch.rowsPerSplit", "200000").toLong)
+  /** Custkey-axis storage partitioning (round 14): with
+    * `graft.tpch.ordersAxis=custkey`, orders and customer both split
+    * and report KeyGroupedPartitioning in CUSTOMER-KEY units, so
+    * customer ⋈ orders co-locates with zero exchange the way
+    * orders ⋈ lineitem does on the default orderkey axis. Possible
+    * because o_custkey is block-local ([[TpchGen.custOf]]): orderkey
+    * block i holds exactly custkey block i, so a custkey bucket IS a
+    * contiguous orderkey range — split enumeration and orderkey
+    * pruning are unchanged, only the reported transform and the split
+    * alignment differ. The axis is a per-session layout choice, the
+    * same call a deployment makes when it lays a fact table out by
+    * its most-joined foreign key. Guarded on the exact 10:1
+    * orders:customers ratio the block mapping rests on. */
+  private val custAxis = (table == "orders" || table == "customer") &&
+    SQLConf.get.getConfString("graft.tpch.ordersAxis", "orderkey") == "custkey" &&
+    TpchGen.orders(sf) == 10 * TpchGen.customers(sf)
+  /** custkeys per bucket under the custkey axis: rowsPerSplit/10 (so
+    * orders splits keep ~rowsPerSplit orderkeys) rounded UP to whole
+    * generation blocks — the alignment the SPJ guarantee rests on. */
+  private val custBucket = {
+    val cb = TpchGen.CustPerBlock
+    ((math.max(perConf / 10, cb) + cb - 1) / cb) * cb
+  }
+  private val per =
+    if (!custAxis) perConf
+    else if (table == "customer") custBucket
+    else custBucket * 10
 
   /** Contiguous key ranges of `rowsPerSplit` keys (reference:
     * `rowsPerSplit = fileBytesPerSplit / rowSize`,
@@ -278,6 +305,18 @@ final class TpchScan(table: String, sf: Double, keyLo0: Long, keyHi0: Long,
     // anyway, so they opt out of SPJ rather than mis-report
     if (table == "partsupp" || TpchGen.keyOffsetOf(table) != 0L)
       new UnknownPartitioning(0)
+    else if (custAxis && table == "orders") {
+      // report clustering by o_custkey at custBucket width: every split
+      // (10·custBucket orderkeys = custBucket custkeys, block-aligned)
+      // holds exactly one range_bucket_custBucket(o_custkey) value. The
+      // partitioning expression must resolve against the scan OUTPUT, so
+      // a projection that pruned o_custkey opts out.
+      if (!required.fieldNames.contains("o_custkey")) new UnknownPartitioning(0)
+      else new KeyGroupedPartitioning(
+        Array(Expressions.apply(s"range_bucket_$custBucket",
+          Expressions.column("o_custkey"))),
+        planInputPartitions().length)
+    }
     else new KeyGroupedPartitioning(
       Array(Expressions.apply(s"range_bucket_$per",
         Expressions.column(TpchGen.keyColumnOf(table)))),
@@ -355,6 +394,28 @@ object TpchGen {
     override def isResultNullable: Boolean = false
     override def produceResult(input: InternalRow): java.lang.Long =
       Math.floorDiv(input.getLong(0) - 1, per)
+  }
+
+  /** Block-local customer assignment (round 14): orderkey blocks of
+    * [[OrdersPerBlock]] map 1:1 to custkey blocks of [[CustPerBlock]]
+    * (the spec's exact 10-orders-per-customer ratio), and the customer
+    * is drawn uniformly WITHIN the block. Per-customer order counts stay
+    * Binomial(15000, 1/1500) ≈ Poisson(10) — the same statistical
+    * profile as a global draw (q13's count histogram and q22's
+    * no-order customers, P ≈ e^-10, are unchanged) — while making every
+    * custkey bucket a contiguous orderkey range, which is what lets the
+    * scan report custkey-axis KeyGroupedPartitioning (customer ⋈ orders
+    * with no exchange; the reference models the same choice as one
+    * Distribution per table layout, axiom/optimizer/Schema.h:122-230).
+    * At `tiny` (1500 customers) there is exactly one block, i.e. a
+    * global draw. */
+  val CustPerBlock = 1500L
+  val OrdersPerBlock = 15000L
+  def custOf(k: Long, sf: Double): Long = {
+    val c = customers(sf)
+    val b = math.min((k - 1) / OrdersPerBlock, (c - 1) / CustPerBlock)
+    val base = b * CustPerBlock
+    base + h(7L, k, 1) % math.min(CustPerBlock, c - base) + 1
   }
 
   /** Reference getScaleFactor (TpchConnectorMetadata.cpp:61-67):
@@ -620,7 +681,7 @@ object TpchGen {
         case ("customer", "c_mktsegment") => (k, _) => s(Segments((h(t, k, 6) % 5).toInt))
         case ("customer", "c_comment") => (k, _) => s(comment(t, k, 7))
         case ("orders", "o_orderkey") => (k, _) => k
-        case ("orders", "o_custkey") => (k, _) => h(t, k, 1) % customers(sf) + 1
+        case ("orders", "o_custkey") => (k, _) => custOf(k, sf)
         case ("orders", "o_orderstatus") => (k, _) => s(orderStatus(k))
         case ("orders", "o_totalprice") => (k, _) => orderTotal(k, sf)
         case ("orders", "o_orderdate") => (k, _) => orderDate(k)

@@ -206,6 +206,81 @@ class TpchSourceSpec extends SparkSpec {
     }
   }
 
+  test("custkey-axis SPJ: customer joins orders co-located, no exchange, same rows as the exchange join") {
+    // Round 14: graft.tpch.ordersAxis=custkey makes orders and customer
+    // report KeyGroupedPartitioning in customer-key units (possible
+    // because o_custkey is block-local — TpchGen.custOf). sf0_1 has 10
+    // custkey blocks, so the layout is non-trivial (tiny would be one
+    // bucket). Pin all three claims: the join subtree is exchange-free,
+    // the default axis plans an exchange join for the same query, and
+    // the two agree row-for-row.
+    spark.conf.set("graft.tpch.rowsPerSplit", "15000")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def q = {
+        val c = spark.table("graft_tpch.sf0_1.customer")
+        val o = spark.table("graft_tpch.sf0_1.orders")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("tp"))
+      }
+      def joinExchanges(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan
+        .collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+          case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+        }.head.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      spark.conf.set("graft.tpch.ordersAxis", "custkey")
+      assert(joinExchanges(q).isEmpty,
+        s"custkey axis: customer ⋈ orders must be storage-partitioned:\n${q.queryExecution.executedPlan}")
+      val spjRows = rows(q)
+      spark.conf.unset("graft.tpch.ordersAxis")
+      assert(joinExchanges(q).nonEmpty,
+        "default axis: customer ⋈ orders should plan the exchange join here")
+      val shuffledRows = rows(q)
+      // counts exact; double sums to relative 1e-12 (summation order
+      // differs between the two physical plans)
+      assert(spjRows.map(r => (r._1, r._2)) == shuffledRows.map(r => (r._1, r._2)),
+        s"custkey-axis SPJ and exchange-join groups diverged: $spjRows vs $shuffledRows")
+      spjRows.zip(shuffledRows).foreach { case (a, b) =>
+        assert(math.abs(a._3 - b._3) <= 1e-12 * math.abs(b._3),
+          s"sum diverged beyond reordering tolerance: $a vs $b") }
+    } finally {
+      spark.conf.unset("graft.tpch.ordersAxis")
+      spark.conf.unset("graft.tpch.rowsPerSplit")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("block-local o_custkey keeps the Poisson order-count profile (q13/q22 stay non-degenerate)") {
+    // The block-local draw must preserve what the queries measure:
+    // varying per-customer order counts (q13's histogram) and customers
+    // with no orders at all (q22's anti-join), both ≈ Poisson(10).
+    val c = spark.table("graft_tpch.sf0_1.customer")
+    val o = spark.table("graft_tpch.sf0_1.orders")
+    val counts = c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("n"))
+    val distinctCounts = counts.select(countDistinct(col("n"))).head().getLong(0)
+    assert(distinctCounts >= 10, s"order-count histogram degenerate: $distinctCounts buckets")
+    val orderless = counts.filter(col("n") === 0).count()
+    // 15000 customers × e^-10 ≈ 0.7 expected... at Poisson(10) that's
+    // too strict; assert the q22 SHAPE instead: the acctbal-filtered
+    // anti-join finds customers (q22 filters to ~a third of customers
+    // first, but zero-order customers must simply be possible — allow 0
+    // here and pin non-degeneracy via the histogram above). Orderless
+    // count must at least be SMALL (every customer having ≥1 order is
+    // fine at Poisson(10); half the table orderless would mean a broken
+    // draw).
+    assert(orderless < 1500, s"too many orderless customers: $orderless")
+    // referential integrity under the block draw: no orphan custkeys
+    assert(o.join(c, col("o_custkey") === col("c_custkey"), "left_anti").count() == 0)
+  }
+
   test("statistics by generation math: dimension joins broadcast with no ANALYZE") {
     // the scan reports spec-scaling row counts (TpchTableLayout::sample
     // analogue), so Catalyst sizes the 25-row nation side under the
