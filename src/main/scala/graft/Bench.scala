@@ -411,7 +411,9 @@ object Bench {
     // like the TPC-H lane (legs past 1× skip once the budget is spent).
     val dedupLane = !sys.env.get("SPARK_GRAFT_DEDUP_LANE").contains("off")
     if (dedupLane) {
-      val budget = sys.env.get("SPARK_GRAFT_DEDUP_BUDGET").map(_.toDouble).getOrElse(480.0)
+      // 620 s (round 14: +2 probes — simhash and the embedding scale
+      // path — over the round-13 lane's ~360 s spend)
+      val budget = sys.env.get("SPARK_GRAFT_DEDUP_BUDGET").map(_.toDouble).getOrElse(620.0)
       val r = tools.DedupScale.run(spark, budget)
       def row(e: tools.DedupScale.LaneEntry) = "\"" + e.name + "\":[" +
         e.times.map(t => if (t.isNaN) "null" else fmt(t)).mkString(",") + "]"
@@ -428,6 +430,29 @@ object Bench {
         System.err.println(s"[bench] DEDUP LANE VALIDATION FAILED: ${r.validationFailures.mkString("; ")}")
         laneFailures ++= r.validationFailures.map("dedup: " + _)
       } else System.err.println(s"[bench] dedup lane ok; superlinear=${r.superlinear.mkString(",")}")
+    }
+
+    // Streaming scale lane (round 14 — verdict Next #7): the per-bench
+    // budget-guarded 1×/10× leg of tools/StreamScale, so its event-
+    // conservation + batch-twin validation claims are continuously
+    // re-evidenced in the artifact (the 100× leg stays in the
+    // standalone main). Default ON; SPARK_GRAFT_STREAM_LANE=off.
+    val streamLane = !sys.env.get("SPARK_GRAFT_STREAM_LANE").contains("off")
+    if (streamLane) {
+      val budget = sys.env.get("SPARK_GRAFT_STREAM_BUDGET").map(_.toDouble).getOrElse(150.0)
+      val r = tools.StreamScale.run(spark, budget, scales = Seq(1L, 10L),
+        reps = Map(1L -> 2).withDefaultValue(1))
+      def row(e: tools.StreamScale.LaneEntry) = "\"" + e.name + "\":[" +
+        e.times.map(t => if (t.isNaN) "null" else fmt(t)).mkString(",") + "]"
+      val entriesJson = r.entries.map(row).mkString("{", ",", "}")
+      val valJson = r.validationFailures.map(s => "\"" + s.replace("\"", "'") + "\"")
+        .mkString("[", ",", "]")
+      laneFull += s""","stream_scale":$entriesJson,"stream_validation":$valJson"""
+      laneCompact += s""","stream_validation":$valJson"""
+      if (r.validationFailures.nonEmpty) {
+        System.err.println(s"[bench] STREAM LANE VALIDATION FAILED: ${r.validationFailures.mkString("; ")}")
+        laneFailures ++= r.validationFailures.map("stream: " + _)
+      } else System.err.println("[bench] stream lane ok")
     }
 
     val results = qs.map { case (n, _) => n -> best(n) }

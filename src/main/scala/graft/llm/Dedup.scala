@@ -389,33 +389,46 @@ object Dedup {
     * default cap and the output is unchanged. */
   def neardupEmbeddingOver(spark: org.apache.spark.sql.SparkSession,
                            vecs: DataFrame, tau: Double,
-                           maxLshBucket: Int = 256): DataFrame = {
+                           maxLshBucket: Int = 256,
+                           lshTables: Int = 32, lshBits: Int = 6,
+                           withIvf: Boolean = true): DataFrame = {
     NativeExprs.ensureRegistered(spark)
     val v = vecs.withColumn("norm", sqrt(call_function("graft_vecdot", col("e"), col("e"))))
-    // Coarse codebook: the Ann.trainCodebook fixed-k spherical-k-means
-    // model. The collect is bounded by the codebook size k (16 rows) —
-    // a model artifact like any broadcast ML model — NEVER the corpus:
-    // training is distributed (broadcast assign + (c_id, dim) shuffle)
-    // and only the k trained centroids come back to the driver to form
-    // the graft_ivf_assign literal.
-    val cents: Seq[Seq[Double]] = Ann
-      .trainCodebook(v.select(col("vec_id"), col("e"), col("norm")))
-      .orderBy(col("c_id"))
-      .select(col("ce")).collect().map(_.getSeq[Double](0)).toSeq
-    val centsLit = typedlit(cents)
     // Family 1: IVF multi-assign lists (keys namespaced above 2^62 so
     // they can never collide with sign-LSH's (table<<32 | bucket) keys).
+    // SCALE KNOB (round 14, measured in the DedupScale lane): the
+    // fixed-16 codebook's lists grow LINEARLY with the corpus and the
+    // per-list pair join quadratically — at the lane's 100× (500k
+    // vectors, ~156k per list) the IVF tier alone would enumerate
+    // ~10^10 pairs. The deployment's near-dup scale path disables the
+    // IVF tier (withIvf=false) and scales the LSH bits with log2(N)
+    // instead; the dense mid-threshold (τ≈0.45) oracle contract keeps
+    // the union at its verification scale, where each family alone has
+    // measured recall 1.0.
+    val cents: Seq[Seq[Double]] =
+      if (!withIvf) Nil
+      else Ann
+        // Coarse codebook: the Ann.trainCodebook fixed-k spherical
+        // k-means model. The collect is bounded by the codebook size k
+        // (16 rows) — a model artifact like any broadcast ML model —
+        // NEVER the corpus: training is distributed (broadcast assign +
+        // (c_id, dim) shuffle) and only the k trained centroids come
+        // back to the driver to form the graft_ivf_assign literal.
+        .trainCodebook(v.select(col("vec_id"), col("e"), col("norm")))
+        .orderBy(col("c_id"))
+        .select(col("ce")).collect().map(_.getSeq[Double](0)).toSeq
+    val centsLit = typedlit(cents)
     val ivfKeys = v.select(col("vec_id"),
       explode(call_function("graft_ivf_assign", col("e"), centsLit, lit(5))).as("list_id"))
       .select(col("vec_id"), (lit(1L << 62) + col("list_id")).as("key"))
     // Family 2: sign-LSH buckets, hot buckets dropped (see maxLshBucket;
     // the size window shuffles on the same key the candidate join needs).
     val lshKeys = v.select(col("vec_id"),
-      explode(call_function("graft_signlsh", col("e"), lit(32), lit(6))).as("key"))
+      explode(call_function("graft_signlsh", col("e"), lit(lshTables), lit(lshBits))).as("key"))
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("key"))))
       .filter(col("bsz") <= maxLshBucket)
       .drop("bsz")
-    val keys = ivfKeys.unionByName(lshKeys)
+    val keys = if (withIvf) ivfKeys.unionByName(lshKeys) else lshKeys
     // Candidates share a bucket key — one equi-join shuffle on the key;
     // the stream carries only (vec_id, key), vectors join back after
     // pair dedup, once per side.
@@ -430,6 +443,30 @@ object Dedup {
       .filter(col("cos") >= tau)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
+  /** The embedding near-dup tier's 100 TB shape: sign-LSH only, with
+    * the bit WIDTH scaled to the corpus — bits = ceil(log2(n /
+    * targetBucket)) keeps expected bucket size constant as the corpus
+    * grows, so candidate volume stays ~tables·n·bucket/2 (linear)
+    * while a true near-dup pair (θ small) still collides in ≥1 of the
+    * 16 tables with probability 1 − (1 − (1−θ/π)^bits)^16 — at the
+    * lane's planted θ (cos ≈ 0.9994) the per-corpus expected miss count
+    * stays below 1e-6 at every scale. The exact cosine verification
+    * keeps precision 1 regardless. targetBucket = 2 keeps the verify
+    * join's candidate stream (the dominant cost — each candidate drags
+    * two 64-dim vectors through the join) at ~tables·n, strictly
+    * linear; the first lane run at targetBucket = 6 / 32 tables paid a
+    * 22M-candidate join-back at 100× and flagged super-linear off its
+    * overhead-dominated 10× base. Measured in the DedupScale lane at
+    * 1×/10×/100× with planted ground truth. */
+  def neardupEmbeddingAtScale(spark: org.apache.spark.sql.SparkSession,
+                              vecs: DataFrame, tau: Double, nVecs: Long,
+                              targetBucket: Long = 2L): DataFrame = {
+    val bits = math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, nVecs / math.max(1L, targetBucket)) - 1))
+    neardupEmbeddingOver(spark, vecs, tau, lshBits = math.min(30, bits),
+      lshTables = 16, withIvf = false)
+  }
+
   val neardupEmbeddingSql: String =
     """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos

@@ -180,7 +180,7 @@ object TextStats {
     * xxhash64 of the full 64-char gram then identifies the content. The keep
     * rate is data-dependent (chars with code ≡ 0 mod 8 — 'h','p','x' on
     * lowercase text). */
-  private def anchorsOver(docs: DataFrame): DataFrame = docs
+  private[graft] def anchorsOver(docs: DataFrame): DataFrame = docs
     .filter(length(col("text")) >= GramK)
     .select(col("doc_id"), length(col("text")).as("doc_len"),
       // Selection AND hashing happen inside the per-document HOF chain,
@@ -231,17 +231,32 @@ object TextStats {
     * hash shared by millions of documents on one task. */
   private def withAnchors(docs: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     // SIZE-AWARE (round 13, DedupScale lane finding): below ~256 MB of
-    // corpus the checkpoint wins outright (the extraction dominates and
-    // the blocks fit — the round-12 measurement at sf0.1). Past it the
-    // anchor stream (~1.5× the corpus text even at 8-byte hashes) evicts
-    // everything else from executor storage and the entry spends more
-    // wall re-faulting blocks than the second extraction pass costs —
-    // measured 412 s vs 133 s at the lane's 500k-doc corpus. Big corpora
-    // therefore recompute the extraction once per consumer (two codegen
-    // passes over text, zero storage pinned), the same trade the
-    // size-aware broadcast pins make in [[Dedup]].
-    val big = docs.queryExecution.optimizedPlan.stats.sizeInBytes > (256L << 20)
-    if (big) {
+    // corpus the MEMORY checkpoint wins outright (the extraction
+    // dominates and the blocks fit — the round-12 measurement at
+    // sf0.1). Past it the memory-resident anchor stream (~1.5× the
+    // corpus text even at 8-byte hashes) evicts everything else from
+    // executor storage and the entry spends more wall re-faulting
+    // blocks than a second extraction pass costs (measured 412 s
+    // thrashing vs 146 s without the cache at the lane's 500k-doc
+    // corpus). Big corpora therefore persist the stream DISK_ONLY —
+    // compute once, spill the blocks to executor-local disk, pin no
+    // storage memory. The round-14 A/B (bench/SCALING_DEDUP.md)
+    // measured DISK_ONLY vs recompute-per-consumer on the full
+    // span-cut at 100×: 130 s vs 147 s min-of-2 — DISK_ONLY wins ~13%
+    // (one extraction pass + a disk read beats two extraction passes).
+    // `graft.text.anchorStrategy` overrides the size-aware choice
+    // (persist | checkpoint | recompute) for lane A/Bs.
+    val strategy = docs.sparkSession.conf
+      .get("graft.text.anchorStrategy", "auto") match {
+        case "auto" =>
+          val big =
+            docs.queryExecution.optimizedPlan.stats.sizeInBytes > (256L << 20)
+          if (big) "persist" else "checkpoint"
+        case s => s
+      }
+    if (strategy == "recompute")
+      return body(anchorsOver(docs)).localCheckpoint(true)
+    if (strategy == "persist") {
       val anchors = anchorsOver(docs)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       try return body(anchors).localCheckpoint(true)

@@ -65,17 +65,26 @@ object StreamScale {
     org.apache.commons.io.FileUtils.deleteDirectory(w)
   }
 
-  def main(args: Array[String]): Unit = {
-    val spark = Sessions.builder(master = "local[32]", appName = "graft-stream-scale")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val scales = Seq(1L, 10L, 100L)
+  final case class LaneEntry(name: String, times: Seq[Double])
+  final case class LaneResult(entries: Seq[LaneEntry],
+                              validationFailures: Seq[String], scales: Seq[Long])
+
+  /** Runs the lane; shared by the standalone main (1×/10×/100×) and the
+    * per-bench artifact emitter (1×/10×, budget-guarded — round 14,
+    * verdict Next #7: the lane's validation claims are re-evidenced on
+    * every bench run, not only when run by hand). `budgetSecs` bounds
+    * total lane wall: >1× legs are skipped once exceeded and record
+    * NaN, the same policy as the TPC-H and dedup lanes. */
+  def run(spark: SparkSession, budgetSecs: Double,
+          scales: Seq[Long] = Seq(1L, 10L, 100L),
+          reps: Map[Long, Int] = Map(1L -> 2, 10L -> 2).withDefaultValue(1)): LaneResult = {
+    val lane0 = System.nanoTime()
+    def spent = (System.nanoTime() - lane0) / 1e9
     val dirs = scales.map { n =>
       val d = new java.io.File(s"/root/repo/target/stream_scale/x$n")
       genEvents(spark, n, d)
       n -> d.getPath
     }
-    val reps = Map(1L -> 2, 10L -> 2, 100L -> 1)
     val fails = Seq.newBuilder[String]
     // Result validation at every scale (round 13): the drained-replay
     // answer is checked against a closed form where one exists (event
@@ -112,7 +121,8 @@ object StreamScale {
     }
     val rows = Streams.entries.map { case (name, fn, _) =>
       val times = dirs.map { case (n, dir) =>
-        val dt = (1 to reps(n)).map { _ =>
+        if (n > 1L && spent > budgetSecs) Double.NaN
+        else (1 to reps(n)).map { _ =>
           val t0 = System.nanoTime()
           val df = fn(spark, dir)
           df.write.format("noop").mode("overwrite").save()
@@ -121,16 +131,24 @@ object StreamScale {
           validate(name, n, dir, df)
           d
         }.min
-        dt
       }
-      (name, times)
+      LaneEntry(name, times)
     }
+    LaneResult(rows, fails.result(), scales)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.builder(master = "local[32]", appName = "graft-stream-scale")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, budgetSecs = Double.MaxValue,
+      scales = Seq(1L, 10L, 100L), reps = Map(1L -> 2, 10L -> 2).withDefaultValue(1))
     println("| entry | 1x (100k ev / 1.5k users) | 10x | 100x (10M ev / 150k users) | 1->10 ratio | 10->100 ratio |")
     println("|---|---|---|---|---|---|")
-    rows.foreach { case (n, ts) =>
+    r.entries.foreach { case LaneEntry(n, ts) =>
       println(f"| $n | ${ts(0)}%.2f | ${ts(1)}%.2f | ${ts(2)}%.2f | ${ts(1) / ts(0)}%.1fx | ${ts(2) / ts(1)}%.1fx |")
     }
-    val bad = fails.result()
+    val bad = r.validationFailures
     println(s"validation: ${if (bad.isEmpty) "ALL PASS" else bad.mkString("; ")}")
     spark.stop()
     require(bad.isEmpty, s"stream scale lane validation failed: ${bad.mkString("; ")}")
