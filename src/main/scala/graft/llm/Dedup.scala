@@ -467,6 +467,34 @@ object Dedup {
       lshTables = 16, withIvf = false)
   }
 
+  /** Oracle-scale correctness pin of [[neardupEmbeddingAtScale]] (the
+    * lane measures its scaling; this entry puts its RESULT in the
+    * driver's DuckDB gate). Planted structure by the
+    * [[Ann.annSignLshNearDup]] construction: every base vector gets a
+    * +0.001-perturbed twin (cos ≈ 1 − 1e-7 against its base), τ = 0.99.
+    * At that θ a pair misses all 16 tables with p < 1e-29 even at the
+    * smallest bit width, so the LSH path's answer equals the oracle's
+    * all-pairs scan exactly; any NATURAL base-pair at cos ≥ 0.99 sits
+    * at θ ≤ 8.1° and is likewise recovered (miss < 1e-8). The corpus
+    * row count that sizes the bits comes from count() — at deployment
+    * scale the same number arrives from table statistics. */
+  def neardupEmbeddingScale(t: Tables): DataFrame = {
+    val base = t.embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val pert = base.select((-(col("vec_id") + 1)).as("vec_id"),
+      transform(col("e"), x => x + lit(0.001)).as("e"))
+    neardupEmbeddingAtScale(t.spark, base.unionByName(pert), 0.99,
+      2 * t.embeddings.count())
+  }
+  val neardupEmbeddingScaleSql: String =
+    """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       pert AS (SELECT -(vec_id + 1) AS vec_id, list_transform(e, x -> x + 0.001) AS e FROM base),
+       corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              round(list_cosine_similarity(a.e, b.e), 4) AS cos
+       FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.e, b.e) >= 0.99"""
+
   val neardupEmbeddingSql: String =
     """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
@@ -600,5 +628,6 @@ object Dedup {
     ("neardup_jaccard_prefix", neardupJaccardPrefix _, neardupOracleSql),
     ("neardup_minhash", neardupMinhash _, neardupOracleSql),
     ("neardup_simhash", neardupSimhash _, neardupOracleSql),
-    ("neardup_embedding", neardupEmbedding _, neardupEmbeddingSql))
+    ("neardup_embedding", neardupEmbedding _, neardupEmbeddingSql),
+    ("neardup_embedding_scale", neardupEmbeddingScale _, neardupEmbeddingScaleSql))
 }
