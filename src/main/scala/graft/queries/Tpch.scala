@@ -147,20 +147,33 @@ object Tpch {
        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"""
 
   // ---------------------------------------------------------------- q5
-  /** Local supplier volume — 6-way join + agg. Verbatim shape of q5.sql
-    * (date window shifted into the synthetic data's 1995-2001 range). */
+  /** Local supplier volume — 6-way join + agg. Semantics of q5.sql
+    * (date window shifted into the synthetic data's 1995-2001 range).
+    *
+    * Round-14 eager-aggregation shape (measured: sf10 8.5 → 2.3 s,
+    * rounded rows identical — tools/Q5Probe): the c_custkey join only
+    * exists to enforce c_nationkey = s_nationkey, so revenue is
+    * partial-summed per (o_custkey, supplier nation) BEFORE customer
+    * enters — the fact-stream exchange carries bounded per-customer
+    * partials instead of every joined line. orders ⋈ lineitem rides the
+    * connector's storage-partitioned orderkey buckets; supplier/nation/
+    * region reach the stream as broadcasts from statistics (no forced
+    * hint on supplier — at extreme SF it should shuffle, not flood the
+    * driver); customer is pruned to (c_custkey, c_nationkey). */
   def q5(t: Tables): DataFrame =
-    t.customer
-      .join(t.orders, col("c_custkey") === col("o_custkey"))
+    t.orders
       .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
       .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
-      .join(t.supplier,
-        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
+      .groupBy(col("o_custkey"), col("s_nationkey"), col("n_name"))
+      .agg(sum(revenue(col("l_extendedprice"), col("l_discount"))).as("pr"))
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("c_custkey") === col("o_custkey") && col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("pr")), 2).as("revenue"))
       .orderBy(col("revenue").desc)
 
   val q5Sql: String =
