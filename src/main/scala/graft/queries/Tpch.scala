@@ -313,15 +313,22 @@ object Tpch {
   // ---------------------------------------------------------------- q10
   /** Returned item reporting (adapted: c_address/c_phone/c_comment absent
     * → dropped from projection). Shape of q10.sql preserved. */
+  /** Round-14 eager-aggregation shape (the q5 pattern): c_custkey
+    * functionally determines every other grouping column, so revenue is
+    * summed per o_custkey on the orders⋈lineitem stream FIRST (which
+    * rides the connector's storage-partitioned orderkey buckets) and
+    * customer attributes join 1:1 onto the bounded per-customer sums —
+    * no second aggregation, and the custkey exchange carries at most
+    * one row per active customer instead of every returned line. */
   def q10(t: Tables): DataFrame =
-    t.customer
-      .join(t.orders, col("c_custkey") === col("o_custkey"))
+    t.orders
       .filter(col("o_orderdate") >= ts("1996-10-01") && col("o_orderdate") < ts("1997-01-01"))
       .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_returnflag") === "R")
-      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .groupBy(col("o_custkey"))
       .agg(round(sum(revenue(col("l_extendedprice"), col("l_discount"))), 2).as("revenue"))
+      .join(t.customer, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("c_name"), col("revenue"),
         round(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
       .orderBy(col("revenue").desc, col("c_custkey"))
