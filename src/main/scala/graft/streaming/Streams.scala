@@ -145,6 +145,44 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Drained-replay oracle entry for [[streamingDedup]] (round 14 —
+    * the operator existed without a driver-gate entry): documents
+    * replay as a stream with a deterministic synthetic arrival time
+    * (epoch + doc_id seconds — the corpus has no native timestamp),
+    * the stateful dedup drops repeat digests, and the drained output
+    * projects the DIGEST ONLY, because WHICH duplicate row survives
+    * depends on arrival order across partitions while the distinct
+    * digest set does not. [[streamingDedup]]'s 2-hour watermark delay
+    * exceeds the synthetic time span at the verify scales (one second
+    * per doc: 1.4 h even at sf0.1), so state never evicts mid-replay
+    * and the drained set equals a global distinct — at production
+    * scale the delay is the admission horizon and state stays bounded
+    * by distinct-docs-per-horizon, which is the operator's contract.
+    * The testdata corpus carries no exact duplicates, so the DROP path
+    * is pinned non-vacuously by StreamsSpec's MemoryStream test (dups
+    * within and across microbatches) and by the DedupScale lane's
+    * planted clusters on the batch half. */
+  def dedupStreamedEntry(outer: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val docs = graft.Catalog.load(outer, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    // state keys = distinct digests, upper-bounded by the doc count
+    val spark = streamingSession(outer, docs.count())
+    val stage = new java.io.File(
+      s"/root/repo/target/stream_dedup/${java.util.UUID.randomUUID().toString.take(8)}")
+    docs.write.mode("overwrite").parquet(stage.getPath)
+    val stream = streamingDedup(
+      spark.readStream.schema(docs.schema).parquet(stage.getPath))
+      .select(col("digest"))
+    val name = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Batch reference implementation of the same sessionization (for the
     * equivalence test and as the backfill path of a lambda-free
     * batch/stream dual deployment). */
@@ -394,6 +432,8 @@ object Streams {
                 CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT)
                   AS duration_sec
          FROM sess GROUP BY user_id, sid"""),
+    ("stream_dedup", dedupStreamedEntry _,
+      "SELECT DISTINCT sha256(text) AS digest FROM documents"),
     ("stream_join", joinStreamedEntry _,
       """SELECT p.user_id AS user_id, p.ts AS p_ts, c.ts AS c_ts,
                 p.value AS purchase_value, c.value AS click_value
