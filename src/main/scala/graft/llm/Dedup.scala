@@ -39,7 +39,7 @@ object Dedup {
     * (~170 splits per row — measured 8.7 s for 5k docs before this
     * restructure, <1 s after). CollapseProject keeps the split
     * un-inlined because it is non-cheap and multiply referenced. */
-  private def shingleOf(w: Column): Column =
+  private[llm] def shingleOf(w: Column): Column =
     when(size(w) >= 3,
       array_distinct(transform(sequence(lit(1), size(w) - 2),
         i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))

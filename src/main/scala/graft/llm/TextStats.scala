@@ -606,6 +606,56 @@ object TextStats {
                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
        FROM p"""
 
+  // --------------------------------------------- benchmark decontamination
+  /** Benchmark decontamination — the training-pipeline stage that flags
+    * corpus documents CONTAINING n-grams from an evaluation suite (the
+    * GPT-3 appendix-C / Pile-appendix discipline: a benchmark answer
+    * leaking into pretraining data inflates downstream scores). The
+    * asymmetry is the whole design: an eval suite is KBs-to-MBs against
+    * a 100 TB corpus, so its distinct word 3-grams BROADCAST and the
+    * corpus stream is probed in place — one pass over training text, one
+    * per-doc aggregation, no corpus shuffle keyed on grams. Output is
+    * (doc_id, n_contaminated) for contaminated docs only (the
+    * rejection-sized verdict list, like [[Dedup.dedupIncremental]]).
+    *
+    * The oracle entry derives the "eval suite" deterministically from
+    * the corpus itself (docs with doc_id % 97 == 0 stand in — testdata
+    * ships no separate benchmark table); production calls
+    * [[decontaminateAgainst]] with any (text) frame. */
+  def decontaminate(t: Tables): DataFrame = decontaminateAgainst(
+    t.documents.filter(col("doc_id") % 97 =!= 0),
+    t.documents.filter(col("doc_id") % 97 === 0))
+
+  def decontaminateAgainst(train: DataFrame, eval: DataFrame): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(Dedup.shingleOf(col("w"))).as("g"))
+    val evalGrams = grams(eval).select(col("g")).distinct()
+    grams(train)
+      .join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id"))
+      // shingleOf is per-doc distinct, so this counts DISTINCT matched
+      // grams — the containment evidence, invariant to repetition
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+  val decontaminateSql: String =
+    """WITH toks AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+       ), sh AS (
+         SELECT doc_id,
+                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w)-1)]) AS gs
+         FROM toks WHERE len(w) >= 3
+       ), eg AS (
+         SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % 97 = 0
+       ), tg AS (
+         SELECT doc_id, unnest(gs) AS g FROM sh WHERE doc_id % 97 <> 0
+       )
+       SELECT doc_id, count(*) AS n_contaminated
+       FROM tg JOIN eg USING (g)
+       GROUP BY doc_id"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("text_repetition", repetition _, repetitionSql),
     ("text_token_stats", tokenStats _, tokenStatsSql),
@@ -619,5 +669,6 @@ object TextStats {
     ("text_dup_span_cut", dupSpanCut _, dupSpanCutSql),
     ("text_unigram_logprob", unigramLogprob _, unigramLogprobSql),
     ("text_pii_scrub", piiScrub _, piiScrubSql),
+    ("text_decontaminate", decontaminate _, decontaminateSql),
     ("pipeline_corpus_build", corpusBuild _, corpusBuildSql))
 }

@@ -122,6 +122,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(df.queryExecution.optimizedPlan.toString.contains("ExistenceJoin"))
   }
 
+  test("text_decontaminate: eval grams broadcast, corpus stream never shuffles on grams") {
+    // The decontamination asymmetry (KB-scale eval suite vs 100 TB
+    // corpus) must show in the plan: the eval-gram distinct feeds a
+    // BroadcastHashJoin probe over the exploded training grams, and the
+    // only exchanges are the eval distinct's own and the final per-doc
+    // aggregation — never a corpus-wide shuffle keyed on the gram.
+    val df = llm.TextStats.decontaminate(tables)
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    // eval distinct (partial/final) + doc_id agg; a gram-keyed corpus
+    // shuffle would add a third wide exchange
+    assert(exchanges.size <= 2, s"unexpected exchanges:\n$plan")
+  }
+
   test("ann_bruteforce: probe side is broadcast (no corpus shuffle)") {
     val plan = physical(llm.Ann.annBruteforce(tables))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
