@@ -212,9 +212,11 @@ object Bench {
           .flatMap(_.split(';')).map(_.split("=", 2)).collect {
             case Array(k, v) if k.nonEmpty => (k.trim, v.trim) }
         extraConf.foreach { case (k, v) => spark.conf.set(k, v) }
-        val t = Tables(spark, s"graft_tpch:$schema")
         val bestOf = mutable.Map.empty[String, Double].withDefaultValue(Double.MaxValue)
+        // Tables() inside the try: the confs above are already set, so
+        // any resolution failure must still restore the session.
         try {
+          val t = Tables(spark, s"graft_tpch:$schema")
           for (r <- 1 to reps; (n, q) <- sel) if (laneSpent < laneBudget + extraBudget) {
             val s0 = System.nanoTime()
             try q(t).write.format("noop").mode("overwrite").save()
