@@ -119,7 +119,11 @@ object StreamScale {
         case _ =>
       }
     }
-    val rows = Streams.entries.map { case (name, fn, _) =>
+    // Lane scope = the EVENTS-based entries (the synthetic corpora here
+    // carry only events.parquet); stream_dedup streams the documents
+    // table and has its own oracle entry + DedupScale-side evidence.
+    val laneNames = Set("stream_tumbling", "stream_sessions", "stream_join")
+    val rows = Streams.entries.filter(e => laneNames(e._1)).map { case (name, fn, _) =>
       val times = dirs.map { case (n, dir) =>
         if (n > 1L && spent > budgetSecs) Double.NaN
         else (1 to reps(n)).map { _ =>
