@@ -223,6 +223,22 @@ object DedupScale {
       fails(n, ("asym exact rejects", m.getOrElse("exact", 0L), 100),
         ("asym near rejects", m.getOrElse("near", 0L), 150))
     }),
+    Probe("decontaminate_asym", (t, n) => {
+      // the decontamination production shape: a FIXED eval suite (one
+      // block-0 boilerplated doc) against a corpus growing 10×/leg.
+      // Boilerplate is block-local, so ground truth is scale-invariant:
+      // exactly the other 9 boilerplated docs of block 0 match, each on
+      // exactly the 28 word-3-grams of the 30-word shared suffix
+      // (junction grams carry doc-specific body words and never match;
+      // a chance cross-block triple needs three consecutive hash-drawn
+      // b-words to coincide — ~1e-9 per position).
+      val r = TextStats.decontaminateAgainst(
+          t.documents.filter(col("doc_id") =!= 90),
+          t.documents.filter(col("doc_id") === 90))
+        .agg(count(lit(1)), count(when(col("n_contaminated") === 28, 1))).head()
+      fails(n, ("decontaminated docs", r.getLong(0), 9),
+        ("docs at 28 shared grams", r.getLong(1), 9))
+    }),
     Probe("dedup_cluster_cc", (t, n) => {
       val b = 50 * n
       val r = Corpus.dedupClusterCC(t).agg(

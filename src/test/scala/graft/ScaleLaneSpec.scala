@@ -20,8 +20,9 @@ class ScaleLaneSpec extends SparkSpec {
       reps = Map.empty[Long, Int].withDefaultValue(1))
     assert(r.validationFailures.isEmpty, r.validationFailures.mkString("; "))
     assert(r.superlinear.isEmpty)
-    // 8 probes as of round 14 (simhash + the embedding scale path)
-    assert(r.entries.size == 8 && r.entries.forall(_.times.head > 0))
+    // 9 probes as of round 14 (simhash, the embedding scale path, and
+    // the fixed-eval decontamination asymmetry)
+    assert(r.entries.size == 9 && r.entries.forall(_.times.head > 0))
   }
 
   test("DedupScale corpus generator: deterministic, planted structure in the text itself") {
