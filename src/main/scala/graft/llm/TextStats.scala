@@ -252,7 +252,10 @@ object TextStats {
           val big =
             docs.queryExecution.optimizedPlan.stats.sizeInBytes > (256L << 20)
           if (big) "persist" else "checkpoint"
-        case s => s
+        case s @ ("persist" | "checkpoint" | "recompute") => s
+        case other => throw new IllegalArgumentException(
+          s"graft.text.anchorStrategy='$other' - expected auto|persist|checkpoint|recompute " +
+          "(a typo here would silently A/B the wrong strategy)")
       }
     if (strategy == "recompute")
       return body(anchorsOver(docs)).localCheckpoint(true)

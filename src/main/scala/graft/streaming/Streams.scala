@@ -169,18 +169,30 @@ object Streams {
       .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
     // state keys = distinct digests, upper-bounded by the doc count
     val spark = streamingSession(outer, docs.count())
+    // Checkout-relative staging (not an absolute /root/repo path), and
+    // both the directory and the memory-sink table are dropped once the
+    // drained result is materialized — repeated oracle-gate invocations
+    // must not accrete disk or catalog entries (round-14 advice).
     val stage = new java.io.File(
-      s"/root/repo/target/stream_dedup/${java.util.UUID.randomUUID().toString.take(8)}")
-    docs.write.mode("overwrite").parquet(stage.getPath)
-    val stream = streamingDedup(
-      spark.readStream.schema(docs.schema).parquet(stage.getPath))
-      .select(col("digest"))
-    val name = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = stream.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
+      s"target/stream_dedup/${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      docs.write.mode("overwrite").parquet(stage.getPath)
+      val stream = streamingDedup(
+        spark.readStream.schema(docs.schema).parquet(stage.getPath))
+        .select(col("digest"))
+      val name = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = stream.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // Bounded materialization: the sink holds one row per distinct
+      // digest at gate scale (<= doc count), so collecting to re-wrap as
+      // a local relation is safe and frees the sink for cleanup.
+      val rows = spark.table(name).collect().toList
+      spark.catalog.dropTempView(name)
+      outer.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, stream.schema)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(stage)
   }
 
   /** Batch reference implementation of the same sessionization (for the

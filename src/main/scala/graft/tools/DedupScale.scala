@@ -298,28 +298,44 @@ object DedupScale {
       dt
     }
     try {
-    val rows = probes.map { p =>
-      // Shuffle partitions sized to the corpus (inside runLeg — the
-      // brief's "partitions must fit executor memory at the target SF"
-      // discipline): 32 is right for 5k docs, but at 500k docs the
-      // 135M-row anchor aggregation would hand every one of 32
-      // concurrent tasks a multi-hundred-MB hash map simultaneously —
-      // the lane OOM'd before this derivation. AQE coalesces the stages
-      // that end up small, so oversizing costs nothing. Every probe
-      // fully consumes its result (one collected aggregate row), so
-      // whatever it persisted — CC loop checkpoints, span anchor
-      // blocks, minhash signatures — is dead weight afterwards; runLeg
-      // releases it eagerly rather than waiting on the GC-driven
-      // ContextCleaner (at 100× the residue of earlier probes OOM'd
-      // later ones).
-      val times = dirs.map { case (n, dir) =>
-        (1 to reps(n)).flatMap[Double] { r =>
-          if (spent > budgetSecs && n > 1) None
-          else Some(runLeg(p, n, dir, s"rep $r"))
-        }.reduceOption(math.min(_, _)).getOrElse(Double.NaN)
-      }
-      LaneEntry(p.name, times)
+    // Shuffle partitions sized to the corpus (inside runLeg — the
+    // brief's "partitions must fit executor memory at the target SF"
+    // discipline): 32 is right for 5k docs, but at 500k docs the
+    // 135M-row anchor aggregation would hand every one of 32
+    // concurrent tasks a multi-hundred-MB hash map simultaneously —
+    // the lane OOM'd before this derivation. AQE coalesces the stages
+    // that end up small, so oversizing costs nothing. Every probe
+    // fully consumes its result (one collected aggregate row), so
+    // whatever it persisted — CC loop checkpoints, span anchor
+    // blocks, minhash signatures — is dead weight afterwards; runLeg
+    // releases it eagerly rather than waiting on the GC-driven
+    // ContextCleaner (at 100× the residue of earlier probes OOM'd
+    // later ones).
+    def legBest(p: Probe, i: Int): Double = {
+      val (n, dir) = dirs(i)
+      (1 to reps(n)).flatMap[Double] { r =>
+        if (spent > budgetSecs && n > 1) None
+        else Some(runLeg(p, n, dir, s"rep $r"))
+      }.reduceOption(math.min(_, _)).getOrElse(Double.NaN)
     }
+    // Two-phase schedule (round-15 ask): BENCH_r14's budget ran out
+    // before text_dup_span_cut's ~105 s 100× leg — the lane's STEEPEST
+    // entry was exactly the one that recorded null. Phase 1 runs every
+    // probe's sub-max legs (cheap; they seed the ordering); phase 2
+    // runs the max-scale legs most-expensive-first, using each probe's
+    // measured second-largest-scale time as the cost proxy, so when a
+    // budget does run out it starves the cheapest legs, not the one
+    // the lane exists to re-evidence.
+    val times = scala.collection.mutable.LinkedHashMap(
+      probes.map(p => p.name -> Array.fill(scales.length)(Double.NaN)): _*)
+    val maxIdx = scales.length - 1
+    for (p <- probes; i <- 0 until maxIdx) times(p.name)(i) = legBest(p, i)
+    val steepestFirst = probes.sortBy { p =>
+      val t = if (maxIdx == 0) 0.0 else times(p.name)(maxIdx - 1)
+      if (t.isNaN) 0.0 else -t // unmeasured sorts last
+    }
+    for (p <- steepestFirst) times(p.name)(maxIdx) = legBest(p, maxIdx)
+    val rows = probes.map(p => LaneEntry(p.name, times(p.name).toSeq))
     // Super-linear flag: a decade (10× docs; planted structure and pair
     // counts scale exactly 10×) through 32 fixed cores should cost well
     // under 12×; sub-0.5 s legs are noise-floored. (Tightened 15× → 12×
