@@ -462,22 +462,42 @@ object Tpch {
   def q16(t: Tables): DataFrame = {
     val excluded = t.supplier.filter(col("s_name").like("%000000009%"))
       .select(col("s_suppkey").as("ex_suppkey"))
-    // Part filter BEFORE the distinct (round 13): the brand/type/size
+    // Part filter BEFORE any dedup (round 13): the brand/type/size
     // predicate keeps ~13% of parts, so joining lineitem to the filtered
-    // part (broadcast at any sane sf) first shrinks the distinct's
-    // shuffle ~8×. distinct over (pair, brand, type, size) is the same
-    // pair-distinct — the extra columns are functionally dependent on
-    // l_partkey.
+    // part first shrinks every downstream stage ~8×.
     val goodParts = t.part
       .filter(col("p_brand") =!= "Brand#1" && !col("p_type").like("MEDIUM%")
         && col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49))
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    // Round 15 (tools/Q16Probe, SCALING_TPCH.md): the explicit
+    // pair-distinct stage was semantically redundant (count DISTINCT is
+    // idempotent to duplicate rows) and its wide exchange carried ~50 B
+    // of group-key strings per row. The distinct (brand, type, size)
+    // dim is combinatorially bounded — constant in SF — so each group
+    // gets a dense int gid dim-side (a window over a dim-sized input,
+    // never the fact stream), the fact rows carry (gid, l_suppkey)
+    // through the one wide exchange of the distinct-aggregate
+    // expansion (12 B keys, int hashing), and a broadcast join on the
+    // group-count result restores the strings. sf10: 2.4 s vs 3.4 s
+    // shipped r14, 4.9 s committed sweep; the dim/window overhead is a
+    // fixed ~0.2 s that shows at sf1 and vanishes into the fact cost
+    // from sf10 up. partGid carries one int per surviving part — no
+    // broadcast hint, statistics decide, same extreme-SF discipline as
+    // q5's supplier side; dim IS hinted (bounded by brand×type×size).
+    val dim = goodParts.select(col("p_brand"), col("p_type"), col("p_size")).distinct()
+      .withColumn("gid",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("p_brand"), col("p_type"), col("p_size"))))
+    val partGid = goodParts
+      .join(broadcast(dim), Seq("p_brand", "p_type", "p_size"))
+      .select(col("p_partkey"), col("gid"))
     t.lineitem.select(col("l_partkey"), col("l_suppkey"))
-      .join(goodParts, col("p_partkey") === col("l_partkey"))
-      .distinct()
+      .join(partGid, col("p_partkey") === col("l_partkey"))
       .join(excluded, col("l_suppkey") === col("ex_suppkey"), "left_anti")
-      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .groupBy(col("gid"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .join(broadcast(dim), "gid")
+      .select(col("p_brand"), col("p_type"), col("p_size"), col("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
   }
 
