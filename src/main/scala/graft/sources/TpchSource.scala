@@ -259,8 +259,38 @@ final class TpchScan(table: String, sf: Double, keyLo0: Long, keyHi0: Long,
     * same call a deployment makes when it lays a fact table out by
     * its most-joined foreign key. Guarded on the exact 10:1
     * orders:customers ratio the block mapping rests on. */
-  private val custAxis = (table == "orders" || table == "customer") &&
-    SQLConf.get.getConfString("graft.tpch.ordersAxis", "orderkey") == "custkey" &&
+  /** Per-TABLE layout axis (round 15): the reference models
+    * distribution per table layout, not per session
+    * (`axiom/connectors/ConnectorMetadata.h:171-285` — each layout
+    * carries its own partitioning), and a real deployment mixes axes
+    * (orders laid out by customer while lineitem stays on orderkey).
+    * `graft.tpch.layout.<table>=<axis>` assigns an axis to ONE table;
+    * unset tables fall back to the session-wide
+    * `graft.tpch.ordersAxis` (which keeps meaning "orders AND customer
+    * together", the round-14 knob) and then to the native row-index
+    * axis. "orderkey" names the native axis on every table (it IS the
+    * order key on orders/lineitem; on customer it means native-width
+    * c_custkey buckets, un-aligned with orders' custkey buckets).
+    * Unknown values throw — a typo must not silently measure the
+    * wrong layout. Each table's KeyGroupedPartitioning report is true
+    * of its own splits regardless of what any OTHER table chose, so
+    * mixed assignments are always planned correctly: matching
+    * transforms co-locate, mismatched ones get an exchange. */
+  private val layoutAxis: String = {
+    val default =
+      if (table == "orders" || table == "customer")
+        SQLConf.get.getConfString("graft.tpch.ordersAxis", "orderkey")
+      else "orderkey"
+    val v = SQLConf.get.getConfString(s"graft.tpch.layout.$table", default)
+    val allowed: Set[String] =
+      if (table == "orders" || table == "customer") Set("orderkey", "custkey")
+      else Set("orderkey")
+    require(allowed(v),
+      s"graft.tpch.layout.$table='$v' - allowed: ${allowed.mkString("|")} " +
+      "(orderkey = the table's native row-index axis)")
+    v
+  }
+  private val custAxis = layoutAxis == "custkey" &&
     TpchGen.orders(sf) == 10 * TpchGen.customers(sf)
   /** custkeys per bucket under the custkey axis: rowsPerSplit/10 (so
     * orders splits keep ~rowsPerSplit orderkeys) rounded UP to whole

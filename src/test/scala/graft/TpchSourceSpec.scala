@@ -257,6 +257,82 @@ class TpchSourceSpec extends SparkSpec {
     }
   }
 
+  test("per-table layout: mixed custkey-orders + orderkey-lineitem plans both joins correctly") {
+    // Round 15 (verdict Next #4): the axis is now PER-TABLE layout
+    // metadata (graft.tpch.layout.<table>), the reference's
+    // one-Distribution-per-layout model. A deployment that lays orders
+    // out by customer key keeps lineitem on orderkey: customer ⋈ orders
+    // must co-locate (both report custkey-bucket transforms) while
+    // orders ⋈ lineitem — whose transforms now MISMATCH — must fall
+    // back to a correct exchange join, not a wrong co-located one.
+    spark.conf.set("graft.tpch.rowsPerSplit", "15000")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def joinExchanges(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan
+      .collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    def co = {
+      val c = spark.table("graft_tpch.sf0_1.customer")
+      val o = spark.table("graft_tpch.sf0_1.orders")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    }
+    def ol = {
+      val o = spark.table("graft_tpch.sf0_1.orders")
+      val l = spark.table("graft_tpch.sf0_1.lineitem")
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    try {
+      // default layout (orderkey everywhere): o ⋈ l co-locates
+      assert(joinExchanges(ol).isEmpty, "default axis: orders ⋈ lineitem should be SPJ")
+      val olDefault = rows(ol)
+      val coDefault = rows(co)
+      // mixed: orders AND customer on custkey via per-table confs,
+      // lineitem untouched
+      spark.conf.set("graft.tpch.layout.orders", "custkey")
+      spark.conf.set("graft.tpch.layout.customer", "custkey")
+      assert(joinExchanges(co).isEmpty,
+        s"mixed layout: customer ⋈ orders must co-locate:\n${co.queryExecution.executedPlan}")
+      assert(joinExchanges(ol).nonEmpty,
+        "mixed layout: orders ⋈ lineitem transforms mismatch - must plan an exchange join")
+      assert(rows(co) == coDefault, "customer ⋈ orders rows changed under mixed layout")
+      assert(rows(ol) == olDefault, "orders ⋈ lineitem rows changed under mixed layout")
+      // half-mixed: ONLY orders re-laid — customer's native-width
+      // buckets no longer align, so even c ⋈ o must exchange, correctly
+      spark.conf.unset("graft.tpch.layout.customer")
+      assert(joinExchanges(co).nonEmpty,
+        "orders-only custkey layout: bucket widths mismatch - must plan an exchange join")
+      assert(rows(co) == coDefault, "customer ⋈ orders rows changed under orders-only layout")
+      // per-table conf overrides the session-wide axis knob
+      spark.conf.set("graft.tpch.ordersAxis", "custkey")
+      spark.conf.set("graft.tpch.layout.orders", "orderkey")
+      assert(joinExchanges(co).nonEmpty,
+        "layout.orders=orderkey must override ordersAxis=custkey")
+      spark.conf.unset("graft.tpch.ordersAxis")
+      spark.conf.unset("graft.tpch.layout.orders")
+      // unknown axis values throw instead of silently measuring the
+      // wrong layout
+      spark.conf.set("graft.tpch.layout.orders", "suppkey")
+      val e = intercept[Exception] { co.collect() }
+      assert(e.getMessage.contains("graft.tpch.layout.orders"), e.getMessage)
+      spark.conf.unset("graft.tpch.layout.orders")
+      spark.conf.set("graft.tpch.layout.lineitem", "custkey")
+      val e2 = intercept[Exception] { ol.collect() }
+      assert(e2.getMessage.contains("graft.tpch.layout.lineitem"), e2.getMessage)
+    } finally {
+      Seq("graft.tpch.layout.orders", "graft.tpch.layout.customer",
+        "graft.tpch.layout.lineitem", "graft.tpch.ordersAxis",
+        "graft.tpch.rowsPerSplit", "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold").foreach(spark.conf.unset)
+    }
+  }
+
   test("block-local o_custkey keeps the Poisson order-count profile (q13/q22 stay non-degenerate)") {
     // The block-local draw must preserve what the queries measure:
     // varying per-customer order counts (q13's histogram) and customers
