@@ -1,0 +1,922 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Planar geospatial function family (Presto's `ST_*` surface).
+  *
+  * The reference registers the entire Presto scalar library in one line
+  * (`axiom/optimizer/tests/AxiomSql.cpp:149`), which pulls in Velox's
+  * geospatial functions; no reference test exercises them, so semantics
+  * here follow the published Presto/OGC behavior: planar 2-D Euclidean
+  * geometry, WKT/WKB interchange, strict-interior `ST_Contains`,
+  * closure-touching `ST_Intersects`.
+  *
+  * Geometry values travel as standard little-endian WKB in a
+  * BinaryType column — a compact, shuffle-friendly encoding any OGC
+  * tool can read back. Six geometry types are supported (POINT,
+  * MULTIPOINT, LINESTRING, MULTILINESTRING, POLYGON, MULTIPOLYGON);
+  * GEOMETRYCOLLECTION and the constructive ops (ST_Union,
+  * ST_Intersection, ST_Buffer) are out of scope and fail fast by name —
+  * they need a full computational-geometry kernel; the
+  * predicate/measure/accessor surface here is what analytic queries
+  * join and filter with.
+  *
+  * Expressions are CodegenFallback like [[NativeExprs]]: each row's
+  * work is a geometry-kernel loop (point-in-polygon, segment pair
+  * scans), so the one interpreted virtual call per row is noise against
+  * the kernel itself, and everything around these calls stays inside
+  * whole-stage codegen.
+  */
+object GeoFns {
+
+  // ---------------------------------------------------------------- model
+
+  /** Packed coordinate sequence: (x0,y0,x1,y1,…). */
+  type Coords = Array[Double]
+
+  sealed trait Geom { def isEmpty: Boolean }
+  /** x = NaN encodes POINT EMPTY (the usual WKB convention). */
+  final case class GPoint(x: Double, y: Double) extends Geom {
+    def isEmpty: Boolean = x.isNaN
+  }
+  final case class GMultiPoint(pts: Coords) extends Geom {
+    def isEmpty: Boolean = pts.isEmpty
+  }
+  final case class GLineString(pts: Coords) extends Geom {
+    def isEmpty: Boolean = pts.isEmpty
+  }
+  final case class GMultiLineString(lines: Array[Coords]) extends Geom {
+    def isEmpty: Boolean = lines.isEmpty
+  }
+  /** rings(0) is the shell; the rest are holes. Rings are closed
+    * (first point repeated last). */
+  final case class GPolygon(rings: Array[Coords]) extends Geom {
+    def isEmpty: Boolean = rings.isEmpty
+  }
+  final case class GMultiPolygon(polys: Array[Array[Coords]]) extends Geom {
+    def isEmpty: Boolean = polys.isEmpty
+  }
+
+  def typeName(g: Geom): String = g match {
+    case _: GPoint => "Point"
+    case _: GLineString => "LineString"
+    case _: GPolygon => "Polygon"
+    case _: GMultiPoint => "MultiPoint"
+    case _: GMultiLineString => "MultiLineString"
+    case _: GMultiPolygon => "MultiPolygon"
+  }
+
+  // ---------------------------------------------------------------- WKB
+
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  private def putCoords(b: ByteBuffer, c: Coords): Unit = {
+    b.putInt(c.length / 2)
+    var i = 0
+    while (i < c.length) { b.putDouble(c(i)); i += 1 }
+  }
+
+  private def wkbSize(g: Geom): Int = g match {
+    case _: GPoint => 5 + 16
+    case GMultiPoint(p) => 9 + (p.length / 2) * 21
+    case GLineString(p) => 9 + p.length * 8
+    case GMultiLineString(ls) => 9 + ls.map(l => 9 + l.length * 8).sum
+    case GPolygon(rs) => 9 + rs.map(r => 4 + r.length * 8).sum
+    case GMultiPolygon(ps) => 9 + ps.map(rs => 9 + rs.map(r => 4 + r.length * 8).sum).sum
+  }
+
+  def toWkb(g: Geom): Array[Byte] = {
+    val b = ByteBuffer.allocate(wkbSize(g)).order(ByteOrder.LITTLE_ENDIAN)
+    def header(code: Int): Unit = { b.put(1.toByte); b.putInt(code) }
+    g match {
+      case GPoint(x, y) => header(1); b.putDouble(x); b.putDouble(y)
+      case GLineString(p) => header(2); putCoords(b, p)
+      case GPolygon(rs) =>
+        header(3); b.putInt(rs.length); rs.foreach(putCoords(b, _))
+      case GMultiPoint(p) =>
+        header(4); b.putInt(p.length / 2)
+        var i = 0
+        while (i < p.length) { header(1); b.putDouble(p(i)); b.putDouble(p(i + 1)); i += 2 }
+      case GMultiLineString(ls) =>
+        header(5); b.putInt(ls.length)
+        ls.foreach { l => header(2); putCoords(b, l) }
+      case GMultiPolygon(ps) =>
+        header(6); b.putInt(ps.length)
+        ps.foreach { rs => header(3); b.putInt(rs.length); rs.foreach(putCoords(b, _)) }
+    }
+    b.array()
+  }
+
+  def fromWkb(bytes: Array[Byte]): Geom = {
+    val b = ByteBuffer.wrap(bytes)
+    def geom(): Geom = {
+      val order = b.get()
+      b.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+      def coords(): Coords = {
+        val n = b.getInt()
+        val c = new Array[Double](n * 2)
+        var i = 0
+        while (i < c.length) { c(i) = b.getDouble(); i += 1 }
+        c
+      }
+      b.getInt() match {
+        case 1 => GPoint(b.getDouble(), b.getDouble())
+        case 2 => GLineString(coords())
+        case 3 => GPolygon(Array.fill(b.getInt())(coords()))
+        case 4 =>
+          val n = b.getInt()
+          val c = new Array[Double](n * 2)
+          var i = 0
+          while (i < n) {
+            geom() match {
+              case GPoint(x, y) => c(2 * i) = x; c(2 * i + 1) = y
+              case other => throw new IllegalArgumentException(
+                s"WKB MultiPoint member is a ${typeName(other)}")
+            }
+            i += 1
+          }
+          GMultiPoint(c)
+        case 5 => GMultiLineString(Array.fill(b.getInt()) {
+          geom() match {
+            case GLineString(p) => p
+            case other => throw new IllegalArgumentException(
+              s"WKB MultiLineString member is a ${typeName(other)}")
+          }
+        })
+        case 6 => GMultiPolygon(Array.fill(b.getInt()) {
+          geom() match {
+            case GPolygon(rs) => rs
+            case other => throw new IllegalArgumentException(
+              s"WKB MultiPolygon member is a ${typeName(other)}")
+          }
+        })
+        case 7 => throw new IllegalArgumentException(
+          "GEOMETRYCOLLECTION is not supported (POINT/LINESTRING/POLYGON and their MULTI forms are)")
+        case t => throw new IllegalArgumentException(s"unsupported WKB geometry type $t")
+      }
+    }
+    geom()
+  }
+
+  // ---------------------------------------------------------------- WKT
+
+  /** Integral coordinates print without a decimal point ("POINT (1 2)"),
+    * the Presto rendering; everything else uses Double.toString. */
+  private def fmt(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  private def coordsText(c: Coords): String = {
+    val sb = new StringBuilder("(")
+    var i = 0
+    while (i < c.length) {
+      if (i > 0) sb.append(", ")
+      sb.append(fmt(c(i))).append(' ').append(fmt(c(i + 1)))
+      i += 2
+    }
+    sb.append(')').toString
+  }
+
+  def toWkt(g: Geom): String = {
+    val name = typeName(g).toUpperCase
+    if (g.isEmpty) return s"$name EMPTY"
+    g match {
+      case GPoint(x, y) => s"POINT (${fmt(x)} ${fmt(y)})"
+      case GLineString(p) => s"LINESTRING ${coordsText(p)}"
+      case GMultiPoint(p) =>
+        // Presto emits the parenthesized per-point form
+        val items = (0 until p.length / 2)
+          .map(i => s"(${fmt(p(2 * i))} ${fmt(p(2 * i + 1))})")
+        s"MULTIPOINT (${items.mkString(", ")})"
+      case GPolygon(rs) => s"POLYGON (${rs.map(coordsText).mkString(", ")})"
+      case GMultiLineString(ls) =>
+        s"MULTILINESTRING (${ls.map(coordsText).mkString(", ")})"
+      case GMultiPolygon(ps) =>
+        s"MULTIPOLYGON (${ps.map(rs => s"(${rs.map(coordsText).mkString(", ")})").mkString(", ")})"
+    }
+  }
+
+  def parseWkt(s: String): Geom = {
+    val t = new WktTokens(s)
+    val g = t.geometry()
+    t.end()
+    g
+  }
+
+  private final class WktTokens(s: String) {
+    private var i = 0
+    private def skipWs(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def word(): String = {
+      skipWs()
+      val start = i
+      while (i < s.length && (s.charAt(i).isLetter)) i += 1
+      if (i == start) throw new IllegalArgumentException(
+        s"WKT: expected a geometry keyword at offset $start in '$s'")
+      s.substring(start, i).toUpperCase
+    }
+    private def expect(c: Char): Unit = {
+      skipWs()
+      if (i >= s.length || s.charAt(i) != c)
+        throw new IllegalArgumentException(s"WKT: expected '$c' at offset $i in '$s'")
+      i += 1
+    }
+    private def peek(): Char = { skipWs(); if (i < s.length) s.charAt(i) else ' ' }
+    private def number(): Double = {
+      skipWs()
+      val start = i
+      while (i < s.length && "+-.0123456789eE".indexOf(s.charAt(i)) >= 0) i += 1
+      if (i == start) throw new IllegalArgumentException(
+        s"WKT: expected a number at offset $start in '$s'")
+      s.substring(start, i).toDouble
+    }
+    private def isEmptyTag(): Boolean = {
+      skipWs()
+      if (s.regionMatches(true, i, "EMPTY", 0, 5)) { i += 5; true } else false
+    }
+    private def pointPair(): (Double, Double) = { val x = number(); val y = number(); (x, y) }
+    private def coordList(): Coords = {
+      expect('(')
+      val buf = Array.newBuilder[Double]
+      var done = false
+      while (!done) {
+        val (x, y) = pointPair()
+        buf += x; buf += y
+        if (peek() == ',') expect(',') else { expect(')'); done = true }
+      }
+      buf.result()
+    }
+    private def ringList(): Array[Coords] = {
+      expect('(')
+      val rings = Array.newBuilder[Coords]
+      var done = false
+      while (!done) {
+        rings += coordList()
+        if (peek() == ',') expect(',') else { expect(')'); done = true }
+      }
+      rings.result()
+    }
+    def geometry(): Geom = word() match {
+      case "POINT" =>
+        if (isEmptyTag()) GPoint(Double.NaN, Double.NaN)
+        else { expect('('); val (x, y) = pointPair(); expect(')'); GPoint(x, y) }
+      case "LINESTRING" =>
+        if (isEmptyTag()) GLineString(Array.empty) else GLineString(coordList())
+      case "POLYGON" =>
+        if (isEmptyTag()) GPolygon(Array.empty)
+        else GPolygon(ringList().map(closeRing))
+      case "MULTIPOINT" =>
+        if (isEmptyTag()) GMultiPoint(Array.empty)
+        else {
+          // both MULTIPOINT (1 2, 3 4) and MULTIPOINT ((1 2), (3 4))
+          expect('(')
+          val buf = Array.newBuilder[Double]
+          var done = false
+          while (!done) {
+            if (peek() == '(') { expect('('); val (x, y) = pointPair(); expect(')'); buf += x; buf += y }
+            else { val (x, y) = pointPair(); buf += x; buf += y }
+            if (peek() == ',') expect(',') else { expect(')'); done = true }
+          }
+          GMultiPoint(buf.result())
+        }
+      case "MULTILINESTRING" =>
+        if (isEmptyTag()) GMultiLineString(Array.empty) else GMultiLineString(ringList())
+      case "MULTIPOLYGON" =>
+        if (isEmptyTag()) GMultiPolygon(Array.empty)
+        else {
+          expect('(')
+          val polys = Array.newBuilder[Array[Coords]]
+          var done = false
+          while (!done) {
+            polys += ringList().map(closeRing)
+            if (peek() == ',') expect(',') else { expect(')'); done = true }
+          }
+          GMultiPolygon(polys.result())
+        }
+      case "GEOMETRYCOLLECTION" => throw new IllegalArgumentException(
+        "GEOMETRYCOLLECTION is not supported (POINT/LINESTRING/POLYGON and their MULTI forms are)")
+      case other => throw new IllegalArgumentException(s"WKT: unknown geometry type '$other'")
+    }
+    def end(): Unit = {
+      skipWs()
+      if (i != s.length)
+        throw new IllegalArgumentException(s"WKT: trailing content at offset $i in '$s'")
+    }
+  }
+
+  /** Rings must be closed; tolerate WKT that omits the closing point. */
+  private def closeRing(c: Coords): Coords = {
+    if (c.length < 6) throw new IllegalArgumentException(
+      s"WKT: a polygon ring needs at least 3 distinct points, got ${c.length / 2}")
+    if (c(0) == c(c.length - 2) && c(1) == c(c.length - 1)) c
+    else c ++ Array(c(0), c(1))
+  }
+
+  // ------------------------------------------------------------- kernels
+
+  /** 2-D cross product sign: >0 counter-clockwise, <0 clockwise, 0 collinear. */
+  private def orient(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double): Double =
+    (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+  private def onSegment(px: Double, py: Double, ax: Double, ay: Double,
+      bx: Double, by: Double): Boolean =
+    orient(ax, ay, bx, by, px, py) == 0.0 &&
+      px >= math.min(ax, bx) && px <= math.max(ax, bx) &&
+      py >= math.min(ay, by) && py <= math.max(ay, by)
+
+  /** Closed-segment intersection (touching counts), incl. collinear overlap. */
+  private def segIntersects(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    if (((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+        ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))) return true
+    (o1 == 0 && onSegment(cx, cy, ax, ay, bx, by)) ||
+      (o2 == 0 && onSegment(dx, dy, ax, ay, bx, by)) ||
+      (o3 == 0 && onSegment(ax, ay, cx, cy, dx, dy)) ||
+      (o4 == 0 && onSegment(bx, by, cx, cy, dx, dy))
+  }
+
+  /** Proper crossing only: interior-interior, non-collinear. */
+  private def segProperCross(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    ((o1 > 0 && o2 < 0) || (o1 < 0 && o2 > 0)) &&
+      ((o3 > 0 && o4 < 0) || (o3 < 0 && o4 > 0))
+  }
+
+  /** 0 = outside, 1 = inside, 2 = on boundary. Even-odd over ALL rings,
+    * so holes come out as outside and islands-in-holes would nest. */
+  private def pointInRings(px: Double, py: Double, rings: Array[Coords]): Int = {
+    var crossings = 0
+    var r = 0
+    while (r < rings.length) {
+      val c = rings(r)
+      var i = 0
+      while (i + 3 < c.length) {
+        val ax = c(i); val ay = c(i + 1); val bx = c(i + 2); val by = c(i + 3)
+        if (onSegment(px, py, ax, ay, bx, by)) return 2
+        // ray to +x: count edges straddling the horizontal line through p
+        if ((ay > py) != (by > py)) {
+          val xAt = ax + (py - ay) * (bx - ax) / (by - ay)
+          if (xAt > px) crossings += 1
+        }
+        i += 2
+      }
+      r += 1
+    }
+    if ((crossings & 1) == 1) 1 else 0
+  }
+
+  private def distPointPoint(ax: Double, ay: Double, bx: Double, by: Double): Double =
+    math.hypot(ax - bx, ay - by)
+
+  private def distPointSeg(px: Double, py: Double, ax: Double, ay: Double,
+      bx: Double, by: Double): Double = {
+    val dx = bx - ax; val dy = by - ay
+    val len2 = dx * dx + dy * dy
+    if (len2 == 0) return distPointPoint(px, py, ax, ay)
+    val t = math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
+    distPointPoint(px, py, ax + t * dx, ay + t * dy)
+  }
+
+  private def distSegSeg(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Double = {
+    if (segIntersects(ax, ay, bx, by, cx, cy, dx, dy)) 0.0
+    else math.min(
+      math.min(distPointSeg(ax, ay, cx, cy, dx, dy), distPointSeg(bx, by, cx, cy, dx, dy)),
+      math.min(distPointSeg(cx, cy, ax, ay, bx, by), distPointSeg(dx, dy, ax, ay, bx, by)))
+  }
+
+  /** Decomposition for the pairwise predicates/distance: standalone
+    * points, line/ring segments (as packed coord runs), polygons. */
+  private final case class Prims(points: Coords, runs: Array[Coords],
+      polys: Array[Array[Coords]])
+
+  private def prims(g: Geom): Prims = g match {
+    case p: GPoint =>
+      Prims(if (p.isEmpty) Array.empty else Array(p.x, p.y), Array.empty, Array.empty)
+    case GMultiPoint(p) => Prims(p, Array.empty, Array.empty)
+    case GLineString(p) => Prims(Array.empty, Array(p), Array.empty)
+    case GMultiLineString(ls) => Prims(Array.empty, ls, Array.empty)
+    case GPolygon(rs) => Prims(Array.empty, rs, Array(rs))
+    case GMultiPolygon(ps) => Prims(Array.empty, ps.flatten, ps)
+  }
+
+  private def eachSeg(runs: Array[Coords])(f: (Double, Double, Double, Double) => Boolean): Boolean = {
+    var r = 0
+    while (r < runs.length) {
+      val c = runs(r)
+      var i = 0
+      while (i + 3 < c.length) {
+        if (f(c(i), c(i + 1), c(i + 2), c(i + 3))) return true
+        i += 2
+      }
+      r += 1
+    }
+    false
+  }
+
+  private def allVerts(p: Prims): Coords = p.points ++ p.runs.flatten
+
+  def intersects(g1: Geom, g2: Geom): Boolean = {
+    if (g1.isEmpty || g2.isEmpty) return false
+    val a = prims(g1); val b = prims(g2)
+    // any segment pair touching
+    if (eachSeg(a.runs)((ax, ay, bx, by) =>
+      eachSeg(b.runs)((cx, cy, dx, dy) => segIntersects(ax, ay, bx, by, cx, cy, dx, dy))))
+      return true
+    // point-on-segment / point-point across sides
+    def ptsTouch(pts: Coords, other: Prims): Boolean = {
+      var i = 0
+      while (i < pts.length) {
+        val px = pts(i); val py = pts(i + 1)
+        var j = 0
+        while (j < other.points.length) {
+          if (px == other.points(j) && py == other.points(j + 1)) return true
+          j += 2
+        }
+        if (eachSeg(other.runs)((ax, ay, bx, by) => onSegment(px, py, ax, ay, bx, by)))
+          return true
+        i += 2
+      }
+      false
+    }
+    if (ptsTouch(a.points, b) || ptsTouch(b.points, a)) return true
+    // containment without boundary contact: any vertex of one inside a
+    // polygon of the other (closure form — boundary already handled)
+    def anyVertexIn(verts: Coords, polys: Array[Array[Coords]]): Boolean = {
+      var p = 0
+      while (p < polys.length) {
+        var i = 0
+        while (i < verts.length) {
+          if (pointInRings(verts(i), verts(i + 1), polys(p)) != 0) return true
+          i += 2
+        }
+        p += 1
+      }
+      false
+    }
+    anyVertexIn(allVerts(a), b.polys) || anyVertexIn(allVerts(b), a.polys)
+  }
+
+  /** OGC/Presto ST_Contains: no point of g2 in the exterior of g1, and
+    * the interiors intersect. Exact for simple (non-self-intersecting)
+    * inputs: all of g2's vertices must be in g1's closure, no edge of
+    * g2 may properly cross a ring of g1, and at least one vertex or
+    * edge midpoint of g2 must be strictly interior (a g2 lying entirely
+    * ON g1's boundary is not contained). Only polygonal g1 can contain. */
+  def contains(g1: Geom, g2: Geom): Boolean = {
+    if (g1.isEmpty || g2.isEmpty) return false
+    val a = prims(g1)
+    if (a.polys.isEmpty) return false
+    val b = prims(g2)
+    def locate(px: Double, py: Double): Int = {
+      var best = 0
+      var p = 0
+      while (p < a.polys.length) {
+        val loc = pointInRings(px, py, a.polys(p))
+        if (loc == 1) return 1
+        if (loc == 2) best = math.max(best, 2)
+        p += 1
+      }
+      best
+    }
+    val verts = allVerts(b)
+    var interiorSeen = false
+    var i = 0
+    while (i < verts.length) {
+      val loc = locate(verts(i), verts(i + 1))
+      if (loc == 0) return false
+      if (loc == 1) interiorSeen = true
+      i += 2
+    }
+    // no proper crossings of g1's rings by g2's edges
+    val aRings = a.polys.flatten
+    if (eachSeg(b.runs)((cx, cy, dx, dy) =>
+      eachSeg(aRings)((ax, ay, bx, by) => segProperCross(ax, ay, bx, by, cx, cy, dx, dy))))
+      return false
+    if (!interiorSeen) {
+      // vertices all on the boundary — check edge midpoints for interior
+      interiorSeen = eachSeg(b.runs)((cx, cy, dx, dy) =>
+        locate((cx + dx) / 2, (cy + dy) / 2) == 1)
+      // a polygonal g2 with positive area always has interior inside
+      if (!interiorSeen && b.polys.nonEmpty) interiorSeen = area(g2) > 0
+    }
+    interiorSeen
+  }
+
+  def distance(g1: Geom, g2: Geom): Double = {
+    if (intersects(g1, g2)) return 0.0
+    // disjoint ⇒ neither is inside the other, so boundary distance is
+    // the geometry distance
+    val a = prims(g1); val b = prims(g2)
+    var best = Double.PositiveInfinity
+    def pts(p: Prims): Coords = allVerts(p)
+    // point-to-point
+    val pa = pts(a); val pb = pts(b)
+    var i = 0
+    while (i < a.points.length) {
+      var j = 0
+      while (j < pb.length) {
+        best = math.min(best, distPointPoint(a.points(i), a.points(i + 1), pb(j), pb(j + 1)))
+        j += 2
+      }
+      i += 2
+    }
+    // every vertex of one side against every segment of the other
+    i = 0
+    while (i < pa.length) {
+      val px = pa(i); val py = pa(i + 1)
+      eachSeg(b.runs) { (ax, ay, bx, by) =>
+        best = math.min(best, distPointSeg(px, py, ax, ay, bx, by)); false }
+      i += 2
+    }
+    i = 0
+    while (i < pb.length) {
+      val px = pb(i); val py = pb(i + 1)
+      eachSeg(a.runs) { (ax, ay, bx, by) =>
+        best = math.min(best, distPointSeg(px, py, ax, ay, bx, by)); false }
+      i += 2
+    }
+    // point-geometry vs point-geometry with no segments anywhere
+    i = 0
+    while (i < b.points.length) {
+      var j = 0
+      while (j < pa.length) {
+        best = math.min(best, distPointPoint(b.points(i), b.points(i + 1), pa(j), pa(j + 1)))
+        j += 2
+      }
+      i += 2
+    }
+    best
+  }
+
+  private def ringSignedArea(c: Coords): Double = {
+    var s = 0.0
+    var i = 0
+    while (i + 3 < c.length) {
+      s += c(i) * c(i + 3) - c(i + 2) * c(i + 1)
+      i += 2
+    }
+    s / 2.0
+  }
+
+  def area(g: Geom): Double = g match {
+    case GPolygon(rs) =>
+      if (rs.isEmpty) 0.0
+      else math.abs(ringSignedArea(rs(0))) - rs.drop(1).map(r => math.abs(ringSignedArea(r))).sum
+    case GMultiPolygon(ps) => ps.map(rs => area(GPolygon(rs))).sum
+    case _ => 0.0
+  }
+
+  private def runLength(c: Coords): Double = {
+    var s = 0.0
+    var i = 0
+    while (i + 3 < c.length) {
+      s += distPointPoint(c(i), c(i + 1), c(i + 2), c(i + 3))
+      i += 2
+    }
+    s
+  }
+
+  /** Presto ST_Length: LineString / MultiLineString only. */
+  def length(g: Geom): Double = g match {
+    case GLineString(p) => runLength(p)
+    case GMultiLineString(ls) => ls.map(runLength).sum
+    case other => throw new IllegalArgumentException(
+      s"ST_Length requires a LineString or MultiLineString, got ${typeName(other)}")
+  }
+
+  def centroid(g: Geom): Geom = {
+    if (g.isEmpty) return GPoint(Double.NaN, Double.NaN)
+    g match {
+      case p: GPoint => p
+      case GMultiPoint(p) =>
+        var sx = 0.0; var sy = 0.0
+        var i = 0
+        while (i < p.length) { sx += p(i); sy += p(i + 1); i += 2 }
+        GPoint(sx / (p.length / 2), sy / (p.length / 2))
+      case GLineString(p) => lineCentroid(Array(p))
+      case GMultiLineString(ls) => lineCentroid(ls)
+      case GPolygon(rs) => polyCentroid(Array(rs))
+      case GMultiPolygon(ps) => polyCentroid(ps)
+    }
+  }
+
+  private def lineCentroid(runs: Array[Coords]): GPoint = {
+    var sx = 0.0; var sy = 0.0; var len = 0.0
+    runs.foreach { c =>
+      var i = 0
+      while (i + 3 < c.length) {
+        val l = distPointPoint(c(i), c(i + 1), c(i + 2), c(i + 3))
+        sx += l * (c(i) + c(i + 2)) / 2; sy += l * (c(i + 1) + c(i + 3)) / 2
+        len += l
+        i += 2
+      }
+    }
+    if (len == 0) {
+      // degenerate zero-length line: average the vertices
+      val all = runs.flatten
+      var sx2 = 0.0; var sy2 = 0.0
+      var i = 0
+      while (i < all.length) { sx2 += all(i); sy2 += all(i + 1); i += 2 }
+      GPoint(sx2 / (all.length / 2), sy2 / (all.length / 2))
+    } else GPoint(sx / len, sy / len)
+  }
+
+  private def polyCentroid(ps: Array[Array[Coords]]): GPoint = {
+    var sx = 0.0; var sy = 0.0; var sa = 0.0
+    ps.foreach { rings =>
+      rings.zipWithIndex.foreach { case (c, idx) =>
+        var cx = 0.0; var cy = 0.0
+        var i = 0
+        while (i + 3 < c.length) {
+          val cross = c(i) * c(i + 3) - c(i + 2) * c(i + 1)
+          cx += (c(i) + c(i + 2)) * cross
+          cy += (c(i + 1) + c(i + 3)) * cross
+          i += 2
+        }
+        val a = ringSignedArea(c)
+        // shell contributes +|A|, holes −|A|, independent of winding
+        val sign = if (idx == 0) 1.0 else -1.0
+        val aAbs = math.abs(a)
+        if (a != 0) {
+          sx += sign * (cx / (6 * a)) * aAbs
+          sy += sign * (cy / (6 * a)) * aAbs
+          sa += sign * aAbs
+        }
+      }
+    }
+    if (sa == 0) GPoint(Double.NaN, Double.NaN) else GPoint(sx / sa, sy / sa)
+  }
+
+  def envelopeBounds(g: Geom): Option[(Double, Double, Double, Double)] = {
+    if (g.isEmpty) return None
+    var xmin = Double.PositiveInfinity; var ymin = Double.PositiveInfinity
+    var xmax = Double.NegativeInfinity; var ymax = Double.NegativeInfinity
+    val p = prims(g)
+    val all = allVerts(p)
+    var i = 0
+    while (i < all.length) {
+      xmin = math.min(xmin, all(i)); xmax = math.max(xmax, all(i))
+      ymin = math.min(ymin, all(i + 1)); ymax = math.max(ymax, all(i + 1))
+      i += 2
+    }
+    Some((xmin, ymin, xmax, ymax))
+  }
+
+  def envelope(g: Geom): Geom = envelopeBounds(g) match {
+    case None => GPolygon(Array.empty)
+    case Some((xmin, ymin, xmax, ymax)) =>
+      GPolygon(Array(Array(xmin, ymin, xmax, ymin, xmax, ymax, xmin, ymax, xmin, ymin)))
+  }
+
+  def numPoints(g: Geom): Int = {
+    val p = prims(g)
+    (p.points.length + p.runs.map(_.length).sum) / 2
+  }
+
+  /** Presto great_circle_distance: km on a sphere of radius 6371.01 km
+    * (haversine), args in degrees as (lat1, lon1, lat2, lon2). */
+  def greatCircleDistance(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val r = 6371.01
+    val phi1 = math.toRadians(lat1); val phi2 = math.toRadians(lat2)
+    val dPhi = math.toRadians(lat2 - lat1); val dLam = math.toRadians(lon2 - lon1)
+    val a = math.sin(dPhi / 2) * math.sin(dPhi / 2) +
+      math.cos(phi1) * math.cos(phi2) * math.sin(dLam / 2) * math.sin(dLam / 2)
+    2 * r * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  // ---------------------------------------------------------- expressions
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  case class StPoint(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_point"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def nullSafeEval(x: Any, y: Any): Any =
+      toWkb(GPoint(x.asInstanceOf[Double], y.asInstanceOf[Double]))
+  }
+
+  case class StGeometryFromText(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_geometryfromtext"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def nullSafeEval(v: Any): Any = toWkb(parseWkt(v.toString))
+  }
+
+  case class StAsText(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "st_astext"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def nullSafeEval(v: Any): Any = utf8(toWkt(fromWkb(v.asInstanceOf[Array[Byte]])))
+  }
+
+  /** Shared shape for geometry → double/bool/int/geometry accessors. */
+  abstract class GeoUnaryBase extends UnaryExpression with CodegenFallback {
+    protected def eval1(g: Geom): Any
+    override protected def nullSafeEval(v: Any): Any = eval1(fromWkb(v.asInstanceOf[Array[Byte]]))
+  }
+
+  case class StX(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_x"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = g match {
+      case p: GPoint if !p.isEmpty => p.x
+      case p: GPoint => null
+      case other => throw new IllegalArgumentException(
+        s"ST_X requires a Point, got ${typeName(other)}")
+    }
+  }
+
+  case class StY(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_y"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = g match {
+      case p: GPoint if !p.isEmpty => p.y
+      case p: GPoint => null
+      case other => throw new IllegalArgumentException(
+        s"ST_Y requires a Point, got ${typeName(other)}")
+    }
+  }
+
+  case class StArea(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_area"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = area(g)
+  }
+
+  case class StLength(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_length"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = length(g)
+  }
+
+  case class StCentroid(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_centroid"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = toWkb(centroid(g))
+  }
+
+  case class StEnvelope(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_envelope"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = toWkb(envelope(g))
+  }
+
+  case class StGeometryType(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "st_geometrytype"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = utf8("ST_" + typeName(g))
+  }
+
+  case class StNumPoints(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "st_numpoints"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = numPoints(g)
+  }
+
+  case class StIsEmpty(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_isempty"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = g.isEmpty
+  }
+
+  case class StBound(child: Expression, which: Int) extends GeoUnaryBase {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String =
+      Seq("st_xmin", "st_ymin", "st_xmax", "st_ymax")(which)
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = envelopeBounds(g) match {
+      case None => null
+      case Some((xmin, ymin, xmax, ymax)) => which match {
+        case 0 => xmin
+        case 1 => ymin
+        case 2 => xmax
+        case 3 => ymax
+      }
+    }
+  }
+
+  abstract class GeoBinaryBase extends BinaryExpression with CodegenFallback {
+    protected def eval2(a: Geom, b: Geom): Any
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      eval2(fromWkb(l.asInstanceOf[Array[Byte]]), fromWkb(r.asInstanceOf[Array[Byte]]))
+  }
+
+  case class StDistance(left: Expression, right: Expression) extends GeoBinaryBase {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "st_distance"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def eval2(a: Geom, b: Geom): Any =
+      if (a.isEmpty || b.isEmpty) null else distance(a, b)
+  }
+
+  case class StIntersects(left: Expression, right: Expression) extends GeoBinaryBase {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_intersects"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def eval2(a: Geom, b: Geom): Any = intersects(a, b)
+  }
+
+  case class StContains(left: Expression, right: Expression) extends GeoBinaryBase {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_contains"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def eval2(a: Geom, b: Geom): Any = contains(a, b)
+  }
+
+  case class StWithin(left: Expression, right: Expression) extends GeoBinaryBase {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_within"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def eval2(a: Geom, b: Geom): Any = contains(b, a)
+  }
+
+  case class GreatCircle(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def prettyName: String = "great_circle_distance"
+    override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+      copy(children = cs)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.contains(null)) null
+      else greatCircleDistance(
+        vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+        vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+    }
+  }
+
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression = { args =>
+    require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+    build(args)
+  }
+
+  private def dbl(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e, DoubleType)
+
+  /** Constructive geometry needs a full computational-geometry kernel;
+    * named rejection beats a wrong answer (the sketch-interchange
+    * stance applied here). */
+  private def unsupported(name: String): Seq[Expression] => Expression = _ =>
+    throw new UnsupportedOperationException(
+      s"$name is not supported: constructive planar geometry " +
+      "(union/intersection/buffer/simplify) is out of scope; the " +
+      "predicate/measure/accessor ST_* surface is implemented")
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "st_point" -> arity("st_point", 2)(a => StPoint(dbl(a(0)), dbl(a(1)))),
+    "st_geometryfromtext" ->
+      arity("st_geometryfromtext", 1)(a => StGeometryFromText(a(0))),
+    "st_astext" -> arity("st_astext", 1)(a => StAsText(a(0))),
+    "st_x" -> arity("st_x", 1)(a => StX(a(0))),
+    "st_y" -> arity("st_y", 1)(a => StY(a(0))),
+    "st_area" -> arity("st_area", 1)(a => StArea(a(0))),
+    "st_length" -> arity("st_length", 1)(a => StLength(a(0))),
+    "st_centroid" -> arity("st_centroid", 1)(a => StCentroid(a(0))),
+    "st_envelope" -> arity("st_envelope", 1)(a => StEnvelope(a(0))),
+    "st_geometrytype" -> arity("st_geometrytype", 1)(a => StGeometryType(a(0))),
+    "st_numpoints" -> arity("st_numpoints", 1)(a => StNumPoints(a(0))),
+    "st_isempty" -> arity("st_isempty", 1)(a => StIsEmpty(a(0))),
+    "st_xmin" -> arity("st_xmin", 1)(a => StBound(a(0), 0)),
+    "st_ymin" -> arity("st_ymin", 1)(a => StBound(a(0), 1)),
+    "st_xmax" -> arity("st_xmax", 1)(a => StBound(a(0), 2)),
+    "st_ymax" -> arity("st_ymax", 1)(a => StBound(a(0), 3)),
+    "st_distance" -> arity("st_distance", 2)(a => StDistance(a(0), a(1))),
+    "st_intersects" -> arity("st_intersects", 2)(a => StIntersects(a(0), a(1))),
+    "st_contains" -> arity("st_contains", 2)(a => StContains(a(0), a(1))),
+    "st_within" -> arity("st_within", 2)(a => StWithin(a(0), a(1))),
+    "great_circle_distance" -> arity("great_circle_distance", 4)(a =>
+      GreatCircle(a.map(dbl))),
+    "st_union" -> unsupported("st_union"),
+    "st_intersection" -> unsupported("st_intersection"),
+    "st_buffer" -> unsupported("st_buffer"))
+}

@@ -194,6 +194,28 @@ object Registry {
       "map_top_n" -> FnMeta("map_top_n", cost = 4.0),
       "map_normalize" -> FnMeta("map_normalize", cost = 4.0),
       "multimap_from_entries" -> FnMeta("multimap_from_entries", cost = 8.0),
+      // geospatial ST_* family (GeoFns — planar OGC kernels over WKB;
+      // the reference registers these via the Velox Presto library,
+      // AxiomSql.cpp:149)
+      "st_point" -> FnMeta("st_point"),
+      "st_geometryfromtext" -> FnMeta("st_geometryfromtext", cost = 8.0),
+      "st_astext" -> FnMeta("st_astext", cost = 4.0),
+      "st_x" -> FnMeta("st_x"),
+      "st_y" -> FnMeta("st_y"),
+      "st_area" -> FnMeta("st_area", cost = 4.0),
+      "st_length" -> FnMeta("st_length", cost = 4.0),
+      "st_centroid" -> FnMeta("st_centroid", cost = 4.0),
+      "st_envelope" -> FnMeta("st_envelope", cost = 2.0),
+      "st_geometrytype" -> FnMeta("st_geometrytype"),
+      "st_numpoints" -> FnMeta("st_numpoints"),
+      "st_isempty" -> FnMeta("st_isempty"),
+      "st_xmin" -> FnMeta("st_xmin"), "st_ymin" -> FnMeta("st_ymin"),
+      "st_xmax" -> FnMeta("st_xmax"), "st_ymax" -> FnMeta("st_ymax"),
+      "st_distance" -> FnMeta("st_distance", cost = 8.0),
+      "st_intersects" -> FnMeta("st_intersects", cost = 8.0),
+      "st_contains" -> FnMeta("st_contains", cost = 8.0),
+      "st_within" -> FnMeta("st_within", cost = 8.0),
+      "great_circle_distance" -> FnMeta("great_circle_distance", cost = 2.0),
       "format_datetime" -> FnMeta("date_format"),
       // Presto date_format takes MYSQL %-patterns (unlike format_datetime)
       // → PrestoCompat's converting implementation, not Spark's date_format.

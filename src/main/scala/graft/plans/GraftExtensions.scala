@@ -183,7 +183,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Presto functions with no honest Spark rename (SURVEY §2.5):
     // session-wide so Registry.call and Presto-dialect SQL both resolve.
     (graft.functions.PrestoCompat.builders ++ graft.functions.PrestoFns2.builders ++
-      graft.functions.NetFns.builders ++ graft.functions.SetDigest.builders)
+      graft.functions.NetFns.builders ++ graft.functions.SetDigest.builders ++
+      graft.functions.GeoFns.builders)
       .foreach { case (name, builder) =>
         ext.injectFunction((
           org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Geospatial oracle entries (SURVEY §2.5 tail — the Velox-library
+  * `ST_*` family the reference registers wholesale via
+  * `axiom/optimizer/tests/AxiomSql.cpp:149`).
+  *
+  * DuckDB in the driver has no spatial extension, so every entry is
+  * designed to be DOUBLY derived: the Spark side runs the real geometry
+  * kernels ([[graft.functions.GeoFns]] — WKT parse, even-odd
+  * point-in-polygon, segment intersection, shoelace area), while the
+  * oracle recomputes the same answers from closed-form planar math in
+  * plain SQL (half-plane sign tests for the convex polygon, sqrt for
+  * distances, cross products for crossings). Agreement is a genuine
+  * differential test of the kernels, not a re-run of them.
+  *
+  * Coordinates derive deterministically from doc_id (small integers, so
+  * double arithmetic is exact on both engines); doubles are rounded to
+  * 6 digits on both sides. The fixed convex quad's vertices sit on
+  * half-integers with edge lines that admit no integer solutions or,
+  * where they might, both sides treat boundary identically (strict
+  * interior for contains — kernel returns boundary ⇒ false, oracle's
+  * strict sign test ⇒ false).
+  */
+object Geo {
+
+  // doc-derived planar points: integers in [0, 100)
+  private def px = (col("doc_id") * 37 % 100).cast("double")
+  private def py = (col("doc_id") * 61 % 100).cast("double")
+  private def qx = (col("doc_id") * 17 % 100).cast("double")
+  private def qy = (col("doc_id") * 29 % 100).cast("double")
+
+  private def stPoint(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+    call_function("st_point", x, y)
+
+  /** Measures: point distance, great-circle distance, and the area +
+    * centroid of a doc-derived triangle built through the WKT parser. */
+  def geoMeasures(t: Tables): DataFrame = {
+    val triWkt = concat(lit("POLYGON ((0 0, "), (px + 1).cast("long"),
+      lit(" 0, 0 "), (py + 1).cast("long"), lit(", 0 0))"))
+    val tri = call_function("st_geometryfromtext", triWkt)
+    t.documents.select(
+      col("doc_id"),
+      round(call_function("st_distance", stPoint(px, py), stPoint(qx, qy)), 6).as("dist"),
+      round(call_function("great_circle_distance", px - 50, py, qx - 50, qy), 6).as("gcd"),
+      round(call_function("st_area", tri), 6).as("tri_area"),
+      round(call_function("st_x", call_function("st_centroid", tri)), 6).as("cx"),
+      round(call_function("st_y", call_function("st_centroid", tri)), 6).as("cy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val geoMeasuresSql: String =
+    """SELECT doc_id,
+              round(sqrt((px - qx) * (px - qx) + (py - qy) * (py - qy)), 6) AS dist,
+              round(2 * 6371.01 * asin(sqrt(
+                sin(radians((qx - px) / 2)) * sin(radians((qx - px) / 2)) +
+                cos(radians(px - 50)) * cos(radians(qx - 50)) *
+                sin(radians((qy - py) / 2)) * sin(radians((qy - py) / 2)))), 6) AS gcd,
+              round((px + 1) * (py + 1) / 2, 6) AS tri_area,
+              round((px + 1) / 3, 6) AS cx,
+              round((py + 1) / 3, 6) AS cy
+       FROM (SELECT doc_id,
+                    CAST(doc_id * 37 % 100 AS DOUBLE) AS px,
+                    CAST(doc_id * 61 % 100 AS DOUBLE) AS py,
+                    CAST(doc_id * 17 % 100 AS DOUBLE) AS qx,
+                    CAST(doc_id * 29 % 100 AS DOUBLE) AS qy
+             FROM documents) p
+       ORDER BY doc_id"""
+
+  // fixed convex CCW quad on half-integer vertices
+  private val quadWkt =
+    "POLYGON ((10.5 0.5, 89.5 10.5, 79.5 90.5, 0.5 69.5, 10.5 0.5))"
+
+  /** Predicates: strict-interior containment of the doc point in the
+    * fixed convex quad, plus segment-vs-polygon intersection. The
+    * oracle derives both from orientation signs; the kernels run
+    * even-odd ray casting and the general segment sweep. */
+  def geoPredicates(t: Tables): DataFrame = {
+    val quad = call_function("st_geometryfromtext", lit(quadWkt))
+    val p = stPoint(px, py)
+    val segWkt = concat(lit("LINESTRING ("), px.cast("long"), lit(" "), py.cast("long"),
+      lit(", "), (px + 7).cast("long"), lit(" "), (py + 3).cast("long"), lit(")"))
+    val seg = call_function("st_geometryfromtext", segWkt)
+    t.documents.select(
+      col("doc_id"),
+      call_function("st_contains", quad, p).as("in_poly"),
+      call_function("st_within", p, quad).as("within_p"),
+      call_function("st_intersects", seg, quad).as("seg_x"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ccw(a,b,p) > 0 for every CCW edge = strictly interior; >= 0 = in
+    * closure. Segment PQ intersects the convex quad iff an endpoint is
+    * in the closure or PQ properly crosses an edge (the segment
+    * direction (7,3) is parallel to no edge, so collinear-overlap
+    * cases cannot arise). */
+  val geoPredicatesSql: String = {
+    val vs = Seq((10.5, 0.5), (89.5, 10.5), (79.5, 90.5), (0.5, 69.5))
+    def ccw(ax: String, ay: String, bx: String, by: String,
+        cx: String, cy: String) =
+      s"(($bx - $ax) * ($cy - $ay) - ($by - $ay) * ($cx - $ax))"
+    val edges = vs.zip(vs.tail :+ vs.head)
+    def inside(x: String, y: String, strict: Boolean) = edges.map { case (a, b) =>
+      ccw(a._1.toString, a._2.toString, b._1.toString, b._2.toString, x, y) +
+        (if (strict) " > 0" else " >= 0")
+    }.mkString("(", " AND ", ")")
+    val cross = edges.map { case (a, b) =>
+      val (ax, ay, bx, by) = (a._1.toString, a._2.toString, b._1.toString, b._2.toString)
+      s"(${ccw("px", "py", "rx", "ry", ax, ay)} * ${ccw("px", "py", "rx", "ry", bx, by)} < 0" +
+        s" AND ${ccw(ax, ay, bx, by, "px", "py")} * ${ccw(ax, ay, bx, by, "rx", "ry")} < 0)"
+    }.mkString("(", " OR ", ")")
+    s"""SELECT doc_id,
+               ${inside("px", "py", strict = true)} AS in_poly,
+               ${inside("px", "py", strict = true)} AS within_p,
+               (${inside("px", "py", strict = false)} OR
+                ${inside("rx", "ry", strict = false)} OR $cross) AS seg_x
+        FROM (SELECT doc_id,
+                     CAST(doc_id * 37 % 100 AS DOUBLE) AS px,
+                     CAST(doc_id * 61 % 100 AS DOUBLE) AS py,
+                     CAST(doc_id * 37 % 100 + 7 AS DOUBLE) AS rx,
+                     CAST(doc_id * 61 % 100 + 3 AS DOUBLE) AS ry
+              FROM documents) p
+        ORDER BY doc_id"""
+  }
+
+  /** WKT round-trip and accessors: the text writer, the parser, type
+    * and envelope accessors — against string-built oracles. */
+  def geoWkt(t: Tables): DataFrame = {
+    val lineWkt = concat(lit("LINESTRING ("), px.cast("long"), lit(" "), py.cast("long"),
+      lit(", "), qx.cast("long"), lit(" "), qy.cast("long"), lit(")"))
+    val line = call_function("st_geometryfromtext", lineWkt)
+    t.documents.select(
+      col("doc_id"),
+      call_function("st_astext", stPoint(px, py)).as("wkt"),
+      call_function("st_geometrytype", line).as("gtype"),
+      call_function("st_numpoints", line).cast("long").as("npts"),
+      round(call_function("st_xmin", line), 6).as("exmin"),
+      round(call_function("st_xmax", line), 6).as("exmax"),
+      round(call_function("st_ymin", line), 6).as("eymin"),
+      round(call_function("st_ymax", line), 6).as("eymax"))
+      .orderBy(col("doc_id"))
+  }
+
+  val geoWktSql: String =
+    """SELECT doc_id,
+              'POINT (' || px || ' ' || py || ')' AS wkt,
+              'ST_LineString' AS gtype,
+              CAST(2 AS BIGINT) AS npts,
+              round(CAST(least(px, qx) AS DOUBLE), 6) AS exmin,
+              round(CAST(greatest(px, qx) AS DOUBLE), 6) AS exmax,
+              round(CAST(least(py, qy) AS DOUBLE), 6) AS eymin,
+              round(CAST(greatest(py, qy) AS DOUBLE), 6) AS eymax
+       FROM (SELECT doc_id,
+                    doc_id * 37 % 100 AS px, doc_id * 61 % 100 AS py,
+                    doc_id * 17 % 100 AS qx, doc_id * 29 % 100 AS qy
+             FROM documents) p
+       ORDER BY doc_id"""
+
+  /** Grid-bucketed distance self-join — the 100 TB spatial-join shape:
+    * each point lands in ONE r-sized grid cell; the left side is
+    * replicated to its 3×3 cell neighborhood (a constant ×9 map-side
+    * expansion, no driver state) and equi-joins the right side's single
+    * home cell, so every candidate pair is generated exactly once and
+    * the exact distance filter runs on co-located partitions. All-pairs
+    * never happens: candidates are bounded by points-per-cell density,
+    * the same bucketing discipline as the MinHash/LSH dedup band join.
+    * A radius-r pair can differ by at most one cell index per axis, so
+    * the 3×3 neighborhood is exhaustive — no recall loss. */
+  def geoDistanceJoin(t: Tables): DataFrame = {
+    val r = 5.0
+    val pts = t.documents.select(col("doc_id"),
+      px.as("x"), py.as("y"),
+      floor(px / r).as("cx"), floor(py / r).as("cy"))
+    val left = pts
+      .withColumn("dx", explode(sequence(lit(-1), lit(1))))
+      .withColumn("dy", explode(sequence(lit(-1), lit(1))))
+      .select(col("doc_id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        (col("cx") + col("dx")).as("jcx"), (col("cy") + col("dy")).as("jcy"))
+    val right = pts.select(col("doc_id").as("b_id"), col("x").as("bx"), col("y").as("by"),
+      col("cx").as("jcx"), col("cy").as("jcy"))
+    left.join(right, Seq("jcx", "jcy"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist",
+        sqrt((col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by"))))
+      .filter(col("dist") < r)
+      .select(col("a_id"), col("b_id"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val geoDistanceJoinSql: String =
+    """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              round(sqrt((a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)), 6) AS dist
+       FROM (SELECT doc_id, CAST(doc_id * 37 % 100 AS DOUBLE) AS px,
+                    CAST(doc_id * 61 % 100 AS DOUBLE) AS py FROM documents) a,
+            (SELECT doc_id, CAST(doc_id * 37 % 100 AS DOUBLE) AS px,
+                    CAST(doc_id * 61 % 100 AS DOUBLE) AS py FROM documents) b
+       WHERE a.doc_id < b.doc_id
+         AND sqrt((a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)) < 5.0
+       ORDER BY a_id, b_id"""
+
+  val all: Seq[(String, Tables => DataFrame, String)] = Seq(
+    ("geo_measures", geoMeasures _, geoMeasuresSql),
+    ("geo_predicates", geoPredicates _, geoPredicatesSql),
+    ("geo_wkt", geoWkt _, geoWktSql),
+    ("geo_distance_join", geoDistanceJoin _, geoDistanceJoinSql))
+}

@@ -1,0 +1,218 @@
+package graft
+
+import graft.functions.GeoFns
+import graft.functions.GeoFns._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planar geometry kernel pins (functions/GeoFns) — Presto/OGC
+  * semantics on hand-derived fixtures: WKT round-trips, even-odd
+  * point-in-polygon with holes, strict-interior ST_Contains,
+  * closure-touching ST_Intersects, distances, shoelace measures, and
+  * the fail-fast surface. Pure kernel tests plus SQL-level smoke via
+  * the shared session (the expressions register through
+  * GraftExtensions). */
+class GeoSpec extends AnyFunSuite with SparkSpec {
+
+  private def g(wkt: String): Geom = parseWkt(wkt)
+
+  test("WKT parse/format round-trips every supported type") {
+    val cases = Seq(
+      "POINT (1 2)",
+      "POINT (1.5 -2.25)",
+      "POINT EMPTY",
+      "LINESTRING (0 0, 3 4, 10 0)",
+      "LINESTRING EMPTY",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))",
+      "POLYGON EMPTY",
+      "MULTIPOINT ((1 2), (3 4))",
+      "MULTIPOINT EMPTY",
+      "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))",
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
+    cases.foreach { w =>
+      assert(toWkt(g(w)) == w, s"WKT round-trip of $w")
+      // and through WKB
+      assert(toWkt(fromWkb(toWkb(g(w)))) == w, s"WKB round-trip of $w")
+    }
+    // unclosed polygon rings are tolerated on parse and closed
+    assert(toWkt(g("POLYGON ((0 0, 4 0, 4 4))")) == "POLYGON ((0 0, 4 0, 4 4, 0 0))")
+    // bare-pair MULTIPOINT spelling accepted
+    assert(toWkt(g("MULTIPOINT (1 2, 3 4)")) == "MULTIPOINT ((1 2), (3 4))")
+  }
+
+  test("WKT errors: unknown type, collections, trailing junk, malformed rings") {
+    assert(intercept[IllegalArgumentException](g("BLOB (1 2)"))
+      .getMessage.contains("unknown geometry type"))
+    assert(intercept[IllegalArgumentException](g("GEOMETRYCOLLECTION (POINT (1 2))"))
+      .getMessage.contains("GEOMETRYCOLLECTION"))
+    assert(intercept[IllegalArgumentException](g("POINT (1 2) x"))
+      .getMessage.contains("trailing"))
+    assert(intercept[IllegalArgumentException](g("POLYGON ((0 0, 1 1))"))
+      .getMessage.contains("at least 3"))
+  }
+
+  test("big-endian WKB is read (writer emits little-endian)") {
+    val b = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.put(0.toByte); b.putInt(1); b.putDouble(3.0); b.putDouble(-4.5)
+    assert(toWkt(fromWkb(b.array())) == "POINT (3 -4.5)")
+  }
+
+  test("area: shoelace with holes, winding-independent; multipolygon sums") {
+    assert(area(g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")) == 100.0)
+    // hole subtracts regardless of its winding direction
+    assert(area(g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")) == 96.0)
+    assert(area(g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))")) == 96.0)
+    // clockwise shell still positive
+    assert(area(g("POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))")) == 100.0)
+    assert(area(g("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))")) == 4.5)
+    assert(area(g("LINESTRING (0 0, 5 5)")) == 0.0)
+  }
+
+  test("length on linestrings; rejected elsewhere (Presto ST_Length)") {
+    assert(GeoFns.length(g("LINESTRING (0 0, 3 4)")) == 5.0)
+    assert(GeoFns.length(g("MULTILINESTRING ((0 0, 3 4), (0 0, 0 2))")) == 7.0)
+    assert(intercept[IllegalArgumentException](
+      GeoFns.length(g("POLYGON ((0 0, 1 0, 1 1, 0 0))")))
+      .getMessage.contains("LineString"))
+  }
+
+  test("centroid: point, multipoint mean, length-weighted line, area-weighted polygon with hole") {
+    assert(centroid(g("POINT (3 4)")) == GPoint(3, 4))
+    assert(centroid(g("MULTIPOINT ((0 0), (2 0), (2 2), (0 2))")) == GPoint(1, 1))
+    // two segments of length 4 and 2: midpoints (2,0) and (4,1) weighted 4:2
+    assert(centroid(g("LINESTRING (0 0, 4 0, 4 2)")) == GPoint((2.0 * 4 + 4 * 2) / 6, (0.0 * 4 + 1 * 2) / 6))
+    assert(centroid(g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")) == GPoint(2, 2))
+    // symmetric hole keeps the centroid centered
+    assert(centroid(g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))")) == GPoint(2, 2))
+    // off-center hole pushes the centroid away: shell 4x4 at (2,2) area 16,
+    // hole 1x1 at (0.75,0.75)-(1.75,1.75) center (1.25,1.25) area 1 ⇒
+    // centroid = (16*2 - 1*1.25) / 15
+    val c = centroid(g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), " +
+      "(0.75 0.75, 1.75 0.75, 1.75 1.75, 0.75 1.75, 0.75 0.75))")).asInstanceOf[GPoint]
+    assert(math.abs(c.x - (16 * 2 - 1.25) / 15.0) < 1e-12)
+    assert(math.abs(c.y - (16 * 2 - 1.25) / 15.0) < 1e-12)
+  }
+
+  test("point-in-polygon: interior, exterior, boundary, inside-a-hole") {
+    val withHole = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    def pip(x: Double, y: Double): Boolean = contains(withHole, GPoint(x, y))
+    assert(pip(1, 1))
+    assert(!pip(11, 5), "outside the shell")
+    assert(!pip(5, 5), "inside the hole is outside the polygon")
+    assert(!pip(10, 5), "on the shell boundary is NOT contained (strict interior)")
+    assert(!pip(4, 5), "on the hole boundary is NOT contained")
+    // but boundary DOES intersect
+    assert(intersects(withHole, GPoint(10, 5)))
+    assert(intersects(withHole, GPoint(4, 5)))
+    assert(!intersects(withHole, GPoint(5, 5)), "hole interior does not intersect")
+  }
+
+  test("contains: line and polygon arguments, hole crossings, boundary-only lines") {
+    val square = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert(contains(square, g("LINESTRING (1 1, 9 9)")))
+    assert(contains(square, g("POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))")))
+    assert(!contains(square, g("LINESTRING (5 5, 15 5)")), "line exits the shell")
+    assert(!contains(square, g("LINESTRING (0 0, 10 0)")),
+      "a line lying ON the boundary has no interior point inside")
+    assert(contains(square, g("LINESTRING (0 0, 10 10)")),
+      "boundary-touching endpoints with an interior body IS contained")
+    val withHole = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(!contains(withHole, g("LINESTRING (2 5, 8 5)")), "line crosses the hole")
+    assert(contains(withHole, g("LINESTRING (1 1, 3 3)")))
+    assert(!contains(withHole, g("POLYGON ((4.2 4.2, 5.8 4.2, 5.8 5.8, 4.2 5.8, 4.2 4.2))")),
+      "polygon inside the hole is not contained")
+    // only polygons contain
+    assert(!contains(g("LINESTRING (0 0, 10 0)"), GPoint(5, 0)))
+  }
+
+  test("intersects: crossing, touching, containment without boundary contact, disjoint") {
+    val square = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert(intersects(g("LINESTRING (-5 5, 15 5)"), square), "transversal line")
+    assert(intersects(g("LINESTRING (1 1, 2 2)"), square), "line wholly inside")
+    assert(intersects(square, g("POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))")), "nested polygon")
+    assert(intersects(square, g("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))")), "shared edge")
+    assert(!intersects(square, g("POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))")))
+    assert(intersects(g("LINESTRING (0 0, 2 2)"), g("LINESTRING (0 2, 2 0)")), "X crossing")
+    assert(intersects(g("LINESTRING (0 0, 2 2)"), g("LINESTRING (2 2, 4 0)")), "endpoint touch")
+    assert(intersects(g("LINESTRING (0 0, 4 0)"), g("LINESTRING (1 0, 3 0)")), "collinear overlap")
+    assert(!intersects(g("POINT (1 1)"), g("POINT (1 2)")))
+    assert(intersects(g("POINT (1 1)"), g("POINT (1 1)")))
+    assert(intersects(g("POINT (2 0)"), g("LINESTRING (0 0, 4 0)")), "point on segment")
+  }
+
+  test("distance: point/segment/polygon combinations; zero when touching") {
+    assert(distance(g("POINT (0 0)"), g("POINT (3 4)")) == 5.0)
+    assert(distance(g("POINT (0 5)"), g("LINESTRING (3 0, 3 10)")) == 3.0)
+    val square = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert(distance(g("POINT (13 5)"), square) == 3.0)
+    assert(distance(g("POINT (5 5)"), square) == 0.0, "interior point touches")
+    assert(distance(g("LINESTRING (12 0, 12 10)"), square) == 2.0)
+    assert(distance(g("MULTIPOINT ((20 5), (13 5))"), square) == 3.0)
+    // segment-to-segment via perpendicular feet, not endpoints
+    assert(distance(g("LINESTRING (0 0, 10 0)"), g("LINESTRING (5 2, 5 12)")) == 2.0)
+  }
+
+  test("envelope, bounds, numpoints, geometrytype, isempty") {
+    val line = g("LINESTRING (1 7, 5 3, 2 9)")
+    assert(toWkt(envelope(line)) == "POLYGON ((1 3, 5 3, 5 9, 1 9, 1 3))")
+    assert(envelopeBounds(line).contains((1.0, 3.0, 5.0, 9.0)))
+    assert(envelopeBounds(g("POINT EMPTY")).isEmpty)
+    assert(numPoints(g("POLYGON ((0 0, 4 0, 4 4, 0 0))")) == 4,
+      "ring closing vertex counts")
+    assert(numPoints(g("MULTIPOINT ((1 2), (3 4))")) == 2)
+    assert(typeName(g("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))")) == "MultiPolygon")
+    assert(g("LINESTRING EMPTY").isEmpty && !g("POINT (0 0)").isEmpty)
+  }
+
+  test("great_circle_distance matches the Presto constant (6371.01 km sphere)") {
+    // antipodal-ish check: half circumference = pi * R
+    assert(math.abs(greatCircleDistance(0, 0, 0, 180) - math.Pi * 6371.01) < 1e-6)
+    assert(greatCircleDistance(12.3, 45.6, 12.3, 45.6) == 0.0)
+    // one degree of latitude = R * pi/180
+    assert(math.abs(greatCircleDistance(0, 0, 1, 0) - 6371.01 * math.Pi / 180) < 1e-9)
+  }
+
+  test("SQL surface: functions resolve session-wide; errors fail fast by name") {
+    val row = spark.sql(
+      """SELECT st_astext(st_point(1, 2)) AS wkt,
+                st_distance(st_point(0, 0), st_point(3, 4)) AS d,
+                st_contains(st_geometryfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),
+                            st_point(2, 2)) AS c,
+                st_area(st_envelope(st_geometryfromtext('LINESTRING (0 0, 2 3)'))) AS a
+      """).head()
+    assert(row.getString(0) == "POINT (1 2)")
+    assert(row.getDouble(1) == 5.0)
+    assert(row.getBoolean(2))
+    assert(row.getDouble(3) == 6.0)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT st_x(st_geometryfromtext('LINESTRING (0 0, 1 1)'))").collect()
+    }
+    assert(ex.getMessage.contains("ST_X requires a Point") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ST_X requires a Point")))
+    val un = intercept[Exception] {
+      spark.sql("SELECT st_union(st_point(0, 0), st_point(1, 1))").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(un).exists(_.contains("constructive planar geometry")), chain(un).mkString("|"))
+  }
+
+  test("geo_distance_join plans an equi-join on grid cells, not a cartesian product") {
+    val df = graft.queries.Geo.geoDistanceJoin(tables)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"spatial join must bucket, not all-pairs:\n${plan.take(1500)}")
+    // ground truth on the sf0.001 fixture via the all-pairs reference
+    import org.apache.spark.sql.functions._
+    val pts = tables.documents.select(col("doc_id"),
+      (col("doc_id") * 37 % 100).cast("double").as("x"),
+      (col("doc_id") * 61 % 100).cast("double").as("y")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val expect = (for {
+      (a, ax, ay) <- pts; (b, bx, by) <- pts
+      if a < b && math.hypot(ax - bx, ay - by) < 5.0
+    } yield (a, b)).toSet
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"pairs: got ${got.size}, want ${expect.size}")
+  }
+}
