@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The six TPC-H queries the reference's own test set omits
@@ -129,33 +128,42 @@ object Tpch2 {
   /** Suppliers who kept orders waiting (adapted: late = shipped > 60 days
     * after order date) — EXISTS + NOT EXISTS double correlation. */
   def q21(t: Tables): DataFrame = {
-    // One pass over lineitem⋈orders (round 13): both correlations are
-    // per-order supplier-set questions. For a late line by supplier s on
-    // order o — EXISTS another supplier on o ⇔ o has ≥2 distinct
-    // suppliers; NOT EXISTS another LATE supplier ⇔ o's late-supplier
-    // set is exactly {s} (s itself is late, so size == 1 suffices).
-    // Whole-partition collect_set windows over l_orderkey answer both
-    // without re-touching lineitem: the window's hash(l_orderkey)
-    // distribution is satisfied by the join's own output partitioning,
-    // so the plan has exactly two big exchanges (lineitem, orders) where
-    // the old EXISTS/NOT-EXISTS shape reshuffled the full lineitem twice
-    // more for the semi and anti probes. Orders are ≤7 lines per the
-    // generator, so the per-key window buffer is bounded.
+    // One pass over lineitem⋈orders (round 13), min/max aggregate form
+    // (round 15, tools/Q21Probe): both correlations are per-order
+    // supplier-set questions that collapse to constant-width
+    // aggregates — EXISTS another supplier on o ⇔ min(suppkey) ≠
+    // max(suppkey); NOT EXISTS another LATE supplier ⇔ min and max of
+    // the late suppliers coincide (and that value IS the waiting
+    // supplier); the counted rows are the order's late lines, which
+    // all belong to that one supplier. The round-13 collect_set
+    // WINDOW answered the same questions but WindowExec sorts every
+    // partition and buffers frames (and a collect_set AGGREGATE is
+    // worse still — ObjectHashAggregate falls back to sort-based at
+    // 128 distinct groups; measured 2.9 s at sf10). Pure min/max/count
+    // stay in codegen'd HashAggregate with map-side partials, and the
+    // aggregate's ClusteredDistribution(l_orderkey) is satisfied by
+    // the join's own output partitioning — no exchange added, the
+    // same reuse the window had. sf10: 2.44 → 1.75 s probe min-of-2.
     val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
-    val w = Window.partitionBy(col("l_orderkey"))
     t.lineitem
       .join(t.orders.filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"), col("o_orderdate")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"), late.as("is_late"))
-      .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
-      .withColumn("n_late_supp",
-        size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w)))
-      .filter(col("is_late") && col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        min(col("l_suppkey")).as("supp_min"),
+        max(col("l_suppkey")).as("supp_max"),
+        min(when(col("is_late"), col("l_suppkey"))).as("late_min"),
+        max(when(col("is_late"), col("l_suppkey"))).as("late_max"),
+        count(when(col("is_late"), 1)).as("late_lines"))
+      .filter(col("supp_min") =!= col("supp_max") &&
+        col("late_min").isNotNull && col("late_min") === col("late_max"))
+      .select(col("late_min").as("w_suppkey"), col("late_lines"))
       .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
-        col("s_suppkey") === col("l_suppkey"))
+        col("s_suppkey") === col("w_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("late_lines")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
   }

@@ -72,12 +72,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan.take(500))
   }
 
-  test("q21: window reuses the join's hash(l_orderkey) partitioning (no extra exchange)") {
-    // The round-13 q21 shape answers both EXISTS correlations with
-    // whole-partition collect_set windows over l_orderkey. The join that
-    // feeds them is itself keyed on l_orderkey, so the window must NOT
+  test("q21: per-order aggregate reuses the join's hash(l_orderkey) partitioning (no extra exchange)") {
+    // The round-15 q21 shape answers both EXISTS correlations with
+    // min/max aggregates grouped on l_orderkey. The join that feeds the
+    // aggregate is itself keyed on l_orderkey, so the aggregate must NOT
     // introduce another shuffle: exactly the two base-table exchanges
-    // (lineitem, orders) may appear below the window operator.
+    // (lineitem, orders) may appear below the per-order aggregation.
     val df = graft.queries.Tpch2.q21(tables)
     // Finalize AQE stages on THIS QueryExecution: a noop save would build
     // and execute a separate one, leaving df's AdaptiveSparkPlanExec at
@@ -97,18 +97,25 @@ class PlanShapeSpec extends SparkSpec {
       }
       p +: kids.flatMap(flatten)
     }
-    val windows = flatten(planned).collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w }
-    assert(windows.nonEmpty, "expected a WindowExec in q21's finalized plan")
-    // Count the exchange NODES below the window (each materialized stage
-    // contains its ShuffleExchangeLike; reuse shows as ReusedExchange).
-    val exchangesBelowWindow = flatten(windows.head).filter {
+    val orderAggs = flatten(planned).collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if a.groupingExpressions.exists(_.toString.contains("l_orderkey")) => a
+    }
+    assert(orderAggs.nonEmpty, "expected a HashAggregate on l_orderkey in q21's finalized plan")
+    // No WindowExec anywhere (the round-13 sort-and-buffer shape is gone)
+    assert(!flatten(planned).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "q21 must not plan a window")
+    // Count the exchange NODES below the per-order aggregate (each
+    // materialized stage contains its ShuffleExchangeLike; reuse shows
+    // as ReusedExchange).
+    val exchangesBelow = flatten(orderAggs.head).filter {
       case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
       case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => true
       case _ => false
     }
-    assert(exchangesBelowWindow.size <= 2,
-      s"q21's window added a shuffle: ${exchangesBelowWindow.size} exchanges below it")
+    assert(exchangesBelow.size <= 2,
+      s"q21's per-order aggregate added a shuffle: ${exchangesBelow.size} exchanges below it")
   }
 
   test("q3: distributed top-k (TakeOrderedAndProject), not a global sort") {
