@@ -684,6 +684,175 @@ object GeoFns {
     (p.points.length + p.runs.map(_.length).sum) / 2
   }
 
+  /** Topological dimension by type (points 0, lines 1, polygons 2). */
+  def dimension(g: Geom): Int = g match {
+    case _: GPoint | _: GMultiPoint => 0
+    case _: GLineString | _: GMultiLineString => 1
+    case _: GPolygon | _: GMultiPolygon => 2
+  }
+
+  def numGeometries(g: Geom): Int = g match {
+    case p: GPoint => if (p.isEmpty) 0 else 1
+    case GMultiPoint(p) => p.length / 2
+    case GLineString(p) => if (p.isEmpty) 0 else 1
+    case GMultiLineString(ls) => ls.length
+    case GPolygon(rs) => if (rs.isEmpty) 0 else 1
+    case GMultiPolygon(ps) => ps.length
+  }
+
+  /** 1-based component accessor; None out of range. Simple geometries
+    * are their own single component (the Presto behavior). */
+  def geometryN(g: Geom, n: Int): Option[Geom] = {
+    if (n < 1 || n > numGeometries(g)) return None
+    Some(g match {
+      case GMultiPoint(p) => GPoint(p(2 * (n - 1)), p(2 * (n - 1) + 1))
+      case GMultiLineString(ls) => GLineString(ls(n - 1))
+      case GMultiPolygon(ps) => GPolygon(ps(n - 1))
+      case simple => simple
+    })
+  }
+
+  /** 1-based vertex accessor on a LineString; None out of range. */
+  def pointN(g: Geom, n: Int): Option[GPoint] = g match {
+    case GLineString(p) =>
+      if (n < 1 || n > p.length / 2) None
+      else Some(GPoint(p(2 * (n - 1)), p(2 * (n - 1) + 1)))
+    case other => throw new IllegalArgumentException(
+      s"ST_PointN requires a LineString, got ${typeName(other)}")
+  }
+
+  def isClosed(g: Geom): Boolean = g match {
+    case GLineString(p) =>
+      p.nonEmpty && p(0) == p(p.length - 2) && p(1) == p(p.length - 1)
+    case GMultiLineString(ls) =>
+      ls.nonEmpty && ls.forall(p =>
+        p.nonEmpty && p(0) == p(p.length - 2) && p(1) == p(p.length - 1))
+    case other => throw new IllegalArgumentException(
+      s"ST_IsClosed requires a LineString or MultiLineString, got ${typeName(other)}")
+  }
+
+  /** No self-intersection except consecutive-segment endpoints (and the
+    * closing touch of a closed run). O(n²) pairwise — geometries are
+    * row-sized. */
+  private def runIsSimple(c: Coords): Boolean = {
+    val nSeg = c.length / 2 - 1
+    val closed = nSeg > 0 && c(0) == c(c.length - 2) && c(1) == c(c.length - 1)
+    var i = 0
+    while (i < nSeg) {
+      var j = i + 2
+      while (j < nSeg) {
+        // the closing segment legitimately touches the first at the
+        // shared start/end vertex
+        val wrapAdjacent = closed && i == 0 && j == nSeg - 1
+        if (segIntersects(c(2 * i), c(2 * i + 1), c(2 * i + 2), c(2 * i + 3),
+            c(2 * j), c(2 * j + 1), c(2 * j + 2), c(2 * j + 3))) {
+          if (!wrapAdjacent) return false
+          // even when wrap-adjacent, only the single shared vertex may touch
+          if (segProperCross(c(2 * i), c(2 * i + 1), c(2 * i + 2), c(2 * i + 3),
+              c(2 * j), c(2 * j + 1), c(2 * j + 2), c(2 * j + 3))) return false
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // adjacent segments share a vertex by construction, but a collinear
+    // BACKTRACK (…, 2 0, 1 0 retracing the previous segment) overlaps
+    var k = 0
+    while (k < nSeg - 1) {
+      if (orient(c(2 * k), c(2 * k + 1), c(2 * k + 2), c(2 * k + 3),
+            c(2 * k + 4), c(2 * k + 5)) == 0 &&
+          (c(2 * k + 4) - c(2 * k + 2)) * (c(2 * k + 2) - c(2 * k)) +
+            (c(2 * k + 5) - c(2 * k + 3)) * (c(2 * k + 3) - c(2 * k + 1)) < 0)
+        return false
+      k += 1
+    }
+    if (closed && nSeg >= 2) {
+      // wrap-adjacent pair: the closing segment backtracking into the first
+      val lx = c(c.length - 4); val ly = c(c.length - 3) // last segment start
+      if (orient(lx, ly, c(0), c(1), c(2), c(3)) == 0 &&
+          (c(2) - c(0)) * (c(0) - lx) + (c(3) - c(1)) * (c(1) - ly) < 0)
+        return false
+    }
+    true
+  }
+
+  def isSimple(g: Geom): Boolean = g match {
+    case _: GPoint => true
+    case GMultiPoint(p) =>
+      val seen = scala.collection.mutable.HashSet.empty[(Double, Double)]
+      var i = 0
+      while (i < p.length) {
+        if (!seen.add((p(i), p(i + 1)))) return false
+        i += 2
+      }
+      true
+    case GLineString(p) => runIsSimple(p)
+    case GMultiLineString(ls) => ls.forall(runIsSimple)
+    case GPolygon(rs) => rs.forall(runIsSimple)
+    case GMultiPolygon(ps) => ps.forall(_.forall(runIsSimple))
+  }
+
+  def isRing(g: Geom): Boolean = g match {
+    case l: GLineString => isClosed(l) && runIsSimple(l.pts)
+    case other => throw new IllegalArgumentException(
+      s"ST_IsRing requires a LineString, got ${typeName(other)}")
+  }
+
+  def exteriorRing(g: Geom): Geom = g match {
+    case GPolygon(rs) if rs.nonEmpty => GLineString(rs(0))
+    case p: GPolygon => GLineString(Array.empty)
+    case other => throw new IllegalArgumentException(
+      s"ST_ExteriorRing requires a Polygon, got ${typeName(other)}")
+  }
+
+  def numInteriorRing(g: Geom): Int = g match {
+    case GPolygon(rs) => math.max(0, rs.length - 1)
+    case other => throw new IllegalArgumentException(
+      s"ST_NumInteriorRing requires a Polygon, got ${typeName(other)}")
+  }
+
+  def interiorRingN(g: Geom, n: Int): Option[Geom] = g match {
+    case GPolygon(rs) =>
+      if (n < 1 || n > rs.length - 1) None else Some(GLineString(rs(n)))
+    case other => throw new IllegalArgumentException(
+      s"ST_InteriorRingN requires a Polygon, got ${typeName(other)}")
+  }
+
+  /** Convex hull via Andrew's monotone chain over every vertex.
+    * Degenerate inputs collapse honestly: one distinct point → POINT,
+    * collinear set → the spanning LINESTRING, otherwise a CCW POLYGON. */
+  def convexHull(g: Geom): Geom = {
+    if (g.isEmpty) return g
+    val vs = allVerts(prims(g))
+    val pts = {
+      val set = scala.collection.mutable.LinkedHashSet.empty[(Double, Double)]
+      var i = 0
+      while (i < vs.length) { set.add((vs(i), vs(i + 1))); i += 2 }
+      set.toArray.sorted
+    }
+    if (pts.length == 1) return GPoint(pts(0)._1, pts(0)._2)
+    def chain(ps: Array[(Double, Double)]): Array[(Double, Double)] = {
+      val h = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      ps.foreach { p =>
+        while (h.length >= 2 &&
+            orient(h(h.length - 2)._1, h(h.length - 2)._2,
+              h(h.length - 1)._1, h(h.length - 1)._2, p._1, p._2) <= 0)
+          h.remove(h.length - 1)
+        h += p
+      }
+      h.toArray
+    }
+    val lower = chain(pts)
+    val upper = chain(pts.reverse)
+    val hull = (lower.dropRight(1) ++ upper.dropRight(1))
+    if (hull.length == 2)
+      GLineString(Array(hull(0)._1, hull(0)._2, hull(1)._1, hull(1)._2))
+    else {
+      val ring = (hull :+ hull(0)).flatMap(p => Array(p._1, p._2)).toArray
+      GPolygon(Array(ring))
+    }
+  }
+
   /** Presto great_circle_distance: km on a sphere of radius 6371.01 km
     * (haversine), args in degrees as (lat1, lon1, lat2, lon2). */
   def greatCircleDistance(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
@@ -858,6 +1027,114 @@ object GeoFns {
     protected def eval2(a: Geom, b: Geom): Any = contains(b, a)
   }
 
+  case class StDimension(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "st_dimension"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = dimension(g)
+  }
+
+  case class StNumGeometries(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "st_numgeometries"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = numGeometries(g)
+  }
+
+  case class StIsClosed(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_isclosed"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = isClosed(g)
+  }
+
+  case class StIsSimple(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_issimple"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = isSimple(g)
+  }
+
+  case class StIsRing(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_isring"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = isRing(g)
+  }
+
+  case class StExteriorRing(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_exteriorring"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = toWkb(exteriorRing(g))
+  }
+
+  case class StNumInteriorRing(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "st_numinteriorring"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = numInteriorRing(g)
+  }
+
+  case class StConvexHull(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_convexhull"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = toWkb(convexHull(g))
+  }
+
+  /** 1-based vertex accessor endpoints: which = 0 start, 1 end. */
+  case class StEndpoint(child: Expression, atEnd: Boolean) extends GeoUnaryBase {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = if (atEnd) "st_endpoint" else "st_startpoint"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = g match {
+      case GLineString(p) if p.nonEmpty =>
+        toWkb(if (atEnd) GPoint(p(p.length - 2), p(p.length - 1)) else GPoint(p(0), p(1)))
+      case _: GLineString => null
+      case other => throw new IllegalArgumentException(
+        s"${prettyName.toUpperCase} requires a LineString, got ${typeName(other)}")
+    }
+  }
+
+  abstract class GeoIndexedBase extends BinaryExpression with CodegenFallback {
+    protected def evalIdx(g: Geom, n: Int): Any
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      evalIdx(fromWkb(l.asInstanceOf[Array[Byte]]), r.asInstanceOf[Int])
+  }
+
+  case class StPointN(left: Expression, right: Expression) extends GeoIndexedBase {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_pointn"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def evalIdx(g: Geom, n: Int): Any = pointN(g, n).map(toWkb).orNull
+  }
+
+  case class StGeometryN(left: Expression, right: Expression) extends GeoIndexedBase {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_geometryn"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def evalIdx(g: Geom, n: Int): Any = geometryN(g, n).map(toWkb).orNull
+  }
+
+  case class StInteriorRingN(left: Expression, right: Expression) extends GeoIndexedBase {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_interiorringn"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def evalIdx(g: Geom, n: Int): Any = interiorRingN(g, n).map(toWkb).orNull
+  }
+
+  case class StDisjoint(left: Expression, right: Expression) extends GeoBinaryBase {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_disjoint"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def eval2(a: Geom, b: Geom): Any = !intersects(a, b)
+  }
+
   case class GreatCircle(children: Seq[Expression])
       extends Expression with CodegenFallback {
     override def dataType: DataType = DoubleType
@@ -916,6 +1193,20 @@ object GeoFns {
     "st_within" -> arity("st_within", 2)(a => StWithin(a(0), a(1))),
     "great_circle_distance" -> arity("great_circle_distance", 4)(a =>
       GreatCircle(a.map(dbl))),
+    "st_dimension" -> arity("st_dimension", 1)(a => StDimension(a(0))),
+    "st_numgeometries" -> arity("st_numgeometries", 1)(a => StNumGeometries(a(0))),
+    "st_isclosed" -> arity("st_isclosed", 1)(a => StIsClosed(a(0))),
+    "st_issimple" -> arity("st_issimple", 1)(a => StIsSimple(a(0))),
+    "st_isring" -> arity("st_isring", 1)(a => StIsRing(a(0))),
+    "st_exteriorring" -> arity("st_exteriorring", 1)(a => StExteriorRing(a(0))),
+    "st_numinteriorring" -> arity("st_numinteriorring", 1)(a => StNumInteriorRing(a(0))),
+    "st_convexhull" -> arity("st_convexhull", 1)(a => StConvexHull(a(0))),
+    "st_startpoint" -> arity("st_startpoint", 1)(a => StEndpoint(a(0), atEnd = false)),
+    "st_endpoint" -> arity("st_endpoint", 1)(a => StEndpoint(a(0), atEnd = true)),
+    "st_pointn" -> arity("st_pointn", 2)(a => StPointN(a(0), a(1))),
+    "st_geometryn" -> arity("st_geometryn", 2)(a => StGeometryN(a(0), a(1))),
+    "st_interiorringn" -> arity("st_interiorringn", 2)(a => StInteriorRingN(a(0), a(1))),
+    "st_disjoint" -> arity("st_disjoint", 2)(a => StDisjoint(a(0), a(1))),
     "st_union" -> unsupported("st_union"),
     "st_intersection" -> unsupported("st_intersection"),
     "st_buffer" -> unsupported("st_buffer"))

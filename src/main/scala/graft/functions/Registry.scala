@@ -216,6 +216,20 @@ object Registry {
       "st_contains" -> FnMeta("st_contains", cost = 8.0),
       "st_within" -> FnMeta("st_within", cost = 8.0),
       "great_circle_distance" -> FnMeta("great_circle_distance", cost = 2.0),
+      "st_dimension" -> FnMeta("st_dimension"),
+      "st_numgeometries" -> FnMeta("st_numgeometries"),
+      "st_isclosed" -> FnMeta("st_isclosed"),
+      "st_issimple" -> FnMeta("st_issimple", cost = 8.0),
+      "st_isring" -> FnMeta("st_isring", cost = 8.0),
+      "st_exteriorring" -> FnMeta("st_exteriorring"),
+      "st_numinteriorring" -> FnMeta("st_numinteriorring"),
+      "st_convexhull" -> FnMeta("st_convexhull", cost = 8.0),
+      "st_startpoint" -> FnMeta("st_startpoint"),
+      "st_endpoint" -> FnMeta("st_endpoint"),
+      "st_pointn" -> FnMeta("st_pointn"),
+      "st_geometryn" -> FnMeta("st_geometryn"),
+      "st_interiorringn" -> FnMeta("st_interiorringn"),
+      "st_disjoint" -> FnMeta("st_disjoint", cost = 8.0),
       "format_datetime" -> FnMeta("date_format"),
       // Presto date_format takes MYSQL %-patterns (unlike format_datetime)
       // → PrestoCompat's converting implementation, not Spark's date_format.

@@ -202,7 +202,55 @@ object Geo {
          AND sqrt((a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)) < 5.0
        ORDER BY a_id, b_id"""
 
+  /** Accessor/hull batch (round 15): component and vertex accessors,
+    * closure/simplicity predicates, and the convex hull — the hull of
+    * the doc-derived 5-point cloud {(0,0), (px,0), (0,py), (px,py),
+    * (px/2, py/2)} is the px×py rectangle (the interior point must be
+    * dropped), so its area has the closed form px·py that the oracle
+    * recomputes; degenerate clouds (px or py = 0) collapse to
+    * lines/points of area 0 on both sides. */
+  def geoAccessors(t: Tables): DataFrame = {
+    val lineWkt = concat(lit("LINESTRING ("), px.cast("long"), lit(" "), py.cast("long"),
+      lit(", "), qx.cast("long"), lit(" "), qy.cast("long"),
+      lit(", "), px.cast("long"), lit(" "), py.cast("long"), lit(")"))
+    val line = call_function("st_geometryfromtext", lineWkt)
+    val cloudWkt = concat(
+      lit("MULTIPOINT ((0 0), ("), px.cast("long"), lit(" 0), (0 "), py.cast("long"),
+      lit("), ("), px.cast("long"), lit(" "), py.cast("long"),
+      lit("), ("), (px / 2), lit(" "), (py / 2), lit("))"))
+    val cloud = call_function("st_geometryfromtext", cloudWkt)
+    t.documents.select(
+      col("doc_id"),
+      call_function("st_dimension", line).cast("long").as("dim"),
+      call_function("st_numgeometries", cloud).cast("long").as("ngeom"),
+      call_function("st_isclosed", line).as("closed"),
+      round(call_function("st_x",
+        call_function("st_startpoint", line)), 6).as("sx"),
+      round(call_function("st_y",
+        call_function("st_pointn", line, lit(2))), 6).as("p2y"),
+      round(call_function("st_area",
+        call_function("st_convexhull", cloud)), 6).as("hull_area"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The closing vertex equals the start, so `closed` is always true;
+    * the interior point never survives the hull, so hull area = px·py. */
+  val geoAccessorsSql: String =
+    """SELECT doc_id,
+              CAST(1 AS BIGINT) AS dim,
+              CAST(5 AS BIGINT) AS ngeom,
+              TRUE AS closed,
+              round(CAST(px AS DOUBLE), 6) AS sx,
+              round(CAST(qy AS DOUBLE), 6) AS p2y,
+              round(CAST(px * py AS DOUBLE), 6) AS hull_area
+       FROM (SELECT doc_id,
+                    doc_id * 37 % 100 AS px, doc_id * 61 % 100 AS py,
+                    doc_id * 17 % 100 AS qx, doc_id * 29 % 100 AS qy
+             FROM documents) p
+       ORDER BY doc_id"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
+    ("geo_accessors", geoAccessors _, geoAccessorsSql),
     ("geo_measures", geoMeasures _, geoMeasuresSql),
     ("geo_predicates", geoPredicates _, geoPredicatesSql),
     ("geo_wkt", geoWkt _, geoWktSql),

@@ -197,6 +197,67 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(chain(un).exists(_.contains("constructive planar geometry")), chain(un).mkString("|"))
   }
 
+  test("accessors: dimension, components, vertices, rings") {
+    assert(dimension(g("POINT (1 2)")) == 0)
+    assert(dimension(g("MULTILINESTRING ((0 0, 1 1))")) == 1)
+    assert(dimension(g("POLYGON ((0 0, 1 0, 1 1, 0 0))")) == 2)
+    assert(numGeometries(g("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")) == 2)
+    assert(numGeometries(g("POINT (1 2)")) == 1)
+    assert(numGeometries(g("POINT EMPTY")) == 0)
+    assert(geometryN(g("MULTIPOINT ((1 2), (3 4))"), 2).contains(GPoint(3, 4)))
+    assert(geometryN(g("MULTIPOINT ((1 2), (3 4))"), 3).isEmpty)
+    assert(geometryN(g("POINT (1 2)"), 1).contains(GPoint(1, 2)))
+    assert(pointN(g("LINESTRING (0 0, 5 6, 9 9)"), 2).contains(GPoint(5, 6)))
+    assert(pointN(g("LINESTRING (0 0, 5 6)"), 3).isEmpty)
+    assert(intercept[IllegalArgumentException](pointN(g("POINT (1 2)"), 1))
+      .getMessage.contains("LineString"))
+    val holed = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))")
+    assert(toWkt(exteriorRing(holed)) == "LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)")
+    assert(numInteriorRing(holed) == 1)
+    assert(toWkt(interiorRingN(holed, 1).get) == "LINESTRING (2 2, 4 2, 4 4, 2 4, 2 2)")
+    assert(interiorRingN(holed, 2).isEmpty)
+  }
+
+  test("isClosed / isSimple / isRing") {
+    assert(!isClosed(g("LINESTRING (0 0, 1 1)")))
+    assert(isClosed(g("LINESTRING (0 0, 1 0, 1 1, 0 0)")))
+    assert(intercept[IllegalArgumentException](isClosed(g("POINT (0 0)")))
+      .getMessage.contains("LineString"))
+    assert(isSimple(g("LINESTRING (0 0, 2 0, 2 2)")))
+    assert(!isSimple(g("LINESTRING (0 0, 2 2, 2 0, 0 2)")), "self-crossing bowtie")
+    assert(!isSimple(g("LINESTRING (0 0, 2 0, 1 0)")), "collinear backtrack")
+    assert(isSimple(g("MULTIPOINT ((1 1), (2 2))")))
+    assert(!isSimple(g("MULTIPOINT ((1 1), (1 1))")), "repeated point")
+    assert(isRing(g("LINESTRING (0 0, 4 0, 4 4, 0 0)")))
+    assert(!isRing(g("LINESTRING (0 0, 4 0, 4 4)")), "open")
+    assert(!isRing(g("LINESTRING (0 0, 2 2, 2 0, 0 2, 0 0)")), "closed but self-crossing")
+  }
+
+  test("convex hull: polygon, collinear line, single point; interior points dropped") {
+    val hull = convexHull(g("MULTIPOINT ((0 0), (4 0), (0 4), (4 4), (2 2), (1 3))"))
+    assert(toWkt(hull) == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(toWkt(convexHull(g("MULTIPOINT ((0 0), (2 2), (4 4))"))) == "LINESTRING (0 0, 4 4)")
+    assert(toWkt(convexHull(g("MULTIPOINT ((3 3), (3 3))"))) == "POINT (3 3)")
+    // hull of a concave polygon's vertices fills the notch
+    assert(area(convexHull(g("POLYGON ((0 0, 4 0, 4 4, 2 1, 0 4, 0 0))"))) == 16.0)
+  }
+
+  test("st_disjoint and the indexed accessors through SQL") {
+    val row = spark.sql(
+      """SELECT st_disjoint(st_point(0, 0), st_point(5, 5)) AS dj,
+                st_astext(st_geometryn(st_geometryfromtext('MULTIPOINT ((1 2), (3 4))'), 2)) AS g2,
+                st_astext(st_endpoint(st_geometryfromtext('LINESTRING (0 0, 7 8)'))) AS ep,
+                st_numinteriorring(st_geometryfromtext(
+                  'POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))')) AS nir,
+                st_pointn(st_geometryfromtext('LINESTRING (0 0, 7 8)'), 5) AS oob
+      """).head()
+    assert(row.getBoolean(0))
+    assert(row.getString(1) == "POINT (3 4)")
+    assert(row.getString(2) == "POINT (7 8)")
+    assert(row.getInt(3) == 1)
+    assert(row.isNullAt(4), "out-of-range vertex access is NULL")
+  }
+
   test("geo_distance_join plans an equi-join on grid cells, not a cartesian product") {
     val df = graft.queries.Geo.geoDistanceJoin(tables)
     val plan = df.queryExecution.executedPlan.toString
