@@ -1324,7 +1324,31 @@ object Presto {
                 || ',4:' || CAST(n AS VARCHAR) AS snapshots
        FROM base, del"""
 
+  /** Geospatial functions through the Presto dialect front door
+    * (round 15): Presto SQL spells them ST_CamelCase — resolution is
+    * case-insensitive onto the GeoFns registrations. The polygon's 0.5
+    * offsets keep every doc point off the boundary, so the strict
+    * interior test and the oracle's open-interval comparison agree
+    * everywhere. */
+  val geoPresto: String =
+    """SELECT doc_id,
+         ST_AsText(ST_Point(doc_id * 37 % 100, doc_id * 61 % 100)) AS wkt,
+         round(ST_Distance(ST_Point(doc_id * 37 % 100, 0),
+                           ST_Point(0, doc_id * 61 % 100)), 6) AS d,
+         ST_Contains(ST_GeometryFromText('POLYGON ((10 10, 90 10, 90 90, 10 90, 10 10))'),
+                     ST_Point(doc_id * 37 % 100 + 0.5, doc_id * 61 % 100 + 0.5)) AS inside
+       FROM documents WHERE doc_id < 200"""
+  val geoOracle: String =
+    """SELECT doc_id,
+         'POINT (' || (doc_id * 37 % 100) || ' ' || (doc_id * 61 % 100) || ')' AS wkt,
+         round(sqrt(CAST((doc_id * 37 % 100) * (doc_id * 37 % 100) +
+                         (doc_id * 61 % 100) * (doc_id * 61 % 100) AS DOUBLE)), 6) AS d,
+         (doc_id * 37 % 100 + 0.5 > 10 AND doc_id * 37 % 100 + 0.5 < 90 AND
+          doc_id * 61 % 100 + 0.5 > 10 AND doc_id * 61 % 100 + 0.5 < 90) AS inside
+       FROM documents WHERE doc_id < 200"""
+
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
+    ("presto_geo", run(geoPresto) _, geoOracle),
     ("presto_matview", matView _, matViewOracle),
     ("presto_call", callProc _, callProcOracle),
     ("presto_datetime_fns", run(datetimeFnsPresto) _, datetimeFnsOracle),
