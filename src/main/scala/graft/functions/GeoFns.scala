@@ -110,7 +110,15 @@ object GeoFns {
     b.array()
   }
 
-  def fromWkb(bytes: Array[Byte]): Geom = {
+  def fromWkb(bytes: Array[Byte]): Geom =
+    try fromWkbInner(bytes)
+    catch {
+      case _: java.nio.BufferUnderflowException =>
+        throw new IllegalArgumentException(
+          s"not WKB: truncated geometry (${bytes.length} bytes)")
+    }
+
+  private def fromWkbInner(bytes: Array[Byte]): Geom = {
     val b = ByteBuffer.wrap(bytes)
     def geom(): Geom = {
       val order = b.get()
@@ -1027,6 +1035,43 @@ object GeoFns {
     protected def eval2(a: Geom, b: Geom): Any = contains(b, a)
   }
 
+  /** Geometry already travels as WKB, so AsBinary is the identity and
+    * FromBinary is a validating parse-and-reencode (foreign byte order
+    * or junk is rejected here, not at first use downstream). */
+  case class StAsBinary(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_asbinary"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def nullSafeEval(v: Any): Any = {
+      fromWkb(v.asInstanceOf[Array[Byte]]) // validate
+      v
+    }
+  }
+
+  case class StGeomFromBinary(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_geomfrombinary"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def nullSafeEval(v: Any): Any =
+      toWkb(fromWkb(v.asInstanceOf[Array[Byte]])) // canonicalize to LE
+  }
+
+  /** Typed WKT constructors (Presto ST_LineFromText / ST_Polygon):
+    * parse, then reject the wrong geometry type by name. */
+  case class StTypedFromText(child: Expression, want: String)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String =
+      if (want == "LineString") "st_linefromtext" else "st_polygon"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def nullSafeEval(v: Any): Any = {
+      val g = parseWkt(v.toString)
+      if (typeName(g) != want) throw new IllegalArgumentException(
+        s"${prettyName.toUpperCase} requires $want WKT, got ${typeName(g)}")
+      toWkb(g)
+    }
+  }
+
   case class StDimension(child: Expression) extends GeoUnaryBase {
     override def dataType: DataType = IntegerType
     override def prettyName: String = "st_dimension"
@@ -1207,6 +1252,11 @@ object GeoFns {
     "st_geometryn" -> arity("st_geometryn", 2)(a => StGeometryN(a(0), a(1))),
     "st_interiorringn" -> arity("st_interiorringn", 2)(a => StInteriorRingN(a(0), a(1))),
     "st_disjoint" -> arity("st_disjoint", 2)(a => StDisjoint(a(0), a(1))),
+    "st_asbinary" -> arity("st_asbinary", 1)(a => StAsBinary(a(0))),
+    "st_geomfrombinary" -> arity("st_geomfrombinary", 1)(a => StGeomFromBinary(a(0))),
+    "st_geometryfrombinary" -> arity("st_geometryfrombinary", 1)(a => StGeomFromBinary(a(0))),
+    "st_linefromtext" -> arity("st_linefromtext", 1)(a => StTypedFromText(a(0), "LineString")),
+    "st_polygon" -> arity("st_polygon", 1)(a => StTypedFromText(a(0), "Polygon")),
     "st_union" -> unsupported("st_union"),
     "st_intersection" -> unsupported("st_intersection"),
     "st_buffer" -> unsupported("st_buffer"))

@@ -230,6 +230,11 @@ object Registry {
       "st_geometryn" -> FnMeta("st_geometryn"),
       "st_interiorringn" -> FnMeta("st_interiorringn"),
       "st_disjoint" -> FnMeta("st_disjoint", cost = 8.0),
+      "st_asbinary" -> FnMeta("st_asbinary"),
+      "st_geomfrombinary" -> FnMeta("st_geomfrombinary", cost = 2.0),
+      "st_geometryfrombinary" -> FnMeta("st_geometryfrombinary", cost = 2.0),
+      "st_linefromtext" -> FnMeta("st_linefromtext", cost = 8.0),
+      "st_polygon" -> FnMeta("st_polygon", cost = 8.0),
       "format_datetime" -> FnMeta("date_format"),
       // Presto date_format takes MYSQL %-patterns (unlike format_datetime)
       // → PrestoCompat's converting implementation, not Spark's date_format.

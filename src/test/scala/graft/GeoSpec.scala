@@ -258,6 +258,30 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(row.isNullAt(4), "out-of-range vertex access is NULL")
   }
 
+  test("binary interchange and typed WKT constructors") {
+    val row = spark.sql(
+      """SELECT st_astext(st_geomfrombinary(st_asbinary(
+                  st_geometryfromtext('POLYGON ((0 0, 2 0, 2 2, 0 0))')))) AS rt,
+                st_astext(st_linefromtext('LINESTRING (1 1, 2 2)')) AS ln
+      """).head()
+    assert(row.getString(0) == "POLYGON ((0 0, 2 0, 2 2, 0 0))")
+    assert(row.getString(1) == "LINESTRING (1 1, 2 2)")
+    // big-endian bytes canonicalize to our little-endian storage
+    val be = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.BIG_ENDIAN)
+    be.put(0.toByte); be.putInt(1); be.putDouble(6.0); be.putDouble(7.0)
+    assert(toWkt(fromWkb(toWkb(fromWkb(be.array())))) == "POINT (6 7)")
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val wrongType = intercept[Exception] {
+      spark.sql("SELECT st_polygon('LINESTRING (0 0, 1 1)')").collect()
+    }
+    assert(chain(wrongType).exists(_.contains("requires Polygon")), chain(wrongType))
+    val junk = intercept[Exception] {
+      spark.sql("SELECT st_asbinary(unhex('DEADBEEF'))").collect()
+    }
+    assert(chain(junk).exists(_.contains("not WKB")), chain(junk))
+  }
+
   test("geo_distance_join plans an equi-join on grid cells, not a cartesian product") {
     val df = graft.queries.Geo.geoDistanceJoin(tables)
     val plan = df.queryExecution.executedPlan.toString
