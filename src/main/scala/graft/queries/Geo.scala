@@ -169,17 +169,17 @@ object Geo {
     * the same bucketing discipline as the MinHash/LSH dedup band join.
     * A radius-r pair can differ by at most one cell index per axis, so
     * the 3×3 neighborhood is exhaustive — no recall loss. */
-  def geoDistanceJoin(t: Tables): DataFrame = {
-    val r = 5.0
-    val pts = t.documents.select(col("doc_id"),
-      px.as("x"), py.as("y"),
-      floor(px / r).as("cx"), floor(py / r).as("cy"))
+  /** Core of the grid-bucketed distance self-join over an (id, x, y)
+    * frame — shared by the oracle entry and the GeoScale lane. */
+  def distanceJoinPoints(points: DataFrame, r: Double): DataFrame = {
+    val pts = points.select(col("id"), col("x"), col("y"),
+      floor(col("x") / r).as("cx"), floor(col("y") / r).as("cy"))
     val left = pts
       .withColumn("dx", explode(sequence(lit(-1), lit(1))))
       .withColumn("dy", explode(sequence(lit(-1), lit(1))))
-      .select(col("doc_id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+      .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
         (col("cx") + col("dx")).as("jcx"), (col("cy") + col("dy")).as("jcy"))
-    val right = pts.select(col("doc_id").as("b_id"), col("x").as("bx"), col("y").as("by"),
+    val right = pts.select(col("id").as("b_id"), col("x").as("bx"), col("y").as("by"),
       col("cx").as("jcx"), col("cy").as("jcy"))
     left.join(right, Seq("jcx", "jcy"))
       .filter(col("a_id") < col("b_id"))
@@ -187,9 +187,14 @@ object Geo {
         sqrt((col("ax") - col("bx")) * (col("ax") - col("bx")) +
           (col("ay") - col("by")) * (col("ay") - col("by"))))
       .filter(col("dist") < r)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
+  def geoDistanceJoin(t: Tables): DataFrame =
+    distanceJoinPoints(
+      t.documents.select(col("doc_id").as("id"), px.as("x"), py.as("y")), 5.0)
       .select(col("a_id"), col("b_id"), round(col("dist"), 6).as("dist"))
       .orderBy(col("a_id"), col("b_id"))
-  }
 
   val geoDistanceJoinSql: String =
     """SELECT a.doc_id AS a_id, b.doc_id AS b_id,

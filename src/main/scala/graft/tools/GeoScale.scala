@@ -1,0 +1,138 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Sessions
+
+/** Scale lane for the geospatial operators (round 15) — the DedupScale
+  * discipline applied to the spatial join: deterministic
+  * planted-structure point clouds at 1×/10×/100×, where the timed
+  * action IS a closed-form validation aggregate, so a wrong answer at
+  * any scale fails the lane rather than timing beautifully.
+  *
+  * Corpus: n grid points with 8-unit spacing (side = ⌈√n⌉ columns), so
+  * the domain GROWS with n and density stays constant — the join's
+  * per-cell candidate load is scale-invariant, which is exactly the
+  * 100 TB claim being tested (work linear in points, never all-pairs).
+  * Every 10th point gets a twin offset by (2.1, 2.1): with radius 5,
+  * spacing 8 keeps every non-twin pair ≥ 8−2·2.97 > 5 apart EXCEPT the
+  * planted twins at exactly √(2·2.1²) = 2.9698…, so the join must
+  * return exactly n/10 pairs, every one at that distance.
+  *
+  * A second probe times the scalar-kernel throughput: st_contains of
+  * each point against a fixed 21-vertex polygon, whose accepted count
+  * has a closed form from the grid geometry.
+  *
+  * Usage: runMain graft.tools.GeoScale [baseN]
+  */
+object GeoScale {
+
+  private val Radius = 5.0
+  private val Spacing = 8.0
+  private val TwinOff = 2.1
+  val TwinDist: Double = math.sqrt(2 * TwinOff * TwinOff)
+
+  /** n base points + n/10 twins, deterministic from the index. */
+  def cloud(spark: SparkSession, n: Long): DataFrame = {
+    val side = math.ceil(math.sqrt(n.toDouble)).toLong
+    // Spark's `/` on longs is DOUBLE division — the row index needs floor
+    val base = spark.range(n).select(
+      col("id"),
+      (col("id") % side).cast("double") * Spacing,
+      floor(col("id") / side).cast("double") * Spacing)
+      .toDF("id", "x", "y")
+    val twins = spark.range(0, n, 10).select(
+      (col("id") + n).as("id"),
+      ((col("id") % side).cast("double") * Spacing + TwinOff).as("x"),
+      (floor(col("id") / side).cast("double") * Spacing + TwinOff).as("y"))
+    base.union(twins)
+  }
+
+  final case class LaneEntry(name: String, times: Seq[Double])
+  final case class LaneResult(entries: Seq[LaneEntry], validationFailures: Seq[String])
+
+  def run(spark: SparkSession, baseN: Long,
+      scales: Seq[Long] = Seq(1L, 10L, 100L)): LaneResult = {
+    val fails = Seq.newBuilder[String]
+    def leg(name: String, n: Long)(probe: Long => Seq[String]): Double = {
+      val t0 = System.nanoTime()
+      fails ++= probe(n)
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[geo-scale] x${n / baseN}%-4d $name%-16s $dt%7.2f s")
+      dt
+    }
+    // untimed warmup: codegen + join machinery JIT, else the 1× leg
+    // carries ~4 s of first-query cost and the decade ratios read <1
+    graft.queries.Geo.distanceJoinPoints(cloud(spark, baseN), Radius)
+      .agg(count(lit(1))).head()
+    val joinTimes = scales.map { s =>
+      val n = baseN * s
+      leg("distance_join", n) { n =>
+        val r = graft.queries.Geo.distanceJoinPoints(cloud(spark, n), Radius)
+          .agg(count(lit(1)), min(col("dist")), max(col("dist"))).head()
+        val bad = Seq.newBuilder[String]
+        if (r.getLong(0) != n / 10)
+          bad += s"join@x${n / baseN}: pairs ${r.getLong(0)} want ${n / 10}"
+        if (math.abs(r.getDouble(1) - TwinDist) > 1e-9 ||
+            math.abs(r.getDouble(2) - TwinDist) > 1e-9)
+          bad += s"join@x${n / baseN}: dist range [${r.getDouble(1)}, ${r.getDouble(2)}] " +
+            s"want $TwinDist"
+        bad.result()
+      }
+    }
+    // Scalar-kernel throughput: points inside x < cut (as a convex
+    // polygon contains test, exercising the WKT parse once per call
+    // site and the PIP kernel per row). Base points with x = (id %
+    // side)·8 < cut ⇔ id % side ≤ ⌊(cut−ε)/8⌋; twins shift by 2.1.
+    val cut = 100.0
+    val polyWkt = s"POLYGON ((0 -1, $cut -1, $cut 1000000, 0 1000000, 0 -1))"
+    val pipTimes = scales.map { s =>
+      val n = baseN * s
+      leg("contains_scan", n) { n =>
+        val side = math.ceil(math.sqrt(n.toDouble)).toLong
+        val got = cloud(spark, n)
+          .filter(call_function("st_contains",
+            call_function("st_geometryfromtext", lit(polyWkt)),
+            call_function("st_point", col("x"), col("y"))))
+          .count()
+        // strict interior: base x in (0, cut) ⇔ 1 ≤ id%side ≤ 12
+        // (x = 8·k < 100, k ≥ 1); twins at 8·k + 2.1 < 100 ⇔ k ≤ 12,
+        // incl. k = 0 (x = 2.1 interior)
+        def baseRows(colMax: Long): Long = {
+          val full = n / side
+          val rem = n % side
+          (1L to colMax).map(k => full + (if (k < rem) 1L else 0L)).sum
+        }
+        def twinRows(colMax: Long): Long = {
+          // twin hosts: every 10th id; host column k = id % side
+          (0L until n by 10).count(id => id % side <= colMax)
+        }
+        val want = baseRows(12) + twinRows(12)
+        if (got != want) Seq(s"contains@x${n / baseN}: got $got want $want") else Nil
+      }
+    }
+    LaneResult(
+      Seq(LaneEntry("geo_distance_join", joinTimes),
+        LaneEntry("geo_contains_scan", pipTimes)),
+      fails.result())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseN = args.headOption.map(_.toLong).getOrElse(20000L)
+    val spark = Sessions.builder(master = "local[32]", appName = "graft-geo-scale")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, baseN)
+    r.entries.foreach { e =>
+      val dec = e.times.sliding(2).map { case Seq(a, b) => f"${b / a}%.1f×" }.mkString(", ")
+      println(f"[geo-scale] ${e.name}%-18s ${e.times.map(t => f"$t%.2f").mkString(" / ")} s " +
+        s"(decades $dec)")
+    }
+    if (r.validationFailures.nonEmpty) {
+      System.err.println(s"[geo-scale] VALIDATION FAILED: ${r.validationFailures.mkString("; ")}")
+      spark.stop(); sys.exit(1)
+    }
+    println("[geo-scale] validation ALL PASS")
+    spark.stop()
+  }
+}
