@@ -282,6 +282,73 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(chain(junk).exists(_.contains("not WKB")), chain(junk))
   }
 
+  test("differential: PIP kernel agrees with half-plane tests on random convex polygons") {
+    // Polygons built on a circle (sorted angles ⇒ convex CCW by
+    // construction, independent of the hull code); the expected answer
+    // comes from half-plane sign tests re-derived here — a different
+    // algorithm than the kernel's even-odd ray casting. Near-boundary
+    // points (any |cross| < 1e-9) are skipped: both algorithms are
+    // exact on doubles but the CONSTRUCTION is not, so the fixture
+    // can't say which side such a point is on.
+    val rnd = new scala.util.Random(42)
+    def cross(ax: Double, ay: Double, bx: Double, by: Double, px: Double, py: Double) =
+      (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    var checked = 0
+    for (_ <- 1 to 60) {
+      val k = 3 + rnd.nextInt(6)
+      val angles = Array.fill(k)(rnd.nextDouble() * 2 * math.Pi).sorted
+      if (angles.sliding(2).forall(p => p(1) - p(0) > 0.05)) {
+        val cx = rnd.nextDouble() * 100; val cy = rnd.nextDouble() * 100
+        val r = 5 + rnd.nextDouble() * 40
+        val verts = angles.map(a => (cx + r * math.cos(a), cy + r * math.sin(a)))
+        val wkt = "POLYGON ((" +
+          (verts :+ verts(0)).map(v => s"${v._1} ${v._2}").mkString(", ") + "))"
+        val poly = g(wkt)
+        val edges = verts.zip(verts.tail :+ verts.head)
+        for (_ <- 1 to 60) {
+          val px = cx + (rnd.nextDouble() - 0.5) * 3 * r
+          val py = cy + (rnd.nextDouble() - 0.5) * 3 * r
+          val sides = edges.map { case (a, b) => cross(a._1, a._2, b._1, b._2, px, py) }
+          if (sides.forall(s => math.abs(s) > 1e-9)) {
+            val inside = sides.forall(_ > 0)
+            assert(contains(poly, GPoint(px, py)) == inside,
+              s"contains mismatch at ($px, $py) for $wkt")
+            assert(intersects(poly, GPoint(px, py)) == inside,
+              s"intersects mismatch at ($px, $py) for $wkt")
+            checked += 1
+          }
+        }
+      }
+    }
+    assert(checked > 1000, s"only $checked differential checks ran")
+  }
+
+  test("differential: convex hull closure contains every input point and is convex") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 30) {
+      val n = 3 + rnd.nextInt(40)
+      val pts = Array.fill(n)((rnd.nextInt(200).toDouble, rnd.nextInt(200).toDouble))
+      val mp = GMultiPoint(pts.flatMap(p => Array(p._1, p._2)))
+      val hull = convexHull(mp)
+      pts.foreach { p =>
+        assert(intersects(hull, GPoint(p._1, p._2)),
+          s"hull ${toWkt(hull)} lost input point $p")
+      }
+      hull match {
+        case GPolygon(rings) =>
+          val c = rings(0)
+          var i = 0
+          while (i + 5 < c.length) {
+            assert((c(i + 2) - c(i)) * (c(i + 5) - c(i + 3)) -
+              (c(i + 3) - c(i + 1)) * (c(i + 4) - c(i + 2)) > 0,
+              s"hull not strictly convex: ${toWkt(hull)}")
+            i += 2
+          }
+        case _ => () // degenerate collinear/point input
+      }
+    }
+  }
+
   test("geo_distance_join plans an equi-join on grid cells, not a cartesian product") {
     val df = graft.queries.Geo.geoDistanceJoin(tables)
     val plan = df.queryExecution.executedPlan.toString
