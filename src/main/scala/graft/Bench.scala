@@ -496,6 +496,28 @@ object Bench {
       } else System.err.println("[bench] stream lane ok")
     }
 
+    // Geospatial scale lane (round 15): per-bench 1×/10× legs of
+    // tools/GeoScale — the planted-pair spatial join and the contains
+    // scan with their closed-form validation re-evidenced in every
+    // artifact (the 100× leg stays in the standalone main, like the
+    // stream lane). Default ON; SPARK_GRAFT_GEO_LANE=off.
+    val geoLane = !sys.env.get("SPARK_GRAFT_GEO_LANE").contains("off")
+    if (geoLane) {
+      val baseN = sys.env.get("SPARK_GRAFT_GEO_BASE").map(_.toLong).getOrElse(20000L)
+      val r = tools.GeoScale.run(spark, baseN, scales = Seq(1L, 10L))
+      def row(e: tools.GeoScale.LaneEntry) = "\"" + e.name + "\":[" +
+        e.times.map(fmt).mkString(",") + "]"
+      val entriesJson = r.entries.map(row).mkString("{", ",", "}")
+      val valJson = r.validationFailures.map(s => "\"" + s.replace("\"", "'") + "\"")
+        .mkString("[", ",", "]")
+      laneFull += s""","geo_scale":$entriesJson,"geo_validation":$valJson"""
+      laneCompact += s""","geo_validation":$valJson"""
+      if (r.validationFailures.nonEmpty) {
+        System.err.println(s"[bench] GEO LANE VALIDATION FAILED: ${r.validationFailures.mkString("; ")}")
+        laneFailures ++= r.validationFailures.map("geo: " + _)
+      } else System.err.println("[bench] geo lane ok")
+    }
+
     val results = qs.map { case (n, _) => n -> best(n) }
     val total = results.map(_._2).sum
     val ratios = results.flatMap { case (n, v) =>
