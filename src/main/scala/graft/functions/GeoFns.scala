@@ -1214,6 +1214,13 @@ object GeoFns {
       "(union/intersection/buffer/simplify) is out of scope; the " +
       "predicate/measure/accessor ST_* surface is implemented")
 
+  private def unsupportedRelate(name: String): Seq[Expression] => Expression = _ =>
+    throw new UnsupportedOperationException(
+      s"$name is not supported: exact DE-9IM relate needs an overlay " +
+      "kernel (heuristics give wrong answers on boundary-only and " +
+      "equal-geometry cases); st_intersects / st_contains / st_within " +
+      "/ st_disjoint are implemented exactly")
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "st_point" -> arity("st_point", 2)(a => StPoint(dbl(a(0)), dbl(a(1)))),
     "st_geometryfromtext" ->
@@ -1259,5 +1266,15 @@ object GeoFns {
     "st_polygon" -> arity("st_polygon", 1)(a => StTypedFromText(a(0), "Polygon")),
     "st_union" -> unsupported("st_union"),
     "st_intersection" -> unsupported("st_intersection"),
-    "st_buffer" -> unsupported("st_buffer"))
+    "st_buffer" -> unsupported("st_buffer"),
+    // The remaining DE-9IM predicates need a real overlay/relate kernel
+    // to be EXACT (equal polygons, boundary-only lines, and crescent
+    // centroids defeat every vertex/midpoint heuristic) — a clean named
+    // error beats a plausible wrong answer; intersects / contains /
+    // within / disjoint cover the common cases exactly.
+    "st_touches" -> unsupportedRelate("st_touches"),
+    "st_crosses" -> unsupportedRelate("st_crosses"),
+    "st_overlaps" -> unsupportedRelate("st_overlaps"),
+    "st_equals" -> unsupportedRelate("st_equals"),
+    "st_relate" -> unsupportedRelate("st_relate"))
 }

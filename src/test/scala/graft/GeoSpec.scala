@@ -195,6 +195,10 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
     assert(chain(un).exists(_.contains("constructive planar geometry")), chain(un).mkString("|"))
+    val rel = intercept[Exception] {
+      spark.sql("SELECT st_touches(st_point(0, 0), st_point(1, 1))").collect()
+    }
+    assert(chain(rel).exists(_.contains("DE-9IM")), chain(rel).mkString("|"))
   }
 
   test("accessors: dimension, components, vertices, rings") {
