@@ -120,11 +120,22 @@ object GeoFns {
 
   private def fromWkbInner(bytes: Array[Byte]): Geom = {
     val b = ByteBuffer.wrap(bytes)
+    // a declared count must be non-negative and fit the remaining bytes
+    // (perUnit = the MINIMUM bytes one unit needs), else a corrupt
+    // header would silently parse as EMPTY (negative → Array.fill = 0
+    // elements) or attempt a multi-GB allocation
+    def checkedCount(perUnit: Int): Int = {
+      val n = b.getInt()
+      if (n < 0 || n.toLong * perUnit > b.remaining())
+        throw new IllegalArgumentException(
+          s"not WKB: implausible element count $n with ${b.remaining()} bytes left")
+      n
+    }
     def geom(): Geom = {
       val order = b.get()
       b.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
       def coords(): Coords = {
-        val n = b.getInt()
+        val n = checkedCount(16)
         val c = new Array[Double](n * 2)
         var i = 0
         while (i < c.length) { c(i) = b.getDouble(); i += 1 }
@@ -133,9 +144,9 @@ object GeoFns {
       b.getInt() match {
         case 1 => GPoint(b.getDouble(), b.getDouble())
         case 2 => GLineString(coords())
-        case 3 => GPolygon(Array.fill(b.getInt())(coords()))
+        case 3 => GPolygon(Array.fill(checkedCount(4))(coords()))
         case 4 =>
-          val n = b.getInt()
+          val n = checkedCount(21)
           val c = new Array[Double](n * 2)
           var i = 0
           while (i < n) {
@@ -147,14 +158,14 @@ object GeoFns {
             i += 1
           }
           GMultiPoint(c)
-        case 5 => GMultiLineString(Array.fill(b.getInt()) {
+        case 5 => GMultiLineString(Array.fill(checkedCount(9)) {
           geom() match {
             case GLineString(p) => p
             case other => throw new IllegalArgumentException(
               s"WKB MultiLineString member is a ${typeName(other)}")
           }
         })
-        case 6 => GMultiPolygon(Array.fill(b.getInt()) {
+        case 6 => GMultiPolygon(Array.fill(checkedCount(9)) {
           geom() match {
             case GPolygon(rs) => rs
             case other => throw new IllegalArgumentException(
@@ -481,11 +492,85 @@ object GeoFns {
     * g2 may properly cross a ring of g1, and at least one vertex or
     * edge midpoint of g2 must be strictly interior (a g2 lying entirely
     * ON g1's boundary is not contained). Only polygonal g1 can contain. */
+  /** Parameters t ∈ [0,1] along segment P→Q at which it meets any ring
+    * edge — proper crossings, endpoint touches, and both ends of
+    * collinear overlaps. 0 and 1 are always included, so consecutive
+    * values bound sub-segments that are entirely on one side of the
+    * boundary (a straight segment cannot cross a boundary between two
+    * recorded hits). */
+  private def boundaryTs(px: Double, py: Double, qx: Double, qy: Double,
+      rings: Array[Coords]): Array[Double] = {
+    val ts = scala.collection.mutable.ArrayBuffer(0.0, 1.0)
+    def tOf(x: Double, y: Double): Double =
+      if (math.abs(qx - px) >= math.abs(qy - py)) {
+        if (qx == px) 0.0 else (x - px) / (qx - px)
+      } else (y - py) / (qy - py)
+    def add(t: Double): Unit = if (t > 0.0 && t < 1.0) ts += t
+    var r = 0
+    while (r < rings.length) {
+      val c = rings(r)
+      var i = 0
+      while (i + 3 < c.length) {
+        val ax = c(i); val ay = c(i + 1); val bx = c(i + 2); val by = c(i + 3)
+        val o1 = orient(px, py, qx, qy, ax, ay)
+        val o2 = orient(px, py, qx, qy, bx, by)
+        if (o1 == 0 && o2 == 0) {
+          // collinear edge: both projected endpoints bound an on-boundary stretch
+          if (onSegment(ax, ay, px, py, qx, qy) || onSegment(bx, by, px, py, qx, qy) ||
+              onSegment(px, py, ax, ay, bx, by)) {
+            add(math.max(0.0, math.min(1.0, tOf(ax, ay))))
+            add(math.max(0.0, math.min(1.0, tOf(bx, by))))
+          }
+        } else if (segProperCross(px, py, qx, qy, ax, ay, bx, by)) {
+          val o3 = orient(ax, ay, bx, by, px, py)
+          val o4 = orient(ax, ay, bx, by, qx, qy)
+          add(o3 / (o3 - o4))
+        } else {
+          if (o1 == 0 && onSegment(ax, ay, px, py, qx, qy)) add(tOf(ax, ay))
+          if (o2 == 0 && onSegment(bx, by, px, py, qx, qy)) add(tOf(bx, by))
+        }
+        i += 2
+      }
+      r += 1
+    }
+    ts.toArray.sorted
+  }
+
+  /** An interior point of a simple closed ring set (shell + holes): the
+    * centroid of some vertex "ear" triangle that lands strictly inside.
+    * None for degenerate (zero-area) rings. */
+  private def interiorPointOf(rings: Array[Coords]): Option[(Double, Double)] = {
+    if (rings.isEmpty) return None
+    val shell = rings(0)
+    val n = shell.length / 2 - 1 // closed: last == first
+    var i = 0
+    while (i < n) {
+      val p = (i + n - 1) % n
+      val q = (i + 1) % n
+      val cx = (shell(2 * p) + shell(2 * i) + shell(2 * q)) / 3
+      val cy = (shell(2 * p + 1) + shell(2 * i + 1) + shell(2 * q + 1)) / 3
+      if (pointInRings(cx, cy, rings) == 1) return Some((cx, cy))
+      i += 1
+    }
+    None
+  }
+
+  /** OGC/Presto ST_Contains: no point of g2 in the exterior of g1, and
+    * the interiors intersect. Polygonal g1: every g2 segment is cut at
+    * ALL its boundary hits ([[boundaryTs]]) and each sub-segment's
+    * midpoint is located exactly — no vertex/midpoint sampling, so
+    * concave shells, notch traversals, and boundary-only geometries
+    * classify correctly; a polygonal g2 additionally must not swallow a
+    * hole of g1, and its interior witness ([[interiorPointOf]]) decides
+    * the equal/boundary-aligned cases. Linear g1 contains Point/
+    * MultiPoint (on a segment, not solely at the line's boundary
+    * endpoints); linear-vs-linear containment needs an overlay kernel
+    * and throws by name. Point g1 contains exactly its own point set. */
   def contains(g1: Geom, g2: Geom): Boolean = {
     if (g1.isEmpty || g2.isEmpty) return false
     val a = prims(g1)
-    if (a.polys.isEmpty) return false
     val b = prims(g2)
+    if (a.polys.isEmpty) return containsNonPolygonal(a, b)
     def locate(px: Double, py: Double): Int = {
       var best = 0
       var p = 0
@@ -497,28 +582,112 @@ object GeoFns {
       }
       best
     }
-    val verts = allVerts(b)
     var interiorSeen = false
     var i = 0
-    while (i < verts.length) {
-      val loc = locate(verts(i), verts(i + 1))
+    while (i < b.points.length) {
+      val loc = locate(b.points(i), b.points(i + 1))
       if (loc == 0) return false
       if (loc == 1) interiorSeen = true
       i += 2
     }
-    // no proper crossings of g1's rings by g2's edges
     val aRings = a.polys.flatten
-    if (eachSeg(b.runs)((cx, cy, dx, dy) =>
-      eachSeg(aRings)((ax, ay, bx, by) => segProperCross(ax, ay, bx, by, cx, cy, dx, dy))))
-      return false
-    if (!interiorSeen) {
-      // vertices all on the boundary — check edge midpoints for interior
-      interiorSeen = eachSeg(b.runs)((cx, cy, dx, dy) =>
-        locate((cx + dx) / 2, (cy + dy) / 2) == 1)
-      // a polygonal g2 with positive area always has interior inside
-      if (!interiorSeen && b.polys.nonEmpty) interiorSeen = area(g2) > 0
+    // exact per-segment classification: every sub-segment between
+    // boundary hits is uniformly outside / inside / on-boundary
+    var run = 0
+    while (run < b.runs.length) {
+      val c = b.runs(run)
+      var s = 0
+      while (s + 3 < c.length) {
+        val px = c(s); val py = c(s + 1); val qx = c(s + 2); val qy = c(s + 3)
+        if (px == qx && py == qy) {
+          val loc = locate(px, py)
+          if (loc == 0) return false
+          if (loc == 1) interiorSeen = true
+        } else {
+          val ts = boundaryTs(px, py, qx, qy, aRings)
+          var k = 0
+          while (k + 1 < ts.length) {
+            if (ts(k + 1) - ts(k) > 1e-12) {
+              val tm = (ts(k) + ts(k + 1)) / 2
+              val loc = locate(px + tm * (qx - px), py + tm * (qy - py))
+              if (loc == 0) return false
+              if (loc == 1) interiorSeen = true
+            }
+            k += 1
+          }
+        }
+        s += 2
+      }
+      run += 1
+    }
+    if (b.polys.nonEmpty) {
+      // a hole of g1 strictly inside g2 leaks g1's exterior into g2
+      var p = 0
+      while (p < a.polys.length) {
+        val rings = a.polys(p)
+        var h = 1
+        while (h < rings.length) {
+          val hx = rings(h)(0); val hy = rings(h)(1)
+          if (b.polys.exists(r2 => pointInRings(hx, hy, r2) == 1)) return false
+          h += 1
+        }
+        p += 1
+      }
+      if (!interiorSeen) {
+        // boundary-aligned polygon (e.g. g2 == g1, or g2 filling a
+        // hole): the witness point decides exactly
+        b.polys.foreach { r2 =>
+          interiorPointOf(r2).foreach { case (x, y) =>
+            locate(x, y) match {
+              case 0 => return false
+              case 1 => interiorSeen = true
+              case _ => ()
+            }
+          }
+        }
+      }
     }
     interiorSeen
+  }
+
+  private def containsNonPolygonal(a: Prims, b: Prims): Boolean = {
+    if (a.runs.isEmpty) {
+      // point-ish g1: contains exactly its own point set
+      if (b.runs.nonEmpty || b.polys.nonEmpty) return false
+      var i = 0
+      while (i < b.points.length) {
+        var found = false
+        var j = 0
+        while (j < a.points.length && !found) {
+          found = a.points(j) == b.points(i) && a.points(j + 1) == b.points(i + 1)
+          j += 2
+        }
+        if (!found) return false
+        i += 2
+      }
+      b.points.nonEmpty
+    } else {
+      if (b.runs.nonEmpty || b.polys.nonEmpty)
+        throw new UnsupportedOperationException(
+          "st_contains with a linear left argument supports Point/MultiPoint " +
+          "right arguments; linear-vs-linear containment needs an overlay kernel")
+      // line boundary = endpoints of its OPEN runs; a point solely at
+      // the boundary is not contained (matches ST_Contains semantics)
+      val bnd = a.runs.iterator
+        .filter(r => !(r(0) == r(r.length - 2) && r(1) == r(r.length - 1)))
+        .flatMap(r => Iterator((r(0), r(1)), (r(r.length - 2), r(r.length - 1))))
+        .toSet
+      var interior = false
+      var i = 0
+      while (i < b.points.length) {
+        val px = b.points(i); val py = b.points(i + 1)
+        if (!eachSeg(a.runs)((ax, ay, bx, by) => onSegment(px, py, ax, ay, bx, by)))
+          return false
+        if (!bnd.contains((px, py))) interior = true
+        i += 2
+      }
+      b.points.nonEmpty && interior
+    }
   }
 
   def distance(g1: Geom, g2: Geom): Double = {
@@ -730,11 +899,13 @@ object GeoFns {
   }
 
   def isClosed(g: Geom): Boolean = g match {
+    // a line needs at least two points before "ends coincide" means
+    // anything — a 1-point degenerate trivially compares with itself
     case GLineString(p) =>
-      p.nonEmpty && p(0) == p(p.length - 2) && p(1) == p(p.length - 1)
+      p.length >= 4 && p(0) == p(p.length - 2) && p(1) == p(p.length - 1)
     case GMultiLineString(ls) =>
       ls.nonEmpty && ls.forall(p =>
-        p.nonEmpty && p(0) == p(p.length - 2) && p(1) == p(p.length - 1))
+        p.length >= 4 && p(0) == p(p.length - 2) && p(1) == p(p.length - 1))
     case other => throw new IllegalArgumentException(
       s"ST_IsClosed requires a LineString or MultiLineString, got ${typeName(other)}")
   }
@@ -795,13 +966,73 @@ object GeoFns {
       }
       true
     case GLineString(p) => runIsSimple(p)
-    case GMultiLineString(ls) => ls.forall(runIsSimple)
+    // OGC MultiCurve: every element simple AND elements may intersect
+    // only at points on the boundaries of both (shared free endpoints)
+    case GMultiLineString(ls) =>
+      ls.forall(runIsSimple) && {
+        def bndPts(r: Coords): Set[(Double, Double)] =
+          if (r.length >= 4 && r(0) == r(r.length - 2) && r(1) == r(r.length - 1))
+            Set.empty // a closed element has no boundary
+          else Set((r(0), r(1)), (r(r.length - 2), r(r.length - 1)))
+        val pairs = for { i <- ls.indices; j <- (i + 1) until ls.length } yield (i, j)
+        pairs.forall { case (i, j) =>
+          !runsCrossBeyond(ls(i), ls(j), bndPts(ls(i)) intersect bndPts(ls(j)))
+        }
+      }
     case GPolygon(rs) => rs.forall(runIsSimple)
     case GMultiPolygon(ps) => ps.forall(_.forall(runIsSimple))
   }
 
+  /** True when two runs intersect anywhere beyond the `allowed` point
+    * set: proper crossings and collinear overlaps always count; point
+    * touches count unless the touch point is allowed. A non-crossing
+    * touch can only happen at a vertex of one run lying on the other,
+    * so checking the four zero-orient endpoints is exhaustive. */
+  private def runsCrossBeyond(r1: Coords, r2: Coords,
+      allowed: Set[(Double, Double)]): Boolean = {
+    var i = 0
+    while (i + 3 < r1.length) {
+      val ax = r1(i); val ay = r1(i + 1); val bx = r1(i + 2); val by = r1(i + 3)
+      var j = 0
+      while (j + 3 < r2.length) {
+        val cx = r2(j); val cy = r2(j + 1); val dx = r2(j + 2); val dy = r2(j + 3)
+        if (segIntersects(ax, ay, bx, by, cx, cy, dx, dy)) {
+          if (segProperCross(ax, ay, bx, by, cx, cy, dx, dy)) return true
+          val o1 = orient(ax, ay, bx, by, cx, cy)
+          val o2 = orient(ax, ay, bx, by, dx, dy)
+          if (o1 == 0 && o2 == 0) {
+            // collinear: an overlap longer than a point is never simple;
+            // a single shared point falls through to the touch check
+            val touching = Seq(
+              (cx, cy, onSegment(cx, cy, ax, ay, bx, by)),
+              (dx, dy, onSegment(dx, dy, ax, ay, bx, by)),
+              (ax, ay, onSegment(ax, ay, cx, cy, dx, dy)),
+              (bx, by, onSegment(bx, by, cx, cy, dx, dy)))
+              .collect { case (x, y, true) => (x, y) }.distinct
+            if (touching.size > 1) return true
+            if (touching.exists(p => !allowed.contains(p))) return true
+          } else {
+            val touches = Seq(
+              (cx, cy, o1 == 0 && onSegment(cx, cy, ax, ay, bx, by)),
+              (dx, dy, o2 == 0 && onSegment(dx, dy, ax, ay, bx, by)),
+              (ax, ay, orient(cx, cy, dx, dy, ax, ay) == 0 && onSegment(ax, ay, cx, cy, dx, dy)),
+              (bx, by, orient(cx, cy, dx, dy, bx, by) == 0 && onSegment(bx, by, cx, cy, dx, dy)))
+              .collect { case (x, y, true) => (x, y) }.distinct
+            if (touches.exists(p => !allowed.contains(p))) return true
+          }
+        }
+        j += 2
+      }
+      i += 2
+    }
+    false
+  }
+
   def isRing(g: Geom): Boolean = g match {
-    case l: GLineString => isClosed(l) && runIsSimple(l.pts)
+    // a ring is a closed SIMPLE line with at least 3 distinct points
+    // (4 vertices with the closure) — a doubled-back 2-pointer is not
+    case l: GLineString =>
+      l.pts.length >= 8 && isClosed(l) && runIsSimple(l.pts)
     case other => throw new IllegalArgumentException(
       s"ST_IsRing requires a LineString, got ${typeName(other)}")
   }

@@ -53,6 +53,13 @@ object GeoScale {
 
   def run(spark: SparkSession, baseN: Long,
       scales: Seq[Long] = Seq(1L, 10L, 100L)): LaneResult = {
+    // The closed forms assume exactly n/10 twins (spark.range(0, n, 10)
+    // has ceil(n/10) elements) and ≥13 grid columns for the contains
+    // cut — reject configurations where a CORRECT run would fail
+    // validation instead of emitting confusing lane failures.
+    require(baseN % 10 == 0 && baseN >= 1000,
+      s"GeoScale baseN must be a multiple of 10 and >= 1000 (got $baseN): " +
+      "the planted-pair and contains closed forms assume it")
     val fails = Seq.newBuilder[String]
     def leg(name: String, n: Long)(probe: Long => Seq[String]): Double = {
       val t0 = System.nanoTime()
@@ -61,10 +68,17 @@ object GeoScale {
       System.err.println(f"[geo-scale] x${n / baseN}%-4d $name%-16s $dt%7.2f s")
       dt
     }
-    // untimed warmup: codegen + join machinery JIT, else the 1× leg
-    // carries ~4 s of first-query cost and the decade ratios read <1
+    // untimed warmup of BOTH probe pipelines: codegen + join machinery
+    // JIT, else the 1× legs carry ~4 s of first-query cost and the
+    // decade ratios read <1
     graft.queries.Geo.distanceJoinPoints(cloud(spark, baseN), Radius)
       .agg(count(lit(1))).head()
+    cloud(spark, baseN)
+      .filter(call_function("st_contains",
+        call_function("st_geometryfromtext",
+          lit("POLYGON ((0 -1, 50 -1, 50 50, 0 50, 0 -1))")),
+        call_function("st_point", col("x"), col("y"))))
+      .count()
     val joinTimes = scales.map { s =>
       val n = baseN * s
       leg("distance_join", n) { n =>

@@ -121,8 +121,47 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(contains(withHole, g("LINESTRING (1 1, 3 3)")))
     assert(!contains(withHole, g("POLYGON ((4.2 4.2, 5.8 4.2, 5.8 5.8, 4.2 5.8, 4.2 4.2))")),
       "polygon inside the hole is not contained")
-    // only polygons contain
-    assert(!contains(g("LINESTRING (0 0, 10 0)"), GPoint(5, 0)))
+    // linear g1 contains interior points but not its boundary endpoints
+    assert(contains(g("LINESTRING (0 0, 10 0)"), GPoint(5, 0)))
+    assert(!contains(g("LINESTRING (0 0, 10 0)"), GPoint(0, 0)),
+      "a line's boundary endpoint is not contained")
+    assert(!contains(g("LINESTRING (0 0, 10 0)"), GPoint(5, 1)))
+    // a closed line has no boundary — every on-line point is contained
+    assert(contains(g("LINESTRING (0 0, 4 0, 4 4, 0 0)"), GPoint(0, 0)))
+    // point g1 contains exactly its own point set
+    assert(contains(g("POINT (3 4)"), GPoint(3, 4)))
+    assert(!contains(g("POINT (3 4)"), GPoint(3, 5)))
+    assert(contains(g("MULTIPOINT ((1 1), (2 2))"), GPoint(2, 2)))
+    // linear-vs-linear containment needs an overlay kernel — named error
+    assert(intercept[UnsupportedOperationException](
+      contains(g("LINESTRING (0 0, 10 0)"), g("LINESTRING (1 0, 2 0)")))
+      .getMessage.contains("overlay"))
+  }
+
+  test("contains: concave-shell and boundary-aligned exactness (round-15 kernel fixes)") {
+    // U-shape: slot x∈(4,6) is EXTERIOR; a triangle whose vertices all
+    // lie on the shell boundary but whose body fills the slot must not
+    // be contained (the old midpoint/area heuristic said yes)
+    val u = g("POLYGON ((0 0, 10 0, 10 10, 6 10, 6 4, 4 4, 4 10, 0 10, 0 0))")
+    assert(!contains(u, g("POLYGON ((4 10, 6 10, 5 4, 4 10))")),
+      "slot triangle is outside the U")
+    assert(!contains(u, g("LINESTRING (4 10, 6 10)")),
+      "a line spanning the slot mouth crosses exterior")
+    assert(contains(u, g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")))
+    // a line running entirely along the slot walls has no interior point
+    assert(!contains(u, g("LINESTRING (4 4, 6 4, 6 10)")),
+      "boundary-only line is not contained")
+    assert(!contains(u, g("LINESTRING (3 9, 7 9)")),
+      "segment dipping through the slot is not contained")
+    // equality: a polygon contains itself (interior witness decides)
+    val sq = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert(contains(sq, g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")))
+    // a polygon exactly filling g1's hole is NOT contained
+    val holed = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))")
+    assert(!contains(holed, g("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")))
+    // a polygon SWALLOWING the hole is not contained either
+    assert(!contains(holed, g("POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))")))
+    assert(contains(holed, g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")))
   }
 
   test("intersects: crossing, touching, containment without boundary contact, disjoint") {
@@ -235,6 +274,24 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(isRing(g("LINESTRING (0 0, 4 0, 4 4, 0 0)")))
     assert(!isRing(g("LINESTRING (0 0, 4 0, 4 4)")), "open")
     assert(!isRing(g("LINESTRING (0 0, 2 2, 2 0, 0 2, 0 0)")), "closed but self-crossing")
+    // round-15 degenerates: a 1-point line is neither closed nor a
+    // ring (it compared its endpoint with itself); a doubled-back
+    // 2-pointer closes but is not a ring
+    assert(!isClosed(g("LINESTRING (5 5)")))
+    assert(!isRing(g("LINESTRING (5 5)")))
+    assert(!isRing(g("LINESTRING (0 0, 1 1, 0 0)")))
+    // round-15 MultiLineString simplicity: components crossing in their
+    // interiors is NOT simple; touching at a shared free endpoint is
+    assert(!isSimple(g("MULTILINESTRING ((0 0, 2 2), (0 2, 2 0))")),
+      "components cross at (1,1)")
+    assert(isSimple(g("MULTILINESTRING ((0 0, 1 1), (1 1, 2 0))")),
+      "shared free endpoint is a legal touch")
+    assert(!isSimple(g("MULTILINESTRING ((0 0, 2 0), (1 0, 1 2))")),
+      "endpoint of one component in the other's interior")
+    assert(!isSimple(g("MULTILINESTRING ((0 0, 2 0), (1 0, 3 0))")),
+      "collinear overlap between components")
+    assert(!isSimple(g("MULTILINESTRING ((0 0, 1 1, 0 2), (1 1, 2 2))")),
+      "touch at a mid-vertex (not a boundary point) of the first component")
   }
 
   test("convex hull: polygon, collinear line, single point; interior points dropped") {
@@ -284,6 +341,18 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
       spark.sql("SELECT st_asbinary(unhex('DEADBEEF'))").collect()
     }
     assert(chain(junk).exists(_.contains("not WKB")), chain(junk))
+    // round-15: corrupt COUNTS are rejected by name, not parsed as
+    // EMPTY (negative) or allocated (huge)
+    val negCount = java.nio.ByteBuffer.allocate(9)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    negCount.put(1.toByte); negCount.putInt(3); negCount.putInt(-1)
+    assert(intercept[IllegalArgumentException](fromWkb(negCount.array()))
+      .getMessage.contains("implausible element count"))
+    val hugeCount = java.nio.ByteBuffer.allocate(9)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hugeCount.put(1.toByte); hugeCount.putInt(2); hugeCount.putInt(0x40000000)
+    assert(intercept[IllegalArgumentException](fromWkb(hugeCount.array()))
+      .getMessage.contains("implausible element count"))
   }
 
   test("differential: PIP kernel agrees with half-plane tests on random convex polygons") {
