@@ -235,6 +235,14 @@ object Registry {
       "st_geometryfrombinary" -> FnMeta("st_geometryfrombinary", cost = 2.0),
       "st_linefromtext" -> FnMeta("st_linefromtext", cost = 8.0),
       "st_polygon" -> FnMeta("st_polygon", cost = 8.0),
+      // Bing tile family (BingTiles — Web-Mercator quadtree addressing)
+      "bing_tile" -> FnMeta("bing_tile"),
+      "bing_tile_at" -> FnMeta("bing_tile_at", cost = 2.0),
+      "bing_tile_quadkey" -> FnMeta("bing_tile_quadkey", cost = 2.0),
+      "bing_tile_zoom_level" -> FnMeta("bing_tile_zoom_level"),
+      "bing_tile_coordinates" -> FnMeta("bing_tile_coordinates"),
+      "bing_tile_polygon" -> FnMeta("bing_tile_polygon", cost = 4.0),
+      "bing_tiles_around" -> FnMeta("bing_tiles_around", cost = 4.0),
       "format_datetime" -> FnMeta("date_format"),
       // Presto date_format takes MYSQL %-patterns (unlike format_datetime)
       // → PrestoCompat's converting implementation, not Spark's date_format.

@@ -254,7 +254,51 @@ object Geo {
              FROM documents) p
        ORDER BY doc_id"""
 
+  /** Bing tiles (round 15): doc-derived lat/lon → zoom-8 tile indices,
+    * quadkey, and the tile polygon's area — the oracle re-derives the
+    * Web-Mercator forward map, the base-4 bit interleaving, and the
+    * inverse-Mercator tile height in raw DuckDB SQL. Quarter-degree
+    * offsets keep every point far from tile boundaries, so the two
+    * engines' libm ulps cannot flip a floor. */
+  def geoBingTiles(t: Tables): DataFrame = {
+    val lat = py - lit(50.0) + lit(0.25)
+    val lon = px * lit(3.5) - lit(175.0) + lit(0.25)
+    val tile = call_function("bing_tile_at", lat, lon, lit(8))
+    t.documents.select(
+      col("doc_id"),
+      call_function("bing_tile_coordinates", tile).getField("x").cast("long").as("tx"),
+      call_function("bing_tile_coordinates", tile).getField("y").cast("long").as("ty"),
+      call_function("bing_tile_quadkey", tile).as("qk"),
+      size(call_function("bing_tiles_around", lat, lon, lit(8))).cast("long").as("n_around"),
+      round(call_function("st_area", call_function("bing_tile_polygon", tile)), 6)
+        .as("tile_area"))
+      .orderBy(col("doc_id"))
+  }
+
+  val geoBingTilesSql: String = {
+    // digit i of the zoom-8 quadkey: bit (8−i) of x plus twice that of y
+    val qk = (1 to 8).map(i =>
+      s"CAST(((tx >> ${8 - i}) & 1) + 2 * ((ty >> ${8 - i}) & 1) AS VARCHAR)")
+      .mkString(" || ")
+    """SELECT doc_id, tx, ty, """ + qk + """ AS qk,
+              CAST(9 AS BIGINT) AS n_around,
+              round((360.0 / 256) *
+                ((90 - 360 * atan(exp(-(0.5 - ty / 256.0) * 2 * pi())) / pi()) -
+                 (90 - 360 * atan(exp(-(0.5 - (ty + 1) / 256.0) * 2 * pi())) / pi())),
+                6) AS tile_area
+       FROM (SELECT doc_id,
+                    CAST(floor((lon + 180) / 360 * 256) AS BIGINT) AS tx,
+                    CAST(floor((0.5 - ln((1 + sin(radians(lat))) / (1 - sin(radians(lat))))
+                      / (4 * pi())) * 256) AS BIGINT) AS ty
+             FROM (SELECT doc_id,
+                          doc_id * 61 % 100 - 50 + 0.25 AS lat,
+                          (doc_id * 37 % 100) * 3.5 - 175 + 0.25 AS lon
+                   FROM documents) ll) p
+       ORDER BY doc_id"""
+  }
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
+    ("geo_bing_tiles", geoBingTiles _, geoBingTilesSql),
     ("geo_accessors", geoAccessors _, geoAccessorsSql),
     ("geo_measures", geoMeasures _, geoMeasuresSql),
     ("geo_predicates", geoPredicates _, geoPredicatesSql),

@@ -422,6 +422,47 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bing tiles: published example vector, quadkey round-trip, edge clipping, errors") {
+    import graft.functions.BingTiles._
+    // the Bing Maps Tile System documentation example: (47.61, -122.33)
+    // at level 3 is tile (1, 2), quadkey "021"
+    assert(tileAt(47.61, -122.33, 3) == (1, 2))
+    assert(quadkey(1, 2, 3) == "021")
+    assert(fromQuadkey("021") == (1, 2, 3))
+    // round-trip across the bit width
+    for ((x, y, z) <- Seq((0, 0, 1), (255, 128, 8), (123456, 654321, 23)))
+      assert(fromQuadkey(quadkey(x, y, z)) == (x, y, z))
+    // zoom-0 world tile: empty quadkey, polygon spans the mercator box
+    assert(quadkey(0, 0, 0) == "")
+    val world = tilePolygon(0, 0, 0)
+    assert(envelopeBounds(world).exists { case (xmin, ymin, xmax, ymax) =>
+      xmin == -180.0 && xmax == 180.0 &&
+        math.abs(ymin + MaxLat) < 1e-6 && math.abs(ymax - MaxLat) < 1e-6
+    }, toWkt(world))
+    // latitude clamps to the mercator limit instead of exploding
+    assert(tileAt(89.9, 0.0, 4)._2 == 0)
+    assert(intercept[IllegalArgumentException](tileAt(0, 0, 24))
+      .getMessage.contains("zoom"))
+    assert(intercept[IllegalArgumentException](checkTile(4, 0, 2))
+      .getMessage.contains("out of range"))
+    assert(intercept[IllegalArgumentException](fromQuadkey("0412"))
+      .getMessage.contains("quadkey digit"))
+    // SQL surface: struct-typed tiles group and join directly; around
+    // clips at the map corner
+    val row = spark.sql(
+      """SELECT bing_tile_quadkey(bing_tile_at(47.61, -122.33, 3)) AS qk,
+                bing_tile_zoom_level(bing_tile('021')) AS z,
+                bing_tile_coordinates(bing_tile(1, 2, 3)).x AS x,
+                size(bing_tiles_around(85.0, -179.9, 8)) AS corner_n,
+                size(bing_tiles_around(0.0, 0.0, 8)) AS mid_n
+      """).head()
+    assert(row.getString(0) == "021")
+    assert(row.getInt(1) == 3)
+    assert(row.getInt(2) == 1)
+    assert(row.getInt(3) == 4, "corner tile keeps only the 2x2 in-map neighborhood")
+    assert(row.getInt(4) == 9)
+  }
+
   test("geo_distance_join plans an equi-join on grid cells, not a cartesian product") {
     val df = graft.queries.Geo.geoDistanceJoin(tables)
     val plan = df.queryExecution.executedPlan.toString
