@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** Geometry aggregates (Presto `convex_hull_agg`).
+  *
+  * The aggregation state is the convex hull of everything seen so far —
+  * the hull is closed under union (hull(A ∪ B) = hull(hull(A) ∪
+  * hull(B))), so partials COMPRESS: each buffer keeps at most
+  * [[GeoAgg.CompactAt]] raw coordinates before collapsing to its hull,
+  * and a merged buffer compacts the same way. State is bounded by the
+  * hull's vertex count (typically tiny — O(log n) expected for random
+  * points, ≤ CompactAt worst case mid-stream) no matter how many rows
+  * flow through, which is what lets a 100 TB groupBy carry this
+  * aggregate with constant-size map-side partials.
+  *
+  * `geometry_union_agg` is NOT registered — constructive union needs
+  * the overlay kernel the module deliberately excludes. */
+object GeoAgg {
+
+  /** Compact the point buffer to its hull once it holds this many
+    * doubles (x,y pairs). */
+  val CompactAt = 1024
+
+  final class HullState {
+    var pts: scala.collection.mutable.ArrayBuffer[Double] =
+      scala.collection.mutable.ArrayBuffer.empty
+
+    def add(coords: Array[Double]): Unit = {
+      pts ++= coords
+      if (pts.length > CompactAt) compact()
+    }
+
+    def compact(): Unit = if (pts.nonEmpty) {
+      val hull = GeoFns.convexHull(GeoFns.GMultiPoint(pts.toArray))
+      val packed = hull match {
+        case GeoFns.GPoint(x, y) => Array(x, y)
+        case GeoFns.GLineString(p) => p
+        case GeoFns.GPolygon(rings) => rings(0)
+        case other => throw new IllegalStateException(
+          s"convex hull produced a ${GeoFns.typeName(other)}")
+      }
+      pts = scala.collection.mutable.ArrayBuffer.from(packed)
+    }
+  }
+
+  /** convex_hull_agg(geometry): the convex hull of all input
+    * geometries' points, as a geometry (POLYGON; degenerate inputs
+    * collapse to LINESTRING/POINT; null on no input). */
+  case class ConvexHullAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HullState] with UnaryLike[Expression] {
+
+    override def prettyName: String = "convex_hull_agg"
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override protected def withNewChildInternal(c: Expression): ConvexHullAgg =
+      copy(child = c)
+    override def withNewMutableAggBufferOffset(offset: Int): ConvexHullAgg =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): ConvexHullAgg =
+      copy(inputAggBufferOffset = offset)
+
+    override def createAggregationBuffer(): HullState = new HullState
+
+    override def update(buf: HullState, input: InternalRow): HullState = {
+      val v = child.eval(input)
+      if (v != null) {
+        val g = GeoFns.fromWkb(v.asInstanceOf[Array[Byte]])
+        if (!g.isEmpty) buf.add(GeoFns.vertsOf(g))
+      }
+      buf
+    }
+
+    override def merge(buf: HullState, other: HullState): HullState = {
+      buf.add(other.pts.toArray)
+      buf
+    }
+
+    override def eval(buf: HullState): Any =
+      if (buf.pts.isEmpty) null
+      else GeoFns.toWkb(GeoFns.convexHull(GeoFns.GMultiPoint(buf.pts.toArray)))
+
+    override def serialize(buf: HullState): Array[Byte] = {
+      buf.compact()
+      val b = java.nio.ByteBuffer.allocate(buf.pts.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.pts.foreach(b.putDouble)
+      b.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): HullState = {
+      val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val s = new HullState
+      val n = bytes.length / 8
+      val arr = new Array[Double](n)
+      var i = 0
+      while (i < n) { arr(i) = b.getDouble(); i += 1 }
+      s.pts ++= arr
+      s
+    }
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "convex_hull_agg" -> { args =>
+      require(args.length == 1, s"convex_hull_agg expects 1 argument, got ${args.length}")
+      ConvexHullAgg(args.head).toAggregateExpression()
+    })
+}

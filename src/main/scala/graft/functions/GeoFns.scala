@@ -445,6 +445,10 @@ object GeoFns {
 
   private def allVerts(p: Prims): Coords = p.points ++ p.runs.flatten
 
+  /** Every vertex of the geometry as packed (x,y) coords — the
+    * convex-hull aggregate's input view. */
+  def vertsOf(g: Geom): Coords = allVerts(prims(g))
+
   def intersects(g1: Geom, g2: Geom): Boolean = {
     if (g1.isEmpty || g2.isEmpty) return false
     val a = prims(g1); val b = prims(g2)

@@ -184,7 +184,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // session-wide so Registry.call and Presto-dialect SQL both resolve.
     (graft.functions.PrestoCompat.builders ++ graft.functions.PrestoFns2.builders ++
       graft.functions.NetFns.builders ++ graft.functions.SetDigest.builders ++
-      graft.functions.GeoFns.builders ++ graft.functions.BingTiles.builders)
+      graft.functions.GeoFns.builders ++ graft.functions.BingTiles.builders ++
+      graft.functions.GeoAgg.builders)
       .foreach { case (name, builder) =>
         ext.injectFunction((
           org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -297,7 +297,46 @@ object Geo {
        ORDER BY doc_id"""
   }
 
+  /** convex_hull_agg (round 15): per group, doc points lie ON a circle
+    * (angle 7·doc_id mod 360°, radius 10), so every distinct point is a
+    * hull vertex, the hull's vertex count is the distinct-angle count
+    * (+1 ring closure), and the shoelace area equals the center-fan
+    * identity ½·r²·Σ sin(Δθ) EXACTLY — the oracle computes that sum
+    * with window functions, an independent derivation of the same
+    * number. */
+  def geoHullAgg(t: Tables): DataFrame = {
+    val theta = radians((col("doc_id") * 7 % 360).cast("double"))
+    val p = call_function("st_point",
+      lit(50.0) + lit(10.0) * cos(theta), lit(50.0) + lit(10.0) * sin(theta))
+    t.documents
+      .withColumn("g", (col("doc_id") % 10).cast("long"))
+      .withColumn("pt", p)
+      .groupBy(col("g"))
+      .agg(
+        round(call_function("st_area", call_function("convex_hull_agg", col("pt"))), 6)
+          .as("hull_area"),
+        call_function("st_numpoints", call_function("convex_hull_agg", col("pt")))
+          .cast("long").as("hull_pts"))
+      .orderBy(col("g"))
+  }
+
+  val geoHullAggSql: String =
+    """WITH pts AS (
+         SELECT DISTINCT doc_id % 10 AS g, doc_id * 7 % 360 AS deg FROM documents),
+       d AS (
+         SELECT g, radians(CAST(deg AS DOUBLE)) AS th,
+                lead(radians(CAST(deg AS DOUBLE)))
+                  OVER (PARTITION BY g ORDER BY deg) AS nxt,
+                first_value(radians(CAST(deg AS DOUBLE)))
+                  OVER (PARTITION BY g ORDER BY deg) AS fst
+         FROM pts)
+       SELECT g,
+              round(0.5 * 100 * sum(sin(coalesce(nxt, fst + 2 * pi()) - th)), 6) AS hull_area,
+              CAST(count(*) + 1 AS BIGINT) AS hull_pts
+       FROM d GROUP BY g ORDER BY g"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
+    ("geo_hull_agg", geoHullAgg _, geoHullAggSql),
     ("geo_bing_tiles", geoBingTiles _, geoBingTilesSql),
     ("geo_accessors", geoAccessors _, geoAccessorsSql),
     ("geo_measures", geoMeasures _, geoMeasuresSql),

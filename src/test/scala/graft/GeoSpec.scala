@@ -463,6 +463,31 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(row.getInt(4) == 9)
   }
 
+  test("convex_hull_agg: bounded-state aggregate over 10k grid points across merges") {
+    // a 100x100 grid in [0,1]^2: the hull is exactly the unit square
+    // (collinear boundary points must be dropped), through multiple
+    // partial compactions (CompactAt = 1024) and a 7-way merge
+    val row = spark.range(10000)
+      .selectExpr("st_point(cast(id % 100 as double) / 99, cast(id div 100 as double) / 99) AS p")
+      .repartition(7)
+      .selectExpr("convex_hull_agg(p) AS h")
+      .selectExpr("st_area(h) AS a", "st_numpoints(h) AS n", "st_astext(h) AS wkt")
+      .head()
+    assert(row.getDouble(0) == 1.0, row.getString(2))
+    assert(row.getInt(1) == 5, s"hull must be the 4 corners + closure: ${row.getString(2)}")
+    // empty input group → null; geometry inputs contribute their vertices
+    val row2 = spark.sql(
+      """SELECT convex_hull_agg(g) AS h FROM (
+           SELECT st_geometryfromtext('LINESTRING (0 0, 4 0)') AS g
+           UNION ALL SELECT st_geometryfromtext('POINT (2 3)')) v""").head()
+    assert(GeoFns.toWkt(GeoFns.fromWkb(row2.getAs[Array[Byte]](0))) ==
+      "POLYGON ((0 0, 4 0, 2 3, 0 0))")
+    val empty = spark.range(1).filter("id < 0")
+      .selectExpr("st_point(cast(id as double), 0.0) AS p")
+      .selectExpr("convex_hull_agg(p) AS h").head()
+    assert(empty.isNullAt(0))
+  }
+
   test("geo_distance_join plans an equi-join on grid cells, not a cartesian product") {
     val df = graft.queries.Geo.geoDistanceJoin(tables)
     val plan = df.queryExecution.executedPlan.toString
