@@ -1096,6 +1096,65 @@ object GeoFns {
     }
   }
 
+  /** Fraction ∈ [0,1] of the line's length at the point on the line
+    * closest to p (Presto line_locate_point). Zero-length lines locate
+    * everything at 0. */
+  def lineLocate(line: Coords, px: Double, py: Double): Double = {
+    var total = 0.0
+    var i = 0
+    while (i + 3 < line.length) {
+      total += distPointPoint(line(i), line(i + 1), line(i + 2), line(i + 3))
+      i += 2
+    }
+    if (total == 0) return 0.0
+    var best = Double.PositiveInfinity
+    var bestAt = 0.0
+    var prefix = 0.0
+    i = 0
+    while (i + 3 < line.length) {
+      val ax = line(i); val ay = line(i + 1); val bx = line(i + 2); val by = line(i + 3)
+      val segLen = distPointPoint(ax, ay, bx, by)
+      val dx = bx - ax; val dy = by - ay
+      val len2 = dx * dx + dy * dy
+      val t = if (len2 == 0) 0.0
+        else math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
+      val d = distPointPoint(px, py, ax + t * dx, ay + t * dy)
+      if (d < best) { best = d; bestAt = prefix + t * segLen }
+      prefix += segLen
+      i += 2
+    }
+    bestAt / total
+  }
+
+  /** The point at `fraction` of the line's length (Presto
+    * line_interpolate_point). Zero-length lines yield their first
+    * vertex. */
+  def lineInterpolate(line: Coords, fraction: Double): GPoint = {
+    if (fraction < 0 || fraction > 1) throw new IllegalArgumentException(
+      s"line_interpolate_point fraction must be in [0, 1], got $fraction")
+    var total = 0.0
+    var i = 0
+    while (i + 3 < line.length) {
+      total += distPointPoint(line(i), line(i + 1), line(i + 2), line(i + 3))
+      i += 2
+    }
+    if (total == 0) return GPoint(line(0), line(1))
+    val target = fraction * total
+    var prefix = 0.0
+    i = 0
+    while (i + 3 < line.length) {
+      val segLen = distPointPoint(line(i), line(i + 1), line(i + 2), line(i + 3))
+      if (prefix + segLen >= target || i + 5 >= line.length) {
+        val t = if (segLen == 0) 0.0 else (target - prefix) / segLen
+        return GPoint(line(i) + t * (line(i + 2) - line(i)),
+          line(i + 1) + t * (line(i + 3) - line(i + 1)))
+      }
+      prefix += segLen
+      i += 2
+    }
+    GPoint(line(line.length - 2), line(line.length - 1))
+  }
+
   /** Presto great_circle_distance: km on a sphere of radius 6371.01 km
     * (haversine), args in degrees as (lat1, lon1, lat2, lon2). */
   def greatCircleDistance(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
@@ -1407,6 +1466,36 @@ object GeoFns {
     protected def evalIdx(g: Geom, n: Int): Any = interiorRingN(g, n).map(toWkb).orNull
   }
 
+  case class LineLocatePoint(left: Expression, right: Expression) extends GeoBinaryBase {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "line_locate_point"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def eval2(a: Geom, b: Geom): Any = (a, b) match {
+      case (l: GLineString, p: GPoint) =>
+        if (l.isEmpty || p.isEmpty) null else lineLocate(l.pts, p.x, p.y)
+      case _ => throw new IllegalArgumentException(
+        s"line_locate_point requires (LineString, Point), got " +
+        s"(${typeName(a)}, ${typeName(b)})")
+    }
+  }
+
+  case class LineInterpolatePoint(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "line_interpolate_point"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def nullSafeEval(g: Any, f: Any): Any =
+      fromWkb(g.asInstanceOf[Array[Byte]]) match {
+        case l: GLineString =>
+          if (l.isEmpty) null
+          else toWkb(lineInterpolate(l.pts, f.asInstanceOf[Double]))
+        case other => throw new IllegalArgumentException(
+          s"line_interpolate_point requires a LineString, got ${typeName(other)}")
+      }
+  }
+
   case class StDisjoint(left: Expression, right: Expression) extends GeoBinaryBase {
     override def dataType: DataType = BooleanType
     override def prettyName: String = "st_disjoint"
@@ -1494,6 +1583,9 @@ object GeoFns {
     "st_geometryn" -> arity("st_geometryn", 2)(a => StGeometryN(a(0), a(1))),
     "st_interiorringn" -> arity("st_interiorringn", 2)(a => StInteriorRingN(a(0), a(1))),
     "st_disjoint" -> arity("st_disjoint", 2)(a => StDisjoint(a(0), a(1))),
+    "line_locate_point" -> arity("line_locate_point", 2)(a => LineLocatePoint(a(0), a(1))),
+    "line_interpolate_point" -> arity("line_interpolate_point", 2)(a =>
+      LineInterpolatePoint(a(0), dbl(a(1)))),
     "st_asbinary" -> arity("st_asbinary", 1)(a => StAsBinary(a(0))),
     "st_geomfrombinary" -> arity("st_geomfrombinary", 1)(a => StGeomFromBinary(a(0))),
     "st_geometryfrombinary" -> arity("st_geometryfrombinary", 1)(a => StGeomFromBinary(a(0))),

@@ -244,6 +244,8 @@ object Registry {
       "bing_tile_polygon" -> FnMeta("bing_tile_polygon", cost = 4.0),
       "bing_tiles_around" -> FnMeta("bing_tiles_around", cost = 4.0),
       "convex_hull_agg" -> FnMeta("convex_hull_agg", isAggregate = true, cost = 8.0),
+      "line_locate_point" -> FnMeta("line_locate_point", cost = 4.0),
+      "line_interpolate_point" -> FnMeta("line_interpolate_point", cost = 4.0),
       "format_datetime" -> FnMeta("date_format"),
       // Presto date_format takes MYSQL %-patterns (unlike format_datetime)
       // → PrestoCompat's converting implementation, not Spark's date_format.

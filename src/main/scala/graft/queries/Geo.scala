@@ -335,7 +335,45 @@ object Geo {
               CAST(count(*) + 1 AS BIGINT) AS hull_pts
        FROM d GROUP BY g ORDER BY g"""
 
+  /** Linear referencing (round 15): locate a point's fraction along a
+    * doc-derived 2-point line and interpolate a point at a doc-derived
+    * fraction — for a single segment both have clamp/lerp closed forms
+    * the oracle re-derives in raw SQL (the kernels walk arbitrary
+    * multi-segment lines; the spec pins those). */
+  def geoLinearRef(t: Tables): DataFrame = {
+    val lineWkt = concat(lit("LINESTRING ("), px.cast("long"), lit(" "), py.cast("long"),
+      lit(", "), qx.cast("long"), lit(" "), qy.cast("long"), lit(")"))
+    val line = call_function("st_geometryfromtext", lineWkt)
+    val frac = (col("doc_id") % 11).cast("double") / 10.0
+    val interp = call_function("line_interpolate_point", line, frac)
+    t.documents.select(
+      col("doc_id"),
+      round(call_function("line_locate_point", line, stPoint(qy, px)), 6).as("loc"),
+      round(call_function("st_x", interp), 6).as("ix"),
+      round(call_function("st_y", interp), 6).as("iy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val geoLinearRefSql: String =
+    """SELECT doc_id,
+              round(CASE WHEN len2 = 0 THEN 0.0
+                    ELSE greatest(0.0, least(1.0,
+                      ((qy - px) * (qx - px) + (px - py) * (qy - py)) / len2)) END, 6) AS loc,
+              round(px + fr * (qx - px), 6) AS ix,
+              round(py + fr * (qy - py), 6) AS iy
+       FROM (SELECT doc_id, px, py, qx, qy,
+                    (qx - px) * (qx - px) + (qy - py) * (qy - py) AS len2,
+                    CAST(doc_id % 11 AS DOUBLE) / 10.0 AS fr
+             FROM (SELECT doc_id,
+                          CAST(doc_id * 37 % 100 AS DOUBLE) AS px,
+                          CAST(doc_id * 61 % 100 AS DOUBLE) AS py,
+                          CAST(doc_id * 17 % 100 AS DOUBLE) AS qx,
+                          CAST(doc_id * 29 % 100 AS DOUBLE) AS qy
+                   FROM documents) q0) p
+       ORDER BY doc_id"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
+    ("geo_linear_ref", geoLinearRef _, geoLinearRefSql),
     ("geo_hull_agg", geoHullAgg _, geoHullAggSql),
     ("geo_bing_tiles", geoBingTiles _, geoBingTilesSql),
     ("geo_accessors", geoAccessors _, geoAccessorsSql),

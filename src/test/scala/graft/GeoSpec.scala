@@ -463,6 +463,39 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(row.getInt(4) == 9)
   }
 
+  test("linear referencing: locate/interpolate on multi-segment lines") {
+    import graft.functions.GeoFns.{lineLocate, lineInterpolate}
+    // L-shaped line of total length 8: (0,0)→(4,0)→(4,4)
+    val l = Array(0.0, 0.0, 4.0, 0.0, 4.0, 4.0)
+    assert(lineLocate(l, 2, 0) == 0.25)
+    assert(lineLocate(l, 4, 2) == 0.75, "closest point on the second segment")
+    assert(lineLocate(l, 2, -5) == 0.25, "off-line point projects onto the first segment")
+    assert(lineLocate(l, 10, 10) == 1.0, "beyond the end clamps to 1")
+    assert(lineInterpolate(l, 0.0) == GPoint(0, 0))
+    assert(lineInterpolate(l, 0.5) == GPoint(4, 0), "the corner is at half length")
+    assert(lineInterpolate(l, 0.75) == GPoint(4, 2))
+    assert(lineInterpolate(l, 1.0) == GPoint(4, 4))
+    assert(intercept[IllegalArgumentException](lineInterpolate(l, 1.5))
+      .getMessage.contains("fraction"))
+    // zero-length degenerate
+    assert(lineLocate(Array(3.0, 3.0, 3.0, 3.0), 9, 9) == 0.0)
+    assert(lineInterpolate(Array(3.0, 3.0, 3.0, 3.0), 0.7) == GPoint(3, 3))
+    // SQL surface + type errors
+    val row = spark.sql(
+      """SELECT line_locate_point(st_geometryfromtext('LINESTRING (0 0, 10 0)'),
+                                  st_point(7, 3)) AS f,
+                st_astext(line_interpolate_point(
+                  st_geometryfromtext('LINESTRING (0 0, 10 0)'), 0.3)) AS p""").head()
+    assert(row.getDouble(0) == 0.7)
+    assert(row.getString(1) == "POINT (3 0)")
+    val bad = intercept[Exception] {
+      spark.sql("SELECT line_locate_point(st_point(0, 0), st_point(1, 1))").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(bad).exists(_.contains("LineString, Point")), chain(bad))
+  }
+
   test("convex_hull_agg: bounded-state aggregate over 10k grid points across merges") {
     // a 100x100 grid in [0,1]^2: the hull is exactly the unit square
     // (collinear boundary points must be dropped), through multiple
