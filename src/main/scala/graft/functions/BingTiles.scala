@@ -223,6 +223,42 @@ object BingTiles {
     }
   }
 
+  /** Tiles at `zoom` whose box intersects the geometry (coordinates
+    * read as lon/lat). The candidate set is the envelope's tile range —
+    * work is proportional to the cover, never the map — and each
+    * candidate is kept by an exact box-vs-geometry intersects test. */
+  def cover(g: GeoFns.Geom, zoom: Int): Seq[(Int, Int)] = {
+    checkZoom(zoom)
+    GeoFns.envelopeBounds(g) match {
+      case None => Seq.empty
+      case Some((w, s, e, n)) =>
+        val (x1, yN) = tileAt(n, w, zoom)
+        val (x2, yS) = tileAt(s, e, zoom)
+        val count = (x2 - x1 + 1).toLong * (yS - yN + 1).toLong
+        if (count > 100000) throw new IllegalArgumentException(
+          s"geometry_to_bing_tiles would produce $count tiles at zoom $zoom " +
+          "(limit 100000) - use a coarser zoom")
+        for {
+          y <- yN to yS
+          x <- x1 to x2
+          if GeoFns.intersects(tilePolygon(x, y, zoom), g)
+        } yield (x, y)
+    }
+  }
+
+  case class GeometryToBingTiles(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(tileType, containsNull = false)
+    override def prettyName: String = "geometry_to_bing_tiles"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def nullSafeEval(g: Any, z: Any): Any = {
+      val zoom = z.asInstanceOf[Int]
+      val tiles = cover(GeoFns.fromWkb(g.asInstanceOf[Array[Byte]]), zoom)
+      new GenericArrayData(tiles.map { case (x, y) => tileRow(x, y, zoom) }.toArray[Any])
+    }
+  }
+
   private def arity(name: String, ns: Set[Int])(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression = { args =>
     require(ns.contains(args.length),
@@ -245,5 +281,7 @@ object BingTiles {
       BingTileCoordinates(a(0))),
     "bing_tile_polygon" -> arity("bing_tile_polygon", Set(1))(a => BingTilePolygon(a(0))),
     "bing_tiles_around" -> arity("bing_tiles_around", Set(3))(a =>
-      BingTilesAround(Seq(dbl(a(0)), dbl(a(1)), int(a(2))))))
+      BingTilesAround(Seq(dbl(a(0)), dbl(a(1)), int(a(2))))),
+    "geometry_to_bing_tiles" -> arity("geometry_to_bing_tiles", Set(2))(a =>
+      GeometryToBingTiles(a(0), int(a(1)))))
 }

@@ -1155,6 +1155,65 @@ object GeoFns {
     GPoint(line(line.length - 2), line(line.length - 1))
   }
 
+  /** Douglas–Peucker simplification of one vertex run: endpoints are
+    * anchors; a vertex survives iff its segment-distance from the
+    * current anchor chord exceeds the tolerance. Iterative stack — no
+    * recursion depth limit on long lines. */
+  private def simplifyRun(c: Coords, tol: Double): Coords = {
+    val n = c.length / 2
+    if (n <= 2) return c
+    val keep = new Array[Boolean](n)
+    keep(0) = true; keep(n - 1) = true
+    val stack = scala.collection.mutable.Stack((0, n - 1))
+    while (stack.nonEmpty) {
+      val (lo, hi) = stack.pop()
+      if (hi > lo + 1) {
+        var maxD = -1.0
+        var maxI = -1
+        var i = lo + 1
+        while (i < hi) {
+          val d = distPointSeg(c(2 * i), c(2 * i + 1),
+            c(2 * lo), c(2 * lo + 1), c(2 * hi), c(2 * hi + 1))
+          if (d > maxD) { maxD = d; maxI = i }
+          i += 1
+        }
+        if (maxD > tol) {
+          keep(maxI) = true
+          stack.push((lo, maxI))
+          stack.push((maxI, hi))
+        }
+      }
+    }
+    val out = Array.newBuilder[Double]
+    var i = 0
+    while (i < n) {
+      if (keep(i)) { out += c(2 * i); out += c(2 * i + 1) }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Presto simplify_geometry: Douglas–Peucker with the given
+    * tolerance. Points pass through; rings that would collapse below a
+    * valid polygon (4 vertices with closure) keep their original shape
+    * rather than going invalid. */
+  def simplify(g: Geom, tol: Double): Geom = {
+    if (tol < 0 || tol.isNaN) throw new IllegalArgumentException(
+      s"simplify_geometry tolerance must be >= 0, got $tol")
+    def ring(r: Coords): Coords = {
+      val s = simplifyRun(r, tol)
+      if (s.length >= 8) s else r
+    }
+    g match {
+      case p: GPoint => p
+      case p: GMultiPoint => p
+      case GLineString(p) => GLineString(simplifyRun(p, tol))
+      case GMultiLineString(ls) => GMultiLineString(ls.map(simplifyRun(_, tol)))
+      case GPolygon(rs) => GPolygon(rs.map(ring))
+      case GMultiPolygon(ps) => GMultiPolygon(ps.map(_.map(ring)))
+    }
+  }
+
   /** Presto great_circle_distance: km on a sphere of radius 6371.01 km
     * (haversine), args in degrees as (lat1, lon1, lat2, lon2). */
   def greatCircleDistance(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
@@ -1466,6 +1525,16 @@ object GeoFns {
     protected def evalIdx(g: Geom, n: Int): Any = interiorRingN(g, n).map(toWkb).orNull
   }
 
+  case class SimplifyGeometry(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "simplify_geometry"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def nullSafeEval(g: Any, t: Any): Any =
+      toWkb(simplify(fromWkb(g.asInstanceOf[Array[Byte]]), t.asInstanceOf[Double]))
+  }
+
   case class LineLocatePoint(left: Expression, right: Expression) extends GeoBinaryBase {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "line_locate_point"
@@ -1583,6 +1652,8 @@ object GeoFns {
     "st_geometryn" -> arity("st_geometryn", 2)(a => StGeometryN(a(0), a(1))),
     "st_interiorringn" -> arity("st_interiorringn", 2)(a => StInteriorRingN(a(0), a(1))),
     "st_disjoint" -> arity("st_disjoint", 2)(a => StDisjoint(a(0), a(1))),
+    "simplify_geometry" -> arity("simplify_geometry", 2)(a =>
+      SimplifyGeometry(a(0), dbl(a(1)))),
     "line_locate_point" -> arity("line_locate_point", 2)(a => LineLocatePoint(a(0), a(1))),
     "line_interpolate_point" -> arity("line_interpolate_point", 2)(a =>
       LineInterpolatePoint(a(0), dbl(a(1)))),

@@ -244,6 +244,8 @@ object Registry {
       "bing_tile_polygon" -> FnMeta("bing_tile_polygon", cost = 4.0),
       "bing_tiles_around" -> FnMeta("bing_tiles_around", cost = 4.0),
       "convex_hull_agg" -> FnMeta("convex_hull_agg", isAggregate = true, cost = 8.0),
+      "geometry_to_bing_tiles" -> FnMeta("geometry_to_bing_tiles", cost = 8.0),
+      "simplify_geometry" -> FnMeta("simplify_geometry", cost = 8.0),
       "line_locate_point" -> FnMeta("line_locate_point", cost = 4.0),
       "line_interpolate_point" -> FnMeta("line_interpolate_point", cost = 4.0),
       "format_datetime" -> FnMeta("date_format"),

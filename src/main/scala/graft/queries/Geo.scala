@@ -372,7 +372,55 @@ object Geo {
                    FROM documents) q0) p
        ORDER BY doc_id"""
 
+  /** simplify_geometry + geometry_to_bing_tiles (round 15): a spike
+    * line keeps or drops its apex depending on whether the doc-derived
+    * amplitude exceeds the Douglas–Peucker tolerance (both engines
+    * compare the SAME ieee double (doc_id%5)*0.3 against 0.6, so the
+    * inexact-0.3 boundary case agrees by construction), and a
+    * quarter-offset lon/lat rectangle's zoom-6 tile cover count is the
+    * corner-tile index product (every tile in a rectangle's index
+    * range intersects it). */
+  def geoSimplifyTiles(t: Tables): DataFrame = {
+    val h = (col("doc_id") % 5).cast("double") * 0.3
+    val spikeWkt = concat(lit("LINESTRING (0 0, 2 "), h, lit(", 4 0)"))
+    val simp = call_function("simplify_geometry",
+      call_function("st_geometryfromtext", spikeWkt), lit(0.6))
+    val lon0 = px * 2.8 - 140.0 + 0.25
+    val lat0 = py * 0.8 - 40.0 + 0.25
+    val rectWkt = concat(
+      lit("POLYGON (("), lon0, lit(" "), lat0,
+      lit(", "), lon0 + 7.0, lit(" "), lat0,
+      lit(", "), lon0 + 7.0, lit(" "), lat0 + 4.0,
+      lit(", "), lon0, lit(" "), lat0 + 4.0,
+      lit(", "), lon0, lit(" "), lat0, lit("))"))
+    val rect = call_function("st_geometryfromtext", rectWkt)
+    t.documents.select(
+      col("doc_id"),
+      call_function("st_numpoints", simp).cast("long").as("npts"),
+      round(call_function("st_length", simp), 6).as("slen"),
+      size(call_function("geometry_to_bing_tiles", rect, lit(6))).cast("long").as("ntiles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val geoSimplifyTilesSql: String =
+    """SELECT doc_id,
+              CAST(CASE WHEN h > 0.6 THEN 3 ELSE 2 END AS BIGINT) AS npts,
+              round(CASE WHEN h > 0.6 THEN 2 * sqrt(4 + h * h) ELSE 4.0 END, 6) AS slen,
+              (CAST(floor((lon0 + 7 + 180) / 360 * 64) AS BIGINT)
+                 - CAST(floor((lon0 + 180) / 360 * 64) AS BIGINT) + 1) *
+              (CAST(floor((0.5 - ln((1 + sin(radians(lat0))) / (1 - sin(radians(lat0))))
+                    / (4 * pi())) * 64) AS BIGINT)
+                 - CAST(floor((0.5 - ln((1 + sin(radians(lat0 + 4))) / (1 - sin(radians(lat0 + 4))))
+                    / (4 * pi())) * 64) AS BIGINT) + 1) AS ntiles
+       FROM (SELECT doc_id,
+                    CAST(doc_id % 5 AS DOUBLE) * 0.3 AS h,
+                    CAST(doc_id * 37 % 100 AS DOUBLE) * 2.8 - 140 + 0.25 AS lon0,
+                    CAST(doc_id * 61 % 100 AS DOUBLE) * 0.8 - 40 + 0.25 AS lat0
+             FROM documents) p
+       ORDER BY doc_id"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
+    ("geo_simplify_tiles", geoSimplifyTiles _, geoSimplifyTilesSql),
     ("geo_linear_ref", geoLinearRef _, geoLinearRefSql),
     ("geo_hull_agg", geoHullAgg _, geoHullAggSql),
     ("geo_bing_tiles", geoBingTiles _, geoBingTilesSql),

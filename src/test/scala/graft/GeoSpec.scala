@@ -496,6 +496,48 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(chain(bad).exists(_.contains("LineString, Point")), chain(bad))
   }
 
+  test("simplify_geometry: Douglas-Peucker keeps shape above tolerance, rings stay valid") {
+    import graft.functions.GeoFns.simplify
+    // collinear interior vertices vanish at any tolerance
+    assert(toWkt(simplify(g("LINESTRING (0 0, 1 0, 2 0, 3 0, 4 0)"), 0.0)) ==
+      "LINESTRING (0 0, 4 0)")
+    // the spike survives iff it exceeds the tolerance
+    assert(toWkt(simplify(g("LINESTRING (0 0, 2 1, 4 0)"), 0.5)) ==
+      "LINESTRING (0 0, 2 1, 4 0)")
+    assert(toWkt(simplify(g("LINESTRING (0 0, 2 1, 4 0)"), 1.5)) == "LINESTRING (0 0, 4 0)")
+    // recursive keep: a staircase where every level matters at small tol
+    assert(numPoints(simplify(g("LINESTRING (0 0, 1 1, 2 0, 3 1, 4 0)"), 0.1)) == 5)
+    // a ring that would collapse keeps its original shape (never invalid)
+    val tri = "POLYGON ((0 0, 4 0, 2 1, 0 0))"
+    assert(toWkt(simplify(g(tri), 5.0)) == tri)
+    // a redundant ring vertex disappears; area is preserved
+    val sq = simplify(g("POLYGON ((0 0, 2 0, 4 0, 4 4, 0 4, 0 0))"), 0.0)
+    assert(toWkt(sq) == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert(area(sq) == 16.0)
+    assert(intercept[IllegalArgumentException](simplify(g(tri), -1.0))
+      .getMessage.contains("tolerance"))
+  }
+
+  test("geometry_to_bing_tiles: envelope-ranged exact cover") {
+    import graft.functions.BingTiles.cover
+    // a rectangle spanning two zoom-1 tiles horizontally
+    assert(cover(g("POLYGON ((-10 10, 10 10, 10 20, -10 20, -10 10))"), 1) ==
+      Seq((0, 0), (1, 0)))
+    // a diagonal line misses the off-diagonal tiles of its envelope
+    val diag = cover(g("LINESTRING (-170 80, -170 10, 170 10)"), 2)
+    assert(!diag.contains((3, 0)), s"L-shaped line must not cover the far corner tile: $diag")
+    assert(diag.contains((0, 0)) && diag.contains((3, 1)), diag.toString)
+    // tile-count explosion is rejected by name
+    assert(intercept[IllegalArgumentException](
+      cover(g("POLYGON ((-170 -80, 170 -80, 170 80, -170 80, -170 -80))"), 12))
+      .getMessage.contains("limit"))
+    val n = spark.sql(
+      """SELECT size(geometry_to_bing_tiles(
+           st_geometryfromtext('POLYGON ((-10 10, 10 10, 10 20, -10 20, -10 10))'), 1)) AS n
+      """).head().getInt(0)
+    assert(n == 2)
+  }
+
   test("convex_hull_agg: bounded-state aggregate over 10k grid points across merges") {
     // a 100x100 grid in [0,1]^2: the hull is exactly the unit square
     // (collinear boundary points must be dropped), through multiple
