@@ -110,13 +110,97 @@ object GeoFns {
     b.array()
   }
 
-  def fromWkb(bytes: Array[Byte]): Geom =
+  /** EWKB SRID flag: a geography value (to_spherical_geography) is the
+    * geometry's WKB with this bit set on the top-level type and SRID
+    * 4326 following it. Plain-geometry functions reject it by name. */
+  private val SridFlag = 0x20000000
+  private val Wgs84 = 4326
+
+  def isGeography(bytes: Array[Byte]): Boolean = {
+    if (bytes.length < 5) return false
+    val b = ByteBuffer.wrap(bytes)
+    val order = b.get()
+    b.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    (b.getInt() & SridFlag) != 0
+  }
+
+  def fromWkb(bytes: Array[Byte]): Geom = {
+    if (isGeography(bytes))
+      throw new IllegalArgumentException(
+        "geography value (SRID-flagged EWKB): only the geography functions " +
+        "(st_distance, to_geometry) accept it - convert with to_geometry first")
     try fromWkbInner(bytes)
     catch {
       case _: java.nio.BufferUnderflowException =>
         throw new IllegalArgumentException(
           s"not WKB: truncated geometry (${bytes.length} bytes)")
     }
+  }
+
+  /** Strip the EWKB geography tag back to a plain geometry. */
+  def geographyToGeom(bytes: Array[Byte]): Geom = {
+    if (!isGeography(bytes)) throw new IllegalArgumentException(
+      "to_geometry expects a geography value (use st_geometryfromtext for WKT)")
+    val b = ByteBuffer.wrap(bytes)
+    val order = b.get()
+    b.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val typ = b.getInt() & ~SridFlag
+    val srid = b.getInt()
+    if (srid != Wgs84) throw new IllegalArgumentException(
+      s"geography SRID must be $Wgs84, got $srid")
+    val rest = new Array[Byte](b.remaining())
+    b.get(rest)
+    val out = ByteBuffer.allocate(5 + rest.length).order(b.order())
+    out.put(if (order == 0) 0.toByte else 1.toByte)
+    out.putInt(typ)
+    out.put(rest)
+    fromWkb(out.array())
+  }
+
+  /** Tag a lon/lat geometry as spherical geography (EWKB SRID 4326),
+    * validating coordinate ranges like Presto does. */
+  def toSphericalGeography(bytes: Array[Byte]): Array[Byte] = {
+    if (isGeography(bytes)) throw new IllegalArgumentException(
+      "to_spherical_geography: input is already a geography value")
+    val g = fromWkb(bytes)
+    val vs = vertsOf(g)
+    var i = 0
+    while (i < vs.length) {
+      if (vs(i) < -180 || vs(i) > 180 || vs(i + 1) < -90 || vs(i + 1) > 90)
+        throw new IllegalArgumentException(
+          s"to_spherical_geography: (${vs(i)}, ${vs(i + 1)}) is not a valid " +
+          "longitude/latitude pair")
+      i += 2
+    }
+    val plain = toWkb(g) // canonical little-endian
+    val b = ByteBuffer.wrap(plain).order(ByteOrder.LITTLE_ENDIAN)
+    b.get()
+    val typ = b.getInt()
+    val rest = new Array[Byte](b.remaining())
+    b.get(rest)
+    val out = ByteBuffer.allocate(9 + rest.length).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(1.toByte)
+    out.putInt(typ | SridFlag)
+    out.putInt(Wgs84)
+    out.put(rest)
+    out.array()
+  }
+
+  /** Geodesic point distance in METERS on the 6371.01 km sphere (the
+    * great_circle_distance radius Presto shares with its geography
+    * ST_Distance). Points only — other geography shapes need geodesic
+    * segment math and throw by name. */
+  def geographyDistance(a: Array[Byte], b: Array[Byte]): Any = {
+    (geographyToGeom(a), geographyToGeom(b)) match {
+      case (p: GPoint, q: GPoint) =>
+        if (p.isEmpty || q.isEmpty) null
+        else greatCircleDistance(p.y, p.x, q.y, q.x) * 1000.0
+      case (p, q) => throw new UnsupportedOperationException(
+        "geography st_distance supports Point arguments " +
+        s"(got ${typeName(p)}, ${typeName(q)}); geodesic segment distance " +
+        "needs spherical-polygon math that is out of scope")
+    }
+  }
 
   private def fromWkbInner(bytes: Array[Byte]): Geom = {
     val b = ByteBuffer.wrap(bytes)
@@ -1360,8 +1444,36 @@ object GeoFns {
     override def prettyName: String = "st_distance"
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
+    // geography pairs dispatch to geodesic meters; mixing the two
+    // families is an error, not a silent planar answer
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val lb = l.asInstanceOf[Array[Byte]]; val rb = r.asInstanceOf[Array[Byte]]
+      (isGeography(lb), isGeography(rb)) match {
+        case (true, true) => geographyDistance(lb, rb)
+        case (false, false) => eval2(fromWkb(lb), fromWkb(rb))
+        case _ => throw new IllegalArgumentException(
+          "st_distance: cannot mix geometry and geography arguments")
+      }
+    }
     protected def eval2(a: Geom, b: Geom): Any =
       if (a.isEmpty || b.isEmpty) null else distance(a, b)
+  }
+
+  case class ToSphericalGeography(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "to_spherical_geography"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def nullSafeEval(v: Any): Any =
+      toSphericalGeography(v.asInstanceOf[Array[Byte]])
+  }
+
+  case class ToGeometry(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "to_geometry"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def nullSafeEval(v: Any): Any =
+      toWkb(geographyToGeom(v.asInstanceOf[Array[Byte]]))
   }
 
   case class StIntersects(left: Expression, right: Expression) extends GeoBinaryBase {
@@ -1652,6 +1764,9 @@ object GeoFns {
     "st_geometryn" -> arity("st_geometryn", 2)(a => StGeometryN(a(0), a(1))),
     "st_interiorringn" -> arity("st_interiorringn", 2)(a => StInteriorRingN(a(0), a(1))),
     "st_disjoint" -> arity("st_disjoint", 2)(a => StDisjoint(a(0), a(1))),
+    "to_spherical_geography" -> arity("to_spherical_geography", 1)(a =>
+      ToSphericalGeography(a(0))),
+    "to_geometry" -> arity("to_geometry", 1)(a => ToGeometry(a(0))),
     "simplify_geometry" -> arity("simplify_geometry", 2)(a =>
       SimplifyGeometry(a(0), dbl(a(1)))),
     "line_locate_point" -> arity("line_locate_point", 2)(a => LineLocatePoint(a(0), a(1))),

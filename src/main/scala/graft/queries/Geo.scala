@@ -46,6 +46,11 @@ object Geo {
       col("doc_id"),
       round(call_function("st_distance", stPoint(px, py), stPoint(qx, qy)), 6).as("dist"),
       round(call_function("great_circle_distance", px - 50, py, qx - 50, qy), 6).as("gcd"),
+      // geography path end-to-end: tag lon/lat points as spherical
+      // geography, geodesic st_distance in METERS (round 15)
+      round(call_function("st_distance",
+        call_function("to_spherical_geography", stPoint(py, px - 50)),
+        call_function("to_spherical_geography", stPoint(qy, qx - 50))), 3).as("gcd_m"),
       round(call_function("st_area", tri), 6).as("tri_area"),
       round(call_function("st_x", call_function("st_centroid", tri)), 6).as("cx"),
       round(call_function("st_y", call_function("st_centroid", tri)), 6).as("cy"))
@@ -59,6 +64,10 @@ object Geo {
                 sin(radians((qx - px) / 2)) * sin(radians((qx - px) / 2)) +
                 cos(radians(px - 50)) * cos(radians(qx - 50)) *
                 sin(radians((qy - py) / 2)) * sin(radians((qy - py) / 2)))), 6) AS gcd,
+              round(1000 * 2 * 6371.01 * asin(sqrt(
+                sin(radians((qx - px) / 2)) * sin(radians((qx - px) / 2)) +
+                cos(radians(px - 50)) * cos(radians(qx - 50)) *
+                sin(radians((qy - py) / 2)) * sin(radians((qy - py) / 2)))), 3) AS gcd_m,
               round((px + 1) * (py + 1) / 2, 6) AS tri_area,
               round((px + 1) / 3, 6) AS cx,
               round((py + 1) / 3, 6) AS cy

@@ -496,6 +496,42 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(chain(bad).exists(_.contains("LineString, Point")), chain(bad))
   }
 
+  test("spherical geography: tagging, geodesic meters, family separation") {
+    import graft.functions.GeoFns.{isGeography, toSphericalGeography, geographyToGeom}
+    val ptWkb = toWkb(GPoint(-122.33, 47.61))
+    val geog = toSphericalGeography(ptWkb)
+    assert(isGeography(geog) && !isGeography(ptWkb))
+    assert(geographyToGeom(geog) == GPoint(-122.33, 47.61))
+    // a geography value must not leak into plain-geometry functions
+    assert(intercept[IllegalArgumentException](fromWkb(geog))
+      .getMessage.contains("geography"))
+    // lon/lat validation
+    assert(intercept[IllegalArgumentException](
+      toSphericalGeography(toWkb(GPoint(200.0, 0.0))))
+      .getMessage.contains("longitude/latitude"))
+    // one degree of latitude along a meridian = R * pi/180 km, in meters
+    val row = spark.sql(
+      """SELECT st_distance(to_spherical_geography(st_point(10, 0)),
+                            to_spherical_geography(st_point(10, 1))) AS m,
+                st_astext(to_geometry(to_spherical_geography(st_point(3, 4)))) AS w
+      """).head()
+    assert(math.abs(row.getDouble(0) - 6371.01 * math.Pi / 180 * 1000) < 1e-6)
+    assert(row.getString(1) == "POINT (3 4)")
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val mixed = intercept[Exception] {
+      spark.sql("""SELECT st_distance(to_spherical_geography(st_point(0, 0)),
+                                      st_point(1, 1))""").collect()
+    }
+    assert(chain(mixed).exists(_.contains("mix")), chain(mixed))
+    val nonPoint = intercept[Exception] {
+      spark.sql("""SELECT st_distance(
+          to_spherical_geography(st_geometryfromtext('LINESTRING (0 0, 1 1)')),
+          to_spherical_geography(st_point(1, 1)))""").collect()
+    }
+    assert(chain(nonPoint).exists(_.contains("Point")), chain(nonPoint))
+  }
+
   test("simplify_geometry: Douglas-Peucker keeps shape above tolerance, rings stay valid") {
     import graft.functions.GeoFns.simplify
     // collinear interior vertices vanish at any tolerance
