@@ -1459,6 +1459,60 @@ object GeoFns {
       if (a.isEmpty || b.isEmpty) null else distance(a, b)
   }
 
+  /** Presto ST_Points: the geometry's vertices as an array of Point
+    * geometries (ring closers included, matching numpoints). */
+  case class StPoints(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def prettyName: String = "st_points"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = {
+      val vs = vertsOf(g)
+      val out = new Array[Any](vs.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = toWkb(GPoint(vs(2 * i), vs(2 * i + 1)))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  case class StCoordDim(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = ByteType
+    override def prettyName: String = "st_coorddim"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = 2.toByte
+  }
+
+  /** Presto line_interpolate_points: points at fraction, 2·fraction, …
+    * up to 1 (the final endpoint included when the step divides 1). */
+  case class LineInterpolatePoints(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def prettyName: String = "line_interpolate_points"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def nullSafeEval(g: Any, f: Any): Any =
+      fromWkb(g.asInstanceOf[Array[Byte]]) match {
+        case l: GLineString =>
+          if (l.isEmpty) null
+          else {
+            val step = f.asInstanceOf[Double]
+            if (step <= 0 || step > 1) throw new IllegalArgumentException(
+              s"line_interpolate_points fraction must be in (0, 1], got $step")
+            val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+            var k = 1
+            while (k * step <= 1.0 + 1e-12) {
+              out += toWkb(lineInterpolate(l.pts, math.min(1.0, k * step)))
+              k += 1
+            }
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+          }
+        case other => throw new IllegalArgumentException(
+          s"line_interpolate_points requires a LineString, got ${typeName(other)}")
+      }
+  }
+
   case class ToSphericalGeography(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
@@ -1764,6 +1818,10 @@ object GeoFns {
     "st_geometryn" -> arity("st_geometryn", 2)(a => StGeometryN(a(0), a(1))),
     "st_interiorringn" -> arity("st_interiorringn", 2)(a => StInteriorRingN(a(0), a(1))),
     "st_disjoint" -> arity("st_disjoint", 2)(a => StDisjoint(a(0), a(1))),
+    "st_points" -> arity("st_points", 1)(a => StPoints(a(0))),
+    "st_coorddim" -> arity("st_coorddim", 1)(a => StCoordDim(a(0))),
+    "line_interpolate_points" -> arity("line_interpolate_points", 2)(a =>
+      LineInterpolatePoints(a(0), dbl(a(1)))),
     "to_spherical_geography" -> arity("to_spherical_geography", 1)(a =>
       ToSphericalGeography(a(0))),
     "to_geometry" -> arity("to_geometry", 1)(a => ToGeometry(a(0))),

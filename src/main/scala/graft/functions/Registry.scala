@@ -246,6 +246,9 @@ object Registry {
       "convex_hull_agg" -> FnMeta("convex_hull_agg", isAggregate = true, cost = 8.0),
       "geometry_to_bing_tiles" -> FnMeta("geometry_to_bing_tiles", cost = 8.0),
       "simplify_geometry" -> FnMeta("simplify_geometry", cost = 8.0),
+      "st_points" -> FnMeta("st_points", cost = 2.0),
+      "st_coorddim" -> FnMeta("st_coorddim"),
+      "line_interpolate_points" -> FnMeta("line_interpolate_points", cost = 4.0),
       "to_spherical_geography" -> FnMeta("to_spherical_geography", cost = 2.0),
       "to_geometry" -> FnMeta("to_geometry", cost = 2.0),
       "line_locate_point" -> FnMeta("line_locate_point", cost = 4.0),

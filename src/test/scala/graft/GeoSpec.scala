@@ -496,6 +496,32 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(chain(bad).exists(_.contains("LineString, Point")), chain(bad))
   }
 
+  test("st_points, st_coorddim, line_interpolate_points") {
+    val row = spark.sql(
+      """SELECT transform(st_points(st_geometryfromtext('LINESTRING (1 2, 3 4)')),
+                          p -> st_astext(p)) AS pts,
+                st_coorddim(st_point(0, 0)) AS dim,
+                transform(line_interpolate_points(
+                  st_geometryfromtext('LINESTRING (0 0, 10 0)'), 0.25),
+                          p -> st_x(p)) AS xs
+      """).head()
+    assert(row.getSeq[String](0) == Seq("POINT (1 2)", "POINT (3 4)"))
+    assert(row.getByte(1) == 2)
+    assert(row.getSeq[Double](2) == Seq(2.5, 5.0, 7.5, 10.0))
+    // ring closers count, matching st_numpoints
+    val n = spark.sql(
+      """SELECT size(st_points(st_geometryfromtext('POLYGON ((0 0, 4 0, 4 4, 0 0))'))) AS n
+      """).head().getInt(0)
+    assert(n == 4)
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val bad = intercept[Exception] {
+      spark.sql("""SELECT line_interpolate_points(
+        st_geometryfromtext('LINESTRING (0 0, 10 0)'), 0.0)""").collect()
+    }
+    assert(chain(bad).exists(_.contains("fraction")), chain(bad))
+  }
+
   test("spherical geography: tagging, geodesic meters, family separation") {
     import graft.functions.GeoFns.{isGeography, toSphericalGeography, geographyToGeom}
     val ptWkb = toWkb(GPoint(-122.33, 47.61))
