@@ -1180,6 +1180,127 @@ object GeoFns {
     }
   }
 
+  /** Ring pair conflict for validity: proper crossings and collinear
+    * overlaps are invalid; touching at isolated points is allowed
+    * (OGC lets rings meet at points). */
+  private def ringsConflict(r1: Coords, r2: Coords): Boolean = {
+    var i = 0
+    while (i + 3 < r1.length) {
+      val ax = r1(i); val ay = r1(i + 1); val bx = r1(i + 2); val by = r1(i + 3)
+      var j = 0
+      while (j + 3 < r2.length) {
+        val cx = r2(j); val cy = r2(j + 1); val dx = r2(j + 2); val dy = r2(j + 3)
+        if (segProperCross(ax, ay, bx, by, cx, cy, dx, dy)) return true
+        val o1 = orient(ax, ay, bx, by, cx, cy)
+        val o2 = orient(ax, ay, bx, by, dx, dy)
+        if (o1 == 0 && o2 == 0) {
+          val touching = Seq(
+            (cx, cy, onSegment(cx, cy, ax, ay, bx, by)),
+            (dx, dy, onSegment(dx, dy, ax, ay, bx, by)),
+            (ax, ay, onSegment(ax, ay, cx, cy, dx, dy)),
+            (bx, by, onSegment(bx, by, cx, cy, dx, dy)))
+            .collect { case (x, y, true) => (x, y) }.distinct
+          if (touching.size > 1) return true
+        }
+        j += 2
+      }
+      i += 2
+    }
+    false
+  }
+
+  private def polygonInvalidReason(rings: Array[Coords]): Option[String] = {
+    // a fully collinear ring is the degenerate case; any other
+    // non-simple ring is a genuine self-intersection (note a bowtie's
+    // SIGNED area is also zero — opposite windings cancel — so area is
+    // not the discriminator, collinearity is; a simple closed ring of
+    // non-collinear points always has positive area)
+    def collinear(c: Coords): Boolean = {
+      var i = 4
+      while (i + 1 < c.length) {
+        if (orient(c(0), c(1), c(2), c(3), c(i), c(i + 1)) != 0) return false
+        i += 2
+      }
+      true
+    }
+    var r = 0
+    while (r < rings.length) {
+      if (collinear(rings(r))) return Some("Degenerate ring (zero area)")
+      if (!runIsSimple(rings(r))) return Some("Self-intersection")
+      r += 1
+    }
+    var i = 0
+    while (i < rings.length) {
+      var j = i + 1
+      while (j < rings.length) {
+        if (ringsConflict(rings(i), rings(j)))
+          return Some("Self-intersection between rings")
+        j += 1
+      }
+      i += 1
+    }
+    val shell = rings(0)
+    var h = 1
+    while (h < rings.length) {
+      interiorPointOf(Array(rings(h))) match {
+        case Some((x, y)) =>
+          if (pointInRings(x, y, Array(shell)) != 1)
+            return Some("Hole lies outside shell")
+          var h2 = 1
+          while (h2 < rings.length) {
+            if (h2 != h && pointInRings(x, y, Array(rings(h2))) == 1)
+              return Some("Holes are nested")
+            h2 += 1
+          }
+        case None => return Some("Degenerate ring (zero area)")
+      }
+      h += 1
+    }
+    None
+  }
+
+  /** Presto geometry_invalid_reason, None when valid. Points and lines
+    * are valid whenever their coordinates are finite (OGC validity is
+    * not simplicity for curves); polygons check ring simplicity,
+    * degenerate rings, ring crossings/overlaps (point touches
+    * allowed), hole placement and nesting; multipolygons additionally
+    * reject overlapping components (one component inside another's
+    * HOLE stays valid). Interior connectedness under many point
+    * touches is NOT checked — the one OGC clause that needs a full
+    * topology graph. */
+  def invalidReason(g: Geom): Option[String] = {
+    val vs = vertsOf(g)
+    var i = 0
+    while (i < vs.length) {
+      if (vs(i).isNaN || vs(i).isInfinite || vs(i + 1).isNaN || vs(i + 1).isInfinite)
+        return Some("Invalid coordinates")
+      i += 2
+    }
+    g match {
+      case GPolygon(rings) if rings.nonEmpty => polygonInvalidReason(rings)
+      case GMultiPolygon(ps) =>
+        ps.flatMap(polygonInvalidReason(_)).headOption.orElse {
+          var a = 0
+          while (a < ps.length) {
+            var b = a + 1
+            while (b < ps.length) {
+              if (ringsConflict(ps(a)(0), ps(b)(0)))
+                return Some("Overlapping component polygons")
+              val inOther = interiorPointOf(ps(a))
+                .exists { case (x, y) => pointInRings(x, y, ps(b)) == 1 } ||
+                interiorPointOf(ps(b))
+                  .exists { case (x, y) => pointInRings(x, y, ps(a)) == 1 }
+              if (inOther) return Some("Overlapping component polygons")
+              b += 1
+            }
+            a += 1
+          }
+          None
+        }
+      case _ => None
+    }
+  }
+
   /** Fraction ∈ [0,1] of the line's length at the point on the line
     * closest to p (Presto line_locate_point). Zero-length lines locate
     * everything at 0. */
@@ -1345,6 +1466,9 @@ object GeoFns {
   }
 
   case class StX(child: Expression) extends GeoUnaryBase {
+    // empty-geometry / out-of-range inputs yield NULL even when the
+    // child is non-nullable
+    override def nullable: Boolean = true
     override def dataType: DataType = DoubleType
     override def prettyName: String = "st_x"
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
@@ -1357,6 +1481,9 @@ object GeoFns {
   }
 
   case class StY(child: Expression) extends GeoUnaryBase {
+    // empty-geometry / out-of-range inputs yield NULL even when the
+    // child is non-nullable
+    override def nullable: Boolean = true
     override def dataType: DataType = DoubleType
     override def prettyName: String = "st_y"
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
@@ -1418,6 +1545,9 @@ object GeoFns {
   }
 
   case class StBound(child: Expression, which: Int) extends GeoUnaryBase {
+    // empty-geometry / out-of-range inputs yield NULL even when the
+    // child is non-nullable
+    override def nullable: Boolean = true
     override def dataType: DataType = DoubleType
     override def prettyName: String =
       Seq("st_xmin", "st_ymin", "st_xmax", "st_ymax")(which)
@@ -1440,6 +1570,9 @@ object GeoFns {
   }
 
   case class StDistance(left: Expression, right: Expression) extends GeoBinaryBase {
+    // empty-geometry / out-of-range inputs yield NULL even when the
+    // child is non-nullable
+    override def nullable: Boolean = true
     override def dataType: DataType = DoubleType
     override def prettyName: String = "st_distance"
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -1461,6 +1594,23 @@ object GeoFns {
 
   /** Presto ST_Points: the geometry's vertices as an array of Point
     * geometries (ring closers included, matching numpoints). */
+  case class StIsValid(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_isvalid"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = invalidReason(g).isEmpty
+  }
+
+  case class GeometryInvalidReason(child: Expression) extends GeoUnaryBase {
+    // empty-geometry / out-of-range inputs yield NULL even when the
+    // child is non-nullable
+    override def nullable: Boolean = true
+    override def dataType: DataType = StringType
+    override def prettyName: String = "geometry_invalid_reason"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = invalidReason(g).map(utf8).orNull
+  }
+
   case class StPoints(child: Expression) extends GeoUnaryBase {
     override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
     override def prettyName: String = "st_points"
@@ -1488,6 +1638,9 @@ object GeoFns {
     * up to 1 (the final endpoint included when the step divides 1). */
   case class LineInterpolatePoints(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
+    // empty-geometry / out-of-range inputs yield NULL even when the
+    // child is non-nullable
+    override def nullable: Boolean = true
     override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
     override def prettyName: String = "line_interpolate_points"
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -1649,6 +1802,9 @@ object GeoFns {
 
   /** 1-based vertex accessor endpoints: which = 0 start, 1 end. */
   case class StEndpoint(child: Expression, atEnd: Boolean) extends GeoUnaryBase {
+    // empty-geometry / out-of-range inputs yield NULL even when the
+    // child is non-nullable
+    override def nullable: Boolean = true
     override def dataType: DataType = BinaryType
     override def prettyName: String = if (atEnd) "st_endpoint" else "st_startpoint"
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
@@ -1668,6 +1824,9 @@ object GeoFns {
   }
 
   case class StPointN(left: Expression, right: Expression) extends GeoIndexedBase {
+    // empty-geometry / out-of-range inputs yield NULL even when the
+    // child is non-nullable
+    override def nullable: Boolean = true
     override def dataType: DataType = BinaryType
     override def prettyName: String = "st_pointn"
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -1676,6 +1835,9 @@ object GeoFns {
   }
 
   case class StGeometryN(left: Expression, right: Expression) extends GeoIndexedBase {
+    // empty-geometry / out-of-range inputs yield NULL even when the
+    // child is non-nullable
+    override def nullable: Boolean = true
     override def dataType: DataType = BinaryType
     override def prettyName: String = "st_geometryn"
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -1684,6 +1846,9 @@ object GeoFns {
   }
 
   case class StInteriorRingN(left: Expression, right: Expression) extends GeoIndexedBase {
+    // empty-geometry / out-of-range inputs yield NULL even when the
+    // child is non-nullable
+    override def nullable: Boolean = true
     override def dataType: DataType = BinaryType
     override def prettyName: String = "st_interiorringn"
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -1702,6 +1867,9 @@ object GeoFns {
   }
 
   case class LineLocatePoint(left: Expression, right: Expression) extends GeoBinaryBase {
+    // empty-geometry / out-of-range inputs yield NULL even when the
+    // child is non-nullable
+    override def nullable: Boolean = true
     override def dataType: DataType = DoubleType
     override def prettyName: String = "line_locate_point"
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -1717,6 +1885,9 @@ object GeoFns {
 
   case class LineInterpolatePoint(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
+    // empty-geometry / out-of-range inputs yield NULL even when the
+    // child is non-nullable
+    override def nullable: Boolean = true
     override def dataType: DataType = BinaryType
     override def prettyName: String = "line_interpolate_point"
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
@@ -1818,6 +1989,9 @@ object GeoFns {
     "st_geometryn" -> arity("st_geometryn", 2)(a => StGeometryN(a(0), a(1))),
     "st_interiorringn" -> arity("st_interiorringn", 2)(a => StInteriorRingN(a(0), a(1))),
     "st_disjoint" -> arity("st_disjoint", 2)(a => StDisjoint(a(0), a(1))),
+    "st_isvalid" -> arity("st_isvalid", 1)(a => StIsValid(a(0))),
+    "geometry_invalid_reason" -> arity("geometry_invalid_reason", 1)(a =>
+      GeometryInvalidReason(a(0))),
     "st_points" -> arity("st_points", 1)(a => StPoints(a(0))),
     "st_coorddim" -> arity("st_coorddim", 1)(a => StCoordDim(a(0))),
     "line_interpolate_points" -> arity("line_interpolate_points", 2)(a =>

@@ -246,6 +246,8 @@ object Registry {
       "convex_hull_agg" -> FnMeta("convex_hull_agg", isAggregate = true, cost = 8.0),
       "geometry_to_bing_tiles" -> FnMeta("geometry_to_bing_tiles", cost = 8.0),
       "simplify_geometry" -> FnMeta("simplify_geometry", cost = 8.0),
+      "st_isvalid" -> FnMeta("st_isvalid", cost = 8.0),
+      "geometry_invalid_reason" -> FnMeta("geometry_invalid_reason", cost = 8.0),
       "st_points" -> FnMeta("st_points", cost = 2.0),
       "st_coorddim" -> FnMeta("st_coorddim"),
       "line_interpolate_points" -> FnMeta("line_interpolate_points", cost = 4.0),

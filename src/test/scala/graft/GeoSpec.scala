@@ -496,6 +496,51 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(chain(bad).exists(_.contains("LineString, Point")), chain(bad))
   }
 
+  test("st_isvalid / geometry_invalid_reason: ring topology classes") {
+    import graft.functions.GeoFns.invalidReason
+    // points and lines are valid even self-crossing (validity != simplicity)
+    assert(invalidReason(g("POINT (1 2)")).isEmpty)
+    assert(invalidReason(g("LINESTRING (0 0, 2 2, 2 0, 0 2)")).isEmpty)
+    // bowtie ring
+    assert(invalidReason(g("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"))
+      .contains("Self-intersection"))
+    // zero-area ring
+    assert(invalidReason(g("POLYGON ((0 0, 4 0, 2 0, 0 0))"))
+      .contains("Degenerate ring (zero area)"))
+    // hole placement
+    val shell = "(0 0, 10 0, 10 10, 0 10, 0 0)"
+    assert(invalidReason(g(s"POLYGON ($shell, (2 2, 4 2, 4 4, 2 4, 2 2))")).isEmpty)
+    assert(invalidReason(g(s"POLYGON ($shell, (20 20, 22 20, 22 22, 20 22, 20 20))"))
+      .contains("Hole lies outside shell"))
+    assert(invalidReason(g(s"POLYGON ($shell, (1 1, 8 1, 8 8, 1 8, 1 1), (2 2, 3 2, 3 3, 2 3, 2 2))"))
+      .contains("Holes are nested"))
+    // hole crossing the shell
+    assert(invalidReason(g(s"POLYGON ($shell, (8 8, 12 8, 12 12, 8 12, 8 8))"))
+      .contains("Self-intersection between rings"))
+    // hole touching the shell at one point is VALID
+    assert(invalidReason(g(s"POLYGON ($shell, (0 0, 4 2, 2 4, 0 0))")).isEmpty)
+    // multipolygon: disjoint valid, overlapping invalid, in-the-hole valid
+    assert(invalidReason(g(
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")).isEmpty)
+    assert(invalidReason(g(
+      "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((2 2, 6 2, 6 6, 2 6, 2 2)))"))
+      .contains("Overlapping component polygons"))
+    assert(invalidReason(g(
+      "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 8 2, 8 8, 2 8, 2 2)), " +
+        "((4 4, 6 4, 6 6, 4 6, 4 4)))")).isEmpty,
+      "a component inside another's hole is valid")
+    // SQL surface
+    val row = spark.sql(
+      """SELECT st_isvalid(st_geometryfromtext('POLYGON ((0 0, 4 0, 4 4, 0 0))')) AS ok,
+                geometry_invalid_reason(
+                  st_geometryfromtext('POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))')) AS why,
+                geometry_invalid_reason(st_point(1, 1)) AS clean
+      """).head()
+    assert(row.getBoolean(0))
+    assert(row.getString(1) == "Self-intersection")
+    assert(row.isNullAt(2))
+  }
+
   test("st_points, st_coorddim, line_interpolate_points") {
     val row = spark.sql(
       """SELECT transform(st_points(st_geometryfromtext('LINESTRING (1 2, 3 4)')),
