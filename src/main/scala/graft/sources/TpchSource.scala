@@ -182,7 +182,7 @@ final class TpchScanBuilder(table: String, sf: Double) extends ScanBuilder
 final class TpchScan(table: String, sf: Double, keyLo0: Long, keyHi0: Long,
     required: StructType) extends Scan with Batch
     with SupportsReportPartitioning with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportOrdering {
   private var keyLo = keyLo0
   private var keyHi = keyHi0
   override def readSchema(): StructType = required
@@ -351,6 +351,28 @@ final class TpchScan(table: String, sf: Double, keyLo0: Long, keyHi0: Long,
       Array(Expressions.apply(s"range_bucket_$per",
         Expressions.column(TpchGen.keyColumnOf(table)))),
       planInputPartitions().length)
+
+  /** Rows are GENERATED in ascending key order within every split, so
+    * the scan reports that ordering (DSv2 SupportsReportOrdering) — the
+    * reference's interesting-order property of a clustered layout. With
+    * `spark.sql.execution.replaceHashWithSortAgg.enabled`, a per-key
+    * aggregation directly over the scan (q18's 15M-group sum per
+    * l_orderkey, q13's per-custkey counts on the custkey axis) becomes
+    * a STREAMING sort aggregate: zero sort inserted, O(1) aggregation
+    * state instead of a multi-hundred-MB hash map per task — the shape
+    * a 100 TB clustered table hands its reader. Only the native axis
+    * is ordered: under the custkey layout, o_custkey values within a
+    * block are a uniform draw, so the scan reports nothing rather than
+    * lie. Same opt-outs as partitioning (partsupp's key repeats are
+    * fine for ordering, but 0-based tables' emitted keys still ascend —
+    * only the projection matters). */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val keyCol = TpchGen.keyColumnOf(table)
+    if (custAxis || !required.fieldNames.contains(keyCol))
+      Array.empty
+    else Array(Expressions.sort(Expressions.column(keyCol),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     TpchReaderFactory(required)

@@ -333,6 +333,50 @@ class TpchSourceSpec extends SparkSpec {
     }
   }
 
+  test("scan-reported ordering: direct per-key aggregate runs as a sort aggregate, no sort inserted") {
+    // Round 15: rows generate in ascending key order and the scan says
+    // so (SupportsReportOrdering); under replaceHashWithSortAgg the
+    // q18-style per-order sum streams with O(1) state. Pin: the plan
+    // contains a SortAggregate on l_orderkey and NO SortExec below it
+    // (the ordering came from the scan, not an inserted sort) — and the
+    // rows match the hash-aggregate answer exactly.
+    spark.conf.set("spark.sql.execution.replaceHashWithSortAgg.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.table("graft_tpch.tiny.lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(org.apache.spark.sql.functions.sum(col("l_quantity")).as("q"))
+        .filter(col("q") > 100)
+      val plan = df.queryExecution.executedPlan
+      val sortAggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a }
+      assert(sortAggs.nonEmpty, s"expected SortAggregate:\n$plan")
+      assert(!sortAggs.last.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }.exists(_ => true),
+        s"the scan's reported ordering should make the sort unnecessary:\n$plan")
+      val sorted = df.collect().map(_.toString).sorted.toSeq
+      spark.conf.unset("spark.sql.execution.replaceHashWithSortAgg.enabled")
+      val hashRows = df.collect().map(_.toString).sorted.toSeq
+      assert(sorted == hashRows, "sort-agg and hash-agg answers diverged")
+      // the custkey axis must NOT claim o_custkey ordering (block draws
+      // are unordered within a block): the aggregate falls back to hash
+      spark.conf.set("spark.sql.execution.replaceHashWithSortAgg.enabled", "true")
+      spark.conf.set("graft.tpch.ordersAxis", "custkey")
+      val byCust = spark.table("graft_tpch.sf0_1.orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      assert(byCust.queryExecution.executedPlan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a }
+        .forall(_.collect {
+          case s: org.apache.spark.sql.execution.SortExec => s }.nonEmpty),
+        "custkey axis must not pretend the scan is ordered by o_custkey")
+    } finally {
+      Seq("spark.sql.execution.replaceHashWithSortAgg.enabled",
+        "spark.sql.adaptive.enabled", "graft.tpch.ordersAxis")
+        .foreach(spark.conf.unset)
+    }
+  }
+
   test("block-local o_custkey keeps the Poisson order-count profile (q13/q22 stay non-degenerate)") {
     // The block-local draw must preserve what the queries measure:
     // varying per-customer order counts (q13's histogram) and customers
