@@ -18,10 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * row + groupBy tile is the planetary analogue of the grid cells the
   * distance join buckets with).
   *
-  * Semantics follow the published Presto behavior: zoom ∈ [0, 23],
-  * latitude clamped to ±85.05112878 (Web-Mercator validity), longitude
-  * to ±180, tile indices clamped into [0, 2^zoom − 1]; quadkeys are
-  * the base-4 interleaving of (y, x) bits, one digit per zoom level. */
+  * Semantics follow the published Presto behavior: zoom ∈ [0, 23];
+  * `bing_tile_at`/`bing_tiles_around` THROW for latitude outside
+  * ±85.05112878 (Web-Mercator validity) or longitude outside ±180 —
+  * only `geometry_to_bing_tiles` clips an envelope to the valid range,
+  * which is also the published behavior. Tile indices land in
+  * [0, 2^zoom − 1]; quadkeys are the base-4 interleaving of (y, x)
+  * bits, one digit per zoom level. */
 object BingTiles {
 
   val MaxZoom = 23
@@ -36,11 +39,24 @@ object BingTiles {
     z
   }
 
-  /** (x, y) tile indices for a lat/lon at a zoom. */
+  /** (x, y) tile indices for a lat/lon at a zoom. Presto's
+    * `bing_tile_at` rejects coordinates outside the Web-Mercator
+    * validity range rather than clamping them, so out-of-range input
+    * is an error here too — silent clamping would alias every
+    * high-latitude point onto the edge tile. */
   def tileAt(lat: Double, lon: Double, zoom: Int): (Int, Int) = {
+    if (lat.isNaN || lat < MinLat || lat > MaxLat) throw new IllegalArgumentException(
+      s"bing tile latitude must be within [$MinLat, $MaxLat], got $lat")
+    if (lon.isNaN || lon < -180.0 || lon > 180.0) throw new IllegalArgumentException(
+      s"bing tile longitude must be within [-180.0, 180.0], got $lon")
+    tileAtClamped(lat, lon, zoom)
+  }
+
+  /** Clamping variant for envelope cover: `geometry_to_bing_tiles`
+    * clips geometries to the Mercator-valid range (an envelope may
+    * legitimately extend past ±85.05°), so ITS corner lookups clamp. */
+  private[functions] def tileAtClamped(lat: Double, lon: Double, zoom: Int): (Int, Int) = {
     checkZoom(zoom)
-    if (lat.isNaN || lon.isNaN) throw new IllegalArgumentException(
-      "bing_tile_at: latitude/longitude must not be NaN")
     val la = clamp(lat, MinLat, MaxLat)
     val lo = clamp(lon, -180.0, 180.0)
     val mapSize = 1L << zoom
@@ -232,8 +248,8 @@ object BingTiles {
     GeoFns.envelopeBounds(g) match {
       case None => Seq.empty
       case Some((w, s, e, n)) =>
-        val (x1, yN) = tileAt(n, w, zoom)
-        val (x2, yS) = tileAt(s, e, zoom)
+        val (x1, yN) = tileAtClamped(n, w, zoom)
+        val (x2, yS) = tileAtClamped(s, e, zoom)
         val count = (x2 - x1 + 1).toLong * (yS - yN + 1).toLong
         if (count > 100000) throw new IllegalArgumentException(
           s"geometry_to_bing_tiles would produce $count tiles at zoom $zoom " +

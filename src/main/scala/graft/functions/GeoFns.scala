@@ -325,7 +325,7 @@ object GeoFns {
         throw new IllegalArgumentException(s"WKT: expected '$c' at offset $i in '$s'")
       i += 1
     }
-    private def peek(): Char = { skipWs(); if (i < s.length) s.charAt(i) else ' ' }
+    private def peek(): Char = { skipWs(); if (i < s.length) s.charAt(i) else '\u0000' }
     private def number(): Double = {
       skipWs()
       val start = i
@@ -624,9 +624,17 @@ object GeoFns {
     ts.toArray.sorted
   }
 
-  /** An interior point of a simple closed ring set (shell + holes): the
-    * centroid of some vertex "ear" triangle that lands strictly inside.
-    * None for degenerate (zero-area) rings. */
+  /** An interior point of a simple closed ring set (shell + holes).
+    * Fast path: the centroid of some shell-vertex "ear" triangle that
+    * lands strictly inside. When holes crowd every ear centroid (all
+    * candidates land in a hole or outside a concave shell), fall back
+    * to exact scanline bisection: sweep a horizontal line at the
+    * midpoint between consecutive distinct vertex y-levels of ALL
+    * rings — such a line hits no vertex, so every edge crossing is a
+    * proper straddle, the crossings partition the line into uniform
+    * in/out intervals, and any positive-area polygon has a band whose
+    * gap midpoint is interior. None only for genuinely zero-area
+    * rings. */
   private def interiorPointOf(rings: Array[Coords]): Option[(Double, Double)] = {
     if (rings.isEmpty) return None
     val shell = rings(0)
@@ -639,6 +647,38 @@ object GeoFns {
       val cy = (shell(2 * p + 1) + shell(2 * i + 1) + shell(2 * q + 1)) / 3
       if (pointInRings(cx, cy, rings) == 1) return Some((cx, cy))
       i += 1
+    }
+    // scanline fallback
+    val ys = {
+      val b = Array.newBuilder[Double]
+      rings.foreach { r => var k = 1; while (k < r.length) { b += r(k); k += 2 } }
+      b.result().distinct.sorted
+    }
+    var lvl = 0
+    while (lvl + 1 < ys.length) {
+      val sy = (ys(lvl) + ys(lvl + 1)) / 2
+      if (sy > ys(lvl) && sy < ys(lvl + 1)) { // adjacent doubles can collapse the band
+        val xs = Array.newBuilder[Double]
+        rings.foreach { r =>
+          var k = 0
+          while (k + 3 < r.length) {
+            val ay = r(k + 1); val by = r(k + 3)
+            if ((ay < sy) != (by < sy))
+              xs += r(k) + (sy - ay) / (by - ay) * (r(k + 2) - r(k))
+            k += 2
+          }
+        }
+        val sorted = xs.result().sorted
+        var j = 0
+        while (j + 1 < sorted.length) {
+          if (sorted(j + 1) > sorted(j)) {
+            val cx = (sorted(j) + sorted(j + 1)) / 2
+            if (pointInRings(cx, sy, rings) == 1) return Some((cx, sy))
+          }
+          j += 1
+        }
+      }
+      lvl += 1
     }
     None
   }

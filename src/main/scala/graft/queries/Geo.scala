@@ -312,7 +312,13 @@ object Geo {
     * (+1 ring closure), and the shoelace area equals the center-fan
     * identity ½·r²·Σ sin(Δθ) EXACTLY — the oracle computes that sum
     * with window functions, an independent derivation of the same
-    * number. */
+    * number.
+    *
+    * The closed form's precondition is ≥3 distinct angles per group
+    * (1–2 points hull to a POINT/LINESTRING where numpoints ≠ count+1
+    * and the fan area is 0), so BOTH sides filter groups below that —
+    * enforcing the precondition instead of assuming the corpus is big
+    * enough to satisfy it. */
   def geoHullAgg(t: Tables): DataFrame = {
     val theta = radians((col("doc_id") * 7 % 360).cast("double"))
     val p = call_function("st_point",
@@ -325,7 +331,9 @@ object Geo {
         round(call_function("st_area", call_function("convex_hull_agg", col("pt"))), 6)
           .as("hull_area"),
         call_function("st_numpoints", call_function("convex_hull_agg", col("pt")))
-          .cast("long").as("hull_pts"))
+          .cast("long").as("hull_pts"),
+        countDistinct(col("doc_id") * 7 % 360).as("n_ang"))
+      .filter(col("n_ang") >= 3).drop("n_ang")
       .orderBy(col("g"))
   }
 
@@ -342,7 +350,7 @@ object Geo {
        SELECT g,
               round(0.5 * 100 * sum(sin(coalesce(nxt, fst + 2 * pi()) - th)), 6) AS hull_area,
               CAST(count(*) + 1 AS BIGINT) AS hull_pts
-       FROM d GROUP BY g ORDER BY g"""
+       FROM d GROUP BY g HAVING count(*) >= 3 ORDER BY g"""
 
   /** Linear referencing (round 15): locate a point's fraction along a
     * doc-derived 2-point line and interpolate a point at a doc-derived

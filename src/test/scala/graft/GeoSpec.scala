@@ -164,6 +164,20 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(contains(holed, g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")))
   }
 
+  test("interior witness: scanline fallback when every ear centroid lands in a hole") {
+    // square shell, 4 ear centroids at (10/3,10/3) (20/3,10/3) (20/3,20/3)
+    // (10/3,20/3) — the hole (3 3, 7 7) covers ALL of them, so the
+    // ear-triangle fast path finds no witness; the scanline fallback
+    // must still locate interior (e.g. the x∈(0,3) band) so
+    // self-containment stays true
+    val w = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+    assert(contains(g(w), g(w)), "boundary-aligned self-containment via scanline witness")
+    // and the witness still refuses a copy shifted into the hole
+    assert(!contains(g(w), g("POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))")))
+    // hole-filling copy of the SHELL only: interior leaks into the hole
+    assert(!contains(g(w), g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")))
+  }
+
   test("intersects: crossing, touching, containment without boundary contact, disjoint") {
     val square = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
     assert(intersects(g("LINESTRING (-5 5, 15 5)"), square), "transversal line")
@@ -439,8 +453,13 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
       xmin == -180.0 && xmax == 180.0 &&
         math.abs(ymin + MaxLat) < 1e-6 && math.abs(ymax - MaxLat) < 1e-6
     }, toWkt(world))
-    // latitude clamps to the mercator limit instead of exploding
-    assert(tileAt(89.9, 0.0, 4)._2 == 0)
+    // out-of-range lat/lon throw (Presto behavior) rather than clamp
+    assert(intercept[IllegalArgumentException](tileAt(89.9, 0.0, 4))
+      .getMessage.contains("latitude"))
+    assert(intercept[IllegalArgumentException](tileAt(0.0, 180.5, 4))
+      .getMessage.contains("longitude"))
+    // the exact mercator limit is still valid and maps to the edge tile
+    assert(tileAt(MaxLat, 0.0, 4)._2 == 0)
     assert(intercept[IllegalArgumentException](tileAt(0, 0, 24))
       .getMessage.contains("zoom"))
     assert(intercept[IllegalArgumentException](checkTile(4, 0, 2))
