@@ -692,12 +692,18 @@ object GeoFns {
     * hole of g1, and its interior witness ([[interiorPointOf]]) decides
     * the equal/boundary-aligned cases. Linear g1 contains Point/
     * MultiPoint (on a segment, not solely at the line's boundary
-    * endpoints); linear-vs-linear containment needs an overlay kernel
-    * and throws by name. Point g1 contains exactly its own point set. */
+    * endpoints); linear-vs-linear containment routes through the DE-9IM
+    * matrix (round 16 — T*****FF*). Point g1 contains exactly its own
+    * point set. */
   def contains(g1: Geom, g2: Geom): Boolean = {
     if (g1.isEmpty || g2.isEmpty) return false
     val a = prims(g1)
     val b = prims(g2)
+    if (a.polys.isEmpty && a.runs.nonEmpty && (b.runs.nonEmpty || b.polys.nonEmpty)) {
+      if (b.polys.nonEmpty) return false // a 1-dim set cannot contain a 2-dim one
+      val m = relateCells(g1, g2)
+      return m(0) >= 0 && m(6) == -1 && m(7) == -1 // T*****FF*
+    }
     if (a.polys.isEmpty) return containsNonPolygonal(a, b)
     def locate(px: Double, py: Double): Int = {
       var best = 0
@@ -795,10 +801,7 @@ object GeoFns {
       }
       b.points.nonEmpty
     } else {
-      if (b.runs.nonEmpty || b.polys.nonEmpty)
-        throw new UnsupportedOperationException(
-          "st_contains with a linear left argument supports Point/MultiPoint " +
-          "right arguments; linear-vs-linear containment needs an overlay kernel")
+      // linear-vs-linear was routed to the relate matrix by the caller
       // line boundary = endpoints of its OPEN runs; a point solely at
       // the boundary is not contained (matches ST_Contains semantics)
       val bnd = a.runs.iterator
@@ -816,6 +819,432 @@ object GeoFns {
       }
       b.points.nonEmpty && interior
     }
+  }
+
+  // ------------------------------------------------------------- DE-9IM
+  /** Exact DE-9IM relate kernel (round 16 — closes the last
+    * named-unsupported predicate tail: st_touches / st_crosses /
+    * st_overlaps / st_equals / st_relate all derive from this matrix).
+    *
+    * The matrix is computed by exhaustive boundary-cut classification,
+    * the same discipline as [[contains]]: every segment of one
+    * geometry's boundary is cut at ALL hits against the other's
+    * ([[boundaryTs]]) and each sub-segment's midpoint located exactly,
+    * so equal polygons, boundary-riding lines, and hole-filling cases
+    * classify without heuristics. Line interiors use the OGC mod-2
+    * boundary rule (odd-degree run endpoints are boundary; a closed
+    * ring has none). Cells are dimensions (-1 = F); EE is always 2.
+    *
+    * Supported operand families are the six homogeneous Geom types
+    * (the ADT has no GEOMETRYCOLLECTION, so heterogeneous collections
+    * cannot reach here). Order: II IB IE / BI BB BE / EI EB EE. */
+  def relateMatrix(g1: Geom, g2: Geom): String = {
+    val m = relateCells(g1, g2)
+    m.map { case -1 => 'F'; case d => ('0' + d).toChar }.mkString
+  }
+
+  private def famOf(g: Geom): Int = g match {
+    case _: GPoint | _: GMultiPoint => 0
+    case _: GLineString | _: GMultiLineString => 1
+    case _: GPolygon | _: GMultiPolygon => 2
+  }
+
+  /** Odd-degree run endpoints — the OGC mod-2 boundary of a line. */
+  private def lineBoundaryPts(runs: Array[Coords]): Coords = {
+    val deg = scala.collection.mutable.LinkedHashMap.empty[(Double, Double), Int]
+    runs.foreach { r =>
+      if (r.length >= 4) {
+        val s = (r(0), r(1)); val e = (r(r.length - 2), r(r.length - 1))
+        deg(s) = deg.getOrElse(s, 0) + 1
+        deg(e) = deg.getOrElse(e, 0) + 1
+      }
+    }
+    val b = Array.newBuilder[Double]
+    deg.foreach { case ((x, y), d) => if ((d & 1) == 1) { b += x; b += y } }
+    b.result()
+  }
+
+  private def isAt(pts: Coords, x: Double, y: Double): Boolean = {
+    var i = 0
+    while (i < pts.length) {
+      if (pts(i) == x && pts(i + 1) == y) return true
+      i += 2
+    }
+    false
+  }
+
+  /** Point class vs a geometry: 0 = exterior, 1 = interior, 2 = boundary. */
+  private def locOf(px: Double, py: Double, g: Geom, p: Prims, lineBnd: Coords): Int =
+    famOf(g) match {
+      case 0 => if (isAt(p.points, px, py)) 1 else 0
+      case 1 =>
+        if (isAt(lineBnd, px, py)) 2
+        else if (eachSeg(p.runs)((ax, ay, bx, by) => onSegment(px, py, ax, ay, bx, by))) 1
+        else 0
+      case _ =>
+        var best = 0
+        var i = 0
+        while (i < p.polys.length) {
+          val l = pointInRings(px, py, p.polys(i))
+          if (l == 1) return 1
+          if (l == 2) best = 2
+          i += 1
+        }
+        best
+    }
+
+  /** Merged-interval coverage: is every sub-segment of `runs` collinear-
+    * covered by some segment of `by`? (Exactness: an uncovered stretch
+    * has positive parameter measure; hit parameters are computed the
+    * same way [[boundaryTs]] computes them.) */
+  private def coveredBy(runs: Array[Coords], by: Array[Coords]): Boolean = {
+    var r = 0
+    while (r < runs.length) {
+      val c = runs(r)
+      var i = 0
+      while (i + 3 < c.length) {
+        val px = c(i); val py = c(i + 1); val qx = c(i + 2); val qy = c(i + 3)
+        if (!(px == qx && py == qy)) {
+          def tOf(x: Double, y: Double): Double =
+            if (math.abs(qx - px) >= math.abs(qy - py)) (x - px) / (qx - px)
+            else (y - py) / (qy - py)
+          val iv = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+          eachSeg(by) { (ax, ay, bx, by2) =>
+            if (orient(px, py, qx, qy, ax, ay) == 0 &&
+                orient(px, py, qx, qy, bx, by2) == 0) {
+              val t1 = tOf(ax, ay); val t2 = tOf(bx, by2)
+              val lo = math.max(0.0, math.min(t1, t2))
+              val hi = math.min(1.0, math.max(t1, t2))
+              if (hi > lo) iv += ((lo, hi))
+            }
+            false
+          }
+          val sorted = iv.sortBy(_._1)
+          var cover = 0.0
+          var ok = true
+          sorted.foreach { case (lo, hi) =>
+            if (ok) {
+              if (lo > cover) ok = false else cover = math.max(cover, hi)
+            }
+          }
+          if (!ok || cover < 1.0) return false
+        }
+        i += 2
+      }
+      r += 1
+    }
+    true
+  }
+
+  /** The nine DE-9IM cells as dims (-1 = F), row-major
+    * (int/bnd/ext of g1) × (int/bnd/ext of g2). */
+  private def relateCells(g1: Geom, g2: Geom): Array[Int] = {
+    val m = Array.fill(9)(-1)
+    m(8) = 2 // exteriors always meet (geometries are bounded)
+    def up(cell: Int, d: Int): Unit = if (d > m(cell)) m(cell) = d
+    val a = prims(g1); val b = prims(g2)
+    val fa = famOf(g1); val fb = famOf(g2)
+    val aBnd = if (fa == 1) lineBoundaryPts(a.runs) else Array.empty[Double]
+    val bBnd = if (fb == 1) lineBoundaryPts(b.runs) else Array.empty[Double]
+    def dimInt(f: Int) = f
+    def dimBnd(f: Int, bnd: Coords): Int =
+      if (f == 2) 1 else if (f == 1 && bnd.nonEmpty) 0 else -1
+    if (g1.isEmpty || g2.isEmpty) {
+      if (!g2.isEmpty) { up(6, dimInt(fb)); up(7, dimBnd(fb, bBnd)) }
+      if (!g1.isEmpty) { up(2, dimInt(fa)); up(5, dimBnd(fa, aBnd)) }
+      return m
+    }
+    // class-of-point helpers (0 ext, 1 int, 2 bnd) and the cell index
+    // for a (classA, classB) pair: row = 2 - ... mapping int→0 bnd→1 ext→2
+    def row(cls: Int) = if (cls == 1) 0 else if (cls == 2) 1 else 2
+    def cell(ca: Int, cb: Int) = row(ca) * 3 + row(cb)
+    def locA(x: Double, y: Double) = locOf(x, y, g1, a, aBnd)
+    def locB(x: Double, y: Double) = locOf(x, y, g2, b, bBnd)
+    // ---- standalone points of each side, located in the other
+    def scanPts(pts: Coords, mine: Boolean): Unit = {
+      var i = 0
+      while (i < pts.length) {
+        val c = if (mine) locB(pts(i), pts(i + 1)) else locA(pts(i), pts(i + 1))
+        // a standalone point is its own interior
+        if (mine) up(cell(1, c), 0) else up(cell(c, 1), 0)
+        i += 2
+      }
+    }
+    scanPts(a.points, mine = true)
+    scanPts(b.points, mine = false)
+    // point-family fills: a LINE/POLYGON side's interior/boundary minus
+    // a finite point set keeps its dimension (point-vs-point EI/IE come
+    // from the scans above instead)
+    if (fa == 0 && fb > 0) {
+      up(6, dimInt(fb))
+      if (fb == 2) up(7, 1)
+      else if (fb == 1) { // any B endpoint not in A's point set
+        var i = 0
+        while (i < bBnd.length) {
+          if (!isAt(a.points, bBnd(i), bBnd(i + 1))) up(7, 0)
+          i += 2
+        }
+      }
+    }
+    if (fb == 0 && fa > 0) {
+      up(2, dimInt(fa))
+      if (fa == 2) up(5, 1)
+      else if (fa == 1) {
+        var i = 0
+        while (i < aBnd.length) {
+          if (!isAt(b.points, aBnd(i), aBnd(i + 1))) up(5, 0)
+          i += 2
+        }
+      }
+    }
+    // ---- line boundaries of each side, located in the other
+    var i = 0
+    while (i < aBnd.length) {
+      up(cell(2, locB(aBnd(i), aBnd(i + 1))), 0); i += 2
+    }
+    i = 0
+    while (i < bBnd.length) {
+      up(cell(locA(bBnd(i), bBnd(i + 1)), 2), 0); i += 2
+    }
+    // ---- segment families
+    (fa, fb) match {
+      case (1, 1) => relateLineLine(a, b, up, cell, locA, locB)
+      case (1, 2) =>
+        relateLinePoly(a, aBnd, b, transpose = false, up, locB)
+        up(6, 2) // polygon interior minus a line keeps dim 2
+        if (!coveredBy(b.polys.flatten.toArray, a.runs)) up(7, 1)
+      case (2, 1) =>
+        relateLinePoly(b, bBnd, a, transpose = true, up, locA)
+        up(2, 2)
+        if (!coveredBy(a.polys.flatten.toArray, b.runs)) up(5, 1)
+      case (2, 2) => relatePolyPoly(m, a, b, up, locA, locB)
+      case _ => () // point families fully handled above
+    }
+    m
+  }
+
+  /** Line×line cells: collinear overlaps give dim-1 II; every isolated
+    * meeting point is classified on BOTH lines (interior vs mod-2
+    * boundary) into its exact cell; IE/EI by interval coverage. */
+  private def relateLineLine(a: Prims, b: Prims,
+      up: (Int, Int) => Unit, cell: (Int, Int) => Int,
+      locA: (Double, Double) => Int, locB: (Double, Double) => Int): Unit = {
+    val pts = scala.collection.mutable.LinkedHashSet.empty[(Double, Double)]
+    eachSeg(a.runs) { (ax, ay, bx, by) =>
+      eachSeg(b.runs) { (cx, cy, dx, dy) =>
+        val col = orient(ax, ay, bx, by, cx, cy) == 0 &&
+          orient(ax, ay, bx, by, dx, dy) == 0
+        if (col) {
+          // positive-length overlap ⇒ II = 1 (boundary sets are finite,
+          // so the overlap's interior is interior of both lines)
+          def tOf(x: Double, y: Double): Double =
+            if (math.abs(bx - ax) >= math.abs(by - ay)) {
+              if (bx == ax) 0.0 else (x - ax) / (bx - ax)
+            } else if (by == ay) 0.0 else (y - ay) / (by - ay)
+          val t1 = tOf(cx, cy); val t2 = tOf(dx, dy)
+          if (math.min(1.0, math.max(t1, t2)) > math.max(0.0, math.min(t1, t2)))
+            up(cell(1, 1), 1)
+        } else if (segProperCross(ax, ay, bx, by, cx, cy, dx, dy)) {
+          // the crossing point is strictly inside both segments — for
+          // simple lines that is interior×interior; the point itself is
+          // not exactly representable, so classify directly
+          up(cell(1, 1), 0)
+        }
+        // endpoint/vertex touches (incl. both ends of collinear
+        // overlaps, which are always among the 4 segment endpoints) —
+        // EXACT points, classified by location on each line
+        if (onSegment(ax, ay, cx, cy, dx, dy)) pts += ((ax, ay))
+        if (onSegment(bx, by, cx, cy, dx, dy)) pts += ((bx, by))
+        if (onSegment(cx, cy, ax, ay, bx, by)) pts += ((cx, cy))
+        if (onSegment(dx, dy, ax, ay, bx, by)) pts += ((dx, dy))
+        false
+      }
+      false
+    }
+    pts.foreach { case (x, y) =>
+      val ca = locA(x, y); val cb = locB(x, y)
+      if (ca != 0 && cb != 0) up(cell(ca, cb), 0)
+    }
+    up(2, if (coveredBy(a.runs, b.runs)) -1 else 1)
+    up(6, if (coveredBy(b.runs, a.runs)) -1 else 1)
+  }
+
+  /** Line×polygon cells (line side = `p`/`lBnd`; polygon side located
+    * with `locPolySide`). `transpose` swaps rows/cols so the same body
+    * serves the (2,1) orientation. */
+  private def relateLinePoly(p: Prims, lBnd: Coords, poly: Prims,
+      transpose: Boolean, up0: (Int, Int) => Unit,
+      locPolySide: (Double, Double) => Int): Unit = {
+    def row(cls: Int) = if (cls == 1) 0 else if (cls == 2) 1 else 2
+    def up(clsLine: Int, clsPoly: Int, d: Int): Unit = {
+      val c = if (transpose) row(clsPoly) * 3 + row(clsLine)
+              else row(clsLine) * 3 + row(clsPoly)
+      up0(c, d)
+    }
+    val rings = poly.polys.flatten.toArray
+    var r = 0
+    while (r < p.runs.length) {
+      val c = p.runs(r)
+      var i = 0
+      while (i + 3 < c.length) {
+        val px = c(i); val py = c(i + 1); val qx = c(i + 2); val qy = c(i + 3)
+        if (!(px == qx && py == qy)) {
+          val ts = boundaryTs(px, py, qx, qy, rings)
+          var k = 0
+          while (k + 1 < ts.length) {
+            if (ts(k + 1) - ts(k) > 1e-12) {
+              val tm = (ts(k) + ts(k + 1)) / 2
+              val loc = locPolySide(px + tm * (qx - px), py + tm * (qy - py))
+              // sub-segment interiors are line-interior points; a class-2
+              // sub-segment RIDES the polygon boundary (dim 1)
+              up(1, loc, 1)
+            }
+            // each internal cut point sits ON the polygon boundary
+            if (ts(k) > 0.0 && ts(k) < 1.0) {
+              val x = px + ts(k) * (qx - px); val y = py + ts(k) * (qy - py)
+              up(if (isAt(lBnd, x, y)) 2 else 1, 2, 0)
+            }
+            k += 1
+          }
+        }
+        i += 2
+      }
+      r += 1
+    }
+    // line vertices exactly on the polygon boundary (segment-end touches
+    // that boundaryTs only records as t = 0/1)
+    p.runs.foreach { c =>
+      var i = 0
+      while (i + 1 < c.length) {
+        if (locPolySide(c(i), c(i + 1)) == 2)
+          up(if (isAt(lBnd, c(i), c(i + 1))) 2 else 1, 2, 0)
+        i += 2
+      }
+    }
+  }
+
+  /** Polygon×polygon cells by mutual boundary cutting + interior
+    * witnesses (scanline-backed, so hole-crowded shells still produce a
+    * witness). Needs the live matrix: the interior cells (II/IE/EI)
+    * read the boundary rows the cuts just filled. */
+  private def relatePolyPoly(m: Array[Int], a: Prims, b: Prims,
+      up: (Int, Int) => Unit,
+      locA: (Double, Double) => Int, locB: (Double, Double) => Int): Unit = {
+    val aRings = a.polys.flatten.toArray
+    val bRings = b.polys.flatten.toArray
+    // cut one boundary at the other: rowBase=3 fills A's boundary row
+    // (BI=3, BB=4, BE=5); rowBase=1 fills B's boundary column (IB=1,
+    // BB=4, EB=7)
+    def cutRows(rings: Array[Coords], other: Array[Coords],
+                loc: (Double, Double) => Int, aSide: Boolean): Unit = {
+      var r = 0
+      while (r < rings.length) {
+        val c = rings(r)
+        var i = 0
+        while (i + 3 < c.length) {
+          val px = c(i); val py = c(i + 1); val qx = c(i + 2); val qy = c(i + 3)
+          if (!(px == qx && py == qy)) {
+            val ts = boundaryTs(px, py, qx, qy, other)
+            var k = 0
+            while (k + 1 < ts.length) {
+              if (ts(k + 1) - ts(k) > 1e-12) {
+                val tm = (ts(k) + ts(k + 1)) / 2
+                val l = loc(px + tm * (qx - px), py + tm * (qy - py))
+                val cellIdx =
+                  if (aSide) (if (l == 1) 3 else if (l == 2) 4 else 5)
+                  else (if (l == 1) 1 else if (l == 2) 4 else 7)
+                up(cellIdx, 1)
+              }
+              if (ts(k) > 0.0 && ts(k) < 1.0) up(4, 0) // isolated ∂∩∂ point
+              k += 1
+            }
+          }
+          i += 2
+        }
+        r += 1
+      }
+    }
+    cutRows(aRings, bRings, locB, aSide = true)
+    cutRows(bRings, aRings, locA, aSide = false)
+    // ring vertices: corner-to-corner touches are dim-0 BB
+    def vertsBB(rings: Array[Coords], loc: (Double, Double) => Int): Unit =
+      rings.foreach { c =>
+        var i = 0
+        while (i + 1 < c.length) {
+          if (loc(c(i), c(i + 1)) == 2) up(4, 0)
+          i += 2
+        }
+      }
+    vertsBB(aRings, locB)
+    vertsBB(bRings, locA)
+    // Interior witnesses of every component, class in the other geometry
+    // (loc 2 — a witness ON the other boundary — still implies interior
+    // contact: a valid boundary has interior on one side).
+    def wit(polys: Array[Array[Coords]], loc: (Double, Double) => Int): Seq[Int] =
+      polys.toSeq.flatMap(r => interiorPointOf(r).map { case (x, y) => loc(x, y) })
+    val wA = wit(a.polys, locB)
+    val wB = wit(b.polys, locA)
+    // II: a boundary stretch inside the other's interior forces overlap;
+    // otherwise nesting decides via witnesses
+    if (m(3) == 1 || m(1) == 1 || wA.exists(_ >= 1) || wB.exists(_ >= 1)) up(0, 2)
+    // IE (int A ∩ ext B): empty iff A ⊆ closure(B) — ∂A never outside B,
+    // ∂B never through int(A) (a hole of B inside A would put ext(B)
+    // there), and every A-component witness inside closure(B)
+    if (!(m(5) == -1 && m(1) == -1 && wA.nonEmpty && wA.forall(_ >= 1))) up(2, 2)
+    // EI symmetric
+    if (!(m(7) == -1 && m(3) == -1 && wB.nonEmpty && wB.forall(_ >= 1))) up(6, 2)
+  }
+
+  /** DE-9IM pattern match: T = any dim, F = empty, 0/1/2 exact, * = any. */
+  def relate(g1: Geom, g2: Geom, pattern: String): Boolean = {
+    if (pattern.length != 9) throw new IllegalArgumentException(
+      s"st_relate: DE-9IM pattern must be 9 characters, got '$pattern'")
+    val m = relateCells(g1, g2)
+    (0 until 9).forall { i =>
+      pattern.charAt(i) match {
+        case '*' => true
+        case 'T' | 't' => m(i) >= 0
+        case 'F' | 'f' => m(i) == -1
+        case d @ ('0' | '1' | '2') => m(i) == d - '0'
+        case other => throw new IllegalArgumentException(
+          s"st_relate: invalid DE-9IM pattern character '$other' in '$pattern'")
+      }
+    }
+  }
+
+  /** OGC Touches: boundaries meet, interiors don't. */
+  def touches(g1: Geom, g2: Geom): Boolean = {
+    val m = relateCells(g1, g2)
+    m(0) == -1 && (m(1) >= 0 || m(3) >= 0 || m(4) >= 0)
+  }
+
+  /** OGC Crosses: T*T****** (dimA<dimB), T*****T** (dimA>dimB),
+    * 0******** for two lines; false for equal non-line dims. */
+  def crosses(g1: Geom, g2: Geom): Boolean = {
+    val fa = famOf(g1); val fb = famOf(g2)
+    val m = relateCells(g1, g2)
+    if (fa < fb) m(0) >= 0 && m(2) >= 0
+    else if (fa > fb) m(0) >= 0 && m(6) >= 0
+    else if (fa == 1) m(0) == 0
+    else false
+  }
+
+  /** OGC Overlaps: same dimension, interiors intersect in that
+    * dimension, and neither covers the other. */
+  def overlaps(g1: Geom, g2: Geom): Boolean = {
+    val fa = famOf(g1); val fb = famOf(g2)
+    if (fa != fb) return false
+    val m = relateCells(g1, g2)
+    val ii = if (fa == 1) m(0) == 1 else m(0) >= 0
+    ii && m(2) >= 0 && m(6) >= 0
+  }
+
+  /** OGC topological equality: T*F**FFF* (same point set); two empty
+    * geometries are equal. */
+  def equalsTopo(g1: Geom, g2: Geom): Boolean = {
+    if (g1.isEmpty && g2.isEmpty) return true
+    val m = relateCells(g1, g2)
+    m(0) >= 0 && m(2) == -1 && m(5) == -1 && m(6) == -1 && m(7) == -1
   }
 
   def distance(g1: Geom, g2: Geom): Double = {
@@ -1950,6 +2379,55 @@ object GeoFns {
     protected def eval2(a: Geom, b: Geom): Any = !intersects(a, b)
   }
 
+  case class StTouches(left: Expression, right: Expression) extends GeoBinaryBase {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_touches"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def eval2(a: Geom, b: Geom): Any = touches(a, b)
+  }
+
+  case class StCrosses(left: Expression, right: Expression) extends GeoBinaryBase {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_crosses"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def eval2(a: Geom, b: Geom): Any = crosses(a, b)
+  }
+
+  case class StOverlaps(left: Expression, right: Expression) extends GeoBinaryBase {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_overlaps"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def eval2(a: Geom, b: Geom): Any = overlaps(a, b)
+  }
+
+  case class StEquals(left: Expression, right: Expression) extends GeoBinaryBase {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "st_equals"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def eval2(a: Geom, b: Geom): Any = equalsTopo(a, b)
+  }
+
+  /** st_relate(g1, g2, pattern) — Presto's 3-arg boolean form. */
+  case class StRelate(children: Seq[Expression])
+      extends Expression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def prettyName: String = "st_relate"
+    override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) =
+      copy(children = cs)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.contains(null)) return null
+      relate(fromWkb(vs(0).asInstanceOf[Array[Byte]]),
+        fromWkb(vs(1).asInstanceOf[Array[Byte]]),
+        vs(2).asInstanceOf[UTF8String].toString)
+    }
+  }
+
   case class GreatCircle(children: Seq[Expression])
       extends Expression with CodegenFallback {
     override def dataType: DataType = DoubleType
@@ -1984,12 +2462,6 @@ object GeoFns {
       "(union/intersection/buffer/simplify) is out of scope; the " +
       "predicate/measure/accessor ST_* surface is implemented")
 
-  private def unsupportedRelate(name: String): Seq[Expression] => Expression = _ =>
-    throw new UnsupportedOperationException(
-      s"$name is not supported: exact DE-9IM relate needs an overlay " +
-      "kernel (heuristics give wrong answers on boundary-only and " +
-      "equal-geometry cases); st_intersects / st_contains / st_within " +
-      "/ st_disjoint are implemented exactly")
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "st_point" -> arity("st_point", 2)(a => StPoint(dbl(a(0)), dbl(a(1)))),
@@ -2052,14 +2524,13 @@ object GeoFns {
     "st_union" -> unsupported("st_union"),
     "st_intersection" -> unsupported("st_intersection"),
     "st_buffer" -> unsupported("st_buffer"),
-    // The remaining DE-9IM predicates need a real overlay/relate kernel
-    // to be EXACT (equal polygons, boundary-only lines, and crescent
-    // centroids defeat every vertex/midpoint heuristic) — a clean named
-    // error beats a plausible wrong answer; intersects / contains /
-    // within / disjoint cover the common cases exactly.
-    "st_touches" -> unsupportedRelate("st_touches"),
-    "st_crosses" -> unsupportedRelate("st_crosses"),
-    "st_overlaps" -> unsupportedRelate("st_overlaps"),
-    "st_equals" -> unsupportedRelate("st_equals"),
-    "st_relate" -> unsupportedRelate("st_relate"))
+    // The DE-9IM family (round 16): all five derive from the exact
+    // relate matrix — boundary-cut classification, the same discipline
+    // contains() uses, so equal polygons, boundary-riding lines, and
+    // corner touches classify without heuristics.
+    "st_touches" -> arity("st_touches", 2)(a => StTouches(a(0), a(1))),
+    "st_crosses" -> arity("st_crosses", 2)(a => StCrosses(a(0), a(1))),
+    "st_overlaps" -> arity("st_overlaps", 2)(a => StOverlaps(a(0), a(1))),
+    "st_equals" -> arity("st_equals", 2)(a => StEquals(a(0), a(1))),
+    "st_relate" -> arity("st_relate", 3)(a => StRelate(a)))
 }

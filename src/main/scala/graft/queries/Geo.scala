@@ -436,7 +436,44 @@ object Geo {
              FROM documents) p
        ORDER BY doc_id"""
 
+  /** DE-9IM predicates (round 16): two unit-ish squares offset by
+    * dx = doc_id % 5, which walks the full topological spectrum —
+    * dx 0 equal, dx 1 overlapping, dx 2 edge-touching, dx 3–4 disjoint
+    * — plus a fixed chord whose crossing flips exactly at dx = 3 (its
+    * endpoint (3, 1) lands ON the square's edge: II empty, not a
+    * cross). The oracle is pure CASE arithmetic on dx — an independent
+    * derivation of every predicate from the construction, no geometry
+    * in DuckDB at all. */
+  def geoRelate(t: Tables): DataFrame = {
+    val dx = (col("doc_id") % 5).cast("long")
+    val sqA = call_function("st_geometryfromtext",
+      lit("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"))
+    val sqB = call_function("st_geometryfromtext",
+      concat(lit("POLYGON (("), dx, lit(" 0, "), dx + 2, lit(" 0, "), dx + 2,
+        lit(" 2, "), dx, lit(" 2, "), dx, lit(" 0))")))
+    val chord = call_function("st_geometryfromtext", lit("LINESTRING (-1 1, 3 1)"))
+    t.documents.select(
+      col("doc_id"),
+      call_function("st_equals", sqA, sqB).as("eq"),
+      call_function("st_overlaps", sqA, sqB).as("ovl"),
+      call_function("st_touches", sqA, sqB).as("tch"),
+      call_function("st_crosses", chord, sqB).as("crs"),
+      call_function("st_relate", sqA, sqB, lit("FF*FF****")).as("dsj"))
+      .orderBy(col("doc_id"))
+  }
+
+  val geoRelateSql: String =
+    """SELECT doc_id,
+              dx = 0 AS eq,
+              dx = 1 AS ovl,
+              dx = 2 AS tch,
+              dx <= 2 AS crs,
+              dx >= 3 AS dsj
+       FROM (SELECT doc_id, doc_id % 5 AS dx FROM documents) p
+       ORDER BY doc_id"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
+    ("geo_relate", geoRelate _, geoRelateSql),
     ("geo_simplify_tiles", geoSimplifyTiles _, geoSimplifyTilesSql),
     ("geo_linear_ref", geoLinearRef _, geoLinearRefSql),
     ("geo_hull_agg", geoHullAgg _, geoHullAggSql),

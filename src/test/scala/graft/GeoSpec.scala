@@ -132,10 +132,16 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(contains(g("POINT (3 4)"), GPoint(3, 4)))
     assert(!contains(g("POINT (3 4)"), GPoint(3, 5)))
     assert(contains(g("MULTIPOINT ((1 1), (2 2))"), GPoint(2, 2)))
-    // linear-vs-linear containment needs an overlay kernel — named error
-    assert(intercept[UnsupportedOperationException](
-      contains(g("LINESTRING (0 0, 10 0)"), g("LINESTRING (1 0, 2 0)")))
-      .getMessage.contains("overlay"))
+    // linear-vs-linear containment via the DE-9IM matrix (round 16)
+    assert(contains(g("LINESTRING (0 0, 10 0)"), g("LINESTRING (1 0, 2 0)")))
+    assert(!contains(g("LINESTRING (0 0, 10 0)"), g("LINESTRING (1 0, 2 1)")))
+    // a sub-line ending exactly at g1's boundary endpoint is still
+    // contained (no g2 point in g1's exterior, interiors meet)
+    assert(contains(g("LINESTRING (0 0, 10 0)"), g("LINESTRING (5 0, 10 0)")))
+    // ...but a line is NOT contained in a strict sub-line of itself
+    assert(!contains(g("LINESTRING (1 0, 2 0)"), g("LINESTRING (0 0, 10 0)")))
+    // and a line cannot contain a polygon
+    assert(!contains(g("LINESTRING (0 0, 1 0)"), g("POLYGON ((0 0, 1 0, 1 1, 0 0))")))
   }
 
   test("contains: concave-shell and boundary-aligned exactness (round-15 kernel fixes)") {
@@ -162,6 +168,88 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     // a polygon SWALLOWING the hole is not contained either
     assert(!contains(holed, g("POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))")))
     assert(contains(holed, g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")))
+  }
+
+  test("DE-9IM relate: hand-derived matrices per family pair") {
+    def mx(a: String, b: String) = relateMatrix(g(a), g(b))
+    // polygon × polygon
+    assert(mx("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+              "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))") == "2FFF1FFF2", "equal squares")
+    assert(mx("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+              "POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))") == "FF2F11212", "edge-adjacent")
+    assert(mx("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+              "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))") == "FF2F01212", "corner touch")
+    assert(mx("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))",
+              "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))") == "212101212", "overlap")
+    assert(mx("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+              "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))") == "212FF1FF2", "strict nest")
+    // line × polygon: a chord crossing the square twice
+    assert(mx("LINESTRING (-1 1, 3 1)",
+              "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))") == "101FF0212", "chord")
+    // line riding the square's bottom edge only
+    assert(mx("LINESTRING (0 0, 2 0)",
+              "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))") == "F1FF0F212", "edge-rider")
+    // line × line
+    assert(mx("LINESTRING (0 0, 2 2)", "LINESTRING (0 2, 2 0)") == "0F1FF0102", "X cross")
+    assert(mx("LINESTRING (0 0, 2 0)", "LINESTRING (1 0, 3 0)") == "1010F0102", "overlap")
+    assert(mx("LINESTRING (0 0, 2 0)", "LINESTRING (2 0, 3 0)") == "FF1F00102", "chain")
+    // point families
+    assert(mx("POINT (1 1)", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))") == "0FFFFF212",
+      "point in polygon")
+    assert(mx("POINT (3 4)", "POINT (3 4)") == "0FFFFFFF2", "equal points")
+    assert(mx("POINT (0 0)", "POINT (1 1)") == "FF0FFF0F2", "distinct points")
+    // empties
+    assert(mx("POINT EMPTY", "POLYGON ((0 0, 1 0, 1 1, 0 0))") == "FFFFFF212")
+    assert(mx("POLYGON EMPTY", "POLYGON EMPTY") == "FFFFFFFF2")
+  }
+
+  test("DE-9IM predicates: touches/crosses/overlaps/equals + differential vs kernels") {
+    def G = (w: String) => g(w)
+    val sq = G("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    assert(touches(sq, G("POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))")))
+    assert(touches(sq, G("POINT (2 1)")))
+    assert(!touches(sq, G("POINT (1 1)"))) // interior contact is not touching
+    assert(!touches(sq, G("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")))
+    assert(crosses(G("LINESTRING (-1 1, 3 1)"), sq))
+    assert(!crosses(G("LINESTRING (0 0, 2 0)"), sq)) // boundary-rider never enters
+    assert(crosses(G("LINESTRING (0 0, 2 2)"), G("LINESTRING (0 2, 2 0)")))
+    assert(!crosses(G("LINESTRING (0 0, 2 0)"), G("LINESTRING (1 0, 3 0)"))) // dim-1 overlap
+    assert(overlaps(G("LINESTRING (0 0, 2 0)"), G("LINESTRING (1 0, 3 0)")))
+    assert(overlaps(sq, G("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")))
+    assert(!overlaps(sq, G("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))) // containment
+    assert(!overlaps(sq, G("LINESTRING (0 0, 2 2)"))) // mixed dims never overlap
+    assert(equalsTopo(sq, G("POLYGON ((2 0, 2 2, 0 2, 0 0, 2 0))"))) // rotated ring
+    assert(!equalsTopo(sq, G("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0), (1 1, 1.5 1, 1.5 1.5, 1 1.5, 1 1))")))
+    assert(equalsTopo(G("LINESTRING (0 0, 1 0, 2 0)"), G("LINESTRING (2 0, 0 0)"))) // collinear vertex
+    // differential: matrix-derived intersects/contains/disjoint == the kernels
+    val fixtures = Seq(
+      "POLYGON ((0 0, 10 0, 10 10, 6 10, 6 4, 4 4, 4 10, 0 10, 0 0))", // U-shape
+      "POLYGON ((4 10, 6 10, 5 4, 4 10))",
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))",
+      "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))",
+      "POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))",
+      "LINESTRING (4 10, 6 10)",
+      "LINESTRING (3 9, 7 9)",
+      "LINESTRING (1 1, 3 1)",
+      "POINT (5 5)", "POINT (1 1)", "MULTIPOINT ((1 1), (5 5))")
+    for (wa <- fixtures; wb <- fixtures) {
+      val (ga, gb) = (g(wa), g(wb))
+      assert(relate(ga, gb, "FF*FF****") == !intersects(ga, gb),
+        s"disjoint-matrix vs kernel: $wa / $wb -> ${relateMatrix(ga, gb)}")
+      assert(relate(ga, gb, "T*****FF*") == contains(ga, gb),
+        s"contains-matrix vs kernel: $wa / $wb -> ${relateMatrix(ga, gb)}")
+    }
+    // matrix symmetry: relate(a,b) is the transpose of relate(b,a)
+    for (wa <- fixtures; wb <- fixtures) {
+      val ab = relateMatrix(g(wa), g(wb)); val ba = relateMatrix(g(wb), g(wa))
+      val t = Array(0, 3, 6, 1, 4, 7, 2, 5, 8).map(ba.charAt).mkString
+      assert(ab == t, s"transpose: $wa / $wb -> $ab vs $ba")
+    }
+    // pattern surface errors
+    assert(intercept[IllegalArgumentException](
+      relate(sq, sq, "T*F")).getMessage.contains("9 characters"))
+    assert(intercept[IllegalArgumentException](
+      relate(sq, sq, "T*F**FFFX")).getMessage.contains("invalid"))
   }
 
   test("interior witness: scanline fallback when every ear centroid lands in a hole") {
@@ -248,10 +336,15 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
     assert(chain(un).exists(_.contains("constructive planar geometry")), chain(un).mkString("|"))
-    val rel = intercept[Exception] {
-      spark.sql("SELECT st_touches(st_point(0, 0), st_point(1, 1))").collect()
-    }
-    assert(chain(rel).exists(_.contains("DE-9IM")), chain(rel).mkString("|"))
+    // the DE-9IM family resolves session-wide (round 16)
+    val rel = spark.sql(
+      """SELECT st_touches(st_point(0, 0), st_point(1, 1)) AS t,
+                st_equals(st_geometryfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+                          st_geometryfromtext('POLYGON ((2 0, 2 2, 0 2, 0 0, 2 0))')) AS e,
+                st_relate(st_geometryfromtext('LINESTRING (0 0, 2 2)'),
+                          st_geometryfromtext('LINESTRING (0 2, 2 0)'), '0********') AS r
+      """).head()
+    assert(!rel.getBoolean(0) && rel.getBoolean(1) && rel.getBoolean(2))
   }
 
   test("accessors: dimension, components, vertices, rings") {
