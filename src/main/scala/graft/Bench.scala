@@ -201,12 +201,18 @@ object Bench {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
           sys.env.getOrElse("SPARK_GRAFT_TPCH_BCAST", (64L << 20).toString))
         // The generator scan reports ascending-key ordering (round 15,
-        // SupportsReportOrdering), so per-key aggregations directly on
-        // the scan run as STREAMING sort aggregates under this conf —
-        // O(1) state instead of a 15M-entry hash map per task (q18's
-        // per-order sum; measured 2.78 -> 2.44 s at sf10,
-        // tools/OrderingProbe, row equality asserted).
-        spark.conf.set("spark.sql.execution.replaceHashWithSortAgg.enabled", "true")
+        // SupportsReportOrdering) so per-key aggregations directly on
+        // the scan CAN run as streaming sort aggregates under
+        // spark.sql.execution.replaceHashWithSortAgg. Round 16: the
+        // round-15 lane set that conf under a dead key (".enabled"
+        // suffix — silently ignored), so every committed sweep number
+        // was measured hash-agg; the honest A/B with the LIVE key
+        // (tools/OrderingProbe sf10, min-of-2, rows equal) is q18
+        // 2.40→2.22 s but q13 1.23→1.46 s and q1 flat — a wash across
+        // the suite, so the blanket conversion is REJECTED and the
+        // lane keeps the hash-agg plans its committed numbers describe.
+        // The capability stays pinned (TpchSourceSpec) for sessions
+        // that opt in per-query.
         // A/B knob for the storage-partitioning axis (round 14):
         // SPARK_GRAFT_TPCH_AXIS=custkey lays orders/customer out in
         // customer-key buckets (customer ⋈ orders co-located) instead of
@@ -249,7 +255,6 @@ object Bench {
         } finally {
           spark.conf.unset("graft.tpch.rowsPerSplit")
           spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-          spark.conf.unset("spark.sql.execution.replaceHashWithSortAgg.enabled")
           spark.conf.unset("graft.tpch.ordersAxis")
           extraConf.foreach { case (k, _) => spark.conf.unset(k) }
         }
@@ -479,6 +484,30 @@ object Bench {
         System.err.println(s"[bench] DEDUP LANE VALIDATION FAILED: ${r.validationFailures.mkString("; ")}")
         laneFailures ++= r.validationFailures.map("dedup: " + _)
       } else System.err.println(s"[bench] dedup lane ok; superlinear=${r.superlinear.mkString(",")}")
+
+      // Decontamination eval-suite axis (round-14 verdict Next #5):
+      // suites of 1/100/10k docs against the lane's 100× corpus (just
+      // generated above — reused), broadcast AND bloom paths, closed-
+      // form validation. Budget separate from the lane's so a slow lane
+      // can't silently starve the axis. SPARK_GRAFT_DECON_AXIS=off.
+      if (!sys.env.get("SPARK_GRAFT_DECON_AXIS").contains("off")) {
+        val axisBudget =
+          sys.env.get("SPARK_GRAFT_DECON_BUDGET").map(_.toDouble).getOrElse(180.0)
+        val (legs, fails) = tools.DedupScale.decontaminateEvalAxis(spark, axisBudget)
+        val legJson = legs.groupBy(_.name).toSeq.sortBy(_._2.head.evalDocs)
+          .map { case (tag, ls) =>
+            def of(p: String) = ls.find(_.path == p).map(l => fmt(l.sec)).getOrElse("null")
+            s""""$tag":[${of("broadcast")},${of("bloom")}]"""
+          }.mkString("{", ",", "}")
+        val dvJson = fails.map(s => "\"" + s.replace("\"", "'") + "\"")
+          .mkString("[", ",", "]")
+        laneFull += s""","decon_evalscale":$legJson,"decon_validation":$dvJson"""
+        laneCompact += s""","decon_validation":$dvJson"""
+        if (fails.nonEmpty) {
+          System.err.println(s"[bench] DECON AXIS VALIDATION FAILED: ${fails.mkString("; ")}")
+          laneFailures ++= fails.map("decon: " + _)
+        } else System.err.println("[bench] decon eval axis ok")
+      }
     }
 
     // Streaming scale lane (round 14 — verdict Next #7): the per-bench
@@ -502,6 +531,36 @@ object Bench {
         System.err.println(s"[bench] STREAM LANE VALIDATION FAILED: ${r.validationFailures.mkString("; ")}")
         laneFailures ++= r.validationFailures.map("stream: " + _)
       } else System.err.println("[bench] stream lane ok")
+
+      // 100× rotation (round-14 verdict Next #6): ONE entry's 100× leg
+      // per bench run, round-robin over the lane entries via a tiny
+      // state file, so the official artifact re-evidences the scale
+      // that found the r12 single-task staging rewrite — with its
+      // conservation/batch-twin validation — without paying all three
+      // ~10M-event legs every run. SPARK_GRAFT_STREAM100=off disables.
+      if (!sys.env.get("SPARK_GRAFT_STREAM100").contains("off")) {
+        val names = tools.StreamScale.laneEntryNames
+        val stateF = new java.io.File("target/stream_rotation")
+        val idx = scala.util.Try(new String(
+          java.nio.file.Files.readAllBytes(stateF.toPath), "UTF-8").trim.toInt)
+          .getOrElse(0)
+        val pick = names(((idx % names.size) + names.size) % names.size)
+        java.nio.file.Files.write(stateF.toPath, String.valueOf(idx + 1).getBytes("UTF-8"))
+        val b100 = sys.env.get("SPARK_GRAFT_STREAM100_BUDGET")
+          .map(_.toDouble).getOrElse(300.0)
+        val r100 = tools.StreamScale.run(spark, b100, scales = Seq(100L),
+          reps = Map.empty[Long, Int].withDefaultValue(1), names = Set(pick))
+        val leg = r100.entries.headOption.flatMap(_.times.headOption)
+          .filterNot(_.isNaN).map(fmt).getOrElse("null")
+        val v100 = r100.validationFailures.map(s => "\"" + s.replace("\"", "'") + "\"")
+          .mkString("[", ",", "]")
+        laneFull += s""","stream_scale_100":{"$pick":$leg},"stream_validation_100":$v100"""
+        laneCompact += s""","stream_scale_100":{"$pick":$leg}"""
+        if (r100.validationFailures.nonEmpty) {
+          System.err.println(s"[bench] STREAM 100x VALIDATION FAILED: ${r100.validationFailures.mkString("; ")}")
+          laneFailures ++= r100.validationFailures.map("stream100: " + _)
+        } else System.err.println(s"[bench] stream 100x rotation ok ($pick)")
+      }
     }
 
     // Geospatial scale lane (round 15): per-bench 1×/10× legs of

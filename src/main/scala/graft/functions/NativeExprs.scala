@@ -239,6 +239,25 @@ object NativeExprs {
     }
   }
 
+  /** Bloom-membership probe against a driver-built filter shipped as a
+    * broadcast — the prefilter of the decontamination big-eval fallback
+    * (llm/TextStats.decontaminateAgainst): when the eval gram set
+    * outgrows a broadcast hash relation, its ~10-bits-per-gram bloom
+    * still broadcasts, the corpus stream is probed in place, and only
+    * the survivors (true matches + fpp of the stream) reach the exact
+    * verify join. Constructed directly (Shim.column), not registered:
+    * the broadcast handle can't round-trip through a SQL signature. */
+  case class BloomMightContain(child: Expression,
+      bf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_bloom_might_contain"
+    override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
+    override protected def nullSafeEval(v: Any): Any =
+      bf.value.mightContainBinary(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+  }
+
   @volatile private var registered = Set.empty[SparkSession]
 
   /** Idempotently register the kernels as SQL functions in the session

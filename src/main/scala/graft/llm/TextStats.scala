@@ -629,14 +629,79 @@ object TextStats {
     t.documents.filter(col("doc_id") % 97 =!= 0),
     t.documents.filter(col("doc_id") % 97 === 0))
 
-  def decontaminateAgainst(train: DataFrame, eval: DataFrame): DataFrame = {
+  /** Bloom-path twin of [[decontaminate]] with the SAME oracle SQL: the
+    * bloom is only a prefilter and the exact verify join restores the
+    * identical result, so the big-eval fallback's OUTPUT is pinned in
+    * the DuckDB gate, not just its plan shape. */
+  def decontaminateBloom(t: Tables): DataFrame = decontaminateAgainst(
+    t.documents.filter(col("doc_id") % 97 =!= 0),
+    t.documents.filter(col("doc_id") % 97 === 0),
+    forcePath = Some("bloom"))
+
+  /** Size-aware eval-suite probe (round-14 verdict Next #5: the eval
+    * SIZE is an axis — suites run 1 to 10⁵ docs and the gram set grows
+    * with them). Two physical paths, same result:
+    *
+    *  - `broadcast` — the distinct eval grams broadcast and the corpus
+    *    gram stream hash-probes them in place: zero corpus shuffle, the
+    *    right shape while the gram set fits a broadcast hash relation.
+    *  - `bloom` — past that, a bloom filter over the eval grams (~1.8
+    *    bytes/gram at fpp 1e-3 vs ~100 bytes/gram hashed-relation
+    *    footprint, a ~50× reach extension) broadcasts instead; the
+    *    corpus stream is probed in place and only survivors — true
+    *    matches + 0.1% of the stream — pay the exact gram-keyed verify
+    *    join, which is merge-PINNED (the eval side being too big to
+    *    broadcast is the premise of this branch; AQE must not flip it
+    *    back on compressed-size optimism, the llm/Dedup scale-cliff
+    *    lesson).
+    *
+    *  `auto` decides from one small aggregate over the EVAL side only
+    *  (eval ≪ corpus by design — the corpus is never pre-scanned);
+    *  `graft.text.decontaminatePath` forces a path for A/Bs and
+    *  `graft.text.decontaminateBroadcastBytes` (default 256 MB) sets
+    *  the estimated-footprint cap. Measured on the eval axis at corpus
+    *  100× in bench/SCALING_DEDUP.md. */
+  def decontaminateAgainst(train: DataFrame, eval: DataFrame,
+                           forcePath: Option[String] = None): DataFrame = {
+    val spark = train.sparkSession
     def grams(df: DataFrame) = df
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(Dedup.shingleOf(col("w"))).as("g"))
     val evalGrams = grams(eval).select(col("g")).distinct()
-    grams(train)
-      .join(broadcast(evalGrams), "g")
+    lazy val gramStats = {
+      val r = evalGrams.agg(
+        count(lit(1)), coalesce(sum(length(col("g"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val path = forcePath.getOrElse(
+      spark.conf.get("graft.text.decontaminatePath", "auto")) match {
+      case "auto" =>
+        val (n, bytes) = gramStats
+        // hashed-relation footprint ≈ payload + per-row UnsafeRow/bucket
+        // overhead (measured ~4× raw UTF8 + ~64 B/row)
+        val est = 4L * bytes + 64L * n
+        val cap = spark.conf
+          .get("graft.text.decontaminateBroadcastBytes", (256L << 20).toString).toLong
+        if (est <= cap) "broadcast" else "bloom"
+      case s @ ("broadcast" | "bloom") => s
+      case other => throw new IllegalArgumentException(
+        s"graft.text.decontaminatePath='$other' - expected auto|broadcast|bloom " +
+        "(a typo here would silently A/B the wrong path)")
+    }
+    val matched =
+      if (path == "broadcast") grams(train).join(broadcast(evalGrams), "g")
+      else {
+        val bf = evalGrams.stat.bloomFilter("g", math.max(1L, gramStats._1), 1e-3)
+        val bfB = spark.sparkContext.broadcast(bf)
+        grams(train)
+          .filter(org.apache.spark.sql.graft.Shim.column(
+            graft.functions.NativeExprs.BloomMightContain(
+              org.apache.spark.sql.graft.Shim.expression(col("g")), bfB)))
+          .hint("merge")
+          .join(evalGrams.hint("merge"), "g")
+      }
+    matched
       .groupBy(col("doc_id"))
       // shingleOf is per-doc distinct, so this counts DISTINCT matched
       // grams — the containment evidence, invariant to repetition
@@ -673,5 +738,6 @@ object TextStats {
     ("text_unigram_logprob", unigramLogprob _, unigramLogprobSql),
     ("text_pii_scrub", piiScrub _, piiScrubSql),
     ("text_decontaminate", decontaminate _, decontaminateSql),
+    ("text_decontaminate_bloom", decontaminateBloom _, decontaminateSql),
     ("pipeline_corpus_build", corpusBuild _, corpusBuildSql))
 }

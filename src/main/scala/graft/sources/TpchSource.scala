@@ -355,7 +355,7 @@ final class TpchScan(table: String, sf: Double, keyLo0: Long, keyHi0: Long,
   /** Rows are GENERATED in ascending key order within every split, so
     * the scan reports that ordering (DSv2 SupportsReportOrdering) — the
     * reference's interesting-order property of a clustered layout. With
-    * `spark.sql.execution.replaceHashWithSortAgg.enabled`, a per-key
+    * `spark.sql.execution.replaceHashWithSortAgg`, a per-key
     * aggregation directly over the scan (q18's 15M-group sum per
     * l_orderkey, q13's per-custkey counts on the custkey axis) becomes
     * a STREAMING sort aggregate: zero sort inserted, O(1) aggregation

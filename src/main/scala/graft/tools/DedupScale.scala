@@ -93,7 +93,7 @@ object DedupScale {
                    pmod(hash(id, i, 11), 1000000) / 1000000.0, 2)) AS INT)))),
                ' ',
                concat_ws(' ', transform(sequence(0, 29), i ->
-                 concat('b', pmod(hash(id DIV 100, i, 17), 1000)))))
+                 concat('b', pmod(hash(id DIV 100, i, 17), 1000000)))))
            ELSE
              concat_ws(' ', transform(sequence(0, 149), i ->
                CASE WHEN id % 100 BETWEEN 85 AND 89 AND i = 10 + 30 * (id % 100 - 85)
@@ -230,8 +230,9 @@ object DedupScale {
       // exactly the other 9 boilerplated docs of block 0 match, each on
       // exactly the 28 word-3-grams of the 30-word shared suffix
       // (junction grams carry doc-specific body words and never match;
-      // a chance cross-block triple needs three consecutive hash-drawn
-      // b-words to coincide — ~1e-9 per position).
+      // a chance cross-block triple over the 10⁶ b-vocabulary is
+      // ~1e-18 per position — widened from 10³ in round 16, where the
+      // 100-block eval axis measured ONE real cross-block collision).
       val r = TextStats.decontaminateAgainst(
           t.documents.filter(col("doc_id") =!= 90),
           t.documents.filter(col("doc_id") === 90))
@@ -374,10 +375,82 @@ object DedupScale {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  // ------------------------------------------- decontamination eval axis
+  final case class EvalAxisLeg(name: String, evalDocs: Long, path: String, sec: Double)
+
+  /** Eval-SUITE-size axis for decontamination (round-14 verdict Next
+    * #5): the `decontaminate_asym` probe holds the eval suite at ONE
+    * doc, but real suites run 10³–10⁵ docs and the broadcast gram set
+    * grows with them. Against the lane's 100× corpus (500k docs) this
+    * measures suites of 1 / 100 / 10,000 docs through BOTH physical
+    * paths — the exact-gram broadcast and the bloom-prefilter fallback
+    * (TextStats.decontaminateAgainst) — with closed-form ground truth:
+    * each eval "benchmark doc" is the 30-word block-local boilerplate
+    * SUFFIX of a boilerplated id (90, and 91 for the 10k suite) of the
+    * first E blocks — the realistic suite shape (short benchmark texts,
+    * not full documents), and the reason the truth is exact: pure-b
+    * eval grams can only match the pure-b suffix grams of the blocks'
+    * boilerplated docs, so exactly the REMAINING boilerplated docs of
+    * those blocks match, each on exactly the suffix's 28 word-3-grams
+    * (over the 10⁶ b-vocabulary a cross-block gram collision is ~4e-10
+    * per axis — the 10³ vocabulary this replaced measurably collided
+    * once in 100 blocks). The timed action is the validating aggregate,
+    * lane discipline. Numbers + the broadcast-fit threshold they
+    * calibrate land in bench/SCALING_DEDUP.md. */
+  def decontaminateEvalAxis(spark: SparkSession, budgetSecs: Double,
+                            scale: Long = 100L): (Seq[EvalAxisLeg], Seq[String]) = {
+    val d = new java.io.File(s"target/dedup_scale/x$scale")
+    genDocs(spark, scale, d)
+    val blocks = BaseDocs * scale / 100
+    require(blocks >= 5000 || scale < 100,
+      s"eval axis needs >=5000 blocks at full scale, corpus has $blocks")
+    val t0 = System.nanoTime(); def spent = (System.nanoTime() - t0) / 1e9
+    val legs = Seq.newBuilder[EvalAxisLeg]
+    val failsB = Seq.newBuilder[String]
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(256L, 32L * math.max(1L, scale / 4)).toString)
+    try {
+      val t = Tables(spark, d.getPath)
+      val block = expr("doc_id DIV 100")
+      // eval text = the 30-word boilerplate suffix (words 151..180)
+      val suffixText = concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 151, 30))
+      // (tag, eval predicate, #eval docs, expected contaminated docs)
+      val suites = Seq(
+        ("e1", col("doc_id") === 90, 1L, 9L),
+        ("e100", col("doc_id") % 100 === 90 && block < 100, 100L, 900L),
+        ("e10000", (col("doc_id") % 100).isin(90, 91) && block < 5000, 10000L, 8L * 5000))
+      for ((tag, isEval, nEval, expect) <- suites; path <- Seq("broadcast", "bloom")) {
+        if (spent <= budgetSecs) {
+          val tA = System.nanoTime()
+          val r = TextStats.decontaminateAgainst(
+              t.documents.filter(!isEval),
+              t.documents.filter(isEval).select(col("doc_id"), suffixText.as("text")),
+              forcePath = Some(path))
+            .agg(count(lit(1)), count(when(col("n_contaminated") === 28, 1))).head()
+          val dt = (System.nanoTime() - tA) / 1e9
+          if (r.getLong(0) != expect) failsB +=
+            s"decon $tag/$path: got ${r.getLong(0)} contaminated want $expect"
+          if (r.getLong(1) != expect) failsB +=
+            s"decon $tag/$path: got ${r.getLong(1)} at 28 grams want $expect"
+          legs += EvalAxisLeg(tag, nEval, path, dt)
+          System.err.println(f"[decon-eval] x$scale $tag%-7s $path%-9s $dt%7.2f s")
+        }
+      }
+      (legs.result(), failsB.result())
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.builder(master = "local[32]", appName = "graft-dedup-scale")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.contains("--eval-axis-only")) {
+      val (legs, fails) = decontaminateEvalAxis(spark, budgetSecs = 1e9)
+      legs.foreach(l => println(f"${l.name}%-8s ${l.evalDocs}%6d docs ${l.path}%-9s ${l.sec}%7.2f s"))
+      println(s"eval-axis validation: ${if (fails.isEmpty) "ALL PASS" else fails.mkString("; ")}")
+      spark.stop(); return
+    }
     val scales = if (args.contains("--small")) Seq(1L, 10L) else Seq(1L, 10L, 100L)
     val r = run(spark, budgetSecs = 1e9, scales = scales)
     println("| entry | " + scales.map(n => s"${n}x (${BaseDocs * n / 1000}k docs)")
@@ -395,6 +468,16 @@ object DedupScale {
     println(s"superlinear: ${if (r.superlinear.isEmpty) "NONE" else r.superlinear.mkString(", ")}")
     println(s"validation: ${if (r.validationFailures.isEmpty) "ALL PASS"
       else r.validationFailures.mkString("; ")}")
+    if (!args.contains("--small")) {
+      val (legs, fails) = decontaminateEvalAxis(spark, budgetSecs = 1e9)
+      println("| eval suite | docs | broadcast s | bloom s |")
+      println("|---|---|---|---|")
+      legs.groupBy(_.name).toSeq.sortBy(_._2.head.evalDocs).foreach { case (tag, ls) =>
+        def of(p: String) = ls.find(_.path == p).map(l => f"${l.sec}%.2f").getOrElse("-")
+        println(s"| $tag | ${ls.head.evalDocs} | ${of("broadcast")} | ${of("bloom")} |")
+      }
+      println(s"eval-axis validation: ${if (fails.isEmpty) "ALL PASS" else fails.mkString("; ")}")
+    }
     spark.stop()
   }
 }

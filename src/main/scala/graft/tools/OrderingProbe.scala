@@ -5,7 +5,7 @@ import graft.{Sessions, Tables}
 
 /** Round-15 scan-ordering probe: the generator emits rows in ascending
   * key order and the scan now reports it (SupportsReportOrdering), so
-  * `spark.sql.execution.replaceHashWithSortAgg.enabled` can turn the
+  * `spark.sql.execution.replaceHashWithSortAgg` can turn the
   * big per-key aggregations (q18's 15M-group sum per l_orderkey) into
   * streaming sort aggregates with no inserted sort. A/B the conf on
   * the queries whose first aggregate sits directly on the scan, with
@@ -31,18 +31,18 @@ object OrderingProbe {
     // equality first
     for ((n, q) <- qs) {
       val a = q(t).collect().map(_.toString).sorted.toSeq
-      spark.conf.set("spark.sql.execution.replaceHashWithSortAgg.enabled", "true")
+      spark.conf.set("spark.sql.execution.replaceHashWithSortAgg", "true")
       val b = try q(t).collect().map(_.toString).sorted.toSeq
-        finally spark.conf.unset("spark.sql.execution.replaceHashWithSortAgg.enabled")
+        finally spark.conf.unset("spark.sql.execution.replaceHashWithSortAgg")
       require(a == b, s"$n diverged under sort-agg replacement")
     }
     println(s"[ordering-probe] $schema results EQUAL")
     for (rep <- 1 to 2; (n, q) <- qs; mode <- Seq("hash", "sortagg")) {
       if (mode == "sortagg")
-        spark.conf.set("spark.sql.execution.replaceHashWithSortAgg.enabled", "true")
+        spark.conf.set("spark.sql.execution.replaceHashWithSortAgg", "true")
       val t0 = System.nanoTime()
       try q(t).write.format("noop").mode("overwrite").save()
-      finally spark.conf.unset("spark.sql.execution.replaceHashWithSortAgg.enabled")
+      finally spark.conf.unset("spark.sql.execution.replaceHashWithSortAgg")
       println(f"[ordering-probe] $schema%-6s $n%-4s $mode%-8s ${(System.nanoTime() - t0) / 1e9}%7.2f s (rep $rep)")
     }
     spark.stop()

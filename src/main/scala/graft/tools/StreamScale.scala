@@ -75,9 +75,14 @@ object StreamScale {
     * every bench run, not only when run by hand). `budgetSecs` bounds
     * total lane wall: >1× legs are skipped once exceeded and record
     * NaN, the same policy as the TPC-H and dedup lanes. */
+  /** The lane's event-based entries, in rotation order (Bench's 100×
+    * round-robin indexes this). */
+  val laneEntryNames: Seq[String] = Seq("stream_tumbling", "stream_sessions", "stream_join")
+
   def run(spark: SparkSession, budgetSecs: Double,
           scales: Seq[Long] = Seq(1L, 10L, 100L),
-          reps: Map[Long, Int] = Map(1L -> 2, 10L -> 2).withDefaultValue(1)): LaneResult = {
+          reps: Map[Long, Int] = Map(1L -> 2, 10L -> 2).withDefaultValue(1),
+          names: Set[String] = laneEntryNames.toSet): LaneResult = {
     val lane0 = System.nanoTime()
     def spent = (System.nanoTime() - lane0) / 1e9
     val dirs = scales.map { n =>
@@ -122,8 +127,10 @@ object StreamScale {
     // Lane scope = the EVENTS-based entries (the synthetic corpora here
     // carry only events.parquet); stream_dedup streams the documents
     // table and has its own oracle entry + DedupScale-side evidence.
-    val laneNames = Set("stream_tumbling", "stream_sessions", "stream_join")
-    val rows = Streams.entries.filter(e => laneNames(e._1)).map { case (name, fn, _) =>
+    // `names` narrows further — Bench's 100× rotation runs one entry.
+    val rows = Streams.entries
+      .filter(e => laneEntryNames.contains(e._1) && names(e._1))
+      .map { case (name, fn, _) =>
       val times = dirs.map { case (n, dir) =>
         if (n > 1L && spent > budgetSecs) Double.NaN
         else (1 to reps(n)).map { _ =>

@@ -340,7 +340,7 @@ class TpchSourceSpec extends SparkSpec {
     // contains a SortAggregate on l_orderkey and NO SortExec below it
     // (the ordering came from the scan, not an inserted sort) — and the
     // rows match the hash-aggregate answer exactly.
-    spark.conf.set("spark.sql.execution.replaceHashWithSortAgg.enabled", "true")
+    spark.conf.set("spark.sql.execution.replaceHashWithSortAgg", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = spark.table("graft_tpch.tiny.lineitem")
@@ -355,12 +355,12 @@ class TpchSourceSpec extends SparkSpec {
         case s: org.apache.spark.sql.execution.SortExec => s }.exists(_ => true),
         s"the scan's reported ordering should make the sort unnecessary:\n$plan")
       val sorted = df.collect().map(_.toString).sorted.toSeq
-      spark.conf.unset("spark.sql.execution.replaceHashWithSortAgg.enabled")
+      spark.conf.unset("spark.sql.execution.replaceHashWithSortAgg")
       val hashRows = df.collect().map(_.toString).sorted.toSeq
       assert(sorted == hashRows, "sort-agg and hash-agg answers diverged")
       // the custkey axis must NOT claim o_custkey ordering (block draws
       // are unordered within a block): the aggregate falls back to hash
-      spark.conf.set("spark.sql.execution.replaceHashWithSortAgg.enabled", "true")
+      spark.conf.set("spark.sql.execution.replaceHashWithSortAgg", "true")
       spark.conf.set("graft.tpch.ordersAxis", "custkey")
       val byCust = spark.table("graft_tpch.sf0_1.orders")
         .groupBy(col("o_custkey"))
@@ -371,7 +371,7 @@ class TpchSourceSpec extends SparkSpec {
           case s: org.apache.spark.sql.execution.SortExec => s }.nonEmpty),
         "custkey axis must not pretend the scan is ordered by o_custkey")
     } finally {
-      Seq("spark.sql.execution.replaceHashWithSortAgg.enabled",
+      Seq("spark.sql.execution.replaceHashWithSortAgg",
         "spark.sql.adaptive.enabled", "graft.tpch.ordersAxis")
         .foreach(spark.conf.unset)
     }
