@@ -502,7 +502,7 @@ object Bench {
         val dvJson = fails.map(s => "\"" + s.replace("\"", "'") + "\"")
           .mkString("[", ",", "]")
         laneFull += s""","decon_evalscale":$legJson,"decon_validation":$dvJson"""
-        laneCompact += s""","decon_validation":$dvJson"""
+        laneCompact += s""","decon_evalscale":$legJson,"decon_validation":$dvJson"""
         if (fails.nonEmpty) {
           System.err.println(s"[bench] DECON AXIS VALIDATION FAILED: ${fails.mkString("; ")}")
           laneFailures ++= fails.map("decon: " + _)
