@@ -252,6 +252,70 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
       relate(sq, sq, "T*F**FFFX")).getMessage.contains("invalid"))
   }
 
+  test("differential: DE-9IM on random axis-aligned boxes vs exact interval arithmetic") {
+    // For axis-aligned rectangles every DE-9IM cell has an EXACT
+    // closed form in 1-D interval relations — an independent oracle the
+    // general boundary-cut kernel must reproduce on all 500 random
+    // pairs (small int coords so touching/nesting/equality are common).
+    val rnd = new scala.util.Random(20160815)
+    def box(): (Int, Int, Int, Int) = {
+      val x1 = rnd.nextInt(5); val y1 = rnd.nextInt(5)
+      (x1, y1, x1 + 1 + rnd.nextInt(3), y1 + 1 + rnd.nextInt(3))
+    }
+    def wkt(b: (Int, Int, Int, Int)) = {
+      val (x1, y1, x2, y2) = b
+      s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))"
+    }
+    def expected(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)): String = {
+      val (ax1, ay1, ax2, ay2) = a; val (bx1, by1, bx2, by2) = b
+      val ii = math.min(ax2, bx2) > math.max(ax1, bx1) &&
+               math.min(ay2, by2) > math.max(ay1, by1)
+      val aInB = bx1 <= ax1 && ax2 <= bx2 && by1 <= ay1 && ay2 <= by2
+      val bInA = ax1 <= bx1 && bx2 <= ax2 && ay1 <= by1 && by2 <= ay2
+      // does a vertical line x=v cross the open interior of rect r?
+      def vCross(v: Int, ry1: Int, ry2: Int, r: (Int, Int, Int, Int)) =
+        r._1 < v && v < r._3 && math.min(ry2, r._4) > math.max(ry1, r._2)
+      def hCross(h: Int, rx1: Int, rx2: Int, r: (Int, Int, Int, Int)) =
+        r._2 < h && h < r._4 && math.min(rx2, r._3) > math.max(rx1, r._1)
+      val ib = vCross(bx1, by1, by2, a) || vCross(bx2, by1, by2, a) ||
+               hCross(by1, bx1, bx2, a) || hCross(by2, bx1, bx2, a)
+      val bi = vCross(ax1, ay1, ay2, b) || vCross(ax2, ay1, ay2, b) ||
+               hCross(ay1, ax1, ax2, b) || hCross(ay2, ax1, ax2, b)
+      // boundary ∩ boundary: exact 4×4 axis-aligned segment pairs
+      def segs(r: (Int, Int, Int, Int)) = Seq(
+        (r._1, r._2, r._1, r._4), (r._3, r._2, r._3, r._4), // vertical
+        (r._1, r._2, r._3, r._2), (r._1, r._4, r._3, r._4)) // horizontal
+      var bb = -1
+      for (s1 <- segs(a); s2 <- segs(b)) {
+        val v1 = s1._1 == s1._3; val v2 = s2._1 == s2._3
+        if (v1 && v2) {
+          if (s1._1 == s2._1) {
+            val lo = math.max(s1._2, s2._2); val hi = math.min(s1._4, s2._4)
+            if (hi > lo) bb = 1 else if (hi == lo) bb = math.max(bb, 0)
+          }
+        } else if (!v1 && !v2) {
+          if (s1._2 == s2._2) {
+            val lo = math.max(s1._1, s2._1); val hi = math.min(s1._3, s2._3)
+            if (hi > lo) bb = 1 else if (hi == lo) bb = math.max(bb, 0)
+          }
+        } else {
+          val (vx, vy1, vy2) = if (v1) (s1._1, s1._2, s1._4) else (s2._1, s2._2, s2._4)
+          val (hy, hx1, hx2) = if (v1) (s2._2, s2._1, s2._3) else (s1._2, s1._1, s1._3)
+          if (hx1 <= vx && vx <= hx2 && vy1 <= hy && hy <= vy2) bb = math.max(bb, 0)
+        }
+      }
+      def c(dim: Int) = if (dim < 0) 'F' else ('0' + dim).toChar
+      "" + c(if (ii) 2 else -1) + c(if (ib) 1 else -1) + c(if (aInB) -1 else 2) +
+        c(if (bi) 1 else -1) + c(bb) + c(if (aInB) -1 else 1) +
+        c(if (bInA) -1 else 2) + c(if (bInA) -1 else 1) + '2'
+    }
+    for (_ <- 1 to 500) {
+      val a = box(); val b = box()
+      val got = relateMatrix(g(wkt(a)), g(wkt(b)))
+      assert(got == expected(a, b), s"${wkt(a)} vs ${wkt(b)}: got $got want ${expected(a, b)}")
+    }
+  }
+
   test("interior witness: scanline fallback when every ear centroid lands in a hole") {
     // square shell, 4 ear centroids at (10/3,10/3) (20/3,10/3) (20/3,20/3)
     // (10/3,20/3) — the hole (3 3, 7 7) covers ALL of them, so the
