@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Events, Exprs, Geo, Presto, Relational, SqlOps, Tpch, Tpch2, TpchSql}
+import graft.queries.{Events, Exprs, Geo, Ml, Presto, Relational, SqlOps, Tpch, Tpch2, TpchSql}
 import graft.llm.{Ann, Corpus, Dedup, Multimodal, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,6 +28,7 @@ object SparkEntry {
       SqlOps.all ++
       Presto.all ++
       Geo.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
+      Ml.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       Events.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       Dedup.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       Ann.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++

@@ -230,11 +230,23 @@ object Registry {
       "st_geometryn" -> FnMeta("st_geometryn"),
       "st_interiorringn" -> FnMeta("st_interiorringn"),
       "st_disjoint" -> FnMeta("st_disjoint", cost = 8.0),
+      // DE-9IM relate family (round 16)
+      "st_touches" -> FnMeta("st_touches", cost = 8.0),
+      "st_crosses" -> FnMeta("st_crosses", cost = 8.0),
+      "st_overlaps" -> FnMeta("st_overlaps", cost = 8.0),
+      "st_equals" -> FnMeta("st_equals", cost = 8.0),
+      "st_relate" -> FnMeta("st_relate", cost = 8.0),
       "st_asbinary" -> FnMeta("st_asbinary"),
       "st_geomfrombinary" -> FnMeta("st_geomfrombinary", cost = 2.0),
       "st_geometryfrombinary" -> FnMeta("st_geometryfrombinary", cost = 2.0),
       "st_linefromtext" -> FnMeta("st_linefromtext", cost = 8.0),
       "st_polygon" -> FnMeta("st_polygon", cost = 8.0),
+      // ML inference helpers (MlFns — exact least-squares linear models)
+      "features" -> FnMeta("features"),
+      "learn_regressor" -> FnMeta("learn_regressor", isAggregate = true, cost = 16.0),
+      "learn_classifier" -> FnMeta("learn_classifier", isAggregate = true, cost = 16.0),
+      "regress" -> FnMeta("regress", cost = 4.0),
+      "classify" -> FnMeta("classify", cost = 4.0),
       // Bing tile family (BingTiles — Web-Mercator quadtree addressing)
       "bing_tile" -> FnMeta("bing_tile"),
       "bing_tile_at" -> FnMeta("bing_tile_at", cost = 2.0),

@@ -185,7 +185,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (graft.functions.PrestoCompat.builders ++ graft.functions.PrestoFns2.builders ++
       graft.functions.NetFns.builders ++ graft.functions.SetDigest.builders ++
       graft.functions.GeoFns.builders ++ graft.functions.BingTiles.builders ++
-      graft.functions.GeoAgg.builders)
+      graft.functions.GeoAgg.builders ++ graft.functions.MlFns.builders)
       .foreach { case (name, builder) =>
         ext.injectFunction((
           org.apache.spark.sql.catalyst.FunctionIdentifier(name),

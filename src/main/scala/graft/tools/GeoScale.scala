@@ -79,6 +79,12 @@ object GeoScale {
           lit("POLYGON ((0 -1, 50 -1, 50 50, 0 50, 0 -1))")),
         call_function("st_point", col("x"), col("y"))))
       .count()
+    cloud(spark, baseN)
+      .filter(call_function("st_relate",
+        call_function("st_geometryfromtext",
+          lit("POLYGON ((0 -1, 50 -1, 50 50, 0 50, 0 -1))")),
+        call_function("st_point", col("x"), col("y")), lit("T*****FF*")))
+      .count()
     val joinTimes = scales.map { s =>
       val n = baseN * s
       leg("distance_join", n) { n =>
@@ -125,9 +131,37 @@ object GeoScale {
         if (got != want) Seq(s"contains@x${n / baseN}: got $got want $want") else Nil
       }
     }
+    // DE-9IM kernel throughput (round 16): the same grid closed forms
+    // through the relate matrix — st_relate with the contains pattern
+    // (T*****FF*) must count exactly what the contains leg counts, and
+    // st_touches counts exactly the k = 0 column sitting ON the
+    // polygon's left edge (twins at 8k + 2.1 never hit a boundary, and
+    // the y-range [-1, 1e6] swallows every grid row).
+    val relTimes = scales.map { s =>
+      val n = baseN * s
+      leg("relate_scan", n) { n =>
+        val side = math.ceil(math.sqrt(n.toDouble)).toLong
+        val poly = call_function("st_geometryfromtext", lit(polyWkt))
+        val pt = call_function("st_point", col("x"), col("y"))
+        val r = cloud(spark, n).agg(
+          count(when(call_function("st_relate", poly, pt, lit("T*****FF*")), 1)),
+          count(when(call_function("st_touches", poly, pt), 1))).head()
+        def colCount(k: Long): Long = n / side + (if (k < n % side) 1L else 0L)
+        val wantIn = (1L to 12L).map(colCount).sum +
+          (0L until n by 10).count(id => id % side <= 12)
+        val wantTouch = colCount(0)
+        val bad = Seq.newBuilder[String]
+        if (r.getLong(0) != wantIn)
+          bad += s"relate@x${n / baseN}: contains-pattern ${r.getLong(0)} want $wantIn"
+        if (r.getLong(1) != wantTouch)
+          bad += s"relate@x${n / baseN}: touches ${r.getLong(1)} want $wantTouch"
+        bad.result()
+      }
+    }
     LaneResult(
       Seq(LaneEntry("geo_distance_join", joinTimes),
-        LaneEntry("geo_contains_scan", pipTimes)),
+        LaneEntry("geo_contains_scan", pipTimes),
+        LaneEntry("geo_relate_scan", relTimes)),
       fails.result())
   }
 

@@ -14,6 +14,7 @@ class PlanAuditSpec extends SparkSpec {
     "tpch_q15", "tpch_q15_sql", // single-row max-revenue theta join
     "tpch_q22", "tpch_q22_sql", // single-row avg-balance theta join
     "subq_scalar",            // single-row scalar subquery
+    "ml_regress", "ml_classify", // single-row trained-model broadcast × scoring scan
     "presto_set_digest",      // single-row urgent-set digest broadcast × 5 priorities
     "ann_bruteforce_topk",    // broadcast probes × corpus (map-side scan)
     "ann_ivf_topk",           // broadcast centroids × corpus assignment
