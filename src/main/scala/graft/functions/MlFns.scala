@@ -431,6 +431,24 @@ object MlFns {
       require(es.length == 2, s"regress expects (features, model), got ${es.length}")
       Regress(es(0), es(1))
     },
+    // The libsvm-parameterized spellings take an options string
+    // (kernel type, C, epsilon) that only an SMO trainer can honor —
+    // a named rejection pointing at the exact trainer beats silently
+    // ignoring the parameters the caller asked for.
+    "learn_libsvm_regressor" -> { _ =>
+      throw new UnsupportedOperationException(
+        "learn_libsvm_regressor is not supported: this engine trains exact " +
+        "least-squares linear models (learn_regressor); libsvm kernel/C/epsilon " +
+        "parameters need an SMO trainer, which is not expressible as an exact " +
+        "distributed aggregate")
+    },
+    "learn_libsvm_classifier" -> { _ =>
+      throw new UnsupportedOperationException(
+        "learn_libsvm_classifier is not supported: this engine trains exact " +
+        "least-squares linear models (learn_classifier); libsvm kernel/C/epsilon " +
+        "parameters need an SMO trainer, which is not expressible as an exact " +
+        "distributed aggregate")
+    },
     "classify" -> { es =>
       require(es.length == 2, s"classify expects (features, model), got ${es.length}")
       Classify(es(0), es(1))

@@ -85,5 +85,20 @@ class MlFnsSpec extends SparkSpec {
       spark.sql("SELECT classify(features(1.0), X'0001020304050607AA')").collect()
     }
     assert(chain(eBytes).exists(_.contains("not a graft ML model")), chain(eBytes).mkString("|"))
+    val eSvm = intercept[Exception] {
+      spark.sql("SELECT learn_libsvm_classifier(lbl, features(f), 'C=1') FROM ml_two")
+        .collect()
+    }
+    assert(chain(eSvm).exists(_.contains("SMO trainer")), chain(eSvm).mkString("|"))
+  }
+
+  test("the family resolves through the Presto dialect door") {
+    import spark.implicits._
+    Seq((0.0, 1.0), (1.0, 3.0), (2.0, 5.0)).toDF("x", "y")
+      .createOrReplaceTempView("ml_line")
+    val r = graft.sql.PrestoRewriter.sql(spark, sfDir,
+      """SELECT round(regress(features(10.0), m), 9) AS p
+         FROM (SELECT learn_regressor(y, features(x)) AS m FROM ml_line)""").head()
+    assert(r.getDouble(0) == 21.0) // y = 2x + 1 exactly
   }
 }
