@@ -541,6 +541,7 @@ object Bench {
       if (!sys.env.get("SPARK_GRAFT_STREAM100").contains("off")) {
         val names = tools.StreamScale.laneEntryNames
         val stateF = new java.io.File("target/stream_rotation")
+        Option(stateF.getParentFile).foreach(_.mkdirs())
         val idx = scala.util.Try(new String(
           java.nio.file.Files.readAllBytes(stateF.toPath), "UTF-8").trim.toInt)
           .getOrElse(0)

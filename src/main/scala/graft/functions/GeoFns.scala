@@ -1008,7 +1008,7 @@ object GeoFns {
     }
     // ---- segment families
     (fa, fb) match {
-      case (1, 1) => relateLineLine(a, b, up, cell, locA, locB)
+      case (1, 1) => relateLineLine(a, b, aBnd, bBnd, up, cell, locA, locB)
       case (1, 2) =>
         relateLinePoly(a, aBnd, b, transpose = false, up, locB)
         up(6, 2) // polygon interior minus a line keeps dim 2
@@ -1026,7 +1026,7 @@ object GeoFns {
   /** Line×line cells: collinear overlaps give dim-1 II; every isolated
     * meeting point is classified on BOTH lines (interior vs mod-2
     * boundary) into its exact cell; IE/EI by interval coverage. */
-  private def relateLineLine(a: Prims, b: Prims,
+  private def relateLineLine(a: Prims, b: Prims, locABnd: Coords, locBBnd: Coords,
       up: (Int, Int) => Unit, cell: (Int, Int) => Int,
       locA: (Double, Double) => Int, locB: (Double, Double) => Int): Unit = {
     val pts = scala.collection.mutable.LinkedHashSet.empty[(Double, Double)]
@@ -1045,10 +1045,27 @@ object GeoFns {
           if (math.min(1.0, math.max(t1, t2)) > math.max(0.0, math.min(t1, t2)))
             up(cell(1, 1), 1)
         } else if (segProperCross(ax, ay, bx, by, cx, cy, dx, dy)) {
-          // the crossing point is strictly inside both segments — for
-          // simple lines that is interior×interior; the point itself is
-          // not exactly representable, so classify directly
-          up(cell(1, 1), 0)
+          // The crossing point is strictly inside both SEGMENTS, but a
+          // multilinestring's mod-2 boundary endpoint from ANOTHER run
+          // can sit exactly there (its coordinates are exact vertex
+          // coordinates, so the coincidence is decidable): a proper
+          // cross has ONE intersection point, so if some boundary point
+          // lies on both segments it IS the crossing — classify it
+          // exactly instead of claiming interior×interior.
+          var bndHit = false
+          def scanBnd(bnd: Coords): Unit = {
+            var k = 0
+            while (k < bnd.length && !bndHit) {
+              if (onSegment(bnd(k), bnd(k + 1), ax, ay, bx, by) &&
+                  onSegment(bnd(k), bnd(k + 1), cx, cy, dx, dy)) {
+                pts += ((bnd(k), bnd(k + 1)))
+                bndHit = true
+              }
+              k += 2
+            }
+          }
+          scanBnd(locABnd); scanBnd(locBBnd)
+          if (!bndHit) up(cell(1, 1), 0)
         }
         // endpoint/vertex touches (incl. both ends of collinear
         // overlaps, which are always among the 4 segment endpoints) —
@@ -1099,10 +1116,23 @@ object GeoFns {
               // sub-segment RIDES the polygon boundary (dim 1)
               up(1, loc, 1)
             }
-            // each internal cut point sits ON the polygon boundary
+            // each internal cut point sits ON the polygon boundary; a
+            // mod-2 boundary endpoint of ANOTHER run can coincide with
+            // it, and the interpolated point never equals the exact
+            // vertex bit-for-bit — match by parameter instead
             if (ts(k) > 0.0 && ts(k) < 1.0) {
-              val x = px + ts(k) * (qx - px); val y = py + ts(k) * (qy - py)
-              up(if (isAt(lBnd, x, y)) 2 else 1, 2, 0)
+              def tOfPt(x: Double, y: Double): Double =
+                if (math.abs(qx - px) >= math.abs(qy - py)) (x - px) / (qx - px)
+                else (y - py) / (qy - py)
+              var cls = 1
+              var bi = 0
+              while (bi < lBnd.length && cls == 1) {
+                if (onSegment(lBnd(bi), lBnd(bi + 1), px, py, qx, qy) &&
+                    math.abs(tOfPt(lBnd(bi), lBnd(bi + 1)) - ts(k)) <= 1e-9 &&
+                    locPolySide(lBnd(bi), lBnd(bi + 1)) == 2) cls = 2
+                bi += 2
+              }
+              up(cls, 2, 0)
             }
             k += 1
           }

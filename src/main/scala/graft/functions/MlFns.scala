@@ -86,6 +86,10 @@ object MlFns {
         val k = ks.getLong(i)
         if (k < 0) throw new IllegalArgumentException(
           s"learn_*: negative feature index $k")
+        // Long-range check BEFORE any toInt: a key past Int range would
+        // wrap and silently credit the update to the wrong feature
+        if (k >= MaxDim) throw new IllegalArgumentException(
+          s"learn_*: feature index $k exceeds the supported maximum ${MaxDim - 1}")
         if (k > maxK) maxK = k
         i += 1
       }
@@ -268,8 +272,10 @@ object MlFns {
     val ks = features.keyArray(); val vs = features.valueArray()
     var i = 0
     while (i < features.numElements()) {
-      val k = ks.getLong(i).toInt
-      if (k < d) s += weights(k) * vs.getDouble(i)
+      val k = ks.getLong(i) // range-checked as a LONG — toInt would alias
+      if (k < 0) throw new IllegalArgumentException(
+        s"regress/classify: negative feature index $k")
+      if (k < d) s += weights(k.toInt) * vs.getDouble(i)
       // features unseen at training time carry weight 0 (libsvm behavior)
       i += 1
     }

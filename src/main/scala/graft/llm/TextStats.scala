@@ -669,8 +669,15 @@ object TextStats {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(Dedup.shingleOf(col("w"))).as("g"))
     val evalGrams = grams(eval).select(col("g")).distinct()
+    // Materialized ONCE for the consumers that would otherwise re-derive
+    // the distinct pipeline (auto's stats aggregate, the bloom build,
+    // and the bloom path's exact verify join each scan it); the
+    // broadcast path stays a single fully-lazy plan and never touches
+    // this. Construction of the bloom/auto variants therefore runs
+    // eval-side jobs eagerly — the eval side is KBs-to-MBs by design.
+    lazy val evalGramsMat = evalGrams.localCheckpoint(true)
     lazy val gramStats = {
-      val r = evalGrams.agg(
+      val r = evalGramsMat.agg(
         count(lit(1)), coalesce(sum(length(col("g"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
@@ -692,14 +699,14 @@ object TextStats {
     val matched =
       if (path == "broadcast") grams(train).join(broadcast(evalGrams), "g")
       else {
-        val bf = evalGrams.stat.bloomFilter("g", math.max(1L, gramStats._1), 1e-3)
+        val bf = evalGramsMat.stat.bloomFilter("g", math.max(1L, gramStats._1), 1e-3)
         val bfB = spark.sparkContext.broadcast(bf)
         grams(train)
           .filter(org.apache.spark.sql.graft.Shim.column(
             graft.functions.NativeExprs.BloomMightContain(
               org.apache.spark.sql.graft.Shim.expression(col("g")), bfB)))
           .hint("merge")
-          .join(evalGrams.hint("merge"), "g")
+          .join(evalGramsMat.hint("merge"), "g")
       }
     matched
       .groupBy(col("doc_id"))

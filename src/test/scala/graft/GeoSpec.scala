@@ -245,6 +245,14 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
       val t = Array(0, 3, 6, 1, 4, 7, 2, 5, 8).map(ba.charAt).mkString
       assert(ab == t, s"transpose: $wa / $wb -> $ab vs $ba")
     }
+    // a proper segment crossing can land EXACTLY on a multilinestring's
+    // mod-2 boundary endpoint from another run — that's a touch, not a
+    // cross (round-16 review finding: the kernel claimed II=0 there)
+    val junctionA = g("MULTILINESTRING ((0 0, 2 2), (1 1, 3 0))")
+    val diag = g("LINESTRING (0 2, 2 0)")
+    assert(relateMatrix(junctionA, diag) == "FF10F0102",
+      relateMatrix(junctionA, diag))
+    assert(touches(junctionA, diag) && !crosses(junctionA, diag))
     // pattern surface errors
     assert(intercept[IllegalArgumentException](
       relate(sq, sq, "T*F")).getMessage.contains("9 characters"))

@@ -92,6 +92,31 @@ class MlFnsSpec extends SparkSpec {
     assert(chain(eSvm).exists(_.contains("SMO trainer")), chain(eSvm).mkString("|"))
   }
 
+  test("feature keys are range-checked as LONGS (no toInt aliasing)") {
+    import spark.implicits._
+    Seq((1.0, 1.0), (3.0, 2.0), (5.0, 3.0)).toDF("y", "x")
+      .createOrReplaceTempView("ml_keys")
+    spark.sql("SELECT learn_regressor(y, features(x)) AS m FROM ml_keys")
+      .createOrReplaceTempView("ml_keys_model")
+    // y = 2x - 1: a key past Int range must read as UNSEEN (weight 0),
+    // never alias onto feature 0 via toInt wrap
+    val r = spark.sql(
+      """SELECT round(regress(map(CAST(4294967296 AS BIGINT), CAST(9.0 AS DOUBLE)), m), 9)
+         FROM ml_keys_model""").head()
+    assert(r.getDouble(0) == -1.0, "2^32 key must not alias onto feature 0")
+    val eNeg = intercept[Exception] {
+      spark.sql("""SELECT regress(map(CAST(-1 AS BIGINT), CAST(1.0 AS DOUBLE)), m)
+                   FROM ml_keys_model""").collect()
+    }
+    assert(chain(eNeg).exists(_.contains("negative feature index")), chain(eNeg).mkString("|"))
+    val eBig = intercept[Exception] {
+      spark.sql("""SELECT learn_regressor(y, map(CAST(4294967299 AS BIGINT), x))
+                   FROM ml_keys""").collect()
+    }
+    assert(chain(eBig).exists(_.contains("exceeds the supported maximum")),
+      chain(eBig).mkString("|"))
+  }
+
   test("the family resolves through the Presto dialect door") {
     import spark.implicits._
     Seq((0.0, 1.0), (1.0, 3.0), (2.0, 5.0)).toDF("x", "y")
