@@ -417,6 +417,14 @@ object DedupScale {
       val block = expr("doc_id DIV 100")
       // eval text = the 30-word boilerplate suffix (words 151..180)
       val suffixText = concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 151, 30))
+      // untimed warmup: one full corpus-gram pass (page cache + codegen
+      // JIT) so the FIRST timed leg doesn't read 2× slow and skew the
+      // broadcast-vs-bloom comparison (the GeoScale discipline)
+      TextStats.decontaminateAgainst(
+          t.documents.filter(col("doc_id") =!= 90),
+          t.documents.filter(col("doc_id") === 90).select(col("doc_id"), suffixText.as("text")),
+          forcePath = Some("broadcast"))
+        .agg(count(lit(1))).head()
       // (tag, eval predicate, #eval docs, expected contaminated docs)
       val suites = Seq(
         ("e1", col("doc_id") === 90, 1L, 9L),
