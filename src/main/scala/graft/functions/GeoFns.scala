@@ -2126,6 +2126,40 @@ object GeoFns {
     }
   }
 
+  /** ST_LineString(array(Point)) / ST_MultiPoint(array(Point)) — the
+    * array-of-points constructors (the inverses of [[StPoints]]).
+    * Elements must be non-empty POINTs (anything else errors by name);
+    * fewer than 2 points lines to LINESTRING EMPTY, an empty array
+    * multipoints to MULTIPOINT EMPTY. */
+  case class StFromPointArray(child: Expression, multi: Boolean)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = if (multi) "st_multipoint" else "st_linestring"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override protected def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      val coords = Array.newBuilder[Double]
+      var i = 0
+      while (i < n) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"$prettyName: point array must not contain nulls (element $i)")
+        fromWkb(arr.getBinary(i)) match {
+          case p: GPoint if !p.isEmpty => coords += p.x; coords += p.y
+          case p: GPoint => throw new IllegalArgumentException(
+            s"$prettyName: element $i is POINT EMPTY")
+          case other => throw new IllegalArgumentException(
+            s"$prettyName: element $i is a ${typeName(other)}, expected POINT")
+        }
+        i += 1
+      }
+      val cs = coords.result()
+      if (multi) toWkb(GMultiPoint(cs))
+      else if (cs.length < 4) toWkb(GLineString(Array.empty))
+      else toWkb(GLineString(cs))
+    }
+  }
+
   case class StCoordDim(child: Expression) extends GeoUnaryBase {
     override def dataType: DataType = ByteType
     override def prettyName: String = "st_coorddim"
@@ -2550,6 +2584,8 @@ object GeoFns {
     "st_geomfrombinary" -> arity("st_geomfrombinary", 1)(a => StGeomFromBinary(a(0))),
     "st_geometryfrombinary" -> arity("st_geometryfrombinary", 1)(a => StGeomFromBinary(a(0))),
     "st_linefromtext" -> arity("st_linefromtext", 1)(a => StTypedFromText(a(0), "LineString")),
+    "st_linestring" -> arity("st_linestring", 1)(a => StFromPointArray(a(0), multi = false)),
+    "st_multipoint" -> arity("st_multipoint", 1)(a => StFromPointArray(a(0), multi = true)),
     "st_polygon" -> arity("st_polygon", 1)(a => StTypedFromText(a(0), "Polygon")),
     "st_union" -> unsupported("st_union"),
     "st_intersection" -> unsupported("st_intersection"),

@@ -240,6 +240,8 @@ object Registry {
       "st_geomfrombinary" -> FnMeta("st_geomfrombinary", cost = 2.0),
       "st_geometryfrombinary" -> FnMeta("st_geometryfrombinary", cost = 2.0),
       "st_linefromtext" -> FnMeta("st_linefromtext", cost = 8.0),
+      "st_linestring" -> FnMeta("st_linestring", cost = 2.0),
+      "st_multipoint" -> FnMeta("st_multipoint", cost = 2.0),
       "st_polygon" -> FnMeta("st_polygon", cost = 8.0),
       // ML inference helpers (MlFns — exact least-squares linear models)
       "features" -> FnMeta("features"),

@@ -170,6 +170,32 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(contains(holed, g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")))
   }
 
+  test("ST_LineString / ST_MultiPoint array constructors (inverse of st_points)") {
+    val r = spark.sql(
+      """SELECT st_astext(st_linestring(array(st_point(0, 0), st_point(3, 4), st_point(9, 9)))) AS ls,
+                st_astext(st_multipoint(array(st_point(1, 2), st_point(3, 4)))) AS mp,
+                st_astext(st_linestring(array(st_point(1, 1)))) AS short,
+                st_astext(st_multipoint(array())) AS empty_mp,
+                st_astext(st_linestring(st_points(st_geometryfromtext('LINESTRING (5 6, 7 8)')))) AS rt
+      """).head()
+    assert(r.getString(0) == "LINESTRING (0 0, 3 4, 9 9)")
+    assert(r.getString(1) == "MULTIPOINT ((1 2), (3 4))")
+    assert(r.getString(2) == "LINESTRING EMPTY")
+    assert(r.getString(3) == "MULTIPOINT EMPTY")
+    assert(r.getString(4) == "LINESTRING (5 6, 7 8)", "st_points round-trip")
+    def chain2(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain2(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql("SELECT st_linestring(array(st_geometryfromtext('LINESTRING (0 0, 1 1)')))")
+        .collect()
+    }
+    assert(chain2(e).exists(_.contains("expected POINT")), chain2(e).mkString("|"))
+    val eEmpty = intercept[Exception] {
+      spark.sql("SELECT st_multipoint(array(st_geometryfromtext('POINT EMPTY')))").collect()
+    }
+    assert(chain2(eEmpty).exists(_.contains("POINT EMPTY")), chain2(eEmpty).mkString("|"))
+  }
+
   test("DE-9IM relate: hand-derived matrices per family pair") {
     def mx(a: String, b: String) = relateMatrix(g(a), g(b))
     // polygon × polygon
