@@ -496,8 +496,14 @@ object Bench {
         val (legs, fails) = tools.DedupScale.decontaminateEvalAxis(spark, axisBudget)
         val legJson = legs.groupBy(_.name).toSeq.sortBy(_._2.head.evalDocs)
           .map { case (tag, ls) =>
-            def of(p: String) = ls.find(_.path == p).map(l => fmt(l.sec)).getOrElse("null")
-            s""""$tag":[${of("broadcast")},${of("bloom")}]"""
+            // [broadcast, bloom] pairs for the sized suites; single-leg
+            // entries (the cap-crossing equivalence check) emit as-is
+            val arr =
+              if (ls.exists(_.path == "broadcast"))
+                Seq("broadcast", "bloom").map(p =>
+                  ls.find(_.path == p).map(l => fmt(l.sec)).getOrElse("null"))
+              else ls.map(l => fmt(l.sec))
+            s""""$tag":[${arr.mkString(",")}]"""
           }.mkString("{", ",", "}")
         val dvJson = fails.map(s => "\"" + s.replace("\"", "'") + "\"")
           .mkString("[", ",", "]")

@@ -661,13 +661,28 @@ object TextStats {
     *  `graft.text.decontaminateBroadcastBytes` (default 256 MB) sets
     *  the estimated-footprint cap. Measured on the eval axis at corpus
     *  100× in bench/SCALING_DEDUP.md. */
+  private def decontaminateGrams(df: DataFrame) = df
+    .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+    .filter(size(col("w")) >= 3)
+    .select(col("doc_id"), explode(Dedup.shingleOf(col("w"))).as("g"))
+
+  /** The `auto` decision, exposed so the scale lane can assert WHICH
+    * path a given suite size selects (tools/DedupScale's cap-crossing
+    * leg); runs the same one-job eval-side stats the operator runs. */
+  private[graft] def decontaminateAutoPath(eval: DataFrame): String = {
+    val spark = eval.sparkSession
+    val r = decontaminateGrams(eval).select(col("g")).distinct()
+      .agg(count(lit(1)), coalesce(sum(length(col("g"))), lit(0L))).head()
+    val est = 4L * r.getLong(1) + 64L * r.getLong(0)
+    val cap = spark.conf
+      .get("graft.text.decontaminateBroadcastBytes", (256L << 20).toString).toLong
+    if (est <= cap) "broadcast" else "bloom"
+  }
+
   def decontaminateAgainst(train: DataFrame, eval: DataFrame,
                            forcePath: Option[String] = None): DataFrame = {
     val spark = train.sparkSession
-    def grams(df: DataFrame) = df
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(Dedup.shingleOf(col("w"))).as("g"))
+    def grams(df: DataFrame) = decontaminateGrams(df)
     val evalGrams = grams(eval).select(col("g")).distinct()
     // Materialized ONCE for the consumers that would otherwise re-derive
     // the distinct pipeline (auto's stats aggregate, the bloom build,

@@ -447,6 +447,37 @@ object DedupScale {
           System.err.println(f"[decon-eval] x$scale $tag%-7s $path%-9s $dt%7.2f s")
         }
       }
+      // Cap-crossing leg (round 16): a FULL-TEXT 20k-doc suite (~2.7M
+      // distinct grams from the skewed body vocabulary) sits PAST the
+      // 256 MB broadcast cap — assert `auto` actually flips to bloom at
+      // a measured size, and pin PATH EQUIVALENCE there: at a suite
+      // size where chance body-gram matches are expected behavior there
+      // is no closed form, but the two physical paths must produce
+      // IDENTICAL (doc, count) sets — exact, oracle-free.
+      if (spent <= budgetSecs) {
+        val isEval = col("doc_id") % 100 < 4 && block < 5000
+        val evalDf = t.documents.filter(isEval)
+        val trainDf = t.documents.filter(!isEval)
+        val chosen = TextStats.decontaminateAutoPath(evalDf)
+        if (chosen != "bloom")
+          failsB += s"decon e20k_fulltext: auto chose '$chosen', want bloom past the cap"
+        val tA = System.nanoTime()
+        // localCheckpoint: one corpus pass per path; the count and the
+        // two exceptAll comparisons then reuse the materialized results
+        val bcast = TextStats.decontaminateAgainst(trainDf, evalDf,
+          forcePath = Some("broadcast")).localCheckpoint(true)
+        val bloom = TextStats.decontaminateAgainst(trainDf, evalDf,
+          forcePath = Some("bloom")).localCheckpoint(true)
+        val nB = bloom.count()
+        val diff = bloom.exceptAll(bcast).count() + bcast.exceptAll(bloom).count()
+        val dt = (System.nanoTime() - tA) / 1e9
+        if (nB == 0) failsB += "decon e20k_fulltext: zero contaminated docs (vacuous)"
+        if (diff != 0) failsB += s"decon e20k_fulltext: paths diverge on $diff rows"
+        legs += EvalAxisLeg("e20k_fulltext", 20000L, "both+equiv", dt)
+        System.err.println(
+          f"[decon-eval] x$scale e20k_fulltext both-paths+equivalence $dt%7.2f s " +
+          s"(auto=$chosen, contaminated=$nB)")
+      }
       (legs.result(), failsB.result())
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
