@@ -491,8 +491,11 @@ object Bench {
       // form validation. Budget separate from the lane's so a slow lane
       // can't silently starve the axis. SPARK_GRAFT_DECON_AXIS=off.
       if (!sys.env.get("SPARK_GRAFT_DECON_AXIS").contains("off")) {
+        // 240 s: warmup ~7 + six sized legs ~15-20 s each under post-
+        // dedup-lane load + the ~25 s cap-crossing equivalence leg —
+        // sized so the leg the axis exists for can't be budget-starved
         val axisBudget =
-          sys.env.get("SPARK_GRAFT_DECON_BUDGET").map(_.toDouble).getOrElse(180.0)
+          sys.env.get("SPARK_GRAFT_DECON_BUDGET").map(_.toDouble).getOrElse(240.0)
         val (legs, fails) = tools.DedupScale.decontaminateEvalAxis(spark, axisBudget)
         val legJson = legs.groupBy(_.name).toSeq.sortBy(_._2.head.evalDocs)
           .map { case (tag, ls) =>
