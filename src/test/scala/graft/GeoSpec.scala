@@ -286,6 +286,38 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
       relate(sq, sq, "T*F**FFFX")).getMessage.contains("invalid"))
   }
 
+  test("differential: relate matrix consistent with the standalone kernels on random convex polygon pairs") {
+    // Non-axis-aligned edges through the poly×poly relate path (the box
+    // differential only exercises horizontal/vertical boundaries):
+    // circle-built convex polygons at random centers/radii so the pairs
+    // sample disjoint, overlapping, and nested relations. Pins per pair:
+    // matrix-derived disjoint/contains/within == the standalone
+    // kernels, intersects() == some non-F cell among the four
+    // closure×closure cells, and transpose symmetry.
+    val rnd = new scala.util.Random(20260815)
+    def convex(): Geom = {
+      val k = 3 + rnd.nextInt(6)
+      val angles = Array.fill(k)(rnd.nextDouble() * 2 * math.Pi).sorted
+      if (!angles.sliding(2).forall(p => p(1) - p(0) > 0.05)) return convex()
+      val cx = rnd.nextDouble() * 60; val cy = rnd.nextDouble() * 60
+      val r = 3 + rnd.nextDouble() * 25
+      val verts = angles.map(a => (cx + r * math.cos(a), cy + r * math.sin(a)))
+      g("POLYGON ((" +
+        (verts :+ verts(0)).map(v => s"${v._1} ${v._2}").mkString(", ") + "))")
+    }
+    for (i <- 1 to 200) {
+      val (a, b) = (convex(), convex())
+      val m = relateMatrix(a, b)
+      assert(relate(a, b, "FF*FF****") == !intersects(a, b), s"disjoint #$i: $m")
+      assert(relate(a, b, "T*****FF*") == contains(a, b), s"contains #$i: $m")
+      assert(relate(a, b, "T*F**F***") == contains(b, a), s"within #$i: $m")
+      val closureMeet = "0134".exists(c => m(c - '0') != 'F') // II/IB/BI/BB
+      assert(closureMeet == intersects(a, b), s"closure #$i: $m")
+      val t = Array(0, 3, 6, 1, 4, 7, 2, 5, 8).map(relateMatrix(b, a).charAt).mkString
+      assert(m == t, s"transpose #$i: $m vs ${relateMatrix(b, a)}")
+    }
+  }
+
   test("differential: DE-9IM on random axis-aligned boxes vs exact interval arithmetic") {
     // For axis-aligned rectangles every DE-9IM cell has an EXACT
     // closed form in 1-D interval relations — an independent oracle the
