@@ -1116,25 +1116,40 @@ object GeoFns {
               // sub-segment RIDES the polygon boundary (dim 1)
               up(1, loc, 1)
             }
-            // each internal cut point sits ON the polygon boundary; a
-            // mod-2 boundary endpoint of ANOTHER run can coincide with
-            // it, and the interpolated point never equals the exact
-            // vertex bit-for-bit — match by parameter instead
-            if (ts(k) > 0.0 && ts(k) < 1.0) {
-              def tOfPt(x: Double, y: Double): Double =
-                if (math.abs(qx - px) >= math.abs(qy - py)) (x - px) / (qx - px)
-                else (y - py) / (qy - py)
-              var cls = 1
-              var bi = 0
-              while (bi < lBnd.length && cls == 1) {
-                if (onSegment(lBnd(bi), lBnd(bi + 1), px, py, qx, qy) &&
-                    math.abs(tOfPt(lBnd(bi), lBnd(bi + 1)) - ts(k)) <= 1e-9 &&
-                    locPolySide(lBnd(bi), lBnd(bi + 1)) == 2) cls = 2
-                bi += 2
-              }
-              up(cls, 2, 0)
-            }
             k += 1
+          }
+          // Each internal cut point sits ON the polygon boundary. A cut
+          // that coincides with a line VERTEX (mod-2 boundary endpoint
+          // or interior path vertex) is classified EXACTLY by the vertex
+          // loop below, so this loop's only remaining job is proving
+          // that some cut is NOT a boundary endpoint. That is decidable
+          // without comparing an interpolated cut against a vertex: a
+          // boundary endpoint strictly inside this segment and on the
+          // polygon boundary (all exact coordinate tests) IS one of the
+          // distinct cut params, so a surplus of distinct internal cuts
+          // over such endpoints proves a line-interior cut. (Distinct
+          // at boundaryTs's own resolution — it records one hit per
+          // incident ring edge, deduped here at the span loop's 1e-12.)
+          var cuts = 0
+          var lastT = -1.0
+          k = 0
+          while (k < ts.length) {
+            val t = ts(k)
+            if (t > 0.0 && t < 1.0 && t - lastT > 1e-12) { cuts += 1; lastT = t }
+            k += 1
+          }
+          if (cuts > 0) {
+            var nb = 0
+            var bi = 0
+            while (bi < lBnd.length) {
+              val bx0 = lBnd(bi); val by0 = lBnd(bi + 1)
+              if (!(bx0 == px && by0 == py) && !(bx0 == qx && by0 == qy) &&
+                  onSegment(bx0, by0, px, py, qx, qy) &&
+                  locPolySide(bx0, by0) == 2) nb += 1
+              bi += 2
+            }
+            if (nb > 0) up(2, 2, 0)
+            if (cuts > nb) up(1, 2, 0)
           }
         }
         i += 2
@@ -1214,6 +1229,17 @@ object GeoFns {
       polys.toSeq.flatMap(r => interiorPointOf(r).map { case (x, y) => loc(x, y) })
     val wA = wit(a.polys, locB)
     val wB = wit(b.polys, locA)
+    // A polygon operand whose EVERY component is zero-area yields no
+    // interior witness at all; the IE/EI rules below would then claim a
+    // dim-2 interior for a geometry that has no interior. That operand
+    // is invalid input (zero-area polygon) — fail fast by name instead
+    // of emitting a wrong matrix. Mixed operands (some components
+    // degenerate) keep the witnesses of the valid components, which is
+    // exact: a degenerate component contributes no interior anyway.
+    if (wA.isEmpty) throw new IllegalArgumentException(
+      "st_relate: first polygon operand has zero area (no component yields an interior witness); DE-9IM interior cells are undefined for degenerate polygons")
+    if (wB.isEmpty) throw new IllegalArgumentException(
+      "st_relate: second polygon operand has zero area (no component yields an interior witness); DE-9IM interior cells are undefined for degenerate polygons")
     // II: a boundary stretch inside the other's interior forces overlap;
     // otherwise nesting decides via witnesses
     if (m(3) == 1 || m(1) == 1 || wA.exists(_ >= 1) || wB.exists(_ >= 1)) up(0, 2)
@@ -2130,7 +2156,10 @@ object GeoFns {
     * array-of-points constructors (the inverses of [[StPoints]]).
     * Elements must be non-empty POINTs (anything else errors by name);
     * fewer than 2 points lines to LINESTRING EMPTY, an empty array
-    * multipoints to MULTIPOINT EMPTY. */
+    * multipoints to MULTIPOINT EMPTY. ST_LineString additionally
+    * rejects consecutive duplicate points by name, matching Presto's
+    * validation (a degenerate zero-length segment would otherwise
+    * slip silently into downstream length/relate kernels). */
   case class StFromPointArray(child: Expression, multi: Boolean)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
@@ -2140,12 +2169,19 @@ object GeoFns {
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       val n = arr.numElements()
       val coords = Array.newBuilder[Double]
+      var lastX = Double.NaN
+      var lastY = Double.NaN
       var i = 0
       while (i < n) {
         if (arr.isNullAt(i)) throw new IllegalArgumentException(
           s"$prettyName: point array must not contain nulls (element $i)")
         fromWkb(arr.getBinary(i)) match {
-          case p: GPoint if !p.isEmpty => coords += p.x; coords += p.y
+          case p: GPoint if !p.isEmpty =>
+            if (!multi && i > 0 && p.x == lastX && p.y == lastY)
+              throw new IllegalArgumentException(
+                s"$prettyName: consecutive duplicate points at index $i")
+            lastX = p.x; lastY = p.y
+            coords += p.x; coords += p.y
           case p: GPoint => throw new IllegalArgumentException(
             s"$prettyName: element $i is POINT EMPTY")
           case other => throw new IllegalArgumentException(

@@ -685,19 +685,21 @@ object TextStats {
     def grams(df: DataFrame) = decontaminateGrams(df)
     val evalGrams = grams(eval).select(col("g")).distinct()
     // Materialized ONCE for the consumers that would otherwise re-derive
-    // the distinct pipeline (auto's stats aggregate, the bloom build,
-    // and the bloom path's exact verify join each scan it); the
-    // broadcast path stays a single fully-lazy plan and never touches
-    // this. Construction of the bloom/auto variants therefore runs
-    // eval-side jobs eagerly — the eval side is KBs-to-MBs by design.
+    // the distinct pipeline (auto's stats aggregate, auto-resolved
+    // broadcast's build side, the bloom build, and the bloom path's
+    // exact verify join each scan it); only a directly FORCED broadcast
+    // stays a single fully-lazy plan and never touches this.
+    // Construction of the bloom/auto variants therefore runs eval-side
+    // jobs eagerly — the eval side is KBs-to-MBs by design.
     lazy val evalGramsMat = evalGrams.localCheckpoint(true)
     lazy val gramStats = {
       val r = evalGramsMat.agg(
         count(lit(1)), coalesce(sum(length(col("g"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    val path = forcePath.getOrElse(
-      spark.conf.get("graft.text.decontaminatePath", "auto")) match {
+    val pathConf = forcePath.getOrElse(
+      spark.conf.get("graft.text.decontaminatePath", "auto"))
+    val path = pathConf match {
       case "auto" =>
         val (n, bytes) = gramStats
         // hashed-relation footprint ≈ payload + per-row UnsafeRow/bucket
@@ -712,8 +714,14 @@ object TextStats {
         "(a typo here would silently A/B the wrong path)")
     }
     val matched =
-      if (path == "broadcast") grams(train).join(broadcast(evalGrams), "g")
-      else {
+      if (path == "broadcast") {
+        // auto already paid the eval-side materialization for its stats
+        // aggregate — broadcast the checkpointed grams in that case so
+        // the distinct pipeline really runs once; only a directly
+        // forced broadcast keeps the single fully-lazy plan.
+        val rhs = if (pathConf == "auto") evalGramsMat else evalGrams
+        grams(train).join(broadcast(rhs), "g")
+      } else {
         val bf = evalGramsMat.stat.bloomFilter("g", math.max(1L, gramStats._1), 1e-3)
         val bfB = spark.sparkContext.broadcast(bf)
         grams(train)

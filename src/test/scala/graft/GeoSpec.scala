@@ -194,6 +194,49 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
       spark.sql("SELECT st_multipoint(array(st_geometryfromtext('POINT EMPTY')))").collect()
     }
     assert(chain2(eEmpty).exists(_.contains("POINT EMPTY")), chain2(eEmpty).mkString("|"))
+    // Presto rejects consecutive duplicate points in ST_LineString by
+    // name (a zero-length segment would otherwise slip into downstream
+    // length/relate kernels); ST_MultiPoint keeps duplicates.
+    val eDup = intercept[Exception] {
+      spark.sql(
+        "SELECT st_linestring(array(st_point(0, 0), st_point(1, 1), st_point(1, 1), st_point(2, 0)))"
+      ).collect()
+    }
+    assert(chain2(eDup).exists(_.contains("consecutive duplicate points at index 2")),
+      chain2(eDup).mkString("|"))
+    val mpDup = spark.sql(
+      "SELECT st_astext(st_multipoint(array(st_point(1, 1), st_point(1, 1))))").head().getString(0)
+    assert(mpDup == "MULTIPOINT ((1 1), (1 1))")
+  }
+
+  test("relate: line-poly cut points classified exactly against mod-2 boundary endpoints") {
+    // run 2's mod-2 boundary endpoint (0 1) sits EXACTLY at one of run
+    // 1's two polygon-boundary crossings; the other crossing (2 1) is a
+    // genuine line-interior cut. The cut surplus (2 distinct cuts vs 1
+    // boundary endpoint inside the segment) must yield IB=0 alongside
+    // BB=0 — no interpolated-point tolerance involved.
+    val sq = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+    assert(relateMatrix(
+      g("MULTILINESTRING ((-1 1, 3 1), (0 1, -2 3))"), g(sq)) == "101F00212")
+    // …and when EVERY internal cut IS a boundary endpoint (run 1 stops
+    // inside the square, its single crossing at (0 1) being run 2's
+    // endpoint), the line's interior never meets the polygon boundary:
+    // IB must stay F while BB=0 and BI=0 (run 1's end (1 1) is interior).
+    assert(relateMatrix(
+      g("MULTILINESTRING ((-1 1, 1 1), (0 1, -2 3))"), g(sq)) == "1F1000212")
+  }
+
+  test("relate: zero-area polygon operands fail fast by name") {
+    val e = intercept[IllegalArgumentException] {
+      relateMatrix(g("POLYGON ((0 0, 2 0, 0 0))"),
+                   g("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    }
+    assert(e.getMessage.contains("zero area"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      relateMatrix(g("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+                   g("POLYGON ((5 5, 9 9, 5 5))"))
+    }
+    assert(e2.getMessage.contains("second polygon operand"), e2.getMessage)
   }
 
   test("DE-9IM relate: hand-derived matrices per family pair") {
