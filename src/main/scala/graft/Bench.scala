@@ -379,7 +379,11 @@ object Bench {
         // floor (half the box's 32 cores doing foreign work on top of
         // the bench's own ~16-core 1-min imprint) AND >1.5x committed
         // is contended, not slow. Ratio-only below 1.5x is box noise.
-        val factor = if (schema == "sf100") 2.0 else 3.0
+        // Round 17: the 2x trigger applies to sf10 too — BENCH_r16
+        // shipped q12@sf10 = 1.88x committed at journaled load 12.9,
+        // under the old sf10-only 3x trigger; sf10 keeps its
+        // next-scale-up backstop on top.
+        val factor = 2.0
         def loadSuspect(q: String, dt: Double): Boolean =
           committed.get(q).exists(c => dt > 1.5 * c) &&
             laneLoad.get(s"$schema:$q").exists(_ > loadFloor + 16.0)
@@ -476,10 +480,18 @@ object Bench {
       val valJson = r.validationFailures.map(s => "\"" + s.replace("\"", "'") + "\"")
         .mkString("[", ",", "]")
       val scalesJson = r.scales.mkString("[", ",", "]")
+      // per-leg 1-min loadavg at the kept rep + which legs the
+      // committed-reference heal re-ran (round-17 ask #1: a flagged leg
+      // must be auditable as contention vs regression from the artifact
+      // alone, like the TPC-H spots' tpch_sf*_load journals)
+      val loadJson = r.loads.map(row).mkString("{", ",", "}")
+      val healedJson = r.healed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
       val block = s""","dedup_scale":$entriesJson,"dedup_scales":$scalesJson,""" +
+        s""""dedup_scale_load":$loadJson,"dedup_healed":$healedJson,""" +
         s""""dedup_superlinear":$slJson,"dedup_validation":$valJson"""
       laneFull += block
-      laneCompact += s""","dedup_superlinear":$slJson,"dedup_validation":$valJson"""
+      laneCompact += s""","dedup_superlinear":$slJson,"dedup_validation":$valJson,""" +
+        s""""dedup_healed":$healedJson"""
       if (r.validationFailures.nonEmpty) {
         System.err.println(s"[bench] DEDUP LANE VALIDATION FAILED: ${r.validationFailures.mkString("; ")}")
         laneFailures ++= r.validationFailures.map("dedup: " + _)
@@ -491,26 +503,34 @@ object Bench {
       // form validation. Budget separate from the lane's so a slow lane
       // can't silently starve the axis. SPARK_GRAFT_DECON_AXIS=off.
       if (!sys.env.get("SPARK_GRAFT_DECON_AXIS").contains("off")) {
-        // 240 s: warmup ~7 + six sized legs ~15-20 s each under post-
+        // 420 s (round 17: sized legs now run min-of-2 with a loadavg
+        // journal — they feed the committed ~2M-gram threshold claim):
+        // warmup ~7 + six sized legs × 2 reps ~15-20 s each under post-
         // dedup-lane load + the ~25 s cap-crossing equivalence leg —
         // sized so the leg the axis exists for can't be budget-starved
         val axisBudget =
-          sys.env.get("SPARK_GRAFT_DECON_BUDGET").map(_.toDouble).getOrElse(240.0)
+          sys.env.get("SPARK_GRAFT_DECON_BUDGET").map(_.toDouble).getOrElse(420.0)
         val (legs, fails) = tools.DedupScale.decontaminateEvalAxis(spark, axisBudget)
-        val legJson = legs.groupBy(_.name).toSeq.sortBy(_._2.head.evalDocs)
-          .map { case (tag, ls) =>
-            // [broadcast, bloom] pairs for the sized suites; single-leg
-            // entries (the cap-crossing equivalence check) emit as-is
-            val arr =
-              if (ls.exists(_.path == "broadcast"))
-                Seq("broadcast", "bloom").map(p =>
-                  ls.find(_.path == p).map(l => fmt(l.sec)).getOrElse("null"))
-              else ls.map(l => fmt(l.sec))
-            s""""$tag":[${arr.mkString(",")}]"""
-          }.mkString("{", ",", "}")
+        def legRows(f: tools.DedupScale.EvalAxisLeg => Double) =
+          legs.groupBy(_.name).toSeq.sortBy(_._2.head.evalDocs)
+            .map { case (tag, ls) =>
+              // [broadcast, bloom] pairs for the sized suites; single-leg
+              // entries (the cap-crossing equivalence check) emit as-is
+              def cell(l: tools.DedupScale.EvalAxisLeg) =
+                if (f(l).isNaN) "null" else fmt(f(l))
+              val arr =
+                if (ls.exists(_.path == "broadcast"))
+                  Seq("broadcast", "bloom").map(p =>
+                    ls.find(_.path == p).map(cell).getOrElse("null"))
+                else ls.map(cell)
+              s""""$tag":[${arr.mkString(",")}]"""
+            }.mkString("{", ",", "}")
+        val legJson = legRows(_.sec)
+        val legLoadJson = legRows(_.load)
         val dvJson = fails.map(s => "\"" + s.replace("\"", "'") + "\"")
           .mkString("[", ",", "]")
-        laneFull += s""","decon_evalscale":$legJson,"decon_validation":$dvJson"""
+        laneFull += s""","decon_evalscale":$legJson,"decon_evalscale_load":$legLoadJson,""" +
+          s""""decon_validation":$dvJson"""
         laneCompact += s""","decon_evalscale":$legJson,"decon_validation":$dvJson"""
         if (fails.nonEmpty) {
           System.err.println(s"[bench] DECON AXIS VALIDATION FAILED: ${fails.mkString("; ")}")

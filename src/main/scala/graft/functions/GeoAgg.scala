@@ -18,8 +18,15 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   * flow through, which is what lets a 100 TB groupBy carry this
   * aggregate with constant-size map-side partials.
   *
-  * `geometry_union_agg` is NOT registered — constructive union needs
-  * the overlay kernel the module deliberately excludes. */
+  * `geometry_union_agg` (round 17): the state is the RUNNING UNION —
+  * union is associative/commutative and idempotent, so partials
+  * compress exactly like the hull's do: every update/merge collapses
+  * into one geometry whose size is bounded by the union's own output
+  * complexity (overlapping/adjacent inputs merge away; only genuinely
+  * disjoint inputs keep distinct shells). That is the best possible
+  * bound for an exact union — the aggregate's state can never be
+  * smaller than its answer — and it is what lets map-side partials
+  * stay result-sized rather than input-sized at 100 TB. */
 object GeoAgg {
 
   /** Compact the point buffer to its hull once it holds this many
@@ -107,9 +114,71 @@ object GeoAgg {
     }
   }
 
+  final class UnionState {
+    /** Running union; null = no input yet. */
+    var acc: GeoFns.Geom = null
+
+    def add(g: GeoFns.Geom): Unit =
+      acc = if (acc == null) g else GeoOverlay.union(acc, g)
+  }
+
+  /** geometry_union_agg(geometry): the constructive union of all
+    * inputs ([[GeoOverlay.union]] pairwise — exact overlay, so the
+    * result is the same geometry regardless of fold order; null on no
+    * input). */
+  case class GeometryUnionAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[UnionState] with UnaryLike[Expression] {
+
+    override def prettyName: String = "geometry_union_agg"
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override protected def withNewChildInternal(c: Expression): GeometryUnionAgg =
+      copy(child = c)
+    override def withNewMutableAggBufferOffset(offset: Int): GeometryUnionAgg =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): GeometryUnionAgg =
+      copy(inputAggBufferOffset = offset)
+
+    override def createAggregationBuffer(): UnionState = new UnionState
+
+    override def update(buf: UnionState, input: InternalRow): UnionState = {
+      val v = child.eval(input)
+      if (v != null) {
+        val g = GeoFns.fromWkb(v.asInstanceOf[Array[Byte]])
+        if (!g.isEmpty) buf.add(g)
+      }
+      buf
+    }
+
+    override def merge(buf: UnionState, other: UnionState): UnionState = {
+      if (other.acc != null) buf.add(other.acc)
+      buf
+    }
+
+    override def eval(buf: UnionState): Any =
+      if (buf.acc == null) null else GeoFns.toWkb(buf.acc)
+
+    override def serialize(buf: UnionState): Array[Byte] =
+      if (buf.acc == null) Array.empty else GeoFns.toWkb(buf.acc)
+
+    override def deserialize(bytes: Array[Byte]): UnionState = {
+      val s = new UnionState
+      if (bytes.nonEmpty) s.acc = GeoFns.fromWkb(bytes)
+      s
+    }
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "convex_hull_agg" -> { args =>
       require(args.length == 1, s"convex_hull_agg expects 1 argument, got ${args.length}")
       ConvexHullAgg(args.head).toAggregateExpression()
+    },
+    "geometry_union_agg" -> { args =>
+      require(args.length == 1,
+        s"geometry_union_agg expects 1 argument, got ${args.length}")
+      GeometryUnionAgg(args.head).toAggregateExpression()
     })
 }

@@ -419,18 +419,18 @@ object GeoFns {
   // ------------------------------------------------------------- kernels
 
   /** 2-D cross product sign: >0 counter-clockwise, <0 clockwise, 0 collinear. */
-  private def orient(ax: Double, ay: Double, bx: Double, by: Double,
+  private[functions] def orient(ax: Double, ay: Double, bx: Double, by: Double,
       cx: Double, cy: Double): Double =
     (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
 
-  private def onSegment(px: Double, py: Double, ax: Double, ay: Double,
+  private[functions] def onSegment(px: Double, py: Double, ax: Double, ay: Double,
       bx: Double, by: Double): Boolean =
     orient(ax, ay, bx, by, px, py) == 0.0 &&
       px >= math.min(ax, bx) && px <= math.max(ax, bx) &&
       py >= math.min(ay, by) && py <= math.max(ay, by)
 
   /** Closed-segment intersection (touching counts), incl. collinear overlap. */
-  private def segIntersects(ax: Double, ay: Double, bx: Double, by: Double,
+  private[functions] def segIntersects(ax: Double, ay: Double, bx: Double, by: Double,
       cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
     val o1 = orient(ax, ay, bx, by, cx, cy)
     val o2 = orient(ax, ay, bx, by, dx, dy)
@@ -445,7 +445,7 @@ object GeoFns {
   }
 
   /** Proper crossing only: interior-interior, non-collinear. */
-  private def segProperCross(ax: Double, ay: Double, bx: Double, by: Double,
+  private[functions] def segProperCross(ax: Double, ay: Double, bx: Double, by: Double,
       cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
     val o1 = orient(ax, ay, bx, by, cx, cy)
     val o2 = orient(ax, ay, bx, by, dx, dy)
@@ -457,7 +457,7 @@ object GeoFns {
 
   /** 0 = outside, 1 = inside, 2 = on boundary. Even-odd over ALL rings,
     * so holes come out as outside and islands-in-holes would nest. */
-  private def pointInRings(px: Double, py: Double, rings: Array[Coords]): Int = {
+  private[functions] def pointInRings(px: Double, py: Double, rings: Array[Coords]): Int = {
     var crossings = 0
     var r = 0
     while (r < rings.length) {
@@ -500,10 +500,10 @@ object GeoFns {
 
   /** Decomposition for the pairwise predicates/distance: standalone
     * points, line/ring segments (as packed coord runs), polygons. */
-  private final case class Prims(points: Coords, runs: Array[Coords],
+  private[functions] final case class Prims(points: Coords, runs: Array[Coords],
       polys: Array[Array[Coords]])
 
-  private def prims(g: Geom): Prims = g match {
+  private[functions] def prims(g: Geom): Prims = g match {
     case p: GPoint =>
       Prims(if (p.isEmpty) Array.empty else Array(p.x, p.y), Array.empty, Array.empty)
     case GMultiPoint(p) => Prims(p, Array.empty, Array.empty)
@@ -635,7 +635,7 @@ object GeoFns {
     * in/out intervals, and any positive-area polygon has a band whose
     * gap midpoint is interior. None only for genuinely zero-area
     * rings. */
-  private def interiorPointOf(rings: Array[Coords]): Option[(Double, Double)] = {
+  private[functions] def interiorPointOf(rings: Array[Coords]): Option[(Double, Double)] = {
     if (rings.isEmpty) return None
     val shell = rings(0)
     val n = shell.length / 2 - 1 // closed: last == first
@@ -850,7 +850,7 @@ object GeoFns {
   }
 
   /** Odd-degree run endpoints — the OGC mod-2 boundary of a line. */
-  private def lineBoundaryPts(runs: Array[Coords]): Coords = {
+  private[functions] def lineBoundaryPts(runs: Array[Coords]): Coords = {
     val deg = scala.collection.mutable.LinkedHashMap.empty[(Double, Double), Int]
     runs.foreach { r =>
       if (r.length >= 4) {
@@ -874,7 +874,7 @@ object GeoFns {
   }
 
   /** Point class vs a geometry: 0 = exterior, 1 = interior, 2 = boundary. */
-  private def locOf(px: Double, py: Double, g: Geom, p: Prims, lineBnd: Coords): Int =
+  private[functions] def locOf(px: Double, py: Double, g: Geom, p: Prims, lineBnd: Coords): Int =
     famOf(g) match {
       case 0 => if (isAt(p.points, px, py)) 1 else 0
       case 1 =>
@@ -2562,6 +2562,53 @@ object GeoFns {
       "(union/intersection/buffer/simplify) is out of scope; the " +
       "predicate/measure/accessor ST_* surface is implemented")
 
+  // Constructive overlay (round 17): kernels in GeoOverlay — canonical
+  // mutual noding + interior-left sub-segment selection + DCEL
+  // face-walk stitching on the relate machinery's exact primitives.
+  case class StIntersection(left: Expression, right: Expression) extends GeoBinaryBase {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_intersection"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def eval2(a: Geom, b: Geom): Any = toWkb(GeoOverlay.intersection(a, b))
+  }
+
+  case class StUnion(left: Expression, right: Expression) extends GeoBinaryBase {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_union"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def eval2(a: Geom, b: Geom): Any = toWkb(GeoOverlay.union(a, b))
+  }
+
+  case class StDifference(left: Expression, right: Expression) extends GeoBinaryBase {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_difference"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def eval2(a: Geom, b: Geom): Any = toWkb(GeoOverlay.difference(a, b))
+  }
+
+  case class StSymDifference(left: Expression, right: Expression) extends GeoBinaryBase {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_symdifference"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def eval2(a: Geom, b: Geom): Any = toWkb(GeoOverlay.symDifference(a, b))
+  }
+
+  case class StBuffer(left: Expression, right: Expression) extends GeoBinaryBase {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_buffer"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def eval2(a: Geom, b: Geom): Any =
+      throw new IllegalStateException("st_buffer binds distance via nullSafeEval")
+    override protected def nullSafeEval(l: Any, r: Any): Any =
+      toWkb(GeoOverlay.buffer(fromWkb(l.asInstanceOf[Array[Byte]]),
+        r.asInstanceOf[Double]))
+  }
+
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "st_point" -> arity("st_point", 2)(a => StPoint(dbl(a(0)), dbl(a(1)))),
@@ -2623,9 +2670,11 @@ object GeoFns {
     "st_linestring" -> arity("st_linestring", 1)(a => StFromPointArray(a(0), multi = false)),
     "st_multipoint" -> arity("st_multipoint", 1)(a => StFromPointArray(a(0), multi = true)),
     "st_polygon" -> arity("st_polygon", 1)(a => StTypedFromText(a(0), "Polygon")),
-    "st_union" -> unsupported("st_union"),
-    "st_intersection" -> unsupported("st_intersection"),
-    "st_buffer" -> unsupported("st_buffer"),
+    "st_union" -> arity("st_union", 2)(a => StUnion(a(0), a(1))),
+    "st_intersection" -> arity("st_intersection", 2)(a => StIntersection(a(0), a(1))),
+    "st_difference" -> arity("st_difference", 2)(a => StDifference(a(0), a(1))),
+    "st_symdifference" -> arity("st_symdifference", 2)(a => StSymDifference(a(0), a(1))),
+    "st_buffer" -> arity("st_buffer", 2)(a => StBuffer(a(0), dbl(a(1)))),
     // The DE-9IM family (round 16): all five derive from the exact
     // relate matrix — boundary-cut classification, the same discipline
     // contains() uses, so equal polygons, boundary-riding lines, and

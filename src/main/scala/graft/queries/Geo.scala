@@ -472,7 +472,168 @@ object Geo {
        FROM (SELECT doc_id, doc_id % 5 AS dx FROM documents) p
        ORDER BY doc_id"""
 
+  /** Constructive overlay (round 17): doc-derived INTEGER axis-aligned
+    * rectangles walk the full relation spectrum (overlap / nest / edge
+    * touch / corner touch / disjoint) while every overlay result has
+    * an exact 1-D interval closed form — intersection/union/
+    * difference/symdifference areas, the intersection's centroid, and
+    * its geometry TYPE (the dimensional-collapse surface: area overlap
+    * → polygon, edge touch → linestring, corner touch → point,
+    * disjoint → empty polygon). The Spark side runs the real noding +
+    * stitching kernel ([[graft.functions.GeoOverlay]]); the oracle is
+    * pure interval arithmetic. */
+  def geoOverlay(t: Tables): DataFrame = {
+    val x1 = (col("doc_id") * 13 % 20).cast("long")
+    val y1 = (col("doc_id") * 7 % 20).cast("long")
+    val x2 = x1 + 2 + (col("doc_id") % 9).cast("long")
+    val y2 = y1 + 2 + (col("doc_id") % 7).cast("long")
+    val u1 = (col("doc_id") * 23 % 20).cast("long")
+    val v1 = (col("doc_id") * 31 % 20).cast("long")
+    val u2 = u1 + 2 + (col("doc_id") % 11).cast("long")
+    val v2 = v1 + 2 + (col("doc_id") % 5).cast("long")
+    def rect(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             c: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      call_function("st_geometryfromtext",
+        concat(lit("POLYGON (("), a, lit(" "), b, lit(", "), c, lit(" "), b,
+          lit(", "), c, lit(" "), d, lit(", "), a, lit(" "), d,
+          lit(", "), a, lit(" "), b, lit("))")))
+    val ra = rect(x1, y1, x2, y2)
+    val rb = rect(u1, v1, u2, v2)
+    val inter = call_function("st_intersection", ra, rb)
+    val interArea = call_function("st_area", inter)
+    t.documents.select(
+      col("doc_id"),
+      round(interArea, 6).as("ia"),
+      round(call_function("st_area", call_function("st_union", ra, rb)), 6).as("ua"),
+      round(call_function("st_area", call_function("st_difference", ra, rb)), 6).as("da"),
+      round(call_function("st_area", call_function("st_symdifference", ra, rb)), 6).as("sa"),
+      when(interArea > 0,
+        round(call_function("st_x", call_function("st_centroid", inter)), 6)).as("icx"),
+      when(interArea > 0,
+        round(call_function("st_y", call_function("st_centroid", inter)), 6)).as("icy"),
+      call_function("st_geometrytype", inter).as("ity"))
+      .orderBy(col("doc_id"))
+  }
+
+  val geoOverlaySql: String =
+    """SELECT doc_id,
+              round(CAST(ix * iy AS DOUBLE), 6) AS ia,
+              round(aa + ab - ix * iy, 6) AS ua,
+              round(aa - ix * iy, 6) AS da,
+              round(aa + ab - 2 * ix * iy, 6) AS sa,
+              CASE WHEN ix * iy > 0
+                   THEN round((greatest(x1, u1) + least(x2, u2)) / 2.0, 6) END AS icx,
+              CASE WHEN ix * iy > 0
+                   THEN round((greatest(y1, v1) + least(y2, v2)) / 2.0, 6) END AS icy,
+              CASE WHEN ix > 0 AND iy > 0 THEN 'ST_Polygon'
+                   WHEN wx < 0 OR wy < 0 THEN 'ST_Polygon'
+                   WHEN wx = 0 AND wy = 0 THEN 'ST_Point'
+                   ELSE 'ST_LineString' END AS ity
+       FROM (SELECT doc_id, x1, y1, x2, y2, u1, v1, u2, v2,
+                    greatest(0, least(x2, u2) - greatest(x1, u1)) AS ix,
+                    greatest(0, least(y2, v2) - greatest(y1, v1)) AS iy,
+                    least(x2, u2) - greatest(x1, u1) AS wx,
+                    least(y2, v2) - greatest(y1, v1) AS wy,
+                    CAST((x2 - x1) * (y2 - y1) AS DOUBLE) AS aa,
+                    CAST((u2 - u1) * (v2 - v1) AS DOUBLE) AS ab
+             FROM (SELECT doc_id,
+                          doc_id * 13 % 20 AS x1, doc_id * 7 % 20 AS y1,
+                          doc_id * 13 % 20 + 2 + doc_id % 9 AS x2,
+                          doc_id * 7 % 20 + 2 + doc_id % 7 AS y2,
+                          doc_id * 23 % 20 AS u1, doc_id * 31 % 20 AS v1,
+                          doc_id * 23 % 20 + 2 + doc_id % 11 AS u2,
+                          doc_id * 31 % 20 + 2 + doc_id % 5 AS v2
+                   FROM documents) b) p
+       ORDER BY doc_id"""
+
+  /** st_buffer closed forms: a point buffers to the regular 32-gon
+    * (16·r²·sin(π/16)), a horizontal segment to the exact capsule
+    * (2rL + the same 32-gon), and a NEGATIVE buffer of a rectangle is
+    * the exact inset rectangle (the tessellated caps only matter
+    * outside the rectangle, so erosion is exact). Dilation of the
+    * rectangle is pinned between its two closed-form bounds (bands
+    * only vs bands + full corner disks). */
+  def geoBuffer(t: Tables): DataFrame = {
+    val r = (lit(1) + col("doc_id") % 3).cast("double")
+    val l = (lit(5) + col("doc_id") % 7).cast("double")
+    val w = (lit(10) + col("doc_id") % 6).cast("double")
+    val h = (lit(8) + col("doc_id") % 5).cast("double")
+    val px = (col("doc_id") * 37 % 100).cast("double")
+    val py = (col("doc_id") * 61 % 100).cast("double")
+    val seg = call_function("st_geometryfromtext",
+      concat(lit("LINESTRING (0 0, "), l.cast("long"), lit(" 0)")))
+    val rect = call_function("st_geometryfromtext",
+      concat(lit("POLYGON ((0 0, "), w.cast("long"), lit(" 0, "), w.cast("long"),
+        lit(" "), h.cast("long"), lit(", 0 "), h.cast("long"), lit(", 0 0))")))
+    val dil = call_function("st_area", call_function("st_buffer", rect, r))
+    t.documents.select(
+      col("doc_id"),
+      round(call_function("st_area",
+        call_function("st_buffer", call_function("st_point", px, py), r)), 4)
+        .as("pt_area"),
+      round(call_function("st_area", call_function("st_buffer", seg, r)), 4)
+        .as("seg_area"),
+      round(call_function("st_area", call_function("st_buffer", rect, -r)), 4)
+        .as("erode_area"),
+      (dil > w * h + lit(2) * r * (w + h) &&
+        dil < w * h + lit(2) * r * (w + h) + lit(math.Pi) * r * r).as("dil_bounded"))
+      .orderBy(col("doc_id"))
+  }
+
+  val geoBufferSql: String =
+    """SELECT doc_id,
+              round(16 * r * r * sin(pi() / 16), 4) AS pt_area,
+              round(2 * r * l + 16 * r * r * sin(pi() / 16), 4) AS seg_area,
+              round((w - 2 * r) * (h - 2 * r), 4) AS erode_area,
+              TRUE AS dil_bounded
+       FROM (SELECT doc_id,
+                    CAST(1 + doc_id % 3 AS DOUBLE) AS r,
+                    CAST(5 + doc_id % 7 AS DOUBLE) AS l,
+                    CAST(10 + doc_id % 6 AS DOUBLE) AS w,
+                    CAST(8 + doc_id % 5 AS DOUBLE) AS h
+             FROM documents) p
+       ORDER BY doc_id"""
+
+  /** geometry_union_agg: per group, a chain of OVERLAPPING tiles
+    * [2i, 2i+3]×[0,2] whose union is the single slab [0, 2·max(i)+3]
+    * ×[0,2], plus a family of pairwise-DISJOINT tiles whose union
+    * area is exactly 4 per member — one aggregate exercises both the
+    * merge-away and the multi-shell state paths, each with an integer
+    * closed form. */
+  def geoUnionAgg(t: Tables): DataFrame = {
+    val g = (col("doc_id") % 25).cast("long")
+    val i = floor(col("doc_id") / 25).cast("long")
+    def wkt(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+            c: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      call_function("st_geometryfromtext",
+        concat(lit("POLYGON (("), a, lit(" "), b, lit(", "), c, lit(" "), b,
+          lit(", "), c, lit(" "), d, lit(", "), a, lit(" "), d,
+          lit(", "), a, lit(" "), b, lit("))")))
+    val chain = wkt(i * 2, lit(0), i * 2 + 3, lit(2))
+    val sparse = wkt(i * 5, lit(10), i * 5 + 2, lit(12))
+    t.documents
+      .withColumn("g", g).withColumn("chain", chain).withColumn("sparse", sparse)
+      .groupBy(col("g"))
+      .agg(
+        round(call_function("st_area",
+          call_function("geometry_union_agg", col("chain"))), 6).as("chain_area"),
+        round(call_function("st_area",
+          call_function("geometry_union_agg", col("sparse"))), 6).as("sparse_area"))
+      .orderBy(col("g"))
+  }
+
+  val geoUnionAggSql: String =
+    """SELECT doc_id % 25 AS g,
+              round(CAST(2 * (2 * max(floor(doc_id / 25)) + 3) AS DOUBLE), 6) AS chain_area,
+              round(CAST(4 * count(DISTINCT floor(doc_id / 25)) AS DOUBLE), 6) AS sparse_area
+       FROM documents
+       GROUP BY 1
+       ORDER BY g"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
+    ("geo_overlay", geoOverlay _, geoOverlaySql),
+    ("geo_buffer", geoBuffer _, geoBufferSql),
+    ("geo_union_agg", geoUnionAgg _, geoUnionAggSql),
     ("geo_relate", geoRelate _, geoRelateSql),
     ("geo_simplify_tiles", geoSimplifyTiles _, geoSimplifyTilesSql),
     ("geo_linear_ref", geoLinearRef _, geoLinearRefSql),

@@ -261,7 +261,31 @@ object DedupScale {
 
   final case class LaneEntry(name: String, times: Seq[Double])
   final case class LaneResult(entries: Seq[LaneEntry], superlinear: Seq[String],
-                              validationFailures: Seq[String], scales: Seq[Long])
+                              validationFailures: Seq[String], scales: Seq[Long],
+                              loads: Seq[LaneEntry] = Nil, healed: Seq[String] = Nil)
+
+  /** Committed lane reference (bench/dedup_scale.json — the
+    * machine-readable twin of SCALING_DEDUP.md's results table, the
+    * exact analogue of bench/tpch_sweep.json for the TPC-H spots).
+    * BENCH_r16 shipped a superlinear flag for a leg the box weather
+    * almost certainly caused, and it was unfalsifiable from the
+    * artifact because the lane healed against nothing committed and
+    * journaled no loads — this file is what the heal now compares to. */
+  private def committedLane(): (Seq[Long], Map[String, Seq[Double]]) = {
+    val p = java.nio.file.Paths.get("bench/dedup_scale.json")
+    if (!java.nio.file.Files.exists(p)) return (Nil, Map.empty)
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val scales = """"scales"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+      .map(_.group(1).split(",").map(_.trim.toLong).toSeq).getOrElse(Nil)
+    val entries = """"([a-z_0-9]+)"\s*:\s*\[([0-9., ]+)\]""".r.findAllMatchIn(txt)
+      .filter(_.group(1) != "scales")
+      .map(m => m.group(1) -> m.group(2).split(",").map(_.trim.toDouble).toSeq)
+      .toMap
+    if (entries.isEmpty) System.err.println(
+      "[dedup-scale] WARNING: bench/dedup_scale.json exists but parsed empty - " +
+      "committed self-heal reference lost (format drift?)")
+    (scales, entries)
+  }
 
   /** Runs the lane; shared by the standalone main and the Bench artifact
     * emitter. `budgetSecs` bounds total lane wall (>1× legs are skipped
@@ -284,7 +308,13 @@ object DedupScale {
       onlyRe.forall(_.findFirstIn(p.name).isDefined))
     val allFails = Seq.newBuilder[String]
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    def runLeg(p: Probe, n: Long, dir: String, tag: String): Double = {
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // returns (seconds, 1-min loadavg at leg end) — the load is the
+    // TPC-H spot journal discipline ported here (round-17 verdict ask
+    // #1): a slow leg with a high journaled load is contention, a slow
+    // leg at quiet load is a regression, and the artifact can now tell
+    // them apart
+    def runLeg(p: Probe, n: Long, dir: String, tag: String): (Double, Double) = {
       spark.conf.set("spark.sql.shuffle.partitions",
         math.min(256L, 32L * math.max(1L, n / 4)).toString)
       val t = Tables(spark, dir)
@@ -292,11 +322,13 @@ object DedupScale {
       val t0 = System.nanoTime()
       allFails ++= p.probe(t, n)
       val dt = (System.nanoTime() - t0) / 1e9
+      val load = osBean.getSystemLoadAverage
       (spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore)
         .foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
           .foreach(_.unpersist(blocking = false)))
-      System.err.println(f"[dedup-scale] x$n%-4d ${p.name}%-24s $dt%7.2f s ($tag)")
-      dt
+      System.err.println(
+        f"[dedup-scale] x$n%-4d ${p.name}%-24s $dt%7.2f s ($tag, load $load%.1f)")
+      (dt, load)
     }
     try {
     // Shuffle partitions sized to the corpus (inside runLeg — the
@@ -312,12 +344,18 @@ object DedupScale {
     // releases it eagerly rather than waiting on the GC-driven
     // ContextCleaner (at 100× the residue of earlier probes OOM'd
     // later ones).
+    // per-(probe, scale) 1-min loadavg journal at the KEPT (fastest)
+    // rep — heals below keep it consistent with whichever rep ships
+    val loadAt = scala.collection.mutable.LinkedHashMap(
+      probes.map(p => p.name -> Array.fill(scales.length)(Double.NaN)): _*)
     def legBest(p: Probe, i: Int): Double = {
       val (n, dir) = dirs(i)
-      (1 to reps(n)).flatMap[Double] { r =>
-        if (spent > budgetSecs && n > 1) None
-        else Some(runLeg(p, n, dir, s"rep $r"))
-      }.reduceOption(math.min(_, _)).getOrElse(Double.NaN)
+      var best = Double.NaN
+      for (r <- 1 to reps(n) if !(spent > budgetSecs && n > 1)) {
+        val (dt, ld) = runLeg(p, n, dir, s"rep $r")
+        if (best.isNaN || dt < best) { best = dt; loadAt(p.name)(i) = ld }
+      }
+      best
     }
     // Two-phase schedule (round-15 ask): BENCH_r14's budget ran out
     // before text_dup_span_cut's ~105 s 100× leg — the lane's STEEPEST
@@ -350,33 +388,50 @@ object DedupScale {
           s"${e.name}@${scales(i)}x->${scales(i + 1)}x"
       }
     }
-    // Self-heal (round 13): the >1× legs are single-rep for budget, so a
-    // transient — a cold page cache on the first 100× leg, a GC wall
-    // inherited from whatever the shared bench JVM ran before the lane —
-    // can print one slow number and cry super-linear where the committed
-    // reference run is comfortably sub-linear. A scaling claim should
-    // not flip on one sample: re-run ONLY the offending leg of each
-    // flagged entry once (min-of-2, same as the bench's over_gate heal)
-    // and let the flag survive only if it reproduces. Capped extra spend;
-    // a genuinely super-linear entry stays flagged — twice as credibly.
+    // Self-heal (round 13, extended round 17): the >1× legs are
+    // single-rep for budget, so a transient — a cold page cache on the
+    // first 100× leg, a GC wall inherited from whatever the shared
+    // bench JVM ran before the lane — can print one slow number and cry
+    // super-linear where the committed reference run is comfortably
+    // sub-linear. A scaling claim should not flip on one sample: re-run
+    // ONLY the offending leg of each flagged entry once (min-of-2, same
+    // as the bench's over_gate heal) and let the flag survive only if
+    // it reproduces. Round 17 adds the TPC-H spots' committed-reference
+    // trigger: a leg over 2× its bench/dedup_scale.json value is
+    // suspect even when the decade ratio stays under the 12× flag
+    // (BENCH_r16's neardup_embedding@100× shipped at 2.9× committed and
+    // 26× decade with no committed heal to catch it). Capped extra
+    // spend; a genuinely slow entry stays flagged — twice as credibly.
+    val (commScales, committed) = committedLane()
     val healCap = spent + math.min(240.0, budgetSecs * 0.5)
+    val healEvents = Seq.newBuilder[String]
     val healed = rows.map { e =>
       val t2 = e.times.toArray
-      for (i <- 1 until t2.length
-           if spent < healCap && !t2(i - 1).isNaN && !t2(i).isNaN &&
-             t2(i - 1) >= 0.5 && t2(i) / t2(i - 1) > 12.0) {
-        val p = probes.find(_.name == e.name).get
-        val (n, dir) = dirs(i)
-        t2(i) = math.min(t2(i), runLeg(p, n, dir, "heal"))
+      for (i <- 0 until t2.length if spent < healCap && !t2(i).isNaN) {
+        val decadeSl = i > 0 && !t2(i - 1).isNaN &&
+          t2(i - 1) >= 0.5 && t2(i) / t2(i - 1) > 12.0
+        val commIdx = commScales.indexOf(scales(i))
+        val overCommitted = commIdx >= 0 && committed.get(e.name)
+          .flatMap(_.lift(commIdx)).exists(c => c >= 0.5 && t2(i) > 2.0 * c)
+        if (decadeSl || overCommitted) {
+          val p = probes.find(_.name == e.name).get
+          val (n, dir) = dirs(i)
+          healEvents += s"${e.name}@${n}x"
+          val (dt, ld) = runLeg(p, n, dir, "heal")
+          if (dt < t2(i)) { t2(i) = dt; loadAt(e.name)(i) = ld }
+        }
       }
       LaneEntry(e.name, t2.toSeq)
     }
-    LaneResult(healed, flag(healed), allFails.result().distinct, scales)
+    val loadRows = probes.map(p => LaneEntry(p.name, loadAt(p.name).toSeq))
+    LaneResult(healed, flag(healed), allFails.result().distinct, scales,
+      loadRows, healEvents.result())
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   // ------------------------------------------- decontamination eval axis
-  final case class EvalAxisLeg(name: String, evalDocs: Long, path: String, sec: Double)
+  final case class EvalAxisLeg(name: String, evalDocs: Long, path: String,
+                               sec: Double, load: Double = Double.NaN)
 
   /** Eval-SUITE-size axis for decontamination (round-14 verdict Next
     * #5): the `decontaminate_asym` probe holds the eval suite at ONE
@@ -430,8 +485,16 @@ object DedupScale {
         ("e1", col("doc_id") === 90, 1L, 9L),
         ("e100", col("doc_id") % 100 === 90 && block < 100, 100L, 900L),
         ("e10000", (col("doc_id") % 100).isin(90, 91) && block < 5000, 10000L, 8L * 5000))
+      // Sized legs run min-of-2 (budget-permitting) with a per-rep
+      // loadavg journal (round-17 ask #6): these numbers feed the
+      // committed broadcast-to-bloom threshold claim (~2M grams), so a
+      // contended single rep must not be the shipped evidence — the
+      // same discipline as the TPC-H spots and the dedup lane.
+      val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       for ((tag, isEval, nEval, expect) <- suites; path <- Seq("broadcast", "bloom")) {
-        if (spent <= budgetSecs) {
+        var best = Double.NaN
+        var bestLoad = Double.NaN
+        for (rep <- 1 to 2 if spent <= budgetSecs && (rep == 1 || !best.isNaN)) {
           val tA = System.nanoTime()
           val r = TextStats.decontaminateAgainst(
               t.documents.filter(!isEval),
@@ -439,13 +502,16 @@ object DedupScale {
               forcePath = Some(path))
             .agg(count(lit(1)), count(when(col("n_contaminated") === 28, 1))).head()
           val dt = (System.nanoTime() - tA) / 1e9
+          val ld = osBean.getSystemLoadAverage
           if (r.getLong(0) != expect) failsB +=
             s"decon $tag/$path: got ${r.getLong(0)} contaminated want $expect"
           if (r.getLong(1) != expect) failsB +=
             s"decon $tag/$path: got ${r.getLong(1)} at 28 grams want $expect"
-          legs += EvalAxisLeg(tag, nEval, path, dt)
-          System.err.println(f"[decon-eval] x$scale $tag%-7s $path%-9s $dt%7.2f s")
+          if (best.isNaN || dt < best) { best = dt; bestLoad = ld }
+          System.err.println(
+            f"[decon-eval] x$scale $tag%-7s $path%-9s $dt%7.2f s (rep $rep, load $ld%.1f)")
         }
+        if (!best.isNaN) legs += EvalAxisLeg(tag, nEval, path, best, bestLoad)
       }
       // Cap-crossing leg (round 16): a FULL-TEXT 20k-doc suite (~2.7M
       // distinct grams from the skewed body vocabulary) sits PAST the
@@ -471,9 +537,11 @@ object DedupScale {
         val nB = bloom.count()
         val diff = bloom.exceptAll(bcast).count() + bcast.exceptAll(bloom).count()
         val dt = (System.nanoTime() - tA) / 1e9
+        val ld = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
         if (nB == 0) failsB += "decon e20k_fulltext: zero contaminated docs (vacuous)"
         if (diff != 0) failsB += s"decon e20k_fulltext: paths diverge on $diff rows"
-        legs += EvalAxisLeg("e20k_fulltext", 20000L, "both+equiv", dt)
+        legs += EvalAxisLeg("e20k_fulltext", 20000L, "both+equiv", dt, ld)
         System.err.println(
           f"[decon-eval] x$scale e20k_fulltext both-paths+equivalence $dt%7.2f s " +
           s"(auto=$chosen, contaminated=$nB)")

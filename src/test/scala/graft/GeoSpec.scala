@@ -503,12 +503,19 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     }
     assert(ex.getMessage.contains("ST_X requires a Point") ||
       Option(ex.getCause).exists(_.getMessage.contains("ST_X requires a Point")))
+    // st_union is REAL as of round 17 (overlay kernel); the fail-fast
+    // surface moved to the genuinely unrepresentable case — a union
+    // whose result would need GEOMETRYCOLLECTION
+    assert(spark.sql("SELECT st_astext(st_union(st_point(0, 0), st_point(1, 1)))")
+      .head().getString(0) == "MULTIPOINT ((0 0), (1 1))")
     val un = intercept[Exception] {
-      spark.sql("SELECT st_union(st_point(0, 0), st_point(1, 1))").collect()
+      spark.sql(
+        """SELECT st_union(st_point(99, 99),
+                  st_geometryfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))""").collect()
     }
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
-    assert(chain(un).exists(_.contains("constructive planar geometry")), chain(un).mkString("|"))
+    assert(chain(un).exists(_.contains("GEOMETRYCOLLECTION")), chain(un).mkString("|"))
     // the DE-9IM family resolves session-wide (round 16)
     val rel = spark.sql(
       """SELECT st_touches(st_point(0, 0), st_point(1, 1)) AS t,
@@ -972,5 +979,244 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     } yield (a, b)).toSet
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expect, s"pairs: got ${got.size}, want ${expect.size}")
+  }
+
+  // ------------------------------------------------------ overlay (r17)
+  import graft.functions.GeoOverlay
+
+  test("overlay: hand-derived polygon cases across all four operators") {
+    def w(gm: Geom) = toWkt(gm)
+    val a = g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    val b = g("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+    // overlapping squares
+    assert(area(GeoOverlay.intersection(a, b)) == 1.0)
+    assert(area(GeoOverlay.union(a, b)) == 7.0)
+    assert(area(GeoOverlay.difference(a, b)) == 3.0)
+    assert(area(GeoOverlay.symDifference(a, b)) == 6.0)
+    // identical
+    assert(w(GeoOverlay.union(a, a)) == w(a) ||
+      area(GeoOverlay.union(a, a)) == 4.0)
+    assert(area(GeoOverlay.intersection(a, a)) == 4.0)
+    assert(GeoOverlay.difference(a, a).isEmpty)
+    assert(GeoOverlay.symDifference(a, a).isEmpty)
+    // containment: difference punches a HOLE
+    val big = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    val inner = g("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))")
+    val holed = GeoOverlay.difference(big, inner)
+    assert(area(holed) == 96.0, w(holed))
+    assert(holed.isInstanceOf[GPolygon] &&
+      holed.asInstanceOf[GPolygon].rings.length == 2, w(holed))
+    assert(area(GeoOverlay.intersection(big, inner)) == 4.0)
+    assert(area(GeoOverlay.union(big, inner)) == 100.0)
+    assert(area(GeoOverlay.symDifference(big, inner)) == 96.0)
+    // edge-adjacent squares: union merges, intersection is the shared EDGE
+    val right = g("POLYGON ((2 0, 4 0, 4 2, 2 2, 2 0))")
+    val merged = GeoOverlay.union(a, right)
+    assert(area(merged) == 8.0 && merged.isInstanceOf[GPolygon], w(merged))
+    val sharedEdge = GeoOverlay.intersection(a, right)
+    assert(sharedEdge.isInstanceOf[GLineString], w(sharedEdge))
+    assert(GeoFns.length(sharedEdge) == 2.0, w(sharedEdge))
+    // corner-touching squares: union stays TWO shells, intersection is a POINT
+    val diag = g("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")
+    val pinch = GeoOverlay.union(a, diag)
+    assert(area(pinch) == 8.0 && pinch.isInstanceOf[GMultiPolygon], w(pinch))
+    assert(w(GeoOverlay.intersection(a, diag)) == "POINT (2 2)")
+    // disjoint
+    val far = g("POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))")
+    assert(GeoOverlay.intersection(a, far).isEmpty)
+    assert(GeoOverlay.union(a, far).isInstanceOf[GMultiPolygon])
+    assert(area(GeoOverlay.union(a, far)) == 5.0)
+    // symdifference of overlapping squares pinches at the overlap
+    // corners (degree-4 stitch nodes) — two L-shaped shells
+    val sd = GeoOverlay.symDifference(a, b)
+    assert(sd.isInstanceOf[GMultiPolygon], w(sd))
+    // hole interactions: subtracting a bridge across the hole splits
+    // the holed square into two slabs (bridge ∩ holed = 2·10 − 4 = 16)
+    val bridge = g("POLYGON ((4 0, 6 0, 6 10, 4 10, 4 0))")
+    val cut = GeoOverlay.difference(holed, bridge)
+    assert(area(cut) == 96.0 - 16.0, w(cut))
+    assert(cut.isInstanceOf[GMultiPolygon], w(cut))
+  }
+
+  test("overlay: line clipping and point filtering") {
+    val sq = g("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    // chord: clipped to the inside stretch
+    assert(toWkt(GeoOverlay.intersection(g("LINESTRING (-1 1, 3 1)"), sq)) ==
+      "LINESTRING (0 1, 2 1)")
+    assert(toWkt(GeoOverlay.difference(g("LINESTRING (-1 1, 3 1)"), sq)) ==
+      "MULTILINESTRING ((-1 1, 0 1), (2 1, 3 1))")
+    // boundary-rider: intersection keeps it (closure), difference drops it
+    assert(toWkt(GeoOverlay.intersection(g("LINESTRING (0 0, 2 0)"), sq)) ==
+      "LINESTRING (0 0, 2 0)")
+    assert(GeoOverlay.difference(g("LINESTRING (0 0, 2 0)"), sq).isEmpty)
+    // line touching the boundary at one point from outside → POINT
+    assert(toWkt(GeoOverlay.intersection(g("LINESTRING (-1 -1, 3 -1, 2 0)"), sq))
+      == "POINT (2 0)")
+    // polygon × line commutes
+    assert(toWkt(GeoOverlay.intersection(sq, g("LINESTRING (-1 1, 3 1)"))) ==
+      "LINESTRING (0 1, 2 1)")
+    // line × line: overlap stretch and crossing point
+    assert(toWkt(GeoOverlay.intersection(
+      g("LINESTRING (0 0, 2 0)"), g("LINESTRING (1 0, 3 0)"))) ==
+      "LINESTRING (1 0, 2 0)")
+    assert(toWkt(GeoOverlay.intersection(
+      g("LINESTRING (0 0, 2 2)"), g("LINESTRING (0 2, 2 0)"))) == "POINT (1 1)")
+    assert(toWkt(GeoOverlay.union(
+      g("LINESTRING (0 0, 2 0)"), g("LINESTRING (1 0, 3 0)"))) ==
+      "LINESTRING (0 0, 1 0, 2 0, 3 0)")
+    // mixed-dimension line×line result fails by name
+    val e = intercept[IllegalArgumentException](GeoOverlay.intersection(
+      g("MULTILINESTRING ((0 0, 2 0), (0 1, 2 3))"),
+      g("MULTILINESTRING ((1 0, 3 0), (2 1, 0 3))")))
+    assert(e.getMessage.contains("GEOMETRYCOLLECTION"), e.getMessage)
+    // points
+    assert(toWkt(GeoOverlay.intersection(
+      g("MULTIPOINT ((1 1), (5 5), (2 0))"), sq)) == "MULTIPOINT ((1 1), (2 0))")
+    assert(toWkt(GeoOverlay.difference(
+      g("MULTIPOINT ((1 1), (5 5), (2 0))"), sq)) == "POINT (5 5)")
+    assert(toWkt(GeoOverlay.union(g("POINT (1 1)"), g("POINT (2 2)"))) ==
+      "MULTIPOINT ((1 1), (2 2))")
+    // covered point absorbed by union; uncovered fails by name
+    assert(toWkt(GeoOverlay.union(g("POINT (1 1)"), sq)) == toWkt(sq))
+    val e2 = intercept[IllegalArgumentException](
+      GeoOverlay.union(g("POINT (9 9)"), sq))
+    assert(e2.getMessage.contains("GEOMETRYCOLLECTION"), e2.getMessage)
+    // subtracting a lower-dimensional geometry is a no-op
+    assert(toWkt(GeoOverlay.difference(sq, g("LINESTRING (0 0, 2 2)"))) == toWkt(sq))
+  }
+
+  test("overlay: inclusion-exclusion + relate consistency on random convex pairs") {
+    val rnd = new scala.util.Random(20260817)
+    def convex(): Geom = {
+      val k = 3 + rnd.nextInt(6)
+      val angles = Array.fill(k)(rnd.nextDouble() * 2 * math.Pi).sorted
+      if (!angles.sliding(2).forall(p => p(1) - p(0) > 0.05)) return convex()
+      val cx = rnd.nextDouble() * 60; val cy = rnd.nextDouble() * 60
+      val r = 3 + rnd.nextDouble() * 25
+      val verts = angles.map(a => (cx + r * math.cos(a), cy + r * math.sin(a)))
+      g("POLYGON ((" +
+        (verts :+ verts(0)).map(v => s"${v._1} ${v._2}").mkString(", ") + "))")
+    }
+    for (i <- 1 to 200) {
+      val (a, b) = (convex(), convex())
+      val (aa, ab) = (area(a), area(b))
+      val inter = GeoOverlay.intersection(a, b)
+      val uni = GeoOverlay.union(a, b)
+      val dif = GeoOverlay.difference(a, b)
+      val sym = GeoOverlay.symDifference(a, b)
+      val tol = 1e-9 * (aa + ab)
+      assert(math.abs(aa + ab - (area(uni) + area(inter))) <= tol,
+        s"incl-excl #$i: $aa + $ab vs ${area(uni)} + ${area(inter)}")
+      assert(math.abs(area(dif) + area(inter) - aa) <= tol,
+        s"partition #$i")
+      assert(math.abs(area(sym) - (area(uni) - area(inter))) <= tol,
+        s"symdiff #$i")
+      // matrix consistency: nonempty intersection ⇔ intersects
+      assert(!inter.isEmpty == intersects(a, b), s"relate-consistency #$i")
+      // containment collapse: A ⊆ B ⇒ A∩B = A, A∪B = B
+      if (contains(b, a)) {
+        assert(math.abs(area(inter) - aa) <= tol, s"nested-inter #$i")
+        assert(math.abs(area(uni) - ab) <= tol, s"nested-union #$i")
+      }
+    }
+  }
+
+  test("overlay: random axis-aligned boxes vs exact interval closed forms") {
+    val rnd = new scala.util.Random(20260818)
+    for (i <- 1 to 500) {
+      val x1 = rnd.nextInt(5); val y1 = rnd.nextInt(5)
+      val x2 = x1 + 1 + rnd.nextInt(3); val y2 = y1 + 1 + rnd.nextInt(3)
+      val u1 = rnd.nextInt(5); val v1 = rnd.nextInt(5)
+      val u2 = u1 + 1 + rnd.nextInt(3); val v2 = v1 + 1 + rnd.nextInt(3)
+      val a = g(s"POLYGON (($x1 $y1, $x2 $y1, $x2 $y2, $x1 $y2, $x1 $y1))")
+      val b = g(s"POLYGON (($u1 $v1, $u2 $v1, $u2 $v2, $u1 $v2, $u1 $v1))")
+      val ix = math.max(0, math.min(x2, u2) - math.max(x1, u1))
+      val iy = math.max(0, math.min(y2, v2) - math.max(y1, v1))
+      val interA = (ix * iy).toDouble
+      val areaA = ((x2 - x1) * (y2 - y1)).toDouble
+      val areaB = ((u2 - u1) * (v2 - v1)).toDouble
+      assert(area(GeoOverlay.intersection(a, b)) == interA, s"box-inter #$i")
+      assert(area(GeoOverlay.union(a, b)) == areaA + areaB - interA, s"box-union #$i")
+      assert(area(GeoOverlay.difference(a, b)) == areaA - interA, s"box-diff #$i")
+      assert(area(GeoOverlay.symDifference(a, b)) ==
+        areaA + areaB - 2 * interA, s"box-sym #$i")
+      // result TYPE matches the interval picture (the dimensional-
+      // collapse surface: area overlap / edge touch / corner touch /
+      // disjoint)
+      val inter = GeoOverlay.intersection(a, b)
+      val touchX = math.min(x2, u2) == math.max(x1, u1)
+      val touchY = math.min(y2, v2) == math.max(y1, v1)
+      val sepX = math.min(x2, u2) < math.max(x1, u1)
+      val sepY = math.min(y2, v2) < math.max(y1, v1)
+      if (ix > 0 && iy > 0) assert(!inter.isEmpty && area(inter) > 0, s"type-a #$i")
+      else if (sepX || sepY) assert(inter.isEmpty, s"type-d #$i")
+      else if (touchX && touchY)
+        assert(inter.isInstanceOf[GPoint], s"type-p #$i: ${toWkt(inter)}")
+      else assert(inter.isInstanceOf[GLineString] ||
+        inter.isInstanceOf[GMultiLineString], s"type-l #$i: ${toWkt(inter)}")
+    }
+  }
+
+  test("st_buffer: tessellated-arc closed forms and convergence") {
+    val r = 2.0
+    // point buffer = regular 32-gon INSCRIBED in the radius-r circle
+    val ptBuf = GeoOverlay.buffer(g("POINT (5 5)"), r)
+    val ngon = 16 * r * r * math.sin(math.Pi / 16)
+    // tolerance = the documented snap-round perturbation (grid ~r·2⁻³⁰
+    // over a ~32-vertex ring), far under the tessellation error
+    assert(math.abs(area(ptBuf) - ngon) < 1e-6, s"${area(ptBuf)} vs $ngon")
+    // convergence toward πr² from below
+    val fine = GeoOverlay.buffer(g("POINT (5 5)"), r, quadSegs = 64)
+    assert(area(ptBuf) < area(fine) && area(fine) < math.Pi * r * r)
+    assert(math.Pi * r * r - area(fine) < 0.005)
+    // segment buffer = capsule: 2rL + the full 32-gon from the two caps
+    val segBuf = GeoOverlay.buffer(g("LINESTRING (0 0, 7 0)"), r)
+    assert(math.abs(area(segBuf) - (2 * r * 7 + ngon)) < 1e-6, s"${area(segBuf)}")
+    // erosion of a rectangle = the exact inset rectangle (integer and
+    // dyadic coordinates snap to themselves, so this stays EXACT)
+    val rect = g("POLYGON ((0 0, 10 0, 10 8, 0 8, 0 0))")
+    val eroded = GeoOverlay.buffer(rect, -2.0)
+    assert(area(eroded) == 6.0 * 4.0, toWkt(eroded))
+    // dilation contains the original; erosion is contained by it
+    val dilated = GeoOverlay.buffer(rect, 2.0)
+    assert(contains(dilated, rect), "dilation must contain the input")
+    assert(contains(rect, eroded), "erosion must be contained by the input")
+    assert(area(dilated) > 80.0 && area(eroded) < 80.0)
+    // buffer(0) is the identity; full erosion empties
+    assert(toWkt(GeoOverlay.buffer(rect, 0.0)) == toWkt(rect))
+    assert(GeoOverlay.buffer(rect, -5.0).isEmpty)
+    // negative buffer of a non-polygon fails by name
+    val e = intercept[IllegalArgumentException](
+      GeoOverlay.buffer(g("LINESTRING (0 0, 7 0)"), -1.0))
+    assert(e.getMessage.contains("negative distance"), e.getMessage)
+  }
+
+  test("overlay SQL surface: st_intersection/st_union/st_difference/st_symdifference/st_buffer/geometry_union_agg") {
+    val r = spark.sql(
+      """SELECT st_area(st_intersection(
+                  st_geometryfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+                  st_geometryfromtext('POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))'))) AS ia,
+                st_area(st_union(
+                  st_geometryfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+                  st_geometryfromtext('POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))'))) AS ua,
+                st_area(st_difference(
+                  st_geometryfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+                  st_geometryfromtext('POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))'))) AS da,
+                st_area(st_symdifference(
+                  st_geometryfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+                  st_geometryfromtext('POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))'))) AS sa,
+                st_area(st_buffer(st_point(0, 0), 2.0)) AS ba
+      """).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 7.0 &&
+      r.getDouble(2) == 3.0 && r.getDouble(3) == 6.0)
+    assert(math.abs(r.getDouble(4) - 16 * 4 * math.sin(math.Pi / 16)) < 1e-6)
+    // geometry_union_agg: 5 overlapping unit-step tiles [i, i+2]×[0,2]
+    // union to [0, 6]×[0, 2] = area 12
+    val agg = spark.sql(
+      """SELECT st_area(geometry_union_agg(st_geometryfromtext(
+                  concat('POLYGON ((', i, ' 0, ', i + 2, ' 0, ', i + 2,
+                         ' 2, ', i, ' 2, ', i, ' 0))')))) AS a
+         FROM range(5) t(i)""").head()
+    assert(agg.getDouble(0) == 12.0, agg.getDouble(0).toString)
   }
 }
