@@ -186,20 +186,229 @@ object GeoFns {
     out.array()
   }
 
-  /** Geodesic point distance in METERS on the 6371.01 km sphere (the
-    * great_circle_distance radius Presto shares with its geography
-    * ST_Distance). Points only — other geography shapes need geodesic
-    * segment math and throw by name. */
-  def geographyDistance(a: Array[Byte], b: Array[Byte]): Any = {
-    (geographyToGeom(a), geographyToGeom(b)) match {
-      case (p: GPoint, q: GPoint) =>
-        if (p.isEmpty || q.isEmpty) null
-        else greatCircleDistance(p.y, p.x, q.y, q.x) * 1000.0
-      case (p, q) => throw new UnsupportedOperationException(
-        "geography st_distance supports Point arguments " +
-        s"(got ${typeName(p)}, ${typeName(q)}); geodesic segment distance " +
-        "needs spherical-polygon math that is out of scope")
+  // ------------------------------------------------ spherical measures
+  // All geography math runs on the same 6371.01 km sphere Presto's
+  // great_circle_distance documents (not the WGS84 ellipsoid — the
+  // divergence from Presto's ellipsoidal geography kernels is the same
+  // one geographyDistance already documents for points). Shapes are
+  // lon/lat with great-circle edges; rings are assumed smaller than a
+  // hemisphere (the area normalization picks the smaller cap).
+  private val EarthKm = 6371.01
+
+  private def geoVec(lon: Double, lat: Double): Array[Double] = {
+    val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+    Array(math.cos(phi) * math.cos(lam), math.cos(phi) * math.sin(lam), math.sin(phi))
+  }
+  private def vCross(a: Array[Double], b: Array[Double]): Array[Double] =
+    Array(a(1) * b(2) - a(2) * b(1), a(2) * b(0) - a(0) * b(2), a(0) * b(1) - a(1) * b(0))
+  private def vDot(a: Array[Double], b: Array[Double]): Double =
+    a(0) * b(0) + a(1) * b(1) + a(2) * b(2)
+  private def vNorm(a: Array[Double]): Double = math.sqrt(vDot(a, a))
+  private def vUnit(a: Array[Double]): Array[Double] = {
+    val n = vNorm(a)
+    if (n == 0) a else Array(a(0) / n, a(1) / n, a(2) / n)
+  }
+  /** Central angle between unit vectors — atan2 form, stable near 0/π. */
+  private def vAngle(a: Array[Double], b: Array[Double]): Double =
+    math.atan2(vNorm(vCross(a, b)), vDot(a, b))
+
+  /** Signed spherical excess of a closed ring (radians² on the unit
+    * sphere) via Gauss–Bonnet: Σ signed turning angles = 2π − A for a
+    * CCW ring; the result is normalized to the smaller cap. */
+  private def ringSphericalArea(ring: Coords): Double = {
+    // drop the closing duplicate and consecutive duplicates
+    val vsB = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var i = 0
+    while (i + 1 < ring.length - 2) {
+      val v = geoVec(ring(i), ring(i + 1))
+      if (vsB.isEmpty || vNorm(vCross(vsB.last, v)) > 0) vsB += v
+      i += 2
     }
+    if (vsB.length >= 2 && vNorm(vCross(vsB.head, vsB.last)) == 0) vsB.remove(vsB.length - 1)
+    val vs = vsB.toArray
+    val n = vs.length
+    if (n < 3) return 0.0
+    var turn = 0.0
+    i = 0
+    while (i < n) {
+      val prev = vs((i + n - 1) % n); val v = vs(i); val nxt = vs((i + 1) % n)
+      def toward(a: Array[Double]) =
+        vUnit(Array(a(0) - vDot(v, a) * v(0), a(1) - vDot(v, a) * v(1),
+          a(2) - vDot(v, a) * v(2)))
+      val tIn = { val t = toward(prev); Array(-t(0), -t(1), -t(2)) }
+      val tOut = toward(nxt)
+      turn += math.atan2(vDot(vCross(tIn, tOut), v), vDot(tIn, tOut))
+      i += 1
+    }
+    val a = 2 * math.Pi - turn
+    val full = 4 * math.Pi
+    val aNorm = ((a % full) + full) % full
+    math.min(aNorm, full - aNorm)
+  }
+
+  /** Geography ST_Area in m² (spherical excess × R²); non-polygonal
+    * geographies are 0, matching the planar convention. */
+  def geographyArea(bytes: Array[Byte]): Double = {
+    def polyArea(rings: Array[Coords]): Double =
+      if (rings.isEmpty) 0.0
+      else ringSphericalArea(rings(0)) - rings.drop(1).map(ringSphericalArea).sum
+    val steradians = geographyToGeom(bytes) match {
+      case GPolygon(rs) => polyArea(rs)
+      case GMultiPolygon(ps) => ps.map(polyArea).sum
+      case _ => 0.0
+    }
+    steradians * EarthKm * EarthKm * 1e6
+  }
+
+  /** Geography ST_Length in METERS: geodesic segment sums. */
+  def geographyLength(bytes: Array[Byte]): Double = {
+    def runLen(c: Coords): Double = {
+      var s = 0.0
+      var i = 0
+      while (i + 3 < c.length) {
+        s += greatCircleDistance(c(i + 1), c(i), c(i + 3), c(i + 2))
+        i += 2
+      }
+      s
+    }
+    geographyToGeom(bytes) match {
+      case GLineString(p) => runLen(p) * 1000.0
+      case GMultiLineString(ls) => ls.map(runLen).sum * 1000.0
+      case other => throw new IllegalArgumentException(
+        s"ST_Length requires a LineString or MultiLineString, got ${typeName(other)}")
+    }
+  }
+
+  /** Geodesic distance (radians) from point p to the great-circle arc
+    * a→b: the in-arc perpendicular foot when it exists (sign tests
+    * against the circle normal), else the nearer endpoint. */
+  private def pointToArc(p: Array[Double], a: Array[Double],
+                         b: Array[Double]): Double = {
+    val nrm = vCross(a, b)
+    if (vNorm(nrm) < 1e-15) return math.min(vAngle(p, a), vAngle(p, b))
+    val f = vUnit(vCross(vCross(nrm, p), nrm)) // nearest point on the full circle
+    val inArc = vDot(vCross(a, f), nrm) >= 0 && vDot(vCross(f, b), nrm) >= 0
+    if (inArc && vNorm(vCross(vCross(nrm, p), nrm)) > 0) vAngle(p, f)
+    else math.min(vAngle(p, a), vAngle(p, b))
+  }
+
+  /** Do two great-circle arcs (each < half circle) intersect? Both
+    * candidate circle intersections are tested for arc membership. */
+  private def arcsCross(a: Array[Double], b: Array[Double],
+                        c: Array[Double], d: Array[Double]): Boolean = {
+    val n1 = vCross(a, b); val n2 = vCross(c, d)
+    val ix = vCross(n1, n2)
+    if (vNorm(ix) < 1e-15) {
+      // same great circle: overlap iff some endpoint lies on the other arc
+      def on(p: Array[Double], s: Array[Double], e: Array[Double], nn: Array[Double]) =
+        vDot(vCross(s, p), nn) >= 0 && vDot(vCross(p, e), nn) >= 0
+      return on(c, a, b, n1) || on(d, a, b, n1) || on(a, c, d, n2) || on(b, c, d, n2)
+    }
+    val i1 = vUnit(ix)
+    Seq(i1, Array(-i1(0), -i1(1), -i1(2))).exists { p =>
+      vDot(vCross(a, p), n1) >= 0 && vDot(vCross(p, b), n1) >= 0 &&
+        vDot(vCross(c, p), n2) >= 0 && vDot(vCross(p, d), n2) >= 0
+    }
+  }
+
+  /** Min geodesic distance (radians) between two arcs: 0 on crossing,
+    * else endpoint-to-arc feet plus the closest-approach points of the
+    * two circles (where one circle is nearest the other's plane). */
+  private def arcToArc(a: Array[Double], b: Array[Double],
+                       c: Array[Double], d: Array[Double]): Double = {
+    if (arcsCross(a, b, c, d)) return 0.0
+    var best = math.min(
+      math.min(pointToArc(a, c, d), pointToArc(b, c, d)),
+      math.min(pointToArc(c, a, b), pointToArc(d, a, b)))
+    val n1 = vCross(a, b); val n2 = vCross(c, d)
+    // skip for degenerate or COPLANAR circles (n2 ∥ n1 makes the
+    // candidate the zero vector, whose vAngle to anything is 0 — the
+    // endpoint candidates above already cover the same-circle case)
+    val m = vCross(n2, n1)
+    if (vNorm(n1) > 1e-15 && vNorm(n2) > 1e-15 && vNorm(m) > 1e-15) {
+      // points on circle 1 extremizing distance to circle 2's plane
+      val p = vCross(vUnit(n1), vUnit(m))
+      Seq(vUnit(p), vUnit(Array(-p(0), -p(1), -p(2)))).foreach { cand =>
+        if (vDot(vCross(a, cand), n1) >= 0 && vDot(vCross(cand, b), n1) >= 0)
+          best = math.min(best, pointToArc(cand, c, d))
+      }
+    }
+    best
+  }
+
+  /** Spherical winding point-in-ring-set: the total signed angle swept
+    * at p by each ring's vertices is ±2π per enclosing ring, ~0
+    * otherwise (p assumed not ON an edge — callers check boundary
+    * distance first). Even-odd over all rings, like the planar kernel. */
+  private def sphericalPointInRings(p: Array[Double], rings: Array[Coords]): Boolean = {
+    var crossings = 0
+    rings.foreach { ring =>
+      var sweep = 0.0
+      var i = 0
+      while (i + 3 < ring.length) {
+        val v1 = geoVec(ring(i), ring(i + 1))
+        val v2 = geoVec(ring(i + 2), ring(i + 3))
+        def toward(a: Array[Double]) =
+          vUnit(Array(a(0) - vDot(p, a) * p(0), a(1) - vDot(p, a) * p(1),
+            a(2) - vDot(p, a) * p(2)))
+        val t1 = toward(v1); val t2 = toward(v2)
+        sweep += math.atan2(vDot(vCross(t1, t2), p), vDot(t1, t2))
+        i += 2
+      }
+      if (math.abs(sweep) > math.Pi) crossings += 1
+    }
+    (crossings & 1) == 1
+  }
+
+  /** Geodesic ST_Distance in METERS between geography values of any
+    * family pair: segment-to-segment candidate minimization with
+    * crossing/containment zero checks. */
+  def geographyDistance(a: Array[Byte], b: Array[Byte]): Any = {
+    val ga = geographyToGeom(a); val gb = geographyToGeom(b)
+    if (ga.isEmpty || gb.isEmpty) return null
+    (ga, gb) match {
+      // keep the haversine formula for the point pair (bit-compatible
+      // with great_circle_distance and the committed oracle rounding)
+      case (p: GPoint, q: GPoint) =>
+        return greatCircleDistance(p.y, p.x, q.y, q.x) * 1000.0
+      case _ =>
+    }
+    val pa = prims(ga); val pb = prims(gb)
+    def vecsOfPts(c: Coords): Array[Array[Double]] =
+      Array.tabulate(c.length / 2)(i => geoVec(c(2 * i), c(2 * i + 1)))
+    def segs(p: Prims): Array[(Array[Double], Array[Double])] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Array[Double])]
+      p.runs.foreach { c =>
+        var i = 0
+        while (i + 3 < c.length) {
+          out += ((geoVec(c(i), c(i + 1)), geoVec(c(i + 2), c(i + 3))))
+          i += 2
+        }
+      }
+      out.toArray
+    }
+    val ptsA = vecsOfPts(pa.points); val ptsB = vecsOfPts(pb.points)
+    val segA = segs(pa); val segB = segs(pb)
+    // containment: any piece of one inside the other's polygon area
+    def firstVec(p: Prims, pts: Array[Array[Double]],
+                 ss: Array[(Array[Double], Array[Double])]): Option[Array[Double]] =
+      pts.headOption.orElse(ss.headOption.map(_._1))
+    def insidePoly(p: Prims, probe: Option[Array[Double]]): Boolean =
+      p.polys.nonEmpty && probe.exists(v =>
+        p.polys.exists(rings => sphericalPointInRings(v, rings)))
+    if (insidePoly(pa, firstVec(pb, ptsB, segB)) ||
+        insidePoly(pb, firstVec(pa, ptsA, segA))) return 0.0
+    var best = Double.MaxValue
+    ptsA.foreach { p => ptsB.foreach(q => best = math.min(best, vAngle(p, q))) }
+    ptsA.foreach { p => segB.foreach { case (c, d) =>
+      best = math.min(best, pointToArc(p, c, d)) } }
+    ptsB.foreach { p => segA.foreach { case (c, d) =>
+      best = math.min(best, pointToArc(p, c, d)) } }
+    segA.foreach { case (s1, e1) => segB.foreach { case (s2, e2) =>
+      best = math.min(best, arcToArc(s1, e1, s2, e2)) } }
+    if (best == Double.MaxValue) throw new IllegalArgumentException(
+      "geography st_distance: empty primitive decomposition")
+    best * EarthKm * 1000.0
   }
 
   private def fromWkbInner(bytes: Array[Byte]): Geom = {
@@ -2024,6 +2233,11 @@ object GeoFns {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "st_area"
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    // geography values dispatch to spherical excess in m² (round 17)
+    override protected def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      if (isGeography(b)) geographyArea(b) else area(fromWkb(b))
+    }
     protected def eval1(g: Geom): Any = area(g)
   }
 
@@ -2031,6 +2245,11 @@ object GeoFns {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "st_length"
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    // geography values dispatch to geodesic meters (round 17)
+    override protected def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[Array[Byte]]
+      if (isGeography(b)) geographyLength(b) else length(fromWkb(b))
+    }
     protected def eval1(g: Geom): Any = length(g)
   }
 

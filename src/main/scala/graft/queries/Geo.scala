@@ -42,6 +42,27 @@ object Geo {
     val triWkt = concat(lit("POLYGON ((0 0, "), (px + 1).cast("long"),
       lit(" 0, 0 "), (py + 1).cast("long"), lit(", 0 0))"))
     val tri = call_function("st_geometryfromtext", triWkt)
+    // geography line/polygon measures (round 17): lon = py-family,
+    // lat = px-50-family, all valid ranges by construction. The
+    // oracle recomputes length from haversine segment sums and the
+    // triangle's spherical area from l'HUILIER's side-length theorem —
+    // a genuinely independent derivation from the kernel's
+    // Gauss-Bonnet vertex-angle excess.
+    def geogFromWkt(w: org.apache.spark.sql.Column) =
+      call_function("to_spherical_geography", call_function("st_geometryfromtext", w))
+    val lat = (px - 50).cast("long")
+    val geogLine = geogFromWkt(concat(
+      lit("LINESTRING ("), py.cast("long"), lit(" "), lat,
+      lit(", "), qy.cast("long"), lit(" "), (qx - 50).cast("long"),
+      lit(", "), py.cast("long"), lit(" "), (qx - 50).cast("long"), lit(")")))
+    val geogTri = geogFromWkt(concat(
+      lit("POLYGON (("), py.cast("long"), lit(" "), lat,
+      lit(", "), (py + 2).cast("long"), lit(" "), lat,
+      lit(", "), py.cast("long"), lit(" "), (lat + 2),
+      lit(", "), py.cast("long"), lit(" "), lat, lit("))")))
+    val eqArc = geogFromWkt(concat(
+      lit("LINESTRING ("), py.cast("long"), lit(" 0, "),
+      (py + 10).cast("long"), lit(" 0)")))
     t.documents.select(
       col("doc_id"),
       round(call_function("st_distance", stPoint(px, py), stPoint(qx, qy)), 6).as("dist"),
@@ -53,7 +74,13 @@ object Geo {
         call_function("to_spherical_geography", stPoint(qy, qx - 50))), 3).as("gcd_m"),
       round(call_function("st_area", tri), 6).as("tri_area"),
       round(call_function("st_x", call_function("st_centroid", tri)), 6).as("cx"),
-      round(call_function("st_y", call_function("st_centroid", tri)), 6).as("cy"))
+      round(call_function("st_y", call_function("st_centroid", tri)), 6).as("cy"),
+      round(call_function("st_length", geogLine), 3).as("glen_m"),
+      round(call_function("st_area", geogTri) / 1e6, 3).as("gtri_km2"),
+      round(call_function("st_distance", eqArc, call_function(
+        "to_spherical_geography", stPoint(py + 5, (px - 50) / 2))), 3).as("gxt_in_m"),
+      round(call_function("st_distance", eqArc, call_function(
+        "to_spherical_geography", stPoint(py + 15, (px - 50) / 2))), 3).as("gxt_out_m"))
       .orderBy(col("doc_id"))
   }
 
@@ -70,13 +97,39 @@ object Geo {
                 sin(radians((qy - py) / 2)) * sin(radians((qy - py) / 2)))), 3) AS gcd_m,
               round((px + 1) * (py + 1) / 2, 6) AS tri_area,
               round((px + 1) / 3, 6) AS cx,
-              round((py + 1) / 3, 6) AS cy
-       FROM (SELECT doc_id,
-                    CAST(doc_id * 37 % 100 AS DOUBLE) AS px,
-                    CAST(doc_id * 61 % 100 AS DOUBLE) AS py,
-                    CAST(doc_id * 17 % 100 AS DOUBLE) AS qx,
-                    CAST(doc_id * 29 % 100 AS DOUBLE) AS qy
-             FROM documents) p
+              round((py + 1) / 3, 6) AS cy,
+              round(1000 * (
+                2 * 6371.01 * asin(sqrt(
+                  sin(radians((qx - px) / 2)) * sin(radians((qx - px) / 2)) +
+                  cos(radians(px - 50)) * cos(radians(qx - 50)) *
+                  sin(radians((qy - py) / 2)) * sin(radians((qy - py) / 2)))) +
+                2 * 6371.01 * asin(sqrt(
+                  cos(radians(qx - 50)) * cos(radians(qx - 50)) *
+                  sin(radians((py - qy) / 2)) * sin(radians((py - qy) / 2))))), 3)
+                AS glen_m,
+              round(4 * atan(sqrt(greatest(0,
+                tan(st / 2) * tan((st - sa) / 2) *
+                tan((st - sb) / 2) * tan((st - sc) / 2)))) *
+                6371.01 * 6371.01, 3) AS gtri_km2,
+              round(1000 * 6371.01 * radians(abs(px - 50) / 2), 3) AS gxt_in_m,
+              round(1000 * 2 * 6371.01 * asin(sqrt(
+                sin(radians((px - 50) / 4)) * sin(radians((px - 50) / 4)) +
+                cos(radians((px - 50) / 2)) *
+                sin(radians(2.5)) * sin(radians(2.5)))), 3) AS gxt_out_m
+       FROM (SELECT doc_id, px, py, qx, qy, sa, sb, sc, (sa + sb + sc) / 2 AS st
+             FROM (SELECT doc_id, px, py, qx, qy,
+                          2 * asin(sqrt(
+                            sin(radians(1)) * sin(radians(1)) +
+                            cos(radians(px - 50)) * cos(radians(px - 48)) *
+                            sin(radians(1)) * sin(radians(1)))) AS sa,
+                          radians(2) AS sb,
+                          2 * asin(cos(radians(px - 50)) * sin(radians(1))) AS sc
+                   FROM (SELECT doc_id,
+                                CAST(doc_id * 37 % 100 AS DOUBLE) AS px,
+                                CAST(doc_id * 61 % 100 AS DOUBLE) AS py,
+                                CAST(doc_id * 17 % 100 AS DOUBLE) AS qx,
+                                CAST(doc_id * 29 % 100 AS DOUBLE) AS qy
+                         FROM documents) b) a) p
        ORDER BY doc_id"""
 
   // fixed convex CCW quad on half-integer vertices

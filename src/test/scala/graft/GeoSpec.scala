@@ -887,12 +887,85 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
                                       st_point(1, 1))""").collect()
     }
     assert(chain(mixed).exists(_.contains("mix")), chain(mixed))
-    val nonPoint = intercept[Exception] {
-      spark.sql("""SELECT st_distance(
-          to_spherical_geography(st_geometryfromtext('LINESTRING (0 0, 1 1)')),
-          to_spherical_geography(st_point(1, 1)))""").collect()
+    // line × point geography distance is REAL as of round 17: point at
+    // lat 5 above an equatorial arc → the meridian arc, exactly
+    val lp = spark.sql("""SELECT st_distance(
+        to_spherical_geography(st_geometryfromtext('LINESTRING (0 0, 20 0)')),
+        to_spherical_geography(st_point(10, 5)))""").head().getDouble(0)
+    assert(math.abs(lp - 6371.01 * 5 * math.Pi / 180 * 1000) < 1e-6, lp.toString)
+  }
+
+  test("geography measures: spherical length/area/distance on lines and polygons") {
+    import graft.functions.GeoFns.{toSphericalGeography, geographyArea,
+      geographyLength, geographyDistance, greatCircleDistance}
+    val R = 6371.01
+    def geog(wkt: String) = toSphericalGeography(toWkb(g(wkt)))
+    // length = geodesic segment sum (matches the haversine kernel)
+    val len = geographyLength(geog("LINESTRING (10 0, 20 10, 30 0)"))
+    val want = (greatCircleDistance(0, 10, 10, 20) +
+      greatCircleDistance(10, 20, 0, 30)) * 1000
+    assert(math.abs(len - want) < 1e-9, s"$len vs $want")
+    // the classic octant: (0,0), (90,0), (0,90) covers 1/8 of the sphere
+    val octant = geographyArea(geog("POLYGON ((0 0, 90 0, 0 90, 0 0))"))
+    val octWant = 4 * math.Pi * R * R * 1e6 / 8
+    assert(math.abs(octant - octWant) / octWant < 1e-12, octant.toString)
+    // orientation-independent (smaller-cap normalization)
+    val octantCw = geographyArea(geog("POLYGON ((0 0, 0 90, 90 0, 0 0))"))
+    assert(math.abs(octant - octantCw) / octWant < 1e-12)
+    // a small ring converges to its planar area: 1°x1° at the equator
+    val small = geographyArea(geog("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    val planar = math.pow(R * math.Pi / 180 * 1000, 2)
+    assert(math.abs(small - planar) / planar < 2e-3, s"$small vs $planar")
+    // holes subtract
+    val holed = geographyArea(geog(
+      "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"))
+    val shell = geographyArea(geog("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))
+    val hole = geographyArea(geog("POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"))
+    assert(math.abs(holed - (shell - hole)) / shell < 1e-12)
+    // l'Huilier differential: random small triangles, area from side
+    // lengths alone must match the Gauss-Bonnet vertex-angle kernel
+    val rnd = new scala.util.Random(20260819)
+    for (i <- 1 to 100) {
+      val lon = rnd.nextDouble() * 300 - 150; val lat = rnd.nextDouble() * 120 - 60
+      val d1 = 0.5 + rnd.nextDouble() * 5; val d2 = 0.5 + rnd.nextDouble() * 5
+      val tri = geog(s"POLYGON (($lon $lat, ${lon + d1} $lat, $lon ${lat + d2}, $lon $lat))")
+      val got = geographyArea(tri)
+      def side(aLat: Double, aLon: Double, bLat: Double, bLon: Double) =
+        greatCircleDistance(aLat, aLon, bLat, bLon) / R // central angle
+      val sa = side(lat, lon + d1, lat + d2, lon)
+      val sb = side(lat, lon, lat + d2, lon)
+      val sc = side(lat, lon, lat, lon + d1)
+      val s = (sa + sb + sc) / 2
+      val e = 4 * math.atan(math.sqrt(math.max(0.0,
+        math.tan(s / 2) * math.tan((s - sa) / 2) *
+          math.tan((s - sb) / 2) * math.tan((s - sc) / 2))))
+      val lhuilier = e * R * R * 1e6
+      assert(math.abs(got - lhuilier) / lhuilier < 1e-9, s"#$i: $got vs $lhuilier")
     }
-    assert(chain(nonPoint).exists(_.contains("Point")), chain(nonPoint))
+    // distance: crossing arcs → 0; point in polygon → 0; beyond-end
+    // point → endpoint distance
+    assert(geographyDistance(geog("LINESTRING (0 -5, 0 5)"),
+      geog("LINESTRING (-5 0, 5 0)")) == 0.0)
+    assert(geographyDistance(geog("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      geog("POINT (5 5)")) == 0.0)
+    val beyond = geographyDistance(geog("LINESTRING (0 0, 20 0)"),
+      geog("POINT (25 0)")).asInstanceOf[Double]
+    assert(math.abs(beyond - greatCircleDistance(0, 20, 0, 25) * 1000) < 1e-9)
+    // disjoint polygons: boundary-to-boundary
+    val pp = geographyDistance(geog("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+      geog("POLYGON ((20 0, 30 0, 30 10, 20 10, 20 0))")).asInstanceOf[Double]
+    val edge = greatCircleDistance(5, 10, 5, 20) * 1000
+    assert(pp <= edge + 1e-6 && pp > 0, s"$pp vs $edge")
+    // SQL surface end-to-end
+    val row = spark.sql(
+      """SELECT st_length(to_spherical_geography(
+                  st_geometryfromtext('LINESTRING (10 0, 20 0)'))) AS len,
+                st_area(to_spherical_geography(
+                  st_geometryfromtext('POLYGON ((0 0, 90 0, 0 90, 0 0))'))) AS a
+      """).head()
+    assert(math.abs(row.getDouble(0) - R * 10 * math.Pi / 180 * 1000) < 1e-6)
+    assert(math.abs(row.getDouble(1) - 4 * math.Pi * R * R * 1e6 / 8) /
+      (4 * math.Pi * R * R * 1e6 / 8) < 1e-12)
   }
 
   test("simplify_geometry: Douglas-Peucker keeps shape above tolerance, rings stay valid") {
