@@ -277,7 +277,9 @@ object DedupScale {
     val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
     val scales = """"scales"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
       .map(_.group(1).split(",").map(_.trim.toLong).toSeq).getOrElse(Nil)
-    val entries = """"([a-z_0-9]+)"\s*:\s*\[([0-9., ]+)\]""".r.findAllMatchIn(txt)
+    // [\s\S] inside the brackets: a pretty-printer that splits arrays
+    // across lines must not silently disable the heal reference
+    val entries = """"([a-z_0-9]+)"\s*:\s*\[([0-9.,\s]+)\]""".r.findAllMatchIn(txt)
       .filter(_.group(1) != "scales")
       .map(m => m.group(1) -> m.group(2).split(",").map(_.trim.toDouble).toSeq)
       .toMap
