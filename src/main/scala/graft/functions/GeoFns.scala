@@ -59,6 +59,11 @@ object GeoFns {
   final case class GMultiPolygon(polys: Array[Array[Coords]]) extends Geom {
     def isEmpty: Boolean = polys.isEmpty
   }
+  /** Heterogeneous collection (round 17). Nested collections are kept
+    * as parsed (OGC allows them); an all-empty collection IS empty. */
+  final case class GGeometryCollection(geoms: Array[Geom]) extends Geom {
+    def isEmpty: Boolean = geoms.forall(_.isEmpty)
+  }
 
   def typeName(g: Geom): String = g match {
     case _: GPoint => "Point"
@@ -67,6 +72,7 @@ object GeoFns {
     case _: GMultiPoint => "MultiPoint"
     case _: GMultiLineString => "MultiLineString"
     case _: GMultiPolygon => "MultiPolygon"
+    case _: GGeometryCollection => "GeometryCollection"
   }
 
   // ---------------------------------------------------------------- WKB
@@ -86,6 +92,7 @@ object GeoFns {
     case GMultiLineString(ls) => 9 + ls.map(l => 9 + l.length * 8).sum
     case GPolygon(rs) => 9 + rs.map(r => 4 + r.length * 8).sum
     case GMultiPolygon(ps) => 9 + ps.map(rs => 9 + rs.map(r => 4 + r.length * 8).sum).sum
+    case GGeometryCollection(gs) => 9 + gs.map(wkbSize).sum
   }
 
   def toWkb(g: Geom): Array[Byte] = {
@@ -106,6 +113,9 @@ object GeoFns {
       case GMultiPolygon(ps) =>
         header(6); b.putInt(ps.length)
         ps.foreach { rs => header(3); b.putInt(rs.length); rs.foreach(putCoords(b, _)) }
+      case GGeometryCollection(gs) =>
+        header(7); b.putInt(gs.length)
+        gs.foreach(g2 => b.put(toWkb(g2)))
     }
     b.array()
   }
@@ -465,8 +475,7 @@ object GeoFns {
               s"WKB MultiPolygon member is a ${typeName(other)}")
           }
         })
-        case 7 => throw new IllegalArgumentException(
-          "GEOMETRYCOLLECTION is not supported (POINT/LINESTRING/POLYGON and their MULTI forms are)")
+        case 7 => GGeometryCollection(Array.fill(checkedCount(5))(geom()))
         case t => throw new IllegalArgumentException(s"unsupported WKB geometry type $t")
       }
     }
@@ -507,6 +516,8 @@ object GeoFns {
         s"MULTILINESTRING (${ls.map(coordsText).mkString(", ")})"
       case GMultiPolygon(ps) =>
         s"MULTIPOLYGON (${ps.map(rs => s"(${rs.map(coordsText).mkString(", ")})").mkString(", ")})"
+      case GGeometryCollection(gs) =>
+        s"GEOMETRYCOLLECTION (${gs.map(toWkt).mkString(", ")})"
     }
   }
 
@@ -606,8 +617,18 @@ object GeoFns {
           }
           GMultiPolygon(polys.result())
         }
-      case "GEOMETRYCOLLECTION" => throw new IllegalArgumentException(
-        "GEOMETRYCOLLECTION is not supported (POINT/LINESTRING/POLYGON and their MULTI forms are)")
+      case "GEOMETRYCOLLECTION" =>
+        if (isEmptyTag()) GGeometryCollection(Array.empty)
+        else {
+          expect('(')
+          val gs = Array.newBuilder[Geom]
+          var done = false
+          while (!done) {
+            gs += geometry()
+            if (peek() == ',') expect(',') else { expect(')'); done = true }
+          }
+          GGeometryCollection(gs.result())
+        }
       case other => throw new IllegalArgumentException(s"WKT: unknown geometry type '$other'")
     }
     def end(): Unit = {
@@ -720,6 +741,9 @@ object GeoFns {
     case GMultiLineString(ls) => Prims(Array.empty, ls, Array.empty)
     case GPolygon(rs) => Prims(Array.empty, rs, Array(rs))
     case GMultiPolygon(ps) => Prims(Array.empty, ps.flatten, ps)
+    case GGeometryCollection(gs) =>
+      val parts = gs.map(prims)
+      Prims(parts.flatMap(_.points), parts.flatMap(_.runs), parts.flatMap(_.polys))
   }
 
   private def eachSeg(runs: Array[Coords])(f: (Double, Double, Double, Double) => Boolean): Boolean = {
@@ -1056,6 +1080,11 @@ object GeoFns {
     case _: GPoint | _: GMultiPoint => 0
     case _: GLineString | _: GMultiLineString => 1
     case _: GPolygon | _: GMultiPolygon => 2
+    // DE-9IM over a heterogeneous collection has no single family row
+    // mapping; Presto's relate surface rejects collections too
+    case _: GGeometryCollection => throw new IllegalArgumentException(
+      "GEOMETRYCOLLECTION is not supported in relate/predicate kernels " +
+      "(accessors, measures, and the overlay ops accept it)")
   }
 
   /** Odd-degree run endpoints — the OGC mod-2 boundary of a line. */
@@ -1569,6 +1598,7 @@ object GeoFns {
   }
 
   def area(g: Geom): Double = g match {
+    case GGeometryCollection(gs) => gs.map(area).sum
     case GPolygon(rs) =>
       if (rs.isEmpty) 0.0
       else math.abs(ringSignedArea(rs(0))) - rs.drop(1).map(r => math.abs(ringSignedArea(r))).sum
@@ -1607,6 +1637,9 @@ object GeoFns {
       case GMultiLineString(ls) => lineCentroid(ls)
       case GPolygon(rs) => polyCentroid(Array(rs))
       case GMultiPolygon(ps) => polyCentroid(ps)
+      case c: GGeometryCollection => throw new IllegalArgumentException(
+        "ST_Centroid does not support GEOMETRYCOLLECTION (mixed-dimension " +
+        "weighting is undefined; take geometryn components)")
     }
   }
 
@@ -1683,11 +1716,13 @@ object GeoFns {
     (p.points.length + p.runs.map(_.length).sum) / 2
   }
 
-  /** Topological dimension by type (points 0, lines 1, polygons 2). */
+  /** Topological dimension by type (points 0, lines 1, polygons 2;
+    * a collection takes its highest member, 0 when empty). */
   def dimension(g: Geom): Int = g match {
     case _: GPoint | _: GMultiPoint => 0
     case _: GLineString | _: GMultiLineString => 1
     case _: GPolygon | _: GMultiPolygon => 2
+    case GGeometryCollection(gs) => if (gs.isEmpty) 0 else gs.map(dimension).max
   }
 
   def numGeometries(g: Geom): Int = g match {
@@ -1697,6 +1732,7 @@ object GeoFns {
     case GMultiLineString(ls) => ls.length
     case GPolygon(rs) => if (rs.isEmpty) 0 else 1
     case GMultiPolygon(ps) => ps.length
+    case GGeometryCollection(gs) => gs.length
   }
 
   /** 1-based component accessor; None out of range. Simple geometries
@@ -1707,6 +1743,7 @@ object GeoFns {
       case GMultiPoint(p) => GPoint(p(2 * (n - 1)), p(2 * (n - 1) + 1))
       case GMultiLineString(ls) => GLineString(ls(n - 1))
       case GMultiPolygon(ps) => GPolygon(ps(n - 1))
+      case GGeometryCollection(gs) => gs(n - 1)
       case simple => simple
     })
   }
@@ -1778,6 +1815,7 @@ object GeoFns {
   }
 
   def isSimple(g: Geom): Boolean = g match {
+    case GGeometryCollection(gs) => gs.forall(isSimple)
     case _: GPoint => true
     case GMultiPoint(p) =>
       val seen = scala.collection.mutable.HashSet.empty[(Double, Double)]
@@ -2011,6 +2049,7 @@ object GeoFns {
       i += 2
     }
     g match {
+      case GGeometryCollection(gs) => gs.flatMap(invalidReason).headOption
       case GPolygon(rings) if rings.nonEmpty => polygonInvalidReason(rings)
       case GMultiPolygon(ps) =>
         ps.flatMap(polygonInvalidReason(_)).headOption.orElse {
@@ -2150,6 +2189,7 @@ object GeoFns {
       case GMultiLineString(ls) => GMultiLineString(ls.map(simplifyRun(_, tol)))
       case GPolygon(rs) => GPolygon(rs.map(ring))
       case GMultiPolygon(ps) => GMultiPolygon(ps.map(_.map(ring)))
+      case GGeometryCollection(gs) => GGeometryCollection(gs.map(simplify(_, tol)))
     }
   }
 
@@ -2271,7 +2311,11 @@ object GeoFns {
     override def dataType: DataType = StringType
     override def prettyName: String = "st_geometrytype"
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
-    protected def eval1(g: Geom): Any = utf8("ST_" + typeName(g))
+    protected def eval1(g: Geom): Any = g match {
+      // Presto spells the collection type without "etry"
+      case _: GGeometryCollection => utf8("ST_GeomCollection")
+      case _ => utf8("ST_" + typeName(g))
+    }
   }
 
   case class StNumPoints(child: Expression) extends GeoUnaryBase {

@@ -28,11 +28,11 @@ import graft.functions.GeoFns._
   * hundreds of vertices cost microseconds, and the operator
   * distributes exactly like every other geo expression: no shuffle, no
   * state, codegen'd callers. Mixed-dimension results (e.g. two
-  * polygons intersecting in a line AND a point) would need
-  * GEOMETRYCOLLECTION, which this engine does not model — those fail
-  * fast by name instead of silently dropping pieces; an area result
-  * drops lower-dimensional contact pieces, matching GEOS overlay's
-  * polygon-output convention. */
+  * polygons intersecting in a line AND a point) come back as a
+  * GEOMETRYCOLLECTION (round 17 — the ADT models it now), and
+  * collection OPERANDS distribute through every operator; an area
+  * result still drops lower-dimensional contact pieces, matching GEOS
+  * overlay's polygon-output convention. */
 object GeoOverlay {
 
   // ----------------------------------------------------------- rings
@@ -386,6 +386,101 @@ object GeoOverlay {
     else GMultiLineString(runs)
 
   // ------------------------------------------- family dispatch (API)
+  /** Per-family decomposition (unlike Prims, polygon rings do NOT leak
+    * into the line runs) — the basis for cross-family and collection
+    * overlay. */
+  private def split3(g: Geom): (Array[Double], Array[Coords], Array[Array[Coords]]) =
+    g match {
+      case p: GPoint =>
+        (if (p.isEmpty) Array.empty[Double] else Array(p.x, p.y),
+          Array.empty[Coords], Array.empty[Array[Coords]])
+      case GMultiPoint(p) => (p, Array.empty[Coords], Array.empty[Array[Coords]])
+      case GLineString(p) => (Array.empty[Double], Array(p), Array.empty[Array[Coords]])
+      case GMultiLineString(ls) => (Array.empty[Double], ls, Array.empty[Array[Coords]])
+      case GPolygon(rs) => (Array.empty[Double], Array.empty[Coords], Array(rs))
+      case GMultiPolygon(ps) => (Array.empty[Double], Array.empty[Coords], ps)
+      case GGeometryCollection(gs) =>
+        val parts = gs.map(split3)
+        (parts.flatMap(_._1), parts.flatMap(_._2), parts.flatMap(_._3))
+    }
+
+  private def packPolys(ps: Array[Array[Coords]]): Geom =
+    if (ps.isEmpty) GPolygon(Array.empty)
+    else if (ps.length == 1) GPolygon(ps(0))
+    else GMultiPolygon(ps)
+
+  /** Cross-family / collection union: polygons union pairwise, lines
+    * node mutually then drop pieces covered by the polygon area, points
+    * dedup then drop those covered by lines or polygons — the GEOS
+    * union semantics. The result is the single surviving family, or a
+    * GEOMETRYCOLLECTION of the (at most three) family geometries. */
+  private def genericUnion(g1: Geom, g2: Geom): Geom = {
+    val (pts1, runs1, polys1) = split3(g1)
+    val (pts2, runs2, polys2) = split3(g2)
+    val allPolys = polys1 ++ polys2
+    val polyU: Array[Array[Coords]] =
+      if (allPolys.isEmpty) Array.empty
+      else allPolys.map(rs => Array(rs)).reduce { (a, b) =>
+        polyOverlay("union", a, b) match {
+          case GPolygon(rs) => if (rs.isEmpty) Array.empty else Array(rs)
+          case GMultiPolygon(ps) => ps
+          case other => throw new IllegalStateException(
+            s"polygon union produced a ${typeName(other)}")
+        }
+      }
+    val allRuns = runs1 ++ runs2
+    val lineU: Array[Coords] =
+      if (allRuns.isEmpty) Array.empty
+      else {
+        val noded = allRuns.map(r => Array(r)).reduce { (a, b) =>
+          lineLineUnion(a, b) match {
+            case GLineString(p) => Array(p)
+            case GMultiLineString(ls) => ls
+            case _ => Array.empty[Coords]
+          }
+        }
+        if (polyU.isEmpty) noded
+        else clipLine(noded, polyU, loc => loc == 0)._1
+      }
+    val ptsU: Array[Double] = {
+      val set = scala.collection.mutable.LinkedHashSet.empty[(Double, Double)]
+      var i = 0
+      while (i < pts1.length) { set += ((pts1(i), pts1(i + 1))); i += 2 }
+      i = 0
+      while (i < pts2.length) { set += ((pts2(i), pts2(i + 1))); i += 2 }
+      val polyGeomOpt = if (polyU.isEmpty) None else Some(packPolys(polyU))
+      val polyPrims = polyGeomOpt.map(prims)
+      def onLines(x: Double, y: Double): Boolean = lineU.exists { c =>
+        var k = 0
+        while (k + 3 < c.length) {
+          if (onSegment(x, y, c(k), c(k + 1), c(k + 2), c(k + 3))) return true
+          k += 2
+        }
+        false
+      }
+      set.toArray.filterNot { case (x, y) =>
+        polyGeomOpt.zip(polyPrims).exists { case (pg, pp) =>
+          locOf(x, y, pg, pp, Array.empty) != 0 } || onLines(x, y)
+      }.flatMap(p => Array(p._1, p._2))
+    }
+    val members = Seq.newBuilder[Geom]
+    if (polyU.nonEmpty) members += packPolys(polyU)
+    if (lineU.nonEmpty) members += linesGeomStrict(lineU)
+    if (ptsU.nonEmpty) members += pointsGeomStrict(ptsU)
+    members.result() match {
+      case Seq() => GPolygon(Array.empty)
+      case Seq(one) => one
+      case many => GGeometryCollection(many.toArray)
+    }
+  }
+
+  private def linesGeomStrict(runs: Array[Coords]): Geom =
+    if (runs.length == 1) GLineString(runs(0)) else GMultiLineString(runs)
+  private def pointsGeomStrict(pts: Array[Double]): Geom =
+    if (pts.length == 2) GPoint(pts(0), pts(1)) else GMultiPoint(pts)
+
+  private def isColl(g: Geom): Boolean = g.isInstanceOf[GGeometryCollection]
+
   private def polysOf(g: Geom): Option[Array[Array[Coords]]] = g match {
     case GPolygon(rs) => Some(Array(rs))
     case GMultiPolygon(ps) => Some(ps)
@@ -428,6 +523,16 @@ object GeoOverlay {
 
   def intersection(g1: Geom, g2: Geom): Geom = {
     if (g1.isEmpty || g2.isEmpty) return GPolygon(Array.empty)
+    // collections distribute: A ∩ (∪ Bi) = ∪ (A ∩ Bi)
+    (g1, g2) match {
+      case (GGeometryCollection(gs), _) =>
+        return gs.map(intersection(_, g2)).filterNot(_.isEmpty)
+          .foldLeft(GPolygon(Array.empty): Geom)(union)
+      case (_, GGeometryCollection(gs)) =>
+        return gs.map(intersection(g1, _)).filterNot(_.isEmpty)
+          .foldLeft(GPolygon(Array.empty): Geom)(union)
+      case _ =>
+    }
     (ptsOf(g1), ptsOf(g2)) match {
       case (Some(pa), _) => return filterPts(pa, g2, in = true)
       case (_, Some(pb)) => return filterPts(pb, g1, in = true)
@@ -498,8 +603,8 @@ object GeoOverlay {
 
   private def mixed(fn: String, lines: Array[Coords],
                     pts: Seq[(Double, Double)]): Geom =
-    if (lines.nonEmpty && pts.nonEmpty) throw new IllegalArgumentException(
-      s"$fn: result mixes dimensions (lines + points) — GEOMETRYCOLLECTION is not supported")
+    if (lines.nonEmpty && pts.nonEmpty) GGeometryCollection(Array(
+      linesGeomStrict(lines), pointsGeomStrict(pts.flatMap(p => Seq(p._1, p._2)).toArray)))
     else if (lines.nonEmpty) linesGeom(lines)
     else pointsGeom(pts)
 
@@ -540,20 +645,15 @@ object GeoOverlay {
         return polyOverlay("union", pa, pb)
       case _ =>
     }
-    // a lower-dimensional operand COVERED by the other (OGC covers =
-    // no part of it in the other's exterior) is absorbed; anything
-    // sticking out would need GEOMETRYCOLLECTION
-    def absorb(low: Geom, high: Geom): Option[Geom] =
-      if (GeoFns.relate(high, low, "******FF*")) Some(high) else None
-    (famOrder(g1), famOrder(g2)) match {
-      case (a, b) if a < b => absorb(g1, g2).getOrElse(unionUnsupported(g1, g2))
-      case (a, b) if a > b => absorb(g2, g1).getOrElse(unionUnsupported(g1, g2))
+    (runsOf(g1), runsOf(g2)) match {
+      case (Some(ra), Some(rb)) => return lineLineUnion(ra, rb)
       case _ =>
-        (runsOf(g1), runsOf(g2)) match {
-          case (Some(ra), Some(rb)) => lineLineUnion(ra, rb)
-          case _ => unionUnsupported(g1, g2)
-        }
     }
+    // cross-family or collection operands: family-wise union; a
+    // lower-dimensional piece covered by a higher one is absorbed, an
+    // uncovered one survives into a GEOMETRYCOLLECTION (round 17 —
+    // previously a named error)
+    genericUnion(g1, g2)
   }
 
   private def famOrder(g: Geom): Int = g match {
@@ -561,12 +661,6 @@ object GeoOverlay {
     case _: GLineString | _: GMultiLineString => 1
     case _ => 2
   }
-
-  private def unionUnsupported(g1: Geom, g2: Geom): Nothing =
-    throw new IllegalArgumentException(
-      s"st_union: ${famName(g1)} ∪ ${famName(g2)} result is not representable " +
-      "without GEOMETRYCOLLECTION (the lower-dimensional operand is not covered " +
-      "by the higher one)")
 
   /** Line ∪ line: the mutually noded sub-segments, deduped — exact
     * union linework (collinear overlaps collapse to one copy). */
@@ -580,6 +674,16 @@ object GeoOverlay {
   def difference(g1: Geom, g2: Geom): Geom = {
     if (g1.isEmpty) return g1
     if (g2.isEmpty) return g1
+    // collections distribute: (∪ Ai) − B = ∪ (Ai − B); A − (∪ Bi)
+    // folds the subtractions
+    (g1, g2) match {
+      case (GGeometryCollection(gs), _) =>
+        return gs.map(difference(_, g2)).filterNot(_.isEmpty)
+          .foldLeft(GPolygon(Array.empty): Geom)(union)
+      case (_, GGeometryCollection(gs)) =>
+        return gs.foldLeft(g1)((acc, b) => if (acc.isEmpty) acc else difference(acc, b))
+      case _ =>
+    }
     // subtracting a LOWER-dimensional geometry removes nothing
     if (famOrder(g2) < famOrder(g1)) return g1
     (ptsOf(g1), g2) match {
@@ -621,9 +725,11 @@ object GeoOverlay {
   def symDifference(g1: Geom, g2: Geom): Geom = {
     if (g1.isEmpty) return g2
     if (g2.isEmpty) return g1
-    if (famOrder(g1) != famOrder(g2)) throw new IllegalArgumentException(
-      s"st_symdifference: ${famName(g1)} △ ${famName(g2)} mixes dimensions — " +
-      "GEOMETRYCOLLECTION is not supported")
+    // mixed families and collections go through the identity
+    // A △ B = (A − B) ∪ (B − A); same-family pairs keep their direct
+    // kernels below
+    if (isColl(g1) || isColl(g2) || famOrder(g1) != famOrder(g2))
+      return union(difference(g1, g2), difference(g2, g1))
     (ptsOf(g1), ptsOf(g2)) match {
       case (Some(pa), Some(pb)) =>
         def key(c: Coords) = {

@@ -683,8 +683,69 @@ object Geo {
        GROUP BY 1
        ORDER BY g"""
 
+  /** GEOMETRYCOLLECTION (round 17): a doc-derived heterogeneous
+    * collection (rectangle + horizontal segment + far point) through
+    * the accessors, measures, and overlay distribution — every column
+    * has an integer/interval closed form. */
+  def geoCollection(t: Tables): DataFrame = {
+    val x1 = (col("doc_id") * 13 % 20).cast("long")
+    val y1 = (col("doc_id") * 7 % 20).cast("long")
+    val x2 = x1 + 2 + (col("doc_id") % 9).cast("long")
+    val y2 = y1 + 2 + (col("doc_id") % 7).cast("long")
+    val u1 = (col("doc_id") * 23 % 20).cast("long")
+    val v1 = (col("doc_id") * 31 % 20).cast("long")
+    val u2 = u1 + 2 + (col("doc_id") % 11).cast("long")
+    val v2 = v1 + 2 + (col("doc_id") % 5).cast("long")
+    val coll = call_function("st_geometryfromtext", concat(
+      lit("GEOMETRYCOLLECTION (POLYGON (("),
+      x1, lit(" "), y1, lit(", "), x2, lit(" "), y1, lit(", "),
+      x2, lit(" "), y2, lit(", "), x1, lit(" "), y2, lit(", "),
+      x1, lit(" "), y1,
+      lit(")), LINESTRING (0 50, 10 50), POINT (70 70))")))
+    val clip = call_function("st_geometryfromtext", concat(
+      lit("POLYGON (("), u1, lit(" "), v1, lit(", "), u2, lit(" "), v1,
+      lit(", "), u2, lit(" "), v2, lit(", "), u1, lit(" "), v2,
+      lit(", "), u1, lit(" "), v1, lit("))")))
+    t.documents.select(
+      col("doc_id"),
+      call_function("st_numgeometries", coll).cast("long").as("n"),
+      call_function("st_dimension", coll).cast("long").as("dim"),
+      round(call_function("st_area", coll), 6).as("a"),
+      call_function("st_geometrytype", call_function("st_geometryn", coll, lit(2)))
+        .as("t2"),
+      round(call_function("st_area",
+        call_function("st_intersection", coll, clip)), 6).as("ia"),
+      round(call_function("st_area",
+        call_function("st_union", coll, clip)), 6).as("ua"))
+      .orderBy(col("doc_id"))
+  }
+
+  val geoCollectionSql: String =
+    """SELECT doc_id,
+              CAST(3 AS BIGINT) AS n,
+              CAST(2 AS BIGINT) AS dim,
+              round(CAST((x2 - x1) * (y2 - y1) AS DOUBLE), 6) AS a,
+              'ST_LineString' AS t2,
+              round(CAST(greatest(0, least(x2, u2) - greatest(x1, u1)) *
+                         greatest(0, least(y2, v2) - greatest(y1, v1)) AS DOUBLE), 6)
+                AS ia,
+              round(CAST((x2 - x1) * (y2 - y1) + (u2 - u1) * (v2 - v1) -
+                         greatest(0, least(x2, u2) - greatest(x1, u1)) *
+                         greatest(0, least(y2, v2) - greatest(y1, v1)) AS DOUBLE), 6)
+                AS ua
+       FROM (SELECT doc_id,
+                    doc_id * 13 % 20 AS x1, doc_id * 7 % 20 AS y1,
+                    doc_id * 13 % 20 + 2 + doc_id % 9 AS x2,
+                    doc_id * 7 % 20 + 2 + doc_id % 7 AS y2,
+                    doc_id * 23 % 20 AS u1, doc_id * 31 % 20 AS v1,
+                    doc_id * 23 % 20 + 2 + doc_id % 11 AS u2,
+                    doc_id * 31 % 20 + 2 + doc_id % 5 AS v2
+             FROM documents) p
+       ORDER BY doc_id"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
     ("geo_overlay", geoOverlay _, geoOverlaySql),
+    ("geo_collection", geoCollection _, geoCollectionSql),
     ("geo_buffer", geoBuffer _, geoBufferSql),
     ("geo_union_agg", geoUnionAgg _, geoUnionAggSql),
     ("geo_relate", geoRelate _, geoRelateSql),

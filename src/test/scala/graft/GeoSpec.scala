@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.GeoFns
+import graft.functions.{GeoFns, GeoOverlay}
 import graft.functions.GeoFns._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -28,7 +28,10 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
       "MULTIPOINT ((1 2), (3 4))",
       "MULTIPOINT EMPTY",
       "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 4))",
-      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
+      "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+      "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 3 4))",
+      "GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), GEOMETRYCOLLECTION (POINT (9 9)))",
+      "GEOMETRYCOLLECTION EMPTY")
     cases.foreach { w =>
       assert(toWkt(g(w)) == w, s"WKT round-trip of $w")
       // and through WKB
@@ -40,11 +43,9 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(toWkt(g("MULTIPOINT (1 2, 3 4)")) == "MULTIPOINT ((1 2), (3 4))")
   }
 
-  test("WKT errors: unknown type, collections, trailing junk, malformed rings") {
+  test("WKT errors: unknown type, trailing junk, malformed rings") {
     assert(intercept[IllegalArgumentException](g("BLOB (1 2)"))
       .getMessage.contains("unknown geometry type"))
-    assert(intercept[IllegalArgumentException](g("GEOMETRYCOLLECTION (POINT (1 2))"))
-      .getMessage.contains("GEOMETRYCOLLECTION"))
     assert(intercept[IllegalArgumentException](g("POINT (1 2) x"))
       .getMessage.contains("trailing"))
     assert(intercept[IllegalArgumentException](g("POLYGON ((0 0, 1 1))"))
@@ -224,6 +225,54 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     // IB must stay F while BB=0 and BI=0 (run 1's end (1 1) is interior).
     assert(relateMatrix(
       g("MULTILINESTRING ((-1 1, 1 1), (0 1, -2 3))"), g(sq)) == "1F1000212")
+  }
+
+  test("GEOMETRYCOLLECTION: accessors, measures, overlay distribution") {
+    val c = g("GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), " +
+      "LINESTRING (5 5, 9 5), POINT (10 10))")
+    assert(numGeometries(c) == 3)
+    assert(toWkt(geometryN(c, 2).get) == "LINESTRING (5 5, 9 5)")
+    assert(area(c) == 4.0)
+    assert(dimension(c) == 2)
+    // an all-empty collection IS empty and prints EMPTY
+    assert(g("GEOMETRYCOLLECTION (POINT EMPTY)").isEmpty)
+    // validity recurses into members
+    import graft.functions.GeoFns.invalidReason
+    assert(invalidReason(c).isEmpty)
+    assert(invalidReason(g(
+      "GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 0 0)))")).isDefined)
+    // overlay distribution: intersection picks the members the square
+    // hits; difference subtracts family-wise; union re-packages
+    val sq = g("POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0))")
+    val inter = GeoOverlay.intersection(c, sq)
+    assert(inter.isInstanceOf[GGeometryCollection], toWkt(inter))
+    assert(area(inter) == 4.0, toWkt(inter))
+    assert(toWkt(inter).contains("LINESTRING (5 5, 6 5)"), toWkt(inter))
+    assert(!toWkt(inter).contains("POINT"), toWkt(inter))
+    val diff = GeoOverlay.difference(c, sq)
+    assert(toWkt(diff) == "GEOMETRYCOLLECTION (LINESTRING (6 5, 9 5), POINT (10 10))",
+      toWkt(diff))
+    // union with a polygon absorbs the covered pieces
+    val uni = GeoOverlay.union(c, sq)
+    assert(uni.isInstanceOf[GGeometryCollection], toWkt(uni))
+    assert(area(uni) == 36.0, toWkt(uni))
+    assert(toWkt(uni).contains("LINESTRING (6 5, 9 5)") &&
+      toWkt(uni).contains("POINT (10 10)"), toWkt(uni))
+    // symdifference through the (A−B) ∪ (B−A) identity
+    val sym = GeoOverlay.symDifference(c, sq)
+    assert(area(sym) == 32.0, toWkt(sym))
+    // SQL surface: st_geometrytype spells Presto's ST_GeomCollection
+    val row = spark.sql(
+      """SELECT st_geometrytype(st_geometryfromtext(
+                  'GEOMETRYCOLLECTION (POINT (1 2))')) AS t,
+                st_numgeometries(st_geometryfromtext(
+                  'GEOMETRYCOLLECTION (POINT (1 2), POINT (3 4))')) AS n,
+                st_area(st_geometryfromtext(
+                  'GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))')) AS a
+      """).head()
+    assert(row.getString(0) == "ST_GeomCollection")
+    assert(row.getInt(1) == 2 || row.getLong(1) == 2L)
+    assert(row.getDouble(2) == 4.0)
   }
 
   test("relate: zero-area polygon operands fail fast by name") {
@@ -503,19 +552,31 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     }
     assert(ex.getMessage.contains("ST_X requires a Point") ||
       Option(ex.getCause).exists(_.getMessage.contains("ST_X requires a Point")))
-    // st_union is REAL as of round 17 (overlay kernel); the fail-fast
-    // surface moved to the genuinely unrepresentable case — a union
-    // whose result would need GEOMETRYCOLLECTION
+    // st_union is REAL as of round 17 (overlay kernel); a union whose
+    // pieces span families returns a GEOMETRYCOLLECTION
     assert(spark.sql("SELECT st_astext(st_union(st_point(0, 0), st_point(1, 1)))")
       .head().getString(0) == "MULTIPOINT ((0 0), (1 1))")
-    val un = intercept[Exception] {
-      spark.sql(
-        """SELECT st_union(st_point(99, 99),
-                  st_geometryfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))""").collect()
-    }
+    assert(spark.sql(
+      """SELECT st_astext(st_union(st_point(99, 99),
+                st_geometryfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')))""")
+      .head().getString(0) ==
+      "GEOMETRYCOLLECTION (POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)), POINT (99 99))")
     def chain(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
-    assert(chain(un).exists(_.contains("GEOMETRYCOLLECTION")), chain(un).mkString("|"))
+    // closure-based st_intersects decomposes collections and works;
+    // the DE-9IM relate family stays rejected by name (no single
+    // family row mapping for a heterogeneous operand)
+    assert(spark.sql(
+      """SELECT st_intersects(
+                st_geometryfromtext('GEOMETRYCOLLECTION (POINT (1 1))'),
+                st_point(1, 1))""").head().getBoolean(0))
+    val rejRel = intercept[Exception] {
+      spark.sql(
+        """SELECT st_touches(
+                  st_geometryfromtext('GEOMETRYCOLLECTION (POINT (1 1))'),
+                  st_point(1, 1))""").collect()
+    }
+    assert(chain(rejRel).exists(_.contains("relate/predicate")), chain(rejRel).mkString("|"))
     // the DE-9IM family resolves session-wide (round 16)
     val rel = spark.sql(
       """SELECT st_touches(st_point(0, 0), st_point(1, 1)) AS t,
@@ -1055,7 +1116,7 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
   }
 
   // ------------------------------------------------------ overlay (r17)
-  import graft.functions.GeoOverlay
+
 
   test("overlay: hand-derived polygon cases across all four operators") {
     def w(gm: Geom) = toWkt(gm)
@@ -1137,11 +1198,13 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(toWkt(GeoOverlay.union(
       g("LINESTRING (0 0, 2 0)"), g("LINESTRING (1 0, 3 0)"))) ==
       "LINESTRING (0 0, 1 0, 2 0, 3 0)")
-    // mixed-dimension line×line result fails by name
-    val e = intercept[IllegalArgumentException](GeoOverlay.intersection(
+    // mixed-dimension line×line result is a GEOMETRYCOLLECTION (r17)
+    val mixedLl = GeoOverlay.intersection(
       g("MULTILINESTRING ((0 0, 2 0), (0 1, 2 3))"),
-      g("MULTILINESTRING ((1 0, 3 0), (2 1, 0 3))")))
-    assert(e.getMessage.contains("GEOMETRYCOLLECTION"), e.getMessage)
+      g("MULTILINESTRING ((1 0, 3 0), (2 1, 0 3))"))
+    assert(mixedLl.isInstanceOf[GGeometryCollection], toWkt(mixedLl))
+    assert(toWkt(mixedLl) == "GEOMETRYCOLLECTION (LINESTRING (1 0, 2 0), POINT (1 2))",
+      toWkt(mixedLl))
     // points
     assert(toWkt(GeoOverlay.intersection(
       g("MULTIPOINT ((1 1), (5 5), (2 0))"), sq)) == "MULTIPOINT ((1 1), (2 0))")
@@ -1149,11 +1212,13 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
       g("MULTIPOINT ((1 1), (5 5), (2 0))"), sq)) == "POINT (5 5)")
     assert(toWkt(GeoOverlay.union(g("POINT (1 1)"), g("POINT (2 2)"))) ==
       "MULTIPOINT ((1 1), (2 2))")
-    // covered point absorbed by union; uncovered fails by name
+    // covered point absorbed by union; an uncovered one survives into
+    // a GEOMETRYCOLLECTION (r17 — previously a named error)
     assert(toWkt(GeoOverlay.union(g("POINT (1 1)"), sq)) == toWkt(sq))
-    val e2 = intercept[IllegalArgumentException](
-      GeoOverlay.union(g("POINT (9 9)"), sq))
-    assert(e2.getMessage.contains("GEOMETRYCOLLECTION"), e2.getMessage)
+    val u2 = GeoOverlay.union(g("POINT (9 9)"), sq)
+    assert(toWkt(u2) ==
+      "GEOMETRYCOLLECTION (POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)), POINT (9 9))",
+      toWkt(u2))
     // subtracting a lower-dimensional geometry is a no-op
     assert(toWkt(GeoOverlay.difference(sq, g("LINESTRING (0 0, 2 2)"))) == toWkt(sq))
   }
