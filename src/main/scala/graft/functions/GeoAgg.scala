@@ -33,6 +33,9 @@ object GeoAgg {
     * doubles (x,y pairs). */
   val CompactAt = 1024
 
+  /** Tree-union the pending geometry buffer past this many rows. */
+  val UnionCompactAt = 64
+
   final class HullState {
     var pts: scala.collection.mutable.ArrayBuffer[Double] =
       scala.collection.mutable.ArrayBuffer.empty
@@ -115,11 +118,31 @@ object GeoAgg {
   }
 
   final class UnionState {
-    /** Running union; null = no input yet. */
-    var acc: GeoFns.Geom = null
+    /** Pending inputs, tree-unioned on compaction. A per-row running
+      * union would re-node the whole accumulation against every new
+      * row — Θ(K²) edge tests for K disjoint inputs; buffering
+      * [[GeoAgg.UnionCompactAt]] rows and merging pairwise keeps the
+      * per-group cost ~O(K log K) while the serialized state stays
+      * result-bounded (the same buffer-then-compact shape as
+      * [[HullState]]). */
+    val pending: scala.collection.mutable.ArrayBuffer[GeoFns.Geom] =
+      scala.collection.mutable.ArrayBuffer.empty
 
-    def add(g: GeoFns.Geom): Unit =
-      acc = if (acc == null) g else GeoOverlay.union(acc, g)
+    def add(g: GeoFns.Geom): Unit = {
+      pending += g
+      if (pending.length > UnionCompactAt) compact()
+    }
+
+    def compact(): Unit = if (pending.length > 1) {
+      var level: Seq[GeoFns.Geom] = pending.toSeq
+      while (level.length > 1)
+        level = level.grouped(2).map {
+          case Seq(a, b) => GeoOverlay.union(a, b)
+          case Seq(a) => a
+        }.toSeq
+      pending.clear()
+      pending += level.head
+    }
   }
 
   /** geometry_union_agg(geometry): the constructive union of all
@@ -154,19 +177,23 @@ object GeoAgg {
     }
 
     override def merge(buf: UnionState, other: UnionState): UnionState = {
-      if (other.acc != null) buf.add(other.acc)
+      buf.pending ++= other.pending
+      if (buf.pending.length > UnionCompactAt) buf.compact()
       buf
     }
 
     override def eval(buf: UnionState): Any =
-      if (buf.acc == null) null else GeoFns.toWkb(buf.acc)
+      if (buf.pending.isEmpty) null
+      else { buf.compact(); GeoFns.toWkb(buf.pending.head) }
 
-    override def serialize(buf: UnionState): Array[Byte] =
-      if (buf.acc == null) Array.empty else GeoFns.toWkb(buf.acc)
+    override def serialize(buf: UnionState): Array[Byte] = {
+      buf.compact()
+      if (buf.pending.isEmpty) Array.empty else GeoFns.toWkb(buf.pending.head)
+    }
 
     override def deserialize(bytes: Array[Byte]): UnionState = {
       val s = new UnionState
-      if (bytes.nonEmpty) s.acc = GeoFns.fromWkb(bytes)
+      if (bytes.nonEmpty) s.pending += GeoFns.fromWkb(bytes)
       s
     }
   }

@@ -399,15 +399,19 @@ object GeoFns {
     }
     val ptsA = vecsOfPts(pa.points); val ptsB = vecsOfPts(pb.points)
     val segA = segs(pa); val segB = segs(pb)
-    // containment: any piece of one inside the other's polygon area
-    def firstVec(p: Prims, pts: Array[Array[Double]],
-                 ss: Array[(Array[Double], Array[Double])]): Option[Array[Double]] =
-      pts.headOption.orElse(ss.headOption.map(_._1))
-    def insidePoly(p: Prims, probe: Option[Array[Double]]): Boolean =
-      p.polys.nonEmpty && probe.exists(v =>
+    // containment: ANY vertex of one operand inside the other's polygon
+    // area zeroes the distance (every standalone point and every
+    // segment endpoint is probed — a component wholly inside has all
+    // its vertices inside, and one only partially inside crosses the
+    // boundary, which the arc-to-arc pass below already zeroes)
+    def probes(pts: Array[Array[Double]],
+               ss: Array[(Array[Double], Array[Double])]): Iterator[Array[Double]] =
+      pts.iterator ++ ss.iterator.flatMap(s => Iterator(s._1, s._2))
+    def insidePoly(p: Prims, vs: Iterator[Array[Double]]): Boolean =
+      p.polys.nonEmpty && vs.exists(v =>
         p.polys.exists(rings => sphericalPointInRings(v, rings)))
-    if (insidePoly(pa, firstVec(pb, ptsB, segB)) ||
-        insidePoly(pb, firstVec(pa, ptsA, segA))) return 0.0
+    if (insidePoly(pa, probes(ptsB, segB)) ||
+        insidePoly(pb, probes(ptsA, segA))) return 0.0
     var best = Double.MaxValue
     ptsA.foreach { p => ptsB.foreach(q => best = math.min(best, vAngle(p, q))) }
     ptsA.foreach { p => segB.foreach { case (c, d) =>
@@ -1587,7 +1591,7 @@ object GeoFns {
     best
   }
 
-  private def ringSignedArea(c: Coords): Double = {
+  private[functions] def ringSignedArea(c: Coords): Double = {
     var s = 0.0
     var i = 0
     while (i + 3 < c.length) {

@@ -36,15 +36,8 @@ import graft.functions.GeoFns._
 object GeoOverlay {
 
   // ----------------------------------------------------------- rings
-  private[functions] def ringSignedArea(r: Coords): Double = {
-    var s = 0.0
-    var i = 0
-    while (i + 3 < r.length) {
-      s += r(i) * r(i + 3) - r(i + 2) * r(i + 1)
-      i += 2
-    }
-    s / 2
-  }
+  // (ring signed area shares GeoFns.ringSignedArea — the two sides'
+  // orientation decisions must agree, so there is exactly one shoelace)
 
   private def reverseRing(r: Coords): Coords = {
     val n = r.length / 2
@@ -240,8 +233,20 @@ object GeoOverlay {
     holes.foreach { h =>
       val inside = interiorPointOf(Array(reverseRing(h)))
       val owner = inside.flatMap { case (x, y) =>
+        // the owner must contain the hole RING, not merely the hole's
+        // interior point: an ISLAND shell nested inside the hole also
+        // contains that point (and, being smaller, would win minBy) —
+        // every hole vertex must sit in the candidate's closure
+        def holdsRing(s: Coords): Boolean = {
+          var k = 0
+          while (k + 1 < h.length) {
+            if (pointInRings(h(k), h(k + 1), Array(s)) == 0) return false
+            k += 2
+          }
+          true
+        }
         val owners = shells.zipWithIndex.filter { case (s, _) =>
-          pointInRings(x, y, Array(s)) == 1
+          pointInRings(x, y, Array(s)) == 1 && holdsRing(s)
         }
         if (owners.isEmpty) None
         else Some(owners.minBy { case (s, _) => ringSignedArea(s) }._2)
@@ -404,6 +409,28 @@ object GeoOverlay {
         (parts.flatMap(_._1), parts.flatMap(_._2), parts.flatMap(_._3))
     }
 
+  /** Pairwise tree-union of polygon operands through polyOverlay
+    * directly (no per-step validation — for KERNEL-INTERNAL pieces
+    * whose validity is by construction): O(log n) depth instead of a
+    * linear fold's O(n) re-noding of the whole accumulation. */
+  private[functions] def polyUnionTree(ps: Seq[Array[Coords]]): Array[Array[Coords]] = {
+    if (ps.isEmpty) return Array.empty
+    def merge(a: Array[Array[Coords]], b: Array[Array[Coords]]): Array[Array[Coords]] =
+      polyOverlay("union", a, b) match {
+        case GPolygon(rs) => if (rs.isEmpty) Array.empty else Array(rs)
+        case GMultiPolygon(pp) => pp
+        case other => throw new IllegalStateException(
+          s"polygon union produced a ${typeName(other)}")
+      }
+    var level: Seq[Array[Array[Coords]]] = ps.map(rs => Array(rs))
+    while (level.length > 1)
+      level = level.grouped(2).map {
+        case Seq(a, b) => merge(a, b)
+        case Seq(a) => a
+      }.toSeq
+    level.head
+  }
+
   private def packPolys(ps: Array[Array[Coords]]): Geom =
     if (ps.isEmpty) GPolygon(Array.empty)
     else if (ps.length == 1) GPolygon(ps(0))
@@ -418,16 +445,11 @@ object GeoOverlay {
     val (pts1, runs1, polys1) = split3(g1)
     val (pts2, runs2, polys2) = split3(g2)
     val allPolys = polys1 ++ polys2
-    val polyU: Array[Array[Coords]] =
-      if (allPolys.isEmpty) Array.empty
-      else allPolys.map(rs => Array(rs)).reduce { (a, b) =>
-        polyOverlay("union", a, b) match {
-          case GPolygon(rs) => if (rs.isEmpty) Array.empty else Array(rs)
-          case GMultiPolygon(ps) => ps
-          case other => throw new IllegalStateException(
-            s"polygon union produced a ${typeName(other)}")
-        }
-      }
+    // validate USER polygon pieces here — the direct polygon×polygon
+    // path validates its operands, and a collection must not smuggle a
+    // self-intersecting ring past that surface (round-17 review)
+    allPolys.foreach(rs => requireValid(GPolygon(rs), "st_union"))
+    val polyU: Array[Array[Coords]] = polyUnionTree(allPolys.toSeq)
     val allRuns = runs1 ++ runs2
     val lineU: Array[Coords] =
       if (allRuns.isEmpty) Array.empty
@@ -592,7 +614,16 @@ object GeoOverlay {
       false
     }
     ea.foreach { e =>
-      (e.cuts.toSeq ++ Seq((e.sx, e.sy), (e.ex, e.ey))).foreach { case (x, y) =>
+      // cut points ARE intersection events by construction — an
+      // interpolated proper crossing is generally NOT exactly collinear
+      // with the other segment, so re-verifying it with the exact
+      // onSegment test would drop it (round-17 review finding)
+      e.cuts.foreach { case (x, y) =>
+        if (!overlap.exists(s => onSegment(x, y, s.sx, s.sy, s.ex, s.ey)))
+          pts += ((x, y))
+      }
+      // raw endpoints still need the membership check
+      Seq((e.sx, e.sy), (e.ex, e.ey)).foreach { case (x, y) =>
         if (onRuns(x, y, rb) &&
             !overlap.exists(s => onSegment(x, y, s.sx, s.sy, s.ex, s.ey)))
           pts += ((x, y))
@@ -852,24 +883,21 @@ object GeoOverlay {
       }
       if (c.length == 2) pieces += Array(circle(c(0), c(1)))
     }
+    // the INPUT is validated once; the capsules/circles and every
+    // intermediate are kernel-made and valid by construction, so the
+    // combination runs as an O(log n)-depth tree union of snapped
+    // pieces rather than a linear fold that re-validates and re-nodes
+    // the whole accumulation per piece (round-17 review)
+    if (p.polys.nonEmpty) requireValid(g, "st_buffer")
     if (dist > 0) {
-      val start: Geom = if (p.polys.nonEmpty) {
-        requireValid(g, "st_buffer")
-        if (p.polys.length == 1) GPolygon(p.polys(0)) else GMultiPolygon(p.polys)
-      } else GPolygon(Array.empty)
-      pieces.foldLeft(start) { (acc, piece) =>
-        val pg = GPolygon(piece(0))
-        if (acc.isEmpty) pg else snapGeom(union(acc, pg))
-      }
+      val all = p.polys.toSeq ++ pieces.map(_(0)).toSeq
+      snapGeom(packPolys(polyUnionTree(all)))
     } else {
       if (p.polys.isEmpty) throw new IllegalArgumentException(
         "st_buffer: negative distance requires a polygonal geometry")
-      requireValid(g, "st_buffer")
-      val start: Geom =
-        if (p.polys.length == 1) GPolygon(p.polys(0)) else GMultiPolygon(p.polys)
-      pieces.foldLeft(start) { (acc, piece) =>
-        if (acc.isEmpty) acc else snapGeom(difference(acc, GPolygon(piece(0))))
-      }
+      val capsU = polyUnionTree(pieces.map(_(0)).toSeq)
+      if (capsU.isEmpty) packPolys(p.polys)
+      else snapGeom(polyOverlay("difference", p.polys, capsU))
     }
   }
 }

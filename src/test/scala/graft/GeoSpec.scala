@@ -1223,6 +1223,44 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(toWkt(GeoOverlay.difference(sq, g("LINESTRING (0 0, 2 2)"))) == toWkt(sq))
   }
 
+  test("overlay: round-17 review regressions (non-dyadic crossings, island-in-hole, multi-component geography containment)") {
+    // 1) a proper line×line crossing at a NON-dyadic point must come
+    //    back as the crossing POINT — the interpolated intersection is
+    //    generally not exactly collinear with the other segment, so an
+    //    exact re-verification of cut points dropped it
+    val x = GeoOverlay.intersection(
+      g("LINESTRING (0 0, 1 1)"), g("LINESTRING (0 1, 2 0)"))
+    assert(x.isInstanceOf[GPoint], toWkt(x))
+    val gp = x.asInstanceOf[GPoint]
+    assert(math.abs(gp.x - 2.0 / 3) < 1e-12 && math.abs(gp.y - 2.0 / 3) < 1e-12)
+    assert(intersects(g("LINESTRING (0 0, 1 1)"), g("LINESTRING (0 1, 2 0)")))
+    // 2) hole assignment must skip an ISLAND shell nested inside the
+    //    hole: subtracting a donut from a square leaves the square with
+    //    the donut's outer ring as a hole AND the donut's hole as an
+    //    island — attaching the hole to the island is structurally wrong
+    val sq10 = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    val donut = g("POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2), (3 3, 7 3, 7 7, 3 7, 3 3))")
+    val carved = GeoOverlay.difference(sq10, donut)
+    assert(area(carved) == 100.0 - (36.0 - 16.0), toWkt(carved))
+    assert(carved.isInstanceOf[GMultiPolygon], toWkt(carved))
+    assert(!contains(carved, g("POINT (2.5 2.5)")), "hole interior must stay excluded")
+    assert(contains(carved, g("POINT (5 5)")), "island interior is part of the result")
+    assert(invalidReason(carved).isEmpty, toWkt(carved))
+    // feeding the result back into another op must not trip validation
+    assert(area(GeoOverlay.intersection(carved, sq10)) == area(carved))
+    // 3) geography distance containment: a multi-component operand
+    //    whose FIRST component is outside but a later one is inside
+    //    must still read 0
+    import graft.functions.GeoFns.{toSphericalGeography, geographyDistance}
+    def geog(wkt: String) = toSphericalGeography(toWkb(g(wkt)))
+    assert(geographyDistance(
+      geog("MULTIPOINT ((20 20), (5 5))"),
+      geog("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")) == 0.0)
+    assert(geographyDistance(
+      geog("MULTILINESTRING ((20 20, 25 25), (4 5, 6 5))"),
+      geog("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")) == 0.0)
+  }
+
   test("overlay: inclusion-exclusion + relate consistency on random convex pairs") {
     val rnd = new scala.util.Random(20260817)
     def convex(): Geom = {
