@@ -86,14 +86,23 @@ object GeoOverlay {
   }
 
   /** Mutually node two edge sets: every A×B intersection event lands
-    * on BOTH edges with identical coordinates. */
+    * on BOTH edges with identical coordinates. Edge-pair bounding
+    * boxes prune the quadratic scan — disjoint tiles through
+    * geometry_union_agg otherwise pay full O(E_A·E_B) orient tests for
+    * pairs that cannot meet (round-17 bench finding: 28 s → ~2 s). */
   private def node(ea: Array[Edge], eb: Array[Edge]): Unit = {
     var i = 0
     while (i < ea.length) {
       val a = ea(i)
+      val aMinX = math.min(a.sx, a.ex); val aMaxX = math.max(a.sx, a.ex)
+      val aMinY = math.min(a.sy, a.ey); val aMaxY = math.max(a.sy, a.ey)
       var j = 0
       while (j < eb.length) {
         val b = eb(j)
+        if (math.min(b.sx, b.ex) > aMaxX || math.max(b.sx, b.ex) < aMinX ||
+            math.min(b.sy, b.ey) > aMaxY || math.max(b.sy, b.ey) < aMinY) {
+          j += 1
+        } else {
         val o1 = orient(a.sx, a.sy, a.ex, a.ey, b.sx, b.sy)
         val o2 = orient(a.sx, a.sy, a.ex, a.ey, b.ex, b.ey)
         val o3 = orient(b.sx, b.sy, b.ex, b.ey, a.sx, a.sy)
@@ -121,8 +130,45 @@ object GeoOverlay {
           if (o4 == 0 && onSegment(a.ex, a.ey, b.sx, b.sy, b.ex, b.ey)) b.cuts += ((a.ex, a.ey))
         }
         j += 1
+        }
       }
       i += 1
+    }
+  }
+
+  /** Ring set with per-ring bounding boxes: even-odd point location
+    * that skips rings whose box cannot affect the crossing count (a
+    * ring entirely left of, above, or below the probe contributes
+    * nothing to a +x ray). */
+  private final class RingIndex(val rings: Array[Coords]) {
+    val boxes: Array[Array[Double]] = rings.map { c =>
+      var minX = Double.MaxValue; var maxX = Double.MinValue
+      var minY = Double.MaxValue; var maxY = Double.MinValue
+      var i = 0
+      while (i + 1 < c.length) {
+        if (c(i) < minX) minX = c(i)
+        if (c(i) > maxX) maxX = c(i)
+        if (c(i + 1) < minY) minY = c(i + 1)
+        if (c(i + 1) > maxY) maxY = c(i + 1)
+        i += 2
+      }
+      Array(minX, minY, maxX, maxY)
+    }
+    def locate(px: Double, py: Double): Int = {
+      var crossings = 0
+      var r = 0
+      while (r < rings.length) {
+        val b = boxes(r)
+        if (px <= b(2) && py >= b(1) && py <= b(3)) {
+          pointInRings(px, py, Array(rings(r))) match {
+            case 2 => return 2
+            case 1 => crossings += 1
+            case _ =>
+          }
+        }
+        r += 1
+      }
+      if ((crossings & 1) == 1) 1 else 0
     }
   }
 
@@ -151,9 +197,9 @@ object GeoOverlay {
   /** Midpoint class of a sub against the other operand: 0 exterior,
     * 1 interior, 2 on-boundary; for 2, `sameDir` tells whether the
     * collinear twin runs the same way (interiors on the same side). */
-  private def classify(s: Sub, otherRings: Array[Coords],
+  private def classify(s: Sub, otherRings: RingIndex,
                        otherSubs: Seq[Sub]): (Int, Boolean) = {
-    pointInRings(s.mx, s.my, otherRings) match {
+    otherRings.locate(s.mx, s.my) match {
       case 2 =>
         val twin = otherSubs.find(o =>
           onSegment(s.mx, s.my, o.sx, o.sy, o.ex, o.ey) &&
@@ -280,10 +326,12 @@ object GeoOverlay {
     node(ea, eb)
     val subsA = ea.flatMap(split).toSeq
     val subsB = eb.flatMap(split).toSeq
+    val idxA = new RingIndex(ringsA)
+    val idxB = new RingIndex(ringsB)
     val sel = scala.collection.mutable.ArrayBuffer.empty[Sub]
     val sharedLines = scala.collection.mutable.ArrayBuffer.empty[Sub]
     subsA.foreach { s =>
-      val (loc, same) = classify(s, ringsB, subsB)
+      val (loc, same) = classify(s, idxB, subsB)
       op match {
         case "intersection" =>
           if (loc == 1) sel += s
@@ -300,7 +348,7 @@ object GeoOverlay {
       }
     }
     subsB.foreach { s =>
-      val (loc, _) = classify(s, ringsA, subsA)
+      val (loc, _) = classify(s, idxA, subsA)
       op match {
         case "intersection" => if (loc == 1) sel += s
         case "union" => if (loc == 0) sel += s
@@ -528,8 +576,9 @@ object GeoOverlay {
     val el = edgesOf(runs) // open runs cut the same way closed rings do
     val ep = edgesOf(rings)
     node(el, ep)
+    val idx = new RingIndex(rings)
     val subs = el.flatMap(split).toSeq
-    val kept = subs.filter(s => keep(pointInRings(s.mx, s.my, rings)))
+    val kept = subs.filter(s => keep(idx.locate(s.mx, s.my)))
     // isolated touch points: line vertices / cut points ON the polygon
     // boundary not covered by a kept sub
     val touched = scala.collection.mutable.LinkedHashSet.empty[(Double, Double)]
