@@ -85,6 +85,14 @@ object GeoScale {
           lit("POLYGON ((0 -1, 50 -1, 50 50, 0 50, 0 -1))")),
         call_function("st_point", col("x"), col("y")), lit("T*****FF*")))
       .count()
+    spark.range(100).select((col("id") % 2).as("g"),
+      call_function("st_geometryfromtext", concat(
+        lit("POLYGON (("), col("id") * 2, lit(" 0, "), col("id") * 2 + 3,
+        lit(" 0, "), col("id") * 2 + 3, lit(" 2, "), col("id") * 2,
+        lit(" 2, "), col("id") * 2, lit(" 0))"))).as("t"))
+      .groupBy(col("g"))
+      .agg(call_function("st_area", call_function("geometry_union_agg", col("t"))))
+      .head()
     val joinTimes = scales.map { s =>
       val n = baseN * s
       leg("distance_join", n) { n =>
@@ -158,10 +166,45 @@ object GeoScale {
         bad.result()
       }
     }
+    // Constructive-aggregate throughput (round 17): geometry_union_agg
+    // over overlapping tile chains — 50 tiles [2i, 2i+3]×[0, 2] per
+    // group, group count scaling with n, so per-group state stays
+    // bounded while total work grows linearly (the 100 TB claim for a
+    // union aggregate: map-side partials tree-compact, never a
+    // quadratic re-noding of the accumulation). The timed action is
+    // the validating aggregate: every group's union must collapse to
+    // the single slab whose area is the exact integer closed form
+    // 2·(2·max_i + 3). Sized at n/10 — the per-row cost is a full
+    // overlay union, ~50× a PIP probe.
+    val uaTimes = scales.map { s =>
+      val n = (baseN * s) / 10
+      leg("union_agg", n * 10) { _ =>
+        val groups = math.max(1L, n / 50)
+        val i = floor(col("id") / groups).cast("long")
+        val tiles = spark.range(n).select(
+          (col("id") % groups).as("g"),
+          call_function("st_geometryfromtext", concat(
+            lit("POLYGON (("), i * 2, lit(" 0, "), i * 2 + 3, lit(" 0, "),
+            i * 2 + 3, lit(" 2, "), i * 2, lit(" 2, "), i * 2, lit(" 0))")))
+            .as("t"))
+        val r = tiles.groupBy(col("g"))
+          .agg(call_function("st_area",
+            call_function("geometry_union_agg", col("t"))).as("a"))
+          .agg(sum(col("a")), count(lit(1))).head()
+        val want = (0L until groups).map(gi => 2.0 * (2 * ((n - 1 - gi) / groups) + 3)).sum
+        val bad = Seq.newBuilder[String]
+        if (r.getLong(1) != groups)
+          bad += s"union_agg@x$s: groups ${r.getLong(1)} want $groups"
+        if (math.abs(r.getDouble(0) - want) > 1e-6)
+          bad += s"union_agg@x$s: slab-area sum ${r.getDouble(0)} want $want"
+        bad.result()
+      }
+    }
     LaneResult(
       Seq(LaneEntry("geo_distance_join", joinTimes),
         LaneEntry("geo_contains_scan", pipTimes),
-        LaneEntry("geo_relate_scan", relTimes)),
+        LaneEntry("geo_relate_scan", relTimes),
+        LaneEntry("geo_union_agg", uaTimes)),
       fails.result())
   }
 
