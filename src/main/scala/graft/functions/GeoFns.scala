@@ -16,13 +16,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Geometry values travel as standard little-endian WKB in a
   * BinaryType column — a compact, shuffle-friendly encoding any OGC
-  * tool can read back. Six geometry types are supported (POINT,
-  * MULTIPOINT, LINESTRING, MULTILINESTRING, POLYGON, MULTIPOLYGON);
-  * GEOMETRYCOLLECTION and the constructive ops (ST_Union,
-  * ST_Intersection, ST_Buffer) are out of scope and fail fast by name —
-  * they need a full computational-geometry kernel; the
-  * predicate/measure/accessor surface here is what analytic queries
-  * join and filter with.
+  * tool can read back. All seven geometry types are supported (POINT,
+  * MULTIPOINT, LINESTRING, MULTILINESTRING, POLYGON, MULTIPOLYGON,
+  * and — as of round 17 — GEOMETRYCOLLECTION); the constructive ops
+  * (ST_Union, ST_Intersection, ST_Difference, ST_SymDifference,
+  * ST_Buffer, geometry_union_agg) live in [[GeoOverlay]]. The DE-9IM
+  * relate family rejects collections by name (no single family-row
+  * mapping); everything else — accessors, measures, closure
+  * predicates, overlay — takes them.
   *
   * Expressions are CodegenFallback like [[NativeExprs]]: each row's
   * work is a geometry-kernel loop (point-in-polygon, segment pair
@@ -262,12 +263,13 @@ object GeoFns {
     def polyArea(rings: Array[Coords]): Double =
       if (rings.isEmpty) 0.0
       else ringSphericalArea(rings(0)) - rings.drop(1).map(ringSphericalArea).sum
-    val steradians = geographyToGeom(bytes) match {
+    def of(g: Geom): Double = g match {
       case GPolygon(rs) => polyArea(rs)
       case GMultiPolygon(ps) => ps.map(polyArea).sum
+      case GGeometryCollection(gs) => gs.map(of).sum // like planar area()
       case _ => 0.0
     }
-    steradians * EarthKm * EarthKm * 1e6
+    of(geographyToGeom(bytes)) * EarthKm * EarthKm * 1e6
   }
 
   /** Geography ST_Length in METERS: geodesic segment sums. */

@@ -1003,6 +1003,11 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
       val lhuilier = e * R * R * 1e6
       assert(math.abs(got - lhuilier) / lhuilier < 1e-9, s"#$i: $got vs $lhuilier")
     }
+    // a geography-tagged collection sums its polygon members (like
+    // planar area) instead of silently reading 0
+    val collArea = geographyArea(geog(
+      "GEOMETRYCOLLECTION (POLYGON ((0 0, 90 0, 0 90, 0 0)), POINT (50 50))"))
+    assert(math.abs(collArea - octant) / octant < 1e-12, collArea.toString)
     // distance: crossing arcs → 0; point in polygon → 0; beyond-end
     // point → endpoint distance
     assert(geographyDistance(geog("LINESTRING (0 -5, 0 5)"),
