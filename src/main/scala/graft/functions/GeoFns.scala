@@ -20,7 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * MULTIPOINT, LINESTRING, MULTILINESTRING, POLYGON, MULTIPOLYGON,
   * and — as of round 17 — GEOMETRYCOLLECTION); the constructive ops
   * (ST_Union, ST_Intersection, ST_Difference, ST_SymDifference,
-  * ST_Buffer, geometry_union_agg) live in [[GeoOverlay]]. The DE-9IM
+  * ST_Buffer) live in [[GeoOverlay]], and the geometry aggregates
+  * (convex_hull_agg, geometry_union_agg) in [[GeoAgg]]. The DE-9IM
   * relate family rejects collections by name (no single family-row
   * mapping); everything else — accessors, measures, closure
   * predicates, overlay — takes them.

@@ -89,7 +89,9 @@ object GeoOverlay {
     * on BOTH edges with identical coordinates. Edge-pair bounding
     * boxes prune the quadratic scan — disjoint tiles through
     * geometry_union_agg otherwise pay full O(E_A·E_B) orient tests for
-    * pairs that cannot meet (round-17 bench finding: 28 s → ~2 s). */
+    * pairs that cannot meet (round-17 bench finding: together with the
+    * RingIndex below, the sf0.1 geo_union_agg oracle entry dropped
+    * 28.1 s → 4.2 s). */
   private def node(ea: Array[Edge], eb: Array[Edge]): Unit = {
     var i = 0
     while (i < ea.length) {
@@ -141,6 +143,10 @@ object GeoOverlay {
     * ring entirely left of, above, or below the probe contributes
     * nothing to a +x ray). */
   private final class RingIndex(val rings: Array[Coords]) {
+    // pre-wrapped single-ring arrays: locate() probes once per
+    // sub-segment per overlay, and a fresh Array per ring per probe on
+    // that path is pure allocation churn
+    private val singles: Array[Array[Coords]] = rings.map(Array(_))
     val boxes: Array[Array[Double]] = rings.map { c =>
       var minX = Double.MaxValue; var maxX = Double.MinValue
       var minY = Double.MaxValue; var maxY = Double.MinValue
@@ -160,7 +166,7 @@ object GeoOverlay {
       while (r < rings.length) {
         val b = boxes(r)
         if (px <= b(2) && py >= b(1) && py <= b(3)) {
-          pointInRings(px, py, Array(rings(r))) match {
+          pointInRings(px, py, singles(r)) match {
             case 2 => return 2
             case 1 => crossings += 1
             case _ =>

@@ -618,7 +618,6 @@ object Geo {
     val rect = call_function("st_geometryfromtext",
       concat(lit("POLYGON ((0 0, "), w.cast("long"), lit(" 0, "), w.cast("long"),
         lit(" "), h.cast("long"), lit(", 0 "), h.cast("long"), lit(", 0 0))")))
-    val dil = call_function("st_area", call_function("st_buffer", rect, r))
     t.documents.select(
       col("doc_id"),
       round(call_function("st_area",
@@ -629,12 +628,17 @@ object Geo {
       round(call_function("st_area", call_function("st_buffer", rect, -r)), 4)
         .as("erode_area"),
       // the dilation bracket is the one column whose five-way capsule
-      // union dominates the entry's bench cost — sample it on 1/5 of
-      // the rows (the invariant is row-independent; the other three
-      // columns keep their exact closed forms on every row)
-      when(col("doc_id") % 5 === 0,
-        dil > w * h + lit(2) * r * (w + h) &&
-          dil < w * h + lit(2) * r * (w + h) + lit(math.Pi) * r * r)
+      // union dominates the entry's bench cost — sample it on 1/11 of
+      // the rows. The modulus must be COPRIME to every parameter
+      // modulus (3, 5, 6, 7): sampling on %5 aliased with h = 8 +
+      // doc_id % 5, silently testing only height-8 rectangles. The
+      // |dil − mid| < half form references the expensive dil subtree
+      // ONCE (a > lo && < hi conjunction evaluates it twice — Spark's
+      // subexpression elimination skips conditional branches).
+      when(col("doc_id") % 11 === 0,
+        abs(call_function("st_area", call_function("st_buffer", rect, r)) -
+          (w * h + lit(2) * r * (w + h) + lit(math.Pi / 2) * r * r)) <
+          lit(math.Pi / 2) * r * r)
         .otherwise(lit(true)).as("dil_bounded"))
       .orderBy(col("doc_id"))
   }
