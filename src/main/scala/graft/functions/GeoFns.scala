@@ -310,6 +310,13 @@ object GeoFns {
   private def arcsCross(a: Array[Double], b: Array[Double],
                         c: Array[Double], d: Array[Double]): Boolean = {
     val n1 = vCross(a, b); val n2 = vCross(c, d)
+    // a degenerate (zero-length) arc has no great circle of its own; it
+    // cannot "cross" anything — without this guard n1 = 0 makes the
+    // same-circle branch vacuously true against EVERY arc and a
+    // consecutive duplicate vertex would report distance 0 to anywhere
+    // (the endpoint-to-arc candidates in arcToArc still handle the
+    // point-on-arc = 0 case exactly)
+    if (vNorm(n1) < 1e-15 || vNorm(n2) < 1e-15) return false
     val ix = vCross(n1, n2)
     if (vNorm(ix) < 1e-15) {
       // same great circle: overlap iff some endpoint lies on the other arc
@@ -389,19 +396,32 @@ object GeoFns {
     val pa = prims(ga); val pb = prims(gb)
     def vecsOfPts(c: Coords): Array[Array[Double]] =
       Array.tabulate(c.length / 2)(i => geoVec(c(2 * i), c(2 * i + 1)))
-    def segs(p: Prims): Array[(Array[Double], Array[Double])] = {
+    def segs(p: Prims): (Array[(Array[Double], Array[Double])], Array[Array[Double]]) = {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Array[Double], Array[Double])]
+      val orphans = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
       p.runs.foreach { c =>
         var i = 0
+        var emitted = false
         while (i + 3 < c.length) {
-          out += ((geoVec(c(i), c(i + 1)), geoVec(c(i + 2), c(i + 3))))
+          // skip zero-length arcs (consecutive duplicate vertices) —
+          // they carry no great circle and their endpoint is already
+          // probed by the shared-vertex neighbour segments
+          if (c(i) != c(i + 2) || c(i + 1) != c(i + 3)) {
+            out += ((geoVec(c(i), c(i + 1)), geoVec(c(i + 2), c(i + 3))))
+            emitted = true
+          }
           i += 2
         }
+        // a run that is ALL duplicate vertices degenerates to a point;
+        // keep it as a point probe so it still participates in
+        // containment and distance
+        if (!emitted && c.length >= 2) orphans += geoVec(c(0), c(1))
       }
-      out.toArray
+      (out.toArray, orphans.toArray)
     }
-    val ptsA = vecsOfPts(pa.points); val ptsB = vecsOfPts(pb.points)
-    val segA = segs(pa); val segB = segs(pb)
+    val (segA, orphanA) = segs(pa); val (segB, orphanB) = segs(pb)
+    val ptsA = vecsOfPts(pa.points) ++ orphanA
+    val ptsB = vecsOfPts(pb.points) ++ orphanB
     // containment: ANY vertex of one operand inside the other's polygon
     // area zeroes the distance (every standalone point and every
     // segment endpoint is probed — a component wholly inside has all
@@ -2822,15 +2842,6 @@ object GeoFns {
 
   private def dbl(e: Expression): Expression =
     org.apache.spark.sql.catalyst.expressions.Cast(e, DoubleType)
-
-  /** Constructive geometry needs a full computational-geometry kernel;
-    * named rejection beats a wrong answer (the sketch-interchange
-    * stance applied here). */
-  private def unsupported(name: String): Seq[Expression] => Expression = _ =>
-    throw new UnsupportedOperationException(
-      s"$name is not supported: constructive planar geometry " +
-      "(union/intersection/buffer/simplify) is out of scope; the " +
-      "predicate/measure/accessor ST_* surface is implemented")
 
   // Constructive overlay (round 17): kernels in GeoOverlay — canonical
   // mutual noding + interior-left sub-segment selection + DCEL

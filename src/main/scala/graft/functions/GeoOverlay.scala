@@ -93,6 +93,17 @@ object GeoOverlay {
     * RingIndex below, the sf0.1 geo_union_agg oracle entry dropped
     * 28.1 s → 4.2 s). */
   private def node(ea: Array[Edge], eb: Array[Edge]): Unit = {
+    // hoist B-edge boxes out of the A loop: recomputing 4 min/max per
+    // (A,B) pair doubles the cost of the prune test that dominates the
+    // disjoint-tile workloads the prune exists for
+    val bBox = new Array[Double](4 * eb.length)
+    var j0 = 0
+    while (j0 < eb.length) {
+      val b = eb(j0)
+      bBox(4 * j0) = math.min(b.sx, b.ex); bBox(4 * j0 + 1) = math.max(b.sx, b.ex)
+      bBox(4 * j0 + 2) = math.min(b.sy, b.ey); bBox(4 * j0 + 3) = math.max(b.sy, b.ey)
+      j0 += 1
+    }
     var i = 0
     while (i < ea.length) {
       val a = ea(i)
@@ -101,8 +112,8 @@ object GeoOverlay {
       var j = 0
       while (j < eb.length) {
         val b = eb(j)
-        if (math.min(b.sx, b.ex) > aMaxX || math.max(b.sx, b.ex) < aMinX ||
-            math.min(b.sy, b.ey) > aMaxY || math.max(b.sy, b.ey) < aMinY) {
+        if (bBox(4 * j) > aMaxX || bBox(4 * j + 1) < aMinX ||
+            bBox(4 * j + 2) > aMaxY || bBox(4 * j + 3) < aMinY) {
           j += 1
         } else {
         val o1 = orient(a.sx, a.sy, a.ex, a.ey, b.sx, b.sy)
@@ -217,6 +228,14 @@ object GeoOverlay {
       case c => (c, false)
     }
   }
+
+  /** Midpoint class only — skips the O(|otherSubs|) collinear-twin
+    * direction scan, for callers that discard the `sameDir` bit (the
+    * B-side loop: every operator keys B subs on loc alone, and in
+    * geometry_union_agg's tile compaction every shared edge would
+    * otherwise pay the twin scan per merge). */
+  private def classifyLoc(s: Sub, otherRings: RingIndex): Int =
+    otherRings.locate(s.mx, s.my)
 
   // ---------------------------------------------------------- stitch
   /** Walk selected interior-left edges into closed rings. At a node
@@ -354,7 +373,7 @@ object GeoOverlay {
       }
     }
     subsB.foreach { s =>
-      val (loc, _) = classify(s, idxA, subsA)
+      val loc = classifyLoc(s, idxA)
       op match {
         case "intersection" => if (loc == 1) sel += s
         case "union" => if (loc == 0) sel += s
@@ -366,12 +385,17 @@ object GeoOverlay {
     }
     if (sel.isEmpty && op == "intersection") {
       // no area: the operands may still meet in shared edges (dim 1)
-      // or isolated corner touches (dim 0) — OGC intersection returns
-      // those, not EMPTY
-      if (sharedLines.nonEmpty) return linesGeom(mergeChains(sharedLines.toSeq))
-      val pts = touchPoints(ea, ringsA, ringsB)
-      if (pts.nonEmpty) return pointsGeom(pts)
-      return GPolygon(Array.empty)
+      // AND/OR isolated corner touches (dim 0) — OGC intersection
+      // returns all of them (a collection when both exist), not EMPTY.
+      // A touch point that is an endpoint of the shared linework is
+      // part of a LINESTRING already, not an isolated touch — the
+      // canonical noding makes the coordinates identical, so exact
+      // endpoint-set membership filters them.
+      val chains = mergeChains(sharedLines.toSeq)
+      val lineEnds = sharedLines.iterator
+        .flatMap(s => Iterator((s.sx, s.sy), (s.ex, s.ey))).toSet
+      val pts = touchPoints(ea, ringsA, ringsB).filterNot(lineEnds.contains)
+      return mixed("intersection", chains, pts)
     }
     if (sel.isEmpty) return GPolygon(Array.empty)
     assemble(stitch(sel.toSeq))
@@ -430,6 +454,22 @@ object GeoOverlay {
               val n = uniq(i)
               if ((n.sx, n.sy) == tail) { chain += n.ex; chain += n.ey }
               else { chain += n.sx; chain += n.sy }
+            case None => cont = false
+          }
+        }
+        // the walk above only grows the tail; a chain whose list-order
+        // first sub sits mid-chain (e.g. shared linework wrapping a
+        // ring's start vertex) still has unused subs hanging off the
+        // HEAD — grow backwards too, or "maximal chains" splits
+        cont = true
+        while (cont) {
+          val head = (chain(0), chain(1))
+          adj(head).find(!used(_)) match {
+            case Some(i) =>
+              used(i) = true
+              val n = uniq(i)
+              if ((n.ex, n.ey) == head) chain.insertAll(0, Seq(n.sx, n.sy))
+              else chain.insertAll(0, Seq(n.ex, n.ey))
             case None => cont = false
           }
         }
@@ -923,20 +963,18 @@ object GeoOverlay {
       Array(pts.toArray)
     }
     val p = prims(g)
-    val pieces = scala.collection.mutable.ArrayBuffer.empty[Array[Array[Coords]]]
-    var i = 0
-    while (i < p.points.length) {
-      pieces += Array(circle(p.points(i), p.points(i + 1)))
-      i += 2
-    }
-    p.runs.foreach { c =>
-      var k = 0
-      while (k + 3 < c.length) {
-        if (!(c(k) == c(k + 2) && c(k + 1) == c(k + 3)))
-          pieces += Array(capsule(c(k), c(k + 1), c(k + 2), c(k + 3)))
-        k += 2
+    def capsFrom(runs: Array[Coords]): Seq[Array[Coords]] = {
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[Array[Coords]]
+      runs.foreach { c =>
+        var k = 0
+        while (k + 3 < c.length) {
+          if (!(c(k) == c(k + 2) && c(k + 1) == c(k + 3)))
+            pieces += capsule(c(k), c(k + 1), c(k + 2), c(k + 3))
+          k += 2
+        }
+        if (c.length == 2) pieces += circle(c(0), c(1))
       }
-      if (c.length == 2) pieces += Array(circle(c(0), c(1)))
+      pieces.toSeq
     }
     // the INPUT is validated once; the capsules/circles and every
     // intermediate are kernel-made and valid by construction, so the
@@ -945,12 +983,22 @@ object GeoOverlay {
     // the whole accumulation per piece (round-17 review)
     if (p.polys.nonEmpty) requireValid(g, "st_buffer")
     if (dist > 0) {
-      val all = p.polys.toSeq ++ pieces.map(_(0)).toSeq
+      val circles = scala.collection.mutable.ArrayBuffer.empty[Array[Coords]]
+      var i = 0
+      while (i < p.points.length) {
+        circles += circle(p.points(i), p.points(i + 1))
+        i += 2
+      }
+      val all = p.polys.toSeq ++ circles.toSeq ++ capsFrom(p.runs)
       snapGeom(packPolys(polyUnionTree(all)))
     } else {
       if (p.polys.isEmpty) throw new IllegalArgumentException(
         "st_buffer: negative distance requires a polygonal geometry")
-      val capsU = polyUnionTree(pieces.map(_(0)).toSeq)
+      // erosion subtracts the r-neighbourhood of the POLYGONAL boundary
+      // only: a collection's point/line members have an empty negative
+      // buffer and must not punch holes in the polygon members (their
+      // measure-zero area adds nothing to the eroded set either)
+      val capsU = polyUnionTree(capsFrom(p.polys.flatten))
       if (capsU.isEmpty) packPolys(p.polys)
       else snapGeom(polyOverlay("difference", p.polys, capsU))
     }

@@ -1400,4 +1400,51 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
          FROM range(5) t(i)""").head()
     assert(agg.getDouble(0) == 12.0, agg.getDouble(0).toString)
   }
+
+  test("round-17 self-review regressions: degenerate arcs, collection erosion, mixed collapse, chain wrap") {
+    import graft.functions.GeoFns.{toSphericalGeography, geographyDistance,
+      greatCircleDistance}
+    def geog(wkt: String) = toSphericalGeography(toWkb(g(wkt)))
+    def w(gm: Geom) = toWkt(gm)
+
+    // 1a. a consecutive duplicate vertex (zero-length arc) must not
+    // zero the geography distance: the degenerate arc has no great
+    // circle, so it cannot "cross" a far-away arc
+    val clean = geographyDistance(geog("LINESTRING (0 0, 1 0)"),
+      geog("LINESTRING (50 50, 60 60)")).asInstanceOf[Double]
+    val dup = geographyDistance(geog("LINESTRING (0 0, 0 0, 1 0)"),
+      geog("LINESTRING (50 50, 60 60)")).asInstanceOf[Double]
+    assert(clean > 1e6, clean.toString) // ~6700 km, nowhere near 0
+    assert(math.abs(dup - clean) < 1e-6, s"$dup vs $clean")
+    // 1b. a run that is ALL duplicates degenerates to a point probe
+    // instead of vanishing from the distance entirely
+    val degen = geographyDistance(geog("LINESTRING (0 0, 0 0)"),
+      geog("POINT (0 1)")).asInstanceOf[Double]
+    assert(math.abs(degen - greatCircleDistance(0, 0, 1, 0) * 1000) < 1e-6,
+      degen.toString)
+
+    // 2. negative buffer of a collection: point/line members have an
+    // empty negative buffer — they must not punch holes in or carve
+    // slots from the polygon member (rectangle erosion is exact)
+    val gc = g("GEOMETRYCOLLECTION (POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0)), " +
+      "POINT (5 5), LINESTRING (2 2, 3 3))")
+    val eroded = GeoOverlay.buffer(gc, -1)
+    assert(area(eroded) == 64.0, w(eroded))
+
+    // 3. zero-area polygon intersection keeps BOTH the shared-edge
+    // linework and the isolated corner touch (a collection, per OGC)
+    val sq = g("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    val edgeAndCorner = g("MULTIPOLYGON (((10 2, 12 2, 12 5, 10 5, 10 2)), " +
+      "((-2 10, 0 10, 0 12, -2 12, -2 10)))")
+    val both = GeoOverlay.intersection(sq, edgeAndCorner)
+    assert(w(both) == "GEOMETRYCOLLECTION (LINESTRING (10 2, 10 5), POINT (0 10))",
+      w(both))
+
+    // 4. shared linework wrapping the ring's start vertex merges into
+    // ONE maximal chain (the walk now grows the head too)
+    val hug = g("POLYGON ((0 3, -1 3, -1 -1, 3 -1, 3 0, 0 0, 0 3))")
+    val chain = GeoOverlay.intersection(sq, hug)
+    assert(chain.isInstanceOf[GLineString], w(chain))
+    assert(w(chain) == "LINESTRING (0 3, 0 0, 3 0)", w(chain))
+  }
 }
