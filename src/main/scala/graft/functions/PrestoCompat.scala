@@ -620,7 +620,8 @@ object PrestoCompat {
         // (make_set_digest) vs HLL (approx_set). Anything else — e.g. a
         // Presto/airlift-serialized SetDigest or HLL — is a different,
         // non-interchangeable wire format and is rejected by name.
-        if (SetDigest.isSetDigest(b) || SetDigest.isThetaFamily(b)) SetDigest.estimate(b)
+        if (KHll.isKhll(b)) KHll.cardinality(b)
+        else if (SetDigest.isSetDigest(b) || SetDigest.isThetaFamily(b)) SetDigest.estimate(b)
         else if (b.length > 2 && (b(2) & 0xff) == org.apache.datasketches.common.Family.HLL.getID)
           Math.round(org.apache.datasketches.hll.HllSketch.heapify(
             org.apache.datasketches.memory.Memory.wrap(b)).getEstimate)

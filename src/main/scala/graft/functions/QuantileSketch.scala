@@ -157,10 +157,12 @@ object QuantileSketch {
   /** Union state for the overloaded merge(): the family is discovered
     * from the first sketch's preamble (datasketches byte 2). */
   final class SketchUnionState(var hll: Union, var kll: KllDoublesSketch,
-      var td: TDigestDouble = null) {
+      var td: TDigestDouble = null,
+      var khll: KHll.KState = null) {
     def familyName: String =
       if (hll != null) "HLL" else if (kll != null) "KLL"
-      else if (td != null) "t-digest" else "empty"
+      else if (td != null) "t-digest"
+      else if (khll != null) "KHyperLogLog" else "empty"
   }
 
   /** Presto merge(sketch) — overloaded over HLL (approx_set) and
@@ -218,7 +220,17 @@ object QuantileSketch {
       s.td.merge(sk)
     }
 
-    private def add(s: SketchUnionState, bytes: Array[Byte]): Unit = familyOf(bytes) match {
+    private def addKhll(s: SketchUnionState, bytes: Array[Byte]): Unit = {
+      if (s.hll != null || s.kll != null || s.td != null)
+        throw new IllegalArgumentException(
+          s"merge: mixed sketch families in one group (KHyperLogLog after ${s.familyName})")
+      if (s.khll == null) s.khll = new KHll.KState()
+      s.khll.mergeFrom(KHll.deserialize(bytes, "merge"))
+    }
+
+    private def add(s: SketchUnionState, bytes: Array[Byte]): Unit =
+      if (KHll.isKhll(bytes)) addKhll(s, bytes) // 'GK' frame, not a DataSketches preamble
+      else familyOf(bytes) match {
       case Family.HLL => addHll(s, bytes)
       case Family.KLL => addKll(s, bytes)
       case Family.TDIGEST => addTd(s, bytes)
@@ -253,6 +265,11 @@ object QuantileSketch {
         if (s.td == null) s.td = new TDigestDouble(TDigestDouble.DEFAULT_K)
         s.td.merge(o.td)
       }
+      if (o.khll != null) {
+        requireFamily(s.hll == null && s.kll == null && s.td == null)
+        if (s.khll == null) s.khll = new KHll.KState()
+        s.khll.mergeFrom(o.khll)
+      }
       s
     }
 
@@ -260,12 +277,14 @@ object QuantileSketch {
       if (s.hll != null) s.hll.getResult.toCompactByteArray
       else if (s.kll != null) s.kll.toByteArray
       else if (s.td != null) s.td.toByteArray
+      else if (s.khll != null) KHll.serialize(s.khll)
       else null
 
     override def serialize(s: SketchUnionState): Array[Byte] = {
       if (s.hll != null) Array[Byte](1) ++ s.hll.getResult.toCompactByteArray
       else if (s.kll != null) Array[Byte](2) ++ s.kll.toByteArray
       else if (s.td != null) Array[Byte](3) ++ s.td.toByteArray
+      else if (s.khll != null) Array[Byte](4) ++ KHll.serialize(s.khll)
       else Array[Byte](0)
     }
 
@@ -276,6 +295,7 @@ object QuantileSketch {
         bytes(0) match {
           case 1 => addHll(s, body)
           case 2 => addKll(s, body)
+          case 4 => addKhll(s, body)
           case _ => addTd(s, body)
         }
       }

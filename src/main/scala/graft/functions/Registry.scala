@@ -378,6 +378,13 @@ object Registry {
       "intersection_cardinality" -> FnMeta("intersection_cardinality", cost = 4.0),
       "jaccard_index" -> FnMeta("jaccard_index", cost = 4.0),
       "hash_counts" -> FnMeta("hash_counts", cost = 2.0),
+      // round-17: KHyperLogLog family (joinability/reidentifiability,
+      // KHll builders; cardinality/intersection/jaccard dispatch on the
+      // 'GK' preamble through the shared names above)
+      "khyperloglog_agg" -> FnMeta("khyperloglog_agg", isAggregate = true, cost = 2.0),
+      "merge_khll" -> FnMeta("merge_khll", cost = 2.0),
+      "uniqueness_distribution" -> FnMeta("uniqueness_distribution", cost = 4.0),
+      "reidentification_potential" -> FnMeta("reidentification_potential", cost = 4.0),
       // round-11: IP-address family + array tail (NetFns builders)
       "ip_prefix" -> FnMeta("ip_prefix", cost = 4.0),
       "ip_subnet_min" -> FnMeta("ip_subnet_min", cost = 4.0),

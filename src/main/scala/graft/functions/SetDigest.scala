@@ -281,8 +281,21 @@ object SetDigest {
     override protected def withNewChildrenInternal(l: Expression, r: Expression) =
       copy(left = l, right = r)
     override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = thetaOf(a.asInstanceOf[Array[Byte]])
-      val y = thetaOf(b.asInstanceOf[Array[Byte]])
+      val ab = a.asInstanceOf[Array[Byte]]
+      val bb = b.asInstanceOf[Array[Byte]]
+      // family dispatch: Presto overloads these names over SetDigest
+      // AND KHyperLogLog; the 'GK' preamble picks the KHLL kernels
+      if (KHll.isKhll(ab) || KHll.isKhll(bb)) {
+        if (!(KHll.isKhll(ab) && KHll.isKhll(bb)))
+          throw new IllegalArgumentException(
+            s"$fn: cannot mix a KHyperLogLog with a different sketch family")
+        return fn match {
+          case "intersection_cardinality" => KHll.intersectionCardinality(ab, bb)
+          case "jaccard_index" => KHll.jaccard(ab, bb)
+        }
+      }
+      val x = thetaOf(ab)
+      val y = thetaOf(bb)
       fn match {
         case "intersection_cardinality" =>
           val i = SetOperation.builder().buildIntersection()

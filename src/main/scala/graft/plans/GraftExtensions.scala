@@ -185,7 +185,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (graft.functions.PrestoCompat.builders ++ graft.functions.PrestoFns2.builders ++
       graft.functions.NetFns.builders ++ graft.functions.SetDigest.builders ++
       graft.functions.GeoFns.builders ++ graft.functions.BingTiles.builders ++
-      graft.functions.GeoAgg.builders ++ graft.functions.MlFns.builders)
+      graft.functions.GeoAgg.builders ++ graft.functions.MlFns.builders ++
+      graft.functions.KHll.builders)
       .foreach { case (name, builder) =>
         ext.injectFunction((
           org.apache.spark.sql.catalyst.FunctionIdentifier(name),

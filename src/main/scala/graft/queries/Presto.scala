@@ -1211,6 +1211,69 @@ object Presto {
               GROUP BY o_custkey) g) mx
        WHERE o_orderkey < 500"""
 
+  /** KHyperLogLog family (round 17) in its EXACT regime: distinct
+    * custkeys under K=2048 (every key hash retained → cardinality,
+    * jaccard and intersection are exact set arithmetic) and distinct
+    * orderkeys per custkey under SparseMax=64 (per-key y-sets exact →
+    * uniqueness histogram and reidentification potential exact). The
+    * histogram is rendered as 'uniqueness:count' with counts recovered
+    * via fraction × cardinality (integers, so no double formatting in
+    * the compare); DuckDB replays everything with count(DISTINCT). The
+    * merged leg re-aggregates partials split by custkey%3 through the
+    * generic merge() and must reproduce the global distinct count. */
+  val khllPresto: String =
+    """SELECT t.o_orderpriority,
+         cardinality(t.k) AS card,
+         round(reidentification_potential(t.k, 2), 9) AS reident,
+         array_join(transform(
+           filter(array_sort(map_keys(t.ud)), x -> element_at(t.ud, x) > 0),
+           x -> CAST(x AS VARCHAR) || ':' ||
+                CAST(CAST(round(element_at(t.ud, x) * cardinality(t.k))
+                     AS BIGINT) AS VARCHAR)), ',') AS uniq_hist,
+         intersection_cardinality(t.k, u.k) AS inter,
+         round(jaccard_index(t.k, u.k), 9) AS jac,
+         cardinality(m.k) AS card_merged
+       FROM (SELECT o_orderpriority, khyperloglog_agg(o_custkey, o_orderkey) AS k,
+                    uniqueness_distribution(
+                      khyperloglog_agg(o_custkey, o_orderkey), 8) AS ud
+             FROM orders WHERE o_orderkey < 2000 GROUP BY o_orderpriority) t
+       CROSS JOIN (SELECT khyperloglog_agg(o_custkey, o_orderkey) AS k
+                   FROM orders WHERE o_orderkey < 2000
+                     AND o_orderpriority = '1-URGENT') u
+       CROSS JOIN (SELECT merge(k) AS k FROM (
+                     SELECT khyperloglog_agg(o_custkey, o_orderkey) AS k
+                     FROM orders WHERE o_orderkey < 2000
+                     GROUP BY o_custkey % 3) p) m"""
+  val khllOracle: String =
+    """WITH uniq AS (SELECT o_orderpriority, o_custkey,
+                            count(DISTINCT o_orderkey) AS u
+                     FROM orders WHERE o_orderkey < 2000 GROUP BY 1, 2),
+         base AS (SELECT o_orderpriority, count(*) AS card,
+                         count(*) FILTER (WHERE u <= 2) AS low
+                  FROM uniq GROUP BY 1),
+         hist AS (SELECT o_orderpriority,
+                         string_agg(CAST(ub AS VARCHAR) || ':' || CAST(c AS VARCHAR),
+                                    ',' ORDER BY ub) AS uniq_hist
+                  FROM (SELECT o_orderpriority, LEAST(u, 8) AS ub, count(*) AS c
+                        FROM uniq GROUP BY 1, 2) g GROUP BY 1),
+         urgent AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderkey < 2000 AND o_orderpriority = '1-URGENT'),
+         inter AS (SELECT q.o_orderpriority, count(ur.o_custkey) AS i
+                   FROM (SELECT DISTINCT o_orderpriority, o_custkey FROM orders
+                         WHERE o_orderkey < 2000) q
+                   LEFT JOIN urgent ur ON q.o_custkey = ur.o_custkey
+                   GROUP BY 1)
+       SELECT b.o_orderpriority, b.card,
+              round(b.low / CAST(b.card AS DOUBLE), 9) AS reident,
+              h.uniq_hist,
+              i.i AS inter,
+              round(i.i / CAST(b.card + (SELECT count(*) FROM urgent) - i.i
+                    AS DOUBLE), 9) AS jac,
+              (SELECT count(DISTINCT o_custkey) FROM orders
+               WHERE o_orderkey < 2000) AS card_merged
+       FROM base b JOIN hist h USING (o_orderpriority)
+       JOIN inter i USING (o_orderpriority)"""
+
   /** URL-safe base64 round-trip and the 3-arg date_add (round 11):
     * DuckDB replays base64url by character-mapping its padded to_base64
     * and day addition as date arithmetic. */
@@ -1359,6 +1422,7 @@ object Presto {
     ("presto_numeric_histogram", run(numericHistogramPresto) _, numericHistogramOracle),
     ("presto_set_digest", run(setDigestPresto) _, setDigestOracle),
     ("presto_hash_counts", run(hashCountsPresto) _, hashCountsOracle),
+    ("presto_khll", run(khllPresto) _, khllOracle),
     ("presto_codec_fns", run(codecFnsPresto) _, codecFnsOracle),
     ("presto_table_like", tableLike _, tableLikeOracle),
     ("presto_digest_fns", run(digestFnsPresto) _, digestFnsOracle),

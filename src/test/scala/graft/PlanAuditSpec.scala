@@ -16,6 +16,7 @@ class PlanAuditSpec extends SparkSpec {
     "subq_scalar",            // single-row scalar subquery
     "ml_regress", "ml_classify", // single-row trained-model broadcast × scoring scan
     "presto_set_digest",      // single-row urgent-set digest broadcast × 5 priorities
+    "presto_khll",            // single-row urgent/merged sketches broadcast × 5 priorities
     "ann_bruteforce_topk",    // broadcast probes × corpus (map-side scan)
     "ann_ivf_topk",           // broadcast centroids × corpus assignment
     "ann_ivf_fullprobe",      // same centroid-assignment product, all lists probed
