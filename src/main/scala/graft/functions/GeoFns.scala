@@ -2891,8 +2891,226 @@ object GeoFns {
   }
 
 
+  // ------------------------------------------------- round-17 tail
+  // (boundary/ring/envelope accessors + nearest-points witness +
+  // array-union / collection-flatten utilities)
+
+  /** OGC boundary: points → GEOMETRYCOLLECTION EMPTY, lines → the
+    * mod-2 endpoint MULTIPOINT (closed → empty), polygons → their
+    * rings (one → LINESTRING, several → MULTILINESTRING); collections
+    * are rejected by name (the JTS/Presto stance — a collection has no
+    * single boundary rule). */
+  case class StBoundary(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "st_boundary"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = toWkb(g match {
+      case _: GPoint | _: GMultiPoint => GGeometryCollection(Array.empty)
+      case GLineString(p) => GMultiPoint(lineBoundaryPts(Array(p)))
+      case GMultiLineString(ls) => GMultiPoint(lineBoundaryPts(ls))
+      case GPolygon(rings) =>
+        if (rings.length == 1) GLineString(rings(0))
+        else GMultiLineString(rings)
+      case GMultiPolygon(ps) => GMultiLineString(ps.flatten)
+      case other => throw new IllegalArgumentException(
+        s"ST_Boundary does not support ${typeName(other)}")
+    })
+  }
+
+  /** Presto st_interiorrings: the hole rings as LINESTRING wkbs (NULL
+    * for an empty polygon, error for any other type — the Presto
+    * signature). */
+  case class StInteriorRings(child: Expression) extends GeoUnaryBase {
+    override def nullable: Boolean = true
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def prettyName: String = "st_interiorrings"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = g match {
+      case GPolygon(rings) =>
+        if (rings.isEmpty) null
+        else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          rings.drop(1).map(r => toWkb(GLineString(r)): Any))
+      case other => throw new IllegalArgumentException(
+        s"ST_InteriorRings requires a Polygon, got ${typeName(other)}")
+    }
+  }
+
+  /** Presto st_envelopeaspts: the envelope's lower-left and upper-right
+    * corners as a 2-element POINT array (NULL for an empty geometry). */
+  case class StEnvelopeAsPts(child: Expression) extends GeoUnaryBase {
+    override def nullable: Boolean = true
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def prettyName: String = "st_envelopeaspts"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = envelopeBounds(g) match {
+      case None => null
+      case Some((xmin, ymin, xmax, ymax)) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](toWkb(GPoint(xmin, ymin)), toWkb(GPoint(xmax, ymax))))
+    }
+  }
+
+  /** expand_envelope(g, d): the envelope grown by d on every side (a
+    * cheap pre-filter box for distance joins — the overlay-free way to
+    * do "within d" candidate pruning at scale). */
+  case class ExpandEnvelope(left: Expression, right: Expression) extends GeoBinaryBase {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "expand_envelope"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override protected def nullSafeEval(v1: Any, v2: Any): Any = {
+      val g = fromWkb(v1.asInstanceOf[Array[Byte]])
+      val d = v2.asInstanceOf[Double]
+      if (d < 0) throw new IllegalArgumentException(
+        s"expand_envelope: distance must be non-negative, got $d")
+      toWkb(envelopeBounds(g) match {
+        case None => GPolygon(Array.empty)
+        case Some((xmin, ymin, xmax, ymax)) =>
+          GPolygon(Array(Array(xmin - d, ymin - d, xmax + d, ymin - d,
+            xmax + d, ymax + d, xmin - d, ymax + d, xmin - d, ymin - d)))
+      })
+    }
+    protected def eval2(a: Geom, b: Geom): Any =
+      throw new IllegalStateException("unreachable: nullSafeEval overridden")
+  }
+
+  /** flatten_geometry_collections(g): recursively flattens nested
+    * collections into the array of leaf geometries (a non-collection
+    * flattens to itself). */
+  case class FlattenGeometryCollections(child: Expression) extends GeoUnaryBase {
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def prettyName: String = "flatten_geometry_collections"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    protected def eval1(g: Geom): Any = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      def walk(x: Geom): Unit = x match {
+        case GGeometryCollection(gs) => gs.foreach(walk)
+        case leaf => out += toWkb(leaf)
+      }
+      walk(g)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+  }
+
+  /** geometry_union(array(Geometry)): the scalar fold of st_union over
+    * an array column (nulls skipped; empty/all-null → NULL). Presto
+    * documents it as the small-array alternative to
+    * geometry_union_agg, which shares the same overlay kernel. */
+  case class GeometryUnionArray(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def prettyName: String = "geometry_union"
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(BinaryType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"geometry_union expects array<binary>, got ${other.catalogString}")
+      }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var acc: Geom = null
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          val g = fromWkb(arr.getBinary(i))
+          acc = if (acc == null) g else GeoOverlay.union(acc, g)
+        }
+        i += 1
+      }
+      if (acc == null) null else toWkb(acc)
+    }
+  }
+
+  /** geometry_nearest_points(g1, g2): a 2-element POINT array realizing
+    * st_distance — a point of g1 and a point of g2 at minimal
+    * separation (intersecting operands share a witness point from the
+    * overlay intersection; empty operands → NULL). The disjoint sweep
+    * mirrors [[distance]] with witness tracking: the minimum between
+    * disjoint piecewise-linear sets is always attained vertex-to-
+    * segment or vertex-to-vertex. */
+  case class GeometryNearestPoints(left: Expression, right: Expression)
+      extends GeoBinaryBase {
+    override def nullable: Boolean = true
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def prettyName: String = "geometry_nearest_points"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    protected def eval2(g1: Geom, g2: Geom): Any = {
+      if (g1.isEmpty || g2.isEmpty) return null
+      val w = nearestPointsKernel(g1, g2)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](toWkb(GPoint(w(0), w(1))), toWkb(GPoint(w(2), w(3)))))
+    }
+  }
+
+  private[functions] def nearestPointsKernel(g1: Geom, g2: Geom): Array[Double] = {
+    if (intersects(g1, g2)) {
+      // any vertex of the (closed) intersection lies in both operands
+      val w = GeoOverlay.intersection(g1, g2)
+      val vs = vertsOf(w)
+      require(vs.length >= 2,
+        "geometry_nearest_points: empty intersection for intersecting operands")
+      return Array(vs(0), vs(1), vs(0), vs(1))
+    }
+    val a = prims(g1); val b = prims(g2)
+    val pa = allVerts(a); val pb = allVerts(b)
+    var best = Double.PositiveInfinity
+    val w = new Array[Double](4)
+    def consider(d: Double, x1: Double, y1: Double, x2: Double, y2: Double): Unit =
+      if (d < best) { best = d; w(0) = x1; w(1) = y1; w(2) = x2; w(3) = y2 }
+    def footOnSeg(px: Double, py: Double, ax: Double, ay: Double,
+        bx: Double, by: Double): (Double, Double) = {
+      val dx = bx - ax; val dy = by - ay
+      val len2 = dx * dx + dy * dy
+      if (len2 == 0) return (ax, ay)
+      val t = math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
+      (ax + t * dx, ay + t * dy)
+    }
+    // vertex-to-vertex
+    var i = 0
+    while (i < pa.length) {
+      var j = 0
+      while (j < pb.length) {
+        consider(distPointPoint(pa(i), pa(i + 1), pb(j), pb(j + 1)),
+          pa(i), pa(i + 1), pb(j), pb(j + 1))
+        j += 2
+      }
+      i += 2
+    }
+    // g1 vertices against g2 segments, and vice versa
+    i = 0
+    while (i < pa.length) {
+      val px = pa(i); val py = pa(i + 1)
+      eachSeg(b.runs) { (ax, ay, bx, by) =>
+        val f = footOnSeg(px, py, ax, ay, bx, by)
+        consider(distPointPoint(px, py, f._1, f._2), px, py, f._1, f._2); false }
+      i += 2
+    }
+    i = 0
+    while (i < pb.length) {
+      val px = pb(i); val py = pb(i + 1)
+      eachSeg(a.runs) { (ax, ay, bx, by) =>
+        val f = footOnSeg(px, py, ax, ay, bx, by)
+        consider(distPointPoint(px, py, f._1, f._2), f._1, f._2, px, py); false }
+      i += 2
+    }
+    w
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "st_point" -> arity("st_point", 2)(a => StPoint(dbl(a(0)), dbl(a(1)))),
+    "st_boundary" -> arity("st_boundary", 1)(a => StBoundary(a(0))),
+    "st_interiorrings" -> arity("st_interiorrings", 1)(a => StInteriorRings(a(0))),
+    "st_envelopeaspts" -> arity("st_envelopeaspts", 1)(a => StEnvelopeAsPts(a(0))),
+    "expand_envelope" -> arity("expand_envelope", 2)(a => ExpandEnvelope(a(0), dbl(a(1)))),
+    "flatten_geometry_collections" -> arity("flatten_geometry_collections", 1)(a =>
+      FlattenGeometryCollections(a(0))),
+    "geometry_union" -> arity("geometry_union", 1)(a => GeometryUnionArray(a(0))),
+    "geometry_nearest_points" -> arity("geometry_nearest_points", 2)(a =>
+      GeometryNearestPoints(a(0), a(1))),
     "st_geometryfromtext" ->
       arity("st_geometryfromtext", 1)(a => StGeometryFromText(a(0))),
     "st_astext" -> arity("st_astext", 1)(a => StAsText(a(0))),

@@ -753,7 +753,80 @@ object Geo {
              FROM documents) p
        ORDER BY doc_id"""
 
+  /** Round-17 accessor/constructive tail — st_boundary,
+    * st_interiorrings, st_envelopeaspts, expand_envelope,
+    * flatten_geometry_collections, geometry_union (scalar array fold),
+    * geometry_nearest_points — on doc-derived integer rectangles whose
+    * answers all have integer closed forms: the boundary of an a×b
+    * rectangle has length 2(a+b); the holed square's one interior ring
+    * has perimeter 4c; the envelope's upper-right corner is (a, b); the
+    * 3-expanded envelope has area (a+6)(b+6); the flattened nested
+    * collection has 3 leaves; the union with the edge-adjacent 2×2
+    * square adds exactly 4; and the nearest points between the
+    * rectangle and the external point (a+5, b+7) are the corner (a, b)
+    * and the point itself. */
+  def geoFnsTail(t: Tables): DataFrame = {
+    val a = (col("doc_id") * 37 % 100 + 1).cast("long")
+    val b = (col("doc_id") * 61 % 100 + 1).cast("long")
+    val c = (col("doc_id") % 3 + 1).cast("long")
+    val rect = call_function("st_geometryfromtext",
+      concat(lit("POLYGON ((0 0, "), a, lit(" 0, "), a, lit(" "), b,
+        lit(", 0 "), b, lit(", 0 0))")))
+    val holed = call_function("st_geometryfromtext",
+      concat(lit("POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), (1 1, "),
+        c + 1, lit(" 1, "), c + 1, lit(" "), c + 1, lit(", 1 "), c + 1,
+        lit(", 1 1))")))
+    val adj = call_function("st_geometryfromtext",
+      concat(lit("POLYGON (("), a, lit(" 0, "), a + 2, lit(" 0, "), a + 2,
+        lit(" 2, "), a, lit(" 2, "), a, lit(" 0))")))
+    val nested = call_function("st_geometryfromtext",
+      lit("GEOMETRYCOLLECTION (POINT (1 1), GEOMETRYCOLLECTION (" +
+        "LINESTRING (0 0, 1 1), POINT (2 2)))"))
+    val far = call_function("st_point", (a + 5).cast("double"), (b + 7).cast("double"))
+    val near = call_function("geometry_nearest_points", rect, far)
+    t.documents.select(
+      col("doc_id"),
+      round(call_function("st_length", call_function("st_boundary", rect)), 6)
+        .as("boundary_len"),
+      call_function("st_geometrytype", call_function("st_boundary", holed))
+        .as("bnd_type"),
+      size(call_function("st_interiorrings", holed)).cast("long").as("n_rings"),
+      round(call_function("st_length",
+        element_at(call_function("st_interiorrings", holed), 1)), 6).as("ring_len"),
+      round(call_function("st_x",
+        element_at(call_function("st_envelopeaspts", rect), 2)), 6).as("env_x"),
+      round(call_function("st_area",
+        call_function("expand_envelope", rect, lit(3.0))), 6).as("expand_area"),
+      size(call_function("flatten_geometry_collections", nested)).cast("long")
+        .as("flat_n"),
+      round(call_function("st_area",
+        call_function("geometry_union", array(rect, adj))), 6).as("union_area"),
+      round(call_function("st_x", element_at(near, 1)), 6).as("near_x1"),
+      round(call_function("st_y", element_at(near, 2)), 6).as("near_y2"))
+      .orderBy(col("doc_id"))
+  }
+
+  val geoFnsTailSql: String =
+    """SELECT doc_id,
+              round(CAST(2 * (a + b) AS DOUBLE), 6) AS boundary_len,
+              'ST_MultiLineString' AS bnd_type,
+              CAST(1 AS BIGINT) AS n_rings,
+              round(CAST(4 * c AS DOUBLE), 6) AS ring_len,
+              round(CAST(a AS DOUBLE), 6) AS env_x,
+              round(CAST((a + 6) * (b + 6) AS DOUBLE), 6) AS expand_area,
+              CAST(3 AS BIGINT) AS flat_n,
+              round(CAST(a * b + 4 AS DOUBLE), 6) AS union_area,
+              round(CAST(a AS DOUBLE), 6) AS near_x1,
+              round(CAST(b + 7 AS DOUBLE), 6) AS near_y2
+       FROM (SELECT doc_id,
+                    doc_id * 37 % 100 + 1 AS a,
+                    doc_id * 61 % 100 + 1 AS b,
+                    doc_id % 3 + 1 AS c
+             FROM documents) p
+       ORDER BY doc_id"""
+
   val all: Seq[(String, Tables => DataFrame, String)] = Seq(
+    ("geo_fns_tail", geoFnsTail _, geoFnsTailSql),
     ("geo_overlay", geoOverlay _, geoOverlaySql),
     ("geo_collection", geoCollection _, geoCollectionSql),
     ("geo_buffer", geoBuffer _, geoBufferSql),

@@ -1401,6 +1401,53 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(agg.getDouble(0) == 12.0, agg.getDouble(0).toString)
   }
 
+  test("round-17 tail: boundary, interior rings, envelope pts, expand, flatten, array union, nearest points") {
+    def w(gm: Geom) = toWkt(gm)
+    // boundary edge semantics
+    assert(w(g("POINT (1 2)")) != null) // parse sanity
+    val r = spark.sql(
+      """SELECT st_astext(st_boundary(st_geometryfromtext('POINT (1 2)'))) AS pb,
+                st_astext(st_boundary(st_geometryfromtext(
+                  'LINESTRING (0 0, 1 0, 1 1, 0 0)'))) AS closedb,
+                st_astext(st_boundary(st_geometryfromtext(
+                  'LINESTRING (0 0, 5 0)'))) AS openb,
+                st_astext(st_boundary(st_geometryfromtext(
+                  'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'))) AS polyb
+      """).head()
+    assert(r.getString(0) == "GEOMETRYCOLLECTION EMPTY", r.getString(0))
+    assert(r.getString(1) == "MULTIPOINT EMPTY", r.getString(1))
+    assert(r.getString(2) == "MULTIPOINT ((0 0), (5 0))", r.getString(2))
+    assert(r.getString(3) == "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)", r.getString(3))
+    // boundary of a collection fails by name
+    val eb = intercept[Exception](spark.sql(
+      """SELECT st_boundary(st_geometryfromtext(
+           'GEOMETRYCOLLECTION (POINT (1 1))'))""").collect())
+    assert(eb.getMessage.contains("ST_Boundary") ||
+      eb.getCause.getMessage.contains("ST_Boundary"))
+    // nearest points: intersecting operands share one witness point
+    val n = spark.sql(
+      """SELECT transform(geometry_nearest_points(
+                  st_geometryfromtext('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))'),
+                  st_geometryfromtext('POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))')),
+                p -> st_astext(p)) AS ws,
+                geometry_nearest_points(
+                  st_geometryfromtext('POLYGON EMPTY'),
+                  st_geometryfromtext('POINT (1 1)')) AS nul
+      """).head()
+    val ws = n.getSeq[String](0)
+    assert(ws.length == 2 && ws(0) == ws(1), ws.toString)
+    assert(n.isNullAt(1))
+    // geometry_union skips nulls; all-null → NULL
+    val u = spark.sql(
+      """SELECT st_area(geometry_union(array(
+                  st_geometryfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'),
+                  CAST(NULL AS BINARY),
+                  st_geometryfromtext('POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))')))) AS a,
+                geometry_union(array(CAST(NULL AS BINARY))) AS nul""").head()
+    assert(u.getDouble(0) == 7.0, u.getDouble(0).toString)
+    assert(u.isNullAt(1))
+  }
+
   test("round-17 self-review regressions: degenerate arcs, collection erosion, mixed collapse, chain wrap") {
     import graft.functions.GeoFns.{toSphericalGeography, geographyDistance,
       greatCircleDistance}
