@@ -237,28 +237,41 @@ object KHll {
 
   def deserialize(bytes: Array[Byte], fn: String): KState = {
     if (!isKhll(bytes)) foreign(bytes, fn)
-    val bb = java.nio.ByteBuffer.wrap(bytes, 3, bytes.length - 3)
-    val k = bb.getInt
-    if (k != K) throw new IllegalArgumentException(
-      s"$fn: KHyperLogLog K mismatch (sketch $k, engine $K)")
-    val n = bb.getInt
-    val s = new KState(sawInput = true)
-    var i = 0
-    while (i < n) {
-      val h = bb.getLong
-      val y = newY()
-      if (bb.get() == 1.toByte) {
-        y.dense = new Array[Byte](DenseM)
-        bb.get(y.dense)
-      } else {
-        val cnt = bb.getInt
-        var j = 0
-        while (j < cnt) { y.add(bb.getLong); j += 1 }
+    if (bytes(2) != 1.toByte) throw new IllegalArgumentException(
+      s"$fn: unsupported KHyperLogLog frame version ${bytes(2)} (engine writes 1)")
+    try {
+      val bb = java.nio.ByteBuffer.wrap(bytes, 3, bytes.length - 3)
+      val k = bb.getInt
+      if (k != K) throw new IllegalArgumentException(
+        s"$fn: KHyperLogLog K mismatch (sketch $k, engine $K)")
+      val n = bb.getInt
+      if (n < 0 || n > K) throw new IllegalArgumentException(
+        s"$fn: corrupt KHyperLogLog frame (key count $n)")
+      val s = new KState(sawInput = true)
+      var i = 0
+      while (i < n) {
+        val h = bb.getLong
+        val y = newY()
+        if (bb.get() == 1.toByte) {
+          y.dense = new Array[Byte](DenseM)
+          bb.get(y.dense)
+          y.sparse = null // the densify() invariant: sparse XOR dense
+        } else {
+          val cnt = bb.getInt
+          if (cnt < 0 || cnt > SparseMax) throw new IllegalArgumentException(
+            s"$fn: corrupt KHyperLogLog frame (sparse count $cnt)")
+          var j = 0
+          while (j < cnt) { y.add(bb.getLong); j += 1 }
+        }
+        s.keys.put(h, y)
+        i += 1
       }
-      s.keys.put(h, y)
-      i += 1
+      s
+    } catch {
+      case e: java.nio.BufferUnderflowException =>
+        throw new IllegalArgumentException(
+          s"$fn: truncated KHyperLogLog frame (${bytes.length} bytes)", e)
     }
-    s
   }
 
   // ---------------------------------------------------------- queries
@@ -278,9 +291,10 @@ object KHll {
   /** MinHash Jaccard: restrict both key sets to the K smallest hashes
     * of their union; |in both| / |in union sample|. Exact when both
     * sketches are below K (full sets retained). */
-  def jaccard(a: Array[Byte], b: Array[Byte]): Double = {
-    val sa = deserialize(a, "jaccard_index")
-    val sb = deserialize(b, "jaccard_index")
+  def jaccard(a: Array[Byte], b: Array[Byte]): Double =
+    jaccardOf(deserialize(a, "jaccard_index"), deserialize(b, "jaccard_index"))
+
+  private def jaccardOf(sa: KState, sb: KState): Double = {
     val union = new java.util.TreeSet[java.lang.Long](
       (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compareUnsigned(x, y))
     union.addAll(sa.keys.keySet()); union.addAll(sb.keys.keySet())
@@ -294,23 +308,30 @@ object KHll {
     if (total == 0) 0.0 else inBoth.toDouble / total
   }
 
-  /** Presto's estimator: Jaccard × NDV(union of key samples). */
+  /** Presto's estimator: Jaccard × NDV(union of key samples) — one
+    * deserialization per operand, key-set arithmetic only (the per-key
+    * y-states play no part in either factor). */
   def intersectionCardinality(a: Array[Byte], b: Array[Byte]): Long = {
     val sa = deserialize(a, "intersection_cardinality")
     val sb = deserialize(b, "intersection_cardinality")
-    val merged = new KState(sawInput = true)
-    merged.mergeFrom(sa); merged.mergeFrom(sb)
+    val union = new java.util.TreeSet[java.lang.Long](
+      (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compareUnsigned(x, y))
+    union.addAll(sa.keys.keySet()); union.addAll(sb.keys.keySet())
+    // keep only the K smallest union hashes (what a merged sketch
+    // would retain), then the KMV estimate on the K-th smallest
+    while (union.size > K) union.pollLast()
     val uCard =
-      if (merged.keys.size < K) merged.keys.size.toLong
-      else math.round((K - 1).toDouble / unit(merged.keys.lastKey()))
-    math.round(jaccard(a, b) * uCard)
+      if (union.size < K) union.size.toLong
+      else math.round((K - 1).toDouble / unit(union.last()))
+    math.round(jaccardOf(sa, sb) * uCard)
   }
 
   /** uniqueness → fraction-of-sampled-x histogram: bucket
     * min(NDV(y|x), histogramSize), every bucket 1..histogramSize
     * present (zeros included, the Presto shape). */
   def uniquenessDistribution(bytes: Array[Byte], histSize: Long): ArrayBasedMapData = {
-    require(histSize >= 1, "uniqueness_distribution: histogram size must be >= 1")
+    if (histSize < 1 || histSize > 65536) throw new IllegalArgumentException(
+      s"uniqueness_distribution: histogram size must be in [1, 65536], got $histSize")
     val s = deserialize(bytes, "uniqueness_distribution")
     val counts = new Array[Long](histSize.toInt)
     val it = s.keys.values().iterator()

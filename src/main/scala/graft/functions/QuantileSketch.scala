@@ -198,23 +198,25 @@ object QuantileSketch {
       }
 
     private def addHll(s: SketchUnionState, bytes: Array[Byte]): Unit = {
-      if (s.kll != null) throw new IllegalArgumentException(
-        "merge: mixed sketch families in one group (HLL after KLL)")
+      if (s.kll != null || s.khll != null) throw new IllegalArgumentException(
+        s"merge: mixed sketch families in one group (HLL after ${s.familyName})")
       if (s.hll == null) s.hll = new Union(12)
       s.hll.update(HllSketch.heapify(Memory.wrap(bytes)))
     }
 
     private def addKll(s: SketchUnionState, bytes: Array[Byte]): Unit = {
-      if (s.hll != null || s.td != null) throw new IllegalArgumentException(
-        s"merge: mixed sketch families in one group (KLL after ${s.familyName})")
+      if (s.hll != null || s.td != null || s.khll != null)
+        throw new IllegalArgumentException(
+          s"merge: mixed sketch families in one group (KLL after ${s.familyName})")
       val sk = heapifyKll(bytes)
       if (s.kll == null) s.kll = KllDoublesSketch.newHeapInstance()
       s.kll.merge(sk)
     }
 
     private def addTd(s: SketchUnionState, bytes: Array[Byte]): Unit = {
-      if (s.hll != null || s.kll != null) throw new IllegalArgumentException(
-        s"merge: mixed sketch families in one group (t-digest after ${s.familyName})")
+      if (s.hll != null || s.kll != null || s.khll != null)
+        throw new IllegalArgumentException(
+          s"merge: mixed sketch families in one group (t-digest after ${s.familyName})")
       val sk = heapifyTd(bytes)
       if (s.td == null) s.td = new TDigestDouble(TDigestDouble.DEFAULT_K)
       s.td.merge(sk)
@@ -251,17 +253,17 @@ object QuantileSketch {
         if (!ok) throw new IllegalArgumentException(
           "merge: mixed sketch families across partitions")
       if (o.hll != null) {
-        requireFamily(s.kll == null && s.td == null)
+        requireFamily(s.kll == null && s.td == null && s.khll == null)
         if (s.hll == null) s.hll = new Union(12)
         s.hll.update(o.hll.getResult)
       }
       if (o.kll != null) {
-        requireFamily(s.hll == null && s.td == null)
+        requireFamily(s.hll == null && s.td == null && s.khll == null)
         if (s.kll == null) s.kll = KllDoublesSketch.newHeapInstance()
         s.kll.merge(o.kll)
       }
       if (o.td != null) {
-        requireFamily(s.hll == null && s.kll == null)
+        requireFamily(s.hll == null && s.kll == null && s.khll == null)
         if (s.td == null) s.td = new TDigestDouble(TDigestDouble.DEFAULT_K)
         s.td.merge(o.td)
       }

@@ -87,6 +87,33 @@ class KhllSpec extends AnyFunSuite with SparkSpec {
     assert(one("SELECT khyperloglog_agg(x, y) FROM (SELECT 1 AS x, 1 AS y) WHERE false").isNullAt(0))
   }
 
+  test("merge rejects a KHLL-then-HLL family mix in BOTH orders") {
+    // the one-directional guard would silently drop the KHLL partial
+    // when the 'GK' frame arrived first; a single-partition local Seq
+    // pins the update order (SQL ORDER BY cannot)
+    import spark.implicits._
+    val khll = one("SELECT khyperloglog_agg(x, x) FROM VALUES (1) t(x)")
+      .getAs[Array[Byte]](0)
+    val hll = one("SELECT approx_set(x) FROM VALUES (1) t(x)")
+      .getAs[Array[Byte]](0)
+    def mixed(order: Seq[Array[Byte]]) = intercept[Exception] {
+      order.toDF("k").coalesce(1).createOrReplaceTempView("mix_sketches")
+      spark.sql("SELECT merge(k) FROM mix_sketches").collect()
+    }
+    Seq(mixed(Seq(khll, hll)), mixed(Seq(hll, khll))).foreach { e =>
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("mixed sketch families"), msg)
+    }
+  }
+
+  test("uniqueness_distribution histogram size is range-checked by name") {
+    val e = intercept[Exception](one(
+      """SELECT uniqueness_distribution(
+           (SELECT khyperloglog_agg(x, x) FROM VALUES (1) t(x)), 4294967297)"""))
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("[1, 65536]"), msg)
+  }
+
   test("foreign bytes and mixed families fail by name") {
     val e1 = intercept[Exception](one(
       "SELECT uniqueness_distribution(CAST('junk' AS BINARY), 4)"))
