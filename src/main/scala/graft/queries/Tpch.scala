@@ -244,6 +244,16 @@ object Tpch {
   /** National market share — 8-way join, conditional aggregation ratio.
     * Adapted constants: p_type = 'ECONOMY', nation 'NATION_3',
     * region 'ASIA'. Shape of q8.sql preserved. */
+  // Round-17 A/B note: reshaping the region predicate into an
+  // ASIA-customer pre-filter (region ⋈ nation resolved to a broadcast
+  // nationkey set, customer semi-shrunk BEFORE the orders join) was
+  // measured and REJECTED — parquet sf0.1 min-of-8 0.913 s vs 0.864 s
+  // for this shape (q5 control within 2%), generator lane sf1 0.32 vs
+  // 0.37 (inside noise), sf10 single-rep worse. The lane broadcasts the
+  // whole customer dim either way (64 MB threshold, the deployment
+  // setting), so the pre-filter only adds a stage; the CBO warmup
+  // already reorders this join tree when stats justify it
+  // (HistoryStatsSpec).
   def q8(t: Tables): DataFrame = {
     val n1 = broadcast(t.nation.select(col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region")))
     val n2 = broadcast(t.nation.select(col("n_nationkey").as("n2_key"), col("n_name").as("nation")))

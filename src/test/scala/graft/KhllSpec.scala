@@ -79,6 +79,44 @@ class KhllSpec extends AnyFunSuite with SparkSpec {
     assert(ud.values.sum == 1.0)
   }
 
+  test("randomized exact-regime differential: 50 set pairs vs Scala set arithmetic") {
+    import spark.implicits._
+    // deterministic LCG (public Knuth constants) — no Math.random in specs
+    var seed = 0x12345678L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ((seed >>> 33) % bound).toInt
+    }
+    val trials = (0 until 50).map { t =>
+      val a = Seq.fill(1 + nextInt(300))(nextInt(500).toLong)
+      val b = Seq.fill(1 + nextInt(300))(nextInt(500).toLong)
+      (t, a, b)
+    }
+    (trials.flatMap { case (t, a, _) => a.map(v => (t, "a", v)) } ++
+      trials.flatMap { case (t, _, b) => b.map(v => (t, "b", v)) })
+      .toDF("trial", "side", "v").createOrReplaceTempView("khll_rand")
+    val got = spark.sql(
+      """SELECT a.trial,
+                cardinality(a.k) AS ca, cardinality(b.k) AS cb,
+                jaccard_index(a.k, b.k) AS jac,
+                intersection_cardinality(a.k, b.k) AS inter
+         FROM (SELECT trial, khyperloglog_agg(v, v) AS k FROM khll_rand
+               WHERE side = 'a' GROUP BY trial) a
+         JOIN (SELECT trial, khyperloglog_agg(v, v) AS k FROM khll_rand
+               WHERE side = 'b' GROUP BY trial) b
+         USING (trial)""").collect()
+    assert(got.length == 50)
+    got.foreach { r =>
+      val t = r.getInt(0)
+      val sa = trials(t)._2.toSet; val sb = trials(t)._3.toSet
+      assert(r.getLong(1) == sa.size && r.getLong(2) == sb.size, s"trial $t cardinality")
+      val inter = (sa & sb).size; val uni = (sa | sb).size
+      assert(math.abs(r.getDouble(3) - inter.toDouble / uni) < 1e-12,
+        s"trial $t jaccard ${r.getDouble(3)} want ${inter.toDouble / uni}")
+      assert(r.getLong(4) == inter, s"trial $t intersection ${r.getLong(4)} want $inter")
+    }
+  }
+
   test("null handling: null x or y skipped; empty aggregate is NULL") {
     val r = one(
       """SELECT cardinality(khyperloglog_agg(x, y)) AS c
