@@ -61,8 +61,22 @@ object Streams {
 
   /** Event-time session windows (30-minute gap) with explicit state via
     * flatMapGroupsWithState — the custom-state escape hatch
-    * (KeyValueGroupedDataset, SURVEY operator list (d)). Emits a session
-    * when the gap closes it; EventTimeTimeout + watermark GC the state. */
+    * (KeyValueGroupedDataset, SURVEY operator list (d)).
+    *
+    * A session is emitted only once the WATERMARK passes its close
+    * (end + gap): any event at or under the watermark has already
+    * arrived, so nothing can extend or merge the session after emission
+    * — the append-mode contract. (The round-17 review killed the
+    * previous eager form, which emitted a session as soon as a newer
+    * in-batch event closed the gap and absorbed arbitrarily-early late
+    * events into the OPEN session without moving its start: a late-but-
+    * within-watermark event in a later micro-batch produced sessions
+    * that diverged permanently from the batch oracle.) Open sessions
+    * and new events are merged as INTERVALS — sort by start, coalesce
+    * any pair within the gap — so a late event extends a session
+    * backward (min start) as naturally as forward. EventTimeTimeout at
+    * the earliest open close keeps emission latency at one watermark
+    * advance; the watermark GCs state. */
   def sessions(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     // State in MICROSECONDS (java.sql.Timestamp carries micros in its
@@ -83,31 +97,32 @@ object Streams {
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          if (state.hasTimedOut) {
-            // watermark passed: flush every open session
-            val out = state.getOption.getOrElse(Nil).map(s =>
-              SessionOut(userId, fromUs(s.start), s.n, (s.end - s.start) / 1000000))
-            state.remove()
-            out.iterator
-          } else {
-            // fold sorted events into gap-separated sessions
-            val evs = rows.map(e => us(e.ts)).toSeq.sorted
-            val open = state.getOption.getOrElse(Nil)
-            val (closed, stillOpen) = evs.foldLeft((List.empty[SessionState], open)) {
-              case ((done, cur), t) =>
-                cur match {
-                  case s :: rest if t - s.end <= gapUs =>
-                    (done, s.copy(end = math.max(s.end, t), n = s.n + 1) :: rest)
-                  case s :: rest => (s :: done, SessionState(t, t, 1) :: rest)
-                  case Nil => (done, SessionState(t, t, 1) :: Nil)
-                }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // merge open sessions and new events as intervals: sort by
+          // start, coalesce any pair within the gap (handles both the
+          // data and the timeout invocation — rows is empty on timeout)
+          val pts = rows.map { e => val t = us(e.ts); SessionState(t, t, 1) }.toList
+          val all = (state.getOption.getOrElse(Nil) ++ pts).sortBy(_.start)
+          val merged = all.foldLeft(List.empty[SessionState]) { (acc, s) =>
+            acc match {
+              case h :: rest if s.start - h.end <= gapUs =>
+                h.copy(end = math.max(h.end, s.end), n = h.n + s.n) :: rest
+              case _ => s :: acc
             }
-            state.update(stillOpen)
-            state.setTimeoutTimestamp(stillOpen.headOption.map(s => (s.end + gapUs) / 1000)
-              .getOrElse((evs.lastOption.getOrElse(0L) + gapUs) / 1000))
-            closed.map(s =>
-              SessionOut(userId, fromUs(s.start), s.n, (s.end - s.start) / 1000000)).iterator
           }
+          // final once the watermark passes the close: no event <=
+          // watermark can reach it, and later events are > watermark
+          val (open, ripe) = merged.partition(s => s.end + gapUs > wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // next flush candidate: the earliest open close (strictly
+            // above the current watermark, as the API requires)
+            state.setTimeoutTimestamp(
+              math.max(wmUs / 1000 + 1, open.map(s => (s.end + gapUs) / 1000).min))
+          }
+          ripe.sortBy(_.start).map(s =>
+            SessionOut(userId, fromUs(s.start), s.n, (s.end - s.start) / 1000000)).iterator
       }
   }
 
@@ -200,48 +215,38 @@ object Streams {
     * batch/stream dual deployment). */
   def sessionsBatch(spark: SparkSession, events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // MICROSECOND arithmetic throughout — unix_timestamp() truncates to
+    // seconds, which disagreed with both the streaming state machine and
+    // the DuckDB oracle (epoch_us) on sub-second gaps and durations
+    // (the fixture's TIMESTAMP(NANOS) encoding allows them); duration is
+    // the same floor-division the streaming side computes
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    val bySession = Window.partitionBy(col("user_id"), col("session_id"))
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("boundary",
         when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L).otherwise(0L))
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L,
+          1L).otherwise(0L))
       .withColumn("session_id", sum(col("boundary")).over(byUser))
-      .select(col("user_id"), col("ts"), col("session_id"))
-      .withColumn("start", min(col("ts")).over(bySession))
-      .withColumn("end", max(col("ts")).over(bySession))
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("ts")).as("start"), count(lit(1)).cast("int").as("n_events"),
-        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_sec"))
+        floor((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1000000L))
+          .as("duration_sec"))
       .select(col("user_id"), col("start"), col("n_events"), col("duration_sec"))
   }
 
-  /** End-to-end Structured Streaming execution of the tumbling
-    * aggregation, oracle-checkable: replay the events parquet as a
-    * file-source micro-batch stream, aggregate in COMPLETE mode into a
-    * memory sink with `Trigger.AvailableNow`, and return the final
-    * table. Complete mode makes the drained stream's answer definitionally
-    * equal to the batch groupBy(window) result, so `events_tumbling`'s
-    * DuckDB SQL checks the STREAMING engine — watermark/append-mode
-    * emission (which drops the unclosed tail window by design) is pinned
-    * separately in StreamsSpec.
-    *
-    * Scale note: complete mode re-emits all windows per trigger, which is
-    * right for a bounded replay/backfill; an unbounded deployment uses
-    * the append-mode [[tumbling]] whose watermark bounds state. */
   /** Session clone for the drained-replay entries. Streaming state-store
     * count follows spark.sql.shuffle.partitions, and every store pays
     * checkpoint+commit machinery per micro-batch — so partitions must
     * track STATE VOLUME, not core count (the round-10→11 3× wall cut
     * came from exactly this). Round 12: the count is DERIVED at query
     * build from the entry's estimated distinct state keys — one
-    * partition per ~2048 keys (~256 KB of store at a ~128 B/key state
-    * row), clamped to [4, session shuffle partitions] so tiny states
-    * don't collapse below task parallelism and huge states still
-    * spread across the cluster's configured width.
-    * SPARK_GRAFT_STREAM_PARTITIONS overrides (DifferentialSpec pins
-    * partition-independence of the OUTPUT). */
+    * partition per ~[[KeysPerStatePartition]] keys (~1 MB of store at a
+    * ~128 B/key state row), clamped to [[[MinStatePartitions]], session
+    * shuffle partitions] so tiny states don't collapse below task
+    * parallelism and huge states still spread across the cluster's
+    * configured width. SPARK_GRAFT_STREAM_PARTITIONS overrides
+    * (DifferentialSpec pins partition-independence of the OUTPUT). */
   private val KeysPerStatePartition = 8192L // ~1 MB of store at ~128 B/key
   private val MinStatePartitions = 8 // task-parallelism floor (r11's tuned value)
   private def streamingSession(spark: SparkSession,
@@ -271,6 +276,19 @@ object Streams {
       else distinctEst(graft.Catalog.load(outer, sfDir, "events"))
     })
 
+  /** End-to-end Structured Streaming execution of the tumbling
+    * aggregation, oracle-checkable: replay the events parquet as a
+    * file-source micro-batch stream, aggregate in COMPLETE mode into a
+    * memory sink with `Trigger.AvailableNow`, and return the final
+    * table. Complete mode makes the drained stream's answer definitionally
+    * equal to the batch groupBy(window) result, so `events_tumbling`'s
+    * DuckDB SQL checks the STREAMING engine — watermark/append-mode
+    * emission (which drops the unclosed tail window by design) is pinned
+    * separately in StreamsSpec.
+    *
+    * Scale note: complete mode re-emits all windows per trigger, which is
+    * right for a bounded replay/backfill; an unbounded deployment uses
+    * the append-mode [[tumbling]] whose watermark bounds state. */
   def tumblingStreamedEntry(outer: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     // state keys = live (window × event_type) groups
@@ -295,7 +313,13 @@ object Streams {
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    spark.table(name)
+    // bounded (one row per window × event_type); re-wrap so the sink
+    // view can be dropped instead of accreting per invocation
+    val sink = spark.table(name)
+    val rows = sink.collect().toList
+    spark.catalog.dropTempView(name)
+    outer.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sink.schema)
   }
 
   /** End-to-end Structured Streaming SESSIONIZATION, oracle-checkable —
@@ -325,66 +349,77 @@ object Streams {
     val ev = graft.Catalog.load(spark, sfDir, "events")
       .select(col("ts"), col("user_id"), col("event_type"), col("value"))
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // checkout-relative staging + full cleanup in the finally, the
+    // dedupStreamedEntry discipline: repeated gate/lane invocations must
+    // not accrete staging copies or memory-sink tables
     val stage = new java.io.File(
-      s"/root/repo/target/stream_sessions/${java.util.UUID.randomUUID().toString.take(8)}")
+      s"target/stream_sessions/${java.util.UUID.randomUUID().toString.take(8)}")
     val inDir = new java.io.File(stage, "in")
     inDir.mkdirs()
-    val base = System.currentTimeMillis()
-    // Stage the source file ITSELF: events.parquet is a single file by
-    // the fixture contract (the tumbling entry's file-source glob relies
-    // on the same), so staging the corpus is one file COPY. The previous
-    // coalesce(1) rewrite was a single-task pass over the whole corpus —
-    // at 100x replay volume (tools/StreamScale) it dominated the replay
-    // wall clock. The stream applies the same schema-dispatched ts
-    // normalization the batch reader uses; sentinels are built against
-    // the RAW schema (ts may be a nanos long under the fixture's
-    // TIMESTAMP(NANOS) encoding).
-    val src = new java.io.File(sfDir, "events.parquet")
-    val evDst = new java.io.File(inDir, "000_events.parquet")
-    java.nio.file.Files.copy(src.toPath, evDst.toPath)
-    evDst.setLastModified(base)
-    val rawSchema = spark.read.parquet(src.getPath).schema
-    def stageSentinel(daysAhead: Int, name: String, mtime: Long): Unit = {
-      val sentinelMs = maxTs.getTime + daysAhead * 86400000L
-      val tsRaw: Any = rawSchema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => sentinelMs * 1000000L // ms -> ns
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          java.time.LocalDateTime.ofInstant(
-            java.time.Instant.ofEpochMilli(sentinelMs), java.time.ZoneOffset.UTC)
-        case _ => new Timestamp(sentinelMs)
+    try {
+      val base = System.currentTimeMillis()
+      // Stage the source file ITSELF: events.parquet is a single file by
+      // the fixture contract (the tumbling entry's file-source glob relies
+      // on the same), so staging the corpus is one file COPY. The previous
+      // coalesce(1) rewrite was a single-task pass over the whole corpus —
+      // at 100x replay volume (tools/StreamScale) it dominated the replay
+      // wall clock. The stream applies the same schema-dispatched ts
+      // normalization the batch reader uses; sentinels are built against
+      // the RAW schema (ts may be a nanos long under the fixture's
+      // TIMESTAMP(NANOS) encoding).
+      val src = new java.io.File(sfDir, "events.parquet")
+      val evDst = new java.io.File(inDir, "000_events.parquet")
+      java.nio.file.Files.copy(src.toPath, evDst.toPath)
+      evDst.setLastModified(base)
+      val rawSchema = spark.read.parquet(src.getPath).schema
+      def stageSentinel(daysAhead: Int, name: String, mtime: Long): Unit = {
+        val sentinelMs = maxTs.getTime + daysAhead * 86400000L
+        val tsRaw: Any = rawSchema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType => sentinelMs * 1000000L // ms -> ns
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            java.time.LocalDateTime.ofInstant(
+              java.time.Instant.ofEpochMilli(sentinelMs), java.time.ZoneOffset.UTC)
+          case _ => new Timestamp(sentinelMs)
+        }
+        val row = org.apache.spark.sql.Row.fromSeq(rawSchema.fields.toSeq.map(_.name match {
+          case "ts" => tsRaw
+          case "user_id" => -1L
+          case "event_type" => "sentinel"
+          case "value" => 0.0
+          case "event_id" => -1L
+          case _ => null
+        }))
+        val w = new java.io.File(stage, s"w_$name")
+        spark.createDataFrame(java.util.Collections.singletonList(row), rawSchema)
+          .coalesce(1).write.mode("overwrite").parquet(w.getPath)
+        val part = w.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(inDir, s"$name.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath)
+        dst.setLastModified(mtime)
       }
-      val row = org.apache.spark.sql.Row.fromSeq(rawSchema.fields.toSeq.map(_.name match {
-        case "ts" => tsRaw
-        case "user_id" => -1L
-        case "event_type" => "sentinel"
-        case "value" => 0.0
-        case "event_id" => -1L
-        case _ => null
-      }))
-      val w = new java.io.File(stage, s"w_$name")
-      spark.createDataFrame(java.util.Collections.singletonList(row), rawSchema)
-        .coalesce(1).write.mode("overwrite").parquet(w.getPath)
-      val part = w.listFiles().filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(inDir, s"$name.parquet")
-      java.nio.file.Files.copy(part.toPath, dst.toPath)
-      dst.setLastModified(mtime)
-    }
-    stageSentinel(3, "001_flush", base + 10000)
-    stageSentinel(4, "002_flush", base + 20000)
-    val stream = graft.Catalog.normalizeEventsTs(
-      spark.readStream.schema(rawSchema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir.getPath))
-      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Event]
-    val out = sessions(stream)
-    val name = "graft_stream_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = out.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name).filter(col("user_id") >= 0)
-      .select(col("user_id"), col("start"), col("n_events"), col("duration_sec"))
+      stageSentinel(3, "001_flush", base + 10000)
+      stageSentinel(4, "002_flush", base + 20000)
+      val stream = graft.Catalog.normalizeEventsTs(
+        spark.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir.getPath))
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Event]
+      val out = sessions(stream)
+      val name = "graft_stream_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val result = spark.table(name).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("start"), col("n_events"), col("duration_sec"))
+      // bounded: one row per closed session (<= distinct users × sessions
+      // at gate scale); re-wrap locally so the sink view can be dropped
+      val rows = result.collect().toList
+      spark.catalog.dropTempView(name)
+      outer.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, result.schema)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(stage)
   }
 
   /** End-to-end stream-stream INTERVAL JOIN, oracle-checkable — the
@@ -402,19 +437,30 @@ object Streams {
       ev.filter(col("event_type") === "click").count()))
     val ev = graft.Catalog.load(spark, sfDir, "events")
       .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+    // checkout-relative staging + full cleanup, the dedupStreamedEntry
+    // discipline (was an absolute /root/repo path that leaked a full
+    // click+purchase copy per invocation)
     val stage = new java.io.File(
-      s"/root/repo/target/stream_join/${java.util.UUID.randomUUID().toString.take(8)}")
-    val (cDir, pDir) = (new java.io.File(stage, "clicks"), new java.io.File(stage, "purchases"))
-    ev.filter(col("event_type") === "click").write.mode("overwrite").parquet(cDir.getPath)
-    ev.filter(col("event_type") === "purchase").write.mode("overwrite").parquet(pDir.getPath)
-    def rs(d: java.io.File) = spark.readStream.schema(ev.schema).parquet(d.getPath)
-    val joined = purchaseAttribution(rs(cDir), rs(pDir))
-    val name = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(name)
+      s"target/stream_join/${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val (cDir, pDir) = (new java.io.File(stage, "clicks"), new java.io.File(stage, "purchases"))
+      ev.filter(col("event_type") === "click").write.mode("overwrite").parquet(cDir.getPath)
+      ev.filter(col("event_type") === "purchase").write.mode("overwrite").parquet(pDir.getPath)
+      def rs(d: java.io.File) = spark.readStream.schema(ev.schema).parquet(d.getPath)
+      val joined = purchaseAttribution(rs(cDir), rs(pDir))
+      val name = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // bounded: the interval join's matches at gate scale; re-wrap so
+      // the sink view can be dropped
+      val sink = spark.table(name)
+      val rows = sink.collect().toList
+      spark.catalog.dropTempView(name)
+      outer.createDataFrame(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sink.schema)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(stage)
   }
 
   /** Driver-contract entries (SparkSession, sfDir) — streaming runs whose

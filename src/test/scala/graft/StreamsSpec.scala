@@ -93,6 +93,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessions absorb late-but-within-watermark events correctly across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Event]
+    val q = Streams.sessions(stream.toDS())
+      .writeStream.format("memory").queryName("s_sessions_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 has two gap-separated sessions; user 2 one.
+      // the 11:00 event sets the watermark to 09:00 (2h delay), so the
+      // batch-2 stragglers below are late but NOT watermark-dropped
+      stream.addData(
+        Event(ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(ts("2024-01-01 11:00:00"), 1, "click", 2.0),
+        Event(ts("2024-01-01 10:00:00"), 2, "view", 3.0))
+      q.processAllAvailable()
+      // batch 2: a late 10:15 event must merge FORWARD into user 1's
+      // 10:00 session (not the open 11:00 one — the old eager form
+      // absorbed any earlier event into the open session); a late 09:50
+      // event must extend user 2's session BACKWARD (start moves)
+      stream.addData(
+        Event(ts("2024-01-01 10:15:00"), 1, "late", 4.0),
+        Event(ts("2024-01-01 09:50:00"), 2, "late", 5.0))
+      q.processAllAvailable()
+      // flush: advance the watermark past every close
+      stream.addData(Event(ts("2024-01-03 00:00:00"), 9, "noop", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("s_sessions_late")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getInt(2), r.getLong(3)))
+        .filter(_._1 < 9).toSet
+      val want = Set(
+        (1L, ts("2024-01-01 10:00:00"), 2, 900L),
+        (1L, ts("2024-01-01 11:00:00"), 1, 0L),
+        (2L, ts("2024-01-01 09:50:00"), 2, 600L))
+      assert(got == want, s"got $got")
+    } finally q.stop()
+  }
+
   test("built-in session_window stream equals the custom-state sessionizer on closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
