@@ -209,11 +209,15 @@ object Ann {
   def annIvf(t: Tables): DataFrame = annIvf(t, NProbe)
 
   /** `nProbe` generalization; `Int.MaxValue` probes every list, which
-    * makes IVF EXACT (each vector lives in exactly one inverted list, so
-    * probing all lists scores the whole corpus) — that variant is
+    * makes IVF EXACT: every vector appears in at least one probed list
+    * (NAssign replicates each into its 3 nearest — see [[NAssign]]) and
+    * the dropDuplicates below collapses the replicas, so probing all
+    * lists scores the whole corpus exactly once — that variant is
     * registered with the brute-force oracle as a hash-checked proof of
     * the IVF partition/probe plumbing, while the approximate default
-    * stays recall-gated in LlmOpsSpec. */
+    * stays recall-gated in LlmOpsSpec. (Do NOT remove the dedup on the
+    * strength of a single-assign argument — multi-assign made that
+    * false.) */
   def annIvf(t: Tables, nProbe: Int): DataFrame = annIvf(t, nProbe, NQueries, CbK)
 
   /** `nQueries`/`nLists` generalization for the scale harness
@@ -374,8 +378,18 @@ object Ann {
     * reseeds them from the farthest vectors). */
   def kmeansTrain(t: Tables, iters: Int = 4): Seq[Double] = {
     NativeExprs.ensureRegistered(t.spark)
+    // L2-normalize the inputs FIRST: for fixed assignments, the
+    // maximizer of Σ cos(x, c) over the centroid direction is Σ x/|x|
+    // normalized — the plain mean of UNnormalized vectors is not, so the
+    // non-decreasing-objective claim below would be false for clusters
+    // with heterogeneous norms (round-17 review). On unit vectors the
+    // plain mean points along the true maximizer (cosine ignores the
+    // centroid's scale), making this genuine spherical k-means.
     val base = t.embeddings
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("raw"))
+      .withColumn("nrm0", sqrt(dot(col("raw"), col("raw"))))
+      .select(col("vec_id"),
+        transform(col("raw"), x => x / greatest(col("nrm0"), lit(java.lang.Double.MIN_NORMAL))).as("e"))
       .withColumn("norm", sqrt(dot(col("e"), col("e"))))
       .localCheckpoint(true)
     var cents = seedCents(base).localCheckpoint(true)

@@ -85,6 +85,13 @@ object Corpus {
       converged = changed == 0
       round += 1
     }
+    // hash-min propagates one hop per round, so a component of diameter
+    // > 20 (boilerplate families chained by overlapping shingles) would
+    // exit the loop with NON-minimal labels — a silent wrong answer.
+    // Escalate to the O(log d) large-star/small-star variant, which
+    // converges on any diameter (round-17 review; previously the cap
+    // returned the unconverged labeling unmarked).
+    if (!converged) comp = connectedComponentsStar(pairs)._1
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("cluster_n"))
     val result = comp.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("component"), col("cluster_n"))
@@ -199,27 +206,7 @@ object Corpus {
   /** DuckDB ground truth: transitive closure by recursive CTE over the
     * same exact-Jaccard ≥ 0.8 edges; component = min reachable id. */
   val dedupClusterCCSql: String =
-    """WITH RECURSIVE toks AS (
-         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-       ), sh AS (
-         SELECT doc_id,
-                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                               for i in range(1, len(w)-1)]) AS shingles
-         FROM toks WHERE len(w) >= 3
-       ), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-       ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       pairs AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-         GROUP BY 1, 2
-       ),
-       pj AS (
-         SELECT doc_a, doc_b
-         FROM pairs
-         JOIN sizes sa ON sa.doc_id = doc_a
-         JOIN sizes sb ON sb.doc_id = doc_b
-         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
-       ),
+    s"""WITH RECURSIVE ${Dedup.neardupPairsCte},
        edges AS (SELECT doc_a AS a, doc_b AS b FROM pj
                  UNION SELECT doc_b, doc_a FROM pj),
        reach AS (
@@ -249,27 +236,7 @@ object Corpus {
         round(col("quality"), 4).as("quality"), col("cluster_n"))
   }
   val dedupClusterKeepBestSql: String =
-    """WITH RECURSIVE toks AS (
-         SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
-       ), sh AS (
-         SELECT doc_id,
-                list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                               for i in range(1, len(w)-1)]) AS shingles
-         FROM toks WHERE len(w) >= 3
-       ), sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-       ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       pairs AS (
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-         GROUP BY 1, 2
-       ),
-       pj AS (
-         SELECT doc_a, doc_b
-         FROM pairs
-         JOIN sizes sa ON sa.doc_id = doc_a
-         JOIN sizes sb ON sb.doc_id = doc_b
-         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
-       ),
+    s"""WITH RECURSIVE ${Dedup.neardupPairsCte},
        edges AS (SELECT doc_a AS a, doc_b AS b FROM pj
                  UNION SELECT doc_b, doc_a FROM pj),
        reach AS (
@@ -342,13 +309,6 @@ object Corpus {
        WHERE rk <= 5"""
 
   // ------------------------------------------------------ context packing
-  /** Greedy sequential packing of documents into fixed-token contexts
-    * (CTX=2048): docs are laid end-to-end in doc_id order and a doc
-    * starts in bin ⌊cum_before/CTX⌋ — the first-come packing used to
-    * build training batches. The running sum is windowed PER SOURCE
-    * (= per shard): a single global ordering would serialize the scan at
-    * 100 TB, while per-shard packing is embarrassingly parallel and is
-    * what production packers do (pack within each input shard). */
   /** Packing core over any (source, doc_id, n_tok) relation — separated
     * so properties (token conservation, overflow spill, bin contiguity)
     * are checkable on arbitrary generated corpora, not just the fixture. */
@@ -362,6 +322,13 @@ object Corpus {
       .select(col("source"), col("bin"), col("n_docs"), col("bin_tokens"))
   }
 
+  /** Greedy sequential packing of documents into fixed-token contexts
+    * (CTX=2048): docs are laid end-to-end in doc_id order and a doc
+    * starts in bin ⌊cum_before/CTX⌋ — the first-come packing used to
+    * build training batches. The running sum is windowed PER SOURCE
+    * (= per shard): a single global ordering would serialize the scan at
+    * 100 TB, while per-shard packing is embarrassingly parallel and is
+    * what production packers do (pack within each input shard). */
   def packSequences(t: Tables): DataFrame =
     packBins(t.documents.select(col("source"), col("doc_id"), size(toks).as("n_tok")), 2048)
   val packSequencesSql: String =

@@ -101,10 +101,15 @@ object Dedup {
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** The common DuckDB ground-truth oracle: all pairs with 3-gram-shingle
-    * Jaccard ≥ 0.8 (inverted-index join there too, not an O(n²) scan). */
-  private val neardupOracleSql: String =
-    """WITH toks AS (
+  /** Shared DuckDB CTE chain computing the exact near-dup ground truth:
+    * 3-gram shingles, inverted-index join (not an O(n²) scan), exact
+    * Jaccard; `pairs` carries the intersection counts, `pj` the edges at
+    * tau ≥ 0.8. The cluster oracles in Corpus compose on top of this ONE
+    * definition — a shingle-size or tau change cannot silently leave a
+    * cluster oracle verifying against a different edge set (round-17
+    * review: this chain was pasted verbatim in three places). */
+  private[llm] val neardupPairsCte: String =
+    """toks AS (
          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
        ), sh AS (
          SELECT doc_id,
@@ -117,7 +122,19 @@ object Dedup {
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
          GROUP BY 1, 2
-       )
+       ),
+       pj AS (
+         SELECT doc_a, doc_b
+         FROM pairs
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+       )"""
+
+  /** The common DuckDB ground-truth oracle: all pairs with 3-gram-shingle
+    * Jaccard ≥ 0.8, with the exact similarity recomputed for the output. */
+  private val neardupOracleSql: String =
+    s"""WITH $neardupPairsCte
        SELECT doc_a, doc_b,
               round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jacc
        FROM pairs
