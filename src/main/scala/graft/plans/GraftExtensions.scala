@@ -29,10 +29,10 @@ class HistoryStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def broadcastRowLimit: Long =
     spark.conf.getOption("graft.history.broadcastRowLimit").map(_.toLong).getOrElse(500000L)
 
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => conjuncts(l) ++ conjuncts(r)
-    case other => Seq(other)
-  }
+  // canonical-key conjunct split — ONE definition (History.conjuncts)
+  // shared by the rule, the sampler, and actual-recording so the three
+  // can never drift apart on key equality (round-17 review)
+  private def conjuncts(e: Expression): Seq[Expression] = History.conjuncts(e)
 
   /** (root paths, current total bytes) — the size is the data fingerprint
     * half of the history key, so counts recorded against smaller/older

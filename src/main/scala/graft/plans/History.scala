@@ -101,9 +101,14 @@ object History {
     * key a real query uses and subsequently be hinted for broadcast.
     * (The async listener thread cannot consult Sampling.inProgress — a
     * ThreadLocal on the planning thread — so the guard is structural.)
-    * Pure Sample executions stay recordable: filters push through
-    * Sample, so scan counts beneath are exact, and joins over sampled
-    * inputs never key (physKey is undefined through Sample). */
+    * Pure Sample executions stay recordable: Spark 4.1.2 does NOT push
+    * filters through Sample (PushPredicateThroughNonJoin has no Sample
+    * case), so the scan beneath a Sample carries no pushed filters and
+    * records its exact TOTAL under the unfiltered key — a correct
+    * value; the sampler's filtered probes therefore do not seed
+    * filtered-key history (they don't need to: the probe itself returns
+    * the estimate), and joins over sampled inputs never key (physKey is
+    * undefined through Sample). */
   def recordExecution(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Offset, Tail}
     val truncating = qe.analyzed.exists {
@@ -162,7 +167,17 @@ object History {
     case c: org.apache.spark.sql.execution.RowToColumnarExec => physKey(c.child)
     case s: FileSourceScanExec =>
       val path = s.relation.location.rootPaths.map(_.toString).sorted.mkString(";")
-      Some(scanKey(path, s.relation.location.sizeInBytes, s.dataFilters))
+      // partitionFilters are part of the predicate the LOGICAL key is
+      // built from (FileSourceStrategy splits one conjunct list into
+      // partition/data halves) — omitting them recorded a partition-
+      // pruned actual under the unpruned query's key, exactly the
+      // stale-count force-broadcast the size fingerprint exists to
+      // prevent (round-17 review). Runtime DPP filters are physical
+      // artifacts with no logical twin: keying them would only create
+      // dead entries, so they are dropped.
+      val staticPart = s.partitionFilters.filterNot(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+      Some(scanKey(path, s.relation.location.sizeInBytes, s.dataFilters ++ staticPart))
     case j: BaseJoinExec if j.joinType == Inner && j.leftKeys.nonEmpty =>
       val equi = j.leftKeys.zip(j.rightKeys).map { case (l, r) => EqualTo(l, r) }
       for (lk <- physKey(j.left); rk <- physKey(j.right))
@@ -253,7 +268,7 @@ object History {
     val json = store.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}": $v""" }.mkString("{", ",", "}")
     val p = Paths.get(path)
-    Files.createDirectories(p.getParent)
+    Option(p.getParent).foreach(Files.createDirectories(_)) // bare filename: cwd
     Files.write(p, json.getBytes(StandardCharsets.UTF_8))
   }
 
@@ -277,11 +292,26 @@ object History {
     val p = Paths.get(path)
     if (Files.exists(p) && loadedFrom != Some(path)) {
       val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim
-      // minimal parser for the flat {"k": n, ...} shape written by save()
+      // minimal parser for the flat {"k": n, ...} shape written by save().
+      // Single-pass unescape: replace() chains mis-decode a literal
+      // backslash followed by 'uXXXX' text, and save()'s control-char
+      // \uXXXX escapes need decoding too (round-17 review: a filter
+      // literal with a newline never round-tripped).
+      def unesc(s: String): String = {
+        val b = new StringBuilder(s.length)
+        var i = 0
+        while (i < s.length) {
+          if (s(i) == '\\' && i + 1 < s.length) s(i + 1) match {
+            case 'u' if i + 5 < s.length =>
+              b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+            case c => b += c; i += 2
+          } else { b += s(i); i += 1 }
+        }
+        b.result()
+      }
       val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*(\d+)""".r
       entry.findAllMatchIn(txt).foreach { m =>
-        val k = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
-        putInternal(k, m.group(2).toLong)
+        putInternal(unesc(m.group(1)), m.group(2).toLong)
       }
       loadedFrom = Some(path)
     }

@@ -55,11 +55,7 @@ object Sampling {
     * so its cost is linear in the sampled inputs. Pure theta joins are
     * never sampled (the sampled plan itself would be a nested loop). */
   def hasEquiConjunct(cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    conjuncts(cond).exists {
+    History.conjuncts(cond).exists {
       // Both sides must REFERENCE columns: a literal's empty reference
       // set is a subset of every outputSet, so without this guard a
       // column-vs-constant equality (l.c = 5) on a theta join would
@@ -78,18 +74,23 @@ object Sampling {
     * choice at 100×, because Σₖ lₖ·rₖ is invisible to per-side static
     * stats when the key distribution is skewed.
     *
-    * Estimator: Bernoulli row-sample BOTH sides at rate p = 1/√f and
-    * scale the sampled join count by f = 1/p². This is unbiased for the
-    * fanout sum (every (l,r) pair survives with probability p²) and,
-    * unlike the reference's coordinated key-hash sampling, keeps bounded
-    * variance when one heavy key dominates the output: a coordinated
-    * scheme keeps or drops a heavy key's ENTIRE lₖ·rₖ block at rate 1/f
-    * (relative std ≈ √f on one-hot skew), while row sampling keeps
-    * ~p·lₖ of its left rows and ~p·rₖ of its right rows so the block's
-    * contribution concentrates (relative std ≈ 1/√(p·min(lₖ,rₖ))).
-    * Sampled-side sizes are ~n/√f rows, so the sampled hash join stays
-    * a bounded fraction of the real one; `f` is sized from the larger
-    * side's unfiltered row count (parquet metadata, no data scan).
+    * Estimator: Bernoulli row-sample each side at its OWN rate
+    * pₛ = min(1, target/nₛ) and scale the sampled join count by
+    * 1/(p_l·p_r). This is unbiased for the fanout sum (every (l,r) pair
+    * survives with probability p_l·p_r) and, unlike the reference's
+    * coordinated key-hash sampling, keeps bounded variance when one
+    * heavy key dominates the output: a coordinated scheme keeps or
+    * drops a heavy key's ENTIRE lₖ·rₖ block (relative std ≈ √f on
+    * one-hot skew), while row sampling keeps ~p_l·lₖ of its left rows
+    * and ~p_r·rₖ of its right rows so the block's contribution
+    * concentrates. Per-side rates matter for dimension-fact joins
+    * (round-17 review): one shared rate sized from the LARGER side
+    * decimated a small dimension to ~0 sampled rows (25-row nation at
+    * a fact-sized rate had a ~16% chance of keeping nothing → a
+    * memoized 0-row estimate → broadcast hint on a huge join); per-side
+    * rates keep a sub-target side intact (pₛ = 1) and bound each
+    * sampled input at ~target rows. Totals come from parquet metadata
+    * (no data scan).
     */
   def estimateJoinOutputRows(spark: SparkSession, left: LogicalPlan, right: LogicalPlan,
                              cond: Expression): Long = {
@@ -100,18 +101,20 @@ object Sampling {
       val rTotal = roughRows(spark, right)
       if (lTotal == 0 || rTotal == 0) 0L
       else {
-        val f = math.max(1.0, math.max(lTotal, rTotal).toDouble / sampleTarget(spark))
-        val p = math.min(1.0, 1.0 / math.sqrt(f))
-        def samp(plan: LogicalPlan, seed: Long): LogicalPlan =
+        val target = sampleTarget(spark)
+        val pL = math.min(1.0, target / lTotal.toDouble)
+        val pR = math.min(1.0, target / rTotal.toDouble)
+        val scale = 1.0 / (pL * pR)
+        def samp(plan: LogicalPlan, p: Double, seed: Long): LogicalPlan =
           if (p >= 1.0) plan else Sample(0.0, p, withReplacement = false, seed, plan)
-        val j = Join(samp(left, 42L), samp(right, 43L), Inner, Some(cond), JoinHint.NONE)
+        val j = Join(samp(left, pL, 42L), samp(right, pR, 43L), Inner, Some(cond), JoinHint.NONE)
         // Work cap (reference gate analogue: OptimizerOptions.sampleJoins,
         // JoinSample.cpp:48-52): the sampled join's OUTPUT is
         // ~true_output/f, which is unbounded for near-cross-product
         // joins, so the sampled plan runs under a LocalLimit. A
         // partition that hits the cap contributes `cap` rows, so
         // matches >= cap iff the count may be truncated; the estimate
-        // then degrades to the FLOOR cap*f — with the default cap
+        // then degrades to the FLOOR cap*scale — with the default cap
         // (2M) far above any broadcast row limit, a capped join can
         // never be mistaken for broadcastable, and the plan-time job
         // is bounded by cap rows per output partition.
@@ -120,7 +123,7 @@ object Sampling {
           org.apache.spark.sql.catalyst.expressions.Literal(
             math.min(cap, Int.MaxValue.toLong).toInt), j)
         val matches = Shim.ofRows(spark, limited).count()
-        math.round(math.min(matches, cap) * f)
+        math.round(math.min(matches, cap) * scale)
       }
     } finally {
       inSampling.set(false)

@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -159,6 +159,18 @@ final class TpchScanBuilder(table: String, sf: Double) extends ScanBuilder
     case EqualTo(c, v: Number) if c == keyCol =>
       keyLo = math.max(keyLo, v.longValue + off)
       keyHi = math.min(keyHi, v.longValue + off); true
+    // IN-list point lookups: narrow the planned split range to
+    // [min, max] like the runtime filter() path already does, but stay
+    // RESIDUAL (return false) — the range is necessary, not sufficient,
+    // so Spark must still evaluate exact membership (round-17 review:
+    // a 2-key IN planned every split while the same filter arriving at
+    // runtime pruned).
+    case In(c, vs) if c == keyCol && vs.nonEmpty &&
+        vs.forall(_.isInstanceOf[Number]) =>
+      val ids = vs.map(_.asInstanceOf[Number].longValue + off)
+      keyLo = math.max(keyLo, ids.min)
+      keyHi = math.min(keyHi, ids.max)
+      false
     case _ => false
   }
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -360,15 +372,17 @@ final class TpchScan(table: String, sf: Double, keyLo0: Long, keyHi0: Long,
     * l_orderkey, q13's per-custkey counts on the custkey axis) becomes
     * a STREAMING sort aggregate: zero sort inserted, O(1) aggregation
     * state instead of a multi-hundred-MB hash map per task — the shape
-    * a 100 TB clustered table hands its reader. Only the native axis
-    * is ordered: under the custkey layout, o_custkey values within a
-    * block are a uniform draw, so the scan reports nothing rather than
-    * lie. Same opt-outs as partitioning (partsupp's key repeats are
-    * fine for ordering, but 0-based tables' emitted keys still ascend —
-    * only the projection matters). */
+    * a 100 TB clustered table hands its reader. The keyCol ordering is
+    * truthful under BOTH layout axes: the custkey axis changes which
+    * o_custkey VALUES a split holds (block-shuffled mapping), but rows
+    * are still generated in ascending native-key order within every
+    * split — the round-17 review removed a custAxis opt-out here that
+    * was reasoning about o_custkey, a column this method never reports
+    * on. (partsupp's key repeats are fine for ordering, and 0-based
+    * tables' emitted keys still ascend — only the projection matters). */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     val keyCol = TpchGen.keyColumnOf(table)
-    if (custAxis || !required.fieldNames.contains(keyCol))
+    if (!required.fieldNames.contains(keyCol))
       Array.empty
     else Array(Expressions.sort(Expressions.column(keyCol),
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
@@ -480,9 +494,13 @@ object TpchGen {
     case "tiny" => Some(0.01)
     case s if s.length > 2 && s.startsWith("sf") && s.drop(2).forall(_.isDigit) =>
       Some(s.drop(2).toDouble)
-    case s if s.length > 2 && s.startsWith("sf") &&
-        s.drop(2).count(_ == '_') == 1 &&
-        s.drop(2).split('_').forall(p => p.nonEmpty && p.forall(_.isDigit)) =>
+    case s if s.length > 2 && s.startsWith("sf") && {
+        // split with limit -1 keeps trailing empties: 'sf1_' must throw
+        // NoSuchNamespace, not silently measure SF 1 (a typo must not
+        // measure the wrong layout)
+        val parts = s.drop(2).split("_", -1)
+        parts.length == 2 && parts.forall(p => p.nonEmpty && p.forall(_.isDigit))
+      } =>
       Some(s.drop(2).replace('_', '.').toDouble)
     case _ => None
   }
@@ -767,7 +785,16 @@ object TpchGen {
       }
       g
     }
-    (key, line) => InternalRow.fromSeq(gens.toSeq.map(_(key, line)))
+    // hot loop: this closure runs once per generated row (billions per
+    // executor at 100 TB) — fill a preallocated array, no per-row
+    // collection copies (round-17 review: gens.toSeq copied the
+    // generator array per row)
+    (key, line) => {
+      val vals = new Array[Any](gens.length)
+      var i = 0
+      while (i < gens.length) { vals(i) = gens(i)(key, line); i += 1 }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+    }
   }
 }
 
