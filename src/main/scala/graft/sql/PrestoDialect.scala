@@ -294,10 +294,25 @@ object PrestoDialect {
     if (sp.exprs.length == 1 && !sp.ordinality) {
       // explode covers both arrays (1 col) and maps (2 cols: key, value)
       s"LATERAL VIEW ${outer}EXPLODE(${sp.exprs.head}) ${sp.alias} AS ${sp.cols.mkString(", ")}"
+    } else if (sp.exprs.length == 1) {
+      // single collection WITH ORDINALITY: posexplode covers both
+      // arrays (pos, value) and maps (pos, key, value) — the positional
+      // try_element_at form below is a KEY lookup on maps and was
+      // silently wrong for them (round-17 review). Presto puts the
+      // ordinality column LAST and 1-based while posexplode emits a
+      // 0-based pos FIRST, so pos lands under an internal name and a
+      // second single-row lateral view computes the +1 alias.
+      val dataCols = sp.cols.dropRight(1)
+      s"LATERAL VIEW ${outer}POSEXPLODE(${sp.exprs.head}) ${sp.alias} " +
+        s"AS __graft_pos0, ${dataCols.mkString(", ")} " +
+        s"LATERAL VIEW EXPLODE(array(CAST(__graft_pos0 + 1 AS BIGINT))) " +
+        s"${sp.alias}_ord AS ${sp.cols.last}"
     } else {
       val dataCols = if (sp.ordinality) sp.cols.dropRight(1) else sp.cols
       require(dataCols.length == sp.exprs.length,
-        s"UNNEST arity: ${sp.exprs.length} collections but ${dataCols.length} column aliases")
+        s"UNNEST arity: ${sp.exprs.length} collections but ${dataCols.length} " +
+          "column aliases (zipped multi-collection UNNEST lowers positionally " +
+          "and supports ARRAY collections; UNNEST a MAP separately)")
       val sizes = sp.exprs.map(e => s"coalesce(size($e), 0)")
       val m = if (sizes.length == 1) sizes.head else s"greatest(${sizes.mkString(", ")})"
       val fields = dataCols.zip(sp.exprs).map { case (c, e) =>
@@ -473,6 +488,48 @@ object PrestoDialect {
     }
   }
 
+  /** Presto subscript `base[idx]` → `element_at(base, idx)`. Presto
+    * subscripts are 1-BASED on arrays and key lookups on maps; Spark's
+    * bracket subscript is 0-based on arrays, so before this pass every
+    * bracket subscript through the dialect door was silently off by one
+    * (round-17 review). `element_at` carries Presto's semantics for
+    * both families (1-based position / key lookup; under ANSI mode it
+    * also errors on out-of-range and missing keys, like Presto's
+    * subscript). Runs AFTER rewriteArrayBrackets, so every remaining
+    * `[` opens a subscript. One subscript rewrites per scan, iterated
+    * to a fixpoint — chains like a[1][2] re-capture the element_at call
+    * through chainStart — and each rewrite removes one bracket pair, so
+    * the loop terminates. */
+  private[sql] def rewriteSubscripts(toks: Vector[Tok]): Vector[Tok] = {
+    var cur = toks
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (!changed && i < cur.length) {
+        if (cur(i) == Sym("[")) {
+          val p = prevM(cur, i)
+          val isSub = p >= 0 && (cur(p) match {
+            case _: Word | _: Quoted | _: Str => true
+            case Sym(")") | Sym("]") => true
+            case _ => false
+          })
+          val close = matchFwd(cur, i)
+          if (isSub && close > i) {
+            val baseStart = chainStart(cur, p)
+            val base = render(cur.slice(baseStart, p + 1)).trim
+            val idx = render(cur.slice(i + 1, close)).trim
+            cur = applyEdits(cur,
+              Vector((baseStart, close + 1, s"element_at($base, $idx)")))
+            changed = true
+          }
+        }
+        i += 1
+      }
+    }
+    cur
+  }
+
   /** `TABLESAMPLE BERNOULLI(p)` / `TABLESAMPLE SYSTEM(p)`
     * (PrestoSql.g4:333 sampledRelation) → Spark `TABLESAMPLE (p PERCENT)`.
     * Spark's PERCENT sampling IS per-row Bernoulli, so BERNOULLI maps
@@ -557,35 +614,45 @@ object PrestoDialect {
     * postfix-primary (literal, ident chain, function call, parens,
     * subscript); the zone is a string literal or an ident/call. */
   private[sql] def rewriteAtTimeZone(toks: Vector[Tok]): Vector[Tok] = {
-    val edits = mutable.ArrayBuffer.empty[(Int, Int, String)]
-    var i = 0
-    while (i < toks.length) {
-      if (wordAt(toks, i) == "at" && wordAt(toks, nextM(toks, i)) == "time" &&
-          wordAt(toks, nextM(toks, nextM(toks, i))) == "zone") {
-        val zoneKw = nextM(toks, nextM(toks, i))
-        val opEnd = prevM(toks, i)
-        val tzStart = nextM(toks, zoneKw)
-        if (opEnd >= 0 && tzStart >= 0 && wordAt(toks, tzStart) != "interval") {
-          var tzEnd = tzStart
-          toks(tzStart) match {
-            case _: Word | _: Quoted =>
-              val nx = nextM(toks, tzStart)
-              if (nx >= 0 && toks(nx) == Sym("(")) {
-                val c = matchFwd(toks, nx); if (c >= 0) tzEnd = c
-              }
-            case _ =>
+    // ONE rewrite per scan, iterated to a fixpoint: chained
+    // `x AT TIME ZONE 'a' AT TIME ZONE 'b'` produces OVERLAPPING edits
+    // under a collect-then-apply scheme (the second operand capture
+    // starts inside the first edit's span — round-17 review); after the
+    // first rewrite the next scan captures the convert_timezone(...)
+    // call as its postfix-primary operand, nesting correctly.
+    var cur = toks
+    var changed = true
+    while (changed) {
+      changed = false
+      var i = 0
+      while (!changed && i < cur.length) {
+        if (wordAt(cur, i) == "at" && wordAt(cur, nextM(cur, i)) == "time" &&
+            wordAt(cur, nextM(cur, nextM(cur, i))) == "zone") {
+          val zoneKw = nextM(cur, nextM(cur, i))
+          val opEnd = prevM(cur, i)
+          val tzStart = nextM(cur, zoneKw)
+          if (opEnd >= 0 && tzStart >= 0 && wordAt(cur, tzStart) != "interval") {
+            var tzEnd = tzStart
+            cur(tzStart) match {
+              case _: Word | _: Quoted =>
+                val nx = nextM(cur, tzStart)
+                if (nx >= 0 && cur(nx) == Sym("(")) {
+                  val c = matchFwd(cur, nx); if (c >= 0) tzEnd = c
+                }
+              case _ =>
+            }
+            val opStart = chainStart(cur, opEnd)
+            val operand = render(cur.slice(opStart, opEnd + 1)).trim
+            val tz = render(cur.slice(tzStart, tzEnd + 1)).trim
+            cur = applyEdits(cur, Vector((opStart, tzEnd + 1,
+              s"convert_timezone('UTC', $tz, cast($operand as timestamp_ntz))")))
+            changed = true
           }
-          val opStart = chainStart(toks, opEnd)
-          val operand = render(toks.slice(opStart, opEnd + 1)).trim
-          val tz = render(toks.slice(tzStart, tzEnd + 1)).trim
-          edits += ((opStart, tzEnd + 1,
-            s"convert_timezone('UTC', $tz, cast($operand as timestamp_ntz))"))
-          i = tzEnd
         }
+        i += 1
       }
-      i += 1
     }
-    applyEdits(toks, edits.toVector)
+    cur
   }
 
   // --------------------------------- pass: quantified comparisons
@@ -625,6 +692,21 @@ object PrestoDialect {
           if (close > parIdx && (innerKw == "select" || innerKw == "with")) {
             val opEnd = prevM(toks, opIdx)
             val opStart = chainStart(toks, opEnd)
+            // the capture is ONE postfix-primary; comparison binds
+            // looser than arithmetic/concatenation, so a compound left
+            // operand ('a' || x = ANY (...), x + 1 > ALL (...)) would
+            // splice only its trailing primary — silently computing a
+            // different expression. Fail by name instead (round-17
+            // review); parenthesizing the operand is the workaround.
+            val before = prevM(toks, opStart)
+            if (before >= 0) toks(before) match {
+              case Sym(s) if Set("+", "-", "*", "/", "%", "||")(s) =>
+                throw new IllegalArgumentException(
+                  "quantified comparison with a compound left operand is " +
+                    s"not supported: parenthesize the operand before '$s … " +
+                    s"${toks(opIdx).text} ${q.toUpperCase}(…)'")
+              case _ =>
+            }
             val x = render(toks.slice(opStart, opEnd + 1)).trim
             val sub = render(toks.slice(parIdx + 1, close)).trim
             val op = if (toks(opIdx).text == "!=") "<>" else toks(opIdx).text
@@ -674,18 +756,31 @@ object PrestoDialect {
   // ------------------------------------------------- pass: bare types
   /** Bare Presto type words outside CAST (DDL column lists): VARCHAR →
     * STRING (Spark's VARCHAR demands a length), JSON → STRING, REAL →
-    * FLOAT. Length-parameterized VARCHAR(n) is valid Spark and kept. */
-  private[sql] def rewriteBareTypes(toks: Vector[Tok]): Vector[Tok] =
+    * FLOAT. Length-parameterized VARCHAR(n) is valid Spark and kept.
+    *
+    * Scoped to CREATE/ALTER statements: varchar/json/real are
+    * NON-RESERVED words in Presto, so in query statements they are more
+    * likely identifiers — an unscoped rewrite silently renamed aliases
+    * (`SELECT x AS json` became `AS STRING`; round-17 review). CAST
+    * targets in queries are already lowered by rewriteCastTypes. Inside
+    * DDL, an `AS <word>` is still an alias (CTAS select list), never a
+    * type, so those are skipped too. */
+  private[sql] def rewriteBareTypes(toks: Vector[Tok]): Vector[Tok] = {
+    val head = wordAt(toks, nextM(toks, -1))
+    if (head != "create" && head != "alter") return toks
     toks.zipWithIndex.map {
       case (w: Word, i) if (w.lower == "varchar" || w.lower == "json") &&
           !toks.lift(nextM(toks, i)).contains(Sym("(")) &&
-          !toks.lift(prevM(toks, i)).contains(Sym(".")) =>
+          !toks.lift(prevM(toks, i)).contains(Sym(".")) &&
+          wordAt(toks, prevM(toks, i)) != "as" =>
         Word("STRING")
       case (w: Word, i) if w.lower == "real" &&
-          !toks.lift(prevM(toks, i)).contains(Sym(".")) =>
+          !toks.lift(prevM(toks, i)).contains(Sym(".")) &&
+          wordAt(toks, prevM(toks, i)) != "as" =>
         Word("FLOAT")
       case (t, _) => t
     }
+  }
 
   // ---------------------------------------------- pass: EXPLAIN options
   /** Presto `EXPLAIN (TYPE LOGICAL|DISTRIBUTED|IO|VALIDATE [, FORMAT …])`
@@ -879,7 +974,12 @@ object PrestoDialect {
       throw new IllegalArgumentException(
         s"invalid U&'…' unicode string literal $lit: $why")
     def decode(raw: String, esc: Char): String = {
-      // raw includes the surrounding quotes; undo the '' doubling first.
+      // raw includes the surrounding quotes; an unterminated literal
+      // reaches here WITHOUT its closing quote and the substring below
+      // would silently truncate the last data character instead of
+      // failing (round-17 review; rewriteQuotedIdents guards the same)
+      if (raw.length < 2 || raw.charAt(raw.length - 1) != '\'')
+        fail(raw, "unterminated literal")
       val body = raw.substring(1, raw.length - 1).replace("''", "'")
       val sb = new StringBuilder
       var i = 0
@@ -1205,7 +1305,8 @@ object PrestoDialect {
   final case class SetSessionStmt(rest: String) extends StatementAction
   /** SHOW SESSION [LIKE pattern] (PrestoSql.g4 #showSession): the
     * session's configuration properties. */
-  final case class ShowSessionStmt(like: Option[String]) extends StatementAction
+  final case class ShowSessionStmt(like: Option[String],
+      escape: Option[String] = None) extends StatementAction
   /** `EXPLAIN ANALYZE [VERBOSE] query` (PrestoSql.g4:126) — execute and
     * annotate the plan with measured per-operator metrics. */
   final case class ExplainAnalyzeStmt(body: String, verbose: Boolean) extends StatementAction
@@ -1736,28 +1837,19 @@ object PrestoDialect {
           }
         }
         else if (wordAt(toks, iS).equalsIgnoreCase("session")) {
-          if (iF < 0) Some(ShowSessionStmt(None))
-          else if (wordAt(toks, iF).equalsIgnoreCase("like")) {
-            toks.lift(nextM(toks, iF)) match {
-              case Some(Str(t)) => Some(ShowSessionStmt(Some(t.substring(1, t.length - 1))))
-              case _ => None
-            }
-          } else None
+          // same LIKE [ESCAPE] machinery as TABLES/SCHEMAS/CATALOGS:
+          // undoubled '' quotes, ESCAPE honored, trailing tokens →
+          // passthrough (loud Spark parse error) instead of silently
+          // ignored (round-17 review)
+          likeEscape(iF).map(le =>
+            ShowSessionStmt(le.map(_._1), le.flatMap(_._2)))
         }
         else if (wordAt(toks, iS).equalsIgnoreCase("functions")) {
-          def strAt(i: Int): Option[String] = toks.lift(i) match {
-            case Some(Str(t)) => Some(t.substring(1, t.length - 1))
-            case _ => None
-          }
           if (iF < 0) Some(ShowFunctionsStmt(None, None))
           else if (wordAt(toks, iF).equalsIgnoreCase("like")) {
-            val iP = nextM(toks, iF)
-            strAt(iP).flatMap { pat =>
-              val iE = nextM(toks, iP)
-              if (iE < 0) Some(ShowFunctionsStmt(Some(pat), None))
-              else if (wordAt(toks, iE).equalsIgnoreCase("escape"))
-                strAt(nextM(toks, iE)).map(e => ShowFunctionsStmt(Some(pat), Some(e)))
-              else None
+            likeEscape(iF) match {
+              case Some(Some((pat, esc))) => Some(ShowFunctionsStmt(Some(pat), esc))
+              case _ => None
             }
           } else None
         }
@@ -2010,7 +2102,8 @@ object PrestoDialect {
     rewriteExplainOptions, rewriteAnalyze, rewriteViewSecurity, rewriteGroupsFrame,
     rewriteUnnestJoins,
     rewriteUserTypes, rewriteCastTypes,
-    rewriteRowCtor, rewriteArrayBrackets, rewriteTry, rewriteTablesample, rewriteAtTimeZone,
+    rewriteRowCtor, rewriteArrayBrackets, rewriteSubscripts,
+    rewriteTry, rewriteTablesample, rewriteAtTimeZone,
     rewriteQuantifiedCmp, rewriteBareTypes, rewriteQuotedIdents)
 
   /** Full Presto-dialect lowering: structural passes, then the

@@ -93,7 +93,7 @@ class PrestoParser(session: SparkSession, delegate: ParserInterface)
           .replaceAllIn(rest, m => java.util.regex.Matcher.quoteReplacement(
             m.group(1) + m.group(2).replace("''", "'")))
         delegate.parsePlan("SET " + unquoted)
-      case Some(PrestoDialect.ShowSessionStmt(like)) =>
+      case Some(PrestoDialect.ShowSessionStmt(like, escape)) =>
         // session configuration properties as rows; LIKE evaluated by
         // Spark. Escape backslashes BEFORE quotes (conf values carry
         // regex/path strings the literal parser would reinterpret).
@@ -102,12 +102,17 @@ class PrestoParser(session: SparkSession, delegate: ParserInterface)
           .map { case (k, v) => s"(${lit(k)}, ${lit(v)})" }
         val base = rows.mkString("SELECT * FROM VALUES ", ", ",
           " AS session(name, value)")
-        delegate.parsePlan(base + like.map(p => s" WHERE name LIKE ${lit(p)}").getOrElse(""))
+        delegate.parsePlan(base + like.map(p =>
+          s" WHERE name LIKE ${lit(p)}" +
+            escape.map(e => s" ESCAPE ${lit(e)}").getOrElse("")).getOrElse(""))
       case Some(PrestoDialect.ShowFunctionsStmt(like, escape)) =>
         // Registry-backed listing (the reference surfaces its function
         // metadata the same way — names, kinds, costs); the LIKE filter
         // is evaluated by Spark so %/_ and ESCAPE keep SQL semantics.
-        def lit(s: String) = s"'${s.replace("'", "''")}'"
+        // escape backslashes BEFORE quotes, like ShowSession above — a
+        // LIKE pattern with an escape char (e.g. '%\_%') would otherwise
+        // reach Spark's literal parser as a quote escape
+        def lit(s: String) = s"'${s.replace("\\", "\\\\").replace("'", "''")}'"
         val rows = graft.functions.Registry.fns.toSeq.sortBy(_._1).map { case (name, m) =>
           s"(${lit(name)}, ${lit(m.sparkName)}, " +
             s"${lit(if (m.isAggregate) "aggregate" else "scalar")}, " +
@@ -138,7 +143,11 @@ class PrestoParser(session: SparkSession, delegate: ParserInterface)
         if (output) {
           val spliced = PrestoDialect.spliceParams(
             body, Seq.fill(PrestoDialect.paramCount(body))("null"))
-          val rows = session.sql(PrestoDialect.transform(spliced)).schema.fields
+          // session.sql re-enters this parser (dialect active), which
+          // transforms exactly once — pre-transforming here DOUBLE
+          //-rewrote (format_datetime → date_format → presto_date_format
+          // chained renames, wrong analyzed schema)
+          val rows = session.sql(spliced).schema.fields
             .map(f => s"('${f.name.replace("'", "''")}', '${f.dataType.sql.toLowerCase}')")
           delegate.parsePlan(rows.mkString(
             "SELECT * FROM VALUES ", ", ", " AS describe_output(column_name, type)"))
@@ -228,10 +237,21 @@ class PrestoParser(session: SparkSession, delegate: ParserInterface)
             val i = kv.lastIndexOf('='); (kv.substring(0, i), kv.substring(i + 1).toInt)
           }.toMap
         // restore mutated tables to their recorded snapshots; drop
-        // tables born inside the transaction
+        // tables born inside the transaction. A recorded table that no
+        // longer exists was DROPped mid-transaction — its snapshot data
+        // is gone, so claiming "rolled back" would be silent data loss:
+        // fail by name instead (Presto likewise restricts DDL in
+        // transactions to autocommit-capable connectors).
+        recorded.keys.filterNot(graft.sources.MemTables.exists).toSeq.sorted
+          .headOption.foreach { t =>
+            session.conf.unset(PrestoParser.TxnConf)
+            throw new IllegalStateException(
+              s"rollback cannot restore table $t: it was dropped inside " +
+                "the transaction (DROP TABLE is not transactional — drop " +
+                "after COMMIT/ROLLBACK)")
+          }
         recorded.foreach { case (t, v) =>
-          if (graft.sources.MemTables.exists(t) &&
-              graft.sources.MemTables.versionCount(t) > v)
+          if (graft.sources.MemTables.versionCount(t) > v)
             graft.sources.MemTables.restore(t, v)
         }
         graft.sources.MemTables.names

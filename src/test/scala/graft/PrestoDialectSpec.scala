@@ -27,8 +27,20 @@ class PrestoDialectSpec extends SparkSpec {
   }
 
   test("nested ARRAY brackets and subscripts") {
+    // subscripts lower to element_at — Presto subscripts are 1-BASED on
+    // arrays (Spark's bracket is 0-based) and key lookups on maps
     assert(t("SELECT ARRAY[ARRAY[1, 2], ARRAY[x[1]]] FROM t")
-      === "SELECT ARRAY(ARRAY(1, 2), ARRAY(x[1])) FROM t")
+      === "SELECT ARRAY(ARRAY(1, 2), ARRAY(element_at(x, 1))) FROM t")
+    // chained subscripts nest; postfix-call bases capture whole calls
+    assert(t("SELECT a[1][2], f(x)[3] FROM t")
+      === "SELECT element_at(element_at(a, 1), 2), element_at(f(x), 3) FROM t")
+  }
+
+  test("subscript semantics through the SQL door: 1-based arrays, map keys") {
+    val r = presto(
+      "SELECT ARRAY[10, 20, 30][1] AS first, MAP(ARRAY[5], ARRAY['v'])[5] AS mv").head()
+    assert(r.getInt(0) == 10)
+    assert(r.getString(1) == "v")
   }
 
   test("ROW constructor vs ROW type position") {
@@ -96,6 +108,32 @@ class PrestoDialectSpec extends SparkSpec {
     val outer = presto("SELECT id, x FROM ue LEFT JOIN UNNEST(a) AS u(x) ON TRUE")
     assert(outer.count() === 2)
     assert(outer.filter(col("x").isNull).select("id").head().getInt(0) === 1)
+  }
+
+  test("round-17 dialect review: map UNNEST ordinality, chained AT TIME ZONE, alias/type scoping, compound quantified operand") {
+    // single map + WITH ORDINALITY: posexplode path — the positional
+    // try_element_at form was a KEY lookup on maps (silently wrong)
+    spark.sql("SELECT map(5, 'a', 7, 'b') AS m").createOrReplaceTempView("um_ord")
+    val rows = presto(
+      "SELECT k, v, ord FROM um_ord CROSS JOIN UNNEST(m) WITH ORDINALITY AS u(k, v, ord)")
+      .orderBy("ord").collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      === Seq((5, "a", 1L), (7, "b", 2L)))
+    // chained AT TIME ZONE nests instead of producing overlapping edits
+    val atz = t("SELECT ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' FROM t")
+    assert(atz.contains("convert_timezone('UTC', 'America/New_York', " +
+      "cast(convert_timezone('UTC', 'UTC', cast(ts as timestamp_ntz))"), atz)
+    // bare-type rewrite is scoped to DDL: an alias named json/varchar
+    // in a query statement keeps its name
+    assert(presto("SELECT 1 AS json").schema.fieldNames.head === "json")
+    assert(presto("SELECT 1 AS varchar").schema.fieldNames.head === "varchar")
+    // compound quantified left operand fails by name, not silently wrong
+    val e = intercept[Exception](t(
+      "SELECT o_orderkey + 1 > ALL (SELECT 0) FROM orders"))
+    assert(e.getMessage.contains("compound left operand"), e.getMessage)
+    // parenthesized workaround transforms fine
+    assert(t("SELECT (o_orderkey + 1) > ALL (SELECT 0) FROM orders")
+      .contains("CASE"))
   }
 
   test("TRY returns null on runtime error, value otherwise") {
@@ -361,6 +399,15 @@ class PrestoDialectSpec extends SparkSpec {
     val after = intercept[IllegalStateException] { presto("ROLLBACK") }
     assert(after.getMessage.contains("no transaction"), after.getMessage)
     presto("DROP TABLE IF EXISTS graft_mem.default.spec_txn")
+    // DROP TABLE mid-transaction: the snapshot data is gone, so the
+    // rollback fails BY NAME instead of claiming success while losing
+    // the table (round-17 review)
+    presto("CREATE TABLE graft_mem.default.spec_txn_drop AS SELECT 1 AS k")
+    presto("START TRANSACTION")
+    presto("DROP TABLE graft_mem.default.spec_txn_drop")
+    val dropped = intercept[IllegalStateException] { presto("ROLLBACK") }
+    assert(dropped.getMessage.contains("dropped inside the transaction"),
+      dropped.getMessage)
   }
 
   test("SHOW TABLES/SCHEMAS/CATALOGS with SQL LIKE; SHOW COLUMNS; RESET SESSION") {
