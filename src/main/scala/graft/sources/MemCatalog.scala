@@ -79,6 +79,13 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     if (tableExists(ident))
       throw new TableAlreadyExistsException(parts(ident))
+    // clear refusal over silent acceptance: this store has no
+    // partitioned layout, so PARTITIONED BY must not succeed while
+    // quietly creating an unpartitioned table (round-17 review)
+    if (info.partitions() != null && info.partitions().nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft_mem: PARTITIONED BY is not supported (in-memory tables " +
+          "have no partitioned layout)")
     val schema = org.apache.spark.sql.graft.Shim.v2ColumnsToStructType(info.columns())
     MemTables.create(key(ident), schema)
     new MemTable(key(ident), schema)
@@ -111,6 +118,11 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
       schema0.fields.indices.map { i =>
         (r: InternalRow, ts: Array[org.apache.spark.sql.types.DataType]) => r.get(i, ts(i))
       }.toVector
+    // original source index per CURRENT field (-1 = added in this
+    // batch) — SET NOT NULL must validate existing rows through the
+    // column's ORIGINAL position, or a rename/add earlier in the same
+    // batch silently skips the scan (round-17 review)
+    var origins: Vector[Int] = schema0.fields.indices.toVector
     val srcTypes = schema0.fields.map(_.dataType)
     def single(path: Array[String], what: String): String = {
       if (path.length != 1) throw new UnsupportedOperationException(
@@ -122,19 +134,37 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
         val col = single(add.fieldNames(), "ADD COLUMN")
         if (fields.exists(_.name.equalsIgnoreCase(col)))
           throw new IllegalArgumentException(s"column already exists: $col")
+        if (add.position() != null) throw new UnsupportedOperationException(
+          s"graft_mem: ADD COLUMN ... FIRST/AFTER not supported (column $col)")
+        // honor a declared NOT NULL: valid for an empty table; on a
+        // non-empty table the backfill would be NULL, so fail loudly
+        // instead of silently committing the column as nullable
+        // (round-17 review)
+        if (!add.isNullable && MemTables.rowsOf(name).nonEmpty)
+          throw new IllegalStateException(
+            s"ADD COLUMN $col NOT NULL: existing rows would be NULL " +
+              "(add nullable, backfill, then SET NOT NULL)")
         fields = fields :+ org.apache.spark.sql.types.StructField(
-          col, add.dataType(), nullable = true)
+          col, add.dataType(), nullable = add.isNullable)
         getters = getters :+ ((_: InternalRow, _: Array[org.apache.spark.sql.types.DataType]) => null)
+        origins = origins :+ -1
       case del: TableChange.DeleteColumn =>
         val col = single(del.fieldNames(), "DROP COLUMN")
         val i = fields.indexWhere(_.name.equalsIgnoreCase(col))
         if (i < 0) throw new IllegalArgumentException(s"no such column: $col")
         fields = fields.patch(i, Nil, 1)
         getters = getters.patch(i, Nil, 1)
+        origins = origins.patch(i, Nil, 1)
       case ren: TableChange.RenameColumn =>
         val col = single(ren.fieldNames(), "RENAME COLUMN")
         val i = fields.indexWhere(_.name.equalsIgnoreCase(col))
         if (i < 0) throw new IllegalArgumentException(s"no such column: $col")
+        // duplicate-name guard, same as ADD (a rename onto an existing
+        // name committed an ambiguous schema — round-17 review)
+        if (fields.zipWithIndex.exists { case (f, j) =>
+            j != i && f.name.equalsIgnoreCase(ren.newName()) })
+          throw new IllegalArgumentException(
+            s"column already exists: ${ren.newName()}")
         fields = fields.updated(i, fields(i).copy(name = ren.newName()))
       case un: TableChange.UpdateColumnNullability =>
         // ALTER COLUMN c SET/DROP NOT NULL (PrestoSql.g4:73-76; Spark
@@ -146,10 +176,17 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
         val i = fields.indexWhere(_.name.equalsIgnoreCase(col))
         if (i < 0) throw new IllegalArgumentException(s"no such column: $col")
         if (!un.nullable()) {
-          val i0 = schema0.fields.indexWhere(_.name.equalsIgnoreCase(col))
-          if (i0 >= 0 && MemTables.rowsOf(name).exists(_.isNullAt(i0)))
+          val i0 = origins(i)
+          if (i0 >= 0) {
+            if (MemTables.rowsOf(name).exists(_.isNullAt(i0)))
+              throw new IllegalStateException(
+                s"ALTER COLUMN $col SET NOT NULL: existing rows contain NULL")
+          } else if (MemTables.rowsOf(name).nonEmpty)
+            // column added in this same batch: every existing row's
+            // value is the NULL backfill
             throw new IllegalStateException(
-              s"ALTER COLUMN $col SET NOT NULL: existing rows contain NULL")
+              s"ALTER COLUMN $col SET NOT NULL: the column was added in " +
+                "this ALTER and existing rows would be NULL")
         }
         fields = fields.updated(i, fields(i).copy(nullable = un.nullable()))
       case other => throw new UnsupportedOperationException(
@@ -183,6 +220,12 @@ class MemCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(oldIdent)) throw new NoSuchTableException(parts(oldIdent))
     if (tableExists(target)) throw new TableAlreadyExistsException(newParts)
     MemTables.rename(key(oldIdent), key(target))
+    // recorded constraints move WITH the table: leaving them under the
+    // old key loses them from the renamed table's SHOW CREATE surface
+    // and lets a later CREATE of the old name inherit phantoms — the
+    // exact staleness dropTable clears (round-17 review)
+    graft.sql.Constraints.renameTable(
+      s"$catalogName.${key(oldIdent)}", s"$catalogName.${key(target)}")
   }
 
   // ---------------------------------------------- procedures (round 11)

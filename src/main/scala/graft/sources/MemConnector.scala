@@ -125,7 +125,14 @@ object MemTables {
       }
     }
 
-  def install(name: String, schema: StructType, rows: Vector[InternalRow], truncate: Boolean): Unit = {
+  // install/drop are synchronized like every other committing mutation:
+  // unsynchronized concurrent commits let both snap() calls observe the
+  // SECOND update, recording the final state twice and the intermediate
+  // state never — VERSION AS OF the middle version then reads wrong
+  // rows — and the checkNotNull is check-then-act against a concurrent
+  // SET NOT NULL (round-17 review)
+  def install(name: String, schema: StructType, rows: Vector[InternalRow],
+      truncate: Boolean): Unit = synchronized {
     checkNotNull(name, rows)
     tables.updateWith(name) {
       case Some((s, old)) if !truncate => Some((s, old ++ rows))
@@ -137,17 +144,31 @@ object MemTables {
     }
     snap(name)
   }
-  def drop(name: String): Unit =
-    { tables.remove(name); epochs.remove(name); history.remove(name); () }
+  def drop(name: String): Unit = synchronized {
+    tables.remove(name)
+    epochs.filterInPlace((k, _) => k != name && !k.startsWith(name + "#"))
+    history.remove(name); ()
+  }
 
   /** Reinstall snapshot v as the CURRENT state (transaction rollback,
     * round 11). The restore is itself a committed mutation — history
-    * keeps growing, so time travel can read across a rollback. */
-  def restore(name: String, v: Int): Boolean =
+    * keeps growing, so time travel can read across a rollback. The
+    * SNAPSHOT's schema is reinstated together with its rows: restoring
+    * across an ALTER TABLE under install()'s keep-stored-schema rule
+    * would serve old-shape rows under the post-alter schema (round-17
+    * review; that rule protects CoW rewrites, whose WRITE schema
+    * carries query nullability — here the snapshot schema IS the
+    * committed table shape, and its rows passed NOT NULL when first
+    * committed). */
+  def restore(name: String, v: Int): Boolean = synchronized {
     snapshotAt(name, v) match {
-      case Some((s, rows)) => install(name, s, rows, truncate = true); true
+      case Some((s, rows)) =>
+        tables.put(name, (s, rows))
+        snap(name)
+        true
       case None => false
     }
+  }
 
   /** ALTER TABLE ... RENAME TO (round 11): moves current state, history
     * and the epoch ledger under the new key atomically enough for the
@@ -156,7 +177,11 @@ object MemTables {
     require(!tables.contains(newName), s"graft-mem table already exists: $newName")
     tables.remove(oldName).foreach(tables.put(newName, _))
     history.remove(oldName).foreach(history.put(newName, _))
-    epochs.remove(oldName).foreach(epochs.put(newName, _))
+    // epoch ledger entries are keyed "<table>#<queryId>"
+    epochs.keys.filter(k => k == oldName || k.startsWith(oldName + "#")).toVector
+      .foreach { k =>
+        epochs.remove(k).foreach(epochs.put(newName + k.stripPrefix(oldName), _))
+      }
   }
 
   /** ALTER SCHEMA ... RENAME TO (round 11): namespaces are key
@@ -187,15 +212,26 @@ object MemTables {
     }
   }
 
-  /** Committed epoch ids per table — the idempotence ledger for the
-    * streaming sink. */
+  /** Committed epoch ids per (table, STREAMING QUERY) — the idempotence
+    * ledger for the streaming sink. Keying by table alone silently
+    * dropped a second query's batches: a fresh checkpoint restarts
+    * epochIds at 0, which a table-wide ledger mistakes for replays
+    * (round-17 review). */
   private val epochs = TrieMap.empty[String, Set[Long]]
-  def committedEpochs(name: String): Set[Long] = epochs.getOrElse(name, Set.empty)
-  def installEpoch(name: String, schema: StructType, epochId: Long,
+  private def epochKey(name: String, queryId: String) = s"$name#$queryId"
+  def committedEpochs(name: String, queryId: String): Set[Long] =
+    epochs.getOrElse(epochKey(name, queryId), Set.empty)
+  /** All committed epochs across every query writing to `name` (probe
+    * surface for tests — the ledger itself stays per-query). */
+  def committedEpochsAll(name: String): Set[Long] =
+    epochs.iterator.collect {
+      case (k, v) if k == name || k.startsWith(name + "#") => v
+    }.foldLeft(Set.empty[Long])(_ ++ _)
+  def installEpoch(name: String, schema: StructType, queryId: String, epochId: Long,
       rows: Vector[InternalRow]): Unit = synchronized {
-    if (!committedEpochs(name).contains(epochId)) {
+    if (!committedEpochs(name, queryId).contains(epochId)) {
       install(name, schema, rows, truncate = false)
-      epochs.updateWith(name) {
+      epochs.updateWith(epochKey(name, queryId)) {
         case Some(done) => Some(done + epochId)
         case None => Some(Set(epochId))
       }
@@ -225,7 +261,7 @@ final class MemTable(name: String, schema0: StructType) extends Table
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new MemWriteBuilder(name, info.schema())
+    new MemWriteBuilder(name, info.schema(), info.queryId())
 
   /** SQL DELETE/UPDATE/MERGE — the statement entry to the copy-on-write
     * path (reference Update/Delete AST, AstStatements.h:541,573, onto the
@@ -247,7 +283,7 @@ final class MemTable(name: String, schema0: StructType) extends Table
         // ReplaceData writes back the full surviving/updated content of
         // every read group — here the whole table, so the write must
         // replace, not append.
-        val b = new MemWriteBuilder(name, wInfo.schema())
+        val b = new MemWriteBuilder(name, wInfo.schema(), wInfo.queryId())
         b.truncate()
         b
       }
@@ -297,14 +333,14 @@ final case class MemReaderFactory() extends PartitionReaderFactory {
 }
 
 // ----------------------------------------------------------------- write
-final class MemWriteBuilder(name: String, schema: StructType)
+final class MemWriteBuilder(name: String, schema: StructType, queryId: String = "")
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new MemBatchWrite(name, schema, doTruncate)
     override def toStreaming: wstream.StreamingWrite =
-      new MemStreamingWrite(name, schema)
+      new MemStreamingWrite(name, schema, queryId)
   }
 }
 
@@ -363,13 +399,13 @@ final case class MemWriterFactory(schema: StructType) extends DataWriterFactory 
   * records committed epoch ids per table and drops re-deliveries). This
   * is the in-memory twin of the transactional-sink pattern (epoch id
   * stored with the data, writes conditional on it). */
-final class MemStreamingWrite(name: String, schema: StructType)
+final class MemStreamingWrite(name: String, schema: StructType, queryId: String = "")
     extends wstream.StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): wstream.StreamingDataWriterFactory =
     MemStreamingWriterFactory(schema)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    MemTables.installEpoch(name, schema, epochId,
+    MemTables.installEpoch(name, schema, queryId, epochId,
       messages.iterator.flatMap(_.asInstanceOf[MemCommit].rows).toVector)
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -67,9 +67,18 @@ object ZOrder {
   private[graft] def numify(c: Column, dt: DataType): Column = dt match {
     case DateType => unix_date(c).cast("double")
     case TimestampType => unix_micros(c).cast("double")
-    // NTZ's internal form is also epoch micros; sessions run UTC, so the
-    // TimestampType cast is micros-identity and unix_micros applies.
-    case TimestampNTZType => unix_micros(c.cast(TimestampType)).cast("double")
+    // NTZ's internal form is also epoch micros; the TimestampType cast
+    // is micros-identity ONLY under a UTC session zone — enforce the
+    // assumption instead of silently building ~offset-shifted manifest
+    // boxes that mis-prune band-edge files under a non-UTC session
+    // (round-17 review).
+    case TimestampNTZType =>
+      val tz = org.apache.spark.sql.SparkSession.active.conf
+        .get("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+      require(java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC,
+        s"z-order over TIMESTAMP_NTZ requires spark.sql.session.timeZone=UTC " +
+          s"(got $tz): the manifest encodes NTZ as epoch micros via a UTC cast")
+      unix_micros(c.cast(TimestampType)).cast("double")
     case _: NumericType => c.cast("double")
     case other => throw new IllegalArgumentException(
       s"z-order layout column must be numeric, DATE, TIMESTAMP or DECIMAL; got $other")

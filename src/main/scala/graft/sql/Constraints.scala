@@ -47,6 +47,13 @@ object Constraints {
   /** Drop every constraint of one table (DROP TABLE hygiene). */
   def clearTable(table: String): Unit = { byTable.remove(key(table)); () }
 
+  /** ALTER TABLE ... RENAME TO moves the recorded constraints with the
+    * table (round-17 review: they were left under the old key, vanishing
+    * from the renamed table and haunting a later CREATE of the old name). */
+  def renameTable(from: String, to: String): Unit = synchronized {
+    byTable.remove(key(from)).foreach(byTable.put(key(to), _))
+  }
+
   /** Test isolation. */
   def clear(): Unit = byTable.clear()
 }

@@ -62,7 +62,7 @@ class MemConnectorSpec extends SparkSpec {
       in.addData(10L until 25L: _*); q.processAllAvailable()
       val got = mem("t_stream").collect().map(_.getLong(0)).toSet
       assert(got == (0L until 25L).toSet)
-      assert(MemTables.committedEpochs("t_stream").size >= 2)
+      assert(MemTables.committedEpochsAll("t_stream").size >= 2)
     } finally q.stop()
   }
 
@@ -79,7 +79,14 @@ class MemConnectorSpec extends SparkSpec {
     assert(MemTables.rowsOf("t_replay").size == 2, "epoch 7 must install at most once")
     sw.commit(8L, Array(msg))
     assert(MemTables.rowsOf("t_replay").size == 4)
-    assert(MemTables.committedEpochs("t_replay") == Set(7L, 8L))
+    assert(MemTables.committedEpochs("t_replay", "") == Set(7L, 8L))
+    // a DIFFERENT query's epoch 7 is NOT a replay: a fresh checkpoint
+    // restarts epochIds at 0, and a table-wide ledger would silently
+    // drop the second query's batches (round-17 review)
+    val sw2 = new graft.sources.MemStreamingWrite("t_replay", schema, "other-query")
+    sw2.commit(7L, Array(msg))
+    assert(MemTables.rowsOf("t_replay").size == 6,
+      "a second query's epoch ids must not be mistaken for replays")
   }
 
   test("reading a missing table fails with a clear error") {
