@@ -30,13 +30,21 @@ object NativeExprs {
   case class MinHashSig(child: Expression, numPerm: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    // empty input → NULL: the all-MaxValue sentinel signature would make
+    // every pair of empty inputs an exact "duplicate" (round-17 review);
+    // pipeline callers pre-filter size >= 3, but the registered SQL
+    // surface must not manufacture matches
+    override def nullable: Boolean = true
     override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
+      if (n == 0) return null
       val out = Array.fill(numPerm)(Long.MaxValue)
       var i = 0
       while (i < n) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          "graft_minhash: input array must not contain NULL elements")
         val s = arr.getUTF8String(i)
         var p = 0
         while (p < numPerm) {
@@ -62,6 +70,8 @@ object NativeExprs {
       val counts = new Array[Int](64)
       var i = 0
       while (i < n) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          "graft_simhash64: input array must not contain NULL elements")
         val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
         var k = 0
         while (k < 64) {
@@ -138,6 +148,14 @@ object NativeExprs {
     * LCG — identical on every executor with no broadcast. */
   case class SignLshSig(child: Expression, tables: Int, bits: Int, seed: Long)
       extends UnaryExpression with CodegenFallback {
+    // the packed key layout is (table << 32 | bucket): bits >= 32 would
+    // overwrite the table-id field and silently collide buckets ACROSS
+    // tables, exploding the downstream candidate equi-join (round-17
+    // review) — the key-layout invariant belongs to the expression
+    require(bits >= 1 && bits <= 31,
+      s"graft_signlsh: bits must be in [1, 31] (packed-key layout), got $bits")
+    require(tables >= 1 && tables <= Int.MaxValue,
+      s"graft_signlsh: tables must be >= 1, got $tables")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override protected def withNewChildInternal(newChild: Expression) = copy(child = newChild)
     @transient private var planeCache: Array[Double] = _
@@ -258,23 +276,38 @@ object NativeExprs {
         v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
   }
 
-  @volatile private var registered = Set.empty[SparkSession]
+  // weak keys: a strong Set would pin every session (and its whole
+  // sessionState graph) for the driver's lifetime — an unbounded leak
+  // under per-job spark.newSession() patterns (round-17 review);
+  // registration is idempotent, so losing an entry only re-registers
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  private def arity(fn: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      // extra arguments were silently IGNORED (graft_minhash(x, 128)
+      // still built a 64-perm signature — round-17 review)
+      if (es.length != n) throw new IllegalArgumentException(
+        s"$fn expects $n argument(s), got ${es.length}")
+      b(es)
+    }
 
   /** Idempotently register the kernels as SQL functions in the session
     * (graft_minhash / graft_simhash64 / graft_vecdot). */
   def ensureRegistered(spark: SparkSession): Unit = synchronized {
-    if (!registered(spark)) {
+    if (!registered.containsKey(spark)) {
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction("graft_minhash",
-        { es: Seq[Expression] => MinHashSig(es.head, 64) }, "built-in")
+        arity("graft_minhash", 1) { es => MinHashSig(es.head, 64) }, "built-in")
       reg.createOrReplaceTempFunction("graft_simhash64",
-        { es: Seq[Expression] => SimHashSig64(es.head) }, "built-in")
+        arity("graft_simhash64", 1) { es => SimHashSig64(es.head) }, "built-in")
       reg.createOrReplaceTempFunction("graft_vecdot",
-        { es: Seq[Expression] => VecDot(es(0), es(1)) }, "built-in")
+        arity("graft_vecdot", 2) { es => VecDot(es(0), es(1)) }, "built-in")
       reg.createOrReplaceTempFunction("graft_sigmatch",
-        { es: Seq[Expression] => SigMatchFraction(es(0), es(1)) }, "built-in")
+        arity("graft_sigmatch", 2) { es => SigMatchFraction(es(0), es(1)) }, "built-in")
       reg.createOrReplaceTempFunction("graft_signlsh",
-        { es: Seq[Expression] =>
+        arity("graft_signlsh", 3) { es =>
           def intLit(e: Expression): Int = e match {
             case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
             case other => throw new IllegalArgumentException(
@@ -288,17 +321,23 @@ object NativeExprs {
           SignLshSig(asDouble, intLit(es(1)), intLit(es(2)), seed = 7L)
         }, "built-in")
       reg.createOrReplaceTempFunction("graft_ivf_assign",
-        { es: Seq[Expression] =>
+        arity("graft_ivf_assign", 3) { es =>
           val n = es(2) match {
             case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
             case other => throw new IllegalArgumentException(
               s"graft_ivf_assign: nAssign must be an int literal, got $other")
           }
+          // the codebook decodes once per task via right.eval(null) —
+          // a non-foldable (per-row) codebook would NPE inside the task
+          // or silently freeze the first row's value (round-17 review)
+          if (!es(1).foldable) throw new IllegalArgumentException(
+            "graft_ivf_assign: the codebook must be a foldable literal " +
+              "(a fixed model artifact shipped in the plan), not a per-row column")
           val asDouble = org.apache.spark.sql.catalyst.expressions.Cast(
             es(0), ArrayType(DoubleType))
           IvfAssign(asDouble, es(1), n)
         }, "built-in")
-      registered += spark
+      registered.put(spark, java.lang.Boolean.TRUE)
     }
   }
 }
