@@ -233,6 +233,12 @@ object Multimodal {
     in.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0); val f = r.getLong(1).toInt
+        // ties the sampler's inclusive sequence stop (doc_id%4 + 2 =
+        // frames-1) to Raster.frames: render() has no bounds check, so
+        // a retuned frame-count formula would otherwise sample
+        // out-of-range frames without error (round-17 review)
+        require(f < Raster.frames(id),
+          s"frame $f out of range for doc $id (${Raster.frames(id)} frames)")
         // fetch = encode (the "storage" side) + decode (the operator)
         val img = Raster.decodePng(Raster.encodePng(Raster.render(id, f)))
         val w = img.getWidth; val h = img.getHeight
