@@ -554,8 +554,15 @@ object Bench {
       val entriesJson = r.entries.map(row).mkString("{", ",", "}")
       val valJson = r.validationFailures.map(s => "\"" + s.replace("\"", "'") + "\"")
         .mkString("[", ",", "]")
-      laneFull += s""","stream_scale":$entriesJson,"stream_validation":$valJson"""
-      laneCompact += s""","stream_validation":$valJson"""
+      // per-leg loadavg journal + committed-reference heal trail
+      // (round 17: the dedup lane's artifact-auditability, uniform)
+      val loadJson = r.loads.map(row).mkString("{", ",", "}")
+      val healedJson = r.healed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val slJson = r.superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
+      laneFull += s""","stream_scale":$entriesJson,"stream_scale_load":$loadJson,""" +
+        s""""stream_healed":$healedJson,"stream_superlinear":$slJson,""" +
+        s""""stream_validation":$valJson"""
+      laneCompact += s""","stream_validation":$valJson,"stream_healed":$healedJson"""
       if (r.validationFailures.nonEmpty) {
         System.err.println(s"[bench] STREAM LANE VALIDATION FAILED: ${r.validationFailures.mkString("; ")}")
         laneFailures ++= r.validationFailures.map("stream: " + _)
@@ -582,9 +589,14 @@ object Bench {
           reps = Map.empty[Long, Int].withDefaultValue(1), names = Set(pick))
         val leg = r100.entries.headOption.flatMap(_.times.headOption)
           .filterNot(_.isNaN).map(fmt).getOrElse("null")
+        val leg100Load = r100.loads.headOption.flatMap(_.times.headOption)
+          .filterNot(_.isNaN).map(fmt).getOrElse("null")
+        val healed100 = r100.healed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
         val v100 = r100.validationFailures.map(s => "\"" + s.replace("\"", "'") + "\"")
           .mkString("[", ",", "]")
-        laneFull += s""","stream_scale_100":{"$pick":$leg},"stream_validation_100":$v100"""
+        laneFull += s""","stream_scale_100":{"$pick":$leg},""" +
+          s""""stream_scale_100_load":{"$pick":$leg100Load},""" +
+          s""""stream_healed_100":$healed100,"stream_validation_100":$v100"""
         laneCompact += s""","stream_scale_100":{"$pick":$leg}"""
         if (r100.validationFailures.nonEmpty) {
           System.err.println(s"[bench] STREAM 100x VALIDATION FAILED: ${r100.validationFailures.mkString("; ")}")
@@ -603,12 +615,19 @@ object Bench {
       val baseN = sys.env.get("SPARK_GRAFT_GEO_BASE").map(_.toLong).getOrElse(20000L)
       val r = tools.GeoScale.run(spark, baseN, scales = Seq(1L, 10L))
       def row(e: tools.GeoScale.LaneEntry) = "\"" + e.name + "\":[" +
-        e.times.map(fmt).mkString(",") + "]"
+        e.times.map(t => if (t.isNaN) "null" else fmt(t)).mkString(",") + "]"
       val entriesJson = r.entries.map(row).mkString("{", ",", "}")
       val valJson = r.validationFailures.map(s => "\"" + s.replace("\"", "'") + "\"")
         .mkString("[", ",", "]")
-      laneFull += s""","geo_scale":$entriesJson,"geo_validation":$valJson"""
-      laneCompact += s""","geo_validation":$valJson"""
+      // per-leg loadavg journal + committed-reference heal trail
+      // (round 17: the dedup lane's artifact-auditability, uniform)
+      val loadJson = r.loads.map(row).mkString("{", ",", "}")
+      val healedJson = r.healed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val slJson = r.superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
+      laneFull += s""","geo_scale":$entriesJson,"geo_scale_load":$loadJson,""" +
+        s""""geo_healed":$healedJson,"geo_superlinear":$slJson,""" +
+        s""""geo_validation":$valJson"""
+      laneCompact += s""","geo_validation":$valJson,"geo_healed":$healedJson"""
       if (r.validationFailures.nonEmpty) {
         System.err.println(s"[bench] GEO LANE VALIDATION FAILED: ${r.validationFailures.mkString("; ")}")
         laneFailures ++= r.validationFailures.map("geo: " + _)

@@ -177,6 +177,25 @@ object Streams {
     * is pinned non-vacuously by StreamsSpec's MemoryStream test (dups
     * within and across microbatches) and by the DedupScale lane's
     * planted clusters on the batch half. */
+  /** Materializes a drained memory-sink result DISTRIBUTED (eager
+    * localCheckpoint into executor block storage) so the sink view can
+    * be dropped — repeated gate/lane invocations must not accrete
+    * memory-sink tables. The round-17 collect-and-rewrap version of
+    * this was a scale bug: the join's matches and the sessions' row
+    * counts grow WITH the corpus (tools/StreamScale runs these entries
+    * at 100× = ~3M join matches), so "bounded at gate scale" did not
+    * hold on the measured path and every scaled row was bottlenecking
+    * through the driver. Checkpoint blocks are released by the lane's
+    * unpersist sweep (or the ContextCleaner once the result is
+    * unreachable). The result is re-bound to the OUTER session like
+    * before, via the checkpointed RDD — no driver materialization. */
+  private def detachSink(outer: SparkSession, spark: SparkSession,
+                         name: String, df: DataFrame): DataFrame = {
+    val ckpt = df.localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    outer.createDataFrame(ckpt.rdd, ckpt.schema)
+  }
+
   def dedupStreamedEntry(outer: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
     val docs = graft.Catalog.load(outer, sfDir, "documents")
@@ -200,13 +219,9 @@ object Streams {
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      // Bounded materialization: the sink holds one row per distinct
-      // digest at gate scale (<= doc count), so collecting to re-wrap as
-      // a local relation is safe and frees the sink for cleanup.
-      val rows = spark.table(name).collect().toList
-      spark.catalog.dropTempView(name)
-      outer.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, stream.schema)
+      // one row per distinct digest — still distributed-materialized:
+      // digests scale with the corpus, and detachSink frees the sink
+      detachSink(outer, spark, name, spark.table(name))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(stage)
   }
 
@@ -313,13 +328,9 @@ object Streams {
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    // bounded (one row per window × event_type); re-wrap so the sink
-    // view can be dropped instead of accreting per invocation
-    val sink = spark.table(name)
-    val rows = sink.collect().toList
-    spark.catalog.dropTempView(name)
-    outer.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sink.schema)
+    // one row per window × event_type (720 h × 5 types) — but still
+    // distributed-materialized for uniformity with the scaled entries
+    detachSink(outer, spark, name, spark.table(name))
   }
 
   /** End-to-end Structured Streaming SESSIONIZATION, oracle-checkable —
@@ -413,12 +424,9 @@ object Streams {
       q.awaitTermination()
       val result = spark.table(name).filter(col("user_id") >= 0)
         .select(col("user_id"), col("start"), col("n_events"), col("duration_sec"))
-      // bounded: one row per closed session (<= distinct users × sessions
-      // at gate scale); re-wrap locally so the sink view can be dropped
-      val rows = result.collect().toList
-      spark.catalog.dropTempView(name)
-      outer.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, result.schema)
+      // one row per closed session — sessions scale with the corpus
+      // (~1.2M at the lane's 100×), so distributed materialization only
+      detachSink(outer, spark, name, result)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(stage)
   }
 
@@ -453,13 +461,9 @@ object Streams {
         .format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      // bounded: the interval join's matches at gate scale; re-wrap so
-      // the sink view can be dropped
-      val sink = spark.table(name)
-      val rows = sink.collect().toList
-      spark.catalog.dropTempView(name)
-      outer.createDataFrame(
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, sink.schema)
+      // the interval join's matches scale with the corpus (~3M at the
+      // lane's 100×) — distributed materialization only
+      detachSink(outer, spark, name, spark.table(name))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(stage)
   }
 

@@ -150,13 +150,13 @@ object DedupScale {
 
   /** One lane entry: `probe` runs the operator AND returns invariant
     * failures — the probe's single action is what gets timed. */
-  private final case class Probe(name: String, probe: (Tables, Long) => Seq[String])
+  private[graft] final case class Probe(name: String, probe: (Tables, Long) => Seq[String])
 
   private def fails(n: Long, checks: (String, Long, Long)*): Seq[String] =
     checks.collect { case (what, got, want) if got != want =>
       s"x$n $what: got $got want $want" }
 
-  private val probes: Seq[Probe] = Seq(
+  private[graft] val probes: Seq[Probe] = Seq(
     Probe("neardup_minhash", (t, n) => {
       val b = 50 * n
       val r = Dedup.neardupMinhash(t).agg(
@@ -271,23 +271,8 @@ object DedupScale {
     * almost certainly caused, and it was unfalsifiable from the
     * artifact because the lane healed against nothing committed and
     * journaled no loads — this file is what the heal now compares to. */
-  private def committedLane(): (Seq[Long], Map[String, Seq[Double]]) = {
-    val p = java.nio.file.Paths.get("bench/dedup_scale.json")
-    if (!java.nio.file.Files.exists(p)) return (Nil, Map.empty)
-    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-    val scales = """"scales"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
-      .map(_.group(1).split(",").map(_.trim.toLong).toSeq).getOrElse(Nil)
-    // [\s\S] inside the brackets: a pretty-printer that splits arrays
-    // across lines must not silently disable the heal reference
-    val entries = """"([a-z_0-9]+)"\s*:\s*\[([0-9.,\s]+)\]""".r.findAllMatchIn(txt)
-      .filter(_.group(1) != "scales")
-      .map(m => m.group(1) -> m.group(2).split(",").map(_.trim.toDouble).toSeq)
-      .toMap
-    if (entries.isEmpty) System.err.println(
-      "[dedup-scale] WARNING: bench/dedup_scale.json exists but parsed empty - " +
-      "committed self-heal reference lost (format drift?)")
-    (scales, entries)
-  }
+  private def committedLane(): (Seq[Long], Map[String, Seq[Double]]) =
+    LaneDiscipline.committed("bench/dedup_scale.json", "dedup-scale")
 
   /** Runs the lane; shared by the standalone main and the Bench artifact
     * emitter. `budgetSecs` bounds total lane wall (>1× legs are skipped

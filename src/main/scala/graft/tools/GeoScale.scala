@@ -49,7 +49,9 @@ object GeoScale {
   }
 
   final case class LaneEntry(name: String, times: Seq[Double])
-  final case class LaneResult(entries: Seq[LaneEntry], validationFailures: Seq[String])
+  final case class LaneResult(entries: Seq[LaneEntry], validationFailures: Seq[String],
+                              superlinear: Seq[String] = Nil, scales: Seq[Long] = Nil,
+                              loads: Seq[LaneEntry] = Nil, healed: Seq[String] = Nil)
 
   def run(spark: SparkSession, baseN: Long,
       scales: Seq[Long] = Seq(1L, 10L, 100L)): LaneResult = {
@@ -61,12 +63,17 @@ object GeoScale {
       s"GeoScale baseN must be a multiple of 10 and >= 1000 (got $baseN): " +
       "the planted-pair and contains closed forms assume it")
     val fails = Seq.newBuilder[String]
-    def leg(name: String, n: Long)(probe: Long => Seq[String]): Double = {
+    // (seconds, 1-min loadavg at leg end) — the TPC-H/dedup spot journal
+    // discipline, uniform across lanes as of round 17
+    def leg(name: String, n: Long, tag: String = "")(probe: Long => Seq[String]): (Double, Double) = {
       val t0 = System.nanoTime()
       fails ++= probe(n)
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[geo-scale] x${n / baseN}%-4d $name%-16s $dt%7.2f s")
-      dt
+      val load = LaneDiscipline.loadavg
+      val t = if (tag.isEmpty) "" else s" ($tag)"
+      System.err.println(
+        f"[geo-scale] x${n / baseN}%-4d $name%-16s $dt%7.2f s (load $load%.1f)$t")
+      (dt, load)
     }
     // untimed warmup of BOTH probe pipelines: codegen + join machinery
     // JIT, else the 1× legs carry ~4 s of first-query cost and the
@@ -93,20 +100,17 @@ object GeoScale {
       .groupBy(col("g"))
       .agg(call_function("st_area", call_function("geometry_union_agg", col("t"))))
       .head()
-    val joinTimes = scales.map { s =>
-      val n = baseN * s
-      leg("distance_join", n) { n =>
-        val r = graft.queries.Geo.distanceJoinPoints(cloud(spark, n), Radius)
-          .agg(count(lit(1)), min(col("dist")), max(col("dist"))).head()
-        val bad = Seq.newBuilder[String]
-        if (r.getLong(0) != n / 10)
-          bad += s"join@x${n / baseN}: pairs ${r.getLong(0)} want ${n / 10}"
-        if (math.abs(r.getDouble(1) - TwinDist) > 1e-9 ||
-            math.abs(r.getDouble(2) - TwinDist) > 1e-9)
-          bad += s"join@x${n / baseN}: dist range [${r.getDouble(1)}, ${r.getDouble(2)}] " +
-            s"want $TwinDist"
-        bad.result()
-      }
+    def joinProbe(n: Long): Seq[String] = {
+      val r = graft.queries.Geo.distanceJoinPoints(cloud(spark, n), Radius)
+        .agg(count(lit(1)), min(col("dist")), max(col("dist"))).head()
+      val bad = Seq.newBuilder[String]
+      if (r.getLong(0) != n / 10)
+        bad += s"join@x${n / baseN}: pairs ${r.getLong(0)} want ${n / 10}"
+      if (math.abs(r.getDouble(1) - TwinDist) > 1e-9 ||
+          math.abs(r.getDouble(2) - TwinDist) > 1e-9)
+        bad += s"join@x${n / baseN}: dist range [${r.getDouble(1)}, ${r.getDouble(2)}] " +
+          s"want $TwinDist"
+      bad.result()
     }
     // Scalar-kernel throughput: points inside x < cut (as a convex
     // polygon contains test, exercising the WKT parse once per call
@@ -114,30 +118,27 @@ object GeoScale {
     // side)·8 < cut ⇔ id % side ≤ ⌊(cut−ε)/8⌋; twins shift by 2.1.
     val cut = 100.0
     val polyWkt = s"POLYGON ((0 -1, $cut -1, $cut 1000000, 0 1000000, 0 -1))"
-    val pipTimes = scales.map { s =>
-      val n = baseN * s
-      leg("contains_scan", n) { n =>
-        val side = math.ceil(math.sqrt(n.toDouble)).toLong
-        val got = cloud(spark, n)
-          .filter(call_function("st_contains",
-            call_function("st_geometryfromtext", lit(polyWkt)),
-            call_function("st_point", col("x"), col("y"))))
-          .count()
-        // strict interior: base x in (0, cut) ⇔ 1 ≤ id%side ≤ 12
-        // (x = 8·k < 100, k ≥ 1); twins at 8·k + 2.1 < 100 ⇔ k ≤ 12,
-        // incl. k = 0 (x = 2.1 interior)
-        def baseRows(colMax: Long): Long = {
-          val full = n / side
-          val rem = n % side
-          (1L to colMax).map(k => full + (if (k < rem) 1L else 0L)).sum
-        }
-        def twinRows(colMax: Long): Long = {
-          // twin hosts: every 10th id; host column k = id % side
-          (0L until n by 10).count(id => id % side <= colMax)
-        }
-        val want = baseRows(12) + twinRows(12)
-        if (got != want) Seq(s"contains@x${n / baseN}: got $got want $want") else Nil
+    def pipProbe(n: Long): Seq[String] = {
+      val side = math.ceil(math.sqrt(n.toDouble)).toLong
+      val got = cloud(spark, n)
+        .filter(call_function("st_contains",
+          call_function("st_geometryfromtext", lit(polyWkt)),
+          call_function("st_point", col("x"), col("y"))))
+        .count()
+      // strict interior: base x in (0, cut) ⇔ 1 ≤ id%side ≤ 12
+      // (x = 8·k < 100, k ≥ 1); twins at 8·k + 2.1 < 100 ⇔ k ≤ 12,
+      // incl. k = 0 (x = 2.1 interior)
+      def baseRows(colMax: Long): Long = {
+        val full = n / side
+        val rem = n % side
+        (1L to colMax).map(k => full + (if (k < rem) 1L else 0L)).sum
       }
+      def twinRows(colMax: Long): Long = {
+        // twin hosts: every 10th id; host column k = id % side
+        (0L until n by 10).count(id => id % side <= colMax)
+      }
+      val want = baseRows(12) + twinRows(12)
+      if (got != want) Seq(s"contains@x${n / baseN}: got $got want $want") else Nil
     }
     // DE-9IM kernel throughput (round 16): the same grid closed forms
     // through the relate matrix — st_relate with the contains pattern
@@ -145,26 +146,23 @@ object GeoScale {
     // st_touches counts exactly the k = 0 column sitting ON the
     // polygon's left edge (twins at 8k + 2.1 never hit a boundary, and
     // the y-range [-1, 1e6] swallows every grid row).
-    val relTimes = scales.map { s =>
-      val n = baseN * s
-      leg("relate_scan", n) { n =>
-        val side = math.ceil(math.sqrt(n.toDouble)).toLong
-        val poly = call_function("st_geometryfromtext", lit(polyWkt))
-        val pt = call_function("st_point", col("x"), col("y"))
-        val r = cloud(spark, n).agg(
-          count(when(call_function("st_relate", poly, pt, lit("T*****FF*")), 1)),
-          count(when(call_function("st_touches", poly, pt), 1))).head()
-        def colCount(k: Long): Long = n / side + (if (k < n % side) 1L else 0L)
-        val wantIn = (1L to 12L).map(colCount).sum +
-          (0L until n by 10).count(id => id % side <= 12)
-        val wantTouch = colCount(0)
-        val bad = Seq.newBuilder[String]
-        if (r.getLong(0) != wantIn)
-          bad += s"relate@x${n / baseN}: contains-pattern ${r.getLong(0)} want $wantIn"
-        if (r.getLong(1) != wantTouch)
-          bad += s"relate@x${n / baseN}: touches ${r.getLong(1)} want $wantTouch"
-        bad.result()
-      }
+    def relProbe(n: Long): Seq[String] = {
+      val side = math.ceil(math.sqrt(n.toDouble)).toLong
+      val poly = call_function("st_geometryfromtext", lit(polyWkt))
+      val pt = call_function("st_point", col("x"), col("y"))
+      val r = cloud(spark, n).agg(
+        count(when(call_function("st_relate", poly, pt, lit("T*****FF*")), 1)),
+        count(when(call_function("st_touches", poly, pt), 1))).head()
+      def colCount(k: Long): Long = n / side + (if (k < n % side) 1L else 0L)
+      val wantIn = (1L to 12L).map(colCount).sum +
+        (0L until n by 10).count(id => id % side <= 12)
+      val wantTouch = colCount(0)
+      val bad = Seq.newBuilder[String]
+      if (r.getLong(0) != wantIn)
+        bad += s"relate@x${n / baseN}: contains-pattern ${r.getLong(0)} want $wantIn"
+      if (r.getLong(1) != wantTouch)
+        bad += s"relate@x${n / baseN}: touches ${r.getLong(1)} want $wantTouch"
+      bad.result()
     }
     // Constructive-aggregate throughput (round 17): geometry_union_agg
     // over overlapping tile chains — 50 tiles [2i, 2i+3]×[0, 2] per
@@ -176,36 +174,68 @@ object GeoScale {
     // the single slab whose area is the exact integer closed form
     // 2·(2·max_i + 3). Sized at n/10 — the per-row cost is a full
     // overlay union, ~50× a PIP probe.
-    val uaTimes = scales.map { s =>
-      val n = (baseN * s) / 10
-      leg("union_agg", n * 10) { _ =>
-        val groups = math.max(1L, n / 50)
-        val i = floor(col("id") / groups).cast("long")
-        val tiles = spark.range(n).select(
-          (col("id") % groups).as("g"),
-          call_function("st_geometryfromtext", concat(
-            lit("POLYGON (("), i * 2, lit(" 0, "), i * 2 + 3, lit(" 0, "),
-            i * 2 + 3, lit(" 2, "), i * 2, lit(" 2, "), i * 2, lit(" 0))")))
-            .as("t"))
-        val r = tiles.groupBy(col("g"))
-          .agg(call_function("st_area",
-            call_function("geometry_union_agg", col("t"))).as("a"))
-          .agg(sum(col("a")), count(lit(1))).head()
-        val want = (0L until groups).map(gi => 2.0 * (2 * ((n - 1 - gi) / groups) + 3)).sum
-        val bad = Seq.newBuilder[String]
-        if (r.getLong(1) != groups)
-          bad += s"union_agg@x$s: groups ${r.getLong(1)} want $groups"
-        if (math.abs(r.getDouble(0) - want) > 1e-6)
-          bad += s"union_agg@x$s: slab-area sum ${r.getDouble(0)} want $want"
-        bad.result()
+    def uaProbe(nDisp: Long): Seq[String] = {
+      val n = nDisp / 10
+      val s = nDisp / baseN
+      val groups = math.max(1L, n / 50)
+      val i = floor(col("id") / groups).cast("long")
+      val tiles = spark.range(n).select(
+        (col("id") % groups).as("g"),
+        call_function("st_geometryfromtext", concat(
+          lit("POLYGON (("), i * 2, lit(" 0, "), i * 2 + 3, lit(" 0, "),
+          i * 2 + 3, lit(" 2, "), i * 2, lit(" 2, "), i * 2, lit(" 0))")))
+          .as("t"))
+      val r = tiles.groupBy(col("g"))
+        .agg(call_function("st_area",
+          call_function("geometry_union_agg", col("t"))).as("a"))
+        .agg(sum(col("a")), count(lit(1))).head()
+      val want = (0L until groups).map(gi => 2.0 * (2 * ((n - 1 - gi) / groups) + 3)).sum
+      val bad = Seq.newBuilder[String]
+      if (r.getLong(1) != groups)
+        bad += s"union_agg@x$s: groups ${r.getLong(1)} want $groups"
+      if (math.abs(r.getDouble(0) - want) > 1e-6)
+        bad += s"union_agg@x$s: slab-area sum ${r.getDouble(0)} want $want"
+      bad.result()
+    }
+    // Uniform probe table: every leg re-runnable by name, so the heal
+    // below can target exactly the suspect (probe, scale) pair.
+    val probes: Seq[(String, String, Long => Seq[String])] = Seq(
+      ("geo_distance_join", "distance_join", joinProbe _),
+      ("geo_contains_scan", "contains_scan", pipProbe _),
+      ("geo_relate_scan", "relate_scan", relProbe _),
+      ("geo_union_agg", "union_agg", uaProbe _))
+    val times = probes.map { case (name, disp, f) =>
+      name -> scales.map { s =>
+        leg(disp, baseN * s)(f)
+      }.toArray
+    }
+    val loadAt = scala.collection.mutable.LinkedHashMap(
+      times.map { case (n, ts) => n -> ts.map(_._2) }: _*)
+    val secs = scala.collection.mutable.LinkedHashMap(
+      times.map { case (n, ts) => n -> ts.map(_._1) }: _*)
+    // Committed-reference heal + super-linear flag (round 17, uniform
+    // with DedupScale): a leg over 2× bench/geo_scale.json or a >12×
+    // decade re-runs once (min-of-2, load re-journaled at the kept rep);
+    // the flag survives only if it reproduces.
+    val (commScales, comm) = LaneDiscipline.committed("bench/geo_scale.json", "geo-scale")
+    val healEvents = Seq.newBuilder[String]
+    for ((name, disp, f) <- probes; i <- scales.indices) {
+      if (LaneDiscipline.suspect(secs(name), i, scales, commScales, comm.get(name), 12.0)) {
+        healEvents += s"$name@${scales(i)}x"
+        val (dt, ld) = leg(disp, baseN * scales(i), "heal")(f)
+        if (dt < secs(name)(i)) { secs(name)(i) = dt; loadAt(name)(i) = ld }
       }
     }
-    LaneResult(
-      Seq(LaneEntry("geo_distance_join", joinTimes),
-        LaneEntry("geo_contains_scan", pipTimes),
-        LaneEntry("geo_relate_scan", relTimes),
-        LaneEntry("geo_union_agg", uaTimes)),
-      fails.result())
+    val entries = probes.map { case (name, _, _) => LaneEntry(name, secs(name).toSeq) }
+    val superlinear = entries.flatMap { e =>
+      e.times.sliding(2).zipWithIndex.collect {
+        case (Seq(a, b), i) if !a.isNaN && !b.isNaN && a >= 0.5 && b / a > 12.0 =>
+          s"${e.name}@${scales(i)}x->${scales(i + 1)}x"
+      }
+    }
+    LaneResult(entries, fails.result(), superlinear, scales,
+      probes.map { case (name, _, _) => LaneEntry(name, loadAt(name).toSeq) },
+      healEvents.result())
   }
 
   def main(args: Array[String]): Unit = {
@@ -214,11 +244,14 @@ object GeoScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, baseN)
-    r.entries.foreach { e =>
+    r.entries.zip(r.loads).foreach { case (e, l) =>
       val dec = e.times.sliding(2).map { case Seq(a, b) => f"${b / a}%.1f×" }.mkString(", ")
       println(f"[geo-scale] ${e.name}%-18s ${e.times.map(t => f"$t%.2f").mkString(" / ")} s " +
-        s"(decades $dec)")
+        s"(decades $dec; loads ${l.times.map(t => f"$t%.1f").mkString("/")})")
     }
+    if (r.healed.nonEmpty) println(s"[geo-scale] healed: ${r.healed.mkString(", ")}")
+    if (r.superlinear.nonEmpty)
+      println(s"[geo-scale] SUPERLINEAR: ${r.superlinear.mkString(", ")}")
     if (r.validationFailures.nonEmpty) {
       System.err.println(s"[geo-scale] VALIDATION FAILED: ${r.validationFailures.mkString("; ")}")
       spark.stop(); sys.exit(1)

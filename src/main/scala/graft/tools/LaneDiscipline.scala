@@ -1,0 +1,55 @@
+package graft.tools
+
+/** Shared pieces of the scale-lane spot discipline (round 17): every
+  * lane that ships numbers in the official artifact journals a 1-min
+  * loadavg per kept leg and heals legs that exceed 2× their committed
+  * reference (bench/<lane>_scale.json), so a slow artifact leg is
+  * auditable as contention-vs-regression from the artifact alone —
+  * the policy BENCH_r16's unfalsifiable `neardup_embedding@100×` flag
+  * forced onto the dedup lane, now uniform across lanes.
+  */
+object LaneDiscipline {
+
+  private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+
+  /** 1-minute system loadavg (NaN where the platform can't report). */
+  def loadavg: Double = osBean.getSystemLoadAverage
+
+  /** Committed lane reference: parses `{"scales":[...],"entries":{name:
+    * [...]}}` from the given bench json (the machine-readable twin of
+    * the lane's SCALING_*.md results table). Values tolerate a
+    * pretty-printer splitting arrays across lines; a file that exists
+    * but parses empty warns loudly — a silently lost heal reference is
+    * how r16's flag shipped unfalsifiable.
+    */
+  def committed(path: String, laneTag: String): (Seq[Long], Map[String, Seq[Double]]) = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return (Nil, Map.empty)
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val scales = """"scales"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+      .map(_.group(1).split(",").map(_.trim.toLong).toSeq).getOrElse(Nil)
+    val entries = """"([a-z_0-9]+)"\s*:\s*\[([0-9.,\s]+)\]""".r.findAllMatchIn(txt)
+      .filter(_.group(1) != "scales")
+      .map(m => m.group(1) -> m.group(2).split(",").map(_.trim.toDouble).toSeq)
+      .toMap
+    if (entries.isEmpty) System.err.println(
+      s"[$laneTag] WARNING: $path exists but parsed empty - " +
+      "committed self-heal reference lost (format drift?)")
+    (scales, entries)
+  }
+
+  /** True when a measured leg warrants a heal re-run: either its decade
+    * ratio flags super-linear (prev ≥ noise floor and ratio > maxDecade)
+    * or it exceeds 2× its committed reference value (when one exists for
+    * this scale). The 0.5 s floor keeps sub-noise legs from healing. */
+  def suspect(times: Array[Double], i: Int, scales: Seq[Long],
+              commScales: Seq[Long], comm: Option[Seq[Double]],
+              maxDecade: Double): Boolean = {
+    val decadeSl = i > 0 && !times(i - 1).isNaN && !times(i).isNaN &&
+      times(i - 1) >= 0.5 && times(i) / times(i - 1) > maxDecade
+    val commIdx = commScales.indexOf(scales(i))
+    val overCommitted = commIdx >= 0 && !times(i).isNaN && comm
+      .flatMap(_.lift(commIdx)).exists(c => c >= 0.5 && times(i) > 2.0 * c)
+    decadeSl || overCommitted
+  }
+}

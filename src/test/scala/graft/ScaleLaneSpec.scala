@@ -76,4 +76,47 @@ class ScaleLaneSpec extends SparkSpec {
     assert(sess.agg(sum(col("n_events"))).head().getLong(0) == total)
     assert(sess.count() == streaming.Streams.sessionsBatch(spark, ev).count())
   }
+
+  test("committed lane references parse and cover every lane entry (round 17)") {
+    // The self-heal compares measured legs against these files; a file
+    // that drifts out of parseable shape or loses an entry silently
+    // disables the heal for that entry — exactly how BENCH_r16's
+    // neardup_embedding flag shipped unfalsifiable. Pin: all three
+    // lanes' committed twins parse, carry the 1/10/100 scales, and
+    // name every entry the lane emits.
+    def check(file: String, wantNames: Seq[String]): Unit = {
+      val (scales, entries) = tools.LaneDiscipline.committed(file, "spec")
+      assert(scales == Seq(1L, 10L, 100L), s"$file scales: $scales")
+      val missing = wantNames.filterNot(entries.contains)
+      assert(missing.isEmpty, s"$file missing entries: ${missing.mkString(", ")}")
+      assert(entries.values.forall(v => v.length == 3 && v.forall(_ > 0)),
+        s"$file has a malformed value row")
+    }
+    check("bench/dedup_scale.json", tools.DedupScale.probes.map(_.name))
+    check("bench/geo_scale.json",
+      Seq("geo_distance_join", "geo_contains_scan", "geo_relate_scan", "geo_union_agg"))
+    check("bench/stream_scale.json", tools.StreamScale.laneEntryNames)
+    check("bench/ann_scale.json", Seq("ann_brute", "ann_ivf"))
+  }
+
+  test("LaneDiscipline.suspect: decade and committed triggers, noise floors") {
+    val scales = Seq(1L, 10L, 100L)
+    val comm = Some(Seq(1.0, 2.0, 5.0))
+    // over 2x committed at the 100x leg -> suspect
+    assert(tools.LaneDiscipline.suspect(Array(1.0, 2.0, 10.1), 2, scales, scales, comm, 12.0))
+    // within 2x committed, sane decade -> not suspect
+    assert(!tools.LaneDiscipline.suspect(Array(1.0, 2.0, 9.9), 2, scales, scales, comm, 12.0))
+    // >12x decade flags even with no committed reference
+    assert(tools.LaneDiscipline.suspect(Array(1.0, 13.0, 20.0), 1, scales, Nil, None, 12.0))
+    // sub-0.5s committed value is noise-floored (no heal on tiny legs)
+    assert(!tools.LaneDiscipline.suspect(Array(0.9, 0.9, 0.9), 2, scales, scales,
+      Some(Seq(0.1, 0.1, 0.1)), 12.0))
+    // sub-0.5s previous leg never flags a decade
+    assert(!tools.LaneDiscipline.suspect(Array(0.4, 9.0, 9.0), 1, scales, Nil, None, 12.0))
+    // NaN legs (budget-skipped) never flag
+    assert(!tools.LaneDiscipline.suspect(Array(1.0, Double.NaN, 30.0), 2, scales, Nil, None, 12.0))
+    // scale absent from the committed file -> only the decade trigger applies
+    assert(!tools.LaneDiscipline.suspect(Array(1.0, 2.0, 100.0), 2, scales, Seq(1L, 10L),
+      Some(Seq(1.0, 2.0)), 60.0))
+  }
 }
