@@ -57,6 +57,55 @@ object JsonFns {
     }
   }
 
+  /** is_json_scalar(json): true when the JSON text is a scalar (number,
+    * string, true/false, or the null literal), false for arrays and
+    * objects. Invalid JSON errors loudly like json_parse — Presto's
+    * varchar→JSON cast on the way into the function does the same. */
+  case class IsJsonScalar(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "is_json_scalar"
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val node = try parse(s) catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"is_json_scalar: invalid JSON: ${s.take(80)}", e)
+      }
+      if (node == null) throw new IllegalArgumentException(
+        s"is_json_scalar: invalid JSON: ${s.take(80)}")
+      !(node.isObject || node.isArray)
+    }
+  }
+
+  /** json_array_get(json_array, index): the element at the 0-based
+    * index, negative indices counting from the end; NULL for
+    * non-array/invalid input or an out-of-range index, as in Presto.
+    * Keeps Presto's documented (deprecated-but-kept) quirk: a string
+    * element comes back RAW (unquoted); every other element renders as
+    * canonical JSON text (a JSON null element renders as the text
+    * 'null' — the varchar-backed analogue of Presto's JSON null). */
+  case class JsonArrayGet(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def prettyName: String = "json_array_get"
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def nullSafeEval(j: Any, iV: Any): Any = {
+      val node = try parse(j.asInstanceOf[UTF8String].toString)
+      catch { case _: Exception => null }
+      if (node == null || !node.isArray) return null
+      val n = node.size()
+      val raw = iV.asInstanceOf[java.lang.Number].longValue()
+      val idx = if (raw < 0) n + raw else raw
+      if (idx < 0 || idx >= n) return null
+      val e = node.get(idx.toInt)
+      UTF8String.fromString(
+        if (e.isTextual) e.textValue() else mapper.writeValueAsString(e))
+    }
+  }
+
   /** json_array_contains(json, value): true/false over a JSON array,
     * NULL for non-array/invalid input, as in Presto. Values compare by
     * kind (boolean / numeric / string). */

@@ -394,6 +394,10 @@ object PrestoCompat {
       JsonFns.JsonCountable(new GetJsonObject(asString(es(0)), asString(es(1)))) },
     "json_array_contains" -> { es: Seq[Expression] =>
       JsonFns.JsonArrayContains(asString(es(0)), es(1)) },
+    "is_json_scalar" -> { es: Seq[Expression] =>
+      JsonFns.IsJsonScalar(asString(es.head)) },
+    "json_array_get" -> { es: Seq[Expression] =>
+      JsonFns.JsonArrayGet(asString(es(0)), Cast(es(1), LongType)) },
     // Presto approx_most_frequent(buckets, value, capacity) — the
     // Misra–Gries aggregator (operators/ApproxMostFrequent), SQL-callable
     // (round 11). buckets/capacity are plan-time constants in Presto

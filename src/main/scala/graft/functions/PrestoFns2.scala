@@ -552,6 +552,36 @@ object PrestoFns2 {
     case _ => false
   }
 
+  /** trim_array(x, n): the array with its last n elements removed (the
+    * SQL:2023 function Presto exposes); errors BY NAME when n is
+    * negative or exceeds the cardinality, matching Presto's
+    * INVALID_FUNCTION_ARGUMENT rather than silently clamping. */
+  case class TrimArray(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = left.dataType
+    override def prettyName: String = "trim_array"
+    override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+      case ArrayType(_, _) if isIntegralDt(right.dataType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "trim_array expects (array, integer)")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def nullSafeEval(arrV: Any, nV: Any): Any = {
+      val arr = arrV.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = nV.asInstanceOf[java.lang.Number].intValue()
+      if (n < 0) throw new IllegalArgumentException(
+        s"trim_array: number of elements to trim must be >= 0, got $n")
+      if (n > arr.numElements()) throw new IllegalArgumentException(
+        s"trim_array: cannot trim $n elements from an array of " +
+        s"cardinality ${arr.numElements()}")
+      val elemType = left.dataType.asInstanceOf[ArrayType].elementType
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        arr.toObjectArray(elemType).dropRight(n))
+    }
+  }
+
   /** split_to_multimap(s, entryDelim, kvDelim): map<varchar,
     * array<varchar>> keeping duplicate keys in encounter order. */
   case class SplitToMultimap(children: Seq[Expression])
@@ -650,6 +680,7 @@ object PrestoFns2 {
     "array_least_frequent" -> { es: Seq[Expression] =>
       ArrayLeastFrequent(es.head,
         if (es.length >= 2) es(1) else Literal(1)) },
+    "trim_array" -> { es: Seq[Expression] => TrimArray(es(0), es(1)) },
     // array_split_into_chunks(a, n): length-n chunks, remainder last
     "array_split_into_chunks" -> { es: Seq[Expression] =>
       val i = lv("__asc_i")

@@ -65,6 +65,9 @@ object Registry {
       "json_size" -> FnMeta("json_size", cost = 8.0),
       "json_array_contains" -> FnMeta("json_array_contains", cost = 8.0),
       "json_array_length" -> FnMeta("json_array_length", cost = 4.0),
+      // round-17 JSON tail (PrestoCompat builders)
+      "is_json_scalar" -> FnMeta("is_json_scalar", cost = 8.0),
+      "json_array_get" -> FnMeta("json_array_get", cost = 8.0),
       "rand" -> FnMeta("rand", deterministic = false),
       "random" -> FnMeta("rand", deterministic = false),
       "uuid" -> FnMeta("uuid", deterministic = false),
@@ -363,6 +366,7 @@ object Registry {
       "from_base64url" -> FnMeta("from_base64url", cost = 2.0),
       "array_top_n" -> FnMeta("array_top_n", cost = 4.0),
       "array_least_frequent" -> FnMeta("array_least_frequent", cost = 4.0),
+      "trim_array" -> FnMeta("trim_array", cost = 2.0),
       "array_split_into_chunks" -> FnMeta("array_split_into_chunks", cost = 4.0),
       "split_to_multimap" -> FnMeta("split_to_multimap", cost = 4.0),
       "key_sampling_percent" -> FnMeta("key_sampling_percent", cost = 2.0),

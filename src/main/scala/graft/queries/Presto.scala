@@ -779,18 +779,26 @@ object Presto {
          FROM documents GROUP BY source, lang) t
        WHERE rk <= 3"""
 
-  /** Presto JSON family (round 11) over the events props column:
-    * json_extract (subtree text), json_extract_scalar, json_size
-    * (field/element counts), json_parse→json_format canonicalization,
-    * json_array_contains. DuckDB's bundled json extension is the
-    * oracle (json_keys length ≡ json_size('$')). */
+  /** Presto JSON family (round 11, tail widened round 17) over the
+    * events props column: json_extract (subtree text),
+    * json_extract_scalar, json_size (field/element counts),
+    * json_parse→json_format canonicalization, json_array_contains,
+    * is_json_scalar (props is an object → false; its $.k subtree is a
+    * number → true), json_array_get (negative index, raw-string quirk).
+    * DuckDB's bundled json extension is the oracle (json_keys length ≡
+    * json_size('$')). */
   val jsonFnsPresto: String =
     """SELECT event_type,
          count(json_extract(props, '$.k')) AS n_k,
          max(CAST(json_extract_scalar(props, '$.k') AS INTEGER)) AS max_k,
          CAST(sum(json_size(props, '$')) AS BIGINT) AS total_fields,
          min(json_format(json_parse(props))) AS first_canon,
-         sum(CASE WHEN json_array_contains('[1, 2, 3]', 2) THEN 1 ELSE 0 END) AS arr_hits
+         sum(CASE WHEN json_array_contains('[1, 2, 3]', 2) THEN 1 ELSE 0 END) AS arr_hits,
+         sum(CASE WHEN is_json_scalar(json_extract(props, '$.k'))
+                   AND NOT is_json_scalar(props) THEN 1 ELSE 0 END) AS scalar_hits,
+         min(json_array_get('[10, {"a": 1}, "text"]', -1)) AS arr_last,
+         min(json_array_get('[10, {"a": 1}, "text"]', 1)) AS arr_obj,
+         count(json_array_get('[10]', 5)) AS arr_oob
        FROM events GROUP BY event_type"""
   val jsonFnsOracle: String =
     """SELECT event_type,
@@ -798,7 +806,11 @@ object Presto {
          max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
          CAST(sum(len(json_keys(props))) AS BIGINT) AS total_fields,
          min(CAST(json_extract(props, '$') AS VARCHAR)) AS first_canon,
-         CAST(count(*) AS BIGINT) AS arr_hits
+         CAST(count(*) AS BIGINT) AS arr_hits,
+         CAST(count(*) AS BIGINT) AS scalar_hits,
+         'text' AS arr_last,
+         '{"a":1}' AS arr_obj,
+         CAST(0 AS BIGINT) AS arr_oob
        FROM events GROUP BY event_type"""
 
   /** Materialized views (round 11, PrestoSql.g4:88-92): CREATE
@@ -980,7 +992,8 @@ object Presto {
          round(element_at(array_cum_sum(ARRAY[l_quantity, l_discount, l_tax]), 3), 4) AS cs3,
          array_join(array_sort(array_duplicates(ARRAY[l_returnflag, l_linestatus, 'N'])), ',') AS dup,
          array_has_duplicates(ARRAY[l_returnflag, l_linestatus]) AS hd,
-         round(element_at(array_normalize(ARRAY[l_quantity, l_discount], 1), 2), 6) AS an2
+         round(element_at(array_normalize(ARRAY[l_quantity, l_discount], 1), 2), 6) AS an2,
+         array_join(trim_array(ARRAY[l_returnflag, l_linestatus, 'X'], 1), ',') AS ta
        FROM lineitem WHERE l_orderkey < 100"""
   val arrayFnsOracle: String =
     """SELECT l_orderkey, l_linenumber,
@@ -992,7 +1005,8 @@ object Presto {
            x -> len(list_filter([l_returnflag, l_linestatus, 'N'], y -> y = x)) > 1))),
            'string_agg', ','), '') AS dup,
          l_returnflag = l_linestatus AS hd,
-         round(l_discount / (l_quantity + l_discount), 6) AS an2
+         round(l_discount / (l_quantity + l_discount), 6) AS an2,
+         l_returnflag || ',' || l_linestatus AS ta
        FROM lineitem WHERE l_orderkey < 100"""
 
   /** Distribution CDFs + Wilson intervals (round 11, commons-math3

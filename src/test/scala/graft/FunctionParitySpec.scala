@@ -444,6 +444,53 @@ class FunctionParitySpec extends SparkSpec {
     assert(messages(err).exists(_.contains("invalid JSON")), messages(err).mkString(" | "))
   }
 
+  test("JSON tail: is_json_scalar truth table, json_array_get quirks, trim_array (round 17)") {
+    import graft.sql.PrestoRewriter
+    def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => String.valueOf(x.getMessage) +: messages(x.getCause))
+    val r = p("""SELECT
+        is_json_scalar('7') AS num_s,
+        is_json_scalar('"abc"') AS str_s,
+        is_json_scalar('true') AS bool_s,
+        is_json_scalar('null') AS null_s,
+        is_json_scalar('[1, 2]') AS arr_s,
+        is_json_scalar('{"a": 1}') AS obj_s,
+        json_array_get('[10, 20, 30]', 0) AS g0,
+        json_array_get('[10, 20, 30]', -1) AS gm1,
+        json_array_get('["x", "y"]', 0) AS raw_str,
+        json_array_get('[{"a": 1}]', 0) AS obj_elem,
+        json_array_get('[null]', 0) AS null_elem,
+        json_array_get('[1]', 3) AS oob,
+        json_array_get('[1]', -4) AS oob_neg,
+        json_array_get('{"a": 1}', 0) AS notarr""")
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3), r.toString)
+    assert(!r.getBoolean(4) && !r.getBoolean(5), r.toString)
+    assert(r.getString(6) == "10" && r.getString(7) == "30", r.toString)
+    // Presto's documented string quirk: raw (unquoted) text value
+    assert(r.getString(8) == "x", r.toString)
+    assert(r.getString(9) == """{"a":1}""", r.toString)
+    // JSON null element renders as the text 'null' (varchar-backed JSON)
+    assert(r.getString(10) == "null", r.toString)
+    assert(r.isNullAt(11) && r.isNullAt(12) && r.isNullAt(13), r.toString)
+    val badJson = intercept[Exception] { p("SELECT is_json_scalar('{oops') AS x") }
+    assert(messages(badJson).exists(_.contains("invalid JSON")),
+      messages(badJson).mkString(" | "))
+    // trim_array: trims from the END; 0 is identity; full-length empties;
+    // negative or over-cardinality error BY NAME (no silent clamp)
+    val t = p("""SELECT
+        trim_array(ARRAY[1, 2, 3, 4], 1) AS t1,
+        trim_array(ARRAY[1, 2, 3, 4], 0) AS t0,
+        CAST(cardinality(trim_array(ARRAY[1, 2], 2)) AS BIGINT) AS t_empty""")
+    assert(t.getSeq[Int](0) == Seq(1, 2, 3), t.toString)
+    assert(t.getSeq[Int](1) == Seq(1, 2, 3, 4), t.toString)
+    assert(t.getLong(2) == 0L, t.toString)
+    val over = intercept[Exception] { p("SELECT trim_array(ARRAY[1], 5) AS x") }
+    assert(messages(over).exists(_.contains("trim_array")), messages(over).mkString(" | "))
+    val neg = intercept[Exception] { p("SELECT trim_array(ARRAY[1], -1) AS x") }
+    assert(messages(neg).exists(_.contains("trim_array")), messages(neg).mkString(" | "))
+  }
+
   test("approx_set max-standard-error overload maps to lgK (round 11)") {
     import graft.sql.PrestoRewriter
     def p(sql: String) = PrestoRewriter.sql(spark, sfDir, sql).head()
