@@ -272,6 +272,20 @@ object Registry {
       "to_geometry" -> FnMeta("to_geometry", cost = 2.0),
       "line_locate_point" -> FnMeta("line_locate_point", cost = 4.0),
       "line_interpolate_point" -> FnMeta("line_interpolate_point", cost = 4.0),
+      // round-17 constructive overlay + accessor tail (GeoFns/GeoAgg)
+      "st_union" -> FnMeta("st_union", cost = 16.0),
+      "st_intersection" -> FnMeta("st_intersection", cost = 16.0),
+      "st_difference" -> FnMeta("st_difference", cost = 16.0),
+      "st_symdifference" -> FnMeta("st_symdifference", cost = 16.0),
+      "st_buffer" -> FnMeta("st_buffer", cost = 16.0),
+      "geometry_union" -> FnMeta("geometry_union", cost = 16.0),
+      "geometry_union_agg" -> FnMeta("geometry_union_agg", isAggregate = true, cost = 16.0),
+      "st_boundary" -> FnMeta("st_boundary", cost = 8.0),
+      "st_interiorrings" -> FnMeta("st_interiorrings", cost = 2.0),
+      "st_envelopeaspts" -> FnMeta("st_envelopeaspts", cost = 2.0),
+      "expand_envelope" -> FnMeta("expand_envelope", cost = 2.0),
+      "flatten_geometry_collections" -> FnMeta("flatten_geometry_collections", cost = 2.0),
+      "geometry_nearest_points" -> FnMeta("geometry_nearest_points", cost = 8.0),
       "format_datetime" -> FnMeta("date_format"),
       // Presto date_format takes MYSQL %-patterns (unlike format_datetime)
       // → PrestoCompat's converting implementation, not Spark's date_format.
