@@ -72,32 +72,36 @@ object AnnScale {
       // 6·3/44 = 41% at 1x, 6·3/128 = 14% at 10x/100x.
       val nProbe = 6
       val reps = if (n == 100L) 1 else 2
-      def time(fn: Tables => DataFrame, label: String, tag: String = ""): (Double, Set[(Long, Long)]) = {
-        var out: Set[(Long, Long)] = Set.empty
-        val dt = (1 to reps).map { _ =>
+      // min time paired with ITS OWN rep's result set, so the recall
+      // printed for the kept time is computed from the kept run's answer
+      def time(fn: Tables => DataFrame, label: String, nReps: Int,
+               tag: String = ""): (Double, Set[(Long, Long)]) = {
+        var best = Double.MaxValue
+        var bestOut: Set[(Long, Long)] = Set.empty
+        (1 to nReps).foreach { _ =>
           val t0 = System.nanoTime()
-          out = topk(fn(t))
+          val out = topk(fn(t))
           val s = (System.nanoTime() - t0) / 1e9
           val load = LaneDiscipline.loadavg
           System.err.println(f"[ann-scale] x$n%-4d $label%-6s $s%7.2f s " +
             f"(q=$nq lists=$nLists probe=$nProbe, load $load%.1f)$tag")
-          s
-        }.min
-        (dt, out)
+          if (s < best) { best = s; bestOut = out }
+        }
+        (best, bestOut)
       }
       // Committed-reference heal (round 17, uniform lane discipline): a
-      // leg over 2x bench/ann_scale.json re-runs once (min-of-2) so a
-      // transient can't ship as a regression. Recall stays judged on the
-      // kept (fastest) rep's result sets.
+      // leg over 2x bench/ann_scale.json re-runs ONCE (min-of-measured)
+      // so a transient can't ship as a regression. Recall stays judged
+      // on the kept (fastest) rep's result set.
       val (commScales, comm) = LaneDiscipline.committed("bench/ann_scale.json", "ann-scale")
       def timedHealed(fn: Tables => DataFrame, label: String,
                       commName: String): (Double, Set[(Long, Long)]) = {
-        var (sec, out) = time(fn, label)
+        var (sec, out) = time(fn, label, reps)
         val ci = commScales.indexOf(n)
         val over = ci >= 0 && comm.get(commName).flatMap(_.lift(ci))
           .exists(c => c >= 0.5 && sec > 2.0 * c)
         if (over) {
-          val (s2, o2) = time(fn, label, " (heal)")
+          val (s2, o2) = time(fn, label, 1, " (heal)")
           if (s2 < sec) { sec = s2; out = o2 }
         }
         (sec, out)

@@ -369,12 +369,8 @@ object DedupScale {
     // decade is 8.8× and every stage of it is accounted linear —
     // SCALING_DEDUP.md — so a 12× decade now means something is wrong,
     // not merely saturated.)
-    def flag(es: Seq[LaneEntry]): Seq[String] = es.flatMap { e =>
-      e.times.sliding(2).zipWithIndex.collect {
-        case (Seq(a, b), i) if !a.isNaN && !b.isNaN && a >= 0.5 && b / a > 12.0 =>
-          s"${e.name}@${scales(i)}x->${scales(i + 1)}x"
-      }
-    }
+    def flag(es: Seq[LaneEntry]): Seq[String] =
+      es.flatMap(e => LaneDiscipline.superlinearFlags(e.name, e.times, scales))
     // Self-heal (round 13, extended round 17): the >1× legs are
     // single-rep for budget, so a transient — a cold page cache on the
     // first 100× leg, a GC wall inherited from whatever the shared

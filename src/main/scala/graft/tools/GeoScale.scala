@@ -227,13 +227,13 @@ object GeoScale {
       }
     }
     val entries = probes.map { case (name, _, _) => LaneEntry(name, secs(name).toSeq) }
-    val superlinear = entries.flatMap { e =>
-      e.times.sliding(2).zipWithIndex.collect {
-        case (Seq(a, b), i) if !a.isNaN && !b.isNaN && a >= 0.5 && b / a > 12.0 =>
-          s"${e.name}@${scales(i)}x->${scales(i + 1)}x"
-      }
-    }
-    LaneResult(entries, fails.result(), superlinear, scales,
+    val superlinear = entries.flatMap(e =>
+      LaneDiscipline.superlinearFlags(e.name, e.times, scales))
+    // distinct: a heal rep re-runs the probe's validating aggregate, so
+    // a persistently wrong answer would otherwise report twice (a wrong
+    // answer in ANY rep still fails the lane — nondeterministic
+    // wrongness is a bug, not noise)
+    LaneResult(entries, fails.result().distinct, superlinear, scales,
       probes.map { case (name, _, _) => LaneEntry(name, loadAt(name).toSeq) },
       healEvents.result())
   }

@@ -12,8 +12,23 @@ object LaneDiscipline {
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
 
-  /** 1-minute system loadavg (NaN where the platform can't report). */
-  def loadavg: Double = osBean.getSystemLoadAverage
+  /** 1-minute system loadavg (NaN where the platform can't report —
+    * the MXBean signals that as -1.0, which would otherwise sail past
+    * every downstream isNaN guard and journal as a concrete load). */
+  def loadavg: Double = {
+    val l = osBean.getSystemLoadAverage
+    if (l < 0) Double.NaN else l
+  }
+
+  /** Super-linear decade flags for one lane entry: legs over maxDecade×
+    * their previous scale (≥0.5 s noise floor), formatted `name@Nx->Mx`.
+    * Shared so the lanes' flag policy cannot drift apart. */
+  def superlinearFlags(name: String, times: Seq[Double], scales: Seq[Long],
+                       maxDecade: Double = 12.0): Seq[String] =
+    times.sliding(2).zipWithIndex.collect {
+      case (Seq(a, b), i) if !a.isNaN && !b.isNaN && a >= 0.5 && b / a > maxDecade =>
+        s"$name@${scales(i)}x->${scales(i + 1)}x"
+    }.toSeq
 
   /** Committed lane reference: parses `{"scales":[...],"entries":{name:
     * [...]}}` from the given bench json (the machine-readable twin of

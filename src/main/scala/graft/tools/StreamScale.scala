@@ -188,13 +188,11 @@ object StreamScale {
       }
     }
     val rows = picked.map { case (name, _, _) => LaneEntry(name, secs(name).toSeq) }
-    val superlinear = rows.flatMap { e =>
-      e.times.sliding(2).zipWithIndex.collect {
-        case (Seq(a, b), i) if !a.isNaN && !b.isNaN && a >= 0.5 && b / a > 12.0 =>
-          s"${e.name}@${scales(i)}x->${scales(i + 1)}x"
-      }
-    }
-    LaneResult(rows, fails.result(), scales, superlinear,
+    val superlinear = rows.flatMap(e =>
+      LaneDiscipline.superlinearFlags(e.name, e.times, scales))
+    // distinct: a heal rep re-validates, so a persistently wrong answer
+    // would otherwise report twice (any-rep wrongness still fails)
+    LaneResult(rows, fails.result().distinct, scales, superlinear,
       picked.map { case (name, _, _) => LaneEntry(name, loadAt(name).toSeq) },
       healEvents.result())
   }
