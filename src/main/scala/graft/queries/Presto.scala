@@ -1402,18 +1402,31 @@ object Presto {
        FROM base, del"""
 
   /** Geospatial functions through the Presto dialect front door
-    * (round 15): Presto SQL spells them ST_CamelCase — resolution is
-    * case-insensitive onto the GeoFns registrations. The polygon's 0.5
-    * offsets keep every doc point off the boundary, so the strict
-    * interior test and the oracle's open-interval comparison agree
-    * everywhere. */
+    * (round 15; overlay columns round 17): Presto SQL spells them
+    * ST_CamelCase — resolution is case-insensitive onto the GeoFns
+    * registrations. The polygon's 0.5 offsets keep every doc point off
+    * the boundary, so the strict interior test and the oracle's
+    * open-interval comparison agree everywhere. Overlay closed forms:
+    * rect A = [0, a+2]×[0, 2] (a = doc_id % 10) against the fixed
+    * rect B = [1, 5]×[0, 2] — intersection 2·(min(a+2, 5) − 1), union
+    * by inclusion–exclusion; the point buffer is the inscribed regular
+    * 32-gon, area (1/2)·32·r²·sin(2π/32) = 64·sin(π/16) at r = 2. */
   val geoPresto: String =
     """SELECT doc_id,
          ST_AsText(ST_Point(doc_id * 37 % 100, doc_id * 61 % 100)) AS wkt,
          round(ST_Distance(ST_Point(doc_id * 37 % 100, 0),
                            ST_Point(0, doc_id * 61 % 100)), 6) AS d,
          ST_Contains(ST_GeometryFromText('POLYGON ((10 10, 90 10, 90 90, 10 90, 10 10))'),
-                     ST_Point(doc_id * 37 % 100 + 0.5, doc_id * 61 % 100 + 0.5)) AS inside
+                     ST_Point(doc_id * 37 % 100 + 0.5, doc_id * 61 % 100 + 0.5)) AS inside,
+         round(ST_Area(ST_Intersection(
+           ST_GeometryFromText('POLYGON ((0 0, ' || (doc_id % 10 + 2) || ' 0, '
+             || (doc_id % 10 + 2) || ' 2, 0 2, 0 0))'),
+           ST_GeometryFromText('POLYGON ((1 0, 5 0, 5 2, 1 2, 1 0))'))), 6) AS ia,
+         round(ST_Area(ST_Union(
+           ST_GeometryFromText('POLYGON ((0 0, ' || (doc_id % 10 + 2) || ' 0, '
+             || (doc_id % 10 + 2) || ' 2, 0 2, 0 0))'),
+           ST_GeometryFromText('POLYGON ((1 0, 5 0, 5 2, 1 2, 1 0))'))), 6) AS ua,
+         round(ST_Area(ST_Buffer(ST_Point(doc_id % 10, 0), 2)), 4) AS ba
        FROM documents WHERE doc_id < 200"""
   val geoOracle: String =
     """SELECT doc_id,
@@ -1421,7 +1434,10 @@ object Presto {
          round(sqrt(CAST((doc_id * 37 % 100) * (doc_id * 37 % 100) +
                          (doc_id * 61 % 100) * (doc_id * 61 % 100) AS DOUBLE)), 6) AS d,
          (doc_id * 37 % 100 + 0.5 > 10 AND doc_id * 37 % 100 + 0.5 < 90 AND
-          doc_id * 61 % 100 + 0.5 > 10 AND doc_id * 61 % 100 + 0.5 < 90) AS inside
+          doc_id * 61 % 100 + 0.5 > 10 AND doc_id * 61 % 100 + 0.5 < 90) AS inside,
+         round(2.0 * (least(doc_id % 10 + 2, 5) - 1), 6) AS ia,
+         round(2.0 * (doc_id % 10 + 2) + 8 - 2.0 * (least(doc_id % 10 + 2, 5) - 1), 6) AS ua,
+         round(64 * sin(pi() / 16), 4) AS ba
        FROM documents WHERE doc_id < 200"""
 
   val all: Seq[(String, (SparkSession, String) => DataFrame, String)] = Seq(
