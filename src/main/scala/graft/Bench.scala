@@ -73,8 +73,11 @@ object Bench {
     val spent = mutable.Map.empty[String, Double].withDefaultValue(0.0)
     val lastDt = mutable.Map.empty[String, Double].withDefaultValue(0.0)
     val nRep = mutable.Map.empty[String, Int].withDefaultValue(0)
-    // per-rep journal: (name, rep#, sec, 1-min loadavg, epoch ms)
-    val repLog = mutable.ArrayBuffer.empty[(String, Int, Double, Double, Long)]
+    // per-rep journal: (name, rep#, sec, 1-min loadavg, epoch ms,
+    // 5-min loadavg). The 5-min value catches the contention shape the
+    // 1-min value misses: a co-tenant burst ending just before a rep
+    // reads quiet at 1-min while the 5-min average still carries it.
+    val repLog = mutable.ArrayBuffer.empty[(String, Int, Double, Double, Long, Double)]
 
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         tag: String): Unit = {
@@ -86,12 +89,13 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       val load = osBean.getSystemLoadAverage
+      val load5 = tools.LaneDiscipline.loadavg5
       nRep(name) += 1
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s ($tag ${nRep(name)}, load $load%.1f)")
+      System.err.println(f"[bench] $name%-28s $dt%8.2f s ($tag ${nRep(name)}, load $load%.1f/$load5%.1f)")
       best(name) = math.min(best(name), dt)
       spent(name) += dt
       lastDt(name) = dt
-      repLog += ((name, nRep(name), dt, load, at))
+      repLog += ((name, nRep(name), dt, load, at, load5))
     }
 
     // Per-query baseline (absent file → ungated; entries new since the
@@ -644,8 +648,9 @@ object Bench {
         .mkString("{", ",", "}")
       val ratioJson = ratios.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val reps = repLog.map { case (n, r, s, l, t) =>
-        s"""{"q":"$n","rep":$r,"sec":${fmt(s)},"load":${fmt(l)},"at":$t}"""
+      val reps = repLog.map { case (n, r, s, l, t, l5) =>
+        val l5j = if (l5.isNaN) "null" else fmt(l5)
+        s"""{"q":"$n","rep":$r,"sec":${fmt(s)},"load":${fmt(l)},"load5":$l5j,"at":$t}"""
       }.mkString("[", ",", "]")
       val over = overGate.map("\"" + _ + "\"").mkString("[", ",", "]")
       val nq = neverQuiet.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -20,6 +20,20 @@ object LaneDiscipline {
     if (l < 0) Double.NaN else l
   }
 
+  /** 5-minute system loadavg (/proc/loadavg field 2; NaN off-Linux).
+    * Journaled alongside the 1-min value because the two together
+    * distinguish contention SHAPES the 1-min value alone cannot: a
+    * sustained co-tenant burst that ended a minute before a rep leaves
+    * the 1-min average looking quiet while the 5-min average still
+    * carries it (the r17 preview shipped a 2.8x entry at 1-min loads
+    * 1.3-4.3 on a box whose 15-min load was 15.5). */
+  def loadavg5: Double =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      txt.split("\\s+")(1).toDouble
+    } catch { case _: Exception => Double.NaN }
+
   /** Super-linear decade flags for one lane entry: legs over maxDecade×
     * their previous scale (≥0.5 s noise floor), formatted `name@Nx->Mx`.
     * Shared so the lanes' flag policy cannot drift apart. */
