@@ -335,10 +335,10 @@ object DedupScale {
     // rep — heals below keep it consistent with whichever rep ships
     val loadAt = scala.collection.mutable.LinkedHashMap(
       probes.map(p => p.name -> Array.fill(scales.length)(Double.NaN)): _*)
-    def legBest(p: Probe, i: Int): Double = {
+    def legBest(p: Probe, i: Int, graceSecs: Double = 0.0): Double = {
       val (n, dir) = dirs(i)
       var best = Double.NaN
-      for (r <- 1 to reps(n) if !(spent > budgetSecs && n > 1)) {
+      for (r <- 1 to reps(n) if !(spent > budgetSecs + graceSecs && n > 1)) {
         val (dt, ld) = runLeg(p, n, dir, s"rep $r")
         if (best.isNaN || dt < best) { best = dt; loadAt(p.name)(i) = ld }
       }
@@ -360,7 +360,29 @@ object DedupScale {
       val t = if (maxIdx == 0) 0.0 else times(p.name)(maxIdx - 1)
       if (t.isNaN) 0.0 else -t // unmeasured sorts last
     }
-    for (p <- steepestFirst) times(p.name)(maxIdx) = legBest(p, maxIdx)
+    // Grace pool (round 17): on a contended box ONE expensive leg can
+    // blow the whole budget (observed: simhash@100× at 168 s vs its
+    // committed 62 under loadavg 28 consumed it, and the cheap
+    // trailing legs — including neardup_embedding@100×, exactly the
+    // leg the round-17 re-evidence ask cares about — recorded null).
+    // A cheap remaining leg still runs, bounded: legs whose committed
+    // max-scale value is ≤ 20 s draw from a one-shot overshoot pool of
+    // min(120 s, 25% of budget), so the worst case stays bounded while
+    // a contended expensive leg can no longer starve the cheap tail.
+    val (commScales0, committed0) = committedLane()
+    var gracePool = math.min(120.0, budgetSecs * 0.25)
+    val commMaxIdx = commScales0.indexOf(scales(maxIdx))
+    for (p <- steepestFirst) {
+      val commCost = if (commMaxIdx < 0) Double.NaN
+        else committed0.get(p.name).flatMap(_.lift(commMaxIdx)).getOrElse(Double.NaN)
+      val grace =
+        if (spent > budgetSecs && !commCost.isNaN && commCost <= 20.0 &&
+            gracePool >= commCost) {
+          gracePool -= commCost
+          spent - budgetSecs + commCost * 2 // admit this leg, cost-bounded
+        } else 0.0
+      times(p.name)(maxIdx) = legBest(p, maxIdx, grace)
+    }
     val rows = probes.map(p => LaneEntry(p.name, times(p.name).toSeq))
     // Super-linear flag: a decade (10× docs; planted structure and pair
     // counts scale exactly 10×) through 32 fixed cores should cost well
