@@ -74,14 +74,18 @@ object Bench {
     val lastDt = mutable.Map.empty[String, Double].withDefaultValue(0.0)
     val nRep = mutable.Map.empty[String, Int].withDefaultValue(0)
     // per-rep journal: (name, rep#, sec, 1-min loadavg, epoch ms,
-    // 5-min loadavg). The 5-min value catches the contention shape the
-    // 1-min value misses: a co-tenant burst ending just before a rep
-    // reads quiet at 1-min while the 5-min average still carries it.
-    val repLog = mutable.ArrayBuffer.empty[(String, Int, Double, Double, Long, Double)]
+    // 5-min loadavg, steal%). The 5-min value catches the contention
+    // shape the 1-min value misses (a co-tenant burst ending just
+    // before a rep); steal% catches what NO loadavg can see — this box
+    // is a VM whose hypervisor measurably steals cycles under a noisy
+    // neighbor (round 17: shuffle-heavy legs swung 1.5–3× while
+    // compute-light legs reproduced their committed values exactly).
+    val repLog = mutable.ArrayBuffer.empty[(String, Int, Double, Double, Long, Double, Double)]
 
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         tag: String): Unit = {
       val at = System.currentTimeMillis()
+      val jiff0 = tools.LaneDiscipline.cpuJiffies
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -90,12 +94,14 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       val load = osBean.getSystemLoadAverage
       val load5 = tools.LaneDiscipline.loadavg5
+      val steal = tools.LaneDiscipline.stealPct(jiff0, tools.LaneDiscipline.cpuJiffies)
       nRep(name) += 1
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s ($tag ${nRep(name)}, load $load%.1f/$load5%.1f)")
+      System.err.println(f"[bench] $name%-28s $dt%8.2f s ($tag ${nRep(name)}, " +
+        f"load $load%.1f/$load5%.1f, steal $steal%.1f%%)")
       best(name) = math.min(best(name), dt)
       spent(name) += dt
       lastDt(name) = dt
-      repLog += ((name, nRep(name), dt, load, at, load5))
+      repLog += ((name, nRep(name), dt, load, at, load5, steal))
     }
 
     // Per-query baseline (absent file → ungated; entries new since the
@@ -648,9 +654,11 @@ object Bench {
         .mkString("{", ",", "}")
       val ratioJson = ratios.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val reps = repLog.map { case (n, r, s, l, t, l5) =>
+      val reps = repLog.map { case (n, r, s, l, t, l5, st) =>
         val l5j = if (l5.isNaN) "null" else fmt(l5)
-        s"""{"q":"$n","rep":$r,"sec":${fmt(s)},"load":${fmt(l)},"load5":$l5j,"at":$t}"""
+        val stj = if (st.isNaN) "null" else fmt(st)
+        s"""{"q":"$n","rep":$r,"sec":${fmt(s)},"load":${fmt(l)},"load5":$l5j,""" +
+          s""""steal":$stj,"at":$t}"""
       }.mkString("[", ",", "]")
       val over = overGate.map("\"" + _ + "\"").mkString("[", ",", "]")
       val nq = neverQuiet.map("\"" + _ + "\"").mkString("[", ",", "]")

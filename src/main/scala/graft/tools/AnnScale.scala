@@ -79,12 +79,14 @@ object AnnScale {
         var best = Double.MaxValue
         var bestOut: Set[(Long, Long)] = Set.empty
         (1 to nReps).foreach { _ =>
+          val jiff0 = LaneDiscipline.cpuJiffies
           val t0 = System.nanoTime()
           val out = topk(fn(t))
           val s = (System.nanoTime() - t0) / 1e9
           val load = LaneDiscipline.loadavg
+          val steal = LaneDiscipline.stealPct(jiff0, LaneDiscipline.cpuJiffies)
           System.err.println(f"[ann-scale] x$n%-4d $label%-6s $s%7.2f s " +
-            f"(q=$nq lists=$nLists probe=$nProbe, load $load%.1f)$tag")
+            f"(q=$nq lists=$nLists probe=$nProbe, load $load%.1f, steal $steal%.1f%%)$tag")
           if (s < best) { best = s; bestOut = out }
         }
         (best, bestOut)

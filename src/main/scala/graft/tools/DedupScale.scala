@@ -306,15 +306,20 @@ object DedupScale {
         math.min(256L, 32L * math.max(1L, n / 4)).toString)
       val t = Tables(spark, dir)
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val jiff0 = LaneDiscipline.cpuJiffies
       val t0 = System.nanoTime()
       allFails ++= p.probe(t, n)
       val dt = (System.nanoTime() - t0) / 1e9
       val load = osBean.getSystemLoadAverage
+      // steal% = hypervisor-stolen cycles during THIS leg — the signal
+      // that separates a noisy VM neighbor from a real regression when
+      // the loadavg (largely the lane's own 32-thread imprint) cannot
       (spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore)
         .foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
           .foreach(_.unpersist(blocking = false)))
+      val steal = LaneDiscipline.stealPct(jiff0, LaneDiscipline.cpuJiffies)
       System.err.println(
-        f"[dedup-scale] x$n%-4d ${p.name}%-24s $dt%7.2f s ($tag, load $load%.1f)")
+        f"[dedup-scale] x$n%-4d ${p.name}%-24s $dt%7.2f s ($tag, load $load%.1f, steal $steal%.1f%%)")
       (dt, load)
     }
     try {

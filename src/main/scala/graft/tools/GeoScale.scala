@@ -66,13 +66,15 @@ object GeoScale {
     // (seconds, 1-min loadavg at leg end) — the TPC-H/dedup spot journal
     // discipline, uniform across lanes as of round 17
     def leg(name: String, n: Long, tag: String = "")(probe: Long => Seq[String]): (Double, Double) = {
+      val jiff0 = LaneDiscipline.cpuJiffies
       val t0 = System.nanoTime()
       fails ++= probe(n)
       val dt = (System.nanoTime() - t0) / 1e9
       val load = LaneDiscipline.loadavg
+      val steal = LaneDiscipline.stealPct(jiff0, LaneDiscipline.cpuJiffies)
       val t = if (tag.isEmpty) "" else s" ($tag)"
       System.err.println(
-        f"[geo-scale] x${n / baseN}%-4d $name%-16s $dt%7.2f s (load $load%.1f)$t")
+        f"[geo-scale] x${n / baseN}%-4d $name%-16s $dt%7.2f s (load $load%.1f, steal $steal%.1f%%)$t")
       (dt, load)
     }
     // untimed warmup of BOTH probe pipelines: codegen + join machinery

@@ -34,6 +34,29 @@ object LaneDiscipline {
       txt.split("\\s+")(1).toDouble
     } catch { case _: Exception => Double.NaN }
 
+  /** (steal, total) CPU jiffies since boot (/proc/stat cpu line).
+    * Steal is the hypervisor-level signal loadavg CANNOT see: this box
+    * measurably runs as a VM with a noisy neighbor (round-17
+    * investigation: shuffle-heavy dedup legs swung 94–184 s across a
+    * day whose committed values minhash reproduced EXACTLY — classic
+    * stolen-cycles shape, invisible in 1-min/5-min loads). */
+  def cpuJiffies: Option[(Long, Long)] =
+    try {
+      val cols = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
+      Some((if (cols.length > 7) cols(7) else 0L, cols.sum))
+    } catch { case _: Exception => None }
+
+  /** Percent of CPU time stolen by the hypervisor between two
+    * [[cpuJiffies]] snapshots; NaN when unavailable. */
+  def stealPct(before: Option[(Long, Long)], after: Option[(Long, Long)]): Double =
+    (before, after) match {
+      case (Some((s0, t0)), Some((s1, t1))) if t1 > t0 =>
+        100.0 * (s1 - s0) / (t1 - t0)
+      case _ => Double.NaN
+    }
+
   /** Super-linear decade flags for one lane entry: legs over maxDecade×
     * their previous scale (≥0.5 s noise floor), formatted `name@Nx->Mx`.
     * Shared so the lanes' flag policy cannot drift apart. */

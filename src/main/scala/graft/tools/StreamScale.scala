@@ -136,12 +136,15 @@ object StreamScale {
     def runLeg(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                n: Long, dir: String, tag: String): (Double, Double) = {
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val jiff0 = LaneDiscipline.cpuJiffies
       val t0 = System.nanoTime()
       val df = fn(spark, dir)
       df.write.format("noop").mode("overwrite").save()
       val d = (System.nanoTime() - t0) / 1e9
       val load = LaneDiscipline.loadavg
-      System.err.println(f"[stream-scale] x$n%-4d $name%-16s $d%7.2f s (load $load%.1f, $tag)")
+      val steal = LaneDiscipline.stealPct(jiff0, LaneDiscipline.cpuJiffies)
+      System.err.println(
+        f"[stream-scale] x$n%-4d $name%-16s $d%7.2f s (load $load%.1f, steal $steal%.1f%%, $tag)")
       validate(name, n, dir, df)
       // release this leg's detachSink checkpoint blocks eagerly (the
       // DedupScale sweep): at 100× a leg's materialized result is ~3M
