@@ -68,6 +68,10 @@ object Bench {
     // own — journaled so a never-idle window is provable after the fact
     val loadBaseline = osBean.getSystemLoadAverage
     def fmt(v: Double) = f"$v%.3f"
+    // {key: reason} JSON for the skip/contended ledgers (round 18)
+    def reasonsJson(m: Map[String, String]) = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\"", "'") + "\"" }
+      .mkString("{", ",", "}")
 
     val best = mutable.Map.empty[String, Double].withDefaultValue(Double.MaxValue)
     val spent = mutable.Map.empty[String, Double].withDefaultValue(0.0)
@@ -144,27 +148,61 @@ object Bench {
     def quietEff: Double = math.max(quietN, loadFloor + 1.0)
     def bestRepLoad(name: String): Double =
       repLog.filter(_._1 == name).minBy(_._3)._4
+    def bestRepSteal(name: String): Double =
+      repLog.filter(_._1 == name).minBy(_._3)._7
+    // Round 18 (verdict ask #1): the steal journal GATES, not just
+    // records — an entry whose kept rep ran under hypervisor steal
+    // above the gate is re-run alongside the load-based quiet gate's
+    // picks (steal is the signal loadavg cannot see on this VM).
+    def stealLoud(name: String): Boolean = {
+      val s = bestRepSteal(name)
+      tools.LaneDiscipline.StealGate > 0 && !s.isNaN &&
+        s > tools.LaneDiscipline.StealGate
+    }
     if (quietN > 0) {
       val t0 = System.nanoTime()
       def quietSpent = (System.nanoTime() - t0) / 1e9
       for (pass <- 1 to 2) {
-        val loud = qs.filter { case (n, _) => bestRepLoad(n) > quietEff }
+        val loud = qs.filter { case (n, _) =>
+            bestRepLoad(n) > quietEff || stealLoud(n) }
           .sortBy { case (n, _) => -baseline.get(n).map(best(n) / _).getOrElse(1.0) }
+        // second pass = the burst outlasted pass 1's re-runs: wait out
+        // a bounded backoff before retrying, instead of re-measuring
+        // straight into the same burst (round 18)
+        if (pass == 2 && loud.nonEmpty && quietSpent < quietBudgetSec)
+          tools.LaneDiscipline.backoff("bench")
         for ((name, fn) <- loud)
           if (quietSpent + lastDt(name) <= quietBudgetSec) runOne(name, fn, "quiet")
       }
     }
     val neverQuiet =
       if (quietN <= 0) Nil else qs.map(_._1).filter(n => bestRepLoad(n) > quietEff)
+    // entries whose KEPT rep is still steal-contended after the gate's
+    // re-runs: journaled so a reader can discount them, and exempted
+    // from failing the artifact below (the number still ships — the
+    // sf0.1 map must stay complete — but it is marked)
+    def contendedSteal = qs.map(_._1).filter(stealLoud)
 
+    // Regression tripwire with an absolute noise floor (round 18,
+    // verdict ask #2): an entry breaches only if it is BOTH over 2× its
+    // baseline AND more than 0.25 s above it — r17's artifact went
+    // rc=1 on presto_digest_fns at 121 ms against a 60 ms baseline, a
+    // 61 ms absolute excess that the superlinear flags would have
+    // noise-floored. A genuine 2× regression on a ≥0.25 s entry still
+    // trips.
     def overGate = qs.collect {
-      case (n, _) if baseline.get(n).exists(b => best(n) > 2.0 * b) => n
+      case (n, _) if baseline.get(n).exists(b =>
+        tools.LaneDiscipline.overGateBreach(best(n), b)) => n
     }
     // Self-heal: a breach after interleaved min-of-N is either real or a
     // burst that spanned the whole run — give each breaching entry up to
-    // two extra reps before declaring it.
-    for (pass <- 1 to 2; n <- overGate)
-      runOne(n, qs.toMap.apply(n), "heal")
+    // two extra reps before declaring it; a steal-contended kept rep
+    // waits out a bounded backoff first (round 18).
+    for (pass <- 1 to 2) {
+      val breaching = overGate
+      if (breaching.exists(stealLoud)) tools.LaneDiscipline.backoff("bench")
+      for (n <- breaching) runOne(n, qs.toMap.apply(n), "heal")
+    }
 
     // ---- TPC-H generator scale lane (round 12): MEASURE the 100×
     // story instead of arguing it from plan shapes at sf0.1. The
@@ -193,10 +231,16 @@ object Bench {
       val all22 = (queries.Tpch.all ++ queries.Tpch2.all)
         .map { case (n, q, _) => (n, q) }
         .filter { case (n, _) => laneOnly.forall(_.findFirstIn(n).isDefined) }
-      // per-leg 1-min loadavg at each query's BEST rep, keyed
+      // per-leg 1-min loadavg + steal% at each query's BEST rep, keyed
       // "<schema>:<query>" — journaled into the artifact so a contended
-      // spot leg is machine-auditable (the BENCH_r13 q6@sf10=8.4s class)
+      // spot leg is machine-auditable (the BENCH_r13 q6@sf10=8.4s class;
+      // steal added round 18, the gate's discriminating signal)
       val laneLoad = mutable.Map.empty[String, Double]
+      val laneSteal = mutable.Map.empty[String, Double]
+      // explicit skip ledger (round 18, verdict ask #3): r17's sf100
+      // block shipped only q1 with q6/q12 silently absent — a reader
+      // could not tell budget-starved from never-configured
+      val laneSkip = mutable.Map.empty[String, String]
       def runScale(schema: String, sel: Seq[(String, Tables => org.apache.spark.sql.DataFrame)],
           reps: Int, extraBudget: Double = 0.0): Map[String, Double] = {
         val sf = graft.sources.TpchGen.scaleOf(schema).get
@@ -240,7 +284,9 @@ object Bench {
         // any resolution failure must still restore the session.
         try {
           val t = Tables(spark, s"graft_tpch:$schema")
-          for (r <- 1 to reps; (n, q) <- sel) if (laneSpent < laneBudget + extraBudget) {
+          for (r <- 1 to reps; (n, q) <- sel) {
+            if (laneSpent < laneBudget + extraBudget) {
+            val jiff0 = tools.LaneDiscipline.cpuJiffies
             val s0 = System.nanoTime()
             // A lane query that ERRORS must not ship its catch-path wall
             // time as a measurement, and must fail the artifact producer
@@ -253,14 +299,22 @@ object Bench {
               catch { case e: Throwable =>
                 System.err.println(s"[bench] lane $schema $n failed: ${e.getMessage}")
                 laneFailures += s"lane $schema/$n errored: ${e.getMessage}"
+                laneSkip(s"$schema:$n") = "error"
                 false }
             val dt = (System.nanoTime() - s0) / 1e9
             if (ok) {
-              if (dt < bestOf(n)) laneLoad(s"$schema:$n") = osBean.getSystemLoadAverage
+              if (dt < bestOf(n)) {
+                laneLoad(s"$schema:$n") = osBean.getSystemLoadAverage
+                laneSteal(s"$schema:$n") =
+                  tools.LaneDiscipline.stealPct(jiff0, tools.LaneDiscipline.cpuJiffies)
+              }
               bestOf(n) = math.min(bestOf(n), dt)
+              laneSkip.remove(s"$schema:$n") // a later (heal) run measured it after all
             }
             System.err.println(f"[bench] lane $schema%-6s $n%-10s $dt%8.2f s (rep $r)" +
               (if (ok) "" else " [ERROR - not recorded]"))
+            } else if (!bestOf.contains(n) && !laneSkip.contains(s"$schema:$n"))
+              laneSkip(s"$schema:$n") = "budget"
           }
         } finally {
           spark.conf.unset("graft.tpch.rowsPerSplit")
@@ -326,12 +380,18 @@ object Bench {
       // under 15×; entries under 0.25 s at sf0_1 are noise-floored
       val superlinear = scaleRatio.collect {
         case (n, r) if r > 15.0 && sf01.getOrElse(n, 0.0) >= 0.25 => n }.toSeq.sorted
+      // Spot legs carry dedicated extra budget (round 18): r17's
+      // contention blew the shared lane budget inside the sf1 reps and
+      // the sf100 block shipped with q6/q12 absent — the spots are the
+      // lane's 100×/1000× evidence and must not be the first thing
+      // starved. Quiet spot totals are ~6 s (sf10) / ~25 s (sf100).
       val sf10Raw =
         if (sys.env.get("SPARK_GRAFT_TPCH_SF10").contains("off")) Map.empty[String, Double]
         else if (sys.env.get("SPARK_GRAFT_TPCH_SF10_ALL").contains("1"))
           runScale("sf10", all22, 1) // full 100× sweep (opt-in, ~3-4 min)
         else runScale("sf10",
-          all22.filter(p => Set("tpch_q1", "tpch_q6", "tpch_q12")(p._1)), 1)
+          all22.filter(p => Set("tpch_q1", "tpch_q6", "tpch_q12")(p._1)), 1,
+          extraBudget = 60.0)
       // 1000× the correctness-test data (lineitem ~600M generated rows,
       // zero storage): the two scan-bound queries measure pure generate+
       // scan+filter throughput (partial-final aggregation keeps state
@@ -344,7 +404,8 @@ object Bench {
       val sf100Raw =
         if (sys.env.get("SPARK_GRAFT_TPCH_SF100").contains("off")) Map.empty[String, Double]
         else runScale("sf100",
-          all22.filter(p => Set("tpch_q1", "tpch_q6", "tpch_q12")(p._1)), 1)
+          all22.filter(p => Set("tpch_q1", "tpch_q6", "tpch_q12")(p._1)), 1,
+          extraBudget = 150.0)
       // Spot self-heal (round 14): the sf10/sf100 legs are single-rep
       // for budget, so one contended rep can ship as "a measurement"
       // (BENCH_r13 posted q6@sf10 = 8.43 s against its own q6@sf100 =
@@ -377,8 +438,15 @@ object Bench {
           m
         }
       }
+      // returns (kept measurements, contended legs): a leg still over
+      // 2× committed AFTER the heal whose kept-rep journal shows
+      // contention (steal over the gate / load far above the floor)
+      // ships as a named non-number in tpch_sf*_contended instead of a
+      // measurement — round 18, verdict ask #1 (r17 shipped q6@sf10 =
+      // 124.77 s vs committed 1.23 as if measured). A quiet over-2×
+      // leg is KEPT: that is a real regression and must stay visible.
       def healSpot(schema: String, spot: Map[String, Double],
-          nextUp: Map[String, Double]): Map[String, Double] = {
+          nextUp: Map[String, Double]): (Map[String, Double], Map[String, String]) = {
         val committed = sweep.getOrElse(schema, Map.empty)
         // Trigger calibration (round 15): BENCH_r14 shipped q12@sf100 =
         // 43.8 s = 2.43x committed at journaled loadavg 25.8 — under
@@ -397,26 +465,56 @@ object Bench {
         def loadSuspect(q: String, dt: Double): Boolean =
           committed.get(q).exists(c => dt > 1.5 * c) &&
             laneLoad.get(s"$schema:$q").exists(_ > loadFloor + 16.0)
+        // steal-based trigger (round 18): catches the 1.5–2× band the
+        // load trigger misses when the burst is hypervisor steal rather
+        // than visible co-tenant load
+        def stealSuspect(q: String, dt: Double): Boolean =
+          committed.get(q).exists(c => dt > 1.5 * c) &&
+            laneSteal.get(s"$schema:$q")
+              .exists(s => tools.LaneDiscipline.StealGate > 0 && !s.isNaN &&
+                s > tools.LaneDiscipline.StealGate)
         val suspect = spot.collect { case (q, dt)
           if committed.get(q).exists(c => dt > factor * c) ||
              nextUp.get(q).exists(u => dt > u) ||
-             loadSuspect(q, dt) => q }.toSet
-        if (suspect.isEmpty) spot
+             loadSuspect(q, dt) || stealSuspect(q, dt) => q }.toSet
+        val healedSpot = if (suspect.isEmpty) spot
         else {
           System.err.println(s"[bench] lane $schema suspect legs (contended single rep?): " +
             suspect.toSeq.sorted.mkString(","))
-          val loadBefore = laneLoad.toMap // keep load journal consistent with the KEPT rep
+          // a contended kept rep waits out a bounded backoff before the
+          // retry, so the re-run doesn't land in the same burst
+          if (suspect.exists(q => tools.LaneDiscipline.contendedRep(
+              laneSteal.getOrElse(s"$schema:$q", Double.NaN),
+              laneLoad.getOrElse(s"$schema:$q", Double.NaN), loadFloor)))
+            tools.LaneDiscipline.backoff("bench")
+          val loadBefore = laneLoad.toMap // keep journals consistent with the KEPT rep
+          val stealBefore = laneSteal.toMap
           val reRun = runScale(schema, all22.filter(p => suspect(p._1)), 1, extraBudget = 90.0)
           spot.map { case (q, dt) =>
             val r = reRun.getOrElse(q, Double.MaxValue)
-            if (r >= dt) loadBefore.get(s"$schema:$q")
-              .foreach(laneLoad(s"$schema:$q") = _)
+            if (r >= dt) {
+              loadBefore.get(s"$schema:$q").foreach(laneLoad(s"$schema:$q") = _)
+              stealBefore.get(s"$schema:$q").foreach(laneSteal(s"$schema:$q") = _)
+            }
             q -> math.min(dt, r)
           }
         }
+        // contended-leg conversion: still over 2× committed with a
+        // contention journal → named non-number, never a measurement
+        val (contended, kept) = healedSpot.partition { case (q, dt) =>
+          committed.get(q).exists(c => c >= 0.5 && dt > factor * c) &&
+            tools.LaneDiscipline.contendedRep(
+              laneSteal.getOrElse(s"$schema:$q", Double.NaN),
+              laneLoad.getOrElse(s"$schema:$q", Double.NaN), loadFloor)
+        }
+        (kept, contended.map { case (q, dt) =>
+          q -> tools.LaneDiscipline.contendedReason(dt,
+            laneLoad.getOrElse(s"$schema:$q", Double.NaN),
+            laneSteal.getOrElse(s"$schema:$q", Double.NaN))
+        })
       }
-      val sf100 = healSpot("sf100", sf100Raw, Map.empty)
-      val sf10 = healSpot("sf10", sf10Raw, sf100)
+      val (sf100, sf100Cont) = healSpot("sf100", sf100Raw, Map.empty)
+      val (sf10, sf10Cont) = healSpot("sf10", sf10Raw, sf100)
       // Plan fingerprints at sf1 (the verdict's "times + plans in the
       // artifact"): operator counts from the resolved physical plan —
       // scan/exchange/broadcast-join/sort-merge-join — enough to audit
@@ -447,24 +545,43 @@ object Bench {
       }
       def m2j(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      def s2j(m: Map[String, String]) = m.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":\"" + v.replace("\"", "'") + "\"" }
+        .mkString("{", ",", "}")
       val plansJson = plans.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
       val slJson = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
       val tvJson = tpchValidation.map(s => "\"" + s.replace("\"", "'") + "\"")
         .mkString("[", ",", "]")
-      def loadOf(schema: String, m: Map[String, Double]) = m2j(
-        m.keys.flatMap(q => laneLoad.get(s"$schema:$q").map(q -> _)).toMap)
+      // journals cover kept AND contended legs (a contended leg's load/
+      // steal are exactly what a reader needs to audit the call)
+      def journalOf(schema: String, j: mutable.Map[String, Double],
+          ms: Map[String, Double]*) = m2j(
+        ms.flatMap(_.keys).flatMap(q => j.get(s"$schema:$q").map(q -> _)).toMap)
+      val sf10ContSecs = sf10Cont.keys.map(q => q -> 0.0).toMap // journal keys only
+      val sf100ContSecs = sf100Cont.keys.map(q => q -> 0.0).toMap
       laneFull = s""","tpch_sf01":${m2j(sf01)},"tpch_sf1":${m2j(sf1)},""" +
         s""""tpch_scale_ratio":${m2j(scaleRatio)},"tpch_superlinear":$slJson,""" +
         s""""tpch_sf10_spot":${m2j(sf10)},"tpch_sf100_spot":${m2j(sf100)},""" +
-        s""""tpch_sf10_load":${loadOf("sf10", sf10)},"tpch_sf100_load":${loadOf("sf100", sf100)},""" +
+        s""""tpch_sf10_contended":${s2j(sf10Cont)},"tpch_sf100_contended":${s2j(sf100Cont)},""" +
+        s""""tpch_skipped":${s2j(laneSkip.toMap)},""" +
+        s""""tpch_sf10_load":${journalOf("sf10", laneLoad, sf10, sf10ContSecs)},""" +
+        s""""tpch_sf100_load":${journalOf("sf100", laneLoad, sf100, sf100ContSecs)},""" +
+        s""""tpch_sf10_steal":${journalOf("sf10", laneSteal, sf10, sf10ContSecs)},""" +
+        s""""tpch_sf100_steal":${journalOf("sf100", laneSteal, sf100, sf100ContSecs)},""" +
         s""""tpch_sf1_plans":$plansJson,"tpch_validation":$tvJson"""
       laneCompact = s""","tpch_sf01_total":${fmt(sf01.values.sum)},""" +
         s""""tpch_sf1_total":${fmt(sf1.values.sum)},""" +
         s""""tpch_superlinear":$slJson,"tpch_sf10_spot":${m2j(sf10)},""" +
-        s""""tpch_sf100_spot":${m2j(sf100)},"tpch_validation":$tvJson"""
+        s""""tpch_sf100_spot":${m2j(sf100)},"tpch_validation":$tvJson""" +
+        (if (sf10Cont.nonEmpty || sf100Cont.nonEmpty)
+          s""","tpch_sf10_contended":${s2j(sf10Cont)},"tpch_sf100_contended":${s2j(sf100Cont)}"""
+         else "") +
+        (if (laneSkip.nonEmpty) s""","tpch_skipped":${s2j(laneSkip.toMap)}""" else "")
       System.err.println(s"[bench] lane totals: sf0_1=${fmt(sf01.values.sum)}s " +
-        s"sf1=${fmt(sf1.values.sum)}s superlinear=${superlinear.mkString(",")}")
+        s"sf1=${fmt(sf1.values.sum)}s superlinear=${superlinear.mkString(",")}" +
+        (if (sf10Cont.nonEmpty || sf100Cont.nonEmpty)
+          s" contended=${(sf10Cont.keys ++ sf100Cont.keys).mkString(",")}" else ""))
     }
 
     // Dedup/text scale lane (round 13 — the last tier measured only to
@@ -495,13 +612,19 @@ object Bench {
       // must be auditable as contention vs regression from the artifact
       // alone, like the TPC-H spots' tpch_sf*_load journals)
       val loadJson = r.loads.map(row).mkString("{", ",", "}")
+      val stealJson = r.steals.map(row).mkString("{", ",", "}")
       val healedJson = r.healed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
       val block = s""","dedup_scale":$entriesJson,"dedup_scales":$scalesJson,""" +
-        s""""dedup_scale_load":$loadJson,"dedup_healed":$healedJson,""" +
+        s""""dedup_scale_load":$loadJson,"dedup_scale_steal":$stealJson,""" +
+        s""""dedup_healed":$healedJson,""" +
+        s""""dedup_skipped":${reasonsJson(r.skipped)},""" +
+        s""""dedup_contended":${reasonsJson(r.contended)},""" +
         s""""dedup_superlinear":$slJson,"dedup_validation":$valJson"""
       laneFull += block
       laneCompact += s""","dedup_superlinear":$slJson,"dedup_validation":$valJson,""" +
-        s""""dedup_healed":$healedJson"""
+        s""""dedup_healed":$healedJson""" +
+        (if (r.contended.nonEmpty) s""","dedup_contended":${reasonsJson(r.contended)}""" else "") +
+        (if (r.skipped.nonEmpty) s""","dedup_skipped":${reasonsJson(r.skipped)}""" else "")
       if (r.validationFailures.nonEmpty) {
         System.err.println(s"[bench] DEDUP LANE VALIDATION FAILED: ${r.validationFailures.mkString("; ")}")
         laneFailures ++= r.validationFailures.map("dedup: " + _)
@@ -564,15 +687,22 @@ object Bench {
       val entriesJson = r.entries.map(row).mkString("{", ",", "}")
       val valJson = r.validationFailures.map(s => "\"" + s.replace("\"", "'") + "\"")
         .mkString("[", ",", "]")
-      // per-leg loadavg journal + committed-reference heal trail
-      // (round 17: the dedup lane's artifact-auditability, uniform)
+      // per-leg loadavg+steal journal + committed-reference heal trail
+      // (round 17: the dedup lane's artifact-auditability, uniform;
+      // steal/skip/contended round 18)
       val loadJson = r.loads.map(row).mkString("{", ",", "}")
+      val stealJson = r.steals.map(row).mkString("{", ",", "}")
       val healedJson = r.healed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
       val slJson = r.superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
       laneFull += s""","stream_scale":$entriesJson,"stream_scale_load":$loadJson,""" +
+        s""""stream_scale_steal":$stealJson,""" +
+        s""""stream_skipped":${reasonsJson(r.skipped)},""" +
+        s""""stream_contended":${reasonsJson(r.contended)},""" +
         s""""stream_healed":$healedJson,"stream_superlinear":$slJson,""" +
         s""""stream_validation":$valJson"""
-      laneCompact += s""","stream_validation":$valJson,"stream_healed":$healedJson"""
+      laneCompact += s""","stream_validation":$valJson,"stream_healed":$healedJson""" +
+        (if (r.contended.nonEmpty) s""","stream_contended":${reasonsJson(r.contended)}""" else "") +
+        (if (r.skipped.nonEmpty) s""","stream_skipped":${reasonsJson(r.skipped)}""" else "")
       if (r.validationFailures.nonEmpty) {
         System.err.println(s"[bench] STREAM LANE VALIDATION FAILED: ${r.validationFailures.mkString("; ")}")
         laneFailures ++= r.validationFailures.map("stream: " + _)
@@ -601,11 +731,16 @@ object Bench {
           .filterNot(_.isNaN).map(fmt).getOrElse("null")
         val leg100Load = r100.loads.headOption.flatMap(_.times.headOption)
           .filterNot(_.isNaN).map(fmt).getOrElse("null")
+        val leg100Steal = r100.steals.headOption.flatMap(_.times.headOption)
+          .filterNot(_.isNaN).map(fmt).getOrElse("null")
         val healed100 = r100.healed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
         val v100 = r100.validationFailures.map(s => "\"" + s.replace("\"", "'") + "\"")
           .mkString("[", ",", "]")
         laneFull += s""","stream_scale_100":{"$pick":$leg},""" +
           s""""stream_scale_100_load":{"$pick":$leg100Load},""" +
+          s""""stream_scale_100_steal":{"$pick":$leg100Steal},""" +
+          s""""stream_contended_100":${reasonsJson(r100.contended)},""" +
+          s""""stream_skipped_100":${reasonsJson(r100.skipped)},""" +
           s""""stream_healed_100":$healed100,"stream_validation_100":$v100"""
         laneCompact += s""","stream_scale_100":{"$pick":$leg}"""
         if (r100.validationFailures.nonEmpty) {
@@ -629,15 +764,20 @@ object Bench {
       val entriesJson = r.entries.map(row).mkString("{", ",", "}")
       val valJson = r.validationFailures.map(s => "\"" + s.replace("\"", "'") + "\"")
         .mkString("[", ",", "]")
-      // per-leg loadavg journal + committed-reference heal trail
-      // (round 17: the dedup lane's artifact-auditability, uniform)
+      // per-leg loadavg+steal journal + committed-reference heal trail
+      // (round 17: the dedup lane's artifact-auditability, uniform;
+      // steal/contended round 18)
       val loadJson = r.loads.map(row).mkString("{", ",", "}")
+      val stealJson = r.steals.map(row).mkString("{", ",", "}")
       val healedJson = r.healed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
       val slJson = r.superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
       laneFull += s""","geo_scale":$entriesJson,"geo_scale_load":$loadJson,""" +
+        s""""geo_scale_steal":$stealJson,""" +
+        s""""geo_contended":${reasonsJson(r.contended)},""" +
         s""""geo_healed":$healedJson,"geo_superlinear":$slJson,""" +
         s""""geo_validation":$valJson"""
-      laneCompact += s""","geo_validation":$valJson,"geo_healed":$healedJson"""
+      laneCompact += s""","geo_validation":$valJson,"geo_healed":$healedJson""" +
+        (if (r.contended.nonEmpty) s""","geo_contended":${reasonsJson(r.contended)}""" else "")
       if (r.validationFailures.nonEmpty) {
         System.err.println(s"[bench] GEO LANE VALIDATION FAILED: ${r.validationFailures.mkString("; ")}")
         laneFailures ++= r.validationFailures.map("geo: " + _)
@@ -649,6 +789,12 @@ object Bench {
     val ratios = results.flatMap { case (n, v) =>
       baseline.get(n).map(b => n -> v / b)
     }
+    // Tripwire verdict (round 18): a surviving breach whose kept rep is
+    // steal-contended is journaled as such and does NOT fail the
+    // artifact — the sf0.1 map must stay complete so the number still
+    // ships, but it ships MARKED, with the rep journal to audit it. A
+    // breach at a quiet kept rep is a real regression and exits 1.
+    val (breachContended, breachReal) = overGate.partition(stealLoud)
     val fullJson = {
       val queries = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -660,10 +806,15 @@ object Bench {
         s"""{"q":"$n","rep":$r,"sec":${fmt(s)},"load":${fmt(l)},"load5":$l5j,""" +
           s""""steal":$stj,"at":$t}"""
       }.mkString("[", ",", "]")
-      val over = overGate.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val over = breachReal.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val overCont = reasonsJson(breachContended.map(n => n ->
+        tools.LaneDiscipline.contendedReason(best(n), bestRepLoad(n), bestRepSteal(n))).toMap)
+      val contSteal = contendedSteal.map("\"" + _ + "\"").mkString("[", ",", "]")
       val nq = neverQuiet.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$queries,""" +
         s""""ratio_vs_baseline":$ratioJson,"over_gate":$over,""" +
+        s""""over_gate_contended":$overCont,"contended_steal":$contSteal,""" +
+        s""""steal_gate":${tools.LaneDiscipline.StealGate},""" +
         s""""quiet_gate":$quietN,"quiet_gate_effective":${fmt(quietEff)},""" +
         s""""load_baseline":${fmt(loadBaseline)},"load_floor":${fmt(loadFloor)},""" +
         s""""never_quiet":$nq$laneFull,"reps":$reps,"sf":"$sfDir"}"""
@@ -684,15 +835,21 @@ object Bench {
         if (n.matches("tpch_q\\d+_sql")) "tpch_sql" else n.takeWhile(_ != '_')
       }
       .map { case (g, rs) => s"grp_$g" -> rs.map(_._2).sum }
+    val contCompact =
+      if (breachContended.isEmpty) ""
+      else s""","over_gate_contended":${breachContended.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     val compact = (headline ++ groups).sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compact$laneCompact,"sf":"$sfDir"}""")
-    val breaches = overGate
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compact$laneCompact$contCompact,"sf":"$sfDir"}""")
     spark.stop()
-    if (breaches.nonEmpty) {
+    if (breachContended.nonEmpty)
+      System.err.println(s"[bench] over-gate entries attributed to contention " +
+        s"(steal > ${tools.LaneDiscipline.StealGate}% at the kept rep; journaled, not fatal): " +
+        breachContended.mkString(", "))
+    if (breachReal.nonEmpty) {
       System.err.println(s"[bench] TRIPWIRE: entries over the 2x gate after self-heal: " +
-        breaches.mkString(", "))
+        breachReal.mkString(", "))
       sys.exit(1)
     }
     // A lane validation failure is a WRONG ANSWER at scale — fail the

@@ -262,7 +262,10 @@ object DedupScale {
   final case class LaneEntry(name: String, times: Seq[Double])
   final case class LaneResult(entries: Seq[LaneEntry], superlinear: Seq[String],
                               validationFailures: Seq[String], scales: Seq[Long],
-                              loads: Seq[LaneEntry] = Nil, healed: Seq[String] = Nil)
+                              loads: Seq[LaneEntry] = Nil, healed: Seq[String] = Nil,
+                              steals: Seq[LaneEntry] = Nil,
+                              skipped: Map[String, String] = Map.empty,
+                              contended: Map[String, String] = Map.empty)
 
   /** Committed lane reference (bench/dedup_scale.json — the
     * machine-readable twin of SCALING_DEDUP.md's results table, the
@@ -301,7 +304,7 @@ object DedupScale {
     // #1): a slow leg with a high journaled load is contention, a slow
     // leg at quiet load is a regression, and the artifact can now tell
     // them apart
-    def runLeg(p: Probe, n: Long, dir: String, tag: String): (Double, Double) = {
+    def runLeg(p: Probe, n: Long, dir: String, tag: String): (Double, Double, Double) = {
       spark.conf.set("spark.sql.shuffle.partitions",
         math.min(256L, 32L * math.max(1L, n / 4)).toString)
       val t = Tables(spark, dir)
@@ -320,7 +323,7 @@ object DedupScale {
       val steal = LaneDiscipline.stealPct(jiff0, LaneDiscipline.cpuJiffies)
       System.err.println(
         f"[dedup-scale] x$n%-4d ${p.name}%-24s $dt%7.2f s ($tag, load $load%.1f, steal $steal%.1f%%)")
-      (dt, load)
+      (dt, load, steal)
     }
     try {
     // Shuffle partitions sized to the corpus (inside runLeg — the
@@ -340,13 +343,21 @@ object DedupScale {
     // rep — heals below keep it consistent with whichever rep ships
     val loadAt = scala.collection.mutable.LinkedHashMap(
       probes.map(p => p.name -> Array.fill(scales.length)(Double.NaN)): _*)
+    val stealAt = scala.collection.mutable.LinkedHashMap(
+      probes.map(p => p.name -> Array.fill(scales.length)(Double.NaN)): _*)
+    // Explicit skip ledger (round 18, verdict ask #3): a configured leg
+    // that never ran records WHY instead of shipping a bare null.
+    val skipped = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def legBest(p: Probe, i: Int, graceSecs: Double = 0.0): Double = {
       val (n, dir) = dirs(i)
       var best = Double.NaN
       for (r <- 1 to reps(n) if !(spent > budgetSecs + graceSecs && n > 1)) {
-        val (dt, ld) = runLeg(p, n, dir, s"rep $r")
-        if (best.isNaN || dt < best) { best = dt; loadAt(p.name)(i) = ld }
+        val (dt, ld, st) = runLeg(p, n, dir, s"rep $r")
+        if (best.isNaN || dt < best) {
+          best = dt; loadAt(p.name)(i) = ld; stealAt(p.name)(i) = st
+        }
       }
+      if (best.isNaN) skipped(s"${p.name}@${n}x") = "budget"
       best
     }
     // Two-phase schedule (round-15 ask): BENCH_r14's budget ran out
@@ -380,13 +391,19 @@ object DedupScale {
     for (p <- steepestFirst) {
       val commCost = if (commMaxIdx < 0) Double.NaN
         else committed0.get(p.name).flatMap(_.lift(commMaxIdx)).getOrElse(Double.NaN)
-      val grace =
-        if (spent > budgetSecs && !commCost.isNaN && commCost <= 20.0 &&
-            gracePool >= commCost) {
-          gracePool -= commCost
-          spent - budgetSecs + commCost * 2 // admit this leg, cost-bounded
-        } else 0.0
+      // A cheap leg is admitted while the pool covers its committed
+      // cost; the pool is then charged the leg's ACTUAL wall (round-18
+      // advice fix: charging commCost while granting 2× commCost of
+      // headroom let real overshoot reach ~2× the documented bound).
+      // The pool going negative stops further admissions, so overshoot
+      // is bounded by pool + one contended leg's overrun — the overrun
+      // itself is unavoidable (a running Spark job can't be preempted).
+      val admit = spent > budgetSecs && !commCost.isNaN && commCost <= 20.0 &&
+        gracePool >= commCost
+      val spentBefore = spent
+      val grace = if (admit) spentBefore - budgetSecs + commCost * 2 else 0.0
       times(p.name)(maxIdx) = legBest(p, maxIdx, grace)
+      if (admit) gracePool -= (spent - spentBefore)
     }
     val rows = probes.map(p => LaneEntry(p.name, times(p.name).toSeq))
     // Super-linear flag: a decade (10× docs; planted structure and pair
@@ -415,6 +432,7 @@ object DedupScale {
     val (commScales, committed) = committedLane()
     val healCap = spent + math.min(240.0, budgetSecs * 0.5)
     val healEvents = Seq.newBuilder[String]
+    val contendedM = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val healed = rows.map { e =>
       val t2 = e.times.toArray
       for (i <- 0 until t2.length if spent < healCap && !t2(i).isNaN) {
@@ -427,15 +445,32 @@ object DedupScale {
           val p = probes.find(_.name == e.name).get
           val (n, dir) = dirs(i)
           healEvents += s"${e.name}@${n}x"
-          val (dt, ld) = runLeg(p, n, dir, "heal")
-          if (dt < t2(i)) { t2(i) = dt; loadAt(e.name)(i) = ld }
+          // a contended kept rep waits out a bounded backoff first, so
+          // a short co-tenant burst can't land on both reps (round 18)
+          if (LaneDiscipline.contendedRep(stealAt(e.name)(i), loadAt(e.name)(i), Double.NaN))
+            LaneDiscipline.backoff("dedup-scale")
+          val (dt, ld, st) = runLeg(p, n, dir, "heal")
+          if (dt < t2(i)) {
+            t2(i) = dt; loadAt(e.name)(i) = ld; stealAt(e.name)(i) = st
+          }
         }
+      }
+      // Contended-leg conversion (round 18): a leg still over 2× its
+      // committed reference whose kept rep journaled contention ships
+      // as a named non-number, never as a measurement — and can no
+      // longer fire a super-linear flag (r17's dedup_superlinear was
+      // contention-attributed but shipped flagged in the artifact).
+      for ((i, reason) <- LaneDiscipline.contendedLegs(t2, loadAt(e.name),
+          stealAt(e.name), scales, commScales, committed.get(e.name))) {
+        contendedM(s"${e.name}@${scales(i)}x") = reason
+        t2(i) = Double.NaN
       }
       LaneEntry(e.name, t2.toSeq)
     }
     val loadRows = probes.map(p => LaneEntry(p.name, loadAt(p.name).toSeq))
+    val stealRows = probes.map(p => LaneEntry(p.name, stealAt(p.name).toSeq))
     LaneResult(healed, flag(healed), allFails.result().distinct, scales,
-      loadRows, healEvents.result())
+      loadRows, healEvents.result(), stealRows, skipped.toMap, contendedM.toMap)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
@@ -585,6 +620,9 @@ object DedupScale {
         s" | $ratios |")
     }
     println(s"superlinear: ${if (r.superlinear.isEmpty) "NONE" else r.superlinear.mkString(", ")}")
+    if (r.contended.nonEmpty)
+      println(s"CONTENDED (unmeasured): ${r.contended.mkString(", ")}")
+    if (r.skipped.nonEmpty) println(s"skipped: ${r.skipped.mkString(", ")}")
     println(s"validation: ${if (r.validationFailures.isEmpty) "ALL PASS"
       else r.validationFailures.mkString("; ")}")
     if (!args.contains("--small")) {

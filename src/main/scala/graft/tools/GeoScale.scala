@@ -51,10 +51,14 @@ object GeoScale {
   final case class LaneEntry(name: String, times: Seq[Double])
   final case class LaneResult(entries: Seq[LaneEntry], validationFailures: Seq[String],
                               superlinear: Seq[String] = Nil, scales: Seq[Long] = Nil,
-                              loads: Seq[LaneEntry] = Nil, healed: Seq[String] = Nil)
+                              loads: Seq[LaneEntry] = Nil, healed: Seq[String] = Nil,
+                              steals: Seq[LaneEntry] = Nil,
+                              contended: Map[String, String] = Map.empty)
 
   def run(spark: SparkSession, baseN: Long,
       scales: Seq[Long] = Seq(1L, 10L, 100L)): LaneResult = {
+    val lane0 = System.nanoTime()
+    def spent = (System.nanoTime() - lane0) / 1e9
     // The closed forms assume exactly n/10 twins (spark.range(0, n, 10)
     // has ceil(n/10) elements) and ≥13 grid columns for the contains
     // cut — reject configurations where a CORRECT run would fail
@@ -65,7 +69,7 @@ object GeoScale {
     val fails = Seq.newBuilder[String]
     // (seconds, 1-min loadavg at leg end) — the TPC-H/dedup spot journal
     // discipline, uniform across lanes as of round 17
-    def leg(name: String, n: Long, tag: String = "")(probe: Long => Seq[String]): (Double, Double) = {
+    def leg(name: String, n: Long, tag: String = "")(probe: Long => Seq[String]): (Double, Double, Double) = {
       val jiff0 = LaneDiscipline.cpuJiffies
       val t0 = System.nanoTime()
       fails ++= probe(n)
@@ -75,7 +79,7 @@ object GeoScale {
       val t = if (tag.isEmpty) "" else s" ($tag)"
       System.err.println(
         f"[geo-scale] x${n / baseN}%-4d $name%-16s $dt%7.2f s (load $load%.1f, steal $steal%.1f%%)$t")
-      (dt, load)
+      (dt, load, steal)
     }
     // untimed warmup of BOTH probe pipelines: codegen + join machinery
     // JIT, else the 1× legs carry ~4 s of first-query cost and the
@@ -213,19 +217,40 @@ object GeoScale {
     }
     val loadAt = scala.collection.mutable.LinkedHashMap(
       times.map { case (n, ts) => n -> ts.map(_._2) }: _*)
+    val stealAt = scala.collection.mutable.LinkedHashMap(
+      times.map { case (n, ts) => n -> ts.map(_._3) }: _*)
     val secs = scala.collection.mutable.LinkedHashMap(
       times.map { case (n, ts) => n -> ts.map(_._1) }: _*)
     // Committed-reference heal + super-linear flag (round 17, uniform
     // with DedupScale): a leg over 2× bench/geo_scale.json or a >12×
     // decade re-runs once (min-of-2, load re-journaled at the kept rep);
-    // the flag survives only if it reproduces.
+    // the flag survives only if it reproduces. Round 18: heal spend is
+    // wall-capped like StreamScale's (a persistently contended box can
+    // trip every probe/scale pair — unbounded heals would roughly
+    // double the lane inside Bench's artifact run), and a contended
+    // kept rep gets a bounded backoff before its retry.
     val (commScales, comm) = LaneDiscipline.committed("bench/geo_scale.json", "geo-scale")
+    val healCap = spent + math.max(120.0, spent * 0.5)
     val healEvents = Seq.newBuilder[String]
-    for ((name, disp, f) <- probes; i <- scales.indices) {
+    for ((name, disp, f) <- probes; i <- scales.indices if spent < healCap) {
       if (LaneDiscipline.suspect(secs(name), i, scales, commScales, comm.get(name), 12.0)) {
         healEvents += s"$name@${scales(i)}x"
-        val (dt, ld) = leg(disp, baseN * scales(i), "heal")(f)
-        if (dt < secs(name)(i)) { secs(name)(i) = dt; loadAt(name)(i) = ld }
+        if (LaneDiscipline.contendedRep(stealAt(name)(i), loadAt(name)(i), Double.NaN))
+          LaneDiscipline.backoff("geo-scale")
+        val (dt, ld, st) = leg(disp, baseN * scales(i), "heal")(f)
+        if (dt < secs(name)(i)) {
+          secs(name)(i) = dt; loadAt(name)(i) = ld; stealAt(name)(i) = st
+        }
+      }
+    }
+    // Contended-leg conversion (round 18): still over 2× committed with
+    // a contention journal at the kept rep → named non-number.
+    val contended = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for ((name, _, _) <- probes) {
+      for ((i, reason) <- LaneDiscipline.contendedLegs(secs(name), loadAt(name),
+          stealAt(name), scales, commScales, comm.get(name))) {
+        contended(s"$name@${scales(i)}x") = reason
+        secs(name)(i) = Double.NaN
       }
     }
     val entries = probes.map { case (name, _, _) => LaneEntry(name, secs(name).toSeq) }
@@ -237,7 +262,9 @@ object GeoScale {
     // wrongness is a bug, not noise)
     LaneResult(entries, fails.result().distinct, superlinear, scales,
       probes.map { case (name, _, _) => LaneEntry(name, loadAt(name).toSeq) },
-      healEvents.result())
+      healEvents.result(),
+      probes.map { case (name, _, _) => LaneEntry(name, stealAt(name).toSeq) },
+      contended.toMap)
   }
 
   def main(args: Array[String]): Unit = {
@@ -252,6 +279,8 @@ object GeoScale {
         s"(decades $dec; loads ${l.times.map(t => f"$t%.1f").mkString("/")})")
     }
     if (r.healed.nonEmpty) println(s"[geo-scale] healed: ${r.healed.mkString(", ")}")
+    if (r.contended.nonEmpty)
+      println(s"[geo-scale] CONTENDED (unmeasured): ${r.contended.mkString(", ")}")
     if (r.superlinear.nonEmpty)
       println(s"[geo-scale] SUPERLINEAR: ${r.superlinear.mkString(", ")}")
     if (r.validationFailures.nonEmpty) {

@@ -39,13 +39,16 @@ object LaneDiscipline {
     * measurably runs as a VM with a noisy neighbor (round-17
     * investigation: shuffle-heavy dedup legs swung 94–184 s across a
     * day whose committed values minhash reproduced EXACTLY — classic
-    * stolen-cycles shape, invisible in 1-min/5-min loads). */
+    * stolen-cycles shape, invisible in 1-min/5-min loads). The total
+    * sums only the first 8 fields (user..steal): guest/guest_nice are
+    * already folded into user/nice by the kernel, so including them
+    * would double-count guest time and understate steal%. */
   def cpuJiffies: Option[(Long, Long)] =
     try {
       val cols = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/stat")), "UTF-8")
         .linesIterator.next().split("\\s+").drop(1).map(_.toLong)
-      Some((if (cols.length > 7) cols(7) else 0L, cols.sum))
+      Some((if (cols.length > 7) cols(7) else 0L, cols.take(8).sum))
     } catch { case _: Exception => None }
 
   /** Percent of CPU time stolen by the hypervisor between two
@@ -56,6 +59,50 @@ object LaneDiscipline {
         100.0 * (s1 - s0) / (t1 - t0)
       case _ => Double.NaN
     }
+
+  /** Steal% above which a kept rep counts as CONTENDED (round 18 — the
+    * verdict's "make the steal journal a gate, not just a record"): the
+    * r17 differential investigation measured quiet-box steal ≈ 0–0.5%
+    * and burst steal 3–16.6%, so 1.5 splits the two regimes with margin
+    * on both sides. SPARK_GRAFT_STEAL_GATE tunes; <= 0 disables gating
+    * (the journals always ship regardless). */
+  val StealGate: Double =
+    sys.env.get("SPARK_GRAFT_STEAL_GATE").map(_.toDouble).getOrElse(1.5)
+
+  /** Contention verdict for a kept rep: hypervisor steal above the gate,
+    * or a 1-min loadavg more than half the box's 32 cores above the
+    * run's own floor (foreign work on top of the lane's imprint — the
+    * r15-calibrated spot-heal trigger). Either alone marks the rep.
+    * `gate` defaults to [[StealGate]]; explicit in specs. */
+  def contendedRep(steal: Double, load: Double, loadFloor: Double,
+                   gate: Double = StealGate): Boolean =
+    (gate > 0 && !steal.isNaN && steal > gate) ||
+      (!load.isNaN && !loadFloor.isNaN && load > loadFloor + 16.0)
+
+  /** Human/JSON-safe reason string for a contended-leg record. */
+  def contendedReason(sec: Double, load: Double, steal: Double): String =
+    f"contended sec=$sec%.2f load=$load%.1f steal=$steal%.1f%%"
+
+  /** Bounded sleep before a contention retry, so a short co-tenant
+    * burst can pass instead of landing on both reps (the r17 failure
+    * mode: min-of-2 is no defense when both reps sit inside one
+    * multi-minute burst). Logged so the artifact's wall time is
+    * accountable. SPARK_GRAFT_BACKOFF=0 disables (CI/spec runs). */
+  def backoff(tag: String, secs: Double = 15.0): Unit = {
+    val s = sys.env.get("SPARK_GRAFT_BACKOFF").map(_.toDouble).getOrElse(secs)
+    if (s > 0) {
+      System.err.println(f"[$tag] contended rep - backing off $s%.0f s before retry")
+      Thread.sleep((s * 1000).toLong)
+    }
+  }
+
+  /** Bench over-gate breach rule (round 18, verdict ask #2): over 2×
+    * the per-query baseline AND more than 0.25 s above it in absolute
+    * terms — mirrors the superlinear flags' noise floor. r17's artifact
+    * went rc=1 on a 61 ms excess over a 60 ms baseline; a genuine 2×
+    * regression on a ≥0.25 s entry still trips. */
+  def overGateBreach(best: Double, baseline: Double): Boolean =
+    best > 2.0 * baseline && best - baseline > 0.25
 
   /** Super-linear decade flags for one lane entry: legs over maxDecade×
     * their previous scale (≥0.5 s noise floor), formatted `name@Nx->Mx`.
@@ -80,15 +127,50 @@ object LaneDiscipline {
     val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
     val scales = """"scales"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
       .map(_.group(1).split(",").map(_.trim.toLong).toSeq).getOrElse(Nil)
-    val entries = """"([a-z_0-9]+)"\s*:\s*\[([0-9.,\s]+)\]""".r.findAllMatchIn(txt)
-      .filter(_.group(1) != "scales")
+    // Anchored to the "entries" object (values are flat arrays, so the
+    // object body holds no '}'): a future top-level numeric array — a
+    // journaled loads row, say — must not be silently absorbed as a
+    // heal reference entry.
+    val body = """"entries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+    val named = """"([a-z_0-9]+)"\s*:""".r.findAllMatchIn(body)
+      .map(_.group(1)).toSeq
+    val entries = """"([a-z_0-9]+)"\s*:\s*\[([0-9.,\s]+)\]""".r.findAllMatchIn(body)
       .map(m => m.group(1) -> m.group(2).split(",").map(_.trim.toDouble).toSeq)
       .toMap
+    // a named entry whose value row failed the numeric-array shape
+    // (e.g. a null crept in) must warn, not vanish: a silently dropped
+    // entry is an un-healable leg, r16's unfalsifiable-flag mode
+    named.filterNot(entries.contains).foreach(n => System.err.println(
+      s"[$laneTag] WARNING: $path entry '$n' failed to parse as a flat " +
+      "numeric array - its committed self-heal reference is lost"))
     if (entries.isEmpty) System.err.println(
       s"[$laneTag] WARNING: $path exists but parsed empty - " +
       "committed self-heal reference lost (format drift?)")
     (scales, entries)
   }
+
+  /** Post-heal contended-leg verdict (round 18): a leg still over 2× its
+    * committed reference whose KEPT rep journaled contention (steal over
+    * the gate, or load far above the floor when one is known) is
+    * UNMEASURED, not slow — r17 shipped q6@sf10 = 124.77 s against a
+    * committed 1.23 s as if it were a measurement. Returns (index,
+    * reason) pairs; the caller NaNs those legs and records the reasons,
+    * so no downstream flag or reader treats them as numbers. A leg over
+    * 2× at a QUIET journal is deliberately NOT returned: that is a real
+    * regression and must stay visible (and fail gates). */
+  def contendedLegs(times: Array[Double], loads: Array[Double], steals: Array[Double],
+                    scales: Seq[Long], commScales: Seq[Long], comm: Option[Seq[Double]],
+                    loadFloor: Double = Double.NaN,
+                    gate: Double = StealGate): Seq[(Int, String)] =
+    times.indices.flatMap { i =>
+      val commIdx = commScales.indexOf(scales(i))
+      val over = commIdx >= 0 && !times(i).isNaN && comm
+        .flatMap(_.lift(commIdx)).exists(c => c >= 0.5 && times(i) > 2.0 * c)
+      if (over && contendedRep(steals(i), loads(i), loadFloor, gate))
+        Some(i -> contendedReason(times(i), loads(i), steals(i)))
+      else None
+    }
 
   /** True when a measured leg warrants a heal re-run: either its decade
     * ratio flags super-linear (prev ≥ noise floor and ratio > maxDecade)

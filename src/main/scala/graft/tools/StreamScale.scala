@@ -69,7 +69,10 @@ object StreamScale {
   final case class LaneResult(entries: Seq[LaneEntry],
                               validationFailures: Seq[String], scales: Seq[Long],
                               superlinear: Seq[String] = Nil,
-                              loads: Seq[LaneEntry] = Nil, healed: Seq[String] = Nil)
+                              loads: Seq[LaneEntry] = Nil, healed: Seq[String] = Nil,
+                              steals: Seq[LaneEntry] = Nil,
+                              skipped: Map[String, String] = Map.empty,
+                              contended: Map[String, String] = Map.empty)
 
   /** Runs the lane; shared by the standalone main (1×/10×/100×) and the
     * per-bench artifact emitter (1×/10×, budget-guarded — round 14,
@@ -134,7 +137,7 @@ object StreamScale {
     // discipline, uniform across lanes as of round 17. Validation runs
     // on every rep (outside the timed window).
     def runLeg(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-               n: Long, dir: String, tag: String): (Double, Double) = {
+               n: Long, dir: String, tag: String): (Double, Double, Double) = {
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val jiff0 = LaneDiscipline.cpuJiffies
       val t0 = System.nanoTime()
@@ -153,7 +156,7 @@ object StreamScale {
       (spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore)
         .foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
           .foreach(_.unpersist(blocking = false)))
-      (d, load)
+      (d, load, steal)
     }
     val picked = Streams.entries
       .filter(e => laneEntryNames.contains(e._1) && names(e._1))
@@ -161,16 +164,22 @@ object StreamScale {
       picked.map(e => e._1 -> Array.fill(scales.length)(Double.NaN)): _*)
     val loadAt = scala.collection.mutable.LinkedHashMap(
       picked.map(e => e._1 -> Array.fill(scales.length)(Double.NaN)): _*)
+    val stealAt = scala.collection.mutable.LinkedHashMap(
+      picked.map(e => e._1 -> Array.fill(scales.length)(Double.NaN)): _*)
+    // Explicit skip ledger (round 18, verdict ask #3): a configured leg
+    // that never ran must say WHY — "budget" here — so a reader can
+    // tell "not measured" from "doesn't exist".
+    val skipped = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for ((name, fn, _) <- picked; i <- scales.indices) {
       val (n, dir) = dirs(i)
       if (!(n > 1L && spent > budgetSecs)) {
         for (r <- 1 to reps(n)) {
-          val (d, ld) = runLeg(name, fn, n, dir, s"rep $r")
+          val (d, ld, st) = runLeg(name, fn, n, dir, s"rep $r")
           if (secs(name)(i).isNaN || d < secs(name)(i)) {
-            secs(name)(i) = d; loadAt(name)(i) = ld
+            secs(name)(i) = d; loadAt(name)(i) = ld; stealAt(name)(i) = st
           }
         }
-      }
+      } else skipped(s"$name@${n}x") = "budget"
     }
     // Committed-reference heal + super-linear flag (round 17, uniform
     // with DedupScale): a leg over 2× bench/stream_scale.json or a >12×
@@ -178,6 +187,9 @@ object StreamScale {
     // the flag survives only if it reproduces. Heal spend is bounded by
     // half the remaining budget headroom plus a 120 s floor, so a lane
     // that already overshot its budget can still falsify one transient.
+    // Round 18: when the kept rep's own journal says contention, the
+    // heal rep is delayed by a bounded backoff so a short co-tenant
+    // burst can pass instead of landing on both reps.
     val (commScales, comm) =
       LaneDiscipline.committed("bench/stream_scale.json", "stream-scale")
     val healCap = spent + math.max(120.0, (budgetSecs - spent) * 0.5)
@@ -186,8 +198,22 @@ object StreamScale {
       if (LaneDiscipline.suspect(secs(name), i, scales, commScales, comm.get(name), 12.0)) {
         val (n, dir) = dirs(i)
         healEvents += s"$name@${n}x"
-        val (d, ld) = runLeg(name, fn, n, dir, "heal")
-        if (d < secs(name)(i)) { secs(name)(i) = d; loadAt(name)(i) = ld }
+        if (LaneDiscipline.contendedRep(stealAt(name)(i), loadAt(name)(i), Double.NaN))
+          LaneDiscipline.backoff("stream-scale")
+        val (d, ld, st) = runLeg(name, fn, n, dir, "heal")
+        if (d < secs(name)(i)) {
+          secs(name)(i) = d; loadAt(name)(i) = ld; stealAt(name)(i) = st
+        }
+      }
+    }
+    // Contended-leg conversion (round 18): a leg still over 2× committed
+    // whose kept rep journaled contention ships as a named non-number.
+    val contended = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for ((name, _, _) <- picked) {
+      for ((i, reason) <- LaneDiscipline.contendedLegs(secs(name), loadAt(name),
+          stealAt(name), scales, commScales, comm.get(name))) {
+        contended(s"$name@${scales(i)}x") = reason
+        secs(name)(i) = Double.NaN
       }
     }
     val rows = picked.map { case (name, _, _) => LaneEntry(name, secs(name).toSeq) }
@@ -197,7 +223,9 @@ object StreamScale {
     // would otherwise report twice (any-rep wrongness still fails)
     LaneResult(rows, fails.result().distinct, scales, superlinear,
       picked.map { case (name, _, _) => LaneEntry(name, loadAt(name).toSeq) },
-      healEvents.result())
+      healEvents.result(),
+      picked.map { case (name, _, _) => LaneEntry(name, stealAt(name).toSeq) },
+      skipped.toMap, contended.toMap)
   }
 
   def main(args: Array[String]): Unit = {
@@ -215,6 +243,9 @@ object StreamScale {
       println(s"[stream-scale] $n loads ${ls.map(l => f"$l%.1f").mkString("/")}")
     }
     if (r.healed.nonEmpty) println(s"[stream-scale] healed: ${r.healed.mkString(", ")}")
+    if (r.contended.nonEmpty)
+      println(s"[stream-scale] CONTENDED (unmeasured): ${r.contended.mkString(", ")}")
+    if (r.skipped.nonEmpty) println(s"[stream-scale] skipped: ${r.skipped.mkString(", ")}")
     if (r.superlinear.nonEmpty)
       println(s"[stream-scale] SUPERLINEAR: ${r.superlinear.mkString(", ")}")
     val bad = r.validationFailures

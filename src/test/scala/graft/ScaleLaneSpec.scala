@@ -99,6 +99,54 @@ class ScaleLaneSpec extends SparkSpec {
     check("bench/ann_scale.json", Seq("ann_brute", "ann_ivf"))
   }
 
+  test("LaneDiscipline round 18: over-gate noise floor, contended verdicts, skip ledgers") {
+    import tools.LaneDiscipline._
+    // over-gate breach = 2x ratio AND >0.25s absolute (the r17 rc=1 on
+    // a 61ms excess over a 60ms baseline must be impossible)
+    assert(!overGateBreach(0.121, 0.06)) // the exact r17 failure case
+    assert(overGateBreach(1.2, 0.5)) // real 2x+ regression on a real entry
+    assert(!overGateBreach(0.9, 0.5)) // under 2x
+    assert(overGateBreach(0.55, 0.2)) // 2.75x and 0.35s absolute -> trips
+    assert(!overGateBreach(0.3, 0.1)) // 3x but 0.2s absolute -> floored
+    // contendedRep: steal above the gate marks; NaN steal never marks;
+    // load marks only against a known floor
+    assert(contendedRep(steal = 3.0, load = 2.0, loadFloor = Double.NaN, gate = 1.5))
+    assert(!contendedRep(steal = 0.2, load = 2.0, loadFloor = Double.NaN, gate = 1.5))
+    assert(!contendedRep(steal = Double.NaN, load = 2.0, loadFloor = Double.NaN, gate = 1.5))
+    assert(!contendedRep(steal = 3.0, load = 2.0, loadFloor = Double.NaN, gate = 0.0)) // gate off
+    assert(contendedRep(steal = Double.NaN, load = 20.0, loadFloor = 1.5, gate = 1.5))
+    assert(!contendedRep(steal = Double.NaN, load = 10.0, loadFloor = 1.5, gate = 1.5))
+    // contendedLegs: only legs BOTH over 2x committed AND contended
+    // convert; a quiet over-2x leg stays (real regression visible)
+    val times = Array(1.0, 30.0, 40.0)
+    val loads = Array(2.0, 2.0, 2.0)
+    val steals = Array(0.1, 5.0, 0.1)
+    val scales = Seq(1L, 10L, 100L)
+    val comm = Some(Seq(1.0, 5.0, 30.0))
+    val hits = contendedLegs(times, loads, steals, scales, scales, comm, gate = 1.5)
+    assert(hits.map(_._1) == Seq(1), s"got $hits") // leg1: 30 > 2*5 AND steal 5.0
+    // leg2 is 40 > 2*30? no (40 < 60) -> not over; make it over but quiet:
+    val hits2 = contendedLegs(Array(1.0, 30.0, 100.0), loads, steals, scales,
+      scales, comm, gate = 1.5)
+    assert(hits2.map(_._1) == Seq(1), "quiet over-2x leg must NOT convert")
+    assert(hits.head._2.startsWith("contended "))
+  }
+
+  test("LaneDiscipline.committed: anchored to the entries object, warns on bad rows") {
+    // a top-level numeric array outside "entries" must NOT be absorbed
+    // as a heal reference (round-18 advice)
+    val f = java.io.File.createTempFile("lane_committed", ".json")
+    f.deleteOnExit()
+    java.nio.file.Files.write(f.toPath,
+      """{"scales": [1, 10], "loads": [9.9, 8.8],
+        |"entries": {"probe_a": [1.0, 2.0], "probe_bad": [1.0, null]}}""".stripMargin
+        .getBytes("UTF-8"))
+    val (scales, entries) = tools.LaneDiscipline.committed(f.getPath, "spec")
+    assert(scales == Seq(1L, 10L))
+    assert(entries.keySet == Set("probe_a"), s"got ${entries.keySet}")
+    assert(entries("probe_a") == Seq(1.0, 2.0))
+  }
+
   test("LaneDiscipline.suspect: decade and committed triggers, noise floors") {
     val scales = Seq(1L, 10L, 100L)
     val comm = Some(Seq(1.0, 2.0, 5.0))
