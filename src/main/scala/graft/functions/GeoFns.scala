@@ -31,6 +31,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * scans), so the one interpreted virtual call per row is noise against
   * the kernel itself, and everything around these calls stays inside
   * whole-stage codegen.
+  *
+  * == Geography capability table (round 18) ==
+  *
+  * Geography values (SRID-4326-flagged EWKB from `to_spherical_geography`)
+  * are a distinct family: spherical kernels on the 6371.01 km sphere
+  * Presto's great_circle_distance documents. What they CAN and CANNOT do:
+  *
+  * | surface | geography | where |
+  * |---|---|---|
+  * | to_spherical_geography / to_geometry | yes (round-trip) | [[toSphericalGeography]] / [[geographyToGeom]] |
+  * | st_distance | yes — geodesic meters, any type pair | [[geographyDistance]] |
+  * | st_area | yes — spherical excess, m² | [[geographyArea]] |
+  * | st_length | yes — geodesic segment sums, m | [[geographyLength]] |
+  * | great_circle_distance (lat/lon doubles) | yes — km | registry |
+  * | relate/predicates (contains, intersects, relate, …) | NO — rejected by name | [[fromWkb]] |
+  * | constructive overlay (union, intersection, difference, buffer) | NO — rejected by name | [[fromWkb]] via [[GeoOverlay]] |
+  * | aggregates (convex_hull_agg, geometry_union_agg) | NO — rejected by name | [[fromWkb]] via [[GeoAgg]] |
+  * | accessors/transforms (st_x, st_centroid, st_simplify, …) | NO — rejected by name | [[fromWkb]] |
+  *
+  * The single choke point is [[fromWkb]]: every planar kernel decodes
+  * through it, and it rejects the SRID flag with an error naming the
+  * geography-capable set — so "geography can't do X" is one invariant,
+  * not N scattered checks (GeoSpec pins the error surface). Presto's
+  * geography type has the same shape (a small spherical function set;
+  * planar functions reject), with ellipsoidal rather than spherical
+  * kernels — that divergence is documented at [[geographyDistance]].
   */
 object GeoFns {
 
@@ -139,8 +165,10 @@ object GeoFns {
   def fromWkb(bytes: Array[Byte]): Geom = {
     if (isGeography(bytes))
       throw new IllegalArgumentException(
-        "geography value (SRID-flagged EWKB): only the geography functions " +
-        "(st_distance, to_geometry) accept it - convert with to_geometry first")
+        "geography value (SRID-flagged EWKB): only the geography-capable " +
+        "functions (st_distance, st_area, st_length, to_geometry) accept it " +
+        "- convert with to_geometry for relate/overlay/buffer (planar-only; " +
+        "see the geography capability table in GeoFns' scaladoc)")
     try fromWkbInner(bytes)
     catch {
       case _: java.nio.BufferUnderflowException =>
@@ -1095,9 +1123,11 @@ object GeoFns {
     * boundary rule (odd-degree run endpoints are boundary; a closed
     * ring has none). Cells are dimensions (-1 = F); EE is always 2.
     *
-    * Supported operand families are the six homogeneous Geom types
-    * (the ADT has no GEOMETRYCOLLECTION, so heterogeneous collections
-    * cannot reach here). Order: II IB IE / BI BB BE / EI EB EE. */
+    * Supported operand families are the six homogeneous Geom types;
+    * GEOMETRYCOLLECTION (in the ADT since round 17) is rejected by
+    * name in [[famOf]] — a heterogeneous collection has no single
+    * family-row mapping, and Presto's relate surface rejects it too.
+    * Order: II IB IE / BI BB BE / EI EB EE. */
   def relateMatrix(g1: Geom, g2: Geom): String = {
     val m = relateCells(g1, g2)
     m.map { case -1 => 'F'; case d => ('0' + d).toChar }.mkString

@@ -681,8 +681,9 @@ object GeoOverlay {
   }
 
   /** Line×line: collinear overlap stretches (dim 1) + isolated
-    * crossing/touch points (dim 0); a result mixing both needs
-    * GEOMETRYCOLLECTION and fails by name. */
+    * crossing/touch points (dim 0); a result mixing both returns a
+    * GEOMETRYCOLLECTION via [[mixed]] (collections landed round 17 —
+    * this doc predated them and claimed a by-name failure). */
   private def lineLineIntersection(ra: Array[Coords], rb: Array[Coords]): Geom = {
     val ea = edgesOf(ra)
     val eb = edgesOf(rb)

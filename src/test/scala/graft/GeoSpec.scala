@@ -956,6 +956,40 @@ class GeoSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(lp - 6371.01 * 5 * math.Pi / 180 * 1000) < 1e-6, lp.toString)
   }
 
+  test("geography capability table: every planar-only surface rejects by name (round 18)") {
+    // The GeoFns scaladoc table says relate/predicates, overlay,
+    // buffer, aggregates, and accessors are planar-only; pin one
+    // representative per row so the table cannot silently drift from
+    // behavior. All reject through the single fromWkb choke point with
+    // an error naming the geography-capable set.
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val gg = "to_spherical_geography(st_point(10, 10))"
+    val planarOnly = Seq(
+      s"st_contains($gg, $gg)",                                   // predicate
+      s"st_relate($gg, $gg, 'T*****FF*')",                        // relate
+      s"st_union($gg, $gg)",                                      // overlay
+      s"st_intersection($gg, $gg)",                               // overlay
+      s"st_buffer($gg, 1.0)",                                     // constructive
+      s"st_x($gg)",                                               // accessor
+      s"st_centroid($gg)")                                        // transform
+    for (expr <- planarOnly) {
+      val e = intercept[Exception](spark.sql(s"SELECT $expr").collect())
+      assert(chain(e).exists(_.contains("geography")), s"$expr: ${chain(e)}")
+    }
+    for (agg <- Seq("convex_hull_agg", "geometry_union_agg")) {
+      val e = intercept[Exception](
+        spark.sql(s"SELECT $agg(g) FROM (SELECT $gg AS g)").collect())
+      assert(chain(e).exists(_.contains("geography")), s"$agg: ${chain(e)}")
+    }
+    // and the geography-CAPABLE set keeps working on the same value
+    val ok = spark.sql(s"""SELECT st_distance($gg, $gg) AS d,
+        st_length(to_spherical_geography(st_geometryfromtext('LINESTRING (0 0, 1 0)'))) AS l,
+        st_area(to_spherical_geography(
+          st_geometryfromtext('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))) AS a""").head()
+    assert(ok.getDouble(0) == 0.0 && ok.getDouble(1) > 0 && ok.getDouble(2) > 0)
+  }
+
   test("geography measures: spherical length/area/distance on lines and polygons") {
     import graft.functions.GeoFns.{toSphericalGeography, geographyArea,
       geographyLength, geographyDistance, greatCircleDistance}
