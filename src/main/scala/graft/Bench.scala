@@ -183,13 +183,14 @@ object Bench {
     // sf0.1 map must stay complete — but it is marked)
     def contendedSteal = qs.map(_._1).filter(stealLoud)
 
-    // Regression tripwire with an absolute noise floor (round 18,
-    // verdict ask #2): an entry breaches only if it is BOTH over 2× its
-    // baseline AND more than 0.25 s above it — r17's artifact went
-    // rc=1 on presto_digest_fns at 121 ms against a 60 ms baseline, a
-    // 61 ms absolute excess that the superlinear flags would have
-    // noise-floored. A genuine 2× regression on a ≥0.25 s entry still
-    // trips.
+    // Regression tripwire, two tiers (round 18, verdict ask #2 + the
+    // same-day degraded-mode calibration — see overGateBreachNorm's
+    // scaladoc): the SOFT rule (2× + 0.25 s absolute floor) targets
+    // heal re-runs and is journaled; the artifact's exit code gates on
+    // the run-median-NORMALIZED rule, because a code regression is
+    // differential while the box's degraded mode inflates the whole
+    // run uniformly (measured median 1.32 across 241 entries at quiet
+    // steal/load journals).
     def overGate = qs.collect {
       case (n, _) if baseline.get(n).exists(b =>
         tools.LaneDiscipline.overGateBreach(best(n), b)) => n
@@ -500,12 +501,17 @@ object Bench {
           }
         }
         // contended-leg conversion: still over 2× committed with a
-        // contention journal → named non-number, never a measurement
+        // steal-contended journal → named non-number, never a
+        // measurement. STEAL-ONLY like LaneDiscipline.contendedLegs: a
+        // quiet sf100 spot leg journals load 14-19 from its own
+        // 32-thread imprint, so a load trigger here would reclassify a
+        // genuine quiet regression as weather; load drives the heal
+        // re-run above, never this reclassification.
         val (contended, kept) = healedSpot.partition { case (q, dt) =>
           committed.get(q).exists(c => c >= 0.5 && dt > factor * c) &&
             tools.LaneDiscipline.contendedRep(
               laneSteal.getOrElse(s"$schema:$q", Double.NaN),
-              laneLoad.getOrElse(s"$schema:$q", Double.NaN), loadFloor)
+              Double.NaN, Double.NaN)
         }
         (kept, contended.map { case (q, dt) =>
           q -> tools.LaneDiscipline.contendedReason(dt,
@@ -789,12 +795,25 @@ object Bench {
     val ratios = results.flatMap { case (n, v) =>
       baseline.get(n).map(b => n -> v / b)
     }
-    // Tripwire verdict (round 18): a surviving breach whose kept rep is
-    // steal-contended is journaled as such and does NOT fail the
-    // artifact — the sf0.1 map must stay complete so the number still
-    // ships, but it ships MARKED, with the rep journal to audit it. A
+    // Tripwire verdict (round 18): the exit code gates on the
+    // run-median-normalized rule (a surviving SOFT breach is journaled
+    // as over_gate_soft — visible, not fatal); a normalized breach
+    // whose kept rep is steal-contended is likewise journaled-not-fatal
+    // (over_gate_contended). The sf0.1 map stays complete either way —
+    // marked numbers still ship with their rep journals. A normalized
     // breach at a quiet kept rep is a real regression and exits 1.
-    val (breachContended, breachReal) = overGate.partition(stealLoud)
+    val ratioMedian = {
+      val rs = qs.flatMap { case (n, _) => baseline.get(n).map(best(n) / _) }
+      // a scoped run (SPARK_GRAFT_ONLY) has too few entries for a
+      // trustworthy run-mode estimate - fall back to no normalization
+      if (rs.size >= 20) tools.LaneDiscipline.median(rs) else 1.0
+    }
+    val overGateSoft = overGate
+    val hardBreaches = qs.collect {
+      case (n, _) if baseline.get(n).exists(b =>
+        tools.LaneDiscipline.overGateBreachNorm(best(n), b, ratioMedian)) => n
+    }
+    val (breachContended, breachReal) = hardBreaches.partition(stealLoud)
     val fullJson = {
       val queries = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -807,12 +826,14 @@ object Bench {
           s""""steal":$stj,"at":$t}"""
       }.mkString("[", ",", "]")
       val over = breachReal.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val overSoft = overGateSoft.map("\"" + _ + "\"").mkString("[", ",", "]")
       val overCont = reasonsJson(breachContended.map(n => n ->
         tools.LaneDiscipline.contendedReason(best(n), bestRepLoad(n), bestRepSteal(n))).toMap)
       val contSteal = contendedSteal.map("\"" + _ + "\"").mkString("[", ",", "]")
       val nq = neverQuiet.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$queries,""" +
         s""""ratio_vs_baseline":$ratioJson,"over_gate":$over,""" +
+        s""""over_gate_soft":$overSoft,"ratio_median":${fmt(ratioMedian)},""" +
         s""""over_gate_contended":$overCont,"contended_steal":$contSteal,""" +
         s""""steal_gate":${tools.LaneDiscipline.StealGate},""" +
         s""""quiet_gate":$quietN,"quiet_gate_effective":${fmt(quietEff)},""" +
@@ -843,6 +864,9 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compact$laneCompact$contCompact,"sf":"$sfDir"}""")
     spark.stop()
+    if (overGateSoft.nonEmpty)
+      System.err.println(f"[bench] over-gate SOFT breaches (journaled, not fatal; " +
+        f"run ratio_median $ratioMedian%.2f): ${overGateSoft.mkString(", ")}")
     if (breachContended.nonEmpty)
       System.err.println(s"[bench] over-gate entries attributed to contention " +
         s"(steal > ${tools.LaneDiscipline.StealGate}% at the kept rep; journaled, not fatal): " +

@@ -299,6 +299,17 @@ object DedupScale {
     val allFails = Seq.newBuilder[String]
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // Lane-local load floor (round 18): the calmest 1-min load any rep
+    // of THIS lane run observed — the lane's own ~32-thread imprint is
+    // in every observation, so load > floor + 16 means half the box is
+    // doing foreign work on top (the Bench spot trigger, ported). Gives
+    // the contended verdict a second signal for bursts whose steal%
+    // sits just under the gate (observed: a jaccard_prefix 100x leg at
+    // 2.9x committed, load 28, steal 1.2 - visible co-tenant load, not
+    // hypervisor steal).
+    var laneLoadFloor = Double.NaN
+    def noteLoad(l: Double): Unit =
+      if (!l.isNaN && (laneLoadFloor.isNaN || l < laneLoadFloor)) laneLoadFloor = l
     // returns (seconds, 1-min loadavg at leg end) — the load is the
     // TPC-H spot journal discipline ported here (round-17 verdict ask
     // #1): a slow leg with a high journaled load is contention, a slow
@@ -321,6 +332,7 @@ object DedupScale {
         .foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
           .foreach(_.unpersist(blocking = false)))
       val steal = LaneDiscipline.stealPct(jiff0, LaneDiscipline.cpuJiffies)
+      noteLoad(load)
       System.err.println(
         f"[dedup-scale] x$n%-4d ${p.name}%-24s $dt%7.2f s ($tag, load $load%.1f, steal $steal%.1f%%)")
       (dt, load, steal)
@@ -447,7 +459,7 @@ object DedupScale {
           healEvents += s"${e.name}@${n}x"
           // a contended kept rep waits out a bounded backoff first, so
           // a short co-tenant burst can't land on both reps (round 18)
-          if (LaneDiscipline.contendedRep(stealAt(e.name)(i), loadAt(e.name)(i), Double.NaN))
+          if (LaneDiscipline.contendedRep(stealAt(e.name)(i), loadAt(e.name)(i), laneLoadFloor))
             LaneDiscipline.backoff("dedup-scale")
           val (dt, ld, st) = runLeg(p, n, dir, "heal")
           if (dt < t2(i)) {

@@ -69,12 +69,17 @@ object GeoScale {
     val fails = Seq.newBuilder[String]
     // (seconds, 1-min loadavg at leg end) — the TPC-H/dedup spot journal
     // discipline, uniform across lanes as of round 17
+    // lane-local load floor (round 18): calmest load any rep saw —
+    // load > floor + 16 marks foreign work the steal gate can miss
+    var laneLoadFloor = Double.NaN
     def leg(name: String, n: Long, tag: String = "")(probe: Long => Seq[String]): (Double, Double, Double) = {
       val jiff0 = LaneDiscipline.cpuJiffies
       val t0 = System.nanoTime()
       fails ++= probe(n)
       val dt = (System.nanoTime() - t0) / 1e9
       val load = LaneDiscipline.loadavg
+      if (!load.isNaN && (laneLoadFloor.isNaN || load < laneLoadFloor))
+        laneLoadFloor = load
       val steal = LaneDiscipline.stealPct(jiff0, LaneDiscipline.cpuJiffies)
       val t = if (tag.isEmpty) "" else s" ($tag)"
       System.err.println(
@@ -235,7 +240,7 @@ object GeoScale {
     for ((name, disp, f) <- probes; i <- scales.indices if spent < healCap) {
       if (LaneDiscipline.suspect(secs(name), i, scales, commScales, comm.get(name), 12.0)) {
         healEvents += s"$name@${scales(i)}x"
-        if (LaneDiscipline.contendedRep(stealAt(name)(i), loadAt(name)(i), Double.NaN))
+        if (LaneDiscipline.contendedRep(stealAt(name)(i), loadAt(name)(i), laneLoadFloor))
           LaneDiscipline.backoff("geo-scale")
         val (dt, ld, st) = leg(disp, baseN * scales(i), "heal")(f)
         if (dt < secs(name)(i)) {

@@ -96,13 +96,45 @@ object LaneDiscipline {
     }
   }
 
-  /** Bench over-gate breach rule (round 18, verdict ask #2): over 2×
-    * the per-query baseline AND more than 0.25 s above it in absolute
-    * terms — mirrors the superlinear flags' noise floor. r17's artifact
-    * went rc=1 on a 61 ms excess over a 60 ms baseline; a genuine 2×
-    * regression on a ≥0.25 s entry still trips. */
+  /** Bench over-gate SOFT breach rule (round 18, verdict ask #2): over
+    * 2× the per-query baseline AND more than 0.25 s above it in
+    * absolute terms — mirrors the superlinear flags' noise floor.
+    * r17's artifact went rc=1 on a 61 ms excess over a 60 ms baseline;
+    * a genuine 2× regression on a ≥0.25 s entry still trips. Soft
+    * breaches target heal re-runs and are journaled
+    * (`over_gate_soft`); the artifact's exit code gates on
+    * [[overGateBreachNorm]] below. */
   def overGateBreach(best: Double, baseline: Double): Boolean =
     best > 2.0 * baseline && best - baseline > 0.25
+
+  /** Bench over-gate HARD breach rule (round 18, second calibration):
+    * the soft rule normalized by the RUN's median baseline ratio `m`,
+    * with the lanes' 0.5 s absolute noise floor. Motivation, measured
+    * the same day the soft rule shipped: the box has a degraded mode —
+    * run-wide median ratio 1.32 over 241 entries, sub-0.3 s entries
+    * inflated to 3.3×, while kept-rep steal stayed under 0.9% and
+    * loads under 6 — that no per-rep journal can flag and min-of-7
+    * cannot ride out. A CODE regression is differential (one entry
+    * moves against the run's own distribution); uniform inflation is
+    * environment. So: breach iff best > 2×baseline×m AND
+    * best − baseline×m > 0.5 s (the superlinearFlags floor). `m` is
+    * clamped to ≥ 1 so a fast run never tightens the gate, and the
+    * caller journals it (`ratio_median`) so the normalization is
+    * auditable from the artifact. */
+  def overGateBreachNorm(best: Double, baseline: Double, m: Double): Boolean = {
+    val mm = math.max(1.0, m)
+    best > 2.0 * baseline * mm && best - baseline * mm > 0.5
+  }
+
+  /** Median of a non-empty sequence (even-size: mean of the middle
+    * pair); NaN on empty. Used for the run-median ratio `m`. */
+  def median(xs: Seq[Double]): Double =
+    if (xs.isEmpty) Double.NaN
+    else {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
 
   /** Super-linear decade flags for one lane entry: legs over maxDecade×
     * their previous scale (≥0.5 s noise floor), formatted `name@Nx->Mx`.
@@ -151,23 +183,30 @@ object LaneDiscipline {
   }
 
   /** Post-heal contended-leg verdict (round 18): a leg still over 2× its
-    * committed reference whose KEPT rep journaled contention (steal over
-    * the gate, or load far above the floor when one is known) is
-    * UNMEASURED, not slow — r17 shipped q6@sf10 = 124.77 s against a
-    * committed 1.23 s as if it were a measurement. Returns (index,
-    * reason) pairs; the caller NaNs those legs and records the reasons,
-    * so no downstream flag or reader treats them as numbers. A leg over
-    * 2× at a QUIET journal is deliberately NOT returned: that is a real
-    * regression and must stay visible (and fail gates). */
+    * committed reference whose KEPT rep ran under hypervisor steal above
+    * the gate is UNMEASURED, not slow — r17 shipped q6@sf10 = 124.77 s
+    * against a committed 1.23 s as if it were a measurement. Returns
+    * (index, reason) pairs; the caller NaNs those legs and records the
+    * reasons, so no downstream flag or reader treats them as numbers.
+    *
+    * The conversion is deliberately STEAL-ONLY. Loadavg cannot be a
+    * conversion signal here: a scale leg's own 32-thread imprint drives
+    * the 1-min load toward 30 on a perfectly quiet box (measured: dedup
+    * 10×/100× legs reproducing their committed values exactly at loads
+    * 20–31, steal 0.1–0.5%), so "load above the floor" would reclassify
+    * a genuine quiet regression on a big leg as weather — masking the
+    * exact signal the gates exist to catch. Load still drives heal
+    * re-runs and backoffs (cheap extra measurement, never
+    * reclassification). A leg over 2× at a quiet-steal journal is NOT
+    * returned: that is a real regression and must stay visible. */
   def contendedLegs(times: Array[Double], loads: Array[Double], steals: Array[Double],
                     scales: Seq[Long], commScales: Seq[Long], comm: Option[Seq[Double]],
-                    loadFloor: Double = Double.NaN,
                     gate: Double = StealGate): Seq[(Int, String)] =
     times.indices.flatMap { i =>
       val commIdx = commScales.indexOf(scales(i))
       val over = commIdx >= 0 && !times(i).isNaN && comm
         .flatMap(_.lift(commIdx)).exists(c => c >= 0.5 && times(i) > 2.0 * c)
-      if (over && contendedRep(steals(i), loads(i), loadFloor, gate))
+      if (over && gate > 0 && !steals(i).isNaN && steals(i) > gate)
         Some(i -> contendedReason(times(i), loads(i), steals(i)))
       else None
     }

@@ -136,6 +136,9 @@ object StreamScale {
     // (seconds, 1-min loadavg at leg end) — the TPC-H/dedup spot journal
     // discipline, uniform across lanes as of round 17. Validation runs
     // on every rep (outside the timed window).
+    // lane-local load floor (round 18): calmest load any rep saw —
+    // load > floor + 16 marks foreign work the steal gate can miss
+    var laneLoadFloor = Double.NaN
     def runLeg(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                n: Long, dir: String, tag: String): (Double, Double, Double) = {
       val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
@@ -146,6 +149,8 @@ object StreamScale {
       val d = (System.nanoTime() - t0) / 1e9
       val load = LaneDiscipline.loadavg
       val steal = LaneDiscipline.stealPct(jiff0, LaneDiscipline.cpuJiffies)
+      if (!load.isNaN && (laneLoadFloor.isNaN || load < laneLoadFloor))
+        laneLoadFloor = load
       System.err.println(
         f"[stream-scale] x$n%-4d $name%-16s $d%7.2f s (load $load%.1f, steal $steal%.1f%%, $tag)")
       validate(name, n, dir, df)
@@ -198,7 +203,7 @@ object StreamScale {
       if (LaneDiscipline.suspect(secs(name), i, scales, commScales, comm.get(name), 12.0)) {
         val (n, dir) = dirs(i)
         healEvents += s"$name@${n}x"
-        if (LaneDiscipline.contendedRep(stealAt(name)(i), loadAt(name)(i), Double.NaN))
+        if (LaneDiscipline.contendedRep(stealAt(name)(i), loadAt(name)(i), laneLoadFloor))
           LaneDiscipline.backoff("stream-scale")
         val (d, ld, st) = runLeg(name, fn, n, dir, "heal")
         if (d < secs(name)(i)) {

@@ -108,6 +108,17 @@ class ScaleLaneSpec extends SparkSpec {
     assert(!overGateBreach(0.9, 0.5)) // under 2x
     assert(overGateBreach(0.55, 0.2)) // 2.75x and 0.35s absolute -> trips
     assert(!overGateBreach(0.3, 0.1)) // 3x but 0.2s absolute -> floored
+    // normalized hard rule: the exit-code gate. Measured degraded-mode
+    // cases (run median 1.32, tiny entries at 3.3x, quiet journals)
+    // must NOT trip; a differential regression on a real entry must.
+    assert(!overGateBreachNorm(0.56, 0.17, 1.32)) // degraded-mode tiny entry
+    assert(!overGateBreachNorm(0.56, 0.17, 1.0))  // tiny entry under the 0.5s floor
+    assert(overGateBreachNorm(2.2, 1.0, 1.0))     // genuine 2.2x on a 1s entry
+    assert(!overGateBreachNorm(2.2, 1.0, 1.32))   // same entry in a degraded run: ambiguous, not fatal
+    assert(overGateBreachNorm(5.0, 1.0, 1.32))    // 5x sticks out of any run mode
+    assert(overGateBreachNorm(2.2, 1.0, 0.5))     // m clamps to >= 1: same verdict as m = 1
+    assert(median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
     // contendedRep: steal above the gate marks; NaN steal never marks;
     // load marks only against a known floor
     assert(contendedRep(steal = 3.0, load = 2.0, loadFloor = Double.NaN, gate = 1.5))
@@ -130,6 +141,19 @@ class ScaleLaneSpec extends SparkSpec {
       scales, comm, gate = 1.5)
     assert(hits2.map(_._1) == Seq(1), "quiet over-2x leg must NOT convert")
     assert(hits.head._2.startsWith("contended "))
+  }
+
+  test("DedupScale skip ledger: a budget-starved leg records a named reason, not a bare null") {
+    // budget 0 admits the 1x legs (never budget-gated) but starves the
+    // 10x tier -> every probe's 10x leg must appear in `skipped` as
+    // "budget" and its time as NaN (round-18 artifact-honesty ask #3).
+    // One probe keeps the runtime bounded; the ledger logic is shared.
+    val r = tools.DedupScale.run(spark, budgetSecs = 0.0, scales = Seq(1L, 10L),
+      reps = Map.empty[Long, Int].withDefaultValue(1))
+    val e = r.entries.find(_.name == "neardup_minhash").get
+    assert(!e.times.head.isNaN && e.times(1).isNaN, e.toString)
+    assert(r.skipped.get("neardup_minhash@10x").contains("budget"), r.skipped.toString)
+    assert(r.contended.isEmpty) // steal gate is pinned off in test env
   }
 
   test("LaneDiscipline.committed: anchored to the entries object, warns on bad rows") {
