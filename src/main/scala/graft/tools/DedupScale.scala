@@ -445,28 +445,44 @@ object DedupScale {
     val healCap = spent + math.min(240.0, budgetSecs * 0.5)
     val healEvents = Seq.newBuilder[String]
     val contendedM = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val healed = rows.map { e =>
-      val t2 = e.times.toArray
-      for (i <- 0 until t2.length if spent < healCap && !t2(i).isNaN) {
-        val decadeSl = i > 0 && !t2(i - 1).isNaN &&
-          t2(i - 1) >= 0.5 && t2(i) / t2(i - 1) > 12.0
-        val commIdx = commScales.indexOf(scales(i))
-        val overCommitted = commIdx >= 0 && committed.get(e.name)
-          .flatMap(_.lift(commIdx)).exists(c => c >= 0.5 && t2(i) > 2.0 * c)
-        if (decadeSl || overCommitted) {
-          val p = probes.find(_.name == e.name).get
-          val (n, dir) = dirs(i)
-          healEvents += s"${e.name}@${n}x"
-          // a contended kept rep waits out a bounded backoff first, so
-          // a short co-tenant burst can't land on both reps (round 18)
-          if (LaneDiscipline.contendedRep(stealAt(e.name)(i), loadAt(e.name)(i), laneLoadFloor))
-            LaneDiscipline.backoff("dedup-scale")
-          val (dt, ld, st) = runLeg(p, n, dir, "heal")
-          if (dt < t2(i)) {
-            t2(i) = dt; loadAt(e.name)(i) = ld; stealAt(e.name)(i) = st
-          }
-        }
+    val t2m = scala.collection.mutable.LinkedHashMap(
+      rows.map(e => e.name -> e.times.toArray): _*)
+    // Collect every suspect leg up front and heal WORST-RATIO-FIRST
+    // (round 18): the heal cap is a shared wallet, and iterating in
+    // probe-declaration order let early moderate suspects drain it
+    // before a later, worse leg got its re-run (observed: three ~100 s
+    // heals consumed the 240 s cap and dedup_incremental@100× at 2.25×
+    // committed shipped unhealed). Severity = ratio over the committed
+    // reference (decade-only suspects rank by decade-ratio/12).
+    val suspects = (for {
+      e <- rows
+      t2 = t2m(e.name)
+      i <- t2.indices if !t2(i).isNaN
+    } yield {
+      val decadeRatio =
+        if (i > 0 && !t2(i - 1).isNaN && t2(i - 1) >= 0.5) t2(i) / t2(i - 1) else 0.0
+      val commIdx = commScales.indexOf(scales(i))
+      val commRatio = (for {
+        c <- committed.get(e.name).flatMap(_.lift(commIdx)) if commIdx >= 0 && c >= 0.5
+      } yield t2(i) / c).getOrElse(0.0)
+      (e.name, i, math.max(commRatio / 2.0, decadeRatio / 12.0))
+    }).filter(_._3 > 1.0).sortBy(-_._3)
+    for ((name, i, _) <- suspects if spent < healCap) {
+      val t2 = t2m(name)
+      val p = probes.find(_.name == name).get
+      val (n, dir) = dirs(i)
+      healEvents += s"$name@${n}x"
+      // a contended kept rep waits out a bounded backoff first, so a
+      // short co-tenant burst can't land on both reps (round 18)
+      if (LaneDiscipline.contendedRep(stealAt(name)(i), loadAt(name)(i), laneLoadFloor))
+        LaneDiscipline.backoff("dedup-scale")
+      val (dt, ld, st) = runLeg(p, n, dir, "heal")
+      if (dt < t2(i)) {
+        t2(i) = dt; loadAt(name)(i) = ld; stealAt(name)(i) = st
       }
+    }
+    val healed = rows.map { e =>
+      val t2 = t2m(e.name)
       // Contended-leg conversion (round 18): a leg still over 2× its
       // committed reference whose kept rep journaled contention ships
       // as a named non-number, never as a measurement — and can no
