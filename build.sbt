@@ -14,7 +14,8 @@ run / fork := true
 // Specs must pin the lanes' validation machinery, not the box weather:
 // disable the contention backoff sleeps and the steal-gate contended
 // conversion inside `sbt test` (both stay ON for Bench/lane mains).
-Test / envVars ++= Map("SPARK_GRAFT_BACKOFF" -> "0", "SPARK_GRAFT_STEAL_GATE" -> "0")
+Test / envVars ++= Map("SPARK_GRAFT_BACKOFF" -> "0", "SPARK_GRAFT_STEAL_GATE" -> "0",
+  "SPARK_GRAFT_CALIBRATION" -> "off", "SPARK_GRAFT_LANE_LEDGER" -> "off")
 // The driver parses the bench/verify JSON from the tail of stdout:
 // pass the forked app's stdout through verbatim (no "[info] " prefix)
 // and drop sbt's trailing "[success] Total time" line so the JSON stays

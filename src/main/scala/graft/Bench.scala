@@ -314,7 +314,14 @@ object Bench {
             }
             System.err.println(f"[bench] lane $schema%-6s $n%-10s $dt%8.2f s (rep $r)" +
               (if (ok) "" else " [ERROR - not recorded]"))
-            } else if (!bestOf.contains(n) && !laneSkip.contains(s"$schema:$n"))
+            } else if (!bestOf.contains(n) && !laneSkip.contains(s"$schema:$n") &&
+                !laneLoad.contains(s"$schema:$n"))
+              // laneLoad holds a key iff SOME runScale call already shipped
+              // a measurement for this leg — without that check, a
+              // budget-starved healSpot re-run (fresh call-local bestOf)
+              // would ledger an already-measured leg as "budget", and the
+              // artifact would list the same leg both as a number and as a
+              // skip (r18 advice)
               laneSkip(s"$schema:$n") = "budget"
           }
         } finally {
@@ -386,6 +393,11 @@ object Bench {
       // the sf100 block shipped with q6/q12 absent — the spots are the
       // lane's 100×/1000× evidence and must not be the first thing
       // starved. Quiet spot totals are ~6 s (sf10) / ~25 s (sf100).
+      // calibration probe around the spot blocks (round 19): the spots
+      // are single-rep and the most exposed to the quiet-steal degraded
+      // mode; the worst observed ratio adjudicates quiet over-2× legs
+      val spotCalibs = Seq.newBuilder[Double]
+      spotCalibs += tools.LaneDiscipline.calibrationRatio(spark, "tpch-spot")
       val sf10Raw =
         if (sys.env.get("SPARK_GRAFT_TPCH_SF10").contains("off")) Map.empty[String, Double]
         else if (sys.env.get("SPARK_GRAFT_TPCH_SF10_ALL").contains("1"))
@@ -407,6 +419,7 @@ object Bench {
         else runScale("sf100",
           all22.filter(p => Set("tpch_q1", "tpch_q6", "tpch_q12")(p._1)), 1,
           extraBudget = 150.0)
+      spotCalibs += tools.LaneDiscipline.calibrationRatio(spark, "tpch-spot")
       // Spot self-heal (round 14): the sf10/sf100 legs are single-rep
       // for budget, so one contended rep can ship as "a measurement"
       // (BENCH_r13 posted q6@sf10 = 8.43 s against its own q6@sf100 =
@@ -566,9 +579,31 @@ object Bench {
         ms.flatMap(_.keys).flatMap(q => j.get(s"$schema:$q").map(q -> _)).toMap)
       val sf10ContSecs = sf10Cont.keys.map(q => q -> 0.0).toMap // journal keys only
       val sf100ContSecs = sf100Cont.keys.map(q => q -> 0.0).toMap
+      // env-suspect annotation for kept spot legs (round 19): over 2×
+      // committed at quiet steal — exactly the legs the contended
+      // conversion keeps visible — in a run whose calibration probe
+      // inflated past the gate. Numbers stay in the spot maps.
+      val spotCalibration = spotCalibs.result()
+      val spotCalibMax = spotCalibration.filterNot(_.isNaN)
+        .foldLeft(Double.NaN)((a, b) => if (a.isNaN || b > a) b else a)
+      def envSuspectOf(schema: String, kept: Map[String, Double]): Map[String, String] =
+        if (spotCalibMax.isNaN || spotCalibMax <= tools.LaneDiscipline.CalibrationSuspectGate)
+          Map.empty
+        else kept.collect { case (q, dt)
+          if sweep.getOrElse(schema, Map.empty).get(q).exists(c => c >= 0.5 && dt > 2.0 * c) &&
+            !laneSteal.get(s"$schema:$q").exists(s =>
+              !s.isNaN && s > tools.LaneDiscipline.StealGate) =>
+          q -> f"env-suspect sec=$dt%.2f quiet-steal but calibration ran $spotCalibMax%.2fx committed"
+        }
+      val sf10Env = envSuspectOf("sf10", sf10)
+      val sf100Env = envSuspectOf("sf100", sf100)
+      val spotCalibJson = spotCalibration
+        .map(c => if (c.isNaN) "null" else fmt(c)).mkString("[", ",", "]")
       laneFull = s""","tpch_sf01":${m2j(sf01)},"tpch_sf1":${m2j(sf1)},""" +
         s""""tpch_scale_ratio":${m2j(scaleRatio)},"tpch_superlinear":$slJson,""" +
         s""""tpch_sf10_spot":${m2j(sf10)},"tpch_sf100_spot":${m2j(sf100)},""" +
+        s""""tpch_calibration":$spotCalibJson,""" +
+        s""""tpch_sf10_env_suspect":${s2j(sf10Env)},"tpch_sf100_env_suspect":${s2j(sf100Env)},""" +
         s""""tpch_sf10_contended":${s2j(sf10Cont)},"tpch_sf100_contended":${s2j(sf100Cont)},""" +
         s""""tpch_skipped":${s2j(laneSkip.toMap)},""" +
         s""""tpch_sf10_load":${journalOf("sf10", laneLoad, sf10, sf10ContSecs)},""" +
@@ -579,7 +614,11 @@ object Bench {
       laneCompact = s""","tpch_sf01_total":${fmt(sf01.values.sum)},""" +
         s""""tpch_sf1_total":${fmt(sf1.values.sum)},""" +
         s""""tpch_superlinear":$slJson,"tpch_sf10_spot":${m2j(sf10)},""" +
-        s""""tpch_sf100_spot":${m2j(sf100)},"tpch_validation":$tvJson""" +
+        s""""tpch_sf100_spot":${m2j(sf100)},"tpch_validation":$tvJson,""" +
+        s""""tpch_calibration":$spotCalibJson""" +
+        (if (sf10Env.nonEmpty || sf100Env.nonEmpty)
+          s""","tpch_sf10_env_suspect":${s2j(sf10Env)},"tpch_sf100_env_suspect":${s2j(sf100Env)}"""
+         else "") +
         (if (sf10Cont.nonEmpty || sf100Cont.nonEmpty)
           s""","tpch_sf10_contended":${s2j(sf10Cont)},"tpch_sf100_contended":${s2j(sf100Cont)}"""
          else "") +
@@ -620,15 +659,20 @@ object Bench {
       val loadJson = r.loads.map(row).mkString("{", ",", "}")
       val stealJson = r.steals.map(row).mkString("{", ",", "}")
       val healedJson = r.healed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val calibJson = r.calibration
+        .map(c => if (c.isNaN) "null" else fmt(c)).mkString("[", ",", "]")
       val block = s""","dedup_scale":$entriesJson,"dedup_scales":$scalesJson,""" +
         s""""dedup_scale_load":$loadJson,"dedup_scale_steal":$stealJson,""" +
         s""""dedup_healed":$healedJson,""" +
         s""""dedup_skipped":${reasonsJson(r.skipped)},""" +
         s""""dedup_contended":${reasonsJson(r.contended)},""" +
+        s""""dedup_calibration":$calibJson,""" +
+        s""""dedup_env_suspect":${reasonsJson(r.envSuspect)},""" +
         s""""dedup_superlinear":$slJson,"dedup_validation":$valJson"""
       laneFull += block
       laneCompact += s""","dedup_superlinear":$slJson,"dedup_validation":$valJson,""" +
-        s""""dedup_healed":$healedJson""" +
+        s""""dedup_healed":$healedJson,"dedup_calibration":$calibJson""" +
+        (if (r.envSuspect.nonEmpty) s""","dedup_env_suspect":${reasonsJson(r.envSuspect)}""" else "") +
         (if (r.contended.nonEmpty) s""","dedup_contended":${reasonsJson(r.contended)}""" else "") +
         (if (r.skipped.nonEmpty) s""","dedup_skipped":${reasonsJson(r.skipped)}""" else "")
       if (r.validationFailures.nonEmpty) {
@@ -700,13 +744,19 @@ object Bench {
       val stealJson = r.steals.map(row).mkString("{", ",", "}")
       val healedJson = r.healed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
       val slJson = r.superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val calibJson = r.calibration
+        .map(c => if (c.isNaN) "null" else fmt(c)).mkString("[", ",", "]")
       laneFull += s""","stream_scale":$entriesJson,"stream_scale_load":$loadJson,""" +
         s""""stream_scale_steal":$stealJson,""" +
         s""""stream_skipped":${reasonsJson(r.skipped)},""" +
         s""""stream_contended":${reasonsJson(r.contended)},""" +
+        s""""stream_calibration":$calibJson,""" +
+        s""""stream_env_suspect":${reasonsJson(r.envSuspect)},""" +
         s""""stream_healed":$healedJson,"stream_superlinear":$slJson,""" +
         s""""stream_validation":$valJson"""
-      laneCompact += s""","stream_validation":$valJson,"stream_healed":$healedJson""" +
+      laneCompact += s""","stream_validation":$valJson,"stream_healed":$healedJson,""" +
+        s""""stream_calibration":$calibJson""" +
+        (if (r.envSuspect.nonEmpty) s""","stream_env_suspect":${reasonsJson(r.envSuspect)}""" else "") +
         (if (r.contended.nonEmpty) s""","stream_contended":${reasonsJson(r.contended)}""" else "") +
         (if (r.skipped.nonEmpty) s""","stream_skipped":${reasonsJson(r.skipped)}""" else "")
       if (r.validationFailures.nonEmpty) {
@@ -727,8 +777,15 @@ object Bench {
         val idx = scala.util.Try(new String(
           java.nio.file.Files.readAllBytes(stateF.toPath), "UTF-8").trim.toInt)
           .getOrElse(0)
-        val pick = names(((idx % names.size) + names.size) % names.size)
-        java.nio.file.Files.write(stateF.toPath, String.valueOf(idx + 1).getBytes("UTF-8"))
+        // a pick whose last 100× leg shipped skipped/contended re-runs
+        // FIRST (round 19, verdict ask #5); the rotation index only
+        // advances on a normal pick so the round-robin stays fair
+        val pending100 = tools.LaneDiscipline.pendingLegs("stream100")
+          .flatMap(l => names.find(n => l.startsWith(s"$n@")))
+        val pick = pending100.headOption.getOrElse {
+          java.nio.file.Files.write(stateF.toPath, String.valueOf(idx + 1).getBytes("UTF-8"))
+          names(((idx % names.size) + names.size) % names.size)
+        }
         val b100 = sys.env.get("SPARK_GRAFT_STREAM100_BUDGET")
           .map(_.toDouble).getOrElse(300.0)
         val r100 = tools.StreamScale.run(spark, b100, scales = Seq(100L),
@@ -742,13 +799,19 @@ object Bench {
         val healed100 = r100.healed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
         val v100 = r100.validationFailures.map(s => "\"" + s.replace("\"", "'") + "\"")
           .mkString("[", ",", "]")
+        val calib100Json = r100.calibration
+          .map(c => if (c.isNaN) "null" else fmt(c)).mkString("[", ",", "]")
         laneFull += s""","stream_scale_100":{"$pick":$leg},""" +
           s""""stream_scale_100_load":{"$pick":$leg100Load},""" +
           s""""stream_scale_100_steal":{"$pick":$leg100Steal},""" +
           s""""stream_contended_100":${reasonsJson(r100.contended)},""" +
           s""""stream_skipped_100":${reasonsJson(r100.skipped)},""" +
+          s""""stream_calibration_100":$calib100Json,""" +
+          s""""stream_env_suspect_100":${reasonsJson(r100.envSuspect)},""" +
           s""""stream_healed_100":$healed100,"stream_validation_100":$v100"""
         laneCompact += s""","stream_scale_100":{"$pick":$leg}"""
+        tools.LaneDiscipline.writePendingLegs("stream100",
+          r100.skipped.keys ++ r100.contended.keys)
         if (r100.validationFailures.nonEmpty) {
           System.err.println(s"[bench] STREAM 100x VALIDATION FAILED: ${r100.validationFailures.mkString("; ")}")
           laneFailures ++= r100.validationFailures.map("stream100: " + _)
@@ -777,12 +840,18 @@ object Bench {
       val stealJson = r.steals.map(row).mkString("{", ",", "}")
       val healedJson = r.healed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
       val slJson = r.superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val calibJson = r.calibration
+        .map(c => if (c.isNaN) "null" else fmt(c)).mkString("[", ",", "]")
       laneFull += s""","geo_scale":$entriesJson,"geo_scale_load":$loadJson,""" +
         s""""geo_scale_steal":$stealJson,""" +
         s""""geo_contended":${reasonsJson(r.contended)},""" +
+        s""""geo_calibration":$calibJson,""" +
+        s""""geo_env_suspect":${reasonsJson(r.envSuspect)},""" +
         s""""geo_healed":$healedJson,"geo_superlinear":$slJson,""" +
         s""""geo_validation":$valJson"""
-      laneCompact += s""","geo_validation":$valJson,"geo_healed":$healedJson""" +
+      laneCompact += s""","geo_validation":$valJson,"geo_healed":$healedJson,""" +
+        s""""geo_calibration":$calibJson""" +
+        (if (r.envSuspect.nonEmpty) s""","geo_env_suspect":${reasonsJson(r.envSuspect)}""" else "") +
         (if (r.contended.nonEmpty) s""","geo_contended":${reasonsJson(r.contended)}""" else "")
       if (r.validationFailures.nonEmpty) {
         System.err.println(s"[bench] GEO LANE VALIDATION FAILED: ${r.validationFailures.mkString("; ")}")
@@ -814,6 +883,15 @@ object Bench {
         tools.LaneDiscipline.overGateBreachNorm(best(n), b, ratioMedian)) => n
     }
     val (breachContended, breachReal) = hardBreaches.partition(stealLoud)
+    // Uniform-regression alarm (round 19): ratio_median above the
+    // degraded-box band at a QUIET median kept-rep steal cannot be
+    // normalized away — the per-entry gate's `m` is capped (see
+    // LaneDiscipline.RatioMedianCap) and this trips the exit code even
+    // when no single entry sticks out of the uniformly-inflated run.
+    val medianKeptSteal = tools.LaneDiscipline.median(
+      qs.map { case (n, _) => bestRepSteal(n) }.filterNot(_.isNaN))
+    val ratioAlarm =
+      tools.LaneDiscipline.ratioMedianAlarm(ratioMedian, medianKeptSteal)
     val fullJson = {
       val queries = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -834,6 +912,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$queries,""" +
         s""""ratio_vs_baseline":$ratioJson,"over_gate":$over,""" +
         s""""over_gate_soft":$overSoft,"ratio_median":${fmt(ratioMedian)},""" +
+        s""""ratio_median_alarm":$ratioAlarm,""" +
         s""""over_gate_contended":$overCont,"contended_steal":$contSteal,""" +
         s""""steal_gate":${tools.LaneDiscipline.StealGate},""" +
         s""""quiet_gate":$quietN,"quiet_gate_effective":${fmt(quietEff)},""" +
@@ -856,9 +935,12 @@ object Bench {
         if (n.matches("tpch_q\\d+_sql")) "tpch_sql" else n.takeWhile(_ != '_')
       }
       .map { case (g, rs) => s"grp_$g" -> rs.map(_._2).sum }
+    // same key, same shape as the full artifact ({name: reason}) — one
+    // key emitting two shapes breaks any consumer parsing by key (r18 advice)
     val contCompact =
       if (breachContended.isEmpty) ""
-      else s""","over_gate_contended":${breachContended.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      else s""","over_gate_contended":${reasonsJson(breachContended.map(n => n ->
+        tools.LaneDiscipline.contendedReason(best(n), bestRepLoad(n), bestRepSteal(n))).toMap)}"""
     val compact = (headline ++ groups).sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -871,6 +953,12 @@ object Bench {
       System.err.println(s"[bench] over-gate entries attributed to contention " +
         s"(steal > ${tools.LaneDiscipline.StealGate}% at the kept rep; journaled, not fatal): " +
         breachContended.mkString(", "))
+    if (ratioAlarm) {
+      System.err.println(f"[bench] TRIPWIRE: run ratio_median $ratioMedian%.2f exceeds the " +
+        f"degraded-box band at a quiet median kept-rep steal ($medianKeptSteal%.2f%%) - " +
+        "uniform regression cannot be normalized away")
+      sys.exit(1)
+    }
     if (breachReal.nonEmpty) {
       System.err.println(s"[bench] TRIPWIRE: entries over the 2x gate after self-heal: " +
         breachReal.mkString(", "))

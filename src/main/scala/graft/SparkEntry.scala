@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Events, Exprs, Geo, Ml, Presto, Relational, SqlOps, Tpch, Tpch2, TpchSql}
+import graft.queries.{Events, Exprs, Geo, HistoryFlow, Ml, Presto, Relational, SqlOps, Tpch, Tpch2, TpchSql}
 import graft.llm.{Ann, Corpus, Dedup, Multimodal, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,6 +26,7 @@ object SparkEntry {
       Exprs.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       Exprs.sqlDriven ++
       SqlOps.all ++
+      HistoryFlow.all ++
       Presto.all ++
       Geo.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++
       Ml.all.map { case (n, f, sql) => (n, adapt(f), sql) } ++

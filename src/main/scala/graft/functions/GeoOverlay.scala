@@ -211,11 +211,34 @@ object GeoOverlay {
   }
 
   // -------------------------------------------------- classification
+  /** Direction-insensitive endpoint key: coincident subs from the two
+    * operands have EXACTLY equal coordinate doubles after mutual noding
+    * (collinear cuts reuse exact vertices; proper crossings share one
+    * canonical point), so shared boundary is an exact-match lookup —
+    * not a float midpoint-on-line test, which only ever held for dyadic
+    * coordinates. The round-19 property sweep's first shrunk
+    * counterexample was precisely union(a, a) on a circle-built
+    * triangle: the midpoint (sx+ex)/2 rounds off the line, locate()
+    * said interior-or-exterior instead of boundary, the two sides
+    * selected inconsistent edge sets, and stitching dead-ended. */
+  private def subKey(s: Sub): (Double, Double, Double, Double) =
+    if (s.sx < s.ex || (s.sx == s.ex && s.sy <= s.ey)) (s.sx, s.sy, s.ex, s.ey)
+    else (s.ex, s.ey, s.sx, s.sy)
+
   /** Midpoint class of a sub against the other operand: 0 exterior,
     * 1 interior, 2 on-boundary; for 2, `sameDir` tells whether the
-    * collinear twin runs the same way (interiors on the same side). */
-  private def classify(s: Sub, otherRings: RingIndex,
-                       otherSubs: Seq[Sub]): (Int, Boolean) = {
+    * collinear twin runs the same way (interiors on the same side).
+    * `otherKeys` is the exact coincident-twin index over `otherSubs`. */
+  private def classify(s: Sub, otherRings: RingIndex, otherSubs: Seq[Sub],
+                       otherKeys: Map[(Double, Double, Double, Double), Seq[Sub]])
+      : (Int, Boolean) = {
+    otherKeys.get(subKey(s)) match {
+      case Some(twins) =>
+        val same = twins.exists(o =>
+          (o.ex - o.sx) * (s.ex - s.sx) + (o.ey - o.sy) * (s.ey - s.sy) > 0)
+        return (2, same)
+      case None =>
+    }
     otherRings.locate(s.mx, s.my) match {
       case 2 =>
         val twin = otherSubs.find(o =>
@@ -229,13 +252,14 @@ object GeoOverlay {
     }
   }
 
-  /** Midpoint class only — skips the O(|otherSubs|) collinear-twin
-    * direction scan, for callers that discard the `sameDir` bit (the
-    * B-side loop: every operator keys B subs on loc alone, and in
-    * geometry_union_agg's tile compaction every shared edge would
-    * otherwise pay the twin scan per merge). */
-  private def classifyLoc(s: Sub, otherRings: RingIndex): Int =
-    otherRings.locate(s.mx, s.my)
+  /** Midpoint class only — skips the collinear-twin DIRECTION scan for
+    * callers that discard the `sameDir` bit (the B-side loop: every
+    * operator keys B subs on loc alone). The exact twin lookup still
+    * applies: a B sub coinciding with an A sub must report boundary, or
+    * self-union would re-select the same edge from both sides. */
+  private def classifyLoc(s: Sub, otherRings: RingIndex,
+                          otherKeys: Map[(Double, Double, Double, Double), Seq[Sub]]): Int =
+    if (otherKeys.contains(subKey(s))) 2 else otherRings.locate(s.mx, s.my)
 
   // ---------------------------------------------------------- stitch
   /** Walk selected interior-left edges into closed rings. At a node
@@ -353,10 +377,14 @@ object GeoOverlay {
     val subsB = eb.flatMap(split).toSeq
     val idxA = new RingIndex(ringsA)
     val idxB = new RingIndex(ringsB)
+    // exact coincident-twin indexes (see subKey): shared boundary must
+    // never depend on a float midpoint-on-line test
+    val keysA = subsA.groupBy(subKey)
+    val keysB = subsB.groupBy(subKey)
     val sel = scala.collection.mutable.ArrayBuffer.empty[Sub]
     val sharedLines = scala.collection.mutable.ArrayBuffer.empty[Sub]
     subsA.foreach { s =>
-      val (loc, same) = classify(s, idxB, subsB)
+      val (loc, same) = classify(s, idxB, subsB, keysB)
       op match {
         case "intersection" =>
           if (loc == 1) sel += s
@@ -373,7 +401,7 @@ object GeoOverlay {
       }
     }
     subsB.foreach { s =>
-      val loc = classifyLoc(s, idxA)
+      val loc = classifyLoc(s, idxA, keysA)
       op match {
         case "intersection" => if (loc == 1) sel += s
         case "union" => if (loc == 0) sel += s

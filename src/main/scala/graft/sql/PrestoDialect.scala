@@ -221,16 +221,25 @@ object PrestoDialect {
                 alias = q.text.substring(1, q.text.length - 1); k = nextM(toks, k)
               case _ =>
             }
+            var malformed = false
             if (k >= 0 && toks(k) == Sym("(")) {
               val cClose = matchFwd(toks, k)
-              cols = splitTop(toks.slice(k + 1, cClose)).map(render(_).trim).map {
-                c => if (c.startsWith("\"")) c.substring(1, c.length - 1) else c
+              // unmatched '(' in the alias column list (fuzz find,
+              // round 19): nextM(toks, -1) would restart the scan and
+              // `i = end - 1` rewound the outer loop — an infinite
+              // loop on input Spark's parser should simply reject.
+              // Leave the span unrewritten instead of mis-rewriting.
+              if (cClose < 0) malformed = true
+              else {
+                cols = splitTop(toks.slice(k + 1, cClose)).map(render(_).trim).map {
+                  c => if (c.startsWith("\"")) c.substring(1, c.length - 1) else c
+                }
+                k = nextM(toks, cClose)
               }
-              k = nextM(toks, cClose)
             }
             val outer = kws("left")
             // LEFT JOIN UNNEST must close with ON TRUE (Presto grammar).
-            var ok = true
+            var ok = !malformed
             var end = if (k >= 0) k else toks.length
             if (outer) {
               if (wordAt(toks, k) == "on" && wordAt(toks, nextM(toks, k)) == "true")

@@ -265,7 +265,9 @@ object DedupScale {
                               loads: Seq[LaneEntry] = Nil, healed: Seq[String] = Nil,
                               steals: Seq[LaneEntry] = Nil,
                               skipped: Map[String, String] = Map.empty,
-                              contended: Map[String, String] = Map.empty)
+                              contended: Map[String, String] = Map.empty,
+                              calibration: Seq[Double] = Nil,
+                              envSuspect: Map[String, String] = Map.empty)
 
   /** Committed lane reference (bench/dedup_scale.json — the
     * machine-readable twin of SCALING_DEDUP.md's results table, the
@@ -282,9 +284,14 @@ object DedupScale {
     * once exceeded, like the TPC-H lane — skipped legs record NaN). */
   def run(spark: SparkSession, budgetSecs: Double,
           scales: Seq[Long] = Seq(1L, 10L, 100L),
-          reps: Map[Long, Int] = Map(1L -> 2, 10L -> 2).withDefaultValue(1)): LaneResult = {
+          reps: Map[Long, Int] = Map(1L -> 2, 10L -> 2).withDefaultValue(1),
+          only: Option[String] = None): LaneResult = {
     val lane0 = System.nanoTime()
     def spent = (System.nanoTime() - lane0) / 1e9
+    // calibration probe (round 19): sampled at lane start / pre-heal /
+    // lane end; the WORST ratio adjudicates quiet-steal over-2× legs
+    val calibs = Seq.newBuilder[Double]
+    calibs += LaneDiscipline.calibrationRatio(spark, "dedup-scale")
     val dirs = scales.map { n =>
       val d = new java.io.File(s"target/dedup_scale/x$n")
       genDocs(spark, n, d)
@@ -292,8 +299,11 @@ object DedupScale {
       n -> d.getPath
     }
     // Probe filter for local iteration (the TPCH lane's _ONLY analogue):
-    // SPARK_GRAFT_DEDUP_ONLY='span' runs just the matching probes.
-    val onlyRe = sys.env.get("SPARK_GRAFT_DEDUP_ONLY").map(_.r)
+    // SPARK_GRAFT_DEDUP_ONLY='span' runs just the matching probes; the
+    // `only` parameter is the same filter for in-process callers (the
+    // ScaleLaneSpec ledger test runs ONE probe — r18 advice: the comment
+    // claimed a bound the code didn't implement).
+    val onlyRe = only.orElse(sys.env.get("SPARK_GRAFT_DEDUP_ONLY")).map(_.r)
     val probes = DedupScale.probes.filter(p =>
       onlyRe.forall(_.findFirstIn(p.name).isDefined))
     val allFails = Seq.newBuilder[String]
@@ -384,9 +394,15 @@ object DedupScale {
       probes.map(p => p.name -> Array.fill(scales.length)(Double.NaN)): _*)
     val maxIdx = scales.length - 1
     for (p <- probes; i <- 0 until maxIdx) times(p.name)(i) = legBest(p, i)
+    // Previously starved legs first (round 19, verdict ask #5): a leg
+    // skipped/contended in the LAST run jumps the max-scale queue, so
+    // the same leg cannot land in the ledger twice in a row merely
+    // because the schedule always reaches it after the budget dies.
+    val pending = LaneDiscipline.pendingLegs("dedup")
     val steepestFirst = probes.sortBy { p =>
       val t = if (maxIdx == 0) 0.0 else times(p.name)(maxIdx - 1)
-      if (t.isNaN) 0.0 else -t // unmeasured sorts last
+      (if (pending.contains(s"${p.name}@${scales(maxIdx)}x")) 0 else 1,
+       if (t.isNaN) 0.0 else -t) // unmeasured sorts last within its tier
     }
     // Grace pool (round 17): on a contended box ONE expensive leg can
     // blow the whole budget (observed: simhash@100× at 168 s vs its
@@ -449,6 +465,7 @@ object DedupScale {
     // (BENCH_r16's neardup_embedding@100× shipped at 2.9× committed and
     // 26× decade with no committed heal to catch it). Capped extra
     // spend; a genuinely slow entry stays flagged — twice as credibly.
+    calibs += LaneDiscipline.calibrationRatio(spark, "dedup-scale")
     val (commScales, committed) = committedLane()
     val healCap = spent + math.min(240.0, budgetSecs * 0.5)
     val healEvents = Seq.newBuilder[String]
@@ -505,8 +522,19 @@ object DedupScale {
     }
     val loadRows = probes.map(p => LaneEntry(p.name, loadAt(p.name).toSeq))
     val stealRows = probes.map(p => LaneEntry(p.name, stealAt(p.name).toSeq))
+    calibs += LaneDiscipline.calibrationRatio(spark, "dedup-scale")
+    val calibration = calibs.result()
+    val calibMax = calibration.filterNot(_.isNaN)
+      .foldLeft(Double.NaN)((a, b) => if (a.isNaN || b > a) b else a)
+    val envSuspect = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (e <- healed;
+         (i, reason) <- LaneDiscipline.envSuspectLegs(t2m(e.name), stealAt(e.name),
+           scales, commScales, committed.get(e.name), calibMax))
+      envSuspect(s"${e.name}@${scales(i)}x") = reason
+    LaneDiscipline.writePendingLegs("dedup", skipped.keys ++ contendedM.keys)
     LaneResult(healed, flag(healed), allFails.result().distinct, scales,
-      loadRows, healEvents.result(), stealRows, skipped.toMap, contendedM.toMap)
+      loadRows, healEvents.result(), stealRows, skipped.toMap, contendedM.toMap,
+      calibration, envSuspect.toMap)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
@@ -656,12 +684,18 @@ object DedupScale {
         s" | $ratios |")
     }
     println(s"superlinear: ${if (r.superlinear.isEmpty) "NONE" else r.superlinear.mkString(", ")}")
+    println(s"calibration ratios: " +
+      r.calibration.map(c => if (c.isNaN) "n/a" else f"$c%.2f").mkString("/"))
+    if (r.envSuspect.nonEmpty)
+      println(s"ENV-SUSPECT (number kept): ${r.envSuspect.mkString(", ")}")
     if (r.contended.nonEmpty)
       println(s"CONTENDED (unmeasured): ${r.contended.mkString(", ")}")
     if (r.skipped.nonEmpty) println(s"skipped: ${r.skipped.mkString(", ")}")
     println(s"validation: ${if (r.validationFailures.isEmpty) "ALL PASS"
       else r.validationFailures.mkString("; ")}")
-    if (!args.contains("--small")) {
+    // --no-eval-axis: a targeted probe re-run (SPARK_GRAFT_DEDUP_ONLY)
+    // doesn't need the decontamination eval-suite axis sweep
+    if (!args.contains("--small") && !args.contains("--no-eval-axis")) {
       val (legs, fails) = decontaminateEvalAxis(spark, budgetSecs = 1e9)
       println("| eval suite | docs | broadcast s | bloom s |")
       println("|---|---|---|---|")

@@ -53,7 +53,9 @@ object GeoScale {
                               superlinear: Seq[String] = Nil, scales: Seq[Long] = Nil,
                               loads: Seq[LaneEntry] = Nil, healed: Seq[String] = Nil,
                               steals: Seq[LaneEntry] = Nil,
-                              contended: Map[String, String] = Map.empty)
+                              contended: Map[String, String] = Map.empty,
+                              calibration: Seq[Double] = Nil,
+                              envSuspect: Map[String, String] = Map.empty)
 
   def run(spark: SparkSession, baseN: Long,
       scales: Seq[Long] = Seq(1L, 10L, 100L)): LaneResult = {
@@ -67,6 +69,10 @@ object GeoScale {
       s"GeoScale baseN must be a multiple of 10 and >= 1000 (got $baseN): " +
       "the planted-pair and contains closed forms assume it")
     val fails = Seq.newBuilder[String]
+    // calibration probe (round 19): sampled at lane start / pre-heal /
+    // lane end; the WORST ratio adjudicates quiet-steal over-2× legs
+    val calibs = Seq.newBuilder[Double]
+    calibs += LaneDiscipline.calibrationRatio(spark, "geo-scale")
     // (seconds, 1-min loadavg at leg end) — the TPC-H/dedup spot journal
     // discipline, uniform across lanes as of round 17
     // lane-local load floor (round 18): calmest load any rep saw —
@@ -234,6 +240,7 @@ object GeoScale {
     // trip every probe/scale pair — unbounded heals would roughly
     // double the lane inside Bench's artifact run), and a contended
     // kept rep gets a bounded backoff before its retry.
+    calibs += LaneDiscipline.calibrationRatio(spark, "geo-scale")
     val (commScales, comm) = LaneDiscipline.committed("bench/geo_scale.json", "geo-scale")
     val healCap = spent + math.max(120.0, spent * 0.5)
     val healEvents = Seq.newBuilder[String]
@@ -265,11 +272,20 @@ object GeoScale {
     // a persistently wrong answer would otherwise report twice (a wrong
     // answer in ANY rep still fails the lane — nondeterministic
     // wrongness is a bug, not noise)
+    calibs += LaneDiscipline.calibrationRatio(spark, "geo-scale")
+    val calibration = calibs.result()
+    val calibMax = calibration.filterNot(_.isNaN)
+      .foldLeft(Double.NaN)((a, b) => if (a.isNaN || b > a) b else a)
+    val envSuspect = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for ((name, _, _) <- probes;
+         (i, reason) <- LaneDiscipline.envSuspectLegs(secs(name), stealAt(name),
+           scales, commScales, comm.get(name), calibMax))
+      envSuspect(s"$name@${scales(i)}x") = reason
     LaneResult(entries, fails.result().distinct, superlinear, scales,
       probes.map { case (name, _, _) => LaneEntry(name, loadAt(name).toSeq) },
       healEvents.result(),
       probes.map { case (name, _, _) => LaneEntry(name, stealAt(name).toSeq) },
-      contended.toMap)
+      contended.toMap, calibration, envSuspect.toMap)
   }
 
   def main(args: Array[String]): Unit = {
@@ -284,6 +300,10 @@ object GeoScale {
         s"(decades $dec; loads ${l.times.map(t => f"$t%.1f").mkString("/")})")
     }
     if (r.healed.nonEmpty) println(s"[geo-scale] healed: ${r.healed.mkString(", ")}")
+    println(s"[geo-scale] calibration ratios: " +
+      r.calibration.map(c => if (c.isNaN) "n/a" else f"$c%.2f").mkString("/"))
+    if (r.envSuspect.nonEmpty)
+      println(s"[geo-scale] ENV-SUSPECT (number kept): ${r.envSuspect.mkString(", ")}")
     if (r.contended.nonEmpty)
       println(s"[geo-scale] CONTENDED (unmeasured): ${r.contended.mkString(", ")}")
     if (r.superlinear.nonEmpty)

@@ -72,7 +72,9 @@ object StreamScale {
                               loads: Seq[LaneEntry] = Nil, healed: Seq[String] = Nil,
                               steals: Seq[LaneEntry] = Nil,
                               skipped: Map[String, String] = Map.empty,
-                              contended: Map[String, String] = Map.empty)
+                              contended: Map[String, String] = Map.empty,
+                              calibration: Seq[Double] = Nil,
+                              envSuspect: Map[String, String] = Map.empty)
 
   /** Runs the lane; shared by the standalone main (1×/10×/100×) and the
     * per-bench artifact emitter (1×/10×, budget-guarded — round 14,
@@ -90,6 +92,10 @@ object StreamScale {
           names: Set[String] = laneEntryNames.toSet): LaneResult = {
     val lane0 = System.nanoTime()
     def spent = (System.nanoTime() - lane0) / 1e9
+    // calibration probe (round 19): sampled at lane start / pre-heal /
+    // lane end; the WORST ratio adjudicates quiet-steal over-2× legs
+    val calibs = Seq.newBuilder[Double]
+    calibs += LaneDiscipline.calibrationRatio(spark, "stream-scale")
     val dirs = scales.map { n =>
       val d = new java.io.File(s"/root/repo/target/stream_scale/x$n")
       genEvents(spark, n, d)
@@ -195,6 +201,7 @@ object StreamScale {
     // Round 18: when the kept rep's own journal says contention, the
     // heal rep is delayed by a bounded backoff so a short co-tenant
     // burst can pass instead of landing on both reps.
+    calibs += LaneDiscipline.calibrationRatio(spark, "stream-scale")
     val (commScales, comm) =
       LaneDiscipline.committed("bench/stream_scale.json", "stream-scale")
     val healCap = spent + math.max(120.0, (budgetSecs - spent) * 0.5)
@@ -224,30 +231,55 @@ object StreamScale {
     val rows = picked.map { case (name, _, _) => LaneEntry(name, secs(name).toSeq) }
     val superlinear = rows.flatMap(e =>
       LaneDiscipline.superlinearFlags(e.name, e.times, scales))
+    calibs += LaneDiscipline.calibrationRatio(spark, "stream-scale")
+    val calibration = calibs.result()
+    val calibMax = calibration.filterNot(_.isNaN)
+      .foldLeft(Double.NaN)((a, b) => if (a.isNaN || b > a) b else a)
+    val envSuspect = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for ((name, _, _) <- picked;
+         (i, reason) <- LaneDiscipline.envSuspectLegs(secs(name), stealAt(name),
+           scales, commScales, comm.get(name), calibMax))
+      envSuspect(s"$name@${scales(i)}x") = reason
     // distinct: a heal rep re-validates, so a persistently wrong answer
     // would otherwise report twice (any-rep wrongness still fails)
     LaneResult(rows, fails.result().distinct, scales, superlinear,
       picked.map { case (name, _, _) => LaneEntry(name, loadAt(name).toSeq) },
       healEvents.result(),
       picked.map { case (name, _, _) => LaneEntry(name, stealAt(name).toSeq) },
-      skipped.toMap, contended.toMap)
+      skipped.toMap, contended.toMap, calibration, envSuspect.toMap)
   }
 
+  /** `--names a,b --scales 1,10,100 --reps N` narrow a standalone run to
+    * specific legs (round-19: targeted quiet re-evidence for suspect legs
+    * without paying for the whole lane). Defaults reproduce the full lane. */
   def main(args: Array[String]): Unit = {
+    def argOf(flag: String): Option[String] =
+      args.indexOf(flag) match { case -1 => None; case i => args.lift(i + 1) }
+    val names = argOf("--names").map(_.split(',').toSet).getOrElse(laneEntryNames.toSet)
+    val scales = argOf("--scales").map(_.split(',').map(_.trim.toLong).toSeq)
+      .getOrElse(Seq(1L, 10L, 100L))
+    val reps = argOf("--reps").map(_.toInt) match {
+      case Some(k) => Map.empty[Long, Int].withDefaultValue(k)
+      case None => Map(1L -> 2, 10L -> 2).withDefaultValue(1)
+    }
     val spark = Sessions.builder(master = "local[32]", appName = "graft-stream-scale")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, budgetSecs = Double.MaxValue,
-      scales = Seq(1L, 10L, 100L), reps = Map(1L -> 2, 10L -> 2).withDefaultValue(1))
-    println("| entry | 1x (100k ev / 1.5k users) | 10x | 100x (10M ev / 150k users) | 1->10 ratio | 10->100 ratio |")
-    println("|---|---|---|---|---|---|")
+      scales = scales, reps = reps, names = names)
+    println("| entry | " + scales.map(n => s"${n}x").mkString(" | ") + " |")
+    println("|---" * (scales.size + 1) + "|")
     r.entries.foreach { case LaneEntry(n, ts) =>
-      println(f"| $n | ${ts(0)}%.2f | ${ts(1)}%.2f | ${ts(2)}%.2f | ${ts(1) / ts(0)}%.1fx | ${ts(2) / ts(1)}%.1fx |")
+      println(s"| $n | " + ts.map(t => f"$t%.2f").mkString(" | ") + " |")
     }
     r.loads.foreach { case LaneEntry(n, ls) =>
       println(s"[stream-scale] $n loads ${ls.map(l => f"$l%.1f").mkString("/")}")
     }
     if (r.healed.nonEmpty) println(s"[stream-scale] healed: ${r.healed.mkString(", ")}")
+    println(s"[stream-scale] calibration ratios: " +
+      r.calibration.map(c => if (c.isNaN) "n/a" else f"$c%.2f").mkString("/"))
+    if (r.envSuspect.nonEmpty)
+      println(s"[stream-scale] ENV-SUSPECT (number kept): ${r.envSuspect.mkString(", ")}")
     if (r.contended.nonEmpty)
       println(s"[stream-scale] CONTENDED (unmeasured): ${r.contended.mkString(", ")}")
     if (r.skipped.nonEmpty) println(s"[stream-scale] skipped: ${r.skipped.mkString(", ")}")

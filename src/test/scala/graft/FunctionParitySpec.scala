@@ -978,7 +978,7 @@ class FunctionParitySpec extends SparkSpec {
     assert(sh.getInt(0) == -4 && sh.getLong(1) == 9223372036854775804L, sh.toString)
   }
 
-  test("tdigest_agg is a real t-digest: tail accuracy beats the KLL backing; merge dispatches") {
+  test("tdigest_agg is a real t-digest: committed tail-accuracy tolerance; merge dispatches") {
     import graft.sql.PrestoRewriter
     // deterministic heavy-tailed data: u^8 stretches the upper tail so
     // tail accuracy is actually exercised (200k values >> both sketches'
@@ -998,11 +998,34 @@ class FunctionParitySpec extends SparkSpec {
     val tdErr = math.abs(rankOf(r.getDouble(0)) - 0.999)
     val kllErr = math.abs(rankOf(r.getDouble(1)) - 0.999)
     // t-digest concentrates centroids at the tails: rank error at
-    // q0.999 stays inside 2e-4 and beats (or matches) KLL's
+    // q0.999 stays inside 2e-4 (absolute pin on the DISTRIBUTED build —
+    // the production path)
     assert(tdErr < 2e-4, s"tdigest q0.999 rank error $tdErr")
-    assert(tdErr <= kllErr + 1e-6, s"tdigest $tdErr vs KLL $kllErr at q0.999")
+    // sanity on the backing sketch: KLL's distributed tail rank error
+    // runs ~1e-5..3e-3 depending on partition merge order (observed
+    // across the round-19 deflake loop); 1e-2 is the spec envelope, not
+    // a race against tdigest
+    assert(kllErr < 1e-2, s"KLL q0.999 rank error $kllErr")
     assert(math.abs(rankOf(r.getDouble(2)) - 0.001) < 2e-4,
       s"tdigest q0.001 rank ${rankOf(r.getDouble(2))}")
+    // Committed-tolerance pin, replacing the "beats KLL" comparative
+    // (round 19 deflake, r18 verdict ask #2): the old
+    // `tdErr <= kllErr + 1e-6` was a RACE between two stochastic
+    // quantities — and no determinization can fix it, because KLL's
+    // compactors flip coins regardless of input order (measured: on a
+    // single sorted partition tdigest's error is bit-stable at
+    // 5.9999e-5 across 12 runs while KLL's swings 6e-6..5.6e-5 — the
+    // comparison's sign is genuinely random on healthy code). The
+    // tail-concentration claim is pinned instead as a FIXED tolerance
+    // on the deterministic single-sorted-partition build: 1e-4 is half
+    // the distributed 2e-4 envelope and ~1.7x the measured stable
+    // value, so centroid-allocation regressions still trip it.
+    df.repartition(1).sortWithinPartitions("x").createOrReplaceTempView("td_src_det")
+    val rd = p("""SELECT value_at_quantile(tdigest_agg(x), 0.999) AS td999
+                  FROM td_src_det""")
+    val tdErrDet = math.abs(rankOf(rd.getDouble(0)) - 0.999)
+    assert(tdErrDet <= 1e-4,
+      s"tdigest q0.999 rank error $tdErrDet on the deterministic build (committed tol 1e-4)")
     // merge() family dispatch: t-digest partials union; mixing families errors
     val m = p("""SELECT value_at_quantile(merge(s), 1.0) AS mx
                  FROM (SELECT tdigest_agg(x) AS s FROM td_src

@@ -58,4 +58,92 @@ class PrestoDialectPropertySpec extends AnyFunSuite {
       assert(out.contains(s"'$c'"), s"literal content changed: $out")
     }
   }
+
+  // ---- round-19 widening (r18 verdict next-step #6): perturbation
+  // fuzz over statement-shaped input, comment totality, paren balance,
+  // and idempotence — the invariants that separate "mis-rewrote
+  // silently" from "errored by name".
+
+  private val statements = Seq(
+    "SELECT TRY(CAST(x AS INTEGER)) FROM t WHERE a || b = 'c'",
+    "SELECT * FROM t CROSS JOIN UNNEST(xs) AS u(v)",
+    "SELECT transform(xs, x -> x + 1) FROM t",
+    "SELECT CAST(ROW(1, 'a') AS ROW(i INTEGER, s VARCHAR)) FROM t",
+    "SELECT ts AT TIME ZONE 'UTC' FROM events",
+    "SELECT approx_percentile(v, 0.5) FILTER (WHERE v > 0) FROM t GROUP BY k",
+    "SELECT a FROM t WHERE a IN (SELECT b FROM s) ORDER BY 1 LIMIT 10",
+    "SELECT element_at(m, 'k'), cardinality(xs) FROM t")
+
+  test("token perturbations, exhaustive: total, and never corrupt string literals") {
+    // delete/duplicate/swap EVERY token of every fixture (exhaustive —
+    // ~600 damaged inputs): whatever the damaged input does to the
+    // passes (rewrite, no-op, or error by name), transform must
+    // terminate and literal CONTENT must never change — a mis-rewrite
+    // inside quotes is data corruption, the one outcome fuzzing exists
+    // to exclude. This enumeration found (round 19) the UNNEST alias
+    // pass looping forever on an unmatched '(' in the column list
+    // ("AS u(v" / "AS u((v)") — the -1 from matchFwd restarted the
+    // scan; the pass now leaves malformed spans unrewritten.
+    for {
+      stmt <- statements
+      toks = PrestoDialect.tokenize(stmt)
+      idx <- toks.indices
+      mode <- 0 to 2
+    } {
+      val damaged = mode match {
+        case 0 => toks.patch(idx, Nil, 1)                 // delete
+        case 1 => toks.patch(idx, Seq(toks(idx), toks(idx)), 1) // duplicate
+        case _ => if (idx + 1 < toks.length)
+          toks.patch(idx, Seq(toks(idx + 1), toks(idx)), 2) else toks // swap
+      }
+      val in = PrestoDialect.render(damaged)
+      val lits = damaged.collect { case s: PrestoDialect.Str => s.text }
+      try {
+        val out = PrestoDialect.transform(in)
+        lits.foreach(l => assert(out.contains(l),
+          s"literal $l corrupted: '$in' -> '$out'"))
+      } catch {
+        case e: Exception => // erroring by name is allowed; silence is not
+          assert(Option(e.getMessage).exists(_.nonEmpty), s"nameless error on '$in'")
+      }
+    }
+  }
+
+  test("comment-laced input: totality, and comment text never reaches the output (400 samples)") {
+    val commented = for {
+      s1 <- sqlish; s2 <- sqlish
+      c <- Gen.alphaNumStr
+      style <- Gen.oneOf(0, 1)
+    } yield if (style == 0) s"$s1 -- ZQX$c\n$s2" else s"$s1 /* ZQX$c */ $s2"
+    samples(commented, 400).foreach { s =>
+      val out = PrestoDialect.transform(s) // must not throw
+      assert(!out.contains("ZQX"), s"comment text leaked: '$s' -> '$out'")
+    }
+  }
+
+  test("transform preserves bracket balance on balanced statement input") {
+    def balance(s: String): (Int, Int) = {
+      val toks = PrestoDialect.tokenize(s)
+      val parens = toks.collect { case PrestoDialect.Sym("(") => 1
+        case PrestoDialect.Sym(")") => -1 }.sum
+      val brackets = toks.collect { case PrestoDialect.Sym("[") => 1
+        case PrestoDialect.Sym("]") => -1 }.sum
+      (parens, brackets)
+    }
+    statements.foreach { s =>
+      assert(balance(s) == ((0, 0)), s"fixture not balanced: $s")
+      assert(balance(PrestoDialect.transform(s)) == ((0, 0)),
+        s"transform unbalanced: $s -> ${PrestoDialect.transform(s)}")
+    }
+  }
+
+  test("transform is idempotent on statement fixtures and token soup (300 samples)") {
+    // the output is Spark SQL: no Presto-ism should remain for a second
+    // pass to rewrite differently
+    (statements ++ samples(sqlish, 300)).foreach { s =>
+      val once = PrestoDialect.transform(s)
+      assert(PrestoDialect.transform(once) == once,
+        s"not idempotent on '$s': '$once' -> '${PrestoDialect.transform(once)}'")
+    }
+  }
 }

@@ -117,6 +117,21 @@ class ScaleLaneSpec extends SparkSpec {
     assert(!overGateBreachNorm(2.2, 1.0, 1.32))   // same entry in a degraded run: ambiguous, not fatal
     assert(overGateBreachNorm(5.0, 1.0, 1.32))    // 5x sticks out of any run mode
     assert(overGateBreachNorm(2.2, 1.0, 0.5))     // m clamps to >= 1: same verdict as m = 1
+    // m clamps ABOVE at RatioMedianCap (r18 advice, medium): a uniform
+    // 3x code regression raises the run median itself to ~3 — unbounded
+    // normalization would make the gate unfireable at any magnitude
+    assert(RatioMedianCap == 1.5)
+    assert(overGateBreachNorm(4.0, 1.0, 3.0))  // m=3 capped to 1.5: 4.0 > 3.0 fires
+    assert(!overGateBreachNorm(2.9, 1.0, 3.0)) // inside the capped band
+    // uniform-regression alarm: quiet-median-steal run over the band
+    // trips; a loud-steal run is weather by the same policy that
+    // converts its legs; NaN steal (journal lost) stays visible
+    assert(ratioMedianAlarm(2.5, 0.3, gate = 1.5))
+    assert(!ratioMedianAlarm(2.5, 5.0, gate = 1.5))
+    assert(!ratioMedianAlarm(1.4, 0.3, gate = 1.5))
+    assert(ratioMedianAlarm(2.5, Double.NaN, gate = 1.5))
+    assert(!ratioMedianAlarm(Double.NaN, 0.3, gate = 1.5))
+    assert(ratioMedianAlarm(2.5, 0.3, gate = 0.0)) // gate off: steal unknownable, fire on m
     assert(median(Seq(3.0, 1.0, 2.0)) == 2.0)
     assert(median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
     // contendedRep: steal above the gate marks; NaN steal never marks;
@@ -143,13 +158,45 @@ class ScaleLaneSpec extends SparkSpec {
     assert(hits.head._2.startsWith("contended "))
   }
 
+  test("LaneDiscipline round 19: env-suspect annotation and pending-leg ledger") {
+    import tools.LaneDiscipline._
+    val scales = Seq(1L, 10L, 100L)
+    val comm = Some(Seq(1.0, 5.0, 30.0))
+    // leg1 is over 2x committed at QUIET steal (exactly the legs the
+    // contended conversion keeps): annotated only when the lane's worst
+    // calibration ratio exceeded the gate
+    val times = Array(1.0, 30.0, 40.0)
+    val quietSteals = Array(0.1, 0.2, 0.1)
+    assert(envSuspectLegs(times, quietSteals, scales, scales, comm,
+      calibMax = 2.0, gate = 1.5).map(_._1) == Seq(1))
+    // calibration quiet -> a real regression, NO annotation
+    assert(envSuspectLegs(times, quietSteals, scales, scales, comm,
+      calibMax = 1.2, gate = 1.5).isEmpty)
+    // no calibration reference -> never adjudicates
+    assert(envSuspectLegs(times, quietSteals, scales, scales, comm,
+      calibMax = Double.NaN, gate = 1.5).isEmpty)
+    // loud-steal over-2x legs belong to the CONTENDED conversion, not here
+    assert(envSuspectLegs(times, Array(0.1, 5.0, 0.1), scales, scales, comm,
+      calibMax = 2.0, gate = 1.5).isEmpty)
+    assert(envSuspectLegs(times, quietSteals, scales, scales, comm,
+      calibMax = 2.0, gate = 1.5).head._2.contains("env-suspect"))
+    // pending-leg ledger: round-trips through target/, tolerates absence
+    assert(pendingLegs("spec_lane_never_written").isEmpty)
+    // (write path is gated off under SPARK_GRAFT_LANE_LEDGER=off — the
+    // spec env — so starved spec runs can't steer the next real bench)
+    writePendingLegs("spec_lane", Seq("a@100x", "b@10x"))
+    assert(pendingLegs("spec_lane").isEmpty, "test env must not persist the ledger")
+  }
+
   test("DedupScale skip ledger: a budget-starved leg records a named reason, not a bare null") {
     // budget 0 admits the 1x legs (never budget-gated) but starves the
     // 10x tier -> every probe's 10x leg must appear in `skipped` as
     // "budget" and its time as NaN (round-18 artifact-honesty ask #3).
-    // One probe keeps the runtime bounded; the ledger logic is shared.
+    // One probe (the `only` filter) keeps the runtime bounded; the
+    // ledger logic is shared across probes.
     val r = tools.DedupScale.run(spark, budgetSecs = 0.0, scales = Seq(1L, 10L),
-      reps = Map.empty[Long, Int].withDefaultValue(1))
+      reps = Map.empty[Long, Int].withDefaultValue(1),
+      only = Some("^neardup_minhash$"))
     val e = r.entries.find(_.name == "neardup_minhash").get
     assert(!e.times.head.isNaN && e.times(1).isNaN, e.toString)
     assert(r.skipped.get("neardup_minhash@10x").contains("budget"), r.skipped.toString)
