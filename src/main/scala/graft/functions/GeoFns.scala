@@ -1472,10 +1472,34 @@ object GeoFns {
       locA: (Double, Double) => Int, locB: (Double, Double) => Int): Unit = {
     val aRings = a.polys.flatten.toArray
     val bRings = b.polys.flatten.toArray
+    // Exact coincident-edge index (round 19, property-sweep find): an
+    // edge of one operand that IS an edge of the other (identical
+    // coordinate doubles — the self-relate / shared-boundary case) must
+    // classify as boundary by exact lookup, not by locating its float
+    // midpoint, which for non-dyadic coordinates rounds off the line
+    // and read "exterior" — relateMatrix(a, a) on an irrational-coord
+    // star returned 2F2F11212 instead of 2FFF1FFF2.
+    def ekey(x1: Double, y1: Double, x2: Double, y2: Double) =
+      if (x1 < x2 || (x1 == x2 && y1 <= y2)) (x1, y1, x2, y2) else (x2, y2, x1, y1)
+    def edgeSet(rings: Array[Coords]): Set[(Double, Double, Double, Double)] = {
+      val bld = Set.newBuilder[(Double, Double, Double, Double)]
+      rings.foreach { c =>
+        var i = 0
+        while (i + 3 < c.length) {
+          if (!(c(i) == c(i + 2) && c(i + 1) == c(i + 3)))
+            bld += ekey(c(i), c(i + 1), c(i + 2), c(i + 3))
+          i += 2
+        }
+      }
+      bld.result()
+    }
+    val aEdges = edgeSet(aRings)
+    val bEdges = edgeSet(bRings)
     // cut one boundary at the other: rowBase=3 fills A's boundary row
     // (BI=3, BB=4, BE=5); rowBase=1 fills B's boundary column (IB=1,
     // BB=4, EB=7)
     def cutRows(rings: Array[Coords], other: Array[Coords],
+                twins: Set[(Double, Double, Double, Double)],
                 loc: (Double, Double) => Int, aSide: Boolean): Unit = {
       var r = 0
       while (r < rings.length) {
@@ -1488,8 +1512,14 @@ object GeoFns {
             var k = 0
             while (k + 1 < ts.length) {
               if (ts(k + 1) - ts(k) > 1e-12) {
-                val tm = (ts(k) + ts(k + 1)) / 2
-                val l = loc(px + tm * (qx - px), py + tm * (qy - py))
+                // whole-edge span with an exact twin in the other
+                // boundary → boundary∩boundary, no float location
+                val l =
+                  if (ts(k) == 0.0 && ts(k + 1) == 1.0 && twins(ekey(px, py, qx, qy))) 2
+                  else {
+                    val tm = (ts(k) + ts(k + 1)) / 2
+                    loc(px + tm * (qx - px), py + tm * (qy - py))
+                  }
                 val cellIdx =
                   if (aSide) (if (l == 1) 3 else if (l == 2) 4 else 5)
                   else (if (l == 1) 1 else if (l == 2) 4 else 7)
@@ -1504,8 +1534,8 @@ object GeoFns {
         r += 1
       }
     }
-    cutRows(aRings, bRings, locB, aSide = true)
-    cutRows(bRings, aRings, locA, aSide = false)
+    cutRows(aRings, bRings, bEdges, locB, aSide = true)
+    cutRows(bRings, aRings, aEdges, locA, aSide = false)
     // ring vertices: corner-to-corner touches are dim-0 BB
     def vertsBB(rings: Array[Coords], loc: (Double, Double) => Int): Unit =
       rings.foreach { c =>

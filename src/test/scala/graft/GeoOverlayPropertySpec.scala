@@ -113,6 +113,99 @@ class GeoOverlayPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Annulus: star shell with a concentric half-scale star hole —
+    * strictly interior by construction (hole radius ≤ shell radius / 2
+    * per vertex ray). Exercises the hole-ring paths of
+    * classify/stitch/assemble that shell-only pairs never touch. */
+  final case class Annulus(star: Star) {
+    def wkt: String = {
+      val k = star.radii.size
+      def ring(scale: Double, reversed: Boolean) = {
+        val vs = star.radii.zipWithIndex.map { case (r, i) =>
+          val a = 2 * math.Pi * i / k
+          s"${star.cx + r * scale * math.cos(a)} ${star.cy + r * scale * math.sin(a)}"
+        }
+        val closed = vs :+ vs.head
+        (if (reversed) closed.reverse else closed).mkString(", ")
+      }
+      s"POLYGON ((${ring(1.0, reversed = false)}), (${ring(0.5, reversed = true)}))"
+    }
+    def geom: Geom = parseWkt(wkt)
+    /** shoelace of shell minus hole: hole area = shell area / 4 for a
+      * uniformly half-scaled similar ring */
+    def expectedArea: Double = area(parseWkt(
+      s"POLYGON ((${star.wkt.stripPrefix("POLYGON ((").stripSuffix("))")}))")) * 0.75
+  }
+
+  private val genAnnulus: Gen[Annulus] = genStar.map(Annulus(_))
+  private implicit val shrinkAnnulus: Shrink[Annulus] =
+    Shrink(a => shrinkStar.shrink(a.star).map(Annulus(_)))
+
+  test("area algebra holds for polygons WITH HOLES vs solid stars (400 pairs, shrinking)") {
+    // the hole ring doubles the boundary complexity of every overlay:
+    // A is an annulus, B a solid star — the same algebraic identities
+    // must hold, plus the annulus's own area closed form (hole = 1/4
+    // of shell for a half-scaled similar ring)
+    val prop = Prop.forAll(genAnnulus, genStar) { (an, sb) =>
+      val (a, b) = (an.geom, sb.geom)
+      val (aa, ab) = (area(a), area(b))
+      val tol = 1e-6 * (aa + ab + 1)
+      val inter = GeoOverlay.intersection(a, b)
+      val uni = GeoOverlay.union(a, b)
+      val dif = GeoOverlay.difference(a, b)
+      Prop(math.abs(aa - an.expectedArea) <= tol) :| "annulus-closed-form" &&
+        Prop(math.abs(aa + ab - (area(uni) + area(inter))) <= tol) :| "incl-excl" &&
+        Prop(math.abs(area(dif) + area(inter) - aa) <= tol) :| "partition" &&
+        Prop(math.abs(area(GeoOverlay.union(a, a)) - aa) <= tol) :| "hole-self-union" &&
+        Prop(GeoOverlay.difference(a, a).isEmpty) :| "hole-self-diff"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(400)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260817L)), prop)
+    assert(res.passed, s"holes: ${res.status}")
+  }
+
+  test("WKT round-trip is exact on generated stars and annuli (400 each)") {
+    // parse(render(g)) must reproduce g exactly — float coordinates
+    // included (the WKT writer must not lose precision)
+    val prop = Prop.forAll(genStar, genAnnulus) { (s, a) =>
+      Prop(toWkt(parseWkt(s.wkt)) == toWkt(parseWkt(toWkt(s.geom)))) :| "star" &&
+        Prop(toWkt(parseWkt(a.wkt)) == toWkt(parseWkt(toWkt(a.geom)))) :| "annulus" &&
+        Prop(toWkt(fromWkb(toWkb(s.geom))) == toWkt(s.geom)) :| "star-wkb" &&
+        Prop(toWkt(fromWkb(toWkb(a.geom))) == toWkt(a.geom)) :| "annulus-wkb"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(400)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260818L)), prop)
+    assert(res.passed, s"roundtrip: ${res.status}")
+  }
+
+  test("DE-9IM relate invariants on 400 NON-convex star pairs (shrinking)") {
+    // GeoSpec's random relate differential is convex-only; star pairs
+    // reach concave boundary chains. Oracles are matrix-algebraic:
+    // transpose symmetry, predicate-vs-matrix consistency, and the
+    // self-relate closed form (a simple polygon relates to itself as
+    // 2FFF1FFF2).
+    val prop = Prop.forAll(genStar, genStar) { (sa, sb) =>
+      val (a, b) = (sa.geom, sb.geom)
+      val m = relateMatrix(a, b)
+      val t = Array(0, 3, 6, 1, 4, 7, 2, 5, 8).map(relateMatrix(b, a).charAt).mkString
+      val closureMeet = "0134".exists(c => m(c - '0') != 'F')
+      Prop(m == t) :| s"transpose: $m vs ${relateMatrix(b, a)}" &&
+        Prop(closureMeet == intersects(a, b)) :| s"closure-vs-intersects: $m" &&
+        Prop(relate(a, b, "T*****FF*") == contains(a, b)) :| s"contains-vs-matrix: $m" &&
+        Prop(!contains(a, b) || intersects(a, b)) :| "contains-implies-intersects" &&
+        Prop(relateMatrix(a, a) == "2FFF1FFF2") :| s"self-relate: ${relateMatrix(a, a)}"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(400)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260819L)), prop)
+    assert(res.passed, s"relate: ${res.status}")
+  }
+
   test("commutativity and idempotence on 400 star pairs (shrinking)") {
     check("commutativity/idempotence") { (sa, sb) =>
       val (a, b) = (sa.geom, sb.geom)
