@@ -206,6 +206,31 @@ class GeoOverlayPropertySpec extends AnyFunSuite {
     assert(res.passed, s"relate: ${res.status}")
   }
 
+  test("st_buffer properties on 150 NON-convex stars (shrinking)") {
+    // the buffer fixtures are rectangles/points/segments; stars reach
+    // concave corners (arc joins across reflex vertices) and the
+    // erosion path's hole/collapse handling. Oracles are set-algebraic:
+    // dilation contains the input, erosion is contained by it, area is
+    // monotone in the radius, buffer(0) is the identity.
+    val genR = Gen.choose(0.5, 4.0)
+    val prop = Prop.forAll(genStar, genR) { (s, r) =>
+      val g = s.geom
+      val dil = GeoOverlay.buffer(g, r)
+      val dil2 = GeoOverlay.buffer(g, r * 2)
+      val ero = GeoOverlay.buffer(g, -r)
+      Prop(contains(dil, g)) :| "dilation-contains-input" &&
+        Prop(area(dil2) >= area(dil) && area(dil) > area(g)) :| "area-monotone" &&
+        Prop(ero.isEmpty || contains(g, ero)) :| "erosion-contained" &&
+        Prop(ero.isEmpty || area(ero) < area(g)) :| "erosion-shrinks" &&
+        Prop(toWkt(GeoOverlay.buffer(g, 0.0)) == toWkt(g)) :| "buffer-zero-identity"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(150)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260820L)), prop)
+    assert(res.passed, s"buffer: ${res.status}")
+  }
+
   test("commutativity and idempotence on 400 star pairs (shrinking)") {
     check("commutativity/idempotence") { (sa, sb) =>
       val (a, b) = (sa.geom, sb.geom)

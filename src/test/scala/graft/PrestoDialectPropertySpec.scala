@@ -72,7 +72,14 @@ class PrestoDialectPropertySpec extends AnyFunSuite {
     "SELECT ts AT TIME ZONE 'UTC' FROM events",
     "SELECT approx_percentile(v, 0.5) FILTER (WHERE v > 0) FROM t GROUP BY k",
     "SELECT a FROM t WHERE a IN (SELECT b FROM s) ORDER BY 1 LIMIT 10",
-    "SELECT element_at(m, 'k'), cardinality(xs) FROM t")
+    "SELECT element_at(m, 'k'), cardinality(xs) FROM t",
+    // statement/DDL shapes: the rewrites that trigger on statement heads
+    "EXPLAIN (TYPE DISTRIBUTED) SELECT * FROM t",
+    "SHOW STATS FOR (SELECT * FROM t WHERE a > 0)",
+    "CREATE TABLE u AS SELECT a, b FROM t WITH NO DATA",
+    "ANALYZE t WITH (columns = ARRAY['a'])",
+    "SELECT * FROM t FOR TIMESTAMP AS OF TIMESTAMP '2024-01-01 00:00:00'",
+    "DELETE FROM t WHERE a IN (SELECT b FROM s)")
 
   test("token perturbations, exhaustive: total, and never corrupt string literals") {
     // delete/duplicate/swap EVERY token of every fixture (exhaustive —
