@@ -52,6 +52,11 @@ object AnnScale {
     val spark = Sessions.builder(master = "local[32]", appName = "graft-ann-scale")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // calibration probe (round 19, uniform with the bench lanes):
+    // start/end samples; a >1.5x worst ratio marks over-committed legs
+    // environment-suspect in the printed summary
+    val calibs = Seq.newBuilder[Double]
+    calibs += LaneDiscipline.calibrationRatio(spark, "ann-scale")
     val scales = Seq(1L, 10L, 100L)
     val rows = scales.map { n =>
       val d = new java.io.File(s"/root/repo/target/ann_scale/x$n")
@@ -113,11 +118,20 @@ object AnnScale {
       val recall = (exact & approx).size.toDouble / exact.size
       (n, vecs, nq, nLists, nProbe, bSec, iSec, recall)
     }
+    calibs += LaneDiscipline.calibrationRatio(spark, "ann-scale")
+    val calibration = calibs.result()
+    val calibMax = calibration.filterNot(_.isNaN)
+      .foldLeft(Double.NaN)((a, b) => if (a.isNaN || b > a) b else a)
     println("| scale | vectors | queries | lists/probe | brute top-5 (s) | IVF top-5 (s) | IVF recall@5 vs brute |")
     println("|---|---|---|---|---|---|---|")
     rows.foreach { case (n, v, nq, nl, np, b, i, r) =>
       println(f"| ${n}x | $v | $nq | $nl/$np | $b%.2f | $i%.2f | $r%.3f |")
     }
+    println(s"[ann-scale] calibration ratios: " +
+      calibration.map(c => if (c.isNaN) "n/a" else f"$c%.2f").mkString("/") +
+      (if (!calibMax.isNaN && calibMax > LaneDiscipline.CalibrationSuspectGate)
+        " - ENV-SUSPECT: over-committed legs in this run may be box degradation, not regression"
+       else ""))
     spark.stop()
   }
 }
