@@ -221,12 +221,20 @@ object NativeExprs {
       while (d < c.length) { s += c(d) * c(d); d += 1 }
       math.max(math.sqrt(s), 1e-12)
     }
+    // Element accessor for the vector side (same discipline as VecDot):
+    // float-packed arrays read 4-byte slots, never 8-byte garbage.
+    @transient private lazy val getV: (ArrayData, Int) => Double = left.dataType match {
+      case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+      case other => throw new IllegalArgumentException(
+        s"graft_ivf_assign expects array<float|double>, got $other")
+    }
     override def nullSafeEval(a: Any, b: Any): Any = {
       val arr = a.asInstanceOf[ArrayData]
       val dims = arr.numElements()
       val v = new Array[Double](dims)
       var d = 0
-      while (d < dims) { v(d) = arr.getDouble(d); d += 1 }
+      while (d < dims) { v(d) = getV(arr, d); d += 1 }
       val k = cents.length
       val sims = new Array[Double](k)
       var c = 0
@@ -254,6 +262,146 @@ object NativeExprs {
         t += 1
       }
       new GenericArrayData(out)
+    }
+  }
+
+  /** Product-quantization encode kernel (optimization round 19): for one
+    * vector, the argmin-L2 code of every subspace against a trained
+    * per-subspace codebook, plus the winner's L1 reconstruction error —
+    * array<struct<m, c_idx, abserr>>, m-ascending. The codebook arrives
+    * COLLECTED (≤ M·K rows — a fixed-size model artifact, the same
+    * bounded-collect discipline as [[IvfAssign]]'s centroid literal) and
+    * pre-sliced per subspace in c_idx order, so the strict `<` in the
+    * scan reproduces the old (dist asc, c_idx asc) window tie-break
+    * exactly; the squared-distance and abserr accumulations run in the
+    * same element order the relational zip_with/aggregate chain used, so
+    * every double is bit-identical. Replaces an explode→broadcast-join→
+    * row_number-window chain that shuffled corpus×M×K rows carrying two
+    * 8-dim arrays each. Constructed directly (Shim.column), not
+    * registered: the codebook can't round-trip through a SQL signature.
+    * Subspaces with no surviving codebook entry emit no element — the
+    * join semantics of the relational form. */
+  case class PqEncodeCodes(child: Expression,
+      cb: Array[(Int, Int, Array[Double])], numSub: Int, subDim: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(new StructType()
+      .add("m", IntegerType, nullable = false)
+      .add("c_idx", IntegerType, nullable = false)
+      .add("abserr", DoubleType, nullable = false), containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+    @transient private lazy val perSub: Array[Array[(Int, Array[Double])]] =
+      Array.tabulate(numSub)(m =>
+        cb.iterator.filter(_._1 == m).map(t => (t._2, t._3)).toArray)
+    @transient private lazy val getV: (ArrayData, Int) => Double = child.dataType match {
+      case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+      case other => throw new IllegalArgumentException(
+        s"graft_pq_encode expects array<float|double>, got $other")
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val out = new scala.collection.mutable.ArrayBuffer[Any](numSub)
+      var m = 0
+      while (m < numSub) {
+        val entries = perSub(m)
+        if (entries.nonEmpty) {
+          var bestD = Double.MaxValue
+          var bestI = -1
+          var c = 0
+          while (c < entries.length) {
+            val csv = entries(c)._2
+            var s = 0.0
+            var j = 0
+            while (j < subDim && j < csv.length) {
+              val diff = getV(arr, m * subDim + j) - csv(j)
+              s += diff * diff
+              j += 1
+            }
+            if (s < bestD) { bestD = s; bestI = c }
+            c += 1
+          }
+          val bcsv = entries(bestI)._2
+          var ae = 0.0
+          var j = 0
+          while (j < subDim && j < bcsv.length) {
+            ae += math.abs(getV(arr, m * subDim + j) - bcsv(j))
+            j += 1
+          }
+          out += org.apache.spark.sql.catalyst.InternalRow(m, entries(bestI)._1, ae)
+        }
+        m += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+  }
+
+  /** Anchor-gram extraction kernel (optimization round 19): for one
+    * document, every 1-based char position p whose first codepoint is
+    * ≡ 0 (mod 8) paired with xxhash64 of the k-char gram starting there
+    * — array<struct<pos, h>>, position-ascending. Replicates the
+    * relational chain
+    *   transform(filter(sequence(1, length-  k+1),
+    *             p -> ascii(substring(text,p,1)) % 8 = 0),
+    *             p -> struct(p, xxhash64(substring(text,p,k))))
+    * byte-for-byte: Spark's `ascii` is the first codepoint (decoded here
+    * straight from the UTF-8 lead byte), `substring` slices codepoints
+    * (byte offsets precomputed in one pass), and the gram hash is the
+    * same [[XxHash64Function]] at the xxhash64 expression's seed 42 over
+    * the identical byte range. As interpreted HOFs that chain allocates
+    * a position array, a UTF8String per position for the ascii probe and
+    * another per anchor for the hash — ~1 µs/element-op over ~10M
+    * positions at sf0.1 (the dominant cost of the span-dedup family,
+    * paid once per [[graft.llm.TextStats.withAnchors]] consumer); the
+    * compiled pass is one byte scan plus one hash per anchor, zero
+    * intermediate allocation. */
+  case class AnchorGrams(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(new StructType()
+      .add("pos", IntegerType, nullable = false)
+      .add("h", LongType, nullable = false), containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression) =
+      copy(child = newChild)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val bytes = s.getBytes
+      val nBytes = bytes.length
+      // One pass: char-start byte offsets + decoded codepoints.
+      val starts = new Array[Int](nBytes + 1)
+      val cps = new Array[Int](nBytes)
+      var nc = 0
+      var b = 0
+      while (b < nBytes) {
+        starts(nc) = b
+        val c0 = bytes(b) & 0xFF
+        var w = 1
+        var cp = c0
+        if (c0 >= 0x80) {
+          if ((c0 & 0xE0) == 0xC0) { w = 2; cp = c0 & 0x1F }
+          else if ((c0 & 0xF0) == 0xE0) { w = 3; cp = c0 & 0x0F }
+          else { w = 4; cp = c0 & 0x07 }
+          var j = 1
+          while (j < w && b + j < nBytes) { cp = (cp << 6) | (bytes(b + j) & 0x3F); j += 1 }
+        }
+        cps(nc) = cp
+        nc += 1
+        b += w
+      }
+      starts(nc) = nBytes
+      if (nc < k) return new GenericArrayData(Array.empty[Any])
+      val out = new scala.collection.mutable.ArrayBuffer[Any](nc / 8 + 1)
+      var p = 0
+      val last = nc - k
+      while (p <= last) {
+        if (cps(p) % 8 == 0) {
+          val gram = org.apache.spark.unsafe.types.UTF8String
+            .fromBytes(bytes, starts(p), starts(p + k) - starts(p))
+          out += org.apache.spark.sql.catalyst.InternalRow(
+            p + 1, XxHash64Function.hash(gram, StringType, 42L))
+        }
+        p += 1
+      }
+      new GenericArrayData(out.toArray)
     }
   }
 

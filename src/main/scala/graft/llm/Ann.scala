@@ -47,6 +47,80 @@ object Ann {
       .withColumn("norm", sqrt(dot(col("e"), col("e"))))
   }
 
+  // ------------------------------------- map-side centroid ranking (r19)
+  /** The trained centroid set collapsed to ONE broadcastable row —
+    * array of struct(c_id, ce, cnorm) sorted by c_id (collect_list order
+    * is shuffle-dependent; the sort pins it). A fixed-k model artifact,
+    * never corpus-proportional. */
+  private def centsRow(cents: DataFrame): DataFrame =
+    cents.agg(array_sort(collect_list(
+      struct(col("c_id"), col("ce"), col("cnorm")))).as("cbs"))
+
+  /** (csim desc, c_id asc) — the exact ordering every assign/probe
+    * window used, as an array_sort comparator. */
+  private val bySimDesc: (Column, Column) => Column = (l, r) =>
+    when(l.getField("csim") > r.getField("csim"), -1)
+      .when(l.getField("csim") < r.getField("csim"), 1)
+      .when(l.getField("c_id") < r.getField("c_id"), -1)
+      .when(l.getField("c_id") > r.getField("c_id"), 1)
+      .otherwise(0)
+
+  /** Top-`n` centroids per row by cosine, computed MAP-SIDE against the
+    * broadcast codebook: ranking k=16 structs per row inside a HOF
+    * instead of the crossJoin+row_number window (which shuffled corpus×k
+    * rows carrying the full embedding arrays). The csim arithmetic
+    * (graft_vecdot / (norm·cnorm)) and the (csim desc, c_id asc)
+    * tie-break are unchanged expression-for-expression, so the
+    * assignment is bit-identical. Used where the per-row csim VALUE is
+    * needed downstream ([[kmeansTrain]]'s objective); the hot
+    * c_id-only assignment paths use the compiled
+    * [[NativeExprs.IvfAssign]] kernel instead ([[nativeTopIds]]) —
+    * interpreted HOF ranking measured ~1.3× SLOWER than the codegen'd
+    * join+window it replaced, while the native kernel beats both. */
+  private def topCents(v: DataFrame, cents: DataFrame, n: Int,
+                       eCol: String, normCol: String): DataFrame =
+    v.crossJoin(broadcast(centsRow(cents)))
+      .withColumn("tc", explode(slice(array_sort(
+        transform(col("cbs"), c => struct(
+          (dot(col(eCol), c.getField("ce")) /
+            (col(normCol) * c.getField("cnorm"))).as("csim"),
+          c.getField("c_id").as("c_id"))), bySimDesc), 1, n)))
+      .drop("cbs")
+      .withColumn("c_id", col("tc.c_id"))
+      .withColumn("csim", col("tc.csim"))
+      .drop("tc")
+
+  /** The trained codebook COLLECTED (bounded: k ≤ 16 rows — the same
+    * model-artifact discipline as [[graft.llm.Dedup.neardupEmbeddingOver]]'s
+    * centroid literal): c_ids sorted ascending plus their vectors as
+    * doubles (float elements widen exactly). */
+  private def collectCents(cents: DataFrame): (Seq[Long], Seq[Seq[Double]]) = {
+    val rows = cents.orderBy(col("c_id")).select(col("c_id"), col("ce")).collect()
+    (rows.map(_.getLong(0)).toSeq,
+      rows.map(_.getSeq[Any](1).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+        case x => x.asInstanceOf[Double]
+      }.toSeq).toSeq)
+  }
+
+  /** Top-`n` centroid c_ids per row via the compiled
+    * [[NativeExprs.IvfAssign]] kernel against the collected codebook
+    * (optimization round 19): a pure projection — no crossJoin, no
+    * window Exchange+Sort, no per-row interpreted HOF. IvfAssign ranks
+    * by dot/cnorm, the same ordering as csim = dot/(norm·cnorm) (the
+    * row's norm is a common positive factor — rank-invariant, the
+    * documented ulp-tie caveat of [[annIvfSql]] applies unchanged), and
+    * its strict `>` selection keeps the LOWEST index on ties = the old
+    * (csim desc, c_id asc) window order, mapped back to real c_ids via
+    * the sorted id literal (empty clusters may leave gaps). */
+  private def nativeTopIds(v: DataFrame, cb: (Seq[Long], Seq[Seq[Double]]),
+                           n: Int, eCol: String): DataFrame =
+    v.withColumn("__aidx", explode(call_function("graft_ivf_assign",
+        col(eCol), typedlit(cb._2), lit(math.min(n.toLong, cb._1.size.toLong).toInt))))
+      .withColumn("c_id", element_at(typedlit(cb._1), col("__aidx") + 1))
+      .drop("__aidx")
+
   // ------------------------------------------------- brute-force top-k
   def annBruteforce(t: Tables): DataFrame = annBruteforce(t, NQueries)
 
@@ -151,14 +225,18 @@ object Ann {
   def trainCodebook(v: DataFrame, k: Int = CbK, iters: Int = CbIters): DataFrame = {
     // Lloyd rounds iterate over the BOUNDED sample (seedCents over the
     // sample equals seedCents over v: same ordering, same top-k).
+    // Optimization round 19: assignment is map-side ([[topCents]] —
+    // the per-vector argmax no longer shuffles sample×k rows), and the
+    // per-iteration localCheckpoints are gone: each one forced an eager
+    // job per Lloyd round over a 512-row sample, so training paid
+    // 2·iters scheduler round-trips for microseconds of compute. The
+    // rounds now fuse into the single final checkpoint (kept — the
+    // trained codebook is consumed by several downstream subtrees and
+    // must be computed once).
     val vs = trainSample(v).localCheckpoint(true)
-    var cents = seedCents(vs, k).localCheckpoint(true)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
+    var cents = seedCents(vs, k)
     for (_ <- 1 to iters) {
-      cents = vs.crossJoin(broadcast(cents))
-        .withColumn("csim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
-        .withColumn("arank", row_number().over(wAssign))
-        .filter(col("arank") === 1)
+      cents = nativeTopIds(vs, collectCents(cents), 1, "e")
         .select(col("c_id"), posexplode(col("e")))
         .groupBy(col("c_id"), col("pos"))
         .agg(avg(col("col")).as("m"))
@@ -166,9 +244,8 @@ object Ann {
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
           s => round(s.getField("m"), 6)).as("ce"))
         .withColumn("cnorm", sqrt(dot(col("ce"), col("ce"))))
-        .localCheckpoint(true)
     }
-    cents
+    cents.localCheckpoint(true)
   }
 
   /** DuckDB replay of [[trainCodebook]]: the unrolled CTE chain
@@ -228,21 +305,16 @@ object Ann {
     val v = prepped(t)
     val cents = trainCodebook(v, nLists)
     // Assign every vector to its NAssign nearest centroids → replicated
-    // inverted lists (multi-assign; see [[NAssign]]).
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
-    val lists = v.crossJoin(broadcast(cents))
-      .withColumn("csim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") <= NAssign)
+    // inverted lists (multi-assign; see [[NAssign]]). Compiled map-side
+    // ranking against the collected codebook ([[nativeTopIds]]) — no
+    // exchange, no window.
+    val cb = collectCents(cents)
+    val lists = nativeTopIds(v, cb, NAssign, "e")
       .select(col("c_id").as("list_id"), col("vec_id"), col("e"), col("norm"))
     // Each query probes its nProbe nearest lists only.
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"))
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_id"))
-    val probes = q.crossJoin(broadcast(cents))
-      .withColumn("csim", dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nProbe)
+    val probes = nativeTopIds(q, cb, nProbe, "qe")
       .select(col("q_id"), col("qe"), col("qnorm"), col("c_id").as("list_id"))
     // Score only within probed lists; dedup (query, vector) BEFORE the
     // ranking window so a replicated vector fills one top-k slot, not
@@ -329,11 +401,9 @@ object Ann {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
       .withColumn("norm", sqrt(dot(col("e"), col("e"))))
     val seeds = seedCents(base)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
-    val assigned = base.crossJoin(broadcast(seeds))
-      .withColumn("csim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") === 1)
+    // Compiled map-side nearest-seed assignment ([[nativeTopIds]]): same
+    // ranking and tie-break as the old crossJoin+window, no exchange.
+    val assigned = nativeTopIds(base, collectCents(seeds), 1, "e")
       .select(col("c_id"), col("vec_id"), col("e"))
     val dimMeans = assigned
       .select(col("c_id"), posexplode(col("e")))
@@ -394,12 +464,10 @@ object Ann {
       .localCheckpoint(true)
     var cents = seedCents(base).localCheckpoint(true)
     val objs = Seq.newBuilder[Double]
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
     for (_ <- 1 to iters) {
-      val assigned = base.crossJoin(broadcast(cents))
-        .withColumn("csim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
-        .withColumn("arank", row_number().over(wAssign))
-        .filter(col("arank") === 1)
+      // Map-side assignment ([[topCents]]); the per-iteration checkpoint
+      // stays — `assigned` feeds both the objective action and the update.
+      val assigned = topCents(base, cents, 1, "e", "norm")
         .select(col("c_id"), col("e"), col("csim"))
         .localCheckpoint(true)
       objs += assigned.agg(sum(col("csim"))).head().getDouble(0)
@@ -522,6 +590,24 @@ object Ann {
   private def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
+  /** The per-subspace PQ codebook COLLECTED (bounded: ≤ M·K = 128 rows —
+    * a fixed-size model artifact, same discipline as [[collectCents]]),
+    * sorted (m, c_idx) so the kernel's strict-< scan reproduces the
+    * (dist asc, c_idx asc) tie-break. */
+  private def collectPqCb(cb: DataFrame): Array[(Int, Int, Array[Double])] =
+    cb.orderBy(col("m"), col("c_idx")).select(col("m"), col("c_idx"), col("csv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+
+  /** Column of per-subspace argmin codes+abserr via the compiled
+    * [[NativeExprs.PqEncodeCodes]] kernel — replaces the
+    * explode→broadcast-join→row_number-window chain (which shuffled
+    * corpus×M×K rows) with a pure projection. */
+  private def pqCodes(e: Column, cbArr: Array[(Int, Int, Array[Double])]): Column =
+    org.apache.spark.sql.graft.Shim.column(
+      NativeExprs.PqEncodeCodes(
+        org.apache.spark.sql.graft.Shim.expression(e), cbArr, PqM, PqD))
+
   /** (c_idx, m, csv): per-subspace PQ codebooks TRAINED with classic
     * Lloyd L2 k-means (all 8 subspaces iterate inside one DataFrame
     * job, grouped by m). Seeds are the hash-smallest [[PqK]] vectors'
@@ -537,22 +623,22 @@ object Ann {
     var cb = seeds.select(col("c_idx"), explode(transform(sequence(lit(0), lit(PqM - 1)),
         m => struct(m.as("m"), slice(col("e"), m * PqD + 1, lit(PqD)).as("csv")))).as("s"))
       .select(col("c_idx"), col("s.m").as("m"), col("s.csv").as("csv"))
-      .localCheckpoint(true)
-    val wBest = Window.partitionBy(col("vec_id"), col("m")).orderBy(col("dist"), col("c_idx"))
+    // Optimization round 19: compiled map-side argmin ([[pqCodes]])
+    // instead of the explode+join+window shuffle; the winner's own
+    // subvector re-slices from e for the mean update (same values the
+    // old pqSub rows carried).
     for (_ <- 1 to iters) {
-      cb = pqSub(vs).join(broadcast(cb), "m")
-        .withColumn("dist", sqDist(col("sv"), col("csv")))
-        .withColumn("rn", row_number().over(wBest))
-        .filter(col("rn") === 1)
-        .select(col("m"), col("c_idx"), posexplode(col("sv")))
+      val cbArr = collectPqCb(cb)
+      cb = vs.select(col("e"), explode(pqCodes(col("e"), cbArr)).as("b"))
+        .select(col("b.m").as("m"), col("b.c_idx").as("c_idx"),
+          posexplode(slice(col("e"), col("b.m") * PqD + 1, lit(PqD))))
         .groupBy(col("m"), col("c_idx"), col("pos"))
         .agg(avg(col("col")).as("mu"))
         .groupBy(col("m"), col("c_idx"))
         .agg(transform(sort_array(collect_list(struct(col("pos"), col("mu")))),
           s => round(s.getField("mu"), 6)).as("csv"))
-        .localCheckpoint(true)
     }
-    cb
+    cb.localCheckpoint(true)
   }
 
   /** DuckDB replay of [[pqCbTrained]] (seed subvectors + `iters` L2
@@ -590,17 +676,14 @@ object Ann {
   }
 
   /** (vec_id, m, c_idx, abserr): argmin-L2 code per subspace against a
-    * trained codebook. */
+    * trained codebook — compiled map-side via [[pqCodes]] (round 19),
+    * no exchange; abserr accumulates in the same element order the old
+    * zip_with/aggregate expression used, on the winning entry only. */
   private def pqAssign(v: DataFrame, cb: DataFrame): DataFrame = {
-    val wBest = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("dist"), col("c_idx"))
-    pqSub(v).join(broadcast(cb), "m")
-      .withColumn("dist", sqDist(col("sv"), col("csv")))
-      .withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
-      .withColumn("abserr", aggregate(zip_with(col("sv"), col("csv"),
-        (a, b) => abs(a - b)), lit(0.0), (acc, x) => acc + x))
-      .select(col("vec_id"), col("m"), col("c_idx"), col("abserr"))
+    val cbArr = collectPqCb(cb)
+    v.select(col("vec_id"), explode(pqCodes(col("e"), cbArr)).as("b"))
+      .select(col("vec_id"), col("b.m").as("m"), col("b.c_idx").as("c_idx"),
+        col("b.abserr").as("abserr"))
   }
 
   /** L2-NORMALIZED corpus for the PQ family: on the unit sphere L2 and
@@ -616,10 +699,18 @@ object Ann {
 
   def pqEncode(t: Tables): DataFrame = {
     val v = pqCorpus(t)
-    pqAssign(v, pqCbTrained(v)).groupBy(col("vec_id"))
-      .agg(concat_ws(",", transform(array_sort(collect_list(struct(col("m"), col("c_idx")))),
-        s => s.getField("c_idx").cast("string"))).as("codes"),
-        round(sum(col("abserr")) / (PqM * PqD), 6).as("mae"))
+    // Fully map-side (round 19): codes and mae assemble per row from the
+    // compiled [[pqCodes]] array (m-ascending — the order the old
+    // array_sort(collect_list) produced; the mae sum accumulates in the
+    // same m order the old per-(vec,m)-row sum did) — the encode stage
+    // now has ZERO exchanges.
+    val bs = pqCodes(col("e"), collectPqCb(pqCbTrained(v)))
+    v.withColumn("bs", bs)
+      .select(col("vec_id"),
+        concat_ws(",", transform(col("bs"),
+          b => b.getField("c_idx").cast("string"))).as("codes"),
+        round(aggregate(col("bs"), lit(0.0), (acc, b) =>
+          acc + b.getField("abserr")) / (PqM * PqD), 6).as("mae"))
   }
   val pqEncodeSql: String =
     s"""WITH v AS (SELECT vec_id,
@@ -770,20 +861,14 @@ object Ann {
     val coarse = trainCodebook(v) // (c_id, ce, cnorm): fixed-k broadcast
     val pqcb = pqCbTrained(v) // (c_idx, m, csv): fixed 8x16 broadcast
     // IVF membership carries ONLY (list_id, vec_id) — vectors stay put.
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_id"))
-    val lists = v.crossJoin(broadcast(coarse))
-      .withColumn("csim", dot(col("e"), col("ce")) / (col("norm") * col("cnorm")))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") <= NAssign)
+    // Compiled map-side assign/probe ranking ([[nativeTopIds]]).
+    val cb = collectCents(coarse)
+    val lists = nativeTopIds(v, cb, NAssign, "e")
       .select(col("c_id").as("list_id"), col("vec_id"))
     val enc = pqAssign(v, pqcb).select(col("vec_id"), col("m"), col("c_idx"))
     val q = v.filter(col("vec_id") < NQueries)
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_id"))
-    val probed = q.select(col("vec_id").as("q_id"), col("e").as("qe"), col("norm").as("qnorm"))
-      .crossJoin(broadcast(coarse))
-      .withColumn("csim", dot(col("qe"), col("ce")) / (col("qnorm") * col("cnorm")))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= NProbe)
+    val probed = nativeTopIds(
+        q.select(col("vec_id").as("q_id"), col("e").as("qe")), cb, NProbe, "qe")
       .select(col("q_id"), col("c_id").as("list_id"))
     // Per-query ADC distance table against the subspace codebook.
     val dtab = pqSub(q.select(col("vec_id"), col("e")))

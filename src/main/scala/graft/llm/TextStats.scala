@@ -183,27 +183,25 @@ object TextStats {
   private[graft] def anchorsOver(docs: DataFrame): DataFrame = docs
     .filter(length(col("text")) >= GramK)
     .select(col("doc_id"), length(col("text")).as("doc_len"),
-      // Selection AND hashing happen inside the per-document HOF chain,
-      // so the heavy text column is materialized once per DOCUMENT and
-      // the exploded stream carries only (pos, hash) structs — never
-      // a copy of the text per position row.
+      // Selection AND hashing happen inside one per-document kernel, so
+      // the heavy text column is materialized once per DOCUMENT and the
+      // exploded stream carries only (pos, hash) structs — never a copy
+      // of the text per position row.
       //
       // The anchor identity is xxhash64 of the gram (round 13; was a
-      // 32-char md5 hex string). The hash only has to make gram-content
-      // equality cheap — the SQL twins recompute their own duplicate
-      // structure, so ANY collision-free hash yields identical results —
-      // and the 56-byte string was the dominant cost at scale: the
-      // DedupScale lane's 500k-doc corpus carried ~135M anchors, and at
-      // ~100 B/row the anchor stream (13 GB) dwarfed the 0.5 GB corpus
-      // text and OOM'd the aggregation. 8-byte hashes cut the stream
-      // ~2.5× and replace per-anchor md5 with codegen'd XXH64; chance
-      // collision at 1e8 anchors ~ 3e-4 corpus-wide (birthday over
-      // 2^64), deterministic per corpus.
-      explode(expr(
-        s"""transform(
-              filter(sequence(1, length(text) - ${GramK - 1}),
-                     p -> ascii(substring(text, p, 1)) % 8 = 0),
-              p -> struct(p AS pos, xxhash64(substring(text, p, $GramK)) AS h))"""))
+      // 32-char md5 hex string — see the scale rationale on the r13
+      // commit). Optimization round 19: the interpreted HOF chain
+      // (sequence → filter(ascii(substring)) → transform(xxhash64
+      // (substring))) became the compiled [[NativeExprs.AnchorGrams]]
+      // kernel — same positions, same seed-42 XXH64 over the same gram
+      // bytes, so the anchor stream is bit-identical (pinned in
+      // NativeExprsSpec against the HOF chain), but the ~10M per-position
+      // interpreted ops and UTF8String allocations per corpus pass are
+      // now one byte scan per document. The extraction was the dominant
+      // cost of every withAnchors consumer.
+      explode(org.apache.spark.sql.graft.Shim.column(
+        graft.functions.NativeExprs.AnchorGrams(
+          org.apache.spark.sql.graft.Shim.expression(col("text")), GramK)))
         .as("a"))
     .select(col("doc_id"), col("doc_len"), col("a.pos").as("pos"), col("a.h").as("h"))
 

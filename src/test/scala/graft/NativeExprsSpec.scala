@@ -85,4 +85,69 @@ class NativeExprsSpec extends SparkSpec {
     assert(!sql.contains("presto_date_format"), sql)
     assert(spark.sql(sql).collect().head.getString(0) == "2024-03-15")
   }
+
+  // Optimization round 19: the compiled anchor kernel must be
+  // bit-identical to the interpreted HOF chain it replaced — same
+  // positions (ascii(substring)%8 selection), same seed-42 xxhash64 over
+  // the same gram bytes — including on multi-byte UTF-8, where char
+  // positions and byte offsets diverge.
+  test("graft AnchorGrams kernel ≡ the relational ascii/xxhash64 HOF chain") {
+    import spark.implicits._
+    val k = 8 // small gram for a compact fixture; the kernel is k-generic
+    val rnd = new scala.util.Random(7)
+    val texts = Seq(
+      "phone home xylophone parade hippo 0x08",       // several %8==0 chars
+      "päx höme φ xylo φφ parade 08080808 end",       // multi-byte chars
+      "short",                                         // < k chars
+      ("hxp08 " * 40).trim,                            // repetitive
+      Seq.fill(300)(rnd.nextPrintableChar()).mkString) // random printable
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val hof = df.filter(length(col("text")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(
+              filter(sequence(1, length(text) - ${k - 1}),
+                     p -> ascii(substring(text, p, 1)) % 8 = 0),
+              p -> struct(p AS pos, xxhash64(substring(text, p, $k)) AS h))""")).as("a"))
+      .select(col("doc_id"), col("a.pos"), col("a.h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val nat = df.filter(length(col("text")) >= k)
+      .select(col("doc_id"), explode(org.apache.spark.sql.graft.Shim.column(
+        NativeExprs.AnchorGrams(
+          org.apache.spark.sql.graft.Shim.expression(col("text")), k))).as("a"))
+      .select(col("doc_id"), col("a.pos"), col("a.h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(nat == hof, s"kernel diverged: only-hof=${hof -- nat} only-native=${nat -- hof}")
+    assert(nat.nonEmpty) // the fixture must actually exercise anchors
+  }
+
+  // The compiled PQ encode kernel must reproduce the relational
+  // explode→join→window argmin exactly: same winners (dist asc, c_idx
+  // asc ties), same abserr accumulation order.
+  test("graft PqEncodeCodes kernel picks the window-identical argmin codes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(40)(i => (i.toLong, Seq.fill(16)(rnd.nextDouble())))
+      .toDF("vec_id", "e")
+    val cbArr = Array.tabulate(2, 4) { (m, c) =>
+      (m, c, Array.fill(8)(rnd.nextDouble()))
+    }.flatten
+    val nat = vecs.select(col("vec_id"), explode(
+        org.apache.spark.sql.graft.Shim.column(NativeExprs.PqEncodeCodes(
+          org.apache.spark.sql.graft.Shim.expression(col("e")), cbArr, 2, 8))).as("b"))
+      .select(col("vec_id"), col("b.m"), col("b.c_idx"), col("b.abserr"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    // reference: plain Scala replication of the relational argmin
+    val cvecs = vecs.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val ref = (for {
+      (id, e) <- cvecs; m <- 0 until 2
+    } yield {
+      val sv = e.slice(m * 8, m * 8 + 8)
+      val best = cbArr.filter(_._1 == m).minBy { case (_, cIdx, csv) =>
+        (sv.zip(csv).map { case (x, y) => (x - y) * (x - y) }.sum, cIdx)
+      }
+      val ae = sv.zip(best._3).map { case (x, y) => math.abs(x - y) }.sum
+      (id, m, best._2, ae)
+    }).toSet
+    assert(nat == ref)
+  }
 }
