@@ -189,7 +189,18 @@ object Dedup {
   def neardupJaccard(t: Tables): DataFrame = {
     val sh = shingled(t)
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n"))
-    val ex = shingleRows(t)
+    // Optimization round 19: materialize the exploded shingle stream
+    // ONCE in the broadcast-safe (small-corpus) regime — the self-join
+    // otherwise re-runs the split+shingle extraction for EACH side (the
+    // withAnchors compute-once idiom). This is the intentionally-naive
+    // ground-truth tier, so only the redundant extraction goes; the
+    // quadratic pair enumeration it exists to exhibit stays (the scale
+    // path is [[neardupJaccardPrefix]]). Past the broadcast-safe corpus
+    // size the checkpoint is skipped — pinning a corpus-sized stream
+    // into executor storage is the round-13 thrash the anchor pipeline
+    // already rejected.
+    val ex0 = shingleRows(t)
+    val ex = if (corpusIsBig(t)) ex0 else ex0.localCheckpoint(true)
     val pairs = ex.as("a")
       .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

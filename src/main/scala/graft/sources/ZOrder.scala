@@ -97,13 +97,106 @@ object ZOrder {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(dir)
-    val rd = df.sparkSession.read.parquet(dir)
-    val (ra, rb) = (numify(col(a), rd.schema(a).dataType), numify(col(b), rd.schema(b).dataType))
-    rd.groupBy(input_file_name().as("f"))
-      .agg(
-        min(ra).as(s"${a}_lo"), max(ra).as(s"${a}_hi"),
-        min(rb).as(s"${b}_lo"), max(rb).as(s"${b}_hi"))
-      .write.mode("overwrite").parquet(manifestDir(dir))
+    // Manifest boxes from the freshly written files' parquet FOOTER
+    // statistics (optimization round 19) — the Iceberg/Delta shape: file
+    // metadata recorded at write time, no second pass over the data.
+    // Footer min/max are exact for the numeric/date/timestamp types
+    // [[numify]] admits (string truncation never applies), and a file
+    // whose column has no non-null values gets null bounds — exactly
+    // what the old min/max re-scan produced. Types without a footer
+    // mapping (decimal) fall back to the scan; ZOrderSpec cross-checks
+    // the manifest against a data re-scan either way.
+    val spark = df.sparkSession
+    val wr = spark.read.parquet(dir)
+    footerManifest(spark, dir, a, wr.schema(a).dataType, b, wr.schema(b).dataType) match {
+      case Some(mf) => mf.write.mode("overwrite").parquet(manifestDir(dir))
+      case None =>
+        val (ra, rb) = (numify(col(a), wr.schema(a).dataType), numify(col(b), wr.schema(b).dataType))
+        wr.groupBy(input_file_name().as("f"))
+          .agg(
+            min(ra).as(s"${a}_lo"), max(ra).as(s"${a}_hi"),
+            min(rb).as(s"${b}_lo"), max(rb).as(s"${b}_hi"))
+          .write.mode("overwrite").parquet(manifestDir(dir))
+    }
+  }
+
+  /** Per-file (lo, hi) of both layout columns straight from parquet
+    * footers, in [[numify]]'s encoding; None if either column's type has
+    * no footer mapping or any file lacks usable statistics. Listing +
+    * footers are O(files) metadata reads on the driver — the same
+    * information any scan planner already touches. */
+  private def footerManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String, a: String, dtA: DataType,
+      b: String, dtB: DataType): Option[DataFrame] = {
+    def mappable(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    if (!mappable(dtA) || !mappable(dtB)) return None
+    def toD(v: Any): Double = v match {
+      case i: java.lang.Integer => i.toDouble
+      case l: java.lang.Long => l.toDouble
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d
+      case x => throw new IllegalStateException(s"unexpected footer stat type: $x")
+    }
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(conf)
+      val files = fs.listStatus(root)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val rows = files.toSeq.map { st =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try {
+          val blocks = rdr.getFooter.getBlocks
+          def colBounds(name: String): (Option[Double], Option[Double]) = {
+            var lo = Option.empty[Double]
+            var hi = Option.empty[Double]
+            val it = blocks.iterator()
+            while (it.hasNext) {
+              val blk = it.next()
+              val cit = blk.getColumns.iterator()
+              while (cit.hasNext) {
+                val c = cit.next()
+                if (c.getPath.toDotString == name) {
+                  val s = c.getStatistics
+                  // a chunk without trustworthy stats poisons the file's
+                  // bounds — bail to the scan path rather than guess
+                  if (s == null || s.isEmpty) throw new IllegalStateException(
+                    s"no stats for $name in ${st.getPath}")
+                  if (s.hasNonNullValue) {
+                    val mn = toD(s.genericGetMin)
+                    val mx = toD(s.genericGetMax)
+                    if (lo.forall(mn < _)) lo = Some(mn)
+                    if (hi.forall(mx > _)) hi = Some(mx)
+                  }
+                }
+              }
+            }
+            (lo, hi)
+          }
+          val (alo, ahi) = colBounds(a)
+          val (blo, bhi) = colBounds(b)
+          // f must byte-match input_file_name()'s format (the old scan
+          // manifest's key; ZOrderSpec joins the two) — SparkPath is the
+          // exact encoder PartitionedFile/input_file_name use
+          org.apache.spark.sql.Row(
+            org.apache.spark.paths.SparkPath.fromFileStatus(st).urlEncoded,
+            alo.orNull, ahi.orNull, blo.orNull, bhi.orNull)
+        } finally rdr.close()
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("f", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField(s"${a}_lo", DoubleType),
+        org.apache.spark.sql.types.StructField(s"${a}_hi", DoubleType),
+        org.apache.spark.sql.types.StructField(s"${b}_lo", DoubleType),
+        org.apache.spark.sql.types.StructField(s"${b}_hi", DoubleType)))
+      import scala.jdk.CollectionConverters._
+      Some(spark.createDataFrame(rows.asJava, schema).coalesce(1))
+    } catch { case _: Exception => None }
   }
 
   // ------------------------------------------------------------ registry

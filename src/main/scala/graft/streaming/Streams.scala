@@ -198,31 +198,35 @@ object Streams {
 
   def dedupStreamedEntry(outer: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-    val docs = graft.Catalog.load(outer, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
-      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
     // state keys = distinct digests, upper-bounded by the doc count
-    val spark = streamingSession(outer, docs.count())
-    // Checkout-relative staging (not an absolute /root/repo path), and
-    // both the directory and the memory-sink table are dropped once the
-    // drained result is materialized — repeated oracle-gate invocations
-    // must not accrete disk or catalog entries (round-14 advice).
-    val stage = new java.io.File(
-      s"target/stream_dedup/${java.util.UUID.randomUUID().toString.take(8)}")
-    try {
-      docs.write.mode("overwrite").parquet(stage.getPath)
-      val stream = streamingDedup(
-        spark.readStream.schema(docs.schema).parquet(stage.getPath))
-        .select(col("digest"))
-      val name = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = stream.writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      // one row per distinct digest — still distributed-materialized:
-      // digests scale with the corpus, and detachSink frees the sink
-      detachSink(outer, spark, name, spark.table(name))
-    } finally org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    // (parquet metadata count — zero-column scan)
+    val spark = streamingSession(outer,
+      outer.read.parquet(s"$sfDir/documents.parquet").count())
+    // Optimization round 19: stream the corpus file ITSELF (the
+    // tumbling entry's glob-pinned file-source shape — documents.parquet
+    // is a single file by the fixture contract) instead of re-writing a
+    // full corpus copy to a staging directory per invocation. The
+    // arrival-time column and the (doc_id, text) projection move INSIDE
+    // the stream, so the drained result is row-identical; what
+    // disappears is a corpus-sized parquet write + delete per run —
+    // at the 100× replay volume that staging write was a full extra
+    // pass over the data.
+    val rawSchema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = streamingDedup(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sfDir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id"))))
+      .select(col("digest"))
+    val name = "graft_stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // one row per distinct digest — still distributed-materialized:
+    // digests scale with the corpus, and detachSink frees the sink
+    detachSink(outer, spark, name, spark.table(name))
   }
 
   /** Batch reference implementation of the same sessionization (for the
@@ -443,28 +447,31 @@ object Streams {
     // aggregates — the build side's row count is the state estimate
     val spark = streamingSession(outer, eventsStateKeys(outer, sfDir, "join")(ev =>
       ev.filter(col("event_type") === "click").count()))
-    val ev = graft.Catalog.load(spark, sfDir, "events")
+    // Optimization round 19: stream the events file ITSELF twice (the
+    // tumbling entry's glob-pinned file-source shape — events.parquet is
+    // one file by the fixture contract) with the click/purchase filters
+    // INSIDE each stream, instead of materializing filtered click and
+    // purchase parquet copies per invocation. The join input rows are
+    // identical (same filters, same projection, same ts normalization);
+    // what disappears is two corpus-derived parquet writes + a staging
+    // delete per run — at the 100× replay volume those writes were a
+    // full extra pass over the events table.
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def rs(eventType: String) = graft.Catalog.normalizeEventsTs(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
       .select(col("ts"), col("user_id"), col("event_type"), col("value"))
-    // checkout-relative staging + full cleanup, the dedupStreamedEntry
-    // discipline (was an absolute /root/repo path that leaked a full
-    // click+purchase copy per invocation)
-    val stage = new java.io.File(
-      s"target/stream_join/${java.util.UUID.randomUUID().toString.take(8)}")
-    try {
-      val (cDir, pDir) = (new java.io.File(stage, "clicks"), new java.io.File(stage, "purchases"))
-      ev.filter(col("event_type") === "click").write.mode("overwrite").parquet(cDir.getPath)
-      ev.filter(col("event_type") === "purchase").write.mode("overwrite").parquet(pDir.getPath)
-      def rs(d: java.io.File) = spark.readStream.schema(ev.schema).parquet(d.getPath)
-      val joined = purchaseAttribution(rs(cDir), rs(pDir))
-      val name = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = joined.writeStream.outputMode(OutputMode.Append())
-        .format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      // the interval join's matches scale with the corpus (~3M at the
-      // lane's 100×) — distributed materialization only
-      detachSink(outer, spark, name, spark.table(name))
-    } finally org.apache.commons.io.FileUtils.deleteDirectory(stage)
+      .filter(col("event_type") === eventType)
+    val joined = purchaseAttribution(rs("click"), rs("purchase"))
+    val name = "graft_stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the interval join's matches scale with the corpus (~3M at the
+    // lane's 100×) — distributed materialization only
+    detachSink(outer, spark, name, spark.table(name))
   }
 
   /** Driver-contract entries (SparkSession, sfDir) — streaming runs whose
