@@ -675,17 +675,6 @@ object Ann {
     (seed +: steps).mkString(",\n       ")
   }
 
-  /** (vec_id, m, c_idx, abserr): argmin-L2 code per subspace against a
-    * trained codebook — compiled map-side via [[pqCodes]] (round 19),
-    * no exchange; abserr accumulates in the same element order the old
-    * zip_with/aggregate expression used, on the winning entry only. */
-  private def pqAssign(v: DataFrame, cb: DataFrame): DataFrame = {
-    val cbArr = collectPqCb(cb)
-    v.select(col("vec_id"), explode(pqCodes(col("e"), cbArr)).as("b"))
-      .select(col("vec_id"), col("b.m").as("m"), col("b.c_idx").as("c_idx"),
-        col("b.abserr").as("abserr"))
-  }
-
   /** L2-NORMALIZED corpus for the PQ family: on the unit sphere L2 and
     * cosine agree, so ADC's squared-distance tables rank the same way
     * the cosine-serving stack does. */
@@ -755,26 +744,64 @@ object Ann {
     * query. No corpus product, no corpus-wide vector shuffle. */
   private val AdcRerank = 100 // ADC prefilter width fed to exact rerank
 
-  def annPqAdc(t: Tables): DataFrame = {
-    val v = pqCorpus(t)
-    val cb = pqCbTrained(v) // trained once, shared by encode + query tables
-    val enc = pqAssign(v, cb).select(col("vec_id"), col("m"), col("c_idx"))
-    val dtab = pqSub(v.filter(col("vec_id") < NQueries))
+  /** The per-query ADC distance table COLLECTED and flattened for
+    * map-side lookup (optimization round 19): qdist doubles are computed
+    * by the SAME sqDist expressions as before and only then collected,
+    * so every table value is bit-identical; the table is bounded —
+    * NQueries×M×K rows, a per-probe-set model artifact like the
+    * codebooks. Returns (sorted q_ids, flat table indexed
+    * [qi·M·K + m·K + c_idx]). */
+  private def collectDtab(v: DataFrame, cb: DataFrame): (Seq[Long], Seq[Double]) = {
+    val rows = pqSub(v.filter(col("vec_id") < NQueries))
       .withColumnRenamed("vec_id", "q_id").withColumnRenamed("sv", "qsv")
       .join(broadcast(cb), "m")
       .withColumn("qdist", sqDist(col("qsv"), col("csv")))
       .select(col("q_id"), col("m"), col("c_idx"), col("qdist"))
+      .collect()
+    val qids = rows.map(_.getLong(0)).distinct.sorted.toSeq
+    val qIdx = qids.zipWithIndex.toMap
+    val flat = Array.fill(qids.size * PqM * PqK)(Double.NaN)
+    rows.foreach { r =>
+      flat(qIdx(r.getLong(0)) * PqM * PqK + r.getInt(1) * PqK + r.getInt(2)) =
+        r.getDouble(3)
+    }
+    (qids, flat.toSeq)
+  }
+
+  /** Σ_m dtab[qi, m, codes(m)] accumulated m-ascending — the exact
+    * order the old enc⋈dtab groupBy summed in (enc rows stream
+    * m-ascending into the partial agg), rounded to the same 9 digits
+    * before ranking. */
+  private def adcFold(qi: Column, codes: Column, flatLit: Column): Column =
+    round(aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+      (acc, m) => acc + element_at(flatLit,
+        qi * (PqM * PqK) + m * PqK + element_at(codes, m + 1) + 1)), 9)
+
+  def annPqAdc(t: Tables): DataFrame = {
+    val v = pqCorpus(t)
+    val cb = pqCbTrained(v) // trained once, shared by encode + query tables
+    val cbArr = collectPqCb(cb)
     // Stage 1: ADC prefilter — rank every encoded vector by summed
-    // table lookups, keep the top AdcRerank per query.
-    // adc is an 8-term double sum whose accumulation order is engine-
-    // dependent (Spark partial aggs vs DuckDB group order); round to a
-    // fixed precision BEFORE the rank so ulp-close candidates at the
-    // prk cutoff cannot order differently across engines.
+    // table lookups, keep the top AdcRerank per query. Round 19: the
+    // codes come from the compiled [[pqCodes]] kernel and the per-query
+    // table is a collected literal ([[collectDtab]]), so scoring is a
+    // pure map-side fold + explode — the old enc⋈broadcast(dtab) join
+    // and its corpus×M×queries groupBy exchange are gone. adc is an
+    // 8-term double sum whose accumulation order is engine-dependent
+    // (Spark vs DuckDB group order); round to a fixed precision BEFORE
+    // the rank so ulp-close candidates at the prk cutoff cannot order
+    // differently across engines.
+    val (qids, flat) = collectDtab(v, cb)
+    val flatLit = typedlit(flat)
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    val prefiltered = enc.join(broadcast(dtab), Seq("m", "c_idx"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(round(sum(col("qdist")), 9).as("adc"))
+    val prefiltered = v
+      .select(col("vec_id"),
+        transform(pqCodes(col("e"), cbArr), b => b.getField("c_idx")).as("codes"))
+      .select(col("vec_id"), col("codes"),
+        explode(sequence(lit(0), lit(qids.size - 1))).as("qi"))
+      .withColumn("q_id", element_at(typedlit(qids), col("qi") + 1))
       .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc", adcFold(col("qi"), col("codes"), flatLit))
       .withColumn("prk", row_number().over(wAdc))
       .filter(col("prk") <= AdcRerank)
       .select(col("q_id"), col("vec_id"))
@@ -865,26 +892,32 @@ object Ann {
     val cb = collectCents(coarse)
     val lists = nativeTopIds(v, cb, NAssign, "e")
       .select(col("c_id").as("list_id"), col("vec_id"))
-    val enc = pqAssign(v, pqcb).select(col("vec_id"), col("m"), col("c_idx"))
+    val pqcbArr = collectPqCb(pqcb)
+    // Per-vector codes map-side (compiled [[pqCodes]]) — replaces the
+    // (vec_id, m, c_idx) row stream.
+    val codesDf = v.select(col("vec_id"),
+      transform(pqCodes(col("e"), pqcbArr), b => b.getField("c_idx")).as("codes"))
     val q = v.filter(col("vec_id") < NQueries)
     val probed = nativeTopIds(
         q.select(col("vec_id").as("q_id"), col("e").as("qe")), cb, NProbe, "qe")
       .select(col("q_id"), col("c_id").as("list_id"))
-    // Per-query ADC distance table against the subspace codebook.
-    val dtab = pqSub(q.select(col("vec_id"), col("e")))
-      .withColumnRenamed("vec_id", "q_id").withColumnRenamed("sv", "qsv")
-      .join(broadcast(pqcb), "m")
-      .withColumn("qdist", sqDist(col("qsv"), col("csv")))
-      .select(col("q_id"), col("m"), col("c_idx"), col("qdist"))
-    // Stage 1+2: candidates from probed lists only, scored from codes.
+    // Per-query ADC distance table, collected ([[collectDtab]] — same
+    // sqDist doubles, bounded NQueries×M×K rows).
+    val (qids, flat) = collectDtab(v, pqcb)
+    val flatLit = typedlit(flat)
+    // Stage 1+2: candidates from probed lists only, scored from codes —
+    // one join attaches each candidate's 8-byte code array, then the ADC
+    // score is a map-side fold ([[adcFold]], same m-ascending
+    // accumulation + round-9 as the old groupBy): the old
+    // enc⋈broadcast(dtab) join and its candidates×M groupBy exchange
+    // are gone (round 19).
     val cands = probed.join(lists, "list_id")
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id")).dropDuplicates("q_id", "vec_id")
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
-    val prefiltered = cands.join(enc, "vec_id")
-      .join(broadcast(dtab), Seq("q_id", "m", "c_idx"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(round(sum(col("qdist")), 9).as("adc"))
+    val prefiltered = cands.join(codesDf, "vec_id")
+      .withColumn("qi", (array_position(typedlit(qids), col("q_id")) - 1).cast("int"))
+      .withColumn("adc", adcFold(col("qi"), col("codes"), flatLit))
       .withColumn("prk", row_number().over(wAdc))
       .filter(col("prk") <= AdcRerank)
       .select(col("q_id"), col("vec_id"))
