@@ -129,6 +129,11 @@ object GeoAgg {
       scala.collection.mutable.ArrayBuffer.empty
 
     def add(g: GeoFns.Geom): Unit = {
+      // validate each USER input ONCE on entry; the tree merges below
+      // then run the trusted union — re-validating the running union at
+      // every level re-ran the O(E²) operand check over kernel-produced
+      // geometry and dominated the aggregate's cost (round-20 profile)
+      GeoOverlay.requireValidPolys(g, "st_union")
       pending += g
       if (pending.length > UnionCompactAt) compact()
     }
@@ -137,7 +142,7 @@ object GeoAgg {
       var level: Seq[GeoFns.Geom] = pending.toSeq
       while (level.length > 1)
         level = level.grouped(2).map {
-          case Seq(a, b) => GeoOverlay.union(a, b)
+          case Seq(a, b) => GeoOverlay.unionTrusted(a, b)
           case Seq(a) => a
         }.toSeq
       pending.clear()

@@ -35,6 +35,25 @@ import graft.functions.GeoFns._
   * overlay's polygon-output convention. */
 object GeoOverlay {
 
+  /** Phase counters for tools.GeoProfile (-Dgraft.geo.prof=true).
+    * `on` is a constant after class init, so the JIT removes the
+    * disabled branches from the hot paths entirely. */
+  private[graft] object Prof {
+    val on: Boolean = java.lang.Boolean.getBoolean("graft.geo.prof") ||
+      sys.env.get("GRAFT_GEO_PROF").contains("1")
+    var tOrient, tNode, tSplit, tIdx, tKeys, tClassA, tClassB, tStitch,
+        tAssemble, nOverlay = 0L
+    def reset(): Unit = {
+      tOrient = 0; tNode = 0; tSplit = 0; tIdx = 0; tKeys = 0
+      tClassA = 0; tClassB = 0; tStitch = 0; tAssemble = 0; nOverlay = 0
+    }
+    def report(): String =
+      f"overlay n=$nOverlay orient=${tOrient / 1e9}%.3f node=${tNode / 1e9}%.3f " +
+        f"split=${tSplit / 1e9}%.3f idx=${tIdx / 1e9}%.3f keys=${tKeys / 1e9}%.3f " +
+        f"classA=${tClassA / 1e9}%.3f classB=${tClassB / 1e9}%.3f " +
+        f"stitch=${tStitch / 1e9}%.3f assemble=${tAssemble / 1e9}%.3f"
+  }
+
   // ----------------------------------------------------------- rings
   // (ring signed area shares GeoFns.ringSignedArea — the two sides'
   // orientation decisions must agree, so there is exactly one shoelace)
@@ -196,18 +215,28 @@ object GeoOverlay {
     def rev: Sub = Sub(ex, ey, sx, sy)
   }
 
-  private def split(e: Edge): Seq[Sub] = {
+  private val NoSubs = Array.empty[Sub]
+
+  private def split(e: Edge): Array[Sub] = {
+    // edgesOf never emits a degenerate edge, so the common uncut edge
+    // is exactly one sub — the profiled hot path (tools/GeoProfile:
+    // the Seq/sliding machinery here was ~30% of the whole overlay)
+    if (e.cuts.isEmpty) return Array(Sub(e.sx, e.sy, e.ex, e.ey))
     def param(x: Double, y: Double): Double =
       if (math.abs(e.ex - e.sx) >= math.abs(e.ey - e.sy)) {
         if (e.ex == e.sx) 0.0 else (x - e.sx) / (e.ex - e.sx)
       } else (y - e.sy) / (e.ey - e.sy)
-    val inner: Seq[(Double, Double)] =
-      e.cuts.distinct.sortBy(p => param(p._1, p._2)).toSeq
-        .filterNot(p => p == ((e.ex, e.ey)))
-    val pts: Seq[(Double, Double)] = ((e.sx, e.sy) +: inner) :+ ((e.ex, e.ey))
-    pts.sliding(2).collect {
-      case Seq((x1, y1), (x2, y2)) if !(x1 == x2 && y1 == y2) => Sub(x1, y1, x2, y2)
-    }.toSeq
+    val inner = e.cuts.distinct.sortBy(p => param(p._1, p._2))
+      .filterNot(p => p == ((e.ex, e.ey)))
+    // walk start -> inner cuts -> end, skipping zero-length pieces (the
+    // same subs the old sliding(2)-with-skip emitted)
+    val out = new scala.collection.mutable.ArrayBuffer[Sub](inner.length + 1)
+    var px = e.sx; var py = e.sy
+    inner.foreach { case (x, y) =>
+      if (!(x == px && y == py)) { out += Sub(px, py, x, y); px = x; py = y }
+    }
+    if (!(e.ex == px && e.ey == py)) out += Sub(px, py, e.ex, e.ey)
+    if (out.isEmpty) NoSubs else out.toArray
   }
 
   // -------------------------------------------------- classification
@@ -221,16 +250,36 @@ object GeoOverlay {
     * triangle: the midpoint (sx+ex)/2 rounds off the line, locate()
     * said interior-or-exterior instead of boundary, the two sides
     * selected inconsistent edge sets, and stitching dead-ended. */
-  private def subKey(s: Sub): (Double, Double, Double, Double) =
-    if (s.sx < s.ex || (s.sx == s.ex && s.sy <= s.ey)) (s.sx, s.sy, s.ex, s.ey)
-    else (s.ex, s.ey, s.sx, s.sy)
+  private final case class SubKey(ax: Double, ay: Double, bx: Double, by: Double)
+
+  private def subKey(s: Sub): SubKey =
+    if (s.sx < s.ex || (s.sx == s.ex && s.sy <= s.ey)) SubKey(s.sx, s.sy, s.ex, s.ey)
+    else SubKey(s.ex, s.ey, s.sx, s.sy)
+
+  /** Exact coincident-twin index (hand-built: groupBy over boxed tuples
+    * was a profiled hot spot — tools/GeoProfile). */
+  private def twinIndex(subs: Array[Sub])
+      : scala.collection.mutable.HashMap[SubKey, List[Sub]] = {
+    val m = scala.collection.mutable.HashMap.empty[SubKey, List[Sub]]
+    var i = 0
+    while (i < subs.length) {
+      val s = subs(i)
+      val k = subKey(s)
+      m.updateWith(k) {
+        case Some(l) => Some(s :: l)
+        case None => Some(s :: Nil)
+      }
+      i += 1
+    }
+    m
+  }
 
   /** Midpoint class of a sub against the other operand: 0 exterior,
     * 1 interior, 2 on-boundary; for 2, `sameDir` tells whether the
     * collinear twin runs the same way (interiors on the same side).
     * `otherKeys` is the exact coincident-twin index over `otherSubs`. */
-  private def classify(s: Sub, otherRings: RingIndex, otherSubs: Seq[Sub],
-                       otherKeys: Map[(Double, Double, Double, Double), Seq[Sub]])
+  private def classify(s: Sub, otherRings: RingIndex, otherSubs: Array[Sub],
+                       otherKeys: scala.collection.mutable.HashMap[SubKey, List[Sub]])
       : (Int, Boolean) = {
     otherKeys.get(subKey(s)) match {
       case Some(twins) =>
@@ -258,7 +307,7 @@ object GeoOverlay {
     * applies: a B sub coinciding with an A sub must report boundary, or
     * self-union would re-select the same edge from both sides. */
   private def classifyLoc(s: Sub, otherRings: RingIndex,
-                          otherKeys: Map[(Double, Double, Double, Double), Seq[Sub]]): Int =
+      otherKeys: scala.collection.mutable.HashMap[SubKey, List[Sub]]): Int =
     if (otherKeys.contains(subKey(s))) 2 else otherRings.locate(s.mx, s.my)
 
   // ---------------------------------------------------------- stitch
@@ -268,51 +317,76 @@ object GeoOverlay {
     * keeps the face to the left connected through degree>2 nodes
     * (e.g. the symdifference of two overlapping squares pinching at
     * the overlap corners). */
-  private def stitch(selected: Seq[Sub]): Array[Coords] = {
+  private final case class Pt(x: Double, y: Double)
+
+  private def stitch(selected: scala.collection.IndexedSeq[Sub]): Array[Coords] = {
+    val n = selected.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Coords]
-    val used = scala.collection.mutable.HashSet.empty[Int]
-    val byStart = selected.zipWithIndex.groupBy { case (s, _) => (s.sx, s.sy) }
-    def nextFrom(at: (Double, Double), inDx: Double, inDy: Double): Option[Int] = {
-      val cands = byStart.getOrElse(at, Nil).filterNot { case (_, i) => used(i) }
-      if (cands.isEmpty) None
-      else {
-        // clockwise angular distance from the reversed incoming
-        // direction; the exact reverse itself sorts last (2π) so a
-        // spike back along the incoming edge is the last resort
-        val back = math.atan2(-inDy, -inDx)
-        Some(cands.minBy { case (s, _) =>
+    val used = new Array[Boolean](n)
+    // hand-built start index (zipWithIndex.groupBy over boxed tuples was
+    // a profiled hot spot); lists are prepended from the high index down
+    // so each bucket iterates in ascending selection order — the same
+    // order groupBy preserved, keeping minBy's tie-break identical
+    val byStart = scala.collection.mutable.HashMap.empty[Pt, List[Int]]
+    var bi = n - 1
+    while (bi >= 0) {
+      val s = selected(bi)
+      val k = Pt(s.sx, s.sy)
+      byStart.updateWith(k) {
+        case Some(l) => Some(bi :: l)
+        case None => Some(bi :: Nil)
+      }
+      bi -= 1
+    }
+    def nextFrom(atX: Double, atY: Double, inDx: Double, inDy: Double): Int = {
+      // clockwise angular distance from the reversed incoming
+      // direction; the exact reverse itself sorts last (2π) so a
+      // spike back along the incoming edge is the last resort
+      val back = math.atan2(-inDy, -inDx)
+      var bestI = -1
+      var bestM = Double.MaxValue
+      var l = byStart.getOrElse(Pt(atX, atY), Nil)
+      while (l.nonEmpty) {
+        val i = l.head
+        l = l.tail
+        if (!used(i)) {
+          val s = selected(i)
           val a = math.atan2(s.ey - s.sy, s.ex - s.sx)
           val d = back - a // clockwise = decreasing angle
-          val m = d - 2 * math.Pi * math.floor(d / (2 * math.Pi))
-          if (m == 0.0) 2 * math.Pi else m
-        }._2)
+          val m0 = d - 2 * math.Pi * math.floor(d / (2 * math.Pi))
+          val m = if (m0 == 0.0) 2 * math.Pi else m0
+          if (m < bestM) { bestM = m; bestI = i }
+        }
       }
+      bestI
     }
-    selected.indices.foreach { start =>
+    var start = 0
+    while (start < n) {
       if (!used(start)) {
         val first = selected(start)
         val ring = scala.collection.mutable.ArrayBuffer(first.sx, first.sy)
         var cur = first
-        used += start
+        used(start) = true
         ring += cur.ex; ring += cur.ey
         var steps = 0
         while (!(cur.ex == first.sx && cur.ey == first.sy)) {
           steps += 1
-          if (steps > selected.length) throw new IllegalArgumentException(
+          if (steps > n) throw new IllegalArgumentException(
             "geometry overlay: stitching did not close a ring (inconsistent " +
             "selection — likely invalid input geometry)")
-          nextFrom((cur.ex, cur.ey), cur.ex - cur.sx, cur.ey - cur.sy) match {
-            case Some(i) =>
-              used += i
+          nextFrom(cur.ex, cur.ey, cur.ex - cur.sx, cur.ey - cur.sy) match {
+            case i if i >= 0 =>
+              used(i) = true
               cur = selected(i)
               ring += cur.ex; ring += cur.ey
-            case None => throw new IllegalArgumentException(
+            case _ => throw new IllegalArgumentException(
               "geometry overlay: stitching dead-ended at an open vertex " +
               "(inconsistent selection — likely invalid input geometry)")
           }
         }
         out += ring.toArray
       }
+      start += 1
     }
     out.toArray
   }
@@ -366,21 +440,31 @@ object GeoOverlay {
     * difference | symdifference. */
   private def polyOverlay(op: String, pa: Array[Array[Coords]],
                           pb: Array[Array[Coords]]): Geom = {
+    var t0 = if (Prof.on) System.nanoTime() else 0L
+    def lap(): Long =
+      if (Prof.on) { val t1 = System.nanoTime(); val d = t1 - t0; t0 = t1; d }
+      else 0L
+    if (Prof.on) Prof.nOverlay += 1
     val a = orientPolys(pa)
     val b = orientPolys(pb)
     val ringsA = a.flatten
     val ringsB = b.flatten
     val ea = edgesOf(ringsA)
     val eb = edgesOf(ringsB)
+    if (Prof.on) Prof.tOrient += lap()
     node(ea, eb)
-    val subsA = ea.flatMap(split).toSeq
-    val subsB = eb.flatMap(split).toSeq
+    if (Prof.on) Prof.tNode += lap()
+    val subsA = ea.flatMap(split)
+    val subsB = eb.flatMap(split)
+    if (Prof.on) Prof.tSplit += lap()
     val idxA = new RingIndex(ringsA)
     val idxB = new RingIndex(ringsB)
+    if (Prof.on) Prof.tIdx += lap()
     // exact coincident-twin indexes (see subKey): shared boundary must
     // never depend on a float midpoint-on-line test
-    val keysA = subsA.groupBy(subKey)
-    val keysB = subsB.groupBy(subKey)
+    val keysA = twinIndex(subsA)
+    val keysB = twinIndex(subsB)
+    if (Prof.on) Prof.tKeys += lap()
     val sel = scala.collection.mutable.ArrayBuffer.empty[Sub]
     val sharedLines = scala.collection.mutable.ArrayBuffer.empty[Sub]
     subsA.foreach { s =>
@@ -400,6 +484,7 @@ object GeoOverlay {
           else if (loc == 1) sel += s.rev
       }
     }
+    if (Prof.on) Prof.tClassA += lap()
     subsB.foreach { s =>
       val loc = classifyLoc(s, idxA, keysA)
       op match {
@@ -411,6 +496,7 @@ object GeoOverlay {
           else if (loc == 1) sel += s.rev
       }
     }
+    if (Prof.on) Prof.tClassB += lap()
     if (sel.isEmpty && op == "intersection") {
       // no area: the operands may still meet in shared edges (dim 1)
       // AND/OR isolated corner touches (dim 0) — OGC intersection
@@ -426,7 +512,11 @@ object GeoOverlay {
       return mixed("intersection", chains, pts)
     }
     if (sel.isEmpty) return GPolygon(Array.empty)
-    assemble(stitch(sel.toSeq))
+    val rings = stitch(sel)
+    if (Prof.on) Prof.tStitch += lap()
+    val out = assemble(rings)
+    if (Prof.on) Prof.tAssemble += lap()
+    out
   }
 
   /** Isolated boundary∩boundary points (corner touches) for the
@@ -563,14 +653,14 @@ object GeoOverlay {
     * dedup then drop those covered by lines or polygons — the GEOS
     * union semantics. The result is the single surviving family, or a
     * GEOMETRYCOLLECTION of the (at most three) family geometries. */
-  private def genericUnion(g1: Geom, g2: Geom): Geom = {
+  private def genericUnion(g1: Geom, g2: Geom, validate: Boolean = true): Geom = {
     val (pts1, runs1, polys1) = split3(g1)
     val (pts2, runs2, polys2) = split3(g2)
     val allPolys = polys1 ++ polys2
     // validate USER polygon pieces here — the direct polygon×polygon
     // path validates its operands, and a collection must not smuggle a
     // self-intersecting ring past that surface (round-17 review)
-    allPolys.foreach(rs => requireValid(GPolygon(rs), "st_union"))
+    if (validate) allPolys.foreach(rs => requireValid(GPolygon(rs), "st_union"))
     val polyU: Array[Array[Coords]] = polyUnionTree(allPolys.toSeq)
     val allRuns = runs1 ++ runs2
     val lineU: Array[Coords] =
@@ -781,7 +871,29 @@ object GeoOverlay {
     else GMultiPoint(kept.toArray)
   }
 
-  def union(g1: Geom, g2: Geom): Geom = {
+  def union(g1: Geom, g2: Geom): Geom = unionImpl(g1, g2, validate = true)
+
+  /** Union for KERNEL-INTERNAL callers whose operands are already
+    * validated (aggregate partials, prior overlay outputs): skips the
+    * per-step O(E²) operand re-validation, which otherwise re-runs at
+    * every level of a tree union over geometry the kernel itself
+    * produced (tools/GeoProfile: the validation was most of
+    * geometry_union_agg's cost, not the overlay). Semantics on valid
+    * input are identical to [[union]]. */
+  private[functions] def unionTrusted(g1: Geom, g2: Geom): Geom =
+    unionImpl(g1, g2, validate = false)
+
+  /** Operand validation, exposed for aggregate buffers that validate
+    * each USER input once on entry and then merge via
+    * [[unionTrusted]]. Only polygonal pieces are checked — the same
+    * surface [[union]]/[[genericUnion]] validate. */
+  private[functions] def requireValidPolys(g: Geom, fn: String): Unit = g match {
+    case _: GPolygon | _: GMultiPolygon => requireValid(g, fn)
+    case GGeometryCollection(gs) => gs.foreach(requireValidPolys(_, fn))
+    case _ =>
+  }
+
+  private def unionImpl(g1: Geom, g2: Geom, validate: Boolean): Geom = {
     if (g1.isEmpty) return g2
     if (g2.isEmpty) return g1
     (ptsOf(g1), ptsOf(g2)) match {
@@ -796,7 +908,7 @@ object GeoOverlay {
     }
     (polysOf(g1), polysOf(g2)) match {
       case (Some(pa), Some(pb)) =>
-        requireValid(g1, "st_union"); requireValid(g2, "st_union")
+        if (validate) { requireValid(g1, "st_union"); requireValid(g2, "st_union") }
         return polyOverlay("union", pa, pb)
       case _ =>
     }
@@ -808,7 +920,7 @@ object GeoOverlay {
     // lower-dimensional piece covered by a higher one is absorbed, an
     // uncovered one survives into a GEOMETRYCOLLECTION (round 17 —
     // previously a named error)
-    genericUnion(g1, g2)
+    genericUnion(g1, g2, validate)
   }
 
   private def famOrder(g: Geom): Int = g match {

@@ -27,6 +27,27 @@ import org.apache.spark.sql.functions._
   */
 object Geo {
 
+  /** documents projected to doc_id and spread to cluster parallelism,
+    * applied ONLY to the entries whose per-row overlay kernels are
+    * expensive (geo_overlay / geo_buffer / geo_union_agg /
+    * geo_collection): those derive geometry from doc_id alone and run
+    * compute-bound kernels, but the corpus arrives as ONE parquet split
+    * at bench scale (a single small file = one scan partition = one
+    * core for the whole kernel pass). Projecting to the id FIRST keeps
+    * the exchange at 8 bytes/row (guide §2.3 "project before the
+    * exchange"); repartitioning to `defaultParallelism` is
+    * scale-adaptive, not a local constant — at 100 TB the scan already
+    * has at least that many natural splits and this is a cheap
+    * reshuffle of ids, while at bench scale it is the difference
+    * between 1 and N cores on a CPU-bound operator (the
+    * [[graft.llm.Dedup]] docsSpread discipline). The CHEAP
+    * expression-only entries keep the plain scan: measured round-20
+    * A/B, the added exchange costs them ~0.3 s flat (1.5-2.5× on
+    * sub-second entries) for no kernel time to parallelize. */
+  private def docIds(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"))
+      .repartition(t.spark.sparkContext.defaultParallelism)
+
   // doc-derived planar points: integers in [0, 100)
   private def px = (col("doc_id") * 37 % 100).cast("double")
   private def py = (col("doc_id") * 61 % 100).cast("double")
@@ -554,7 +575,7 @@ object Geo {
     val rb = rect(u1, v1, u2, v2)
     val inter = call_function("st_intersection", ra, rb)
     val interArea = call_function("st_area", inter)
-    t.documents.select(
+    docIds(t).select(
       col("doc_id"),
       round(interArea, 6).as("ia"),
       round(call_function("st_area", call_function("st_union", ra, rb)), 6).as("ua"),
@@ -618,7 +639,7 @@ object Geo {
     val rect = call_function("st_geometryfromtext",
       concat(lit("POLYGON ((0 0, "), w.cast("long"), lit(" 0, "), w.cast("long"),
         lit(" "), h.cast("long"), lit(", 0 "), h.cast("long"), lit(", 0 0))")))
-    t.documents.select(
+    docIds(t).select(
       col("doc_id"),
       round(call_function("st_area",
         call_function("st_buffer", call_function("st_point", px, py), r)), 4)
@@ -674,7 +695,7 @@ object Geo {
           lit(", "), a, lit(" "), b, lit("))")))
     val chain = wkt(i * 2, lit(0), i * 2 + 3, lit(2))
     val sparse = wkt(i * 5, lit(10), i * 5 + 2, lit(12))
-    t.documents
+    docIds(t)
       .withColumn("g", g).withColumn("chain", chain).withColumn("sparse", sparse)
       .groupBy(col("g"))
       .agg(
@@ -716,7 +737,7 @@ object Geo {
       lit("POLYGON (("), u1, lit(" "), v1, lit(", "), u2, lit(" "), v1,
       lit(", "), u2, lit(" "), v2, lit(", "), u1, lit(" "), v2,
       lit(", "), u1, lit(" "), v1, lit("))")))
-    t.documents.select(
+    docIds(t).select(
       col("doc_id"),
       call_function("st_numgeometries", coll).cast("long").as("n"),
       call_function("st_dimension", coll).cast("long").as("dim"),

@@ -231,6 +231,30 @@ class GeoOverlayPropertySpec extends AnyFunSuite {
     assert(res.passed, s"buffer: ${res.status}")
   }
 
+  test("UnionState (validate-once + unionTrusted) matches union byte-for-byte; invalid input still rejected") {
+    // Round-20 optimization pin: GeoAgg.UnionState validates each USER
+    // input once in add() and tree-merges via GeoOverlay.unionTrusted
+    // (no per-level O(E²) operand re-validation). On valid input the
+    // aggregate's result must be byte-identical to the validating
+    // union; invalid input must still fail at the aggregate's entry
+    // surface with the same st_union error.
+    val prop = Prop.forAll(genStar, genAnnulus) { (s, an) =>
+      val (a, b) = (s.geom, an.geom)
+      val st = new graft.functions.GeoAgg.UnionState
+      st.add(a); st.add(b); st.compact()
+      Prop(toWkt(st.pending.head) == toWkt(GeoOverlay.union(a, b))) :| "state-vs-union"
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(200)
+        .withInitialSeed(org.scalacheck.rng.Seed(20260821L)), prop)
+    assert(res.passed, s"trusted-union: ${res.status}")
+    val bow = parseWkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")
+    val st = new graft.functions.GeoAgg.UnionState
+    val e = intercept[IllegalArgumentException] { st.add(bow) }
+    assert(e.getMessage.contains("st_union"), e.getMessage)
+  }
+
   test("commutativity and idempotence on 400 star pairs (shrinking)") {
     check("commutativity/idempotence") { (sa, sb) =>
       val (a, b) = (sa.geom, sb.geom)
