@@ -205,6 +205,38 @@ object Bench {
       for (n <- breaching) runOne(n, qs.toMap.apply(n), "heal")
     }
 
+    // ---- Core-scaling probe (round 20, verdict ask #2): the driver
+    // benches at two SPARK_GRAFT_CPUS values, but at sf0.1 nearly every
+    // entry is scheduler/overhead-bound, so the c8-vs-c32 per-entry
+    // ratios sit at ~1 and the driver cannot distinguish "honors cores
+    // but overhead-bound" from "ignores cores" (PERF_r19 flagged
+    // suspect_cpus_ignored on exactly that). This probe is a fixed
+    // CPU-bound job — `calibRows` rows through a 16-deep xxhash64 chain
+    // in 256 splits, one partial-agg row per task, no shuffle payload —
+    // whose wall time MUST scale ~1/cores; it ships in the `queries`
+    // map (new key, never renamed) so the driver's existing per-query
+    // scaling table shows ≈4× at 8-vs-32 cores whenever the env var is
+    // honored. defaultParallelism is emitted alongside as the direct
+    // witness of the session's effective core count.
+    val calibCpuScaling: Double = {
+      val calibRows = sys.env.get("SPARK_GRAFT_CALIB_ROWS").map(_.toLong)
+        .getOrElse(96000000L) // ~0.9 s at 32 cores — big enough that the
+                              // 8-core run sits far above sub-second noise
+      import org.apache.spark.sql.functions.{col, xxhash64, max}
+      def rep(): Double = {
+        val t0 = System.nanoTime()
+        val h = (1 to 16).foldLeft(col("id"))((c, _) => xxhash64(c))
+        // max, not sum: summing 48M full-range longs overflows ANSI
+        spark.range(0, calibRows, 1, 256).select(max(h).as("h"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val d = math.min(rep(), rep())
+      System.err.println(f"[bench] calib_cpu_scaling $d%8.2f s " +
+        f"(rows=$calibRows, parallelism=${spark.sparkContext.defaultParallelism})")
+      d
+    }
+
     // ---- TPC-H generator scale lane (round 12): MEASURE the 100×
     // story instead of arguing it from plan shapes at sf0.1. The
     // graft_tpch connector computes rows inside tasks from the row
@@ -893,7 +925,12 @@ object Bench {
     val ratioAlarm =
       tools.LaneDiscipline.ratioMedianAlarm(ratioMedian, medianKeptSteal)
     val fullJson = {
-      val queries = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      // calib_cpu_scaling rides in the queries map (ADDED key) so the
+      // driver's per-query c8-vs-c32 table gets a ratio that MUST be
+      // ≈cores_hi/cores_lo; it is excluded from `value` (total) so
+      // round-over-round totals stay comparable.
+      val queries = (results :+ ("calib_cpu_scaling" -> calibCpuScaling))
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val ratioJson = ratios.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -910,6 +947,7 @@ object Bench {
       val contSteal = contendedSteal.map("\"" + _ + "\"").mkString("[", ",", "]")
       val nq = neverQuiet.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$queries,""" +
+        s""""cpus":"$cpus","parallelism":${spark.sparkContext.defaultParallelism},""" +
         s""""ratio_vs_baseline":$ratioJson,"over_gate":$over,""" +
         s""""over_gate_soft":$overSoft,"ratio_median":${fmt(ratioMedian)},""" +
         s""""ratio_median_alarm":$ratioAlarm,""" +
@@ -941,10 +979,22 @@ object Bench {
       if (breachContended.isEmpty) ""
       else s""","over_gate_contended":${reasonsJson(breachContended.map(n => n ->
         tools.LaneDiscipline.contendedReason(best(n), bestRepLoad(n), bestRepSteal(n))).toMap)}"""
-    val compact = (headline ++ groups).sortBy(_._1)
+    val compact = (headline ++ groups ++ Seq("calib_cpu_scaling" -> calibCpuScaling))
+      .sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compact$laneCompact$contCompact,"sf":"$sfDir"}""")
+    val compactLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compact,""" +
+        s""""cpus":"$cpus","parallelism":${spark.sparkContext.defaultParallelism}""" +
+        s"""$laneCompact$contCompact,"sf":"$sfDir"}"""
+    // The stdout line is also persisted verbatim (round 20, verdict ask
+    // #2): BENCH_r18's line was truncated in capture and the whole
+    // round-over-round comparison was lost — the file copy makes the
+    // artifact reconstructable from the repo alone.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_compact.json"),
+      compactLine.getBytes("UTF-8"))
+    println(compactLine)
     spark.stop()
     if (overGateSoft.nonEmpty)
       System.err.println(f"[bench] over-gate SOFT breaches (journaled, not fatal; " +

@@ -301,6 +301,15 @@ object NativeExprs {
     }
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
+      // Bounds contract (round-20 advice): the subspace loops index up
+      // to numSub*subDim-1; a shorter vector would read out of bounds
+      // (silent garbage on UnsafeArrayData, AIOOBE on generic arrays)
+      // where the old slice+zip_with chain had defined null-padding
+      // semantics. Reject short vectors up front with a clear error.
+      if (arr.numElements() < numSub * subDim)
+        throw new IllegalArgumentException(
+          s"graft_pq_encode: vector has ${arr.numElements()} elements, " +
+            s"needs >= ${numSub * subDim} (numSub=$numSub x subDim=$subDim)")
       val out = new scala.collection.mutable.ArrayBuffer[Any](numSub)
       var m = 0
       while (m < numSub) {

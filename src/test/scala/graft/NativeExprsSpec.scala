@@ -150,4 +150,21 @@ class NativeExprsSpec extends SparkSpec {
     }).toSet
     assert(nat == ref)
   }
+
+  test("graft PqEncodeCodes rejects short vectors with a clear error (round-20 advice)") {
+    // the subspace loops index up to numSub*subDim-1; a shorter vector
+    // previously read out of bounds (silent garbage on UnsafeArrayData)
+    import spark.implicits._
+    val cbArr = Array.tabulate(2, 2) { (m, c) =>
+      (m, c, Array.fill(8)(0.5 * (c + 1)))
+    }.flatten
+    val short = Seq((1L, Seq.fill(10)(0.1))).toDF("vec_id", "e") // needs 16
+    val e = intercept[Exception] {
+      short.select(org.apache.spark.sql.graft.Shim.column(NativeExprs.PqEncodeCodes(
+        org.apache.spark.sql.graft.Shim.expression(col("e")), cbArr, 2, 8))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("graft_pq_encode")), msgs(e).mkString(" | "))
+  }
 }
