@@ -435,10 +435,20 @@ object Corpus {
     * absorbs it map-side; the per-doc rank window partitions by doc_id
     * (no hot keys). */
   def tfidfTopTerms(t: Tables): DataFrame = {
+    // tf feeds BOTH the df aggregation and the score join; without a
+    // materialization Spark recomputes the whole tokenize+groupBy
+    // subtree for each consumer — ReuseExchange cannot dedupe the two
+    // occurrences because column pruning rewrites the df branch's
+    // exchange to (term) only (round-20 profile, tools/ProfileInherent:
+    // the join stage's marginal cost equaled tf's own full cost).
+    // localCheckpoint is the within-query materialization discipline
+    // the near-dup tier already uses; one tokenize pass instead of two
+    // at any scale.
     val tf = spread(t)
       .select(col("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = t.documents.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "term")

@@ -144,13 +144,23 @@ object Exprs {
     * are engine-specific and can't be hash-checked, so the oracle pins
     * the exact form. */
   def aggPercentiles(t: Tables): DataFrame =
+    // p50/p90 of l_quantity come from ONE array-percentile aggregate:
+    // two scalar percentile() calls each buffer the full column per
+    // group (the entry's dominant cost — round-20 profile,
+    // tools/ProfileInherent: exact-percentile marginal ~0.97 s vs a
+    // 0.13 s scan), while the array form sorts one buffer and reads
+    // both quantiles from it. Same linear interpolation on the same
+    // sorted values — bit-identical results, oracle-pinned.
     t.lineitem.groupBy(col("l_returnflag"))
       .agg(
-        percentile(col("l_quantity"), lit(0.5)).as("q_p50"),
-        percentile(col("l_quantity"), lit(0.9)).as("q_p90"),
+        percentile(col("l_quantity"), array(lit(0.5), lit(0.9))).as("q_arr"),
         percentile(col("l_extendedprice"), lit(0.99)).as("p_p99"),
         min(col("l_quantity")).as("q_min"),
         max(col("l_quantity")).as("q_max"))
+      .select(col("l_returnflag"),
+        element_at(col("q_arr"), 1).as("q_p50"),
+        element_at(col("q_arr"), 2).as("q_p90"),
+        col("p_p99"), col("q_min"), col("q_max"))
   val aggPercentilesSql =
     """SELECT l_returnflag,
        quantile_cont(l_quantity, 0.5) AS q_p50,
